@@ -1,0 +1,322 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Relational query surface: aggregation, joins (inner/left/semi/anti),
+  * windows, rollup, set ops, scalar functions — the Spark-first
+  * re-expression of the reference's relational spine (SURVEY.md §2.4–2.8)
+  * over the TPC-H-ish fixtures.
+  *
+  * Oracle-parity design notes (SURVEY.md §7.4 "oracle parity traps"):
+  *  - Double sums are NOT associative, so any `sum(double)` can differ
+  *    between Spark's partial/final aggregation order and DuckDB's. We
+  *    cast each addend to DECIMAL(25,6) first: the per-row double value
+  *    is identical in both engines (IEEE), the decimal rounding is
+  *    deterministic (a binary double is never an exact decimal rounding
+  *    midpoint for scale >= 1), and decimal addition is exact — so the
+  *    final sum matches bit-for-bit. Final results are cast to
+  *    DECIMAL(38,6) so both engines emit the same type.
+  *  - Averages are derived from the exact decimal sum via a single
+  *    double division (deterministic), never `avg(double)`.
+  *  - Every query ends in a total order on a unique key so row order is
+  *    reproducible; ascending sorts on nullable keys pin NULLS FIRST on
+  *    both engines (Spark's ASC default; DuckDB needs it spelled out).
+  */
+object Relational {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val D = DecimalType(25, 6)  // addend type: exact, wide enough for sf >= 1
+  private val DF = DecimalType(38, 6) // final sum type, identical in both engines
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DF)
+
+  /** name -> (spark query, duckdb oracle sql) */
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- A-rows: hash aggregation with partial+final (SURVEY §2.5) ----
+    ("q01_pricing_summary", (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir).lineitem
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_charge,
+        CAST(COUNT(*) AS BIGINT) AS count_order,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- top-k: TakeOrderedAndProject, no full sort at scale (§2.7) ----
+    ("q02_topk_orders", (s: SparkSession, dir: String) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape) ----
+    ("q03_shipping_priority", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }, Some("""
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 20""")),
+
+    // ---- 5-way join through broadcast dims (TPC-H Q5 shape, §2.4) ----
+    ("q04_local_supplier_volume", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      // region/nation/supplier are small dims: broadcast them so the big
+      // fact join never shuffles the dimension side at 100 TB.
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }, Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")),
+
+    // ---- left-semi join: EXISTS (reference J1, votes ⋉ posts) ----
+    ("q05_semi_join", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.lineitem.filter(col("l_quantity") >= 45), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      ORDER BY o_orderkey""")),
+
+    // ---- left-anti join: NOT EXISTS (dual of J1, SURVEY §2.4) ----
+    ("q06_anti_join", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    // ---- left-outer join + agg with empty-side default (reference J3) ----
+    ("q07_left_join_agg", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(sum(col("o_totalprice").cast(D)), lit(0).cast(D)).cast(DF).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name,
+        CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DECIMAL(38,6)) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey""")),
+
+    // ---- window: row_number top-N per key (reference W1/A3 shape) ----
+    ("q08_window_rank", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }, Some("""
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_custkey, rn""")),
+
+    // ---- window: running sum over a rows frame (§2.6) ----
+    ("q09_window_running", (s: SparkSession, dir: String) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture; the total
+      // order within a supplier partition needs l_quantity as a tiebreaker
+      // ((suppkey, shipdate, orderkey, linenumber, quantity) is unique).
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).lineitem
+        .withColumn("running_qty", sum(col("l_quantity").cast(D)).over(w).cast(DF))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"), col("running_qty"))
+        // running_qty is strictly increasing within a partition (qty >= 1),
+        // so it makes the final output order total even for rows that tie
+        // on all of (suppkey, orderkey, linenumber, quantity).
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                 col("l_quantity"), col("running_qty"))
+    }, Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_qty
+      FROM lineitem
+      ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty""")),
+
+    // ---- window: lag/lead (§2.6, W2 cursor analog) ----
+    ("q10_window_lag_lead", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+                lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        LAG(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- rollup (grouping sets family, §2.5) ----
+    ("q11_rollup", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+             dsum(col("c_acctbal")).as("acct_total"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }, Some("""
+      SELECT n_name, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS acct_total
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")),
+
+    // ---- count distinct (§2.5) ----
+    ("q12_distinct_count", (s: SparkSession, dir: String) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- set ops: INTERSECT / EXCEPT (§2.7) ----
+    ("q13_setops", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      val bigSpenders = t.orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val autos = t.customer.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+      bigSpenders.intersect(autos).withColumn("op", lit("intersect"))
+        .unionByName(bigSpenders.except(autos).withColumn("op", lit("except")))
+        .orderBy(col("op"), col("custkey"))
+    }, Some("""
+      WITH big AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+           autos AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      SELECT custkey, 'intersect' AS op FROM (SELECT * FROM big INTERSECT SELECT * FROM autos)
+      UNION ALL
+      SELECT custkey, 'except' AS op FROM (SELECT * FROM big EXCEPT SELECT * FROM autos)
+      ORDER BY op, custkey""")),
+
+    // ---- scalar date/string functions (reference F9/F12, §2.8) ----
+    ("q14_scalar_datetime", (s: SparkSession, dir: String) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+                year(col("o_orderdate")).as("o_year"),
+                month(col("o_orderdate")).as("o_month"),
+                dayofmonth(col("o_orderdate")).as("o_day"),
+                date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+                upper(col("o_orderpriority")).as("prio_upper"),
+                substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+                concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("status_tag"),
+                length(col("o_orderpriority")).as("prio_len"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+        CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
+        CAST(date_part('day', o_orderdate) AS INTEGER) AS o_day,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        UPPER(o_orderpriority) AS prio_upper,
+        SUBSTR(o_orderpriority, 1, 1) AS prio_code,
+        CONCAT(o_orderstatus, '#', o_orderpriority) AS status_tag,
+        CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len
+      FROM orders ORDER BY o_orderkey LIMIT 1000""")),
+
+    // ---- case expression buckets + agg (reference F13 sign-split shape) ----
+    ("q15_caseexpr", (s: SparkSession, dir: String) => {
+      Tables(s, dir).orders
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
+      FROM orders GROUP BY 1 ORDER BY bucket"""))
+  )
+}

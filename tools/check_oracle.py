@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare loop (dev tool only;
+the shipped Scala library has no Python dependency).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB over views named after the
+tables in <sfDir>, sorts columns by name, and compares values exactly
+(floats: also reports max abs diff so near-misses are visible).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = spark_rel.description
+            sdata = spark_rel.fetchall()
+            duck_rel = con.execute(sql)
+            dcols = duck_rel.description
+            ddata = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_bad += 1
+            continue
+        sn = [c[0] for c in scols]
+        dn = [c[0] for c in dcols]
+        if sorted(sn) != sorted(dn):
+            print(f"FAIL {name}: column names differ: spark={sorted(sn)} duck={sorted(dn)}")
+            n_bad += 1
+            continue
+        sperm = sorted(range(len(sn)), key=lambda i: sn[i])
+        dperm = sorted(range(len(dn)), key=lambda i: dn[i])
+        srows = [tuple(norm(r[i]) for i in sperm) for r in sdata]
+        drows = [tuple(norm(r[i]) for i in dperm) for r in ddata]
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: row count spark={len(srows)} duck={len(drows)}")
+            n_bad += 1
+            continue
+        mismatch = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+        # also try order-insensitive compare to distinguish sort-only issues
+        if mismatch:
+            sorted_eq = sorted(srows) == sorted(drows)
+            i, a, b = mismatch[0]
+            print(f"FAIL {name}: {len(mismatch)}/{len(srows)} rows differ "
+                  f"(order-insensitive equal: {sorted_eq})\n  row {i}:\n   spark={a}\n   duck ={b}")
+            n_bad += 1
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+            n_ok += 1
+    missing = set(oracle) - set(oracle)
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
