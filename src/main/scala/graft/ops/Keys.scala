@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Canonical document keys (SURVEY.md §2.8 F1).
+  *
+  * The reference keys posts by `base64(xxhash64(author + "/" + permlink,
+  * seed=0xCAFEBABE))` (reference handlers/comments.js:14-17,
+  * handlers/votes.js:6-9). The engine standardizes on Spark's built-in
+  * `xxhash64` (seed 42) over the same `author/permlink` string and keeps
+  * the key as a LongType — a documented delta (SURVEY §7.4 #2): a 64-bit
+  * long joins/groups faster than a base64 string and the key is only ever
+  * compared for equality, never exchanged with the reference system.
+  */
+object Keys {
+
+  /** 64-bit post key from (author, permlink). */
+  def postKey(author: Column, permlink: Column): Column =
+    xxhash64(concat_ws("/", author, permlink)).as("post_id")
+
+  /** Same key computed from a vote row — votes reference posts by the
+    * identical hash so the vote→post join needs no extra lookup state
+    * (reference handlers/votes.js:6-9).
+    */
+  def postKeyOfVote(voter: Column, author: Column, permlink: Column): Column =
+    xxhash64(concat_ws("/", author, permlink))
+
+  /** Accounts use their natural name key
+    * (reference handlers/account_updates.js:9).
+    */
+  def accountKey(name: Column): Column = name
+}

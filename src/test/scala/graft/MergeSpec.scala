@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.pipeline.Merge
+
+/** Upsert-merge properties (SURVEY.md §5.3): idempotence (applying a
+  * batch twice ≡ once) and row-order invariance — the two properties
+  * that make at-least-once delivery exactly-once-effective
+  * (reference listener.js:176-184). Property-style over seeded random
+  * batches (collision-heavy key/timestamp space to force tie-breaking).
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randBatch(rng: scala.util.Random): Seq[(Long, Timestamp, String)] =
+    Seq.fill(12)((
+      rng.nextInt(6).toLong,
+      new Timestamp(86400000L * rng.nextInt(4)),
+      rng.alphanumeric.take(4).mkString))
+
+  test("upsert is idempotent: merge(merge(s, b), b) == merge(s, b)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val s = Merge.latestWins(randBatch(rng).toDF("id", "timestamp", "v"),
+        Seq("id"), Seq(col("timestamp")))
+      val b = randBatch(rng).toDF("id", "timestamp", "v")
+      val once  = Merge.upsert(s, b, Seq("id"), "timestamp")
+      val twice = Merge.upsert(once, b, Seq("id"), "timestamp")
+      assert(once.orderBy("id").collect() === twice.orderBy("id").collect())
+    }
+  }
+
+  test("latest-wins is invariant under input row order") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val batch = randBatch(rng)
+      val a = Merge.latestWins(batch.toDF("id", "timestamp", "v"), Seq("id"), Seq(col("timestamp")))
+      val b = Merge.latestWins(batch.reverse.toDF("id", "timestamp", "v"), Seq("id"), Seq(col("timestamp")))
+      assert(a.orderBy("id").collect() === b.orderBy("id").collect())
+    }
+  }
+
+  test("upsert keeps exactly one row per key, newest timestamp") {
+    val existing = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "old"))
+      .toDF("id", "timestamp", "v")
+    val incoming = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 00:00:00"), "new"),
+      (2L, Timestamp.valueOf("2024-01-15 00:00:00"), "fresh"))
+      .toDF("id", "timestamp", "v")
+    val out = Merge.upsert(existing, incoming, Seq("id"), "timestamp")
+      .orderBy("id").as[(Long, Timestamp, String)].collect()
+    assert(out.map(r => (r._1, r._3)) === Array((1L, "new"), (2L, "fresh")))
+  }
+
+  test("schema evolution: incoming may add columns (unionByName allowMissing)") {
+    val existing = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("id", "timestamp", "v")
+    val incoming = Seq((2L, Timestamp.valueOf("2024-01-02 00:00:00"), "y", true))
+      .toDF("id", "timestamp", "v", "flag")
+    val out = Merge.upsert(existing, incoming, Seq("id"), "timestamp")
+    assert(out.columns.toSet === Set("id", "timestamp", "v", "flag"))
+    assert(out.count() === 2)
+  }
+}
