@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    analytics.Relational.defs ++ analytics.ChainOps.defs
+    analytics.Relational.defs ++ analytics.ChainOps.defs ++
+      analytics.LLMOps.defs ++ analytics.TemporalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,187 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, Similarity, TextStats}
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (token counts, quality scores, language-ID), fingerprints, and the
+  * multimodal feature plumbing. Queries whose keys are xxhash64-derived
+  * or approximate have no DuckDB oracle (rows-only check) and are pinned
+  * by unit tests instead (DedupSpec/SimilaritySpec/MultimodalSpec).
+  */
+object LLMOps {
+  import Relational.QFn
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- exact dedup: group by normalized content, keep lowest id ----
+    ("q30_exact_dedup", (s: SparkSession, dir: String) => {
+      Dedup.exact(Tables(s, dir).documents)
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }, Some("""
+      SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY keep_id""")),
+
+    // ---- token counting: whitespace + BPE-ish pre-tokenizer ----
+    ("q31_token_stats", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          size(TextStats.bpeishTokens(col("text"))).as("n_bpeish"),
+          TextStats.nChars(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+        CAST(LENGTH(text) AS INTEGER) AS len_chars
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring: length/uniqueness/stopword signals ----
+    ("q32_quality_scores", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextStats.wordCount(col("text")).as("n_words"),
+          TextStats.uniqueWordRatio(col("text")).as("uniq_ratio"),
+          TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextStats.meanWordLength(col("text")).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_words,
+        CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
+          / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS uniq_ratio,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t IN (${TextStats.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS stopword_ratio,
+        CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), t -> length(t))) AS DOUBLE)
+          / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mean_word_len
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- language distribution over the labeled corpus ----
+    ("q33_lang_distribution", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }, Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- language-ID heuristic prediction (rows-only: the per-language
+    //      profile scoring has no concise SQL twin; pinned by TextOpsSpec)
+    ("q34_langid_predict", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          TextStats.langIdPredicted(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // ---- brute-force cosine top-k against a fixed query vector ----
+    ("q35_cosine_topk", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(t.embeddings.filter(col("vec_id") =!= 0), query, 10)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
+    }, Some("""
+      SELECT vec_id, round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim_r
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+      LIMIT 10""")),
+
+    // ---- n-gram Jaccard similarity pairs on a bounded slice (exact) ----
+    ("q36_ngram_jaccard", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("id"),
+                array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") > 0)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+2], ' '))) AS s
+        FROM documents WHERE doc_id < 40)
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 9) AS jaccard_r
+      FROM sh a, sh b WHERE a.id < b.id
+        AND len(list_intersect(a.s, b.s)) > 0
+      ORDER BY id_a, id_b""")),
+
+    // ---- MinHash+LSH near-dup candidates (approximate; rows-only) ----
+    ("q37_minhash_neardup", (s: SparkSession, dir: String) => {
+      Dedup.minhashNearDups(Tables(s, dir).documents, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    // ---- SimHash fingerprints + hamming to doc 0 (rows-only) ----
+    ("q38_simhash", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      val ref = docs.filter(col("doc_id") === 0).select(col("simhash").as("ref_hash"))
+      docs.crossJoin(broadcast(ref))
+        .select(col("doc_id"), col("simhash"), Dedup.hamming(col("simhash"), col("ref_hash")).as("hamming_to_0"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // ---- document fingerprints (xxhash64-keyed; rows-only) ----
+    ("q39_fingerprint", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // ---- LSH-bucketed approximate NN (recall tested in SimilaritySpec) ----
+    ("q40_lsh_ann", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.lshTopK(t.embeddings.filter(col("vec_id") =!= 0), query, 10,
+        nPlanes = 4, dim = 64)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
+    }, None),
+
+    // ---- multimodal feature extraction (stubbed decode; rows-only) ----
+    ("q41_multimodal_features", (s: SparkSession, dir: String) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+      Multimodal.extractFeatures(media)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+             round(avg(element_at(col("feature"), 1)), 6).as("mean_f0"))
+        .orderBy(col("media_type"))
+    }, None),
+
+    // ---- HLL distinct-count sketch (approximate; rows-only) ----
+    ("q42_approx_distinct", (s: SparkSession, dir: String) => {
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }, None)
+  )
+}

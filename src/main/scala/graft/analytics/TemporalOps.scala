@@ -1,0 +1,121 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Tables
+
+/** Temporal operators Spark lacks as built-ins, composed from existing
+  * ops (preference (a) of the custom-operator ladder): as-of join via
+  * the union + last-non-null-window technique, session windows in batch
+  * via gap detection + running session counter, and a bounded-range
+  * interval join. All shuffle once on the entity key and scale linearly.
+  */
+object TemporalOps {
+  import Relational.QFn
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- as-of (backward) join: each purchase picks the latest view at
+    // or before its timestamp, per user. Implementation: tag both sides,
+    // union, and carry the last non-null quote forward within the
+    // user's time-ordered stream — one shuffle on user_id, no range
+    // explosion, the classic scalable as-of technique.
+    ("q50_asof_join", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).events
+      // quotes deduped per (user, ts): keep the highest event_id so the
+      // as-of match is unambiguous on both engines
+      val qw = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val quotes = e.filter(col("event_type") === "view")
+        .withColumn("qrn", row_number().over(qw)).filter(col("qrn") === 1)
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("quote_ts"), col("value").as("quote_val"), lit(0).as("marker"))
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("timestamp").as("quote_ts"),
+          lit(null).cast("double").as("quote_val"), lit(1).as("marker"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("marker"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("asof_ts", last(col("quote_ts"), ignoreNulls = true).over(w))
+        .withColumn("asof_val", last(col("quote_val"), ignoreNulls = true).over(w))
+        .filter(col("marker") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"), col("asof_val"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH quotes AS (
+        SELECT user_id, ts, value FROM (
+          SELECT user_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS qrn
+          FROM events WHERE event_type = 'view') WHERE qrn = 1),
+      trades AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT t.event_id, t.user_id, t.ts, q.ts AS asof_ts, q.value AS asof_val
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND t.ts >= q.ts
+      ORDER BY t.event_id""")),
+
+    // ---- batch sessionization: a 10-minute inactivity gap starts a new
+    // session; one window pass computes the session index, one groupBy
+    // aggregates it (streaming twin: session_window in stream/Sync).
+    ("q51_sessionize", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 600L * 1000000L
+      Tables(s, dir).events
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_new",
+          (col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us") > gapUs)).cast("int"))
+        .withColumn("session_idx",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }, Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 600000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sessions GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""")),
+
+    // ---- bounded interval join: clicks within 5 minutes after each
+    // purchase, same user. Equi-join on user_id carries the shuffle;
+    // the range predicate filters inside the join — no cross product.
+    ("q52_range_join", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).events
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      p.join(c, p("user_id") === c("user_id")
+          && col("cts") >= col("pts")
+          && unix_micros(col("cts")) - unix_micros(col("pts")) <= 300L * 1000000L, "left")
+        .groupBy(col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks_5m"))
+        .orderBy(col("purchase_id"))
+    }, Some("""
+      SELECT p.event_id AS purchase_id,
+             CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_5m
+      FROM events p LEFT JOIN events c
+        ON p.user_id = c.user_id AND c.event_type = 'click'
+       AND c.ts >= p.ts AND epoch_us(c.ts) - epoch_us(p.ts) <= 300000000
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id
+      ORDER BY purchase_id"""))
+  )
+}

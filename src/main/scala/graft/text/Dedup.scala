@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every variant is shuffle-on-a-key — exact dedup groups
+  * by a 64-bit fingerprint; MinHash/SimHash near-dup candidate
+  * generation explodes into (band, hash) bucket keys and self-joins on
+  * the bucket, so the shuffle carries only (key, doc_id) pairs and the
+  * quadratic pair enumeration happens per-bucket (bounded by bucket
+  * size), never across the corpus. This is the same architecture as
+  * Spark MLlib's MinHashLSH, re-expressed over DataFrames.
+  */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact dedup on the normalized fingerprint: one row per distinct
+    * content, keeping the lowest doc_id as canonical (deterministic),
+    * with the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- shingles & MinHash ---------------------------------------------
+
+  /** Word k-shingles of a text column as an array of strings. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextStats.tokens(lower(text))
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+  }
+
+  /** Distinct shingle hash set (the Jaccard universe of the doc). */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Deterministic MinHash signature: `numHashes` independent hash
+    * functions over the shingle-hash set, function i being
+    * `xxhash64(h, i)` (re-seeding by the permutation index — a proper
+    * hash family with no overflow under ANSI arithmetic). Returns
+    * array<long> of per-function minima.
+    */
+  def minhashSignature(shingleHashesCol: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { i =>
+      aggregate(shingleHashesCol, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, lit(i))))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * signature.length/bands rows each and hash each band. Docs sharing
+    * any band key are near-dup candidates.
+    */
+  def bandKeys(signature: Column, numHashes: Int = 16, bands: Int = 4): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (0 until rows).map(r => signature.getItem(b * rows + r)): _*)).as("bh"))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * explode(bands) → self-join on the band bucket → dedup candidate
+    * pairs → verify with exact Jaccard over the shingle-hash sets →
+    * filter by threshold. Only bucket-mates are ever paired.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
+                      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bk", explode(bandKeys(col("sig"), numHashes, bands)))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
+    val a = sh.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** n-gram Jaccard near-dup pairs without LSH (exact, for bounded sets
+    * or per-bucket verification).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, k: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: each bit is the sign of the
+    * per-bit vote sum. Pure expressions: for bit j, count tokens whose
+    * hash has bit j set; bit j of the simhash is 1 iff count*2 > total.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextStats.tokens(lower(text)), t => xxhash64(t))
+    val total = size(hs).cast("long")
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
+      when(votes * lit(2L) > total, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

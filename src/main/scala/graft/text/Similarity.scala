@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a full scan of the corpus, one narrow stage, no shuffle
+  * except the final per-query top-k (TakeOrdered-style).
+  *
+  * Scale path: random-hyperplane LSH bucketing — each vector maps to a
+  * small integer bucket key; at query time only the query's bucket (and
+  * optionally neighboring probes) is scanned. Bucketing is a pure
+  * projection (a handful of dot products against literal hyperplanes),
+  * so building the index is one pass and the bucket key can be a
+  * partition/cluster column at rest.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns, computed in
+    * double with a strict left-to-right fold — deterministic and
+    * engine-portable (same order ⇒ same floating-point result).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors of one query vector (given as a
+    * one-row DataFrame with column `qvec`). Returns (vec_id, cos_sim)
+    * ordered best-first.
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .crossJoin(broadcast(query))
+      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+
+  /** All-pairs top-k per query for a query *set*: broadcast the queries,
+    * one narrow pass over the corpus, per-query window top-k.
+    */
+  def topKPerQuery(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "query_id", qvecCol: String = "qvec"): DataFrame = {
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos_sim").desc, col(idCol))
+    embeddings.crossJoin(broadcast(queries))
+      .withColumn("cos_sim", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col("rn"), col(idCol), col("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 0x9E3779B9L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH bucket key: sign-bit pattern of `nPlanes` hyperplane dot
+    * products — vectors in the same bucket are cosine-close with high
+    * probability. Pure projection; usable as a clustering column.
+    */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedlit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Bucketed approximate top-k: restrict the scan to the query's LSH
+    * bucket, then brute-force within it. Trades recall for a ~2^nPlanes
+    * scan reduction; recall is measured against bruteForceTopK in
+    * SimilaritySpec.
+    */
+  def lshTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              nPlanes: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val qb = query.withColumn("bucket", lshBucket(col("qvec"), nPlanes, dim))
+    bucketed.join(broadcast(qb), Seq("bucket"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * Column expressions (codegen'd, no UDFs) so a 100 TB corpus scan stays
+  * a single narrow stage.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish sub-word tokens: word pieces, numbers, and single
+    * punctuation marks — the standard pre-tokenizer split
+    * (letters | digits | single non-space symbol).
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality signals (length / punctuation / stopword ratios) — the
+    * heuristics filters like C4/Gopher apply before training. Returns a
+    * struct so one projection computes all signals in a single pass.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that")
+
+  def nChars(text: Column): Column = length(text)
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  def uniqueWordRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Language-ID by stopword-profile scoring: count hits against a tiny
+    * per-language frequent-word profile and take the argmax (n-gram
+    * heuristic in the word-unigram limit). Profiles are literal arrays —
+    * broadcast-free, fully codegen'd. Ties resolve by profile order.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "en", "un", "une", "que", "pour"))
+
+  def langIdPredicted(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langProfiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    // greatest over (score, lang) structs picks max score; on ties the
+    // lexicographically-last lang wins — deterministic either way.
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+    * lowercased text — the exact-dedup key that is robust to whitespace
+    * and case jitter (rolling-hash fingerprint in the single-window
+    * limit).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(array_join(tokens(lower(trim(text))), " "))
+}

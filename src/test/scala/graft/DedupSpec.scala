@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextStats}
+
+/** Near-dup operator behavior on planted duplicates — the properties the
+  * DuckDB oracle can't check (hash-keyed / approximate outputs).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup = base.replace("today", "tonight")        // 1-word edit
+  private val unrelated = "completely different content about spark query engines and shuffles"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated),
+    (3L, base),                                                  // exact copy of 0
+    (4L, "  The  QUICK brown fox jumps over the lazy dog near the river bank today ")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized copies") {
+    val out = Dedup.exact(docs).orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    // 0, 3, 4 collapse (4 differs only in case/whitespace); 1 and 2 stand alone
+    assert(out === Array((0L, 3L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-dup pair and skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs.filter(col("doc_id") < 3), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("jaccard: identical -> 1.0, disjoint -> 0.0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
+      .toDF("s1", "s2", "s3")
+    val (same, disj) = df.select(
+      Dedup.jaccard(col("s1"), col("s2")), Dedup.jaccard(col("s1"), col("s3")))
+      .as[(Double, Double)].head()
+    assert(same === 1.0 && disj === 0.0)
+  }
+
+  test("simhash: near-dups are hamming-close, unrelated far") {
+    val out = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(0L), out(3L)) === 0)            // identical text
+    assert(ham(out(0L), out(1L)) < 12)             // 1-word edit stays close
+    assert(ham(out(0L), out(2L)) > ham(out(0L), out(1L)))
+  }
+
+  test("fingerprint is whitespace/case-invariant and content-sensitive") {
+    val fps = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(4L))
+    assert(fps(0L) !== fps(1L))
+  }
+
+  test("shingles: short documents yield a single whole-text shingle") {
+    val sh = Seq((0L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(sh === Seq("two words"))
+  }
+}

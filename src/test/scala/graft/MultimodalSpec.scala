@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: schema contract, batch-iterator decode stage,
+  * frame sampling — with the stubbed decoder's determinism pinned.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction preserves ids and emits fixed-dim vectors") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() === 60)
+    val dims = feats.select(size(col("feature"))).distinct().as[Int].collect()
+    assert(dims === Array(Multimodal.featureDim))
+  }
+
+  test("decode stub is deterministic across runs") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val a = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val b = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(a === b)
+  }
+
+  test("decode stub: same payload -> same feature, null payload -> zeros") {
+    val f1 = Multimodal.decodeStub(Array[Byte](1, 2, 3))
+    val f2 = Multimodal.decodeStub(Array[Byte](1, 2, 3))
+    assert(f1 === f2)
+    assert(Multimodal.decodeStub(null) === Array.fill(Multimodal.featureDim)(0f))
+  }
+
+  test("frame sampling expands videos by duration at the given cadence") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000)
+    val check = frames.groupBy("media_id").count()
+      .join(media.select(col("media_id"), col("duration_ms")), "media_id")
+      .withColumn("expected", (col("duration_ms") / 5000).cast("long") + 1)
+      .filter(col("count") =!= col("expected"))
+    assert(check.count() === 0)
+    // only videos are expanded
+    val nonVideo = frames.join(
+      media.filter(col("media_type") =!= "video").select("media_id"), "media_id")
+    assert(nonVideo.count() === 0)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextStats
+
+/** Text-analysis heuristics pinned by construction (the language-ID and
+  * quality paths the oracle can't express).
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the profile with most hits") {
+    val rows = Seq(
+      (0L, "the cat and the dog is in the house with it"),   // en
+      (1L, "der hund und die katze ist von dem haus mit zu"), // de
+      (2L, "el perro y la casa de que los es por con"),       // es
+      (3L, "le chien est en le jardin et la maison pour un")) // fr
+      .toDF("id", "text")
+    val got = rows.select(col("id"), TextStats.langIdPredicted(col("text")).as("p"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(got === Array("en", "de", "es", "fr"))
+  }
+
+  test("bpeish tokens split words, numbers, punctuation") {
+    val toks = Seq("hello, world42!").toDF("t")
+      .select(TextStats.bpeishTokens(col("t"))).as[Seq[String]].head()
+    assert(toks === Seq("hello", ",", "world", "42", "!"))
+  }
+
+  test("quality signals on a degenerate repeated document") {
+    val (uniq, stop) = Seq("the the the the").toDF("t")
+      .select(TextStats.uniqueWordRatio(col("t")), TextStats.stopwordRatio(col("t")))
+      .as[(Double, Double)].head()
+    assert(uniq === 0.25 && stop === 1.0)
+  }
+
+  test("mean word length") {
+    val m = Seq("ab abcd").toDF("t")
+      .select(TextStats.meanWordLength(col("t"))).as[Double].head()
+    assert(m === 3.0)
+  }
+}
