@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.stream.Sync
+
+/** End-to-end streaming sync replay (SURVEY.md §5.4): file-source
+  * micro-batches through the full router→handlers→merge pipeline with a
+  * real checkpoint, exercising offset recovery (S2), idempotent upserts
+  * (S8), cross-batch voter-set state (S5), and watermarked windows (S4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  private def opLine(block: Long, ts: String, tpe: String, payloadJson: String): String = {
+    val quoted = payloadJson.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"block_num":$block,"timestamp":"$ts","op_type":"$tpe","payload":"$quoted"}"""
+  }
+
+  private def comment(author: String, permlink: String, title: String): String =
+    s"""{"author":"$author","permlink":"$permlink","parent_author":"","parent_permlink":"general",
+       |"title":"$title","body":"b","json_metadata":"{}"}""".stripMargin.replace("\n", "")
+
+  private def vote(voter: String, author: String, permlink: String, weight: Int): String =
+    s"""{"voter":"$voter","author":"$author","permlink":"$permlink","weight":$weight}"""
+
+  private def writeOps(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+
+  test("sync: micro-batches, checkpoint restart, latest-wins, cross-batch vote state") {
+    val opsDir = tmp(); val ckpt = tmp() + "/ckpt"; val state = tmp() + "/state"
+
+    // wave 1: two posts + one vote
+    writeOps(opsDir, "w1.json", Seq(
+      opLine(1, "2024-01-01T00:00:00", "comment", comment("alice", "p1", "v1")),
+      opLine(1, "2024-01-01T00:00:00", "comment", comment("bob", "p2", "hello")),
+      opLine(2, "2024-01-01T00:01:00", "vote", vote("carol", "alice", "p1", 100))))
+    Sync.start(spark, opsDir, ckpt, state).awaitTermination()
+
+    val posts1 = spark.read.parquet(s"$state/posts")
+    assert(posts1.count() === 2)
+    val sets1 = spark.read.parquet(s"$state/vote_sets")
+    assert(sets1.select("upvotes").as[Seq[String]].head() === Seq("carol"))
+
+    // wave 2 (same checkpoint ⇒ only the new file is processed): a
+    // re-post of alice/p1 (newer), a second voter, and a duplicate vote
+    writeOps(opsDir, "w2.json", Seq(
+      opLine(3, "2024-01-02T00:00:00", "comment", comment("alice", "p1", "v2")),
+      opLine(3, "2024-01-02T00:01:00", "vote", vote("dave", "alice", "p1", 50)),
+      opLine(3, "2024-01-02T00:02:00", "vote", vote("carol", "alice", "p1", 100)),
+      opLine(3, "2024-01-02T00:03:00", "vote", vote("eve", "ghost", "nope", 10))))
+    Sync.start(spark, opsDir, ckpt, state).awaitTermination()
+
+    val posts2 = spark.read.parquet(s"$state/posts")
+    assert(posts2.count() === 2, "latest-wins: re-post must not add a row")
+    assert(posts2.filter(col("author") === "alice")
+      .select("text_title").as[String].head() === "v2")
+
+    val sets2 = spark.read.parquet(s"$state/vote_sets")
+    // carol voted twice -> still once; dave appended; ghost-post vote dropped (J1)
+    assert(sets2.count() === 1)
+    assert(sets2.select("upvotes").as[Seq[String]].head() === Seq("carol", "dave"))
+
+    // wave 3: restart with NO new data — state must be unchanged (S2/S8)
+    Sync.start(spark, opsDir, ckpt, state).awaitTermination()
+    val posts3 = spark.read.parquet(s"$state/posts")
+    assert(posts3.orderBy("post_id").collect() === posts2.orderBy("post_id").collect())
+
+    // accounts: last_active reflects the newest op per account
+    val acct = spark.read.parquet(s"$state/accounts")
+    assert(acct.filter(col("name") === "carol")
+      .select(date_format(col("last_active"), "yyyy-MM-dd HH:mm:ss")).as[String]
+      .head() === "2024-01-02 00:02:00")
+  }
+
+  test("watermarked tumbling window counts (S4)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Sync.windowedCounts(df, "10 minutes", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("wincounts").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 00:01:00"), "click", 1.0),
+      (t("2024-01-01 00:05:00"), "click", 2.0),
+      (t("2024-01-01 00:11:00"), "click", 4.0))
+    q.processAllAvailable()
+    val out = spark.table("wincounts")
+      .select(col("n"), col("total_value")).as[(Long, Double)].collect().sorted
+    q.stop()
+    assert(out === Array((1L, 4.0), (2L, 3.0)))
+  }
+
+  test("session windows in streaming mode match the gap rule (S4)") {
+    // drive session_window through a memory sink on a small in-memory stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Sync.sessionCounts(df.withColumn("event_type", lit("x"))
+        .withColumn("value", lit(1.0)).withColumn("event_id", lit(1L)),
+        gap = "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sessions").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 00:00:00"), 1L), (t("2024-01-01 00:02:00"), 1L), // session A
+      (t("2024-01-01 00:20:00"), 1L),                                 // session B
+      (t("2024-01-01 00:00:00"), 2L))
+    q.processAllAvailable()
+    val out = spark.table("sessions")
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted
+    q.stop()
+    assert(out === Array((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
