@@ -74,16 +74,28 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bk", explode(bandKeys(col("sig"), numHashes, bands)))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val a = sh.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    // the shingle computation feeds three consumers (signature derivation
+    // and both verify joins) — persist it so the tokenize+hash pass runs
+    // once; at cluster scale this is a checkpoint of the shingle table
+    val base = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate generation travels light: only (band, bandHash, id) goes
+    // through the self-join shuffle, and pair dedup happens on the bare
+    // id pair — the shingle sets (the wide payload) are re-attached by
+    // two key joins only for the surviving candidates. At corpus scale
+    // the candidate set is orders of magnitude smaller than the corpus,
+    // so the wide data never shuffles more than once.
+    val keys = base
+      .withColumn("bk", explode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cand = keys.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(keys.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -36,13 +36,21 @@ object Similarity {
     * ordered best-first.
     */
   def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // query norm is computed once on the broadcast side, not per corpus
+    // row — the per-row work is one dot product + one self-norm fold
+    val q = query.withColumn("qnorm",
+      sqrt(aggregate(col("qvec"), lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))))
+    val dot = aggregate(zip_with(col(vecCol), col("qvec"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val n = sqrt(aggregate(col(vecCol), lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
     embeddings
-      .crossJoin(broadcast(query))
-      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", dot / (n * col("qnorm")))
       .select(col(idCol), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
 
   /** All-pairs top-k per query for a query *set*: broadcast the queries,
     * one narrow pass over the corpus, per-query window top-k.
