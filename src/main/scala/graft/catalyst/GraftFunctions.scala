@@ -1,0 +1,70 @@
+package graft.catalyst
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-API and SQL surfaces for the engine's native expressions.
+  *
+  * Scala callers use the typed helpers; SQL callers get the functions
+  * either via `GraftExtensions` (SparkSessionExtensions, for sessions
+  * built with `.withExtensions`) or `registerAll` (temp-function
+  * registration on an existing session).
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Single-pass SimHash of a string column (see [[SimHash64]]). */
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+
+  /** Fused cosine similarity of two array<float|double> columns. */
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+
+  /** Seeded xxhash64 — Spark's builtin fixes seed=42; the reference keys
+    * documents with seed 0xCAFEBABE (handlers/comments.js:14-17), so
+    * bit-compatibility needs the seed parameter Spark's own `XxHash64`
+    * expression already carries but `functions.xxhash64` does not expose.
+    */
+  def xxhash64Seeded(seed: Long, cols: Column*): Column =
+    col(XxHash64(cols.map(expr), seed))
+
+  /** Register all functions on an existing session for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (es: Seq[Expression]) => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (es: Seq[Expression]) => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("xxhash64_seeded",
+      (es: Seq[Expression]) => xxHashWithLiteralSeed(es), "built-in")
+  }
+
+  private[catalyst] def xxHashWithLiteralSeed(es: Seq[Expression]): Expression = es.head match {
+    case Literal(seed: Long, _)   => XxHash64(es.tail, seed)
+    case Literal(seed: Int, _)    => XxHash64(es.tail, seed.toLong)
+    case other => throw new IllegalArgumentException(
+      s"xxhash64_seeded(seed, cols...): seed must be a literal integer, got $other")
+  }
+}
+
+/** SparkSessionExtensions hook: build the session with
+  * `.withExtensions(new GraftExtensions)` (or set
+  * `spark.sql.extensions=graft.catalyst.GraftExtensions`) and the native
+  * functions resolve in SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("xxhash64_seeded"),
+      new ExpressionInfo(classOf[XxHash64].getName, "xxhash64_seeded"),
+      (es: Seq[Expression]) => GraftFunctions.xxHashWithLiteralSeed(es)))
+  }
+}

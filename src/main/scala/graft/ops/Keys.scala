@@ -30,4 +30,16 @@ object Keys {
     * (reference handlers/account_updates.js:9).
     */
   def accountKey(name: Column): Column = name
+
+  /** Reference-bit-compatible document id: xxhash64 with the reference's
+    * seed 0xCAFEBABE, base64 of the big-endian hash bytes — for the case
+    * where ids must round-trip with an existing reference deployment
+    * (SURVEY §7.4 #2's contained fallback; the canonical engine key
+    * stays [[postKey]]).
+    */
+  def refCompatPostKeyBase64(author: Column, permlink: Column): Column = {
+    val h = graft.catalyst.GraftFunctions.xxhash64Seeded(
+      0xCAFEBABEL, concat_ws("/", author, permlink))
+    base64(unhex(lpad(hex(h), 16, "0")))
+  }
 }

@@ -122,20 +122,14 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes: each bit is the sign of the
-    * per-bit vote sum. Pure expressions: for bit j, count tokens whose
-    * hash has bit j set; bit j of the simhash is 1 iff count*2 > total.
+  /** 64-bit SimHash: lowercase, tokenize on whitespace, xxhash64 each
+    * token, bit j of the output is the majority vote of bit j across
+    * token hashes. Backed by the native single-pass Catalyst expression
+    * [[graft.catalyst.SimHash64]] (the composed HOF form needs 64 array
+    * folds per row and falls out of codegen).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(TextStats.tokens(lower(text)), t => xxhash64(t))
-    val total = size(hs).cast("long")
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
-      when(votes * lit(2L) > total, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def simhash(text: Column): Column =
+    graft.catalyst.GraftFunctions.simhash64(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

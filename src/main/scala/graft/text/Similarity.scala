@@ -19,38 +19,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float|double> columns, computed in
-    * double with a strict left-to-right fold — deterministic and
-    * engine-portable (same order ⇒ same floating-point result).
+  /** Cosine similarity of two array<float|double> columns: the native
+    * fused-loop expression [[graft.catalyst.CosineSim]] — one pass
+    * accumulating dot product and both norms in index order (double),
+    * deterministic and engine-portable (same IEEE op order as the
+    * equivalent left-to-right fold).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.catalyst.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force top-k cosine neighbors of one query vector (given as a
     * one-row DataFrame with column `qvec`). Returns (vec_id, cos_sim)
     * ordered best-first.
     */
   def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // query norm is computed once on the broadcast side, not per corpus
-    // row — the per-row work is one dot product + one self-norm fold
-    val q = query.withColumn("qnorm",
-      sqrt(aggregate(col("qvec"), lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))))
-    val dot = aggregate(zip_with(col(vecCol), col("qvec"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val n = sqrt(aggregate(col(vecCol), lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embeddings
-      .crossJoin(broadcast(q))
-      .withColumn("cos_sim", dot / (n * col("qnorm")))
+      .crossJoin(broadcast(query))
+      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
       .select(col(idCol), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
-  }
 
   /** All-pairs top-k per query for a query *set*: broadcast the queries,
     * one narrow pass over the corpus, per-query window top-k.

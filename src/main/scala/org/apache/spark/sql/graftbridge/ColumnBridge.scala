@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 makes the Column<->Expression conversions `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); extension libraries
+  * shipping native Catalyst expressions need exactly these two calls, so
+  * this shim re-exports them from inside the sql package — the standard
+  * pattern for out-of-tree Spark extensions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

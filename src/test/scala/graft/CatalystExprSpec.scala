@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalyst.{GraftFunctions, GraftExtensions}
+import graft.ops.Keys
+
+/** Native Catalyst expressions: value semantics, null handling, SQL
+  * registration (both temp-function and SparkSessionExtensions paths),
+  * and codegen/interpreted agreement.
+  */
+class CatalystExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64: identical text -> identical hash; null -> null") {
+    val df = Seq(Some("a b c"), Some("A  B \n C"), None).toDF("t")
+      .select(GraftFunctions.simhash64(col("t")).as("h"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === rows(1).getLong(0),
+      "case/whitespace-normalized equal text must collide")
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("simhash64 agrees between codegen and interpreted eval") {
+    val texts = Seq("the quick brown fox", "lorem ipsum dolor sit amet", "x")
+    val viaDf = texts.toDF("t")
+      .select(GraftFunctions.simhash64(col("t"))).as[Long].collect()
+    val direct = texts.map(t =>
+      graft.catalyst.SimHash64.compute(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(viaDf.toSeq === direct)
+  }
+
+  test("cosine_sim: known values and nulls") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 2f)))
+      .toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      GraftFunctions.cosineSim(col("a"), col("b")),
+      GraftFunctions.cosineSim(col("a"), col("c"))).as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12 && math.abs(orth) < 1e-12)
+    val nullRow = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("cosine_sim mixes float and double arrays") {
+    val v = Seq((Seq(1f, 2f, 3f), Seq(1.0, 2.0, 3.0))).toDF("f", "d")
+      .select(GraftFunctions.cosineSim(col("f"), col("d"))).as[Double].head()
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("xxhash64_seeded: seed 42 matches the builtin, other seeds differ") {
+    val df = Seq("alice/p1").toDF("s")
+    val (builtin, seeded42, seededRef) = df.select(
+      xxhash64(col("s")),
+      GraftFunctions.xxhash64Seeded(42L, col("s")),
+      GraftFunctions.xxhash64Seeded(0xCAFEBABEL, col("s"))).as[(Long, Long, Long)].head()
+    assert(builtin === seeded42)
+    assert(builtin !== seededRef)
+  }
+
+  test("refCompatPostKeyBase64 is a stable 12-char base64 key") {
+    val k = Seq(("alice", "p1")).toDF("author", "permlink")
+      .select(Keys.refCompatPostKeyBase64(col("author"), col("permlink"))).as[String].head()
+    assert(k.length === 12 && k.endsWith("="))
+    // deterministic across invocations
+    val k2 = Seq(("alice", "p1")).toDF("author", "permlink")
+      .select(Keys.refCompatPostKeyBase64(col("author"), col("permlink"))).as[String].head()
+    assert(k === k2)
+  }
+
+  test("SQL surface: registerAll on the session") {
+    GraftFunctions.registerAll(spark)
+    Seq(("a b", Seq(1f, 2f), Seq(2f, 4f))).toDF("t", "x", "y").createOrReplaceTempView("exprs_in")
+    val row = spark.sql(
+      """SELECT simhash64(t) AS sh, cosine_sim(x, y) AS cs,
+        |       xxhash64_seeded(7, t) AS xh FROM exprs_in""".stripMargin).head()
+    assert(!row.isNullAt(0) && math.abs(row.getDouble(1) - 1.0) < 1e-12 && !row.isNullAt(2))
+  }
+
+  test("SQL surface: SparkSessionExtensions injection") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val v = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+        .head().getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+    } finally s2.stop()
+  }
+}
