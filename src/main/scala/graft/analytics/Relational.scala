@@ -317,6 +317,68 @@ object Relational {
                   ELSE 'high' END AS bucket,
         CAST(COUNT(*) AS BIGINT) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
-      FROM orders GROUP BY 1 ORDER BY bucket"""))
+      FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- cube: all grouping-set combinations (§2.5) ----
+    ("q16_cube", (s: SparkSession, dir: String) => {
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- pivot: one column per category value (§2.5; the engine twin
+    //      of the reference's per-type handler fan-out as columns) ----
+    ("q17_pivot", (s: SparkSession, dir: String) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- exact percentiles (linear interpolation in both engines) ----
+    ("q18_percentiles", (s: SparkSession, dir: String) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("p"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("p"), 1), 6).as("p25"),
+          round(element_at(col("p"), 2), 6).as("p50"),
+          round(element_at(col("p"), 3), 6).as("p75"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+        round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+        round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- ordered string aggregation ----
+    ("q19_string_agg", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_custkey") <= 50)
+        .groupBy(col("c_mktsegment"))
+        .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey <= 50
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
