@@ -55,4 +55,37 @@ object Merge {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Partition-scoped incremental upsert: merge `incoming` into the
+    * partitioned state at `path`, touching ONLY the partitions the batch
+    * lands in. The existing-state read is filtered to those partitions
+    * (partition pruning keeps it a metadata+subset scan) and the write
+    * is a dynamic partition overwrite of the same subset — so a
+    * micro-batch covering one month costs O(month), not O(history),
+    * regardless of table size. The partition values of a batch are tiny
+    * (its distinct months), so collecting them to build the pruning
+    * predicate is driver-cheap.
+    */
+  def upsertPartitioned(incoming: DataFrame, path: String,
+                        keys: Seq[String], orderCol: String,
+                        partitionCols: Seq[String] = Seq("year", "month")): Unit = {
+    val spark = incoming.sparkSession
+    val exists = new java.io.File(path).exists()
+    val merged = if (!exists) {
+      latestWins(incoming, keys, Seq(col(orderCol)))
+    } else {
+      val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
+      val pruning = touched.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val existingTouched = spark.read.parquet(path).filter(pruning)
+      latestWins(
+        existingTouched.unionByName(incoming, allowMissingColumns = true),
+        keys, Seq(col(orderCol)))
+    }
+    // materialize before overwriting the partitions we just read
+    writePartitioned(merged.localCheckpoint(true), path, partitionCols)
+  }
 }

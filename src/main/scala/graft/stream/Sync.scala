@@ -41,12 +41,15 @@ object Sync {
     val votes    = Router.votes(ops)
     val accounts = Router.accountUpdates(ops)
 
-    // posts: latest-wins upsert on the hashed key
+    // posts: partition-scoped latest-wins upsert — only the (year,
+    // month) partitions this batch touches are read and rewritten, so a
+    // micro-batch costs O(batch months), not O(table) (Merge scaladoc).
+    // Posts merge lands BEFORE the vote join: votes on same-batch posts
+    // are kept (the reference races its handlers and drops them —
+    // engine applies the intended ordering).
     val newPosts = Comments.toPostDocs(comments)
-    val posts = readState(spark, s"$stateDir/posts") match {
-      case Some(existing) => Merge.upsert(existing, newPosts, Seq("post_id"), "timestamp")
-      case None           => newPosts
-    }
+    Merge.upsertPartitioned(newPosts, s"$stateDir/posts", Seq("post_id"), "timestamp")
+    val posts = spark.read.parquet(s"$stateDir/posts")
 
     // votes: semi-join against the *current* post state (J1), then
     // merge the new voter sets into the existing ones (A1 incremental)
@@ -69,12 +72,13 @@ object Sync {
       case None => activity.withColumnRenamed("last_active", "last_active")
     }
 
-    // materialize before overwriting the paths we just read
-    // (production twin: a mergeable table format's transactional commit)
-    val postsM = posts.localCheckpoint(true)
-    val setsM  = voteSets.localCheckpoint(true)
-    val actM   = lastActive.localCheckpoint(true)
-    postsM.write.mode("overwrite").parquet(s"$stateDir/posts")
+    // vote_sets/accounts are hash-keyed (no time partitioning): full
+    // merge-overwrite here; the 100 TB twin buckets them by key so the
+    // merge is a bucket-local co-located join. Materialize before
+    // overwriting the paths just read (production twin: a mergeable
+    // table format's transactional commit).
+    val setsM = voteSets.localCheckpoint(true)
+    val actM  = lastActive.localCheckpoint(true)
     setsM.write.mode("overwrite").parquet(s"$stateDir/vote_sets")
     actM.write.mode("overwrite").parquet(s"$stateDir/accounts")
   }

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Materialize a SparkSessionExtensions' injected functions into a
+    * registry (private[sql] in Spark 4) — lets tests verify extension
+    * wiring without building a second SparkContext in the same JVM.
+    */
+  def registerFunctions(
+      exts: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    exts.registerFunctions(reg)
 }

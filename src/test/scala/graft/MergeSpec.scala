@@ -53,6 +53,35 @@ class MergeSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3)) === Array((1L, "new"), (2L, "fresh")))
   }
 
+  test("partition-scoped upsert only rewrites touched (year, month) partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/posts"
+    def row(id: Long, ts: String, v: String) = {
+      val t = Timestamp.valueOf(ts)
+      (id, t, v, t.toLocalDateTime.getYear, t.toLocalDateTime.getMonthValue)
+    }
+    // batch 1: one January row, one February row
+    Merge.upsertPartitioned(
+      Seq(row(1L, "2024-01-10 00:00:00", "jan"), row(2L, "2024-02-10 00:00:00", "feb-old"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+    val janFile = new java.io.File(path, "year=2024/month=1")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val janMod = janFile.lastModified()
+
+    // batch 2 touches only February: newer row for id=2 plus id=3
+    Merge.upsertPartitioned(
+      Seq(row(2L, "2024-02-20 00:00:00", "feb-new"), row(3L, "2024-02-21 00:00:00", "x"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+
+    val state = spark.read.parquet(path).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(state === Array((1L, "jan"), (2L, "feb-new"), (3L, "x")))
+    // the January partition was not rewritten
+    assert(janFile.lastModified() === janMod)
+    assert(new java.io.File(path, "year=2024/month=2").exists())
+  }
+
   test("schema evolution: incoming may add columns (unionByName allowMissing)") {
     val existing = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
       .toDF("id", "timestamp", "v")

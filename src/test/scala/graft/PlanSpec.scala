@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the engine is designed
+  * around must be visible in the plans Catalyst actually produces —
+  * filter/column pushdown into the parquet scan, broadcast joins on
+  * dimension sides, whole-stage codegen coverage, top-k without a full
+  * sort. Guards against regressions that stay correct but stop scaling.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("router filter is pushed into the parquet scan (P1)") {
+    val p = plan("q20_router")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"),
+      s"expected event_type pushdown in:\n$p")
+  }
+
+  test("column pruning: router scan reads only projected columns") {
+    val p = plan("q20_router")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"),
+      s"props must be pruned from the scan: $readSchema")
+  }
+
+  test("dimension joins broadcast, fact side never builds (J-rows at scale)") {
+    val p = plan("q04_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semi/anti joins plan as real semi/anti joins") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q02_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate in:\n$p")
+  }
+
+  test("whole-stage codegen covers the comment-pipeline expressions") {
+    // AQE's pre-execution formatted plan omits codegen annotations; the
+    // codegen explain mode reports the compiled subtrees directly.
+    val df = SparkEntry.queries("q27_token_filter")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen subtrees"), s"expected codegen spans in:\n${p.take(500)}")
+  }
+
+  test("native expressions do not break codegen") {
+    import org.apache.spark.sql.functions._
+    // a parquet-backed stage (LocalTableScan never wraps in WSCG)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.catalyst.GraftFunctions.simhash64(col("text")).as("sh"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p.contains("Found 1 WholeStageCodegen subtrees"),
+      s"simhash64 fell out of codegen:\n${p.take(300)}")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(graft.catalyst.GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("cs"))
+    val p2 = emb.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p2.contains("Found 1 WholeStageCodegen subtrees"),
+      s"cosine_sim fell out of codegen:\n${p2.take(300)}")
+    // and both evaluate correctly through the codegen path
+    assert(!df.head().isNullAt(0))
+    assert(math.abs(emb.head().getDouble(0) - 1.0) < 1e-9)
+  }
+}
