@@ -23,6 +23,10 @@ object GraftFunctions {
   /** Fused cosine similarity of two array<float|double> columns. */
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
 
+  /** One-pass MinHash signature of an array<long> of shingle hashes. */
+  def minhashSig(c: Column, numHashes: Int): Column =
+    col(MinHashSig(expr(c), numHashes))
+
   /** Seeded xxhash64 — Spark's builtin fixes seed=42; the reference keys
     * documents with seed 0xCAFEBABE (handlers/comments.js:14-17), so
     * bit-compatibility needs the seed parameter Spark's own `XxHash64`

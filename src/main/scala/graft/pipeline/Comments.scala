@@ -46,6 +46,10 @@ object Comments {
         col("text_body"),
         col("parent_permlink"),
         col("tags"), col("image"), col("stockimage_tags"),
+        // SNK2: the reference resets the post's `jobs` work-queue map on
+        // every upsert (comments.js:163-166,176-177) — relationally the
+        // doc always carries a fresh empty map
+        map().cast("map<string,string>").as("jobs"),
         col("timestamp"),
         // SNK5/F9: monthly partition routing (comments.js:169-170),
         // engine-canonical 1-based months

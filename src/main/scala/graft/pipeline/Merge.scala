@@ -25,7 +25,17 @@ object Merge {
     * so the result is deterministic under input-order shuffling.
     */
   def latestWins(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
-    val orderCols = ordering.map(_.desc) :+ xxhash64(struct(df.columns.map(col): _*)).desc
+    // the whole-row tiebreak hash must skip MAP-typed columns (Spark
+    // forbids hashing maps — element order is unspecified)
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case org.apache.spark.sql.types.MapType(_, _, _) => false
+      case org.apache.spark.sql.types.ArrayType(e, _) => hashable(e)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val orderCols = ordering.map(_.desc) ++
+      (if (hashCols.nonEmpty) Seq(xxhash64(struct(hashCols.toSeq: _*)).desc) else Nil)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

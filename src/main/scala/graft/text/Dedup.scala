@@ -42,15 +42,13 @@ object Dedup {
 
   /** Deterministic MinHash signature: `numHashes` independent hash
     * functions over the shingle-hash set, function i being
-    * `xxhash64(h, i)` (re-seeding by the permutation index — a proper
-    * hash family with no overflow under ANSI arithmetic). Returns
-    * array<long> of per-function minima.
+    * `xxh64(h, seed=i)`. Backed by the native one-pass expression
+    * [[graft.catalyst.MinHashSig]] — the composed form (N interpreted
+    * aggregate folds) walks the array N times and dominated the
+    * near-dup bench. Returns array<long> of per-function minima.
     */
   def minhashSignature(shingleHashesCol: Column, numHashes: Int = 16): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shingleHashesCol, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(h, lit(i))))
-    }: _*)
+    graft.catalyst.GraftFunctions.minhashSig(shingleHashesCol, numHashes)
 
   /** LSH band keys: split the signature into `bands` bands of
     * signature.length/bands rows each and hash each band. Docs sharing
