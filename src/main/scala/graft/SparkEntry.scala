@@ -14,9 +14,12 @@ object SparkEntry {
     analytics.Relational.defs ++ analytics.ChainOps.defs ++
       analytics.LLMOps.defs ++ analytics.TemporalOps.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The pricing summary always yields the 6 (returnflag, linestatus)
+    * groups regardless of scale factor.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_local_supplier_volume")(spark, "/root/testdata/sf0.001")
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -169,6 +169,39 @@ object ChainOps {
       FROM orders LEFT JOIN (SELECT c_custkey AS muted_key FROM customer
                              WHERE c_acctbal < 0) m
              ON o_custkey = m.muted_key
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---- salted two-stage aggregation (skew path): must be value-equal
+    // to the direct groupBy — the oracle IS the direct form.
+    ("q43_salted_agg", (s: SparkSession, dir: String) => {
+      Salting.saltedCountSum(
+        Tables(s, dir).lineitem
+          .withColumn("__q", col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(25, 6))),
+        keyCol = "l_returnflag", valueCol = "__q", uniqueCol = "l_orderkey")
+        .select(col("l_returnflag"), col("n"),
+                col("total").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("total"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- unpivot/melt: wide metrics to long form ----
+    ("q44_unpivot", (s: SparkSession, dir: String) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          values = Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric", valueColumnName = "v")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("metric"), col("v"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, metric, v
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey <= 100)
+      UNPIVOT (v FOR metric IN (l_extendedprice, l_discount, l_tax))
+      ORDER BY l_orderkey, l_linenumber, l_quantity, metric, v"""))
   )
 }
