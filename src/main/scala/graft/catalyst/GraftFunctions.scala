@@ -27,6 +27,10 @@ object GraftFunctions {
   def minhashSig(c: Column, numHashes: Int): Column =
     col(MinHashSig(expr(c), numHashes))
 
+  /** One-pass distinct word-k-shingle hashes of a text column. */
+  def shingleHashes(c: Column, k: Int): Column =
+    col(ShingleHashes(expr(c), k))
+
   /** Seeded xxhash64 — Spark's builtin fixes seed=42; the reference keys
     * documents with seed 0xCAFEBABE (handlers/comments.js:14-17), so
     * bit-compatibility needs the seed parameter Spark's own `XxHash64`

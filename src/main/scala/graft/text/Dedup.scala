@@ -36,9 +36,14 @@ object Dedup {
         i => array_join(slice(toks, i, lit(k)), " ")))
   }
 
-  /** Distinct shingle hash set (the Jaccard universe of the doc). */
+  /** Distinct shingle hash set (the Jaccard universe of the doc).
+    * Backed by the native one-pass [[graft.catalyst.ShingleHashes]]
+    * expression; the composed `shingles → xxhash64 → array_distinct`
+    * chain materializes every shingle string and dominated the near-dup
+    * bench.
+    */
   def shingleHashes(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+    graft.catalyst.GraftFunctions.shingleHashes(text, k)
 
   /** Deterministic MinHash signature: `numHashes` independent hash
     * functions over the shingle-hash set, function i being

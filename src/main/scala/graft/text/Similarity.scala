@@ -76,6 +76,72 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** IVF (inverted-file) index: assign every vector to its nearest
+    * centroid; at query time probe only the `nProbe` closest centroid
+    * lists. Centroids here are a deterministic seeded sample refined by
+    * one Lloyd step — a tiny driver-side table broadcast to the
+    * assignment scan (at 100 TB the centroid set stays a broadcast dim;
+    * the corpus-side assignment is one narrow pass, and the centroid id
+    * doubles as a partition/cluster column at rest).
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // deterministic sample as seed centroids (hash-spread, not first-k)
+    val seeds = embeddings
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(nCentroids)
+      .select(col(vecCol)).as[Seq[Float]].collect()
+      .map(_.map(_.toDouble))
+    // one Lloyd refinement: mean of assigned vectors per seed centroid
+    val seedDf = seeds.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "cvec")
+    val assigned0 = assignNearest(embeddings, seedDf, vecCol)
+    val refined = assigned0
+      .groupBy(col("centroid_id"))
+      .agg(array((0 until seeds.head.length).map(i =>
+        avg(element_at(col(vecCol), i + 1).cast("double"))): _*).as("cvec"))
+    val centroids = refined.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .toDF("centroid_id", "cvec")
+    (assignNearest(embeddings, centroids, vecCol), centroids)
+  }
+
+  /** Nearest-centroid assignment: broadcast the centroid table, score
+    * with the native cosine, keep the argmax per vector.
+    */
+  private def assignNearest(embeddings: DataFrame, centroids: DataFrame,
+                            vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__rowid")).orderBy(col("__sim").desc, col("centroid_id"))
+    embeddings
+      .withColumn("__rowid", monotonically_increasing_id())
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "cvec")
+  }
+
+  /** IVF approximate top-k: probe the nProbe centroids closest to the
+    * query, brute-force only inside those lists.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+              k: Int, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = centroids.crossJoin(broadcast(query))
+      .withColumn("__sim", cosine(col("cvec"), col("qvec")))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .crossJoin(broadcast(query))
+      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed approximate top-k: restrict the scan to the query's LSH
     * bucket, then brute-force within it. Trades recall for a ~2^nPlanes
     * scan reduction; recall is measured against bruteForceTopK in

@@ -49,6 +49,20 @@ class SimilaritySpec extends SparkSpec {
     assert((exact intersect approx).size >= 3)
   }
 
+  test("IVF: assignment covers the corpus; probed top-k achieves recall") {
+    val (assigned, centroids) = Similarity.ivfAssign(vecs, nCentroids = 8)
+    assert(assigned.count() === 200)
+    assert(assigned.select("centroid_id").distinct().count() <= 8)
+    val query = vecs.filter(col("vec_id") === 11).select(col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(assigned, centroids, query, 10, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.contains(11L), "query's own vector must be found")
+    assert((exact intersect approx).size >= 3,
+      s"IVF recall too low: ${(exact intersect approx).size}/10")
+  }
+
   test("per-query top-k fans out over a query set") {
     val queries = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

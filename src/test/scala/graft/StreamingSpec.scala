@@ -96,6 +96,23 @@ class StreamingSpec extends SparkSpec {
     assert(out === Array((1L, 4.0), (2L, 3.0)))
   }
 
+  test("flatMapGroupsWithState: cross-batch keyed dedup (S5 custom-state path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.stream.StatefulDedup.firstSeenOnly(mem.toDS())
+    val q = out.toDF("user", "token").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    mem.addData((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"))   // batch 1
+    q.processAllAvailable()
+    mem.addData((1L, "a"), (1L, "c"), (2L, "a"))              // batch 2: dups suppressed
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out")
+      .as[(Long, String)].collect().sorted
+    q.stop()
+    assert(rows === Array((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a")))
+  }
+
   test("session windows in streaming mode match the gap rule (S4)") {
     // drive session_window through a memory sink on a small in-memory stream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
