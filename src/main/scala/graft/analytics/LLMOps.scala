@@ -165,6 +165,17 @@ object LLMOps {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
     }, None),
 
+    // ---- IVF approximate NN: centroid-probed scan (rows-only) ----
+    ("q45_ivf_ann", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+      val (assigned, centroids) = Similarity.ivfAssign(corpus, nCentroids = 8)
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(assigned, centroids, query, k = 10, nProbe = 3)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
+    }, None),
+
     // ---- multimodal feature extraction (stubbed decode; rows-only) ----
     ("q41_multimodal_features", (s: SparkSession, dir: String) => {
       val media = Multimodal.syntheticMedia(s, 300)

@@ -93,35 +93,33 @@ object Similarity {
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h")).limit(nCentroids)
       .select(col(vecCol)).as[Seq[Float]].collect()
-      .map(_.map(_.toDouble))
-    // one Lloyd refinement: mean of assigned vectors per seed centroid
-    val seedDf = seeds.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "cvec")
-    val assigned0 = assignNearest(embeddings, seedDf, vecCol)
+      .map(_.map(_.toDouble).toSeq).toSeq
+    val dim = seeds.head.length
+    // one Lloyd refinement: mean of assigned vectors per seed centroid;
+    // the per-centroid means are a tiny aggregate (nCentroids × dim)
+    val assigned0 = embeddings.withColumn("centroid_id",
+      nearestCentroid(col(vecCol), seeds.zipWithIndex.map(_.swap)))
     val refined = assigned0
       .groupBy(col("centroid_id"))
-      .agg(array((0 until seeds.head.length).map(i =>
+      .agg(array((0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast("double"))): _*).as("cvec"))
-    val centroids = refined.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      .toDF("centroid_id", "cvec")
-    (assignNearest(embeddings, centroids, vecCol), centroids)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val assigned = embeddings.withColumn("centroid_id",
+      nearestCentroid(col(vecCol), refined))
+    (assigned, refined.toDF("centroid_id", "cvec"))
   }
 
-  /** Nearest-centroid assignment: broadcast the centroid table, score
-    * with the native cosine, keep the argmax per vector.
+  /** Nearest-centroid id as a pure projection: the centroid set is a
+    * driver-side literal (it IS collected state by construction), so
+    * assignment is `greatest` over (cosine, id) structs — zero shuffle,
+    * zero join, fully codegen'd. At 100 TB this is the property that
+    * matters: the corpus-side pass is embarrassingly parallel.
     */
-  private def assignNearest(embeddings: DataFrame, centroids: DataFrame,
-                            vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__rowid")).orderBy(col("__sim").desc, col("centroid_id"))
-    embeddings
-      .withColumn("__rowid", monotonically_increasing_id())
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "cvec")
-  }
+  private def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    greatest(centroids.map { case (id, c) =>
+      struct(cosine(vec, typedlit(c)).as("s"), lit(id).as("id"))
+    }: _*).getField("id")
 
   /** IVF approximate top-k: probe the nProbe centroids closest to the
     * query, brute-force only inside those lists.
