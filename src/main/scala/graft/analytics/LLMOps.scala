@@ -165,6 +165,25 @@ object LLMOps {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
     }, None),
 
+    // ---- embedding-cosine near-dup pairs via LSH buckets (rows-only) ----
+    ("q46_cosine_neardup", (s: SparkSession, dir: String) => {
+      // threshold sits just above the corpus' 99.9th-percentile pairwise
+      // cosine so the fixture (random vectors, max pair ~0.51) yields a
+      // small true near-neighbor set
+      Similarity.cosineNearDups(Tables(s, dir).embeddings,
+        threshold = 0.35, nPlanes = 4, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    // ---- winnowing fingerprints (rolling-hash window minima; rows-only) ----
+    ("q47_winnowing", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(TextStats.winnowingFingerprints(col("text"))).as("n_fingerprints"))
+        .orderBy(col("doc_id"))
+    }, None),
+
     // ---- IVF approximate NN: centroid-probed scan (rows-only) ----
     ("q45_ivf_ann", (s: SparkSession, dir: String) => {
       val t = Tables(s, dir)

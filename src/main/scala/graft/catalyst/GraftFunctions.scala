@@ -31,6 +31,12 @@ object GraftFunctions {
   def shingleHashes(c: Column, k: Int): Column =
     col(ShingleHashes(expr(c), k))
 
+  /** Position-ordered (non-deduped) k-shingle hashes — for winnowing,
+    * which needs sequence order.
+    */
+  def shingleHashesOrdered(c: Column, k: Int): Column =
+    col(ShingleHashes(expr(c), k, distinct = false))
+
   /** Seeded xxhash64 — Spark's builtin fixes seed=42; the reference keys
     * documents with seed 0xCAFEBABE (handlers/comments.js:14-17), so
     * bit-compatibility needs the seed parameter Spark's own `XxHash64`

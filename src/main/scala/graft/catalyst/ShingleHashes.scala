@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * output array — this pass dominates MinHash near-dup detection at
   * corpus scale.
   */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
@@ -30,10 +31,10 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.catalyst.ShingleHashes.compute($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.ShingleHashes.compute($c, $k, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -42,7 +43,9 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 object ShingleHashes {
   private final val Seed = 42L
 
-  def compute(input: UTF8String, k: Int): ArrayData = {
+  def compute(input: UTF8String, k: Int): ArrayData = compute(input, k, true)
+
+  def compute(input: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val s = input.toLowerCase
     val base = s.getBaseObject
     val offset = s.getBaseOffset
@@ -76,6 +79,7 @@ object ShingleHashes {
       out(w) = acc
       w += 1
     }
+    if (!distinct) return new GenericArrayData(out)
     // distinct via sort + squash (cheap, cache-friendly, deterministic)
     java.util.Arrays.sort(out)
     var uniq = 0

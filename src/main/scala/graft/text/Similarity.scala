@@ -140,6 +140,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, pair
+    * only bucket-mates, verify with exact cosine ≥ threshold. Same
+    * architecture as the MinHash near-dup path — the shuffle carries
+    * (bucket, id, vec) once and the quadratic pairing is bounded by
+    * bucket size, never the corpus.
+    */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double,
+                     nPlanes: Int, dim: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Bucketed approximate top-k: restrict the scan to the query's LSH
     * bucket, then brute-force within it. Trades recall for a ~2^nPlanes
     * scan reduction; recall is measured against bruteForceTopK in

@@ -78,4 +78,22 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     xxhash64(array_join(tokens(lower(trim(text))), " "))
+
+  /** Winnowing fingerprints (Schleimer et al.): k-gram hashes → the
+    * minimum of each sliding window of `w` consecutive hashes, deduped.
+    * Guarantees any shared substring of length >= k + w - 1 produces a
+    * shared fingerprint — the local-dedup/plagiarism primitive. Built on
+    * the native shingle-hash pass; the windowed mins are array ops over
+    * the (short) per-document hash array.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    // position-ordered k-gram hashes (winnowing needs sequence order, so
+    // sort the window mins only at the end for set semantics)
+    val grams = graft.catalyst.GraftFunctions.shingleHashesOrdered(text, k)
+    val n = size(grams)
+    val mins = transform(
+      sequence(lit(1), greatest(n - (w - 1), lit(1))),
+      i => array_min(slice(grams, i, lit(w))))
+    array_sort(array_distinct(mins))
+  }
 }
