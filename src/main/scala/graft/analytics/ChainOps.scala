@@ -186,6 +186,32 @@ object ChainOps {
              CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- ordered list aggregation: event-id sequences per user ----
+    ("q48_ordered_collect", (s: SparkSession, dir: String) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id")))),
+          e => e.getField("event_id")).as("event_seq"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_seq
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- time bucketing: hourly activity rollup ----
+    ("q49_time_buckets", (s: SparkSession, dir: String) => {
+      Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+               .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
     // ---- unpivot/melt: wide metrics to long form ----
     ("q44_unpivot", (s: SparkSession, dir: String) => {
       Tables(s, dir).lineitem

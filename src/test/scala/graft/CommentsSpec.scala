@@ -68,6 +68,15 @@ class CommentsSpec extends SparkSpec {
     assert(docs.select("stockimage_tags").head().isNullAt(0))
   }
 
+  test("typed Dataset[Post] boundary round-trips the pipeline output") {
+    val ops = opsFromJson(Seq(envelope(1, "2024-03-05T10:00:00", "comment", commentPayload)))
+    val typed = graft.model.Entities.posts(Comments.toPostDocs(Router.comments(ops)))
+    val p = typed.head()
+    assert(p.author === "alice" && p.permlink === "p1" && p.year === 2024 && p.month === 3)
+    assert(p.stockimage_tags === Some("world"))
+    assert(p.jobs === Map.empty)
+  }
+
   test("custom_json ops are routed but produce nothing (custom_jsons.js:2-3)") {
     val ops = opsFromJson(Seq(envelope(1, "2024-01-01T00:00:00", "custom_json", "{}")))
     assert(Router.customJsons(ops).count() === 1)
