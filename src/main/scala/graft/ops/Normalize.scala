@@ -69,6 +69,24 @@ object Normalize {
   def spaceNewlines(text: Column): Column =
     regexp_replace(text, "\n", " \n ")
 
+  /** P7: the reply-command author allowlist (reference
+    * handlers/comments.js:61-82 — dead code there, semantics preserved;
+    * note the reference's check is vacuous because the list includes the
+    * comment's own author, documented in SURVEY §2.3).
+    */
+  val replyCommandAuthors: Seq[String] =
+    Seq("hive-118554", "minismallholding", "crosheille", "kattycrochet")
+
+  def isAllowlistedAuthor(author: Column): Column =
+    author.isin(replyCommandAuthors: _*)
+
+  /** F8: first-newline-only replace (reference handlers/comments.js:70 —
+    * JS `replace("\n", " ")` touches only the first occurrence; the
+    * reluctant-prefix regex reproduces that single-replace quirk).
+    */
+  def firstNewlineToSpace(text: Column): Column =
+    regexp_replace(text, "(?s)^(.*?)\n", "$1 ")
+
   /** Account profile extraction with {}-fallback
     * (reference handlers/account_updates.js:2-6).
     */

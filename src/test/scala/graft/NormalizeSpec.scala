@@ -65,6 +65,20 @@ class NormalizeSpec extends SparkSpec {
     assert(got.forall(identity))
   }
 
+  test("author allowlist predicate (comments.js:61-82, dead-code semantics)") {
+    val got = Seq(("minismallholding", true), ("someone-else", false))
+      .toDF("author", "expected")
+      .select(Normalize.isAllowlistedAuthor(col("author")) === col("expected"))
+      .as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+
+  test("first-newline-only replace matches JS single-replace quirk (comments.js:70)") {
+    val out = Seq("a\nb\nc", "no newline").toDF("t")
+      .select(Normalize.firstNewlineToSpace(col("t"))).as[String].collect()
+    assert(out === Array("a b\nc", "no newline"))
+  }
+
   test("profile extraction with {} fallback (account_updates.js:2-6)") {
     val df = Seq(
       """{"profile":{"name":"alice","about":"hi"}}""",
