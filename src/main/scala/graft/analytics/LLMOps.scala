@@ -205,6 +205,16 @@ object LLMOps {
         .orderBy(col("media_type"))
     }, None),
 
+    // ---- within-doc repetition ratio (Gopher signal; rows-only — the
+    //      shingle universe is xxhash-keyed) ----
+    ("q53_repetition", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          round(graft.text.TextStats.repetitionRatio(col("text"), 2), 6).as("rep2"),
+          round(graft.text.TextStats.repetitionRatio(col("text"), 3), 6).as("rep3"))
+        .orderBy(col("doc_id"))
+    }, None),
+
     // ---- HLL distinct-count sketch (approximate; rows-only) ----
     ("q42_approx_distinct", (s: SparkSession, dir: String) => {
       Tables(s, dir).lineitem

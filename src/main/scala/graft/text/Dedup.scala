@@ -123,6 +123,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- line-level dedup (CCNet/Dolma-style) ----------------------------
+
+  /** Remove lines that occur more than `maxOccurrences` times across the
+    * corpus (boilerplate: headers, nav text, disclaimers), preserving
+    * line order within each document. Two passes: a global line-hash
+    * count (one shuffle on the 64-bit line hash), then a broadcast-or-
+    * shuffle semi-join back onto the exploded lines and an ordered
+    * re-assembly — no driver-side state, corpus-size agnostic.
+    */
+  def lineLevelDedup(docs: DataFrame, maxOccurrences: Long = 1,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(trim(col("line"))))
+    val frequent = lines.groupBy(col("lh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+      .select(col("lh"))
+    lines
+      .join(frequent, Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+      .withColumnRenamed("id", idCol)
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash: lowercase, tokenize on whitespace, xxhash64 each

@@ -71,6 +71,17 @@ object TextStats {
     greatest(scored: _*).getField("lang")
   }
 
+  /** Within-document repetition ratio (Gopher-style quality signal):
+    * fraction of k-gram occurrences that are repeats —
+    * `1 - distinct_kgrams / total_kgrams`. 0 for fully novel text,
+    * → 1 for degenerate loops. One native shingle pass per variant.
+    */
+  def repetitionRatio(text: Column, k: Int = 2): Column = {
+    val all = graft.catalyst.GraftFunctions.shingleHashesOrdered(text, k)
+    val uniq = graft.catalyst.GraftFunctions.shingleHashes(text, k)
+    lit(1.0) - size(uniq).cast("double") / greatest(size(all), lit(1)).cast("double")
+  }
+
   /** 64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     * lowercased text — the exact-dedup key that is robust to whitespace
     * and case jitter (rolling-hash fingerprint in the single-window

@@ -58,6 +58,30 @@ class DedupSpec extends SparkSpec {
     assert(fps(0L) !== fps(1L))
   }
 
+  test("line-level dedup drops corpus-frequent lines, keeps order") {
+    val boiler = "subscribe to our newsletter"
+    val corpus = Seq(
+      (1L, s"unique first line\n$boiler\nunique third line"),
+      (2L, s"$boiler\nanother doc body"),
+      (3L, s"totally novel content\n$boiler")).toDF("doc_id", "text")
+    val out = Dedup.lineLevelDedup(corpus, maxOccurrences = 1)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out === Array(
+      (1L, "unique first line\nunique third line"),
+      (2L, "another doc body"),
+      (3L, "totally novel content")))
+  }
+
+  test("repetition ratio: novel text -> 0, degenerate loop -> high") {
+    val df = Seq(
+      ("one two three four five six"),
+      ("spam spam spam spam spam spam spam spam")).toDF("text")
+    val r = df.select(graft.text.TextStats.repetitionRatio(col("text"), 2))
+      .as[Double].collect()
+    assert(r(0) === 0.0)
+    assert(r(1) > 0.8)
+  }
+
   test("shingles: short documents yield a single whole-text shingle") {
     val sh = Seq((0L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
