@@ -81,14 +81,34 @@ object LLMOps {
              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
       FROM documents GROUP BY lang ORDER BY lang""")),
 
-    // ---- language-ID heuristic prediction (rows-only: the per-language
-    //      profile scoring has no concise SQL twin; pinned by TextOpsSpec)
+    // ---- language-ID heuristic prediction. The oracle reproduces the
+    //      profile scoring: per-language stopword hit counts, argmax with
+    //      ties resolved by lexicographically-greatest language (the
+    //      Spark side's greatest() over (score, lang) structs), which
+    //      maps to the CASE chain ordered fr > es > en > de.
     ("q34_langid_predict", (s: SparkSession, dir: String) => {
       Tables(s, dir).documents
         .select(col("doc_id"), col("lang"),
           TextStats.langIdPredicted(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some {
+      def score(lang: String): String = {
+        val words = TextStats.langProfiles.toMap.apply(lang)
+        s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+      }
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${score("en")} AS s_en, ${score("de")} AS s_de,
+               ${score("es")} AS s_es, ${score("fr")} AS s_fr
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM scored ORDER BY doc_id"""
+    }),
 
     // ---- brute-force cosine top-k against a fixed query vector ----
     ("q35_cosine_topk", (s: SparkSession, dir: String) => {
