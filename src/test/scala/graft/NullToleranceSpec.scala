@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Comments, Router, Votes}
+
+/** Production op streams carry nulls the fixture doesn't: the pipeline
+  * must degrade per-field (null through), never throw.
+  */
+class NullToleranceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ops(payload: String) = {
+    val line =
+      s"""{"block_num":1,"timestamp":"2024-01-01T00:00:00","op_type":"comment","payload":"${payload.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    spark.read.schema(graft.model.Schemas.opEnvelope)
+      .json(spark.createDataset(Seq(line))(org.apache.spark.sql.Encoders.STRING))
+  }
+
+  test("comment with null title/body/json_metadata flows through") {
+    val docs = Comments.toPostDocs(Router.comments(ops(
+      """{"author":"a","permlink":"p","parent_author":"","parent_permlink":"x"}""")))
+    assert(docs.count() === 1)
+    val r = docs.select("text_title", "text_body", "tags", "image").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getSeq[String](2) === Seq.empty && r.getSeq[String](3) === Seq.empty)
+  }
+
+  test("null parent_author is treated as a top-level post") {
+    val docs = Comments.toPostDocs(Router.comments(ops(
+      """{"author":"a","permlink":"p","parent_permlink":"x","title":"t","body":"b"}""")))
+    assert(docs.count() === 1)
+  }
+
+  test("vote with null weight lands in downvotes (<=0 branch is null-safe)") {
+    val v = Seq(("alice", "bob", "p", Option.empty[Int]))
+      .toDF("voter", "author", "permlink", "weight")
+      .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val row = Votes.voterSets(Votes.keyed(v))
+      .select("upvotes", "downvotes").as[(Seq[String], Seq[String])].head()
+    // null weight: when(weight > 0) is null -> not an upvote; when(weight <= 0)
+    // is also null -> not a downvote either. The voter is dropped, not crashed.
+    assert(row._1 === Seq.empty && row._2 === Seq.empty)
+  }
+}
