@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen subtrees"), s"expected codegen spans in:\n${p.take(500)}")
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // broadcast nested-loop crosses against one-row/tiny build sides are
+    // intended (query vectors, centroid tables); an unpartitioned
+    // CartesianProduct is always a scale regression.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("native expressions do not break codegen") {
     import org.apache.spark.sql.functions._
     // a parquet-backed stage (LocalTableScan never wraps in WSCG)
