@@ -78,6 +78,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize: a real implementation decodes, scales, and re-encodes
+    * the payload; the stub derives a deterministic smaller payload
+    * (hash-sampled bytes, length proportional to the pixel ratio) so the
+    * batch shape, metadata rewrite, and determinism are real.
+    */
+  private[graft] def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
+                                dstW: Int, dstH: Int): Array[Byte] = {
+    if (payload == null || srcW <= 0 || srcH <= 0) return payload
+    val ratio = (dstW.toLong * dstH).toDouble / (srcW.toLong * srcH)
+    val outLen = math.max(1, (payload.length * math.min(ratio, 1.0)).toInt)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = payload((i.toLong * payload.length / outLen).toInt)
+      i += 1
+    }
+    out
+  }
+
+  private val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Image resize stage: per-partition batched transform of image rows to
+    * the target dimensions, metadata rewritten to match. Non-image rows
+    * are excluded (resize is an image op; audio/video go through their
+    * own stages).
+    */
+  def resizeImages(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizedSchema)
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"), col("width"), col("height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (w, h) = (if (r.isNullAt(2)) 0 else r.getInt(2), if (r.isNullAt(3)) 0 else r.getInt(3))
+          Row(r.getLong(0), resizeStub(payload, w, h, dstW, dstH), dstW, dstH)
+        }
+      }(enc)
+  }
+
   /** Frame-sampling plan for video rows: expands each video into
     * evenly-spaced sample timestamps (the Spark-side half of a frame
     * extractor; the decode of each frame is the same stub boundary).

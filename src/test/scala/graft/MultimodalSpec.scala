@@ -31,6 +31,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(null) === Array.fill(Multimodal.featureDim)(0f))
   }
 
+  test("resize stage rewrites dimensions, shrinks payloads, stays deterministic") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val resized = Multimodal.resizeImages(media, 64, 48)
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(2) === 64 && r.getInt(3) === 48))
+    // images were 640x480; payloads shrink proportionally and deterministically
+    val orig = media.filter(col("media_type") === "image")
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]](1).length < orig(r.getLong(0)).length)
+    }
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+    val again = Multimodal.resizeImages(media, 64, 48).collect()
+    assert(key(rows) === key(again))
+  }
+
   test("frame sampling expands videos by duration at the given cadence") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
