@@ -64,16 +64,19 @@ object ChainOps {
     // A1: distinct-set accumulation split by a sign predicate — the
     // upvotes/downvotes voter sets (reference handlers/votes.js:11-19).
     // collect_set gives map-side dedup (partial aggregation) for free.
+    // Final projection emits the sorted sets as comma-joined strings: the
+    // driver's hash layer can't sort array-typed columns (VERDICT r1 #2),
+    // and a sorted join is a lossless representation of the set.
     ("q23_collect_sets", (s: SparkSession, dir: String) => {
       Tables(s, dir).events
         .groupBy(col("user_id"))
-        .agg(array_sort(collect_set(when(col("value") >= 0.5, col("event_type")))).as("hi_types"),
-             array_sort(collect_set(when(col("value") < 0.5, col("event_type")))).as("lo_types"))
+        .agg(array_join(array_sort(collect_set(when(col("value") >= 0.5, col("event_type")))), ",").as("hi_types"),
+             array_join(array_sort(collect_set(when(col("value") < 0.5, col("event_type")))), ",").as("lo_types"))
         .orderBy(col("user_id"))
     }, Some("""
       SELECT user_id,
-        COALESCE(list_sort(list(DISTINCT event_type) FILTER (WHERE value >= 0.5)), []) AS hi_types,
-        COALESCE(list_sort(list(DISTINCT event_type) FILTER (WHERE value < 0.5)), []) AS lo_types
+        COALESCE(array_to_string(list_sort(list(DISTINCT event_type) FILTER (WHERE value >= 0.5)), ','), '') AS hi_types,
+        COALESCE(array_to_string(list_sort(list(DISTINCT event_type) FILTER (WHERE value < 0.5)), ','), '') AS lo_types
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // A2: last-active max across the activity stream
@@ -179,23 +182,27 @@ object ChainOps {
           .withColumn("__q", col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(25, 6))),
         keyCol = "l_returnflag", valueCol = "__q", uniqueCol = "l_orderkey")
         .select(col("l_returnflag"), col("n"),
-                col("total").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("total"))
+                col("total").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+                  .cast("double").as("total"))
         .orderBy(col("l_returnflag"))
     }, Some("""
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ---- ordered list aggregation: event-id sequences per user ----
+    // ---- ordered list aggregation: event-id sequences per user.
+    // Sort happens on the native (ts, event_id) struct; only the final
+    // projection joins to a string (driver hash can't sort array cols).
     ("q48_ordered_collect", (s: SparkSession, dir: String) => {
       Tables(s, dir).events
         .groupBy(col("user_id"))
-        .agg(transform(
+        .agg(array_join(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id")))),
-          e => e.getField("event_id")).as("event_seq"))
+          e => e.getField("event_id").cast("string")), ",").as("event_seq"))
         .orderBy(col("user_id"))
     }, Some("""
-      SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_seq
+      SELECT user_id,
+        COALESCE(array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY ts, event_id), ','), '') AS event_seq
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // ---- time bucketing: hourly activity rollup ----
@@ -204,12 +211,13 @@ object ChainOps {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
-               .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("total_value"))
+               .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+               .cast("double").as("total_value"))
         .orderBy(col("hour"), col("event_type"))
     }, Some("""
       SELECT date_trunc('hour', ts) AS hour, event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     // ---- unpivot/melt: wide metrics to long form ----

@@ -31,8 +31,12 @@ object Relational {
   type QFn = (SparkSession, String) => DataFrame
 
   private val D = DecimalType(25, 6)  // addend type: exact, wide enough for sf >= 1
-  private val DF = DecimalType(38, 6) // final sum type, identical in both engines
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DF)
+  private val DF = DecimalType(38, 6) // exact sum type, identical in both engines
+  // The decimal sum is exact and engine-identical; the single final cast to
+  // DOUBLE is deterministic (IEEE round-to-nearest of the same decimal), and
+  // DOUBLE is what the driver's correctness hash canonicalizes cleanly —
+  // DECIMAL(38,6) finals hash-mismatch in its pandas layer (VERDICT r1 #1).
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DF).cast("double")
 
   /** name -> (spark query, duckdb oracle sql) */
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -52,10 +56,10 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_charge,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         CAST(COUNT(*) AS BIGINT) AS count_order,
         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_price
@@ -87,7 +91,7 @@ object Relational {
         .limit(20)
     }, Some("""
       SELECT o_orderkey, o_orderdate, o_orderpriority,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
       WHERE c_mktsegment = 'BUILDING'
@@ -114,7 +118,7 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     }, Some("""
       SELECT n_name,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         CAST(COUNT(*) AS BIGINT) AS n_items
       FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
                     JOIN supplier ON l_suppkey = s_suppkey
@@ -157,12 +161,12 @@ object Relational {
         .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(sum(col("o_totalprice").cast(D)), lit(0).cast(D)).cast(DF).as("total_spent"))
+             coalesce(sum(col("o_totalprice").cast(D)), lit(0).cast(D)).cast(DF).cast("double").as("total_spent"))
         .orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey, c_name,
         CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DECIMAL(38,6)) AS total_spent
+        CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DECIMAL(38,6)) AS DOUBLE) AS total_spent
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey""")),
@@ -193,7 +197,7 @@ object Relational {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir).lineitem
-        .withColumn("running_qty", sum(col("l_quantity").cast(D)).over(w).cast(DF))
+        .withColumn("running_qty", sum(col("l_quantity").cast(D)).over(w).cast(DF).cast("double"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
                 col("l_quantity"), col("running_qty"))
         // running_qty is strictly increasing within a partition (qty >= 1),
@@ -203,10 +207,10 @@ object Relational {
                  col("l_quantity"), col("running_qty"))
     }, Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
           PARTITION BY l_suppkey
           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_qty
       FROM lineitem
       ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty""")),
 
@@ -237,7 +241,7 @@ object Relational {
     }, Some("""
       SELECT n_name, c_mktsegment,
         CAST(COUNT(*) AS BIGINT) AS n_cust,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS acct_total
+        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS acct_total
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")),
@@ -316,7 +320,7 @@ object Relational {
                   WHEN o_totalprice < 150000 THEN 'mid'
                   ELSE 'high' END AS bucket,
         CAST(COUNT(*) AS BIGINT) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
       FROM orders GROUP BY 1 ORDER BY bucket""")),
 
     // ---- cube: all grouping-set combinations (§2.5) ----
@@ -328,7 +332,7 @@ object Relational {
     }, Some("""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_rows,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS qty
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS qty
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),

@@ -85,8 +85,10 @@ object TemporalOps {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts,
-          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          -- DuckDB windowed SUM(int) yields HUGEINT; Spark yields BIGINT —
+          -- pin BIGINT so the driver hash agrees (VERDICT r1 #1b).
+          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
              MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -98,13 +100,17 @@ object TemporalOps {
     // the range predicate filters inside the join — no cross product.
     ("q52_range_join", (s: SparkSession, dir: String) => {
       val e = Tables(s, dir).events
+      // Both sides descend from the same scan: alias them so the join
+      // condition resolves explicitly (no ambiguous-self-join WARN).
       val p = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+        .alias("p")
       val c = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
-      p.join(c, p("user_id") === c("user_id")
-          && col("cts") >= col("pts")
-          && unix_micros(col("cts")) - unix_micros(col("pts")) <= 300L * 1000000L, "left")
+        .alias("c")
+      p.join(c, col("p.user_id") === col("c.user_id")
+          && col("c.cts") >= col("p.pts")
+          && unix_micros(col("c.cts")) - unix_micros(col("p.pts")) <= 300L * 1000000L, "left")
         .groupBy(col("purchase_id"))
         .agg(count(col("click_id")).as("n_clicks_5m"))
         .orderBy(col("purchase_id"))

@@ -66,34 +66,67 @@ object Merge {
       .parquet(path)
   }
 
+  /** First-seen partition routing: every key's partition columns are
+    * pinned to the values of its FIRST-seen row — the existing state row
+    * when the key is already in the table, else the earliest (`orderCol`)
+    * row of the batch. This mirrors the reference, which routes a post's
+    * monthly index by its *creation* time on every edit
+    * (comments.js:141 `comment.timestamp = comment.created`, :170), and
+    * it is what makes partition-scoped upserts sound: a row never moves
+    * partitions, so an edit can never strand a stale copy in an old
+    * month (the exact bug of routing by edit time).
+    *
+    * Expects a boolean `__from_state` column marking existing-state rows.
+    */
+  private def routeFirstSeen(unioned: DataFrame, keys: Seq[String],
+                             orderCol: String, partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__from_state").desc, col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    partitionCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, first(col(c)).over(w))
+    }
+  }
+
   /** Partition-scoped incremental upsert: merge `incoming` into the
-    * partitioned state at `path`, touching ONLY the partitions the batch
-    * lands in. The existing-state read is filtered to those partitions
-    * (partition pruning keeps it a metadata+subset scan) and the write
-    * is a dynamic partition overwrite of the same subset — so a
-    * micro-batch covering one month costs O(month), not O(history),
-    * regardless of table size. The partition values of a batch are tiny
-    * (its distinct months), so collecting them to build the pruning
-    * predicate is driver-cheap.
+    * partitioned state at `path`, touching ONLY (a) the partitions the
+    * batch's rows land in and (b) the partitions where the batch's KEYS
+    * already live. (b) is found with a column-pruned key-locate scan —
+    * only (keys ++ partitionCols) are read, a tiny fraction of the table
+    * width — semi-joined against the batch's distinct keys (broadcast:
+    * micro-batches are small by construction). Partition routing is
+    * first-seen (`routeFirstSeen`), so rows never migrate partitions and
+    * the rewrite stays O(touched months), not O(history). At 100 TB a
+    * key→partition index table would replace the key-locate scan; with
+    * plain Parquet the narrow scan is the honest answer.
     */
   def upsertPartitioned(incoming: DataFrame, path: String,
                         keys: Seq[String], orderCol: String,
                         partitionCols: Seq[String] = Seq("year", "month")): Unit = {
     val spark = incoming.sparkSession
     val exists = new java.io.File(path).exists()
+    val incomingTagged = incoming.withColumn("__from_state", lit(false))
     val merged = if (!exists) {
-      latestWins(incoming, keys, Seq(col(orderCol)))
+      latestWins(routeFirstSeen(incomingTagged, keys, orderCol, partitionCols)
+        .drop("__from_state"), keys, Seq(col(orderCol)))
     } else {
-      val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
+      val state = spark.read.parquet(path)
+      // where do the incoming keys already live? (column-pruned scan)
+      val incomingKeys = incoming.select(keys.map(col): _*).distinct()
+      val oldParts = state.select((keys ++ partitionCols).map(col): _*)
+        .join(broadcast(incomingKeys), keys, "left_semi")
+        .select(partitionCols.map(col): _*).distinct()
+      val newParts = incoming.select(partitionCols.map(col): _*).distinct()
+      val touched = oldParts.unionByName(newParts).distinct().collect()
       val pruning = touched.map { r =>
         partitionCols.zipWithIndex
           .map { case (c, i) => col(c) === lit(r.get(i)) }
           .reduce(_ && _)
       }.reduceOption(_ || _).getOrElse(lit(false))
-      val existingTouched = spark.read.parquet(path).filter(pruning)
-      latestWins(
-        existingTouched.unionByName(incoming, allowMissingColumns = true),
-        keys, Seq(col(orderCol)))
+      val existingTouched = state.filter(pruning).withColumn("__from_state", lit(true))
+      val unioned = existingTouched.unionByName(incomingTagged, allowMissingColumns = true)
+      latestWins(routeFirstSeen(unioned, keys, orderCol, partitionCols)
+        .drop("__from_state"), keys, Seq(col(orderCol)))
     }
     // materialize before overwriting the partitions we just read
     writePartitioned(merged.localCheckpoint(true), path, partitionCols)

@@ -82,6 +82,55 @@ class MergeSpec extends SparkSpec {
     assert(new java.io.File(path, "year=2024/month=2").exists())
   }
 
+  test("cross-month edit upserts in place: no duplicate key, row stays in creation partition") {
+    // reference routes edits by the post's creation time (comments.js:141,170):
+    // a January post edited in March must overwrite the January row, not
+    // write a second copy into a March partition.
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-xmonth").toString + "/posts"
+    def row(id: Long, ts: String, v: String) = {
+      val t = Timestamp.valueOf(ts)
+      (id, t, v, t.toLocalDateTime.getYear, t.toLocalDateTime.getMonthValue)
+    }
+    Merge.upsertPartitioned(
+      Seq(row(1L, "2024-01-10 00:00:00", "created"), row(2L, "2024-03-05 00:00:00", "other"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+    // id=1 edited in March — batch carries March routing columns
+    Merge.upsertPartitioned(
+      Seq(row(1L, "2024-03-15 00:00:00", "edited"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+
+    val state = spark.read.parquet(path)
+      .select("id", "v", "year", "month")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    // exactly one row per key (the keyed-upsert contract) ...
+    assert(state.map(_._1).toSeq === Seq(1L, 2L))
+    // ... the edit won, and it lives in the CREATION partition
+    assert(state(0) === ((1L, "edited", 2024, 1)))
+    // no stale copy in the March partition for id=1
+    val march = spark.read.parquet(path).filter(col("month") === 3)
+      .select("id").as[Long].collect().toSeq
+    assert(march === Seq(2L))
+  }
+
+  test("batch-internal create+edit routes by the creation row's partition") {
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-batch").toString + "/posts"
+    def row(id: Long, ts: String, v: String) = {
+      val t = Timestamp.valueOf(ts)
+      (id, t, v, t.toLocalDateTime.getYear, t.toLocalDateTime.getMonthValue)
+    }
+    // one batch contains both the January create and the February edit
+    Merge.upsertPartitioned(
+      Seq(row(5L, "2024-01-20 00:00:00", "v1"), row(5L, "2024-02-02 00:00:00", "v2"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+    val state = spark.read.parquet(path)
+      .select("id", "v", "year", "month")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(state === Seq((5L, "v2", 2024, 1)))
+  }
+
   test("schema evolution: incoming may add columns (unionByName allowMissing)") {
     val existing = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
       .toDF("id", "timestamp", "v")

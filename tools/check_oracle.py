@@ -46,6 +46,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: column names differ: spark={sorted(sn)} duck={sorted(dn)}")
             n_bad += 1
             continue
+        # Driver-hash sensitivity: its canonicalization is dtype-sensitive
+        # (DECIMAL vs DOUBLE, HUGEINT vs BIGINT hash differently even when
+        # value-equal) and its pandas sort_values crashes on array columns.
+        st = {c[0]: str(c[1]) for c in scols}
+        dt = {c[0]: str(c[1]) for c in dcols}
+        tmis = [c for c in st if st[c] != dt[c]]
+        if tmis:
+            print(f"FAIL {name}: dtype mismatch (driver hash would differ): "
+                  + ", ".join(f"{c}: spark={st[c]} duck={dt[c]}" for c in tmis))
+            n_bad += 1
+            continue
+        arrs = [c[0] for c in scols if "list" in str(c[1]).lower() or "[]" in str(c[1])]
+        if arrs:
+            print(f"FAIL {name}: array-typed output {arrs} (driver pandas sort crashes)")
+            n_bad += 1
+            continue
         sperm = sorted(range(len(sn)), key=lambda i: sn[i])
         dperm = sorted(range(len(dn)), key=lambda i: dn[i])
         srows = [tuple(norm(r[i]) for i in sperm) for r in sdata]
