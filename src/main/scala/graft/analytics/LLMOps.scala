@@ -152,11 +152,36 @@ object LLMOps {
         AND len(list_intersect(a.s, b.s)) > 0
       ORDER BY id_a, id_b""")),
 
-    // ---- MinHash+LSH near-dup candidates (approximate; rows-only) ----
+    // ---- MinHash+LSH near-dup pairs, driver-verified. The oracle is the
+    //      exact all-pairs Jaccard ≥ threshold over the same slice: with
+    //      16 one-row bands a true pair at s ≥ 0.8 escapes every band
+    //      with probability (1-s)^16 ≤ 6.6e-12, so the LSH result equals
+    //      the exact result and the approximate operator gets a hard
+    //      equality check (the bounded slice keeps the oracle's
+    //      quadratic verify cheap; the full-corpus scale path is
+    //      exercised by DedupSpec and SyncBench).
     ("q37_minhash_neardup", (s: SparkSession, dir: String) => {
-      Dedup.minhashNearDups(Tables(s, dir).documents, threshold = 0.2)
+      Dedup.minhashNearDups(Tables(s, dir).documents.filter(col("doc_id") < 500),
+          threshold = 0.8, numHashes = 16, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard_r"))
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 500))
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 9) AS jaccard_r
+      FROM sh a, sh b WHERE a.id < b.id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8
+      ORDER BY id_a, id_b""")),
 
     // ---- SimHash fingerprints + hamming to doc 0 (rows-only) ----
     ("q38_simhash", (s: SparkSession, dir: String) => {
@@ -168,12 +193,15 @@ object LLMOps {
         .orderBy(col("doc_id"))
     }, None),
 
-    // ---- document fingerprints (xxhash64-keyed; rows-only) ----
+    // ---- document fingerprints (portable md5-derived 60-bit key) ----
     ("q39_fingerprint", (s: SparkSession, dir: String) => {
       Tables(s, dir).documents
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(s"""
+      SELECT doc_id,
+        ${TextStats.portableHash64Sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+      FROM documents ORDER BY doc_id""")),
 
     // ---- LSH-bucketed approximate NN (recall tested in SimilaritySpec) ----
     ("q40_lsh_ann", (s: SparkSession, dir: String) => {
@@ -196,13 +224,39 @@ object LLMOps {
         .orderBy(col("id_a"), col("id_b"))
     }, None),
 
-    // ---- winnowing fingerprints (rolling-hash window minima; rows-only) ----
+    // ---- winnowing fingerprints, driver-verified: the portable-hash
+    //      variant lets the oracle recompute the window minima exactly
+    //      (the selected fingerprints depend on hash VALUES, so this is
+    //      only checkable with a hash both engines share). Emits the
+    //      full fingerprint set (comma-joined), not just the count.
     ("q47_winnowing", (s: SparkSession, dir: String) => {
+      val fps = TextStats.winnowingFingerprintsPortable(col("text"))
       Tables(s, dir).documents
         .select(col("doc_id"),
-          size(TextStats.winnowingFingerprints(col("text"))).as("n_fingerprints"))
+          size(fps).as("n_fingerprints"),
+          array_join(transform(fps, f => f.cast("string")), ",").as("fps"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                       i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+            FROM t),
+      h AS (SELECT doc_id,
+              list_transform(grams, x -> ${TextStats.portableHash64Sql("x")}) AS hs
+            FROM g),
+      m AS (SELECT doc_id,
+              CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                   ELSE list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                       i -> list_min(hs[i:i+3])) END AS mins
+            FROM h)
+      SELECT doc_id,
+             CAST(len(list_distinct(mins)) AS INTEGER) AS n_fingerprints,
+             array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+      FROM m ORDER BY doc_id""")),
 
     // ---- IVF approximate NN: centroid-probed scan (rows-only) ----
     ("q45_ivf_ann", (s: SparkSession, dir: String) => {
@@ -225,15 +279,33 @@ object LLMOps {
         .orderBy(col("media_type"))
     }, None),
 
-    // ---- within-doc repetition ratio (Gopher signal; rows-only — the
-    //      shingle universe is xxhash-keyed) ----
+    // ---- within-doc repetition ratio (Gopher signal). The ratio only
+    //      depends on distinct/total k-gram COUNTS, which are
+    //      hash-function-independent (no collisions at fixture scale) —
+    //      so the fast native xxhash64 pass stays and the oracle counts
+    //      distinct gram STRINGS directly.
     ("q53_repetition", (s: SparkSession, dir: String) => {
       Tables(s, dir).documents
         .select(col("doc_id"),
           round(graft.text.TextStats.repetitionRatio(col("text"), 2), 6).as("rep2"),
           round(graft.text.TextStats.repetitionRatio(col("text"), 3), 6).as("rep3"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                       i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+              CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                   ELSE list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                       i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+            FROM t)
+      SELECT doc_id,
+        round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1), 6) AS rep2,
+        round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1), 6) AS rep3
+      FROM g ORDER BY doc_id""")),
 
     // ---- HLL distinct-count sketch (approximate; rows-only) ----
     ("q42_approx_distinct", (s: SparkSession, dir: String) => {

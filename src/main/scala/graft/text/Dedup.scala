@@ -78,10 +78,12 @@ object Dedup {
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // the shingle computation feeds three consumers (signature derivation
-    // and both verify joins) — persist it so the tokenize+hash pass runs
-    // once; at cluster scale this is a checkpoint of the shingle table
+    // and both verify joins) — materialize it once via an eager local
+    // checkpoint; unlike persist(), its blocks are released by the
+    // context cleaner when the result goes out of scope, so repeated
+    // calls in a shared session don't accumulate cached RDDs
     val base = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Candidate generation travels light: only (band, bandHash, id) goes
     // through the self-join shuffle, and pair dedup happens on the bare
     // id pair — the shingle sets (the wide payload) are re-attached by

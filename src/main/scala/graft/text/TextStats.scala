@@ -82,13 +82,30 @@ object TextStats {
     lit(1.0) - size(uniq).cast("double") / greatest(size(all), lit(1)).cast("double")
   }
 
-  /** 64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, read as
+    * an integer. Both Spark (`conv(substring(md5(x),1,15),16,10)`) and
+    * DuckDB (`CAST('0x'||substring(md5(x),1,15) AS BIGINT)`) compute the
+    * identical value, which makes every operator keyed on it
+    * oracle-checkable across engines. 15 hex chars (not 16) so the value
+    * fits a signed 64-bit long without overflow under ANSI mode.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The matching DuckDB SQL for [[portableHash64]] (oracle authoring). */
+  def portableHash64Sql(expr: String): String =
+    s"CAST(concat('0x', substring(md5($expr),1,15)) AS BIGINT)"
+
+  /** 64-bit document fingerprint over the whitespace-normalized,
     * lowercased text — the exact-dedup key that is robust to whitespace
     * and case jitter (rolling-hash fingerprint in the single-window
-    * limit).
+    * limit). Keyed on [[portableHash64]] (one md5 per document — noise
+    * next to the text scan) so the fingerprint column itself is
+    * verifiable against a DuckDB oracle, not just trusted from a unit
+    * test.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(array_join(tokens(lower(trim(text))), " "))
+    portableHash64(array_join(tokens(lower(trim(text))), " "))
 
   /** Winnowing fingerprints (Schleimer et al.): k-gram hashes → the
     * minimum of each sliding window of `w` consecutive hashes, deduped.
@@ -105,6 +122,33 @@ object TextStats {
     val mins = transform(
       sequence(lit(1), greatest(n - (w - 1), lit(1))),
       i => array_min(slice(grams, i, lit(w))))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Engine-portable winnowing: the same algorithm as
+    * [[winnowingFingerprints]] with the gram hash swapped from native
+    * xxhash64 to [[portableHash64]], so the selected fingerprints (which
+    * depend on hash VALUES, not just hash equality — the window minima
+    * change with the hash function) can be recomputed by a DuckDB
+    * oracle. Tokenization mirrors the native pass: lowercase, split on
+    * whitespace runs, drop empty tokens, short docs collapse to one
+    * whole-doc gram. The xxhash64 variant remains the high-throughput
+    * scale path; this one buys cross-engine verifiability for one md5
+    * per gram.
+    */
+  def winnowingFingerprintsPortable(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val nT = size(toks)
+    val grams = when(nT === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(nT - (k - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+    val hashes = transform(grams, g => portableHash64(g))
+    val n = size(hashes)
+    val mins = when(n === 0, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(n - (w - 1), lit(1))),
+        i => array_min(slice(hashes, i, lit(w)))))
     array_sort(array_distinct(mins))
   }
 }

@@ -55,4 +55,23 @@ class IOSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(fp.nonEmpty)
   }
+
+  test("portable winnowing keeps the shared-substring guarantee and short-doc fallback") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"intro words $shared trailing ones"),
+      (2L, s"totally different prefix $shared and suffix"),
+      (3L, "nothing in common with the others at all here")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextStats.winnowingFingerprintsPortable(col("text"), k = 3, w = 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty)
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(TextStats.winnowingFingerprintsPortable(col("text")).as("f"))
+      .as[Seq[Long]].head()
+    assert(short.nonEmpty)
+    // every portable hash fits the 60-bit budget (no ANSI overflow ever)
+    assert((fps.values.flatten ++ short).forall(h => h >= 0L && h < (1L << 60)))
+  }
 }
