@@ -37,6 +37,12 @@ object GraftFunctions {
   def shingleHashesOrdered(c: Column, k: Int): Column =
     col(ShingleHashes(expr(c), k, distinct = false))
 
+  /** One-pass engine-portable winnowing fingerprints (md5-derived 60-bit
+    * gram keys, DuckDB-recomputable).
+    */
+  def portableWinnow(c: Column, k: Int, w: Int): Column =
+    col(PortableWinnow(expr(c), k, w))
+
   /** Seeded xxhash64 — Spark's builtin fixes seed=42; the reference keys
     * documents with seed 0xCAFEBABE (handlers/comments.js:14-17), so
     * bit-compatibility needs the seed parameter Spark's own `XxHash64`

@@ -8,14 +8,26 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed per-partition in
   * batches — the Scala analog of a `mapInPandas` decode/feature stage.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives a deterministic fake feature vector
-  * from the bytes. Everything around it — the schema contract, the
-  * batch-iterator shape, the partition-level parallelism, repartitioning
-  * by media type so one task decodes one codec — is the real design and
-  * is tested (MultimodalSpec).
+  * IMAGES are decoded for real with the JDK's built-in `javax.imageio`
+  * (PNG/JPEG/BMP/GIF — no external dependency): feature extraction
+  * computes actual pixel statistics and resize is an actual
+  * decode→scale→re-encode. AUDIO/VIDEO codecs are STUBBED (no such
+  * libraries in this container): `decodeStub` derives a deterministic
+  * fake feature vector from the bytes, and an image payload that fails
+  * to decode falls back to the same stub. The surrounding design — the
+  * schema contract, the batch-iterator shape, partition-level
+  * parallelism, repartitioning by media type so one task decodes one
+  * codec — is identical for both paths and tested (MultimodalSpec).
   */
 object Multimodal {
+
+  // executor-side codec init: no AWT display needed, and no ImageIO
+  // tmp-file cache per decode (it defaults to disk-backed streams)
+  locally {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** Media-row schema: opaque payload + typed metadata, the at-rest form
     * of a multimodal training corpus (payloads inline for small media;
@@ -33,10 +45,56 @@ object Multimodal {
 
   val featureDim = 8
 
-  /** STUB decode/feature-extract: a real implementation would decode the
-    * payload with an image/audio library and emit an embedding; the stub
-    * emits a deterministic hash-derived vector with the same shape, so
-    * the pipeline's schema, batching, and determinism are exercised
+  /** Real image decode (JDK `javax.imageio`): PNG/JPEG/BMP/GIF payloads
+    * to a BufferedImage; None for null/undecodable bytes.
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Throwable => None }
+
+  /** Real image features from decoded pixels: [width, height, aspect,
+    * meanR, meanG, meanB, meanLuma, stdLuma] (channel stats normalized
+    * to 0..1). Pixels are subsampled on a ≤64×64 grid so the per-image
+    * cost is bounded regardless of resolution — the per-row work stays
+    * O(1) at 100 TB.
+    */
+  private[graft] def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stepX = math.max(1, w / 64)
+    val stepY = math.max(1, h / 64)
+    var sr, sg, sb, sl, sl2 = 0.0
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        n += 1
+        x += stepX
+      }
+      y += stepY
+    }
+    val inv = 1.0 / math.max(n, 1)
+    val meanL = sl * inv
+    val varL = math.max(sl2 * inv - meanL * meanL, 0.0)
+    Array(w.toFloat, h.toFloat, (w.toDouble / math.max(h, 1)).toFloat,
+      (sr * inv / 255.0).toFloat, (sg * inv / 255.0).toFloat, (sb * inv / 255.0).toFloat,
+      (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat)
+  }
+
+  /** STUB decode/feature-extract for audio/video (and undecodable image
+    * bytes): a real implementation would decode the payload with an
+    * audio/video library and emit an embedding; the stub emits a
+    * deterministic hash-derived vector with the same shape, so the
+    * pipeline's schema, batching, and determinism are exercised
     * end-to-end.
     */
   private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
@@ -73,15 +131,41 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          Row(r.getLong(0), r.getString(1), decodeStub(payload).toSeq)
+          val tpe = r.getString(1)
+          // images: real pixel statistics; audio/video (+ broken image
+          // bytes): deterministic stub with the same shape
+          val feat =
+            if (tpe == "image") decodeImage(payload).map(imageFeatures).getOrElse(decodeStub(payload))
+            else decodeStub(payload)
+          Row(r.getLong(0), tpe, feat.toSeq)
         }
       }(enc)
   }
 
-  /** STUB resize: a real implementation decodes, scales, and re-encodes
-    * the payload; the stub derives a deterministic smaller payload
-    * (hash-sampled bytes, length proportional to the pixel ratio) so the
-    * batch shape, metadata rewrite, and determinism are real.
+  /** Real image resize: decode → bilinear scale onto a dstW×dstH canvas
+    * → re-encode as PNG. Deterministic (fixed encoder, no metadata
+    * timestamps). Returns None when the payload isn't a decodable image.
+    */
+  private[graft] def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] =
+    decodeImage(payload).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, dstW, dstH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** STUB resize fallback for undecodable payloads: derives a
+    * deterministic smaller payload (hash-sampled bytes, length
+    * proportional to the pixel ratio) so the batch shape, metadata
+    * rewrite, and determinism hold even for rows the real codec cannot
+    * handle.
     */
   private[graft] def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
                                 dstW: Int, dstH: Int): Array[Byte] = {
@@ -116,7 +200,9 @@ object Multimodal {
         rows.map { r =>
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           val (w, h) = (if (r.isNullAt(2)) 0 else r.getInt(2), if (r.isNullAt(3)) 0 else r.getInt(3))
-          Row(r.getLong(0), resizeStub(payload, w, h, dstW, dstH), dstW, dstH)
+          val resized = resizeImage(payload, dstW, dstH)
+            .getOrElse(resizeStub(payload, w, h, dstW, dstH))
+          Row(r.getLong(0), resized, dstW, dstH)
         }
       }(enc)
   }
@@ -130,17 +216,49 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
 
-  /** Synthetic media fixture for tests/benches (deterministic). */
+  /** Deterministic synthetic PNG: a per-id base color with a horizontal
+    * luminance gradient, so channel statistics are predictable and the
+    * real codec path is genuinely exercised.
+    */
+  private[graft] def syntheticPng(i: Int, w: Int = 128, h: Int = 96): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baseR = (i * 37) % 256
+    val baseG = (i * 73) % 256
+    val baseB = (i * 151) % 256
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val shade = x * 64 / w  // 0..63 left-to-right gradient
+        val r = math.min(baseR + shade, 255)
+        val g = math.min(baseG + shade, 255)
+        val b = math.min(baseB + shade, 255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media fixture for tests/benches (deterministic): image
+    * rows carry REAL PNG payloads (decodable by the imageio path);
+    * audio/video rows carry opaque byte blobs for the stub path.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
       val tpe = Seq("image", "audio", "video")(i % 3)
-      val payload = Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 127).toByte)
+      val payload =
+        if (tpe == "image") syntheticPng(i)
+        else Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 127).toByte)
       (i.toLong, tpe, payload,
-        if (tpe == "image") Some(640) else None,
-        if (tpe == "image") Some(480) else None,
+        if (tpe == "image") Some(128) else None,
+        if (tpe == "image") Some(96) else None,
         if (tpe != "image") Some(1000L * (1 + i % 30)) else None,
-        Seq("jpeg", "opus", "h264")(i % 3))
+        Seq("png", "opus", "h264")(i % 3))
     }
     rows.toDF("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")
   }

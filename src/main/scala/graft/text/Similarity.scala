@@ -76,16 +76,16 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** IVF (inverted-file) index: assign every vector to its nearest
-    * centroid; at query time probe only the `nProbe` closest centroid
-    * lists. Centroids here are a deterministic seeded sample refined by
-    * one Lloyd step — a tiny driver-side table broadcast to the
-    * assignment scan (at 100 TB the centroid set stays a broadcast dim;
-    * the corpus-side assignment is one narrow pass, and the centroid id
-    * doubles as a partition/cluster column at rest).
+  /** OFFLINE IVF index build: train the centroid set from the corpus —
+    * a deterministic hash-spread seed sample refined by one Lloyd step.
+    * This is the only place the IVF path touches the driver (two small
+    * collects, nCentroids × dim doubles), and it runs ONCE per corpus,
+    * like any ANN index build. Query-time operators ([[ivfAssignWith]],
+    * [[ivfTopK]]) consume the returned centroids as literals/tiny
+    * broadcast dims and perform zero driver collects.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+  def ivfTrain(embeddings: DataFrame, nCentroids: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // deterministic sample as seed centroids (hash-spread, not first-k)
@@ -97,17 +97,34 @@ object Similarity {
     val dim = seeds.head.length
     // one Lloyd refinement: mean of assigned vectors per seed centroid;
     // the per-centroid means are a tiny aggregate (nCentroids × dim)
-    val assigned0 = embeddings.withColumn("centroid_id",
-      nearestCentroid(col(vecCol), seeds.zipWithIndex.map(_.swap)))
-    val refined = assigned0
+    embeddings
+      .withColumn("centroid_id",
+        nearestCentroid(col(vecCol), seeds.zipWithIndex.map(_.swap)))
       .groupBy(col("centroid_id"))
       .agg(array((0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast("double"))): _*).as("cvec"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val assigned = embeddings.withColumn("centroid_id",
-      nearestCentroid(col(vecCol), refined))
-    (assigned, refined.toDF("centroid_id", "cvec"))
+  }
+
+  /** Query-time IVF assignment against a prebuilt centroid set: a pure
+    * codegen'd projection (greatest over literal centroids), zero
+    * shuffles, zero collects — the centroid id doubles as a
+    * partition/cluster column at rest.
+    */
+  def ivfAssignWith(embeddings: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                    vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn("centroid_id", nearestCentroid(col(vecCol), centroids))
+
+  /** Train + assign in one call (fixture-scale convenience; at corpus
+    * scale call [[ivfTrain]] offline and ship its output).
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val centroids = ivfTrain(embeddings, nCentroids, idCol, vecCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    (ivfAssignWith(embeddings, centroids, vecCol), centroids.toDF("centroid_id", "cvec"))
   }
 
   /** Nearest-centroid id as a pure projection: the centroid set is a

@@ -130,25 +130,14 @@ object TextStats {
     * xxhash64 to [[portableHash64]], so the selected fingerprints (which
     * depend on hash VALUES, not just hash equality — the window minima
     * change with the hash function) can be recomputed by a DuckDB
-    * oracle. Tokenization mirrors the native pass: lowercase, split on
-    * whitespace runs, drop empty tokens, short docs collapse to one
-    * whole-doc gram. The xxhash64 variant remains the high-throughput
-    * scale path; this one buys cross-engine verifiability for one md5
-    * per gram.
+    * oracle. Backed by the one-pass native expression
+    * [[graft.catalyst.PortableWinnow]]: the composed Column form
+    * re-evaluates every upstream md5 inside each window lambda
+    * (interpreted HOFs have no common-subexpression reuse), turning
+    * O(grams) documents into O(grams²) work. The xxhash64 variant
+    * remains the default scale path; this one buys cross-engine
+    * verifiability for one md5 per gram.
     */
-  def winnowingFingerprintsPortable(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
-    val nT = size(toks)
-    val grams = when(nT === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), greatest(nT - (k - 1), lit(1))),
-        i => array_join(slice(toks, i, lit(k)), " ")))
-    val hashes = transform(grams, g => portableHash64(g))
-    val n = size(hashes)
-    val mins = when(n === 0, array().cast("array<long>"))
-      .otherwise(transform(
-        sequence(lit(1), greatest(n - (w - 1), lit(1))),
-        i => array_min(slice(hashes, i, lit(w)))))
-    array_sort(array_distinct(mins))
-  }
+  def winnowingFingerprintsPortable(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.catalyst.GraftFunctions.portableWinnow(text, k, w)
 }

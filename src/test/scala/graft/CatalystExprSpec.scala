@@ -92,4 +92,38 @@ class CatalystExprSpec extends SparkSpec {
     assert(reg.functionExists(FunctionIdentifier("cosine_sim")))
     assert(reg.functionExists(FunctionIdentifier("xxhash64_seeded")))
   }
+
+  test("portable_winnow matches the SQL conv(md5) derivation gram-by-gram") {
+    // the native expression's 60-bit key must equal what the DuckDB
+    // oracle computes; pin it against Spark's own conv/substring/md5
+    // (same SQL DuckDB runs) for single-token texts, where the one
+    // fingerprint IS the gram hash
+    val words = Seq("alpha", "bravo-7", "ünïcode")
+    val native = words.toDF("t")
+      .select(GraftFunctions.portableWinnow(col("t"), 3, 4).as("f"))
+      .as[Seq[Long]].collect().map(_.head)
+    val sqlForm = words.toDF("t")
+      .select(expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"))
+      .as[Long].collect()
+    assert(native.toSeq === sqlForm.toSeq)
+  }
+
+  test("portable_winnow: window/short-doc semantics and codegen/interpreted agreement") {
+    val texts = Seq("a b c d e f g h i", "one two", "", "   ", "x")
+    val viaDf = texts.toDF("t")
+      .select(GraftFunctions.portableWinnow(col("t"), 3, 4)).as[Seq[Long]].collect()
+    val direct = texts.map(t => graft.catalyst.PortableWinnow
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 3, 4)
+      .toLongArray().toSeq)
+    assert(viaDf.map(_.toSeq).toSeq === direct)
+    assert(direct(2).isEmpty && direct(3).isEmpty)  // no tokens -> no fingerprints
+    assert(direct(1).size === 1 && direct(4).size === 1)  // short docs collapse
+    // 9 tokens, k=3 -> 7 grams, w=4 -> 4 windows -> <= 4 distinct mins
+    assert(direct(0).nonEmpty && direct(0).size <= 4)
+    // sorted ascending, all within the 60-bit budget
+    direct.foreach { fps =>
+      assert(fps === fps.sorted)
+      assert(fps.forall(h => h >= 0L && h < (1L << 60)))
+    }
+  }
 }

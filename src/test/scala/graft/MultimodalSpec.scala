@@ -4,10 +4,42 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Multimodal plumbing: schema contract, batch-iterator decode stage,
-  * frame sampling — with the stubbed decoder's determinism pinned.
+  * frame sampling — real imageio decode for images (pixel statistics
+  * asserted against the synthetic PNG's known content), stub decoder
+  * determinism pinned for audio/video.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  test("image features are real pixel statistics of the decoded PNG") {
+    val media = Multimodal.syntheticMedia(spark, 6)
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("media_type") === "image")
+      .select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
+    // media_id 0: base color (0,0,0) + 0..63 horizontal gradient,
+    // so every channel mean is mean(shade)/255 = 31.5/255
+    val f0 = feats(0L)
+    assert(f0(0) === 128f && f0(1) === 96f)             // true decoded dims
+    assert(math.abs(f0(2) - 128f / 96f) < 1e-4)         // aspect
+    val expectedMean = 31.5f / 255f
+    Seq(f0(3), f0(4), f0(5), f0(6)).foreach(m => assert(math.abs(m - expectedMean) < 0.01,
+      s"channel mean $m != $expectedMean"))
+    assert(f0(7) > 0f)                                  // gradient -> nonzero luma std
+    // media_id 3: base (111, 219, 197) -> channels differ from each other
+    val f3 = feats(3L)
+    assert(f3(3) < f3(4) && f3(5) < f3(4))
+  }
+
+  test("resized payloads are decodable PNGs with the target dimensions") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val rows = Multimodal.resizeImages(media, 64, 48).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]](1))
+      assert(img.isDefined, s"media ${r.getLong(0)} not decodable after resize")
+      assert(img.get.getWidth === 64 && img.get.getHeight === 48)
+    }
+  }
 
   test("feature extraction preserves ids and emits fixed-dim vectors") {
     val media = Multimodal.syntheticMedia(spark, 60)
