@@ -182,12 +182,12 @@ object ChainOps {
           .withColumn("__q", col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(25, 6))),
         keyCol = "l_returnflag", valueCol = "__q", uniqueCol = "l_orderkey")
         .select(col("l_returnflag"), col("n"),
-                col("total").cast(org.apache.spark.sql.types.DecimalType(38, 6))
-                  .cast("double").as("total"))
+                round(col("total").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+                  .cast("double"), 6).as("total"))
         .orderBy(col("l_returnflag"))
     }, Some("""
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+             round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- ordered list aggregation: event-id sequences per user.
@@ -210,14 +210,14 @@ object ChainOps {
       Tables(s, dir).events
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+             round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
                .cast(org.apache.spark.sql.types.DecimalType(38, 6))
-               .cast("double").as("total_value"))
+               .cast("double"), 6).as("total_value"))
         .orderBy(col("hour"), col("event_type"))
     }, Some("""
       SELECT date_trunc('hour', ts) AS hour, event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+             round(CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     // ---- unpivot/melt: wide metrics to long form ----

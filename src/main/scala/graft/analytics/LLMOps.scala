@@ -18,11 +18,26 @@ import graft.text.{Dedup, Similarity, TextStats}
 object LLMOps {
   import Relational.QFn
 
-  /** Per-corpus-dir IVF centroid memo: the index build (driver collects)
-    * runs once, queries probe the prebuilt index (VERDICT r1 #5).
+  /** Per-corpus IVF centroid memo: the index build (driver collects)
+    * runs once, queries probe the prebuilt index (VERDICT r1 #5). Keyed
+    * on the corpus dir PLUS a cheap file-stat snapshot token, so
+    * regenerated or appended fixtures invalidate the entry instead of
+    * serving a stale index (ADVICE r2). Note the declared q45 therefore
+    * reports probe+scan time, not index-build time — the same split an
+    * offline-built ANN index has in production.
     */
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+
+  private def ivfCacheKey(dir: String): String = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val stat =
+      if (f.isDirectory)
+        f.listFiles().map(x => s"${x.getName}:${x.lastModified}:${x.length}")
+          .sorted.mkString(",")
+      else s"${f.lastModified}:${f.length}"
+    s"$dir|$stat"
+  }
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -189,15 +204,36 @@ object LLMOps {
             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8
       ORDER BY id_a, id_b""")),
 
-    // ---- SimHash fingerprints + hamming to doc 0 (rows-only) ----
+    // ---- SimHash fingerprints + hamming to doc 0, driver-verified: the
+    //      bit-majority algorithm is hash-agnostic, so the declared query
+    //      uses the portable md5-60-bit token key and the oracle recomputes
+    //      the full fingerprint (per-bit majority votes) and the hamming
+    //      distance in SQL. The xxhash64 variant remains the scale default
+    //      (DedupSpec pins its codegen/interpreted agreement).
     ("q38_simhash", (s: SparkSession, dir: String) => {
       val docs = Tables(s, dir).documents
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("simhash"))
       val ref = docs.filter(col("doc_id") === 0).select(col("simhash").as("ref_hash"))
       docs.crossJoin(broadcast(ref))
-        .select(col("doc_id"), col("simhash"), Dedup.hamming(col("simhash"), col("ref_hash")).as("hamming_to_0"))
+        .select(col("doc_id"), col("simhash"),
+          Dedup.hamming(col("simhash"), col("ref_hash")).cast("int").as("hamming_to_0"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some {
+      val bitVotes = (0 until 60).map(j =>
+        s"CASE WHEN 2 * coalesce(list_sum(list_transform(hs, h -> (h >> $j) & 1)), 0) > len(hs) " +
+          s"THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                 x -> ${TextStats.portableHash64Sql("x")}) AS hs
+        FROM documents),
+      sh AS (SELECT doc_id, $bitVotes AS simhash FROM toks)
+      SELECT doc_id, simhash,
+             CAST(bit_count(xor(simhash, (SELECT simhash FROM sh WHERE doc_id = 0))) AS INTEGER) AS hamming_to_0
+      FROM sh ORDER BY doc_id"""
+    }),
 
     // ---- document fingerprints (portable md5-derived 60-bit key) ----
     ("q39_fingerprint", (s: SparkSession, dir: String) => {
@@ -219,16 +255,29 @@ object LLMOps {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
     }, None),
 
-    // ---- embedding-cosine near-dup pairs via LSH buckets (rows-only) ----
+    // ---- embedding-cosine near-dup pairs via banded LSH, driver-verified.
+    //      The oracle is the exact all-pairs cosine ≥ threshold: at
+    //      threshold 0.35 a true pair agrees with one hyperplane with
+    //      p ≈ 0.6138, so 140 OR-amplified bands of 4 planes miss it with
+    //      probability (1 − 0.6138⁴)¹⁴⁰ ≈ 4.9e-10 — the LSH result equals
+    //      the exact result and the approximate operator gets a hard
+    //      equality check (the q37 argument; exact-cosine verify makes
+    //      precision exact, so only recall is probabilistic). Threshold
+    //      sits just above the corpus' 99.9th-percentile pairwise cosine
+    //      so the fixture (random vectors) yields a small true set.
     ("q46_cosine_neardup", (s: SparkSession, dir: String) => {
-      // threshold sits just above the corpus' 99.9th-percentile pairwise
-      // cosine so the fixture (random vectors, max pair ~0.51) yields a
-      // small true near-neighbor set
       Similarity.cosineNearDups(Tables(s, dir).embeddings,
-        threshold = 0.35, nPlanes = 4, dim = 64)
+        threshold = 0.35, bands = 140, planesPerBand = 4, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim_r"))
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.35
+      ORDER BY id_a, id_b""")),
 
     // ---- winnowing fingerprints, driver-verified: the portable-hash
     //      variant lets the oracle recompute the window minima exactly
@@ -237,12 +286,7 @@ object LLMOps {
     //      full fingerprint set (comma-joined), not just the count.
     ("q47_winnowing", (s: SparkSession, dir: String) => {
       val fps = TextStats.winnowingFingerprintsPortable(col("text"))
-      // the fixture parquet is a single row group (one scan task); the
-      // portable hash chain is heavy per-row (interpreted HOFs + one md5
-      // per gram), so spread the rows across the session's shuffle
-      // partitions before computing — at 100 TB the scan itself is
-      // many-partitioned and this repartition disappears
-      Tables(s, dir).documents.repartition(col("doc_id"))
+      Tables(s, dir).documents
         .select(col("doc_id"),
           size(fps).as("n_fingerprints"),
           array_join(transform(fps, f => f.cast("string")), ",").as("fps"))
@@ -277,7 +321,7 @@ object LLMOps {
     ("q45_ivf_ann", (s: SparkSession, dir: String) => {
       val t = Tables(s, dir)
       val corpus = t.embeddings.filter(col("vec_id") =!= 0)
-      val centroids = ivfIndexCache.getOrElseUpdate(dir,
+      val centroids = ivfIndexCache.getOrElseUpdate(ivfCacheKey(dir),
         Similarity.ivfTrain(corpus, nCentroids = 8))
       import s.implicits._
       val assigned = Similarity.ivfAssignWith(corpus, centroids)
@@ -325,13 +369,34 @@ object LLMOps {
         round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1), 6) AS rep3
       FROM g ORDER BY doc_id""")),
 
-    // ---- HLL distinct-count sketch (approximate; rows-only) ----
+    // ---- HLL distinct-count sketch, driver-verified: the featured op is
+    //      approx_count_distinct (partial+final sketch merge — the scale
+    //      path); the exact COUNT(DISTINCT) columns and the within-5%
+    //      booleans certify the sketch against the oracle (exact counts +
+    //      TRUE literals), turning "approximate, trust me" into a checked
+    //      accuracy contract. rsd 0.01 (HLL++ at ~2^14 registers) keeps
+    //      the observed error well inside the 5% contract — the default
+    //      rsd 0.05 is a STANDARD error, not a bound, and missed it on
+    //      one group at sf0.01.
     ("q42_approx_distinct", (s: SparkSession, dir: String) => {
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             countDistinct(col("l_orderkey")).as("exact_orders"),
+             approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+             approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")).cast("double")
+            / col("exact_orders") <= 0.05).as("orders_within_5pct"))
         .orderBy(col("l_returnflag"))
-    }, None)
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        TRUE AS parts_within_5pct,
+        TRUE AS orders_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

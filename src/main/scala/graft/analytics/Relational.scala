@@ -32,11 +32,17 @@ object Relational {
 
   private val D = DecimalType(25, 6)  // addend type: exact, wide enough for sf >= 1
   private val DF = DecimalType(38, 6) // exact sum type, identical in both engines
-  // The decimal sum is exact and engine-identical; the single final cast to
-  // DOUBLE is deterministic (IEEE round-to-nearest of the same decimal), and
-  // DOUBLE is what the driver's correctness hash canonicalizes cleanly —
-  // DECIMAL(38,6) finals hash-mismatch in its pandas layer (VERDICT r1 #1).
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DF).cast("double")
+  // The decimal sum is exact and engine-identical; DOUBLE is what the
+  // driver's correctness hash canonicalizes cleanly — DECIMAL(38,6) finals
+  // hash-mismatch in its pandas layer (VERDICT r1 #1). The final DOUBLE is
+  // re-rounded to 6 decimals on BOTH engines because the decimal→double
+  // casts themselves may differ by 1 ulp for sums needing > 53 mantissa
+  // bits (Spark: correctly-rounded BigDecimal.doubleValue; DuckDB: int128
+  // mantissa → double, then ÷10^scale — two roundings; ADVICE r2). The
+  // true sums are exact at 6 decimals, so round() snaps both engines to
+  // the same double at any magnitude where 1 ulp < 5e-7 (sums < ~1e9).
+  private def dsum(c: Column): Column =
+    round(sum(c.cast(D)).cast(DF).cast("double"), 6)
 
   /** name -> (spark query, duckdb oracle sql) */
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -56,13 +62,13 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_qty,
+        round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_base_price,
+        round(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_disc_price,
+        round(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_charge,
         CAST(COUNT(*) AS BIGINT) AS count_order,
-        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
-        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_price
+        round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) / COUNT(*) AS avg_qty,
+        round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) / COUNT(*) AS avg_price
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")),
@@ -91,7 +97,7 @@ object Relational {
         .limit(20)
     }, Some("""
       SELECT o_orderkey, o_orderdate, o_orderpriority,
-        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        round(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
       WHERE c_mktsegment = 'BUILDING'
@@ -118,7 +124,7 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     }, Some("""
       SELECT n_name,
-        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        round(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
         CAST(COUNT(*) AS BIGINT) AS n_items
       FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
                     JOIN supplier ON l_suppkey = s_suppkey
@@ -161,12 +167,12 @@ object Relational {
         .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(sum(col("o_totalprice").cast(D)), lit(0).cast(D)).cast(DF).cast("double").as("total_spent"))
+             round(coalesce(sum(col("o_totalprice").cast(D)), lit(0).cast(D)).cast(DF).cast("double"), 6).as("total_spent"))
         .orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey, c_name,
         CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-        CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DECIMAL(38,6)) AS DOUBLE) AS total_spent
+        round(CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 0) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total_spent
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey""")),
@@ -181,7 +187,7 @@ object Relational {
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
     }, Some("""
-      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -197,7 +203,7 @@ object Relational {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir).lineitem
-        .withColumn("running_qty", sum(col("l_quantity").cast(D)).over(w).cast(DF).cast("double"))
+        .withColumn("running_qty", round(sum(col("l_quantity").cast(D)).over(w).cast(DF).cast("double"), 6))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
                 col("l_quantity"), col("running_qty"))
         // running_qty is strictly increasing within a partition (qty >= 1),
@@ -207,10 +213,10 @@ object Relational {
                  col("l_quantity"), col("running_qty"))
     }, Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+        round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
           PARTITION BY l_suppkey
           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_qty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE), 6) AS running_qty
       FROM lineitem
       ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, running_qty""")),
 
@@ -241,7 +247,7 @@ object Relational {
     }, Some("""
       SELECT n_name, c_mktsegment,
         CAST(COUNT(*) AS BIGINT) AS n_cust,
-        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS acct_total
+        round(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS acct_total
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")),
@@ -320,7 +326,7 @@ object Relational {
                   WHEN o_totalprice < 150000 THEN 'mid'
                   ELSE 'high' END AS bucket,
         CAST(COUNT(*) AS BIGINT) AS n_orders,
-        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS total
       FROM orders GROUP BY 1 ORDER BY bucket""")),
 
     // ---- cube: all grouping-set combinations (§2.5) ----
@@ -332,7 +338,7 @@ object Relational {
     }, Some("""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_rows,
-        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE) AS qty
+        round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS qty
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),

@@ -20,6 +20,11 @@ object GraftFunctions {
   /** Single-pass SimHash of a string column (see [[SimHash64]]). */
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
 
+  /** Engine-portable SimHash (md5-derived 60-bit token keys — the
+    * fingerprint is DuckDB-recomputable; see [[SimHash64]]).
+    */
+  def simhash64Portable(c: Column): Column = col(SimHash64(expr(c), portable = true))
+
   /** Fused cosine similarity of two array<float|double> columns. */
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
 
@@ -42,6 +47,12 @@ object GraftFunctions {
     */
   def portableWinnow(c: Column, k: Int, w: Int): Column =
     col(PortableWinnow(expr(c), k, w))
+
+  /** Banded random-hyperplane LSH keys of an embedding column (one fused
+    * pass over the vector for all bands; see [[HyperplaneBands]]).
+    */
+  def hyperplaneBands(c: Column, bands: Int, rowsPerBand: Int, dim: Int, seed: Long): Column =
+    col(HyperplaneBands(expr(c), bands, rowsPerBand, dim, seed))
 
   /** Seeded xxhash64 — Spark's builtin fixes seed=42; the reference keys
     * documents with seed 0xCAFEBABE (handlers/comments.js:14-17), so

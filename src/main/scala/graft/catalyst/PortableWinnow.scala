@@ -61,10 +61,13 @@ object PortableWinnow {
     * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`: the top 60 bits of
     * the digest.
     */
-  private[graft] def portableHash(bytes: Array[Byte], len: Int): Long = {
+  private[graft] def portableHash(bytes: Array[Byte], len: Int): Long =
+    portableHash(bytes, 0, len)
+
+  private[graft] def portableHash(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Local.get()
     md.reset()
-    md.update(bytes, 0, len)
+    md.update(bytes, off, len)
     val d = md.digest()
     var acc = 0L
     var i = 0

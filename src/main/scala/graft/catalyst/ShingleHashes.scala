@@ -92,5 +92,5 @@ object ShingleHashes {
   }
 
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
 }

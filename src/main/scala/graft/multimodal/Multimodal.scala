@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * IMAGES are decoded for real with the JDK's built-in `javax.imageio`
   * (PNG/JPEG/BMP/GIF — no external dependency): feature extraction
   * computes actual pixel statistics and resize is an actual
-  * decode→scale→re-encode. AUDIO/VIDEO codecs are STUBBED (no such
-  * libraries in this container): `decodeStub` derives a deterministic
-  * fake feature vector from the bytes, and an image payload that fails
-  * to decode falls back to the same stub. The surrounding design — the
-  * schema contract, the batch-iterator shape, partition-level
-  * parallelism, repartitioning by media type so one task decodes one
-  * codec — is identical for both paths and tested (MultimodalSpec).
+  * decode→scale→re-encode. AUDIO is decoded for real with the JDK's
+  * built-in `javax.sound.sampled` (WAV/PCM/AIFF/AU): feature extraction
+  * computes actual waveform statistics (duration, RMS, zero-crossing
+  * rate, peak). VIDEO codecs are STUBBED (the JDK ships none):
+  * `decodeStub` derives a deterministic fake feature vector from the
+  * bytes, and an image/audio payload that fails to decode falls back to
+  * the same stub. The surrounding design — the schema contract, the
+  * batch-iterator shape, partition-level parallelism, repartitioning by
+  * media type so one task decodes one codec — is identical for all
+  * paths and tested (MultimodalSpec).
   */
 object Multimodal {
 
@@ -90,12 +93,90 @@ object Multimodal {
       (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat)
   }
 
-  /** STUB decode/feature-extract for audio/video (and undecodable image
-    * bytes): a real implementation would decode the payload with an
-    * audio/video library and emit an embedding; the stub emits a
-    * deterministic hash-derived vector with the same shape, so the
-    * pipeline's schema, batching, and determinism are exercised
-    * end-to-end.
+  /** Real audio decode (JDK `javax.sound.sampled` — WAV/PCM/AIFF/AU, no
+    * external dependency): parses the container, converts to signed PCM,
+    * and returns per-sample amplitudes normalized to [-1, 1] (channels
+    * averaged) plus the format. None for null/unparseable bytes.
+    */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Double])] =
+    if (payload == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val bytesPerSample = bits / 8
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) return None
+        val raw = ais.readAllBytes()
+        val frameSize = bytesPerSample * channels
+        if (frameSize == 0 || bits % 8 != 0 || bits > 32) return None
+        val nFrames = raw.length / frameSize
+        val samples = new Array[Double](nFrames)
+        val big = fmt.isBigEndian
+        val unsigned = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val maxVal = (1L << (bits - 1)).toDouble
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = f * frameSize + c * bytesPerSample
+            var v = 0L
+            var k = 0
+            while (k < bytesPerSample) {
+              val idx = if (big) off + k else off + (bytesPerSample - 1 - k)
+              v = (v << 8) | (raw(idx) & 0xffL)
+              k += 1
+            }
+            // sign-extend (or re-center unsigned PCM)
+            val shifted = v << (64 - bits)
+            val signed = if (unsigned) v - maxVal.toLong else shifted >> (64 - bits)
+            acc += signed / maxVal
+            c += 1
+          }
+          samples(f) = acc / channels
+          f += 1
+        }
+        Some((fmt, samples))
+      } finally ais.close()
+    } catch { case _: Throwable => None }
+
+  /** Real audio features from decoded samples: [sampleRate, channels,
+    * durationSec, rms, zeroCrossingRate, peak, meanAbs, bitsPerSample] —
+    * one pass over the waveform (the standard cheap audio-quality
+    * signals a corpus filter computes before training).
+    */
+  private[graft] def audioFeatures(fmt: javax.sound.sampled.AudioFormat,
+                                   samples: Array[Double]): Array[Float] = {
+    val n = samples.length
+    var s2 = 0.0; var sAbs = 0.0; var peak = 0.0
+    var crossings = 0
+    var i = 0
+    while (i < n) {
+      val x = samples(i)
+      s2 += x * x
+      val a = math.abs(x)
+      sAbs += a
+      if (a > peak) peak = a
+      if (i > 0 && (samples(i - 1) >= 0) != (x >= 0)) crossings += 1
+      i += 1
+    }
+    val inv = 1.0 / math.max(n, 1)
+    Array(fmt.getSampleRate, fmt.getChannels.toFloat,
+      (n / math.max(fmt.getSampleRate, 1f)),
+      math.sqrt(s2 * inv).toFloat, (crossings.toDouble / math.max(n - 1, 1)).toFloat,
+      peak.toFloat, (sAbs * inv).toFloat, fmt.getSampleSizeInBits.toFloat)
+  }
+
+  /** STUB decode/feature-extract for video (and undecodable image/audio
+    * bytes): the JDK ships no video codec, so a real implementation
+    * would decode the payload with an external library and emit an
+    * embedding; the stub emits a deterministic hash-derived vector with
+    * the same shape, so the pipeline's schema, batching, and determinism
+    * are exercised end-to-end.
     */
   private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
     if (payload == null) return Array.fill(featureDim)(0f)
@@ -132,11 +213,15 @@ object Multimodal {
         rows.map { r =>
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           val tpe = r.getString(1)
-          // images: real pixel statistics; audio/video (+ broken image
-          // bytes): deterministic stub with the same shape
-          val feat =
-            if (tpe == "image") decodeImage(payload).map(imageFeatures).getOrElse(decodeStub(payload))
-            else decodeStub(payload)
+          // images: real pixel statistics; audio: real waveform
+          // statistics (javax.sound.sampled); video (+ undecodable
+          // image/audio bytes): deterministic stub with the same shape
+          val feat = tpe match {
+            case "image" => decodeImage(payload).map(imageFeatures).getOrElse(decodeStub(payload))
+            case "audio" => decodeAudio(payload).map { case (f, s) => audioFeatures(f, s) }
+              .getOrElse(decodeStub(payload))
+            case _ => decodeStub(payload)
+          }
           Row(r.getLong(0), tpe, feat.toSeq)
         }
       }(enc)
@@ -243,22 +328,49 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV: a 16-bit mono PCM sine at a per-id
+    * frequency and fixed amplitude, so waveform statistics (RMS ≈
+    * amplitude/√2, zero-crossing rate ≈ 2·f/sampleRate) are predictable
+    * and the real codec path is genuinely exercised.
+    */
+  private[graft] def syntheticWav(i: Int, sampleRate: Float = 8000f,
+                                  nSamples: Int = 800, amplitude: Double = 0.5): Array[Byte] = {
+    val freq = 200.0 + (i % 20) * 20.0
+    val pcm = new Array[Byte](nSamples * 2)
+    var s = 0
+    while (s < nSamples) {
+      val v = (amplitude * math.sin(2 * math.Pi * freq * s / sampleRate) * 32767).toInt
+      pcm(2 * s) = (v & 0xff).toByte         // little-endian
+      pcm(2 * s + 1) = ((v >> 8) & 0xff).toByte
+      s += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Synthetic media fixture for tests/benches (deterministic): image
-    * rows carry REAL PNG payloads (decodable by the imageio path);
-    * audio/video rows carry opaque byte blobs for the stub path.
+    * rows carry REAL PNG payloads (decodable by the imageio path), audio
+    * rows REAL WAV payloads (decodable by the javax.sound path); video
+    * rows carry opaque byte blobs for the stub path.
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
       val tpe = Seq("image", "audio", "video")(i % 3)
-      val payload =
-        if (tpe == "image") syntheticPng(i)
-        else Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 127).toByte)
+      val payload = tpe match {
+        case "image" => syntheticPng(i)
+        case "audio" => syntheticWav(i)
+        case _ => Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 127).toByte)
+      }
       (i.toLong, tpe, payload,
         if (tpe == "image") Some(128) else None,
         if (tpe == "image") Some(96) else None,
         if (tpe != "image") Some(1000L * (1 + i % 30)) else None,
-        Seq("png", "opus", "h264")(i % 3))
+        Seq("png", "pcm_s16le", "h264")(i % 3))
     }
     rows.toDF("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")
   }

@@ -164,6 +164,14 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.catalyst.GraftFunctions.simhash64(text)
 
+  /** Engine-portable 60-bit SimHash: the same bit-majority algorithm
+    * keyed on the md5-derived portable token hash, so the fingerprint
+    * values themselves are recomputable by a DuckDB oracle. The
+    * xxhash64 variant above stays the scale default (no md5 per token).
+    */
+  def simhashPortable(text: Column): Column =
+    graft.catalyst.GraftFunctions.simhash64Portable(text)
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

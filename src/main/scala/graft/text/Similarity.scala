@@ -55,26 +55,21 @@ object Similarity {
       .select(col(qidCol), col("rn"), col(idCol), col("cos_sim"))
   }
 
-  /** Deterministic random hyperplanes (seeded), as literal arrays. */
-  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 0x9E3779B9L): Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
-  }
+  /** Default hyperplane seed (shared by [[lshBucket]], [[lshTopK]], and
+    * [[cosineNearDups]] so their bucket keys agree).
+    */
+  private[graft] val DefaultSeed = 0x9E3779B9L
 
   /** LSH bucket key: sign-bit pattern of `nPlanes` hyperplane dot
     * products — vectors in the same bucket are cosine-close with high
     * probability. Pure projection; usable as a clustering column.
+    * Backed by the native one-pass [[graft.catalyst.HyperplaneBands]]
+    * (single band); same seed, generator, and fold order as the round-2
+    * composed form, so bucket values are unchanged.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val planes = hyperplanes(nPlanes, dim)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, typedlit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    element_at(
+      graft.catalyst.GraftFunctions.hyperplaneBands(vec, 1, nPlanes, dim, DefaultSeed), 1)
 
   /** OFFLINE IVF index build: train the centroid set from the corpus —
     * a deterministic hash-spread seed sample refined by one Lloyd step.
@@ -157,22 +152,58 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, pair
-    * only bucket-mates, verify with exact cosine ≥ threshold. Same
-    * architecture as the MinHash near-dup path — the shuffle carries
-    * (bucket, id, vec) once and the quadratic pairing is bounded by
-    * bucket size, never the corpus.
+  /** Embedding-cosine near-duplicate pairs: banded OR-amplified
+    * random-hyperplane LSH with exact-cosine verification — the same
+    * architecture as [[Dedup.minhashNearDups]] (band-explode, ids-only
+    * candidate self-join per band, payload re-attached post-distinct,
+    * exact verify), so precision is exact and only recall is
+    * probabilistic.
+    *
+    * Recall: a pair at cosine c agrees with one hyperplane with
+    * p = 1 − arccos(c)/π and is a candidate unless it splits in EVERY
+    * band, so P(miss) = (1 − p^planesPerBand)^bands. Choose
+    * `bands ≈ ln(missTarget) / ln(1 − p(threshold)^planesPerBand)` —
+    * at threshold 0.35 (p ≈ 0.6138), planesPerBand = 4 and bands = 140
+    * give P(miss) ≈ 4.9e-10 per true pair, which makes the exact
+    * all-pairs cosine an equality oracle for the result (the q37
+    * argument). Round 2's single AND-band (one band of 4 planes) had
+    * ~14% recall at the same threshold.
+    *
+    * Scale notes: bucket count per band is 2^planesPerBand, so
+    * planesPerBand — not a constant — bounds per-bucket population; at
+    * corpus scale raise it toward log2(n / targetBucketSize) and grow
+    * `bands` to hold the recall target. Low thresholds are inherently
+    * expensive for hyperplane LSH (random pairs collide per plane with
+    * p = 0.5, so the ratio p(threshold)/0.5 per plane is all the
+    * discrimination available); dedup-grade thresholds (0.8+) prune
+    * aggressively with the same machinery. The banded keys come from
+    * one fused native pass ([[graft.catalyst.HyperplaneBands]]) computed
+    * once on the checkpointed base — not recomputed per join side.
     */
   def cosineNearDups(embeddings: DataFrame, threshold: Double,
-                     nPlanes: Int, dim: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = embeddings
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+                     bands: Int, planesPerBand: Int, dim: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     seed: Long = DefaultSeed): DataFrame = {
+    // vectors + band keys feed three consumers (candidate generation and
+    // both verify joins): materialize once, let the context cleaner
+    // release the blocks (same reasoning as Dedup.minhashNearDups)
+    val base = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        graft.catalyst.GraftFunctions.hyperplaneBands(
+          col(vecCol), bands, planesPerBand, dim, seed).as("bks"))
+      .localCheckpoint(true)
+    // candidates travel light: only (band, bits, id) shuffles; the wide
+    // vectors re-attach to the surviving distinct pairs by key join
+    val keys = base.select(col("id"),
+      posexplode(col("bks")).as(Seq("band", "bits")))
+    val cand = keys.select(col("band"), col("bits"), col("id").as("id_a"))
+      .join(keys.select(col("band"), col("bits"), col("id").as("id_b")), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

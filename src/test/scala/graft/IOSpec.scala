@@ -31,7 +31,7 @@ class IOSpec extends SparkSpec {
     val jitter = base.map(x => x + 0.01f * rng.nextGaussian().toFloat)
     val vecs = ((0 until 50).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat))) ++
       Seq((100L, base), (101L, jitter))).toDF("vec_id", "embedding")
-    val pairs = Similarity.cosineNearDups(vecs, threshold = 0.9, nPlanes = 2, dim = 16)
+    val pairs = Similarity.cosineNearDups(vecs, threshold = 0.9, bands = 8, planesPerBand = 2, dim = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.contains((100L, 101L)), s"expected planted pair in ${pairs.mkString(",")}")
   }

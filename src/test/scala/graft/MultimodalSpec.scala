@@ -41,6 +41,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio features are real waveform statistics of the decoded WAV") {
+    val media = Multimodal.syntheticMedia(spark, 6)
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("media_type") === "audio")
+      .select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
+    // media_id 1: 16-bit mono 8 kHz sine, freq = 200 + (1%20)*20 = 220 Hz,
+    // amplitude 0.5, 800 samples
+    val f1 = feats(1L)
+    assert(f1(0) === 8000f && f1(1) === 1f)                  // true decoded format
+    assert(math.abs(f1(2) - 0.1f) < 1e-4)                    // duration = 800/8000 s
+    assert(math.abs(f1(3) - 0.5 / math.sqrt(2.0)) < 0.01,    // RMS = A/sqrt(2)
+      s"rms ${f1(3)}")
+    assert(math.abs(f1(4) - 2.0 * 220 / 8000) < 0.01,        // ZCR = 2f/sr
+      s"zcr ${f1(4)}")
+    assert(f1(5) > 0.48f && f1(5) <= 0.51f)                  // peak ~= amplitude
+    assert(f1(7) === 16f)                                    // bits per sample
+    // media_id 4: freq 280 Hz -> higher zero-crossing rate than 220 Hz
+    val f4 = feats(4L)
+    assert(f4(4) > f1(4))
+  }
+
   test("feature extraction preserves ids and emits fixed-dim vectors") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val feats = Multimodal.extractFeatures(media)

@@ -63,6 +63,41 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: ${(exact intersect approx).size}/10")
   }
 
+  test("cosine near-dups: planted pair found under multiple hyperplane seeds") {
+    // round 2's single AND-band passed its planted-pair test only because
+    // the seeded hyperplanes happened to cooperate; banded OR-amplification
+    // must find the pair regardless of seed (VERDICT r2 #1)
+    val rng = new scala.util.Random(17)
+    val base = Seq.fill(dim)(rng.nextGaussian().toFloat)
+    val jitter = base.map(x => x + 0.01f * rng.nextGaussian().toFloat)
+    val planted = ((0 until 60).map(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat))) ++
+      Seq((100L, base), (101L, jitter))).toDF("vec_id", "embedding")
+    for (seed <- Seq(1L, 0xBEEFL, 0x9E3779B9L)) {
+      val pairs = Similarity.cosineNearDups(planted, threshold = 0.9,
+          bands = 8, planesPerBand = 2, dim = dim, seed = seed)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(pairs.contains((100L, 101L)),
+        s"planted pair missed under seed $seed: ${pairs.mkString(",")}")
+    }
+  }
+
+  test("cosine near-dups at a low threshold equal the exact all-pairs result") {
+    // the q46 oracle argument: with bands chosen so P(miss) < 1e-9 at the
+    // threshold, banded LSH + exact-cosine verify IS the exact result
+    val exact = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDups(vecs, threshold = 0.35,
+        bands = 140, planesPerBand = 4, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain true pairs at 0.35")
+    assert(lsh === exact, s"missed: ${(exact diff lsh).mkString(",")}; " +
+      s"extra: ${(lsh diff exact).mkString(",")}")
+  }
+
   test("per-query top-k fans out over a query set") {
     val queries = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -30,18 +30,18 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols = spark_rel.description
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            sn = list(spark_rel.columns)
+            st = {c: str(t) for c, t in zip(sn, spark_rel.types)}
             sdata = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            dcols = duck_rel.description
+            duck_rel = con.sql(sql)
+            dn = list(duck_rel.columns)
+            dt = {c: str(t) for c, t in zip(dn, duck_rel.types)}
             ddata = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_bad += 1
             continue
-        sn = [c[0] for c in scols]
-        dn = [c[0] for c in dcols]
         if sorted(sn) != sorted(dn):
             print(f"FAIL {name}: column names differ: spark={sorted(sn)} duck={sorted(dn)}")
             n_bad += 1
@@ -49,15 +49,16 @@ def main(sf_dir, out_dir):
         # Driver-hash sensitivity: its canonicalization is dtype-sensitive
         # (DECIMAL vs DOUBLE, HUGEINT vs BIGINT hash differently even when
         # value-equal) and its pandas sort_values crashes on array columns.
-        st = {c[0]: str(c[1]) for c in scols}
-        dt = {c[0]: str(c[1]) for c in dcols}
+        # These are the relations' LOGICAL types (DuckDBPyType strings) —
+        # DBAPI cursor codes collapse all numerics to NUMBER and would wave
+        # exactly those mismatches through (ADVICE r2).
         tmis = [c for c in st if st[c] != dt[c]]
         if tmis:
             print(f"FAIL {name}: dtype mismatch (driver hash would differ): "
                   + ", ".join(f"{c}: spark={st[c]} duck={dt[c]}" for c in tmis))
             n_bad += 1
             continue
-        arrs = [c[0] for c in scols if "list" in str(c[1]).lower() or "[]" in str(c[1])]
+        arrs = [c for c in sn if "[]" in st[c] or "list" in st[c].lower()]
         if arrs:
             print(f"FAIL {name}: array-typed output {arrs} (driver pandas sort crashes)")
             n_bad += 1
