@@ -18,6 +18,11 @@ import graft.text.{Dedup, Similarity, TextStats}
 object LLMOps {
   import Relational.QFn
 
+  // RE2 class equal to Java regex \s — every oracle that mirrors a
+  // Spark-side \s split/replace must use this instead of \s (ADVICE r3:
+  // DuckDB's \s does not match the vertical tab 0x0B; Java's does).
+  private val ws = TextStats.wsClassSql
+
   /** Per-corpus IVF centroid memo: the index build (driver collects)
     * runs once, queries probe the prebuilt index (VERDICT r1 #5). Keyed
     * on the corpus dir PLUS a cheap file-stat snapshot token, so
@@ -46,10 +51,10 @@ object LLMOps {
       Dedup.exact(Tables(s, dir).documents)
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id"))
-    }, Some("""
+    }, Some(s"""
       SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
       FROM documents
-      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      GROUP BY regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')
       ORDER BY keep_id""")),
 
     // ---- token counting: whitespace + BPE-ish pre-tokenizer ----
@@ -60,10 +65,10 @@ object LLMOps {
           size(TextStats.bpeishTokens(col("text"))).as("n_bpeish"),
           TextStats.nChars(col("text")).as("len_chars"))
         .orderBy(col("doc_id"))
-    }, Some("""
+    }, Some(s"""
       SELECT doc_id,
-        CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+        CAST(len(regexp_split_to_array(text, '$ws+')) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${TextStats.wsCharsSql}]')) AS INTEGER) AS n_bpeish,
         CAST(LENGTH(text) AS INTEGER) AS len_chars
       FROM documents ORDER BY doc_id""")),
 
@@ -78,14 +83,14 @@ object LLMOps {
         .orderBy(col("doc_id"))
     }, Some(s"""
       SELECT doc_id,
-        CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_words,
-        CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
-          / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS uniq_ratio,
-        CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        CAST(len(regexp_split_to_array(text, '$ws+')) AS INTEGER) AS n_words,
+        CAST(len(list_distinct(regexp_split_to_array(text, '$ws+'))) AS DOUBLE)
+          / greatest(len(regexp_split_to_array(text, '$ws+')), 1) AS uniq_ratio,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '$ws+'),
                  t -> t IN (${TextStats.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS stopword_ratio,
-        CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), t -> length(t))) AS DOUBLE)
-          / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mean_word_len
+          / greatest(len(regexp_split_to_array(lower(text), '$ws+')), 1) AS stopword_ratio,
+        CAST(list_sum(list_transform(regexp_split_to_array(text, '$ws+'), t -> length(t))) AS DOUBLE)
+          / greatest(len(regexp_split_to_array(text, '$ws+')), 1) AS mean_word_len
       FROM documents ORDER BY doc_id""")),
 
     // ---- language distribution over the labeled corpus ----
@@ -115,7 +120,7 @@ object LLMOps {
     }, Some {
       def score(lang: String): String = {
         val words = TextStats.langProfiles.toMap.apply(lang)
-        s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+        s"len(list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
       }
       s"""
       WITH scored AS (
@@ -159,12 +164,12 @@ object LLMOps {
         .filter(col("jaccard") > 0)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard_r"))
         .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
+    }, Some(s"""
       WITH sh AS (
         SELECT doc_id AS id,
                list_distinct(list_transform(
-                 range(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 1) + 1),
-                 i -> array_to_string(regexp_split_to_array(lower(text), '\s+')[i:i+2], ' '))) AS s
+                 range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+                 i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' '))) AS s
         FROM documents WHERE doc_id < 40)
       SELECT a.id AS id_a, b.id AS id_b,
              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -186,7 +191,7 @@ object LLMOps {
           threshold = 0.8, numHashes = 16, bands = 16)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard_r"))
         .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
+    }, Some(s"""
       WITH sh AS (
         SELECT doc_id AS id,
                CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -194,7 +199,7 @@ object LLMOps {
                       range(1, greatest(len(toks) - 2, 1) + 1),
                       i -> array_to_string(toks[i:i+2], ' '))) END AS s
         FROM (SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
               FROM documents WHERE doc_id < 500))
       SELECT a.id AS id_a, b.id AS id_b,
              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -226,7 +231,7 @@ object LLMOps {
       WITH toks AS (
         SELECT doc_id,
                list_transform(
-                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                 list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> ''),
                  x -> ${TextStats.portableHash64Sql("x")}) AS hs
         FROM documents),
       sh AS (SELECT doc_id, $bitVotes AS simhash FROM toks)
@@ -242,7 +247,7 @@ object LLMOps {
         .orderBy(col("doc_id"))
     }, Some(s"""
       SELECT doc_id,
-        ${TextStats.portableHash64Sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+        ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
       FROM documents ORDER BY doc_id""")),
 
     // ---- LSH-bucketed approximate NN (recall tested in SimilaritySpec) ----
@@ -265,18 +270,25 @@ object LLMOps {
     //      precision exact, so only recall is probabilistic). Threshold
     //      sits just above the corpus' 99.9th-percentile pairwise cosine
     //      so the fixture (random vectors) yields a small true set.
+    //      Threshold snap (ADVICE r3): membership is decided on
+    //      round(cos, 6) >= 0.35 on BOTH engines, so a pair whose raw
+    //      cosine straddles the threshold by 1 ulp between Spark's fused
+    //      CosineSim and DuckDB's list_cosine_similarity cannot flip in
+    //      one result only. The operator runs at a marginally lower raw
+    //      threshold so the snap filter decides the boundary.
     ("q46_cosine_neardup", (s: SparkSession, dir: String) => {
       Similarity.cosineNearDups(Tables(s, dir).embeddings,
-        threshold = 0.35, bands = 140, planesPerBand = 4, dim = 64)
+        threshold = 0.3499, bands = 140, planesPerBand = 4, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim_r"))
+        .filter(col("cos_sim_r") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }, Some("""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])) >= 0.35
+      SELECT id_a, id_b, cos_sim_r FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      WHERE cos_sim_r >= 0.35
       ORDER BY id_a, id_b""")),
 
     // ---- winnowing fingerprints, driver-verified: the portable-hash
@@ -293,7 +305,7 @@ object LLMOps {
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH t AS (SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+                   list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '') AS toks
                  FROM documents),
       g AS (SELECT doc_id,
               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -352,9 +364,9 @@ object LLMOps {
           round(graft.text.TextStats.repetitionRatio(col("text"), 2), 6).as("rep2"),
           round(graft.text.TextStats.repetitionRatio(col("text"), 3), 6).as("rep3"))
         .orderBy(col("doc_id"))
-    }, Some("""
+    }, Some(s"""
       WITH t AS (SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                   list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '') AS toks
                  FROM documents),
       g AS (SELECT doc_id,
               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -378,13 +390,23 @@ object LLMOps {
     //      the observed error well inside the 5% contract — the default
     //      rsd 0.05 is a STANDARD error, not a bound, and missed it on
     //      one group at sf0.01.
+    //      PLAN NOTE (ADVICE r3): the exact counts and the sketches must
+    //      NOT share one Aggregate. Spark rewrites mixed distinct/
+    //      non-distinct aggregation through Expand, and the first-stage
+    //      aggregate then groups by (key, gid, distinct-col) — ~600k
+    //      groups at sf0.1, each allocating a 2^14-register HLL buffer
+    //      per sketch (tens of GB of aggregation state; measured 32 s).
+    //      Two single-purpose aggregates joined on the 3-row group key
+    //      keep both plans sane. The bench times [[approxDistinctSketch]]
+    //      alone: the exact verification is precisely the work the sketch
+    //      exists to avoid, so it belongs in the correctness gate, not
+    //      the timed path.
     ("q42_approx_distinct", (s: SparkSession, dir: String) => {
-      Tables(s, dir).lineitem
+      val exact = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-             countDistinct(col("l_orderkey")).as("exact_orders"),
-             approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-             approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+             countDistinct(col("l_orderkey")).as("exact_orders"))
+      exact.join(approxDistinctSketch(s, dir), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")).cast("double")
             / col("exact_parts") <= 0.05).as("parts_within_5pct"),
@@ -399,4 +421,15 @@ object LLMOps {
         TRUE AS orders_within_5pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** The featured approximate-distinct operator alone — partial+final HLL
+    * sketch merge over one hash aggregate, zero exact verification. This
+    * is the query the bench times (ADVICE r3); the declared q42 joins it
+    * to the exact counts for the correctness gate's accuracy contract.
+    */
+  def approxDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
 }

@@ -55,7 +55,10 @@ object Multimodal {
     if (payload == null) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: Throwable => None }
+      // NonFatal only (ADVICE r3): a corrupt payload degrades to the
+      // stub, but VM-fatal errors (OOM on a huge decode) must propagate
+      // and fail the task rather than silently emit stub features
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real image features from decoded pixels: [width, height, aspect,
     * meanR, meanG, meanB, meanLuma, stdLuma] (channel stats normalized
@@ -142,7 +145,7 @@ object Multimodal {
         }
         Some((fmt, samples))
       } finally ais.close()
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }  // see decodeImage
 
   /** Real audio features from decoded samples: [sampleRate, channels,
     * durationSec, rms, zeroCrossingRate, peak, meanAbs, bitsPerSample] —

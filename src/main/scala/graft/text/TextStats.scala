@@ -96,6 +96,22 @@ object TextStats {
   def portableHash64Sql(expr: String): String =
     s"CAST(concat('0x', substring(md5($expr),1,15)) AS BIGINT)"
 
+  /** The characters Java's regex `\s` matches (ASCII, default flags):
+    * space, tab, newline, carriage return, form feed, and vertical tab
+    * (0x0B). DuckDB's RE2 `\s` does NOT match the vertical tab (ADVICE
+    * r3), so every oracle that mirrors a Spark-side `\s` split/replace
+    * must spell the class out with [[wsClassSql]] instead of writing
+    * `\s` — otherwise text containing a VT tokenizes differently on the
+    * two engines and silently breaks oracle parity. Written with regex
+    * escapes (no raw control characters) so the SQL survives the
+    * driver's JSON round-trip readably.
+    */
+  val wsCharsSql: String = """ \t\n\r\f\x0B"""
+
+  /** RE2 character class equal to Java `\s` — use in oracle SQL wherever
+    * the Spark side splits on `\s`. */
+  val wsClassSql: String = s"[$wsCharsSql]"
+
   /** 64-bit document fingerprint over the whitespace-normalized,
     * lowercased text — the exact-dedup key that is robust to whitespace
     * and case jitter (rolling-hash fingerprint in the single-window

@@ -39,4 +39,19 @@ class TextStatsSpec extends SparkSpec {
       .select(TextStats.meanWordLength(col("t"))).as[Double].head()
     assert(m === 3.0)
   }
+
+  test("vertical tab (0x0B) is whitespace to the tokenizer — the contract " +
+       "the oracle-side explicit class mirrors (ADVICE r3)") {
+    // Java regex \s matches VT; DuckDB RE2 \s does not, so every oracle
+    // spells the class out via TextStats.wsClassSql. This pins the Spark
+    // half: if tokens() ever stops splitting on VT, the class constant
+    // and this test must change together.
+    val toks = Seq("a\u000Bb c").toDF("t")
+      .select(TextStats.tokens(col("t"))).as[Seq[String]].head()
+    assert(toks === Seq("a", "b", "c"))
+    val bpeish = Seq("x\u000B!").toDF("t")
+      .select(TextStats.bpeishTokens(col("t"))).as[Seq[String]].head()
+    assert(bpeish === Seq("x", "!"))  // VT itself is not a bpeish token
+    assert(TextStats.wsClassSql.contains("""\x0B"""))
+  }
 }

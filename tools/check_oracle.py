@@ -28,6 +28,16 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # VT-parity lint (ADVICE r3): Java's regex \s matches the vertical tab
+    # (0x0B); DuckDB's RE2 \s does not. Any oracle that writes a bare \s
+    # instead of the explicit class [ \t\n\r\f\x0B] silently diverges from
+    # the Spark side on VT-containing text, so reject it outright.
+    import re as _re
+    for name, sql in sorted(oracle.items()):
+        if _re.search(r"\\s", sql):
+            print(f"FAIL {name}: oracle SQL uses bare \\s (RE2 \\s != Java \\s on "
+                  f"vertical tab) — use the explicit class from TextStats.wsClassSql")
+            n_bad += 1
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
