@@ -27,12 +27,17 @@ import org.apache.spark.sql.SparkSession
   *    copy reaches the driver unprefixed.
   *
   * Outlier control (VERDICT r2 #3/#4: the round-2 driver run recorded
-  * two ~10× phantom regressions that did not reproduce):
+  * two ~10× phantom regressions that did not reproduce; the round-4 run
+  * then showed a contention burst inflating four alphabetically-adjacent
+  * queries 3–6× in BOTH back-to-back runs):
   *  - All persistent blocks (the near-dup operators' localCheckpoint
   *    bases) are released after every query, so a 53-query JVM does not
   *    accumulate cache pressure that bills some later query.
-  *  - If the two timed runs of a query disagree by more than 30%, a
-  *    third run decides — min of all runs is reported either way.
+  *  - The two timed runs per query are TWO FULL PASSES over the suite,
+  *    not back-to-back runs: a transient host-contention burst lands on
+  *    different queries in each pass, so the per-query min survives it.
+  *  - If a query's two passes disagree by more than 30%, a third run
+  *    decides — min of all runs is reported either way.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,25 +76,30 @@ object Bench {
         graft.analytics.LLMOps.approxDistinctSketch(sp, d)
           .orderBy(org.apache.spark.sql.functions.col("l_returnflag")))
 
-    // min of two runs per query (the second amortizes codegen/plan
-    // compilation); a >30% disagreement triggers a deciding third run
-    val results: Seq[(String, Option[Double])] =
-      benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def once(): Option[Double] = {
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-              false
-            }
-          releaseBlocks()
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
         }
-        val times = (1 to 2).flatMap(_ => once())
+      releaseBlocks()
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
+
+    // min over two temporally-separated full passes (pass 2 also
+    // amortizes codegen/plan compilation); a >30% disagreement between
+    // passes triggers a deciding third run for that query
+    val ordered = benchQueries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val pass2 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val results: Seq[(String, Option[Double])] =
+      ordered.map { case (name, fn) =>
+        val times = Seq(pass1(name), pass2(name)).flatten
         val decided =
           if (times.size == 2 && (times.max - times.min) / times.min > 0.3)
-            times ++ once()
+            times ++ once(name, fn)
           else times
         name -> (if (decided.nonEmpty) Some(decided.min) else None)
       }

@@ -260,16 +260,18 @@ object LLMOps {
         .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
     }, None),
 
-    // ---- embedding-cosine near-dup pairs via banded LSH, driver-verified.
-    //      The oracle is the exact all-pairs cosine ≥ threshold: at
-    //      threshold 0.35 a true pair agrees with one hyperplane with
-    //      p ≈ 0.6138, so 140 OR-amplified bands of 4 planes miss it with
-    //      probability (1 − 0.6138⁴)¹⁴⁰ ≈ 4.9e-10 — the LSH result equals
-    //      the exact result and the approximate operator gets a hard
-    //      equality check (the q37 argument; exact-cosine verify makes
-    //      precision exact, so only recall is probabilistic). Threshold
-    //      sits just above the corpus' 99.9th-percentile pairwise cosine
-    //      so the fixture (random vectors) yields a small true set.
+    // ---- embedding-cosine near-dup pairs, threshold-aware dispatch
+    //      (Similarity.nearDupPairs). At threshold 0.35 that resolves to
+    //      the exact blocked kernel — hyperplane LSH cannot prune here
+    //      (random pairs collide per plane with p = 0.5 vs p ≈ 0.6138 at
+    //      threshold; the r3 banded-LSH version was measured 10× slower
+    //      than blocked exact at sf0.1), so the oracle's exact all-pairs
+    //      cosine is now a plain equality, no recall argument needed.
+    //      Dedup-grade thresholds (≥ 0.7) dispatch to the banded
+    //      OR-amplified LSH, whose recall is pinned in SimilaritySpec.
+    //      Threshold sits just above the corpus' 99.9th-percentile
+    //      pairwise cosine so the fixture (random vectors) yields a
+    //      small true set.
     //      Threshold snap (ADVICE r3): membership is decided on
     //      round(cos, 6) >= 0.35 on BOTH engines, so a pair whose raw
     //      cosine straddles the threshold by 1 ulp between Spark's fused
@@ -277,8 +279,8 @@ object LLMOps {
     //      one result only. The operator runs at a marginally lower raw
     //      threshold so the snap filter decides the boundary.
     ("q46_cosine_neardup", (s: SparkSession, dir: String) => {
-      Similarity.cosineNearDups(Tables(s, dir).embeddings,
-        threshold = 0.3499, bands = 140, planesPerBand = 4, dim = 64)
+      Similarity.nearDupPairs(Tables(s, dir).embeddings,
+        threshold = 0.3499, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim_r"))
         .filter(col("cos_sim_r") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))

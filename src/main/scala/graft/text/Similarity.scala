@@ -209,6 +209,126 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Exact all-pairs cosine ≥ threshold by blocked (tiled) brute force —
+    * the scale-correct algorithm for LOW thresholds, where hyperplane
+    * LSH cannot prune: a random pair collides with one plane with
+    * p = 0.5 vs p ≈ 0.61 for a pair AT threshold 0.35, so the candidate
+    * set approaches all-pairs while still paying band-explode overhead
+    * (measured 10× slower than this kernel at sf0.1).
+    *
+    * Architecture (no driver collect, no corpus broadcast):
+    *  1. hash-partition ids into `nBlocks` blocks, `collect_list` each
+    *     block into one row — a single shuffle of the corpus;
+    *  2. build the tiny tile table of block pairs (bi ≤ bj) and join the
+    *     block rows in — each block is replicated nBlocks times, so
+    *     communication is O(n · nBlocks) = O(n² / blockTarget), the
+    *     standard tiled-matrix tradeoff;
+    *  3. per tile, a tight fused loop over the L×R (or upper-triangle)
+    *     pairs emits only pairs meeting the threshold — the O(n²) flops
+    *     never materialize as rows.
+    *
+    * nBlocks auto-sizes to max(n / blockTarget, enough tiles to feed
+    * `defaultParallelism`). At corpus scale this kernel is what runs
+    * INSIDE a coarse prefilter (an IVF cell or a high-threshold LSH
+    * bucket), not across 100 TB raw — see [[nearDupPairs]].
+    */
+  def cosineAllPairsBlocked(embeddings: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            blockTarget: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.count()
+    val par = spark.sparkContext.defaultParallelism
+    // smallest nBlocks whose tile count nB(nB+1)/2 covers 2× parallelism
+    val forPar = math.ceil((math.sqrt(16.0 * par + 1) - 1) / 2).toInt
+    val nBlocks = math.max(1, math.max(math.ceil(n.toDouble / blockTarget).toInt, forPar))
+    // each block flattens to primitive columns (ids + row-major vector
+    // data): array<long>/array<float> deserialize as bulk copies, not
+    // per-element boxing — and the two collect_lists observe rows in the
+    // same order (one aggregation pass), so ids[i] owns vs[i*dim..)
+    val blocks = embeddings
+      .select(pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"),
+              col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .groupBy(col("blk"))
+      .agg(collect_list(col("id")).as("ids"),
+           flatten(collect_list(col("v"))).as("vs"))
+    val tileIdx = spark.range(nBlocks).select(col("id").cast("int").as("bi"))
+      .crossJoin(spark.range(nBlocks).select(col("id").cast("int").as("bj")))
+      .filter(col("bi") <= col("bj"))
+    val nTiles = nBlocks * (nBlocks + 1) / 2
+    val tiles = tileIdx
+      .join(blocks.select(col("blk").as("bi"), col("ids").as("ids_l"), col("vs").as("vs_l")), Seq("bi"))
+      .join(blocks.select(col("blk").as("bj"), col("ids").as("ids_r"), col("vs").as("vs_r")), Seq("bj"))
+      .select(col("bi"), col("bj"), col("ids_l"), col("vs_l"), col("ids_r"), col("vs_r"))
+      // one tile per partition: each tile row is a whole compute task;
+      // without this AQE coalesces the handful of heavy rows into one
+      // partition and serializes the O(n²) flops onto one core
+      .repartition(nTiles)
+      .as[(Int, Int, Array[Long], Array[Float], Array[Long], Array[Float])]
+    tiles.flatMap { case (bi, bj, idsL, vsL, idsR, vsR) =>
+      val dim = if (idsL.isEmpty) 1 else vsL.length / idsL.length
+      val diag = bi == bj
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < idsL.length) {
+        val ida = idsL(i)
+        val ai = i * dim
+        var j = if (diag) i + 1 else 0
+        while (j < idsR.length) {
+          val bj0 = j * dim
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          while (d < dim) {
+            val x = vsL(ai + d).toDouble; val y = vsR(bj0 + d).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            d += 1
+          }
+          val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+          val idb = idsR(j)
+          if (cos >= threshold && ida != idb) {
+            if (ida < idb) out += ((ida, idb, cos)) else out += ((idb, ida, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "cos_sim")
+  }
+
+  /** Threshold at which hyperplane LSH starts to out-prune blocked
+    * exact evaluation: below it the per-plane collision gap over random
+    * pairs (p(t) vs 0.5) is too thin to pay for band explode + candidate
+    * shuffle (see [[cosineAllPairsBlocked]] scaladoc).
+    */
+  private[graft] val LshCutoff = 0.7
+
+  /** Bands needed for P(miss a pair at `threshold`) ≤ `missTarget` with
+    * `planesPerBand`-plane AND-bands: P(miss) = (1 − p^r)^b with
+    * p = 1 − arccos(t)/π (the recall formula in [[cosineNearDups]]).
+    */
+  def bandsFor(threshold: Double, planesPerBand: Int, missTarget: Double = 1e-9): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    math.ceil(math.log(missTarget) / math.log1p(-math.pow(p, planesPerBand))).toInt
+  }
+
+  /** Near-duplicate pairs with threshold-aware algorithm dispatch:
+    * dedup-grade thresholds (≥ [[LshCutoff]]) use banded OR-amplified
+    * LSH sized by [[bandsFor]] (sub-quadratic candidates); lower
+    * thresholds use the exact blocked kernel, where LSH degenerates to
+    * all-pairs-plus-overhead. Both verify with exact cosine, so results
+    * are identical up to the LSH path's ≤ missTarget recall loss.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   planesPerBand: Int = 4, missTarget: Double = 1e-9): DataFrame =
+    if (threshold >= LshCutoff)
+      cosineNearDups(embeddings, threshold,
+        bands = bandsFor(threshold, planesPerBand, missTarget),
+        planesPerBand = planesPerBand, dim = dim, idCol = idCol, vecCol = vecCol)
+    else
+      cosineAllPairsBlocked(embeddings, threshold, idCol, vecCol)
+
   /** Bucketed approximate top-k: restrict the scan to the query's LSH
     * bucket, then brute-force within it. Trades recall for a ~2^nPlanes
     * scan reduction; recall is measured against bruteForceTopK in

@@ -98,6 +98,46 @@ class SimilaritySpec extends SparkSpec {
       s"extra: ${(lsh diff exact).mkString(",")}")
   }
 
+  test("blocked all-pairs kernel equals the exact cross-join result") {
+    // tile decomposition must see every pair exactly once: diagonal
+    // tiles (upper triangle) + off-diagonal tiles (full cross), with
+    // output ids normalized to id_a < id_b regardless of block order
+    val exact = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // blockTarget = 16 forces many blocks (and so many off-diagonal
+    // tiles) even on the 200-row fixture
+    val blocked = Similarity.cosineAllPairsBlocked(vecs, threshold = 0.35,
+        blockTarget = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(blocked.length === blocked.toSet.size, "a pair was emitted twice")
+    assert(blocked.toSet === exact)
+  }
+
+  test("near-dup dispatch: low threshold -> blocked exact, high -> banded LSH") {
+    val low = Similarity.nearDupPairs(vecs, threshold = 0.35, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(low === exact)
+    // high threshold takes the LSH path sized by bandsFor; with planted
+    // near-identical pair it must be found
+    val planted = vecs.unionByName(
+      vecs.filter(col("vec_id") === 7)
+        .select(lit(9001L).as("vec_id"), col("embedding")))
+    val high = Similarity.nearDupPairs(planted, threshold = 0.9, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(high.contains((7L, 9001L)))
+    assert(Similarity.bandsFor(0.9, 4) < Similarity.bandsFor(0.75, 4),
+      "bands must grow as the threshold drops")
+  }
+
   test("per-query top-k fans out over a query set") {
     val queries = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
