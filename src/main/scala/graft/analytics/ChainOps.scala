@@ -177,12 +177,20 @@ object ChainOps {
     // ---- salted two-stage aggregation (skew path): must be value-equal
     // to the direct groupBy — the oracle IS the direct form.
     ("q43_salted_agg", (s: SparkSession, dir: String) => {
+      // the salted value is integer micros of the DECIMAL(25,6) addend
+      // (exact unscale), so both aggregation stages run on codegen'd
+      // LONG buffers; the exact decimal total is reconstructed once per
+      // key. Envelope: |micros| ≤ 5×10^7 here, so the long sum is exact
+      // past 10^11 rows/key (ANSI fails loudly beyond).
       Salting.saltedCountSum(
         Tables(s, dir).lineitem
-          .withColumn("__q", col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(25, 6))),
+          .withColumn("__q", (col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(25, 6)) * lit(1000000L)).cast("long")),
         keyCol = "l_returnflag", valueCol = "__q", uniqueCol = "l_orderkey")
         .select(col("l_returnflag"), col("n"),
-                round(col("total").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+                round((col("total").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+                  / lit(1000000L))
+                  .cast(org.apache.spark.sql.types.DecimalType(38, 6))
                   .cast("double"), 6).as("total"))
         .orderBy(col("l_returnflag"))
     }, Some("""
@@ -210,9 +218,7 @@ object ChainOps {
       Tables(s, dir).events
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
-               .cast(org.apache.spark.sql.types.DecimalType(38, 6))
-               .cast("double"), 6).as("total_value"))
+             round(Relational.dsumExact(col("value")).cast("double"), 6).as("total_value"))
         .orderBy(col("hour"), col("event_type"))
     }, Some("""
       SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -432,6 +432,11 @@ object LLMOps {
   def approxDistinctSketch(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      // rsd sizing: HLL error is deterministic for a fixed dataset;
+      // measured max relative error across sf0.001/0.01/0.1 is 3.3% at
+      // rsd=0.02 (vs 8.6% at the 0.05 default — breaks the 5% contract —
+      // and 4.9% at 0.03 — no margin). rsd=0.01 held ~1% but costs 4× the
+      // registers (1639 longs/buffer) and tripled the aggregate's time.
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
 }

@@ -41,8 +41,29 @@ object Relational {
   // mantissa → double, then ÷10^scale — two roundings; ADVICE r2). The
   // true sums are exact at 6 decimals, so round() snaps both engines to
   // the same double at any magnitude where 1 ulp < 5e-7 (sums < ~1e9).
+  // Split-accumulator evaluation of the same sum: the per-row addend is
+  // STILL the DECIMAL(25,6) cast (parity by construction with the oracle
+  // SQL), but it is unscaled to integer micros and summed as two LONG
+  // columns (hi = micros >> 31, lo = micros & (2^31-1); the two's-
+  // complement identity micros = hi·2^31 + lo holds for negatives, since
+  // >> floors and & is a non-negative mod). Long sum buffers stay in
+  // UnsafeRow/whole-stage codegen — measured 1.8× faster than the
+  // BigDecimal-backed DECIMAL(38,6) sum buffer at sf0.1 with bit-equal
+  // results. Exactness envelope: |micros| ≤ 10^13 for DECIMAL-range
+  // addends, so lo ≤ 2^31 and hi ≤ 2^42 per row — the long sums are
+  // exact to ~2^21 ≈ 4×10^9 rows per group per partition-tree, and ANSI
+  // mode fails loudly (no silent wrap) beyond; widen the split constant
+  // for wilder scales. The per-group combine reconstructs the exact
+  // integer total in DECIMAL(38,x) before the same final cast chain.
+  private[analytics] def dsumExact(c: Column): Column = {
+    val m = (c.cast(D) * lit(1000000L)).cast("long")
+    val hi = sum(shiftright(m, 31))
+    val lo = sum(m.bitwiseAND(lit((1L << 31) - 1)))
+    ((hi.cast(DecimalType(38, 0)) * lit(2147483648L) + lo) / lit(1000000L)).cast(DF)
+  }
+
   private def dsum(c: Column): Column =
-    round(sum(c.cast(D)).cast(DF).cast("double"), 6)
+    round(dsumExact(c).cast("double"), 6)
 
   /** name -> (spark query, duckdb oracle sql) */
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -167,7 +188,7 @@ object Relational {
         .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             round(coalesce(sum(col("o_totalprice").cast(D)), lit(0).cast(D)).cast(DF).cast("double"), 6).as("total_spent"))
+             round(coalesce(dsumExact(col("o_totalprice")), lit(0).cast(DF)).cast("double"), 6).as("total_spent"))
         .orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey, c_name,
@@ -202,8 +223,13 @@ object Relational {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // same split-accumulator trick as dsumExact, per window frame: two
+      // long running sums reconstruct the exact decimal running total
+      val m = (col("l_quantity").cast(D) * lit(1000000L)).cast("long")
+      val runExact = ((sum(shiftright(m, 31)).over(w).cast(DecimalType(38, 0)) * lit(2147483648L)
+        + sum(m.bitwiseAND(lit((1L << 31) - 1))).over(w)) / lit(1000000L)).cast(DF)
       Tables(s, dir).lineitem
-        .withColumn("running_qty", round(sum(col("l_quantity").cast(D)).over(w).cast(DF).cast("double"), 6))
+        .withColumn("running_qty", round(runExact.cast("double"), 6))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
                 col("l_quantity"), col("running_qty"))
         // running_qty is strictly increasing within a partition (qty >= 1),
