@@ -1,0 +1,147 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.{Dedup, Scrub, TextStats}
+
+/** Data-curation operators for the training-pipeline surface: PII
+  * scrubbing, benchmark decontamination, deterministic domain mixing,
+  * and dedup-cluster resolution. Every query here is DuckDB-oracled —
+  * the scrub via engine-portable regexes, the sample via the portable
+  * md5 hash, the clusters via a recursive-CTE transitive closure over
+  * the exact near-dup pair set (q37's oracle argument extended one step).
+  */
+object CurationOps {
+  import Relational.QFn
+
+  private val ws = TextStats.wsClassSql
+
+  /** Deterministic synthetic PII suffix, built identically on both
+    * engines from doc_id/source (the fixture corpus is word salad with
+    * no natural PII, so the redaction patterns are exercised against a
+    * constructed-but-realistic payload instead of matching nothing).
+    */
+  private def piiText = concat(
+    lit("contact user"), col("doc_id").cast("string"),
+    lit("@mail-"), col("source"), lit(".org or call ("),
+    lpad((pmod(col("doc_id") * 37, lit(900)) + 100).cast("string"), 3, "0"), lit(") "),
+    lpad(pmod(col("doc_id") * 13, lit(1000)).cast("string"), 3, "0"), lit("-"),
+    lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+    lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+    lit(".0."), pmod(col("doc_id") * 3, lit(256)).cast("string"),
+    lit(" "), col("text"))
+
+  private val piiTextSql =
+    """concat('contact user', CAST(doc_id AS VARCHAR),
+       '@mail-', source, '.org or call (',
+       lpad(CAST((doc_id * 37) % 900 + 100 AS VARCHAR), 3, '0'), ') ',
+       lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0'), '-',
+       lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'),
+       ' ip 10.', CAST(doc_id % 256 AS VARCHAR),
+       '.0.', CAST((doc_id * 3) % 256 AS VARCHAR), ' ', text)"""
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- PII scrubbing (C4/Dolma-style redaction + audit counts) ----
+    ("q54_pii_scrub", (s: SparkSession, dir: String) => {
+      val (ne, np, ni) = Scrub.piiCounts(piiText)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          Scrub.scrubPii(piiText).as("scrubbed"),
+          ne.cast("int").as("n_emails"), np.cast("int").as("n_phones"),
+          ni.cast("int").as("n_ips"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH p AS (SELECT doc_id, $piiTextSql AS pii FROM documents),
+      s1 AS (SELECT doc_id, pii,
+               regexp_replace(pii, ${Scrub.sqlLit(Scrub.EmailRe)}, '<EMAIL>', 'g') AS t1 FROM p),
+      s2 AS (SELECT doc_id, pii, t1,
+               regexp_replace(t1, ${Scrub.sqlLit(Scrub.PhoneRe)}, '<PHONE>', 'g') AS t2 FROM s1)
+      SELECT doc_id,
+        regexp_replace(t2, ${Scrub.sqlLit(Scrub.Ipv4Re)}, '<IP>', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(pii, ${Scrub.sqlLit(Scrub.EmailRe)})) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(t1, ${Scrub.sqlLit(Scrub.PhoneRe)})) AS INTEGER) AS n_phones,
+        CAST(len(regexp_extract_all(t2, ${Scrub.sqlLit(Scrub.Ipv4Re)})) AS INTEGER) AS n_ips
+      FROM s2 ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination (k-gram overlap vs an eval set) ----
+    ("q55_contamination", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      Dedup.contamination(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0), k = 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH b AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+          i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' ')))) AS sh
+        FROM documents WHERE doc_id % 50 = 0),
+      c AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+          i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' ')))) AS sh
+        FROM documents WHERE doc_id % 50 <> 0),
+      h AS (SELECT doc_id, count(*) AS n_shared FROM c JOIN b USING (sh) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        COALESCE(h.n_shared, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""")),
+
+    // ---- deterministic stratified sampling (domain mixing) ----
+    ("q56_stratified_sample", (s: SparkSession, dir: String) => {
+      Sampling.stratifiedSample(Tables(s, dir).documents,
+          strataCol = "lang", keyCol = "doc_id",
+          ratesPerMille = Map("en" -> 700, "zh" -> 400, "de" -> 250),
+          defaultPerMille = 500)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id, lang, source FROM documents
+      WHERE ${Sampling.hashBucketSql("doc_id", "sample")} <
+        CASE lang WHEN 'en' THEN 700 WHEN 'zh' THEN 400 WHEN 'de' THEN 250 ELSE 500 END
+      ORDER BY doc_id""")),
+
+    // ---- dedup cluster resolution over the q37 near-dup pair set ----
+    //      The oracle extends q37's "LSH = exact with overwhelming
+    //      probability" equality one step: a recursive-CTE transitive
+    //      closure over the exact all-pairs Jaccard >= 0.8 pair set
+    //      recomputes the same min-label components the Spark side
+    //      reaches by iterative label propagation.
+    ("q57_dedup_clusters", (s: SparkSession, dir: String) => {
+      val pairs = Dedup.minhashNearDups(
+        Tables(s, dir).documents.filter(col("doc_id") < 500),
+        threshold = 0.8, numHashes = 16, bands = 16)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 500)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b FROM sh a, sh b
+        WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(n, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.n = e.src),
+      labels AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+      sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM labels GROUP BY cluster_id)
+      SELECT l.doc_id, l.cluster_id, s.cluster_size,
+             l.doc_id = l.cluster_id AS is_representative
+      FROM labels l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id"""))
+  )
+}

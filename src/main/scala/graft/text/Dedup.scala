@@ -174,4 +174,85 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- benchmark contamination ----------------------------------------
+
+  /** Benchmark-contamination check (the GPT-3/PaLM decontamination
+    * primitive): flag corpus documents that share at least one k-gram
+    * with a benchmark/eval set, with the shared-shingle count as the
+    * contamination score.
+    *
+    * Shape: the benchmark's distinct shingle set is tiny relative to the
+    * corpus (eval sets are fixed), so it BROADCASTs; the corpus side is
+    * one explode → broadcast-semi-probe → groupBy(id) count — a single
+    * shuffle of (id, shingle-hit) pairs, never of document text. At
+    * 100 TB swap the string shingles for [[TextStats.portableHash64]]
+    * keys to shrink the broadcast and shuffle width; the string form is
+    * used here so the DuckDB oracle compares shingles verbatim.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bsh = benchmark
+      .select(explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("id"), explode(array_distinct(shingles(col(textCol), k))).as("sh"))
+      .join(broadcast(bsh), Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---- dedup cluster resolution ---------------------------------------
+
+  /** Connected components over a near-dup pair set — the step that turns
+    * pairwise "A ~ B" into dedup CLUSTERS so the pipeline can keep one
+    * representative per group of mutual near-duplicates. Labels every
+    * node with the minimum id reachable from it.
+    *
+    * Algorithm: iterative min-label propagation (each node takes the min
+    * of its own and its neighbors' labels) to a fixpoint — O(diameter)
+    * rounds, one shuffle-join per round on (id, label) pairs only; each
+    * round's result is localCheckpoint'ed so lineage stays flat and the
+    * convergence count reuses the materialized blocks. Near-dup graphs
+    * are overwhelmingly tiny cliques/chains (diameter ≤ 3 in practice),
+    * so rounds stay in single digits; for adversarial long-chain graphs
+    * at 100 TB, switch to the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce"), which
+    * converges in O(log²​ n) with the same join primitive.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxRounds: Int = 50): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_representative"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Sampling
+import graft.text.{Dedup, Scrub}
+
+/** Curation-operator correctness: PII redaction semantics, benchmark
+  * contamination, deterministic sampling, and dedup-cluster resolution
+  * on graphs with known components.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PII scrub redacts emails, phones, and IPs; counts agree") {
+    val df = Seq(
+      ("reach me at jane.doe+spam@sub.example.co.uk or (555) 123-4567", 1, 1, 0),
+      ("server 192.168.1.254 and 10.0.0.1 are down", 0, 0, 2),
+      ("no pii here at all", 0, 0, 0),
+      ("a@b.io b@c.net 555.867.5309", 2, 1, 0)
+    ).toDF("text", "e", "p", "i")
+    val (ne, np, ni) = Scrub.piiCounts(col("text"))
+    val rows = df.select(Scrub.scrubPii(col("text")).as("s"),
+        ne.as("ne"), np.as("np"), ni.as("ni"), col("e"), col("p"), col("i"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(!s.matches(s".*${Scrub.EmailRe}.*"), s"email survived: $s")
+      assert(r.getInt(1) === r.getInt(4), s"email count in: $s")
+      assert(r.getInt(2) === r.getInt(5), s"phone count in: $s")
+      assert(r.getInt(3) === r.getInt(6), s"ip count in: $s")
+    }
+    val scrubbed = rows.map(_.getString(0))
+    assert(scrubbed(0).contains("<EMAIL>") && scrubbed(0).contains("<PHONE>"))
+    assert(scrubbed(1).count(_ == '<') === 2 && scrubbed(1).contains("<IP>"))
+    assert(scrubbed(2) === "no pii here at all")
+  }
+
+  test("contamination flags exactly the docs sharing a k-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with different words"),
+      (3L, "we also say quick brown fox here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.map(r => r._1 -> r._3).toSeq ===
+      Seq(1L -> true, 2L -> false, 3L -> true))
+    assert(out(0)._2 >= 1 && out(1)._2 === 0)
+  }
+
+  test("stratified sample is deterministic and rate-ordered across strata") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("k", "stratum")
+    val keep = Sampling.stratifiedSample(df, "stratum", "k",
+      Map("hi" -> 800, "lo" -> 200), defaultPerMille = 0)
+    val counts = keep.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // 2000 keys per stratum; hash buckets are uniform, so observed rates
+    // sit near the configured per-milles
+    assert(math.abs(counts("hi") - 1600L) < 200, s"hi=${counts("hi")}")
+    assert(math.abs(counts("lo") - 400L) < 150, s"lo=${counts("lo")}")
+    // byte-identical on re-evaluation (hash-based, not rand())
+    assert(keep.agg(sum("k")).as[Long].head() === keep.agg(sum("k")).as[Long].head())
+  }
+
+  test("connected components: chain, clique, and singleton-free pair graph") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byId = cc.map(r => r._1 -> r).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(byId(_)._2 === 1L))
+    assert(Seq(10L, 11L, 12L).forall(byId(_)._2 === 10L))
+    assert(Seq(20L, 21L).forall(byId(_)._2 === 20L))
+    assert(byId(1L)._3 === 4L && byId(10L)._3 === 3L && byId(20L)._3 === 2L)
+    assert(cc.count(_._4) === 3, "exactly one representative per cluster")
+    assert(byId(1L)._4 && byId(10L)._4 && byId(20L)._4)
+  }
+}
