@@ -142,6 +142,60 @@ object CurationOps {
                 FROM labels GROUP BY cluster_id)
       SELECT l.doc_id, l.cluster_id, s.cluster_size,
              l.doc_id = l.cluster_id AS is_representative
-      FROM labels l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id"""))
+      FROM labels l JOIN sizes s USING (cluster_id) ORDER BY l.doc_id""")),
+
+    // ---- sequence packing (global token-stream chunking) ----
+    //      The oracle's single SUM() OVER (ORDER BY doc_id) must equal
+    //      the Spark side's distributed two-phase prefix sum exactly.
+    ("q58_sequence_packing", (s: SparkSession, dir: String) => {
+      graft.text.Packing.packOffsets(Tables(s, dir).documents, seqLen = 512)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        FROM t)
+      SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+        CAST(start_offset // 512 AS BIGINT) AS first_seq,
+        CAST(CASE WHEN n_tokens = 0 THEN start_offset // 512
+                  ELSE (start_offset + n_tokens - 1) // 512 END AS BIGINT) AS last_seq
+      FROM c ORDER BY doc_id""")),
+
+    // ---- end-to-end curation pass: quality filter → exact-dedup
+    //      representative → stratified sample, composed from the
+    //      individually-oracled primitives (q32, q30/q39, q56) into one
+    //      declared pipeline — what a user actually runs over a corpus.
+    ("q59_curation_pipeline", (s: SparkSession, dir: String) => {
+      val quality = Tables(s, dir).documents
+        .withColumn("n_words", TextStats.wordCount(col("text")))
+        .withColumn("uniq_ratio", TextStats.uniqueWordRatio(col("text")))
+        .filter(col("n_words") >= 30 && col("uniq_ratio") >= 0.35)
+      val reps = Dedup.exact(quality).select(col("keep_id"))
+      val kept = quality.join(reps, quality("doc_id") === reps("keep_id"))
+      Sampling.stratifiedSample(kept, strataCol = "lang", keyCol = "doc_id",
+          ratesPerMille = Map("en" -> 800), defaultPerMille = 600)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_words"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH q AS (
+        SELECT doc_id, lang, source, text,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS INTEGER) AS n_words,
+               CAST(len(list_distinct(regexp_split_to_array(text, '$ws+'))) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(text, '$ws+')), 1) AS uniq_ratio
+        FROM documents),
+      f AS (
+        SELECT *, ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
+        FROM q WHERE n_words >= 30 AND uniq_ratio >= 0.35),
+      r AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp)
+      SELECT doc_id, lang, source, n_words
+      FROM f JOIN r ON f.doc_id = r.keep_id
+      WHERE ${Sampling.hashBucketSql("doc_id", "sample")} <
+        CASE lang WHEN 'en' THEN 800 ELSE 600 END
+      ORDER BY doc_id"""))
   )
 }

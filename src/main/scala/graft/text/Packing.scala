@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the pretraining step that concatenates the corpus
+  * token stream (in a deterministic document order) and chunks it into
+  * fixed-length training sequences. Each document maps to a global token
+  * span [start_offset, start_offset + n_tokens), from which its first
+  * and last covering sequence indices follow by integer division.
+  *
+  * The global prefix sum is computed as a DISTRIBUTED two-phase sum, not
+  * one unpartitioned window (which Spark executes in a single task —
+  * correct, but a 100 TB scale-killer):
+  *
+  *  1. coarse buckets of `bucketSize` consecutive doc ids each
+  *     aggregate their token total — a normal parallel groupBy;
+  *  2. the per-bucket running offsets are a window over the tiny bucket
+  *     table (corpus_size / bucketSize rows — driver-scale, the one
+  *     intentionally serial step) and broadcast back;
+  *  3. each bucket computes its internal prefix sum in parallel
+  *     (window PARTITIONed BY bucket) and adds its bucket offset.
+  *
+  * The DuckDB oracle computes the same offsets with a plain
+  * `SUM() OVER (ORDER BY doc_id)` — equality proves the two-phase
+  * decomposition is an exact prefix sum, not an approximation.
+  */
+object Packing {
+
+  def packOffsets(docs: DataFrame, seqLen: Int, bucketSize: Int = 4096,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketSize"))
+    val bucketOffsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset", coalesce(
+        sum(col("btotal")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("start_offset",
+        col("boffset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_offset DIV $seqLen"))
+      .withColumn("last_seq",
+        when(col("n_tokens") === 0, col("first_seq"))
+          .otherwise(expr(s"(start_offset + n_tokens - 1) DIV $seqLen")))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"))
+  }
+}

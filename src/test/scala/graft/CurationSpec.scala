@@ -65,6 +65,26 @@ class CurationSpec extends SparkSpec {
     assert(keep.agg(sum("k")).as[Long].head() === keep.agg(sum("k")).as[Long].head())
   }
 
+  test("sequence packing: two-phase prefix sum equals the serial cumsum") {
+    val docs = (0L until 300L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // bucketSize = 32 forces multiple buckets so phase 2/3 are exercised
+    val packed = graft.text.Packing.packOffsets(docs, seqLen = 16, bucketSize = 32)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    var running = 0L
+    packed.foreach { case (id, n, start, firstSeq, lastSeq) =>
+      assert(n === id % 7 + 1)
+      assert(start === running, s"doc $id offset")
+      assert(firstSeq === start / 16 && lastSeq === (start + n - 1) / 16)
+      running += n
+    }
+    // spans agree with the chunked stream: doc crossing a 16-token
+    // boundary reports the sequences on both sides
+    assert(packed.exists { case (_, _, _, f, l) => l > f })
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
