@@ -87,4 +87,38 @@ class PlanSpec extends SparkSpec {
     assert(!df.head().isNullAt(0))
     assert(math.abs(emb.head().getDouble(0) - 1.0) < 1e-9)
   }
+
+  test("stratified sampling is a shuffle-free filter (pure projection predicate)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.analytics.Sampling
+      .stratifiedSample(docs, "lang", "doc_id", Map("en" -> 700), 500)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("Filter"), s"sampling must plan as a filter:\n$p")
+  }
+
+  test("contamination probes the benchmark shingle set via broadcast, never SMJ") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.text.Dedup.contamination(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shingle join must not SMJ:\n$p")
+  }
+
+  test("sequence packing broadcasts bucket offsets and windows per bucket") {
+    val p = graft.text.Packing
+      .packOffsets(spark.read.parquet(s"$sf/documents.parquet"), seqLen = 512, bucketSize = 64)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+    // the corpus-side window must be partitioned (by bucket), never a
+    // single-task global window over the full table: its shuffle is a
+    // hashpartitioning exchange on bucket, not SinglePartition
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"corpus window must hash-partition by bucket:\n$p")
+  }
 }
