@@ -196,6 +196,36 @@ object CurationOps {
       FROM f JOIN r ON f.doc_id = r.keep_id
       WHERE ${Sampling.hashBucketSql("doc_id", "sample")} <
         CASE lang WHEN 'en' THEN 800 ELSE 600 END
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- TF-IDF keyword extraction (top-3 terms per document) ----
+    //      Both engines order and emit the round-6 snapped score, so a
+    //      1-ulp ln() disagreement cannot flip ranks or hashes.
+    ("q60_tfidf_terms", (s: SparkSession, dir: String) => {
+      graft.text.Relevance.tfIdfTopTerms(Tables(s, dir).documents, k = 3)
+        .orderBy(col("doc_id"), col("rn"))
+    }, Some(s"""
+      WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$ws+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '$ws+'))) AS term
+              FROM documents)
+        GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, tf, df, tfidf
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""))
   )
 }

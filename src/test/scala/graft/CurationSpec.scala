@@ -85,6 +85,23 @@ class CurationSpec extends SparkSpec {
     assert(packed.exists { case (_, _, _, f, l) => l > f })
   }
 
+  test("tf-idf ranks a document's rare distinctive term above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common words only here"),
+      (3L, "common words only here too")
+    ).toDF("doc_id", "text")
+    val top = graft.text.Relevance.tfIdfTopTerms(docs, k = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "term").as[(Long, String)].collect()
+    // "zebra" appears in 1 of 3 docs (idf ln 3), "common" in all (idf 0)
+    assert(top.head === (1L, "zebra"))
+    // df is corpus-wide: every doc's "common" has df = 3
+    val dfOfCommon = graft.text.Relevance.tfIdfTopTerms(docs, k = 10)
+      .filter(col("term") === "common").select("df").distinct().as[Long].collect()
+    assert(dfOfCommon.toSeq === Seq(3L))
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
