@@ -226,6 +226,45 @@ object CurationOps {
                  ORDER BY tfidf DESC, term) AS rn
         FROM scored)
       SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, tf, df, tfidf
-      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""))
+      FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ---- BM25 ranking (top-50 docs vs the corpus's top-8-df terms) ----
+    //      avgdl is an exact BIGINT sum ÷ count; each (doc, term)
+    //      contribution is one mirrored IEEE op chain snapped round-6,
+    //      then summed as DECIMAL(25,6) — order-independent, so Spark's
+    //      partial aggregation and DuckDB's serial sum agree exactly.
+    ("q61_bm25_rank", (s: SparkSession, dir: String) => {
+      graft.text.Relevance.bm25TopDocs(Tables(s, dir).documents)
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$ws+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '$ws+'))) AS term
+              FROM documents)
+        GROUP BY term),
+      qterms AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 8),
+      stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+               CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+      contrib AS (
+        SELECT tf.doc_id, dl.dl,
+               round(ln((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                          / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+                     * (CAST(tf.tf AS DOUBLE) * 2.2)
+                     / (CAST(tf.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))),
+                     6) AS c
+        FROM tf JOIN qterms q USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s)
+      SELECT doc_id, MIN(dl) AS dl,
+             round(CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
+      FROM contrib GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 50"""))
   )
 }

@@ -22,6 +22,61 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  /** BM25 document ranking against a deterministic query-term set (the
+    * corpus's top-`nTerms` highest-df terms; ties broken by term — a
+    * self-contained stand-in for a user query that both engines can
+    * derive identically).
+    *
+    * Parity-by-construction (Relational.scala header discipline):
+    *  - `avgdl` is an exact BIGINT token-count sum divided once — never
+    *    `avg(double)`, whose partial-aggregation order differs.
+    *  - each per-(doc,term) contribution is one mirrored chain of IEEE
+    *    ops snapped to round-6, then summed as DECIMAL(25,6) — exact and
+    *    order-independent, so Spark's partial/final aggregation and
+    *    DuckDB's serial sum agree bit-for-bit.
+    *
+    * Shape at scale: tf/dl are one explode + groupBy; df is
+    * dictionary-sized and its top-`nTerms` slice is a tiny broadcast, so
+    * the scoring join touches only rows whose term is in the query set
+    * (Catalyst pushes the semi-join through the tf aggregate's key).
+    * Top-k is a single bounded sort (`orderBy.limit` → TakeOrderedAndProject,
+    * no global sort materialization).
+    */
+  def bm25TopDocs(docs: DataFrame, nTerms: Int = 8, topK: Int = 50,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextStats.tokens(lower(col(textCol))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(nTerms)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val contrib = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5) + 1.0) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))),
+        6))
+    contrib
+      .groupBy(col("doc_id")).agg(
+        first(col("dl")).as("dl"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("bm25"))
+      .withColumn("bm25", round(col("bm25"), 6))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def tfIdfTopTerms(docs: DataFrame, k: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),

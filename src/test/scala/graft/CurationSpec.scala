@@ -102,6 +102,18 @@ class CurationSpec extends SparkSpec {
     assert(dfOfCommon.toSeq === Seq(3L))
   }
 
+  test("bm25 length normalization: equal tf of the query term ranks shorter docs higher") {
+    val docs = Seq(
+      (1L, "z a"),
+      (2L, "z a filler1 filler2 filler3"),
+      (3L, "z q w e r t y u i o p")
+    ).toDF("doc_id", "text")
+    // top-1 df term is "z" (df 3); tf("z") = 1 in every doc, dl = 2/5/11
+    val ranked = graft.text.Relevance.bm25TopDocs(docs, nTerms = 1, topK = 3)
+      .select("doc_id").as[Long].collect()
+    assert(ranked.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
