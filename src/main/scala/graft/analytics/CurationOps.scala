@@ -265,6 +265,23 @@ object CurationOps {
       SELECT doc_id, MIN(dl) AS dl,
              round(CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
       FROM contrib GROUP BY doc_id
-      ORDER BY bm25 DESC, doc_id LIMIT 50"""))
+      ORDER BY bm25 DESC, doc_id LIMIT 50""")),
+
+    // ---- Token-window chunking (size 32, overlap 8 → stride 24) ----
+    //      Pure generator over the token array — no shuffle; oracle
+    //      mirrors it with range(0, n, 24) + 1-based list slices.
+    ("q62_chunking", (s: SparkSession, dir: String) => {
+      graft.text.Chunking.chunkTokens(Tables(s, dir).documents, chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(text, '$ws+') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t)
+      SELECT doc_id,
+             CAST(st // 24 AS INTEGER) AS chunk_idx,
+             CAST(st AS INTEGER) AS start_tok,
+             CAST(len(toks[st + 1 : st + 32]) AS INTEGER) AS n_tok,
+             array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

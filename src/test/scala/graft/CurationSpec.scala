@@ -114,6 +114,18 @@ class CurationSpec extends SparkSpec {
     assert(ranked.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("chunking: stride windows cover every token and overlap by exactly `overlap`") {
+    val doc = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.text.Chunking.chunkTokens(doc, chunkSize = 32, overlap = 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .as[(Int, Int, Int, String)].collect()
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq === Seq((0, 0, 32), (1, 24, 26), (2, 48, 2)))
+    val Array(c0, c1, _) = chunks.map(_._4.split(" ").toSeq)
+    assert(c0.takeRight(8) === c1.take(8))          // overlap region shared verbatim
+    assert(chunks.flatMap(_._4.split(" ")).distinct.length === 50) // full coverage
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
