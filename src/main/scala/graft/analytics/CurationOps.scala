@@ -282,6 +282,28 @@ object CurationOps {
              CAST(st AS INTEGER) AS start_tok,
              CAST(len(toks[st + 1 : st + 32]) AS INTEGER) AS n_tok,
              array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text
-      FROM c ORDER BY doc_id, chunk_idx"""))
+      FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ---- Temperature-scaled domain mixture (T = 2, by lang) ----
+    //      rate_d = (c_d / c_min)^(1/T − 1): count-relative, no
+    //      cross-domain float sum, snapped round-6 and applied in
+    //      parts-per-million over the portable hash bucket.
+    ("q63_temperature_mix", (s: SparkSession, dir: String) => {
+      Sampling.temperatureResample(Tables(s, dir).documents, "lang", "doc_id",
+          temperature = 2.0)
+        .select(col("doc_id"), col("lang"), col("c_dom"), col("keep_ppm"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_dom
+                 FROM documents GROUP BY lang),
+      m AS (SELECT MIN(c_dom) AS c_min FROM c),
+      r AS (SELECT lang, c_dom,
+              CAST(round(round(pow(CAST(c_dom AS DOUBLE) / CAST(m.c_min AS DOUBLE),
+                     -0.5), 6) * 1000000.0, 0) AS BIGINT) AS keep_ppm
+            FROM c CROSS JOIN m)
+      SELECT d.doc_id, d.lang, r.c_dom, r.keep_ppm
+      FROM documents d JOIN r USING (lang)
+      WHERE ${Sampling.hashBucketNSql("d.doc_id", "temp", 1000000L)} < r.keep_ppm
+      ORDER BY d.doc_id"""))
   )
 }

@@ -31,6 +31,43 @@ object Sampling {
   def hashBucketSql(keyExpr: String, salt: String): String =
     s"${TextStats.portableHash64Sql(s"concat('$salt:', CAST($keyExpr AS VARCHAR))")} % 1000"
 
+  /** Uniform bucket in [0, buckets) — the per-mille form generalized for
+    * finer-grained rates (temperature resampling uses parts-per-million).
+    */
+  def hashBucketN(key: Column, salt: String, buckets: Long): Column =
+    pmod(TextStats.portableHash64(concat(lit(salt + ":"), key.cast("string"))), lit(buckets))
+
+  def hashBucketNSql(keyExpr: String, salt: String, buckets: Long): String =
+    s"${TextStats.portableHash64Sql(s"concat('$salt:', CAST($keyExpr AS VARCHAR))")} % $buckets"
+
+  /** Temperature-scaled domain rebalancing (the multilingual-corpus
+    * mixing rule: sample domain d with probability ∝ count_d^(1/T)).
+    * The per-domain keep rate is count-relative with NO cross-domain
+    * float sum: rate_d = (c_d / c_min)^(1/T − 1), which is 1 for the
+    * rarest domain and decays for dominant ones — an order-free FP chain
+    * both engines evaluate identically up to the round-6 snap. Rates are
+    * applied as parts-per-million against the portable hash bucket, so
+    * the sample is deterministic across runs, retries, and engines.
+    *
+    * Shape at scale: the rate table is |domains| rows (broadcast); the
+    * corpus pass is a map-side join + filter — one shuffle total for the
+    * domain counts, nothing row-ordered.
+    */
+  def temperatureResample(df: DataFrame, domainCol: String, keyCol: String,
+                          temperature: Double, salt: String = "temp"): DataFrame = {
+    require(temperature >= 1.0, s"temperature < 1 would upsample; got $temperature")
+    val exponent = 1.0 / temperature - 1.0
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("c_dom"))
+    val cmin = counts.agg(min(col("c_dom")).as("c_min"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .withColumn("keep_ppm",
+        round(round(pow(col("c_dom").cast("double") / col("c_min").cast("double"),
+          lit(exponent)), 6) * 1000000.0, 0).cast("long"))
+      .select(col(domainCol), col("c_dom"), col("keep_ppm"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucketN(col(keyCol), salt, 1000000L) < col("keep_ppm"))
+  }
+
   /** Keep each row iff its bucket falls under its stratum's per-mille
     * rate; unlisted strata fall back to `defaultPerMille`.
     */

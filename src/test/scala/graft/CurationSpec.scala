@@ -126,6 +126,20 @@ class CurationSpec extends SparkSpec {
     assert(chunks.flatMap(_._4.split(" ")).distinct.length === 50) // full coverage
   }
 
+  test("temperature resample: rarest domain keeps 100%, 4x domain keeps ~50% at T=2") {
+    val rows = (1 to 100).map(i => (i.toLong, "rare")) ++
+      (101 to 500).map(i => (i.toLong, "big"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.temperatureResample(df, "lang", "doc_id", temperature = 2.0)
+    val ppm = kept.select("lang", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(ppm("rare") === 1000000L)   // (100/100)^-0.5 = 1
+    assert(ppm("big") === 500000L)     // (400/100)^-0.5 = 0.5
+    val counts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("rare") === 100L)                        // fully kept
+    assert(counts("big") > 150L && counts("big") < 250L)   // ~50% of 400
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
