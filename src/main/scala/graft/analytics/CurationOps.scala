@@ -304,6 +304,41 @@ object CurationOps {
       SELECT d.doc_id, d.lang, r.c_dom, r.keep_ppm
       FROM documents d JOIN r USING (lang)
       WHERE ${Sampling.hashBucketNSql("d.doc_id", "temp", 1000000L)} < r.keep_ppm
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- k-means clustering (k = 4, two Lloyd iterations) ----
+    //      Hash-seeded init, round-6 snapped cosine argmax with
+    //      smaller-cid tie-break, DECIMAL(25,6)-exact centroid means —
+    //      every step engine-portable, so DuckDB replays the whole
+    //      clustering bit-for-bit (a value-level oracle for an operator
+    //      that is usually "trust me").
+    ("q64_kmeans", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.kmeansAssign(Tables(s, dir).embeddings, k = 4, dim = 64)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sl AS (SELECT vec_id, v,
+               ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
+             FROM e ORDER BY h, vec_id LIMIT 4),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+                       v AS cv FROM sl),
+      a1 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, s.cid,
+                     round(list_cosine_similarity(e.v, s.cv), 6) AS cos_r
+                   FROM e CROSS JOIN seeds s)),
+      m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      d1 AS (SELECT cid, r.i AS i,
+               round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mu
+             FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
+      c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
+      a2 AS (SELECT vec_id, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.v, c.cv), 6) AS cos_r
+                   FROM e CROSS JOIN c2 c))
+      SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, cos_r
+      FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
   )
 }

@@ -345,4 +345,60 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Lloyd's k-means over an embedding column, fully relational and
+    * oracle-replayable:
+    *
+    *  - **init**: the k vectors with the smallest portable hash of their
+    *    id (hash-spread, engine-recomputable — no RNG);
+    *  - **assign**: cross join against the k-row broadcast centroid
+    *    table; nearest = max(struct(round(cos, 6), −cid)) — a partial-
+    *    aggregatable hash agg, not a window, so the corpus pass is one
+    *    map-side-combined shuffle keyed by vec_id; round-6 snap +
+    *    smaller-cid tie-break make the argmax engine-portable;
+    *  - **update**: per-dimension means as exact DECIMAL(25,6) sums ÷
+    *    count (the Relational.scala float-sum discipline — double
+    *    addition is order-dependent, decimal addition is not), snapped
+    *    round-6 so both engines hold bit-identical centroids.
+    *
+    * Returns the final per-vector assignment (vec_id, centroid_id,
+    * cos_r). `iters` fixed small (default 2): each iteration is one
+    * corpus-wide agg + one k×dim-sized broadcast — at 100 TB the
+    * dominant cost is `iters` linear scans, the textbook distributed
+    * k-means shape.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   salt: String = "kmeans"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val hashOrd = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = e
+      .withColumn("h", TextStats.portableHash64(
+        concat(lit(salt + ":"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cid", (row_number().over(hashOrd) - 1).cast("int"))
+      .select(col("cid"), col("v").as("cv"))
+
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .withColumn("cos_r", round(cosine(col("v"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          max(struct(col("cos_r"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), col("v"),
+          (-col("m.ncid")).cast("int").as("cid"), col("m.cos_r").as("cos_r"))
+
+    def update(members: DataFrame): DataFrame =
+      members.groupBy(col("cid"))
+        .agg(array((0 until dim).map { i =>
+          round(sum(element_at(col("v"), i + 1).cast("double").cast(D))
+            .cast("double") / count(lit(1)), 6)
+        }: _*).as("cv"))
+
+    val finalAssign = (1 until iters).foldLeft(assign(seeds)) { (m, _) =>
+      assign(update(m))
+    }
+    finalAssign.select(col("vec_id"), col("cid").as("centroid_id"), col("cos_r"))
+  }
 }

@@ -140,6 +140,23 @@ class CurationSpec extends SparkSpec {
     assert(counts("big") > 150L && counts("big") < 250L)   // ~50% of 400
   }
 
+  test("kmeans: well-separated axis groups land in three distinct clusters") {
+    // 4 points near each of three orthogonal directions in R^4
+    def jig(i: Int): Float = 0.05f * i
+    val rows = (0 until 12).map { i =>
+      val axis = i / 4
+      val base = Array.fill(4)(jig(i % 4))
+      base(axis) = 1.0f
+      (i.toLong, base.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.text.Similarity.kmeansAssign(emb, k = 3, dim = 4)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    val groups = (0 until 3).map(a => (0 until 4).map(j => out(a * 4L + j)).toSet)
+    assert(groups.forall(_.size == 1), s"each axis group should be one cluster: $groups")
+    assert(groups.flatten.toSet.size === 3, s"groups should use distinct clusters: $groups")
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
