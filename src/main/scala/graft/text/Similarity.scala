@@ -371,34 +371,43 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    salt: String = "kmeans"): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val hashOrd = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = e
+
+    // Centroids live on the driver between iterations (k×dim doubles —
+    // index-sized state, like ivfTrain's); assignment is then `greatest`
+    // over literal centroids: a pure codegen'd projection, so the corpus
+    // is never shuffled — each Lloyd iteration is one scan + a k-group
+    // map-side-combined aggregate.
+    var cents: Seq[(Int, Seq[Double])] = e
       .withColumn("h", TextStats.portableHash64(
         concat(lit(salt + ":"), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(k)
-      .withColumn("cid", (row_number().over(hashOrd) - 1).cast("int"))
-      .select(col("cid"), col("v").as("cv"))
+      .select(col("v").cast("array<double>")).as[Seq[Double]].collect()
+      .toSeq.zipWithIndex.map(_.swap)
 
-    def assign(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
-        .withColumn("cos_r", round(cosine(col("v"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"),
-          max(struct(col("cos_r"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("vec_id"), col("v"),
-          (-col("m.ncid")).cast("int").as("cid"), col("m.cos_r").as("cos_r"))
+    // nearest = max(struct(round-6 cosine, −cid)): the snap + smaller-cid
+    // tie-break keep the argmax engine-portable (oracle replays it).
+    def best(cs: Seq[(Int, Seq[Double])]): Column =
+      greatest(cs.map { case (id, c) =>
+        struct(round(cosine(col("v"), typedlit(c)), 6).as("s"), lit(-id).as("nid"))
+      }: _*)
 
-    def update(members: DataFrame): DataFrame =
-      members.groupBy(col("cid"))
+    for (_ <- 1 until iters) {
+      cents = e.withColumn("m", best(cents))
+        .select((-col("m.nid")).cast("int").as("cid"), col("v"))
+        .groupBy(col("cid"))
         .agg(array((0 until dim).map { i =>
           round(sum(element_at(col("v"), i + 1).cast("double").cast(D))
             .cast("double") / count(lit(1)), 6)
         }: _*).as("cv"))
-
-    val finalAssign = (1 until iters).foldLeft(assign(seeds)) { (m, _) =>
-      assign(update(m))
+        .orderBy(col("cid"))
+        .as[(Int, Seq[Double])].collect().toSeq
     }
-    finalAssign.select(col("vec_id"), col("cid").as("centroid_id"), col("cos_r"))
+
+    e.withColumn("m", best(cents))
+      .select(col("vec_id"), (-col("m.nid")).cast("int").as("centroid_id"),
+        col("m.s").as("cos_r"))
   }
 }
