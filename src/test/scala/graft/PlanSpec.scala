@@ -121,4 +121,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(bucket"),
       s"corpus window must hash-partition by bucket:\n$p")
   }
+
+  test("bm25 broadcasts the query-term and corpus-stats sides") {
+    val p = plan("q61_bm25_rank")
+    assert(p.contains("BroadcastHashJoin"), s"qterms join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must avoid a global sort:\n$p")
+  }
+
+  test("chunking is a shuffle-free generator until its output sort") {
+    import org.apache.spark.sql.functions._
+    val p = graft.text.Chunking
+      .chunkTokens(spark.read.parquet(s"$sf/documents.parquet"), 32, 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"chunking plans as a generator:\n$p")
+  }
+
+  test("temperature resample joins the ppm rate table via broadcast") {
+    val p = plan("q63_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not SMJ:\n$p")
+  }
+
+  test("kmeans assignment is a pure projection — no join, no corpus shuffle") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.text.Similarity.kmeansAssign(emb, k = 4, dim = 64)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+  }
 }
