@@ -339,6 +339,36 @@ object CurationOps {
                      round(list_cosine_similarity(e.v, c.cv), 6) AS cos_r
                    FROM e CROSS JOIN c2 c))
       SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, cos_r
-      FROM a2 WHERE rn = 1 ORDER BY vec_id"""))
+      FROM a2 WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- Bigram-LM perplexity (corpus-trained add-1 quality filter) ----
+    //      Integer counts, round-6 snapped per-bigram logprob, decimal-
+    //      exact per-doc sum — train and score replayed whole by DuckDB.
+    ("q65_bigram_ppl", (s: SparkSession, dir: String) => {
+      graft.text.LangModel.bigramPerplexity(Tables(s, dir).documents)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '$ws+') AS toks
+                 FROM documents),
+      bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             FROM t WHERE len(toks) >= 2),
+      inst AS (SELECT doc_id, list_extract(toks, i) AS w1,
+                      list_extract(toks, i + 1) AS w2 FROM bi),
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+             FROM inst GROUP BY w1, w2),
+      sc AS (SELECT inst.doc_id,
+               round(ln((CAST(bc.c2 AS DOUBLE) + 1.0)
+                 / (CAST(uni.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE))), 6) AS lp
+             FROM inst JOIN bc USING (w1, w2)
+                       JOIN uni ON inst.w1 = uni.w
+                       CROSS JOIN vocab vv)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE), 6) AS logprob,
+             round(exp(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) * -1.0
+               / CAST(COUNT(*) AS DOUBLE)), 6) AS ppl
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -157,6 +157,19 @@ class CurationSpec extends SparkSpec {
     assert(groups.flatten.toSet.size === 3, s"groups should use distinct clusters: $groups")
   }
 
+  test("bigram perplexity: repetitive doc scores lower ppl than all-unique doc") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = graft.text.LangModel.bigramPerplexity(docs)
+      .select("doc_id", "n_bigrams", "ppl").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === 7L && out(2L)._1 === 5L)
+    assert(out(1L)._2 < out(2L)._2,
+      s"repetitive doc must be lower-ppl: ${out(1L)._2} vs ${out(2L)._2}")
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
