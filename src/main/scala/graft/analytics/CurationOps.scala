@@ -369,6 +369,36 @@ object CurationOps {
              round(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE), 6) AS logprob,
              round(exp(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) * -1.0
                / CAST(COUNT(*) AS DOUBLE)), 6) AS ppl
-      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Duplicated-span coverage (8-gram exact-substring signal) ----
+    //      Spans shared by >= 2 docs, union-counted per document over
+    //      the portable shingle hash.
+    ("q66_dup_spans", (s: SparkSession, dir: String) => {
+      graft.text.Dedup.dupSpanCoverage(Tables(s, dir).documents, n = 8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '$ws+') AS toks
+                 FROM documents),
+      tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+             FROM t WHERE len(toks) >= 8),
+      sh AS (SELECT doc_id, i,
+               ${TextStats.portableHash64Sql("array_to_string(toks[i : i + 7], ' ')")} AS h
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tt)),
+      dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      mk AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (h)),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+             FROM mk GROUP BY doc_id),
+      cv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+             FROM (SELECT DISTINCT * FROM
+                    (SELECT doc_id, unnest(range(i, i + 8)) AS pos FROM mk))
+             GROUP BY doc_id)
+      SELECT tt.doc_id, tt.n_tokens,
+             coalesce(pd.n_dup_shingles, 0) AS n_dup_shingles,
+             coalesce(cv.covered_tokens, 0) AS covered_tokens,
+             round(CAST(coalesce(cv.covered_tokens, 0) AS DOUBLE)
+               / CAST(tt.n_tokens AS DOUBLE), 6) AS dup_coverage
+      FROM tt LEFT JOIN pd USING (doc_id) LEFT JOIN cv USING (doc_id)
+      ORDER BY tt.doc_id"""))
   )
 }

@@ -259,4 +259,50 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("id") === col("label")).as("is_representative"))
   }
+
+  /** Cross-document duplicated-span coverage: for every `n`-token
+    * shingle that occurs in ≥ 2 distinct documents, mark the `n` token
+    * positions it covers, and report per document how much of it is
+    * made of such shared spans — the n-gram-granular form of
+    * exact-substring dedup (flag/trim documents whose text is largely
+    * duplicated elsewhere), with overlapping spans union-counted, not
+    * double-counted.
+    *
+    * Shape at scale: the shingle table is corpus-sized ×1; the dup-key
+    * set is one map-side-combined aggregate on the 60-bit shingle hash
+    * (count DISTINCT doc caps at 2 — partial aggs stay tiny); marking is
+    * a key-partitioned join back on the hash; the position union is a
+    * distinct over (doc, pos) — ×n explode but integers only. Keyed on
+    * the portable hash so the whole signal is oracle-replayable.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      TextStats.tokens(lower(col(textCol))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= n)
+    val sh = t
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        explode(sequence(lit(1), (col("n_tokens") - (n - 1)).cast("int"))).as("i"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        TextStats.portableHash64(array_join(slice(col("toks"), col("i"), lit(n)), " ")).as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val marked = sh.join(dup, Seq("h"))
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_shingles"))
+    val covered = marked
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    t.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_coverage"))
+  }
 }

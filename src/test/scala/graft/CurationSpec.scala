@@ -170,6 +170,21 @@ class CurationSpec extends SparkSpec {
       s"repetitive doc must be lower-ppl: ${out(1L)._2} vs ${out(2L)._2}")
   }
 
+  test("dup spans: overlapping shared 8-grams union-count, unique docs score zero") {
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ") // 9 tokens → two 8-gram shingles
+    val docs = Seq(
+      (1L, s"$shared u1 u2 u3"),            // 12 tokens, 9 covered
+      (2L, s"v1 v2 v3 $shared"),            // 12 tokens, 9 covered
+      (3L, (1 to 12).map(i => s"w$i").mkString(" ")) // no shared 8-gram
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.dupSpanCoverage(docs, n = 8)
+      .select("doc_id", "n_dup_shingles", "covered_tokens").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((2L, 9L)), s"doc1: ${out(1L)}")  // 2 shingles, 9-token union
+    assert(out(2L) === ((2L, 9L)), s"doc2: ${out(2L)}")
+    assert(out(3L) === ((0L, 0L)), s"doc3: ${out(3L)}")
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
