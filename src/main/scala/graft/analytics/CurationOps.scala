@@ -399,6 +399,32 @@ object CurationOps {
              round(CAST(coalesce(cv.covered_tokens, 0) AS DOUBLE)
                / CAST(tt.n_tokens AS DOUBLE), 6) AS dup_coverage
       FROM tt LEFT JOIN pd USING (doc_id) LEFT JOIN cv USING (doc_id)
-      ORDER BY tt.doc_id"""))
+      ORDER BY tt.doc_id""")),
+
+    // ---- Int8 embedding quantization + reconstruction-error audit ----
+    ("q67_quantize_int8", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.quantizeInt8(Tables(s, dir).embeddings, dim = 64)
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      a AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+      s AS (SELECT vec_id, v, 127.0 / amax AS scale FROM a WHERE amax > 0.0),
+      q AS (SELECT vec_id, v, scale,
+              list_transform(v, x ->
+                greatest(-127, least(127, CAST(round(x * scale, 0) AS INTEGER)))) AS qv
+            FROM s),
+      r AS (SELECT vec_id, scale, qv,
+              list_transform(range(1, len(v) + 1), i ->
+                CAST(list_extract(qv, i) AS DOUBLE) / scale - list_extract(v, i)) AS err
+            FROM q)
+      SELECT vec_id,
+             array_to_string(qv, ',') AS q_str,
+             round(scale, 6) AS scale_r,
+             round(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err,
+             round(CAST(list_sum(list_transform(err, x ->
+                 CAST(round(round(x * x, 6) * 1000000.0, 0) AS BIGINT))) AS DOUBLE)
+               / 1000000.0 / 64.0, 6) AS mse
+      FROM r ORDER BY vec_id"""))
   )
 }

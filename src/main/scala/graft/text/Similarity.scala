@@ -410,4 +410,37 @@ object Similarity {
       .select(col("vec_id"), (-col("m.nid")).cast("int").as("centroid_id"),
         col("m.s").as("cos_r"))
   }
+
+  /** Symmetric per-vector int8 quantization (the 4× memory lever for
+    * embedding stores / IVF lists): scale = 127 / max|x|, q_i =
+    * round(x_i·scale) ∈ [−127, 127], plus a reconstruction-error audit
+    * (max abs error and MSE of q_i/scale vs x_i) so a pipeline can gate
+    * on quantization loss. Pure per-row array math — no shuffle, no UDF;
+    * the audit is the part worth a query: max is order-free and the MSE
+    * sums per-dim round-6 decimal addends (order-independent), so the
+    * whole thing is oracle-replayable.
+    */
+  def quantizeInt8(embeddings: DataFrame, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // per-element squared error in integer micros: round-6 then ×1e6 is
+    // integer-valued, so the long sum is exact and order-independent
+    // (the split-accumulator discipline, micro-sized)
+    val mseMicros = aggregate(col("err"), lit(0L),
+      (acc, x) => acc + round(round(x * x, 6) * 1000000.0, 0).cast("long"))
+    embeddings
+      .select(col(idCol).as("vec_id"), v.as(vecCol))
+      .withColumn("amax", array_max(transform(col(vecCol), x => abs(x))))
+      .filter(col("amax") > 0.0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("q", transform(col(vecCol), x =>
+        greatest(lit(-127), least(lit(127), round(x * col("scale"), 0).cast("int")))))
+      .withColumn("err", zip_with(col(vecCol), col("q"),
+        (x, q) => q.cast("double") / col("scale") - x))
+      .select(col("vec_id"),
+        array_join(col("q"), ",").as("q_str"),
+        round(col("scale"), 6).as("scale_r"),
+        round(array_max(transform(col("err"), x => abs(x))), 6).as("max_abs_err"),
+        round(mseMicros.cast("double") / 1000000.0 / lit(dim.toDouble), 6).as("mse"))
+  }
 }

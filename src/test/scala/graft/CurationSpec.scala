@@ -185,6 +185,22 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L)), s"doc3: ${out(3L)}")
   }
 
+  test("int8 quantization: codes clamp to [-127,127] and reconstruction stays tight") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.001f, 0.002f, -0.003f, 0.004f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.text.Similarity.quantizeInt8(emb, dim = 4)
+      .select("vec_id", "q_str", "max_abs_err").as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val q1 = out(1L)._1.split(",").map(_.toInt)
+    assert(q1.toSeq === Seq(127, -64, 32, 0)) // scale = 127/1.0; -63.5 rounds away
+    assert(q1.forall(v => v >= -127 && v <= 127))
+    // max error is bounded by half a quantization step (1/(2·scale))
+    assert(out(1L)._2 <= 0.5 / 127.0 + 1e-6)
+    assert(out(2L)._2 <= 0.5 * 0.004 / 127.0 + 1e-6)
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
