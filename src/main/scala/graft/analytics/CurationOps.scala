@@ -378,7 +378,9 @@ object CurationOps {
       graft.text.Dedup.dupSpanCoverage(Tables(s, dir).documents, n = 8)
         .orderBy(col("doc_id"))
     }, Some(s"""
-      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '$ws+') AS toks
+      WITH t AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                     x -> x <> '') AS toks
                  FROM documents),
       tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
              FROM t WHERE len(toks) >= 8),

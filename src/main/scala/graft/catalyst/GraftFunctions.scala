@@ -48,6 +48,12 @@ object GraftFunctions {
   def portableWinnow(c: Column, k: Int, w: Int): Column =
     col(PortableWinnow(expr(c), k, w))
 
+  /** Position-ordered engine-portable k-gram hashes (md5-derived 60-bit
+    * keys; element i = gram at token i+1) — see [[PortableShingles]].
+    */
+  def portableShingles(c: Column, k: Int): Column =
+    col(PortableShingles(expr(c), k))
+
   /** Banded random-hyperplane LSH keys of an embedding column (one fused
     * pass over the vector for all bands; see [[HyperplaneBands]]).
     */

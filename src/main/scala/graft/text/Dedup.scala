@@ -277,15 +277,18 @@ object Dedup {
     */
   def dupSpanCoverage(docs: DataFrame, n: Int = 8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // fused native shingle pass: the composed form (explode starts +
+    // re-slice/join the token array per row) pushes O(tokens²) bytes per
+    // doc through the explode; PortableShingles emits the ordered gram
+    // hashes in one O(tokens) pass and posexplode recovers positions
     val t = docs.select(col(idCol).as("doc_id"),
-      TextStats.tokens(lower(col(textCol))).as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      size(filter(TextStats.tokens(lower(col(textCol))), x => x =!= lit("")))
+        .cast("long").as("n_tokens"),
+      graft.catalyst.GraftFunctions.portableShingles(col(textCol), n).as("hs"))
       .filter(col("n_tokens") >= n)
     val sh = t
-      .select(col("doc_id"), col("n_tokens"), col("toks"),
-        explode(sequence(lit(1), (col("n_tokens") - (n - 1)).cast("int"))).as("i"))
-      .select(col("doc_id"), col("n_tokens"), col("i"),
-        TextStats.portableHash64(array_join(slice(col("toks"), col("i"), lit(n)), " ")).as("h"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("int").as("i"), col("h"))
     val dup = sh.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))

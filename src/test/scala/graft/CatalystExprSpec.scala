@@ -126,4 +126,21 @@ class CatalystExprSpec extends SparkSpec {
       assert(fps.forall(h => h >= 0L && h < (1L << 60)))
     }
   }
+
+  test("portable_shingles matches the conv(md5) gram hash in position order") {
+    // element i must be the portable hash of the gram at token i+1 —
+    // pinned against Spark's own conv/substring/md5 of the joined gram
+    val text = "The quick  Brown\tfox jumps"
+    val native = Seq(text).toDF("t")
+      .select(GraftFunctions.portableShingles(col("t"), 3)).as[Seq[Long]].collect().head
+    val grams = Seq("the quick brown", "quick brown fox", "brown fox jumps")
+    val sqlForm = grams.toDF("g")
+      .select(expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"))
+      .as[Long].collect().toSeq
+    assert(native.toSeq === sqlForm)
+    // sub-k docs yield nothing (span semantics, unlike portable_winnow)
+    val short = Seq("one two", "", "   ").toDF("t")
+      .select(GraftFunctions.portableShingles(col("t"), 3)).as[Seq[Long]].collect()
+    assert(short.forall(_.isEmpty))
+  }
 }
