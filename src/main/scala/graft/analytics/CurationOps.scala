@@ -427,6 +427,62 @@ object CurationOps {
              round(CAST(list_sum(list_transform(err, x ->
                  CAST(round(round(x * x, 6) * 1000000.0, 0) AS BIGINT))) AS DOUBLE)
                / 1000000.0 / 64.0, 6) AS mse
-      FROM r ORDER BY vec_id"""))
+      FROM r ORDER BY vec_id""")),
+
+    // ---- Corpus report card (per lang × source health summary) ----
+    //      Every rate derives from integer counts (tokens, chars,
+    //      quality passes, distinct fingerprints) except mean
+    //      uniq-ratio, which sums round-6 DECIMAL(25,6) addends — all
+    //      single-shuffle, map-side-combined, oracle-exact.
+    ("q68_corpus_report", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables(s, dir).documents
+        .withColumn("n_words", TextStats.wordCount(col("text")).cast("long"))
+        .withColumn("uniq_ratio", TextStats.uniqueWordRatio(col("text")))
+        .withColumn("fp", TextStats.fingerprint(col("text")))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("n_words") >= 30 && col("uniq_ratio") >= 0.35, 1L)
+            .otherwise(0L)).as("n_pass"),
+          countDistinct(col("fp")).as("n_uniq"),
+          sum(round(col("uniq_ratio"), 6).cast(DecimalType(25, 6))).as("ur_sum"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_tokens"), col("total_chars"),
+          round(col("total_tokens").cast("double") / col("n_docs").cast("double"), 6)
+            .as("mean_tokens"),
+          round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6)
+            .as("quality_pass_rate"),
+          round((col("n_docs") - col("n_uniq")).cast("double")
+            / col("n_docs").cast("double"), 6).as("exact_dup_rate"),
+          round(col("ur_sum").cast("double") / col("n_docs").cast("double"), 6)
+            .as("mean_uniq_ratio"))
+        .orderBy(col("lang"), col("source"))
+    }, Some(s"""
+      WITH d AS (
+        SELECT lang, source, n_chars,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(regexp_split_to_array(text, '$ws+'))) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(text, '$ws+')), 1) AS uniq_ratio,
+               ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
+        FROM documents),
+      g AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN n_words >= 30 AND uniq_ratio >= 0.35
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq,
+               SUM(CAST(round(uniq_ratio, 6) AS DECIMAL(25,6))) AS ur_sum
+        FROM d GROUP BY lang, source)
+      SELECT lang, source, n_docs, total_tokens, total_chars,
+             round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
+             round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS quality_pass_rate,
+             round(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
+             round(CAST(ur_sum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_uniq_ratio
+      FROM g ORDER BY lang, source"""))
   )
 }

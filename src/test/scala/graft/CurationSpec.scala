@@ -201,6 +201,19 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 <= 0.5 * 0.004 / 127.0 + 1e-6)
   }
 
+  test("corpus report: dup rate counts repeated fingerprints, rates stay in [0,1]") {
+    val sfDir = "/root/testdata/sf0.001"
+    val report = graft.SparkEntry.queries("q68_corpus_report")(spark, sfDir)
+    val rows = report.select("n_docs", "quality_pass_rate", "exact_dup_rate", "mean_uniq_ratio")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, qp, dr, ur) =>
+      n > 0 && qp >= 0 && qp <= 1 && dr >= 0 && dr <= 1 && ur >= 0 && ur <= 1
+    })
+    val totalDocs = report.agg(sum("n_docs")).as[Long].head()
+    assert(totalDocs === 500L) // partitions the whole fixture corpus
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
