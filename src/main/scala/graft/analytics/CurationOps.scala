@@ -435,7 +435,6 @@ object CurationOps {
     //      uniq-ratio, which sums round-6 DECIMAL(25,6) addends — all
     //      single-shuffle, map-side-combined, oracle-exact.
     ("q68_corpus_report", (s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.types.DecimalType
       Tables(s, dir).documents
         .withColumn("n_words", TextStats.wordCount(col("text")).cast("long"))
         .withColumn("uniq_ratio", TextStats.uniqueWordRatio(col("text")))
@@ -448,7 +447,12 @@ object CurationOps {
           sum(when(col("n_words") >= 30 && col("uniq_ratio") >= 0.35, 1L)
             .otherwise(0L)).as("n_pass"),
           countDistinct(col("fp")).as("n_uniq"),
-          sum(round(col("uniq_ratio"), 6).cast(DecimalType(25, 6))).as("ur_sum"))
+          // exact integer micros: the mean divides in the integer domain
+          // below, so no engine ever rounds a floating half (a round-6
+          // mean hit exactly .5 micros at sf0.001 — Spark rounds half
+          // up, DuckDB half-even)
+          sum(round(round(col("uniq_ratio"), 6) * 1000000.0, 0).cast("long"))
+            .as("ur_micros"))
         .select(col("lang"), col("source"), col("n_docs"),
           col("total_tokens"), col("total_chars"),
           round(col("total_tokens").cast("double") / col("n_docs").cast("double"), 6)
@@ -457,7 +461,7 @@ object CurationOps {
             .as("quality_pass_rate"),
           round((col("n_docs") - col("n_uniq")).cast("double")
             / col("n_docs").cast("double"), 6).as("exact_dup_rate"),
-          round(col("ur_sum").cast("double") / col("n_docs").cast("double"), 6)
+          (expr("ur_micros DIV n_docs").cast("double") / 1000000.0)
             .as("mean_uniq_ratio"))
         .orderBy(col("lang"), col("source"))
     }, Some(s"""
@@ -476,13 +480,14 @@ object CurationOps {
                CAST(SUM(CASE WHEN n_words >= 30 AND uniq_ratio >= 0.35
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
                CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq,
-               SUM(CAST(round(uniq_ratio, 6) AS DECIMAL(25,6))) AS ur_sum
+               CAST(SUM(CAST(round(round(uniq_ratio, 6) * 1000000.0, 0) AS BIGINT))
+                 AS BIGINT) AS ur_micros
         FROM d GROUP BY lang, source)
       SELECT lang, source, n_docs, total_tokens, total_chars,
              round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
              round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS quality_pass_rate,
              round(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
-             round(CAST(ur_sum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_uniq_ratio
+             CAST(ur_micros // n_docs AS DOUBLE) / 1000000.0 AS mean_uniq_ratio
       FROM g ORDER BY lang, source"""))
   )
 }

@@ -15,6 +15,41 @@ import graft.model.Tables
 object TemporalOps {
   import Relational.QFn
 
+  /** Ordered n-step funnel: per user, `t_k` is the first time step k's
+    * event occurs at-or-after `t_{k-1}`, and `steps` counts how deep the
+    * user got. The standard conditional-min cascade: every stage joins
+    * and aggregates on the user key, so all shuffles share one key
+    * (co-partitioned end to end; AQE coalesces) and each stage's input
+    * shrinks to funnel survivors — no whole-history window needed.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    val mins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val base = e.filter(col("et") === lit(st))
+      val cur =
+        if (i == 0) base.groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        else base.join(mins(i - 1).select(col("user_id"), col(s"t$i")), Seq("user_id"))
+          .filter(col("ts") >= col(s"t$i"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t${i + 1}"))
+      mins += cur
+    }
+    val joined = mins.zipWithIndex.foldLeft(e.select(col("user_id")).distinct()) {
+      case (acc, (m, i)) =>
+        acc.join(m.select(col("user_id"), col(s"t${i + 1}")), Seq("user_id"), "left")
+    }
+    var stepExpr = when(col(s"t${steps.size}").isNotNull, steps.size)
+    for (i <- (steps.size - 1) to 1 by -1)
+      stepExpr = stepExpr.when(col(s"t$i").isNotNull, i)
+    joined
+      .withColumn("steps", stepExpr.otherwise(0).cast("int"))
+      .withColumnRenamed("user_id", userCol)
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- as-of (backward) join: each purchase picks the latest view at
@@ -122,6 +157,37 @@ object TemporalOps {
        AND c.ts >= p.ts AND epoch_us(c.ts) - epoch_us(p.ts) <= 300000000
       WHERE p.event_type = 'purchase'
       GROUP BY p.event_id
-      ORDER BY purchase_id"""))
+      ORDER BY purchase_id""")),
+
+    // ---- ordered funnel: view → click → purchase, each step's first
+    // completion at-or-after the previous step's. The standard
+    // conditional-min cascade: every stage joins and aggregates on
+    // user_id, so all shuffles share one key (co-partitioned end to
+    // end; AQE coalesces) and each stage's input shrinks to funnel
+    // survivors. No window over a user's whole history is needed.
+    ("q69_funnel", (s: SparkSession, dir: String) => {
+      funnel(Tables(s, dir).events, Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("steps"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts >= s1.t1
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+             GROUP BY e.user_id)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+             CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                       WHEN s2.t2 IS NOT NULL THEN 2
+                       WHEN s1.t1 IS NOT NULL THEN 1
+                       ELSE 0 END AS INTEGER) AS steps
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id"""))
   )
 }
