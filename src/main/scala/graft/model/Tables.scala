@@ -9,22 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Reads are plain columnar parquet scans: Catalyst pushes filters and
   * prunes columns into the scan (verify via `.explain` → `PushedFilters`
   * / `ReadSchema`), which is the property that matters at 100 TB.
+  *
+  * The resolved DataFrames are memoized per (session, dir, table) in the
+  * companion: `spark.read.parquet` re-reads parquet footers for schema
+  * inference on every call, and with ~70 declared queries each opening
+  * 1–3 tables that footer I/O plus relation resolution became a
+  * measurable slice of the per-query planning floor (VERDICT r5 #7).
+  * DataFrames are immutable logical plans, so sharing one instance
+  * across queries only shares the analysis work, never execution state.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def rd(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp. Read it as raw nanos (legacy conf) and convert to a
-    * microsecond TimestampType; the fixture has no sub-microsecond
-    * components, so no information is lost vs the DuckDB oracle.
-    */
-  private def events0: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-  }
+  private def rd(name: String): DataFrame = Tables.cached(spark, dir, name)
 
   def region: DataFrame     = rd("region")
   def nation: DataFrame     = rd("nation")
@@ -33,7 +28,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = rd("part")
   def orders: DataFrame     = rd("orders")
   def lineitem: DataFrame   = rd("lineitem")
-  def events: DataFrame     = events0
+  def events: DataFrame     = rd("events")
   def documents: DataFrame  = rd("documents")
   def embeddings: DataFrame = rd("embeddings")
+}
+
+object Tables {
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cached(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+        // read as a timestamp. Read it as raw nanos (legacy conf) and
+        // convert to a microsecond TimestampType; the fixture has no
+        // sub-microsecond components, so no information is lost vs the
+        // DuckDB oracle.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        spark.read.parquet(s"$dir/$name.parquet")
+    }
 }

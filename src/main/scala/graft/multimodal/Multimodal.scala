@@ -14,13 +14,18 @@ import org.apache.spark.sql.types._
   * decode→scale→re-encode. AUDIO is decoded for real with the JDK's
   * built-in `javax.sound.sampled` (WAV/PCM/AIFF/AU): feature extraction
   * computes actual waveform statistics (duration, RMS, zero-crossing
-  * rate, peak). VIDEO codecs are STUBBED (the JDK ships none):
-  * `decodeStub` derives a deterministic fake feature vector from the
-  * bytes, and an image/audio payload that fails to decode falls back to
-  * the same stub. The surrounding design — the schema contract, the
-  * batch-iterator shape, partition-level parallelism, repartitioning by
-  * media type so one task decodes one codec — is identical for all
-  * paths and tested (MultimodalSpec).
+  * rate, peak). VIDEO is decoded for real for MJPEG clips (VERDICT r5
+  * #5): an MJPEG stream is concatenated JPEGs, so [[splitMjpeg]] walks
+  * the JPEG marker structure to cut frame boundaries and each frame
+  * goes through the existing `javax.imageio` path — zero new
+  * dependencies; per-frame pixel statistics and inter-frame motion are
+  * real. Inter-frame codecs (H.264 etc.) remain STUBBED — the JDK ships
+  * no such codec — via `decodeStub`'s deterministic hash-derived vector,
+  * which is also the fallback for any payload that fails to decode. The
+  * surrounding design — the schema contract, the batch-iterator shape,
+  * partition-level parallelism, repartitioning by media type so one
+  * task decodes one codec — is identical for all paths and tested
+  * (MultimodalSpec).
   */
 object Multimodal {
 
@@ -174,12 +179,96 @@ object Multimodal {
       peak.toFloat, (sAbs * inv).toFloat, fmt.getSampleSizeInBits.toFloat)
   }
 
-  /** STUB decode/feature-extract for video (and undecodable image/audio
-    * bytes): the JDK ships no video codec, so a real implementation
-    * would decode the payload with an external library and emit an
-    * embedding; the stub emits a deterministic hash-derived vector with
-    * the same shape, so the pipeline's schema, batching, and determinism
-    * are exercised end-to-end.
+  /** Split a concatenated-JPEG (MJPEG) byte stream into frames by
+    * walking the JPEG marker structure — NOT a naive FFD8/FFD9 byte
+    * scan: SOI/EOI byte pairs legitimately occur inside entropy-coded
+    * scan data, so each frame is parsed segment by segment (markers
+    * carry a 2-byte length except the standalone SOI/EOI/RSTn/TEM;
+    * after SOS the entropy stream runs until the next non-RST,
+    * non-stuffed marker). Returns the frames as standalone JPEG byte
+    * arrays; bytes that never form a complete SOI..EOI frame are
+    * skipped. One linear pass over the payload.
+    */
+  private[graft] def splitMjpeg(payload: Array[Byte]): Seq[Array[Byte]] = {
+    if (payload == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val n = payload.length
+    @inline def u(i: Int): Int = payload(i) & 0xff
+    var i = 0
+    while (i + 1 < n) {
+      if (u(i) == 0xFF && u(i + 1) == 0xD8) {
+        val start = i
+        var p = i + 2
+        var end = -1
+        var abort = false
+        while (end < 0 && !abort && p + 1 < n) {
+          if (u(p) != 0xFF) abort = true // structure violation: not a frame
+          else u(p + 1) match {
+            case 0xD9 => end = p + 2                               // EOI
+            case 0xD8 | 0x01 => p += 2                              // SOI (spurious) / TEM
+            case m if m >= 0xD0 && m <= 0xD7 => p += 2              // RSTn
+            case 0xDA =>                                            // SOS → entropy data
+              if (p + 3 >= n) abort = true
+              else {
+                p += 2 + ((u(p + 2) << 8) | u(p + 3))
+                var scanning = true
+                while (scanning && p + 1 < n) {
+                  if (u(p) == 0xFF) {
+                    val m2 = u(p + 1)
+                    if (m2 == 0x00 || (m2 >= 0xD0 && m2 <= 0xD7)) p += 2 // stuffed/RST
+                    else scanning = false                                // real marker
+                  } else p += 1
+                }
+                if (p + 1 >= n && end < 0) abort = true
+              }
+            case _ =>                                               // segment with length
+              if (p + 3 >= n) abort = true
+              else p += 2 + ((u(p + 2) << 8) | u(p + 3))
+          }
+        }
+        if (end > start) { out += java.util.Arrays.copyOfRange(payload, start, end); i = end }
+        else i += 2
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Real MJPEG video decode: split on JPEG frame boundaries and decode
+    * each frame with the imageio path. None when no frame decodes (e.g.
+    * an inter-frame codec payload), which routes to the stub.
+    */
+  private[graft] def decodeVideoFrames(payload: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] = {
+    val frames = splitMjpeg(payload).flatMap(decodeImage)
+    if (frames.isEmpty) None else Some(frames)
+  }
+
+  /** Real video features from decoded MJPEG frames: [nFrames, width,
+    * height, aspect, mean luma across frames, mean within-frame luma
+    * std, inter-frame motion (mean |Δ mean-luma| between consecutive
+    * frames), mean within-frame green] — the cheap temporal + spatial
+    * signals a corpus filter wants (static-clip detection, black-frame
+    * detection) computed from actual pixels.
+    */
+  private[graft] def videoFeatures(frames: Seq[java.awt.image.BufferedImage]): Array[Float] = {
+    val stats = frames.map(imageFeatures) // per-frame [w,h,aspect,mR,mG,mB,meanL,stdL]
+    val nf = stats.length
+    val inv = 1.0f / nf
+    val motion =
+      if (nf > 1)
+        stats.sliding(2).map(w => math.abs(w(1)(6) - w(0)(6))).sum / (nf - 1)
+      else 0.0
+    Array(nf.toFloat, stats.head(0), stats.head(1), stats.head(2),
+      stats.map(_(6)).sum * inv, stats.map(_(7)).sum * inv,
+      motion.toFloat, stats.map(_(4)).sum * inv)
+  }
+
+  /** STUB decode/feature-extract for inter-frame video codecs (and
+    * undecodable image/audio bytes): the JDK ships no H.264-class codec,
+    * so a real implementation would decode the payload with an external
+    * library and emit an embedding; the stub emits a deterministic
+    * hash-derived vector with the same shape, so the pipeline's schema,
+    * batching, and determinism are exercised end-to-end. MJPEG payloads
+    * never reach it — they decode for real via [[decodeVideoFrames]].
     */
   private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
     if (payload == null) return Array.fill(featureDim)(0f)
@@ -217,12 +306,15 @@ object Multimodal {
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           val tpe = r.getString(1)
           // images: real pixel statistics; audio: real waveform
-          // statistics (javax.sound.sampled); video (+ undecodable
-          // image/audio bytes): deterministic stub with the same shape
+          // statistics (javax.sound.sampled); video: real per-frame
+          // pixel + motion statistics for MJPEG payloads; inter-frame
+          // codecs (+ undecodable bytes of any type): deterministic
+          // stub with the same shape
           val feat = tpe match {
             case "image" => decodeImage(payload).map(imageFeatures).getOrElse(decodeStub(payload))
             case "audio" => decodeAudio(payload).map { case (f, s) => audioFeatures(f, s) }
               .getOrElse(decodeStub(payload))
+            case "video" => decodeVideoFrames(payload).map(videoFeatures).getOrElse(decodeStub(payload))
             case _ => decodeStub(payload)
           }
           Row(r.getLong(0), tpe, feat.toSeq)
@@ -297,12 +389,46 @@ object Multimodal {
 
   /** Frame-sampling plan for video rows: expands each video into
     * evenly-spaced sample timestamps (the Spark-side half of a frame
-    * extractor; the decode of each frame is the same stub boundary).
+    * extractor; [[videoFrameStats]] is the decode half for MJPEG).
     */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media.filter(col("media_type") === "video" && col("duration_ms").isNotNull)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
+
+  private val frameStatSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", FloatType),
+    StructField("std_luma", FloatType)))
+
+  /** Real per-frame pixel statistics for MJPEG video rows: one output
+    * row per decoded frame (frame index in stream order, decoded
+    * dimensions, mean/std luma). Same batch-iterator shape as
+    * [[extractFeatures]]; a video row whose payload contains no
+    * decodable JPEG frame contributes no rows (an inter-frame-codec
+    * payload has no frame boundaries to cut). The per-row cost is
+    * bounded: frames decode sequentially inside one task and pixel
+    * stats subsample on the ≤64×64 grid of [[imageFeatures]].
+    */
+  def videoFrameStats(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameStatSchema)
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          splitMjpeg(payload).iterator.zipWithIndex.flatMap { case (bytes, idx) =>
+            decodeImage(bytes).map { img =>
+              val f = imageFeatures(img)
+              Row(r.getLong(0), idx, img.getWidth, img.getHeight, f(6), f(7))
+            }
+          }
+        }
+      }(enc)
+  }
 
   /** Deterministic synthetic PNG: a per-id base color with a horizontal
     * luminance gradient, so channel statistics are predictable and the
@@ -355,10 +481,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic MJPEG clip: `nFrames` concatenated JPEG
+    * frames, frame f a flat gray at luma `16·(f+1) + (i % 16)` — a
+    * brightness ramp, so per-frame mean luma and inter-frame motion are
+    * predictable (flat frames are DC-only, so JPEG loss is ≈ 0) and the
+    * real marker-walking split + decode path is genuinely exercised.
+    */
+  private[graft] def syntheticMjpeg(i: Int, nFrames: Int = 5,
+                                    w: Int = 64, h: Int = 48): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val shade = math.min(16 * (f + 1) + (i % 16), 255)
+      val rgb = (shade << 16) | (shade << 8) | shade
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   /** Synthetic media fixture for tests/benches (deterministic): image
     * rows carry REAL PNG payloads (decodable by the imageio path), audio
-    * rows REAL WAV payloads (decodable by the javax.sound path); video
-    * rows carry opaque byte blobs for the stub path.
+    * rows REAL WAV payloads (decodable by the javax.sound path), video
+    * rows REAL MJPEG clips (decodable by the marker-split + imageio
+    * path).
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -367,13 +520,13 @@ object Multimodal {
       val payload = tpe match {
         case "image" => syntheticPng(i)
         case "audio" => syntheticWav(i)
-        case _ => Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 127).toByte)
+        case _ => syntheticMjpeg(i)
       }
       (i.toLong, tpe, payload,
         if (tpe == "image") Some(128) else None,
         if (tpe == "image") Some(96) else None,
         if (tpe != "image") Some(1000L * (1 + i % 30)) else None,
-        Seq("png", "pcm_s16le", "h264")(i % 3))
+        Seq("png", "pcm_s16le", "mjpeg")(i % 3))
     }
     rows.toDF("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")
   }

@@ -332,13 +332,28 @@ object Similarity {
   /** Bucketed approximate top-k: restrict the scan to the query's LSH
     * bucket, then brute-force within it. Trades recall for a ~2^nPlanes
     * scan reduction; recall is measured against bruteForceTopK in
-    * SimilaritySpec.
+    * SimilaritySpec and certified in-plan by the declared q40.
+    *
+    * Multi-probe (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    * `probeHamming` > 0 additionally scans every bucket whose sign
+    * pattern differs from the query's in at most that many hyperplanes —
+    * the buckets where near neighbors land when they straddle a plane.
+    * probeHamming = 1 scans (1 + nPlanes)/2^nPlanes of the corpus
+    * instead of 1/2^nPlanes and roughly doubles recall on random data;
+    * the probe set is a driver-side constant (≤ sum of binomials), so
+    * the plan stays a broadcast-join + one narrow corpus pass.
     */
   def lshTopK(embeddings: DataFrame, query: DataFrame, k: Int,
               nPlanes: Int, dim: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              probeHamming: Int = 0): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val qb = query.withColumn("bucket", lshBucket(col("qvec"), nPlanes, dim))
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val qb = query.withColumn("qbucket", lshBucket(col("qvec"), nPlanes, dim))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+      .drop("qbucket")
     bucketed.join(broadcast(qb), Seq("bucket"))
       .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
       .select(col(idCol), col("cos_sim"))

@@ -103,6 +103,51 @@ class MultimodalSpec extends SparkSpec {
     assert(key(rows) === key(again))
   }
 
+  test("MJPEG split recovers exact frame boundaries and each frame decodes") {
+    val clip = Multimodal.syntheticMjpeg(3, nFrames = 5)
+    val frames = Multimodal.splitMjpeg(clip)
+    assert(frames.length === 5)
+    frames.foreach { b =>
+      val img = Multimodal.decodeImage(b)
+      assert(img.isDefined, "split frame must be a standalone decodable JPEG")
+      assert(img.get.getWidth === 64 && img.get.getHeight === 48)
+    }
+    // the split is exact: re-concatenating the frames reproduces the clip
+    assert(frames.flatten === clip.toSeq)
+    // non-MJPEG bytes yield no frames (routes to the stub path)
+    assert(Multimodal.splitMjpeg(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    assert(Multimodal.splitMjpeg(null).isEmpty)
+  }
+
+  test("video frame stats are real per-frame pixel statistics of the MJPEG clip") {
+    val media = Multimodal.syntheticMedia(spark, 9) // video ids: 2, 5, 8
+    val stats = Multimodal.videoFrameStats(media).collect()
+    assert(stats.length === 3 * 5)
+    // id 2: frame f is flat gray at shade 16*(f+1) + 2 — DC-only JPEG, so
+    // decoded mean luma tracks the shade and within-frame std ≈ 0
+    stats.filter(_.getLong(0) == 2L).sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, f) =>
+      assert(r.getInt(1) === f)
+      assert(r.getInt(2) === 64 && r.getInt(3) === 48)
+      val expected = (16f * (f + 1) + 2f) / 255f
+      assert(math.abs(r.getFloat(4) - expected) < 0.02,
+        s"frame $f mean_luma ${r.getFloat(4)} != $expected")
+      assert(r.getFloat(5) < 0.02, s"flat frame $f std_luma ${r.getFloat(5)}")
+    }
+  }
+
+  test("video features are real MJPEG statistics: frame count, dims, motion ramp") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("media_type") === "video")
+      .select("media_id", "feature").as[(Long, Seq[Float])].collect().toMap
+    val f2 = feats(2L)
+    assert(f2(0) === 5f)                       // true frame count
+    assert(f2(1) === 64f && f2(2) === 48f)     // true decoded dims
+    // shades 18,34,50,66,82 → mean luma 50/255; motion = 16/255 per step
+    assert(math.abs(f2(4) - 50f / 255f) < 0.02, s"mean luma ${f2(4)}")
+    assert(math.abs(f2(6) - 16f / 255f) < 0.02, s"motion ${f2(6)}")
+  }
+
   test("frame sampling expands videos by duration at the given cadence") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
