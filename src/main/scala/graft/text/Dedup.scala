@@ -224,14 +224,19 @@ object Dedup {
     * round's result is localCheckpoint'ed so lineage stays flat and the
     * convergence count reuses the materialized blocks. Near-dup graphs
     * are overwhelmingly tiny cliques/chains (diameter ≤ 3 in practice),
-    * so rounds stay in single digits; for adversarial long-chain graphs
-    * at 100 TB, switch to the large-star/small-star alternation
-    * (Kiveris et al., "Connected Components in MapReduce"), which
-    * converges in O(log²​ n) with the same join primitive.
+    * so rounds stay in single digits. `diameterHint` is the escalation
+    * switch for adversarial graphs: if propagation has not converged
+    * after that many rounds, the actual diameter exceeds the near-dup
+    * regime and the remainder runs via
+    * [[connectedComponentsAlternating]] (O(log² n) rounds regardless of
+    * diameter) instead of grinding out O(diameter) propagation rounds.
+    * Both produce identical labels (min id of the component), so the
+    * switch is invisible to callers — CurationSpec pins the agreement
+    * on chain/clique/edge fixtures.
     */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b",
-                          maxRounds: Int = 50): DataFrame = {
+                          maxRounds: Int = 50, diameterHint: Int = 8): DataFrame = {
     val sym = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
@@ -242,7 +247,8 @@ object Dedup {
       .localCheckpoint(true)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    val propRounds = math.min(maxRounds, diameterHint)
+    while (!converged && round < propRounds) {
       val nbrMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(nbrMin, col("id") === col("dst"), "left")
@@ -254,10 +260,90 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (!converged)
+      return connectedComponentsAlternating(pairs, aCol, bCol, maxRounds)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("id") === col("label")).as("is_representative"))
+  }
+
+  /** Connected components by large-star/small-star alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * converges in O(log² n) ROUNDS ON ANY GRAPH — the scale path for
+    * graphs whose diameter breaks min-label propagation (a 10k-node
+    * chain needs 10k propagation rounds but ~log-many alternations).
+    *
+    * Each alternation is two aggregate+join passes over an edge list
+    * kept in canonical (larger, smaller) orientation:
+    *  - LARGE-STAR: per node u, link every strictly-larger neighbor to
+    *    m = min(N(u) ∪ {u}) — long chains fold onto local minima;
+    *  - SMALL-STAR: per node u (over smaller neighbors only), link u
+    *    and all its smaller neighbors to their minimum — stars flatten.
+    * Edges shuffle as bare (long, long) pairs; every round
+    * localCheckpoints so lineage stays flat; convergence = the edge set
+    * reached a fixpoint (then it IS the star forest u → component-min).
+    * Output schema matches [[connectedComponents]] exactly.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame,
+                                     aCol: String = "id_a", bCol: String = "id_b",
+                                     maxRounds: Int = 50): DataFrame =
+    alternatingWithRounds(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponentsAlternating]] plus the number of alternation
+    * rounds it took — exposed so CurationSpec can assert the O(log² n)
+    * bound on the adversarial chain fixture.
+    */
+  private[graft] def alternatingWithRounds(pairs: DataFrame,
+                                           aCol: String, bCol: String,
+                                           maxRounds: Int): (DataFrame, Int) = {
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct().localCheckpoint(true)
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric view: m = min(u, min(neighbors)),
+      // every neighbor v > u re-points to m. Output stays canonical
+      // (v > u ≥ m). One shuffle for the per-u min, one for the join.
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the directed (larger → smaller) edges: all of u's
+      // smaller neighbors plus u itself re-point to their minimum.
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(smins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      round += 1
+    }
+    // at the fixpoint the edge set is the star forest (u → component
+    // min); the min-agg also covers a non-converged maxRounds bailout,
+    // where a node could still carry more than one outgoing edge
+    val lbl = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .withColumnRenamed("u", "id")
+    val labels = nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    (labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_representative")),
+      round)
   }
 
   /** Cross-document duplicated-span coverage: for every `n`-token

@@ -229,4 +229,40 @@ class CurationSpec extends SparkSpec {
     assert(cc.count(_._4) === 3, "exactly one representative per cluster")
     assert(byId(1L)._4 && byId(10L)._4 && byId(20L)._4)
   }
+
+  test("alternating components agree with propagation on chain/clique/edge fixtures") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (7L, 7L)).toDF("id_a", "id_b")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    val prop = key(Dedup.connectedComponents(pairs))
+    val alt = key(Dedup.connectedComponentsAlternating(pairs))
+    assert(prop === alt)
+    // labels shuffled: ids renumbered so the component min is NOT an
+    // endpoint pattern the algorithms could luck into
+    val shuffled = Seq((9L, 5L), (5L, 30L), (30L, 2L), (41L, 40L)).toDF("id_a", "id_b")
+    assert(key(Dedup.connectedComponents(shuffled)) ===
+      key(Dedup.connectedComponentsAlternating(shuffled)))
+  }
+
+  test("adversarial 2k-node chain: alternation converges in O(log² n) rounds " +
+    "and the diameterHint switch escalates to it") {
+    val n = 2000
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (df, rounds) = Dedup.alternatingWithRounds(chain, "id_a", "id_b", maxRounds = 50)
+    val cc = df.as[(Long, Long, Long, Boolean)].collect()
+    assert(cc.length === n)
+    assert(cc.forall(_._2 === 0L), "every chain node labels to the component min")
+    assert(cc.forall(_._3 === n.toLong))
+    assert(cc.count(_._4) === 1)
+    // O(log² n): log2(2000) ≈ 11 → the bound is ~121 worst case, but the
+    // alternation folds a path in far fewer — a propagation would need
+    // ~2000 rounds, so any count this side of 25 proves the regime change
+    assert(rounds <= 25, s"alternation took $rounds rounds on a ${n}-node path")
+    // the public entry point escalates automatically once diameterHint
+    // propagation rounds fail to converge, and still labels correctly
+    val viaSwitch = Dedup.connectedComponents(chain, diameterHint = 4)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(viaSwitch.length === n && viaSwitch.forall(_._2 === 0L))
+  }
 }
