@@ -523,6 +523,91 @@ object CurationOps {
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM ln
       WHERE NOT EXISTS (SELECT 1 FROM freq WHERE freq.tl = trim(ln.line))
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- BPE pair-frequency table (tokenizer-training prep): the
+    //      corpus-wide adjacent-pair counts over the BPE-ish
+    //      pre-tokenization — the statistic the first BPE merge
+    //      selection maximizes. Top 50 with a (count desc, pair) total
+    //      order so the rank cut is engine-portable; ASCII-only corpus
+    //      keeps string collation identical on both engines.
+    ("q71_bpe_pairs", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.bpePairCounts(Tables(s, dir).documents)
+        .orderBy(col("n_pairs").desc, col("tok_a"), col("tok_b"))
+        .limit(50)
+    }, Some(s"""
+      WITH t AS (
+        SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${TextStats.wsCharsSql}]') AS toks
+        FROM documents),
+      p AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS pr
+        FROM t WHERE len(toks) >= 2)
+      SELECT pr.a AS tok_a, pr.b AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY 1, 2
+      ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 50""")),
+
+    // ---- vocabulary build + per-doc OOV rate: top-1000 corpus words as
+    //      the vocab (count desc, word — deterministic cut), then each
+    //      document's out-of-vocabulary token share against it. Docs
+    //      with zero tokens contribute no row on either engine.
+    ("q72_oov_stats", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.oovStats(Tables(s, dir).documents, vocabSize = 1000)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS word
+        FROM documents),
+      vocab AS (
+        SELECT word FROM w GROUP BY word
+        ORDER BY COUNT(*) DESC, word LIMIT 1000),
+      g AS (
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM w LEFT JOIN vocab v ON w.word = v.word
+        GROUP BY w.doc_id)
+      SELECT doc_id, n_tokens, n_oov,
+             round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_ratio
+      FROM g ORDER BY doc_id""")),
+
+    // ---- cross-source duplication matrix: distinct shared normalized
+    //      fingerprints per source pair + fingerprint-level Jaccard —
+    //      which feeds mirror which. The fingerprint is the portable
+    //      md5-60-bit key (q39), so the oracle recomputes it verbatim.
+    //      The fixture corpus has no natural cross-source duplicates
+    //      (q30 proves all 500 contents distinct), so every 10th doc is
+    //      mirrored into a synthetic "mirror_<source>" feed — the same
+    //      constructed-payload trick as q54 — giving the matrix real
+    //      nonzero overlaps to verify.
+    ("q73_source_overlap", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      val mirrored = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.crossSourceDuplication(docs.unionByName(mirrored))
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH all_docs AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT concat('mirror_', source) AS source, text
+        FROM documents WHERE doc_id % 10 = 0),
+      fp AS (
+        SELECT DISTINCT
+          ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp,
+          source AS src
+        FROM all_docs),
+      per AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY src),
+      shared AS (
+        SELECT a.src AS source_a, b.src AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+             round(CAST(n_shared AS DOUBLE) / CAST(pa.n + pb.n - n_shared AS DOUBLE), 6) AS fp_jaccard
+      FROM shared
+      JOIN per pa ON pa.src = source_a
+      JOIN per pb ON pb.src = source_b
+      ORDER BY source_a, source_b"""))
   )
 }

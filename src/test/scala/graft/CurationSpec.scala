@@ -230,6 +230,41 @@ class CurationSpec extends SparkSpec {
     assert(byId(1L)._4 && byId(10L)._4 && byId(20L)._4)
   }
 
+  test("BPE pair counts: adjacent-pair frequencies over the pre-tokenization") {
+    val docs = Seq((0L, "a b, a b"), (1L, "b")).toDF("doc_id", "text")
+    // bpe-ish tokens of doc 0: a, b, ",", a, b → pairs (a,b) (b,,) (,,a) (a,b)
+    val counts = graft.text.Vocab.bpePairCounts(docs)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(counts(("a", "b")) === 2L)
+    assert(counts(("b", ",")) === 1L)
+    assert(counts((",", "a")) === 1L)
+    assert(counts.size === 3, "single-token docs contribute no pairs")
+  }
+
+  test("OOV stats: per-doc out-of-vocab share against the corpus top-k vocab") {
+    val docs = Seq((0L, "x x y"), (1L, "x z"), (2L, "  ")).toDF("doc_id", "text")
+    val out = graft.text.Vocab.oovStats(docs, vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // vocab = {x} (3 occurrences); y and z are OOV
+    assert(out(0L) === ((0L, 3L, 1L, 0.333333)))
+    assert(out(1L) === ((1L, 2L, 1L, 0.5)))
+    assert(!out.contains(2L), "token-free docs contribute no row")
+  }
+
+  test("cross-source duplication counts shared fingerprints per source pair") {
+    val docs = Seq(
+      (0L, "same   text", "feedA"), (1L, "Same text", "feedB"), // same normalized content
+      (2L, "only in a", "feedA"), (3L, "only in b", "feedB"),
+      (4L, "b private", "feedB")).toDF("doc_id", "text", "source")
+    val m = Dedup.crossSourceDuplication(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(m.length === 1)
+    val (sa, sb, shared, na, nb, j) = m.head
+    assert(sa === "feedA" && sb === "feedB")
+    assert(shared === 1L && na === 2L && nb === 3L)
+    assert(math.abs(j - 0.25) < 1e-9) // 1 / (2 + 3 - 1)
+  }
+
   test("alternating components agree with propagation on chain/clique/edge fixtures") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L), (7L, 7L)).toDF("id_a", "id_b")

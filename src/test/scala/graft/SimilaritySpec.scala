@@ -49,6 +49,21 @@ class SimilaritySpec extends SparkSpec {
     assert((exact intersect approx).size >= 3)
   }
 
+  test("multi-probe LSH: 1-bit-flip probing never loses recall vs single bucket") {
+    val query = vecs.filter(col("vec_id") === 7).select(col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.lshTopK(vecs, query, 10, nPlanes = 4, dim = dim)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.lshTopK(vecs, query, 10, nPlanes = 4, dim = dim, probeHamming = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(multi.contains(7L), "query's own vector is in its own bucket")
+    // single's candidate set is a subset of multi's, and a displaced
+    // true neighbor implies a globally-better candidate took its slot —
+    // so recall is monotone in probeHamming
+    assert((exact intersect multi).size >= (exact intersect single).size)
+  }
+
   test("IVF: assignment covers the corpus; probed top-k achieves recall") {
     val (assigned, centroids) = Similarity.ivfAssign(vecs, nCentroids = 8)
     assert(assigned.count() === 200)
