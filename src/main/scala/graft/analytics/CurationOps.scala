@@ -608,6 +608,28 @@ object CurationOps {
       FROM shared
       JOIN per pa ON pa.src = source_a
       JOIN per pb ON pb.src = source_b
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b""")),
+
+    // ---- embedding-space outlier scoring: cosine to the corpus
+    //      centroid (per-dim DECIMAL-exact round-6 mean — the q64
+    //      discipline, so the centroid is bit-identical on both
+    //      engines). iid-random fixture vectors scatter around cos ≈ 0
+    //      to their own mean, so threshold 0 yields a real nonempty
+    //      outlier set on both sides.
+    ("q74_embed_outliers", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,
+          threshold = 0.0)
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      d AS (SELECT r.i AS i,
+              round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS mu
+            FROM e, range(1, 65) r(i) GROUP BY r.i),
+      c AS (SELECT list(mu ORDER BY i) AS cv FROM d)
+      SELECT vec_id,
+             round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) AS cos_to_centroid,
+             round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) < 0.0 AS is_outlier
+      FROM e ORDER BY vec_id"""))
   )
 }

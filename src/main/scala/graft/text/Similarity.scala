@@ -426,6 +426,32 @@ object Similarity {
         col("m.s").as("cos_r"))
   }
 
+  /** Embedding-space outlier scoring: cosine of every vector to the
+    * corpus centroid, flagged when below `threshold` — the cheap quality
+    * filter that catches garbage embeddings (zero-ish vectors, encoder
+    * failures, off-manifold points) before they pollute an ANN index or
+    * a near-dup pass. The centroid is the per-dimension DECIMAL-exact
+    * round-6 mean (the [[kmeansAssign]] update discipline — decimal
+    * addition is order-independent, so both engines hold bit-identical
+    * centroids), which keeps the whole signal oracle-replayable.
+    *
+    * Shape at scale: one map-side-combined corpus aggregate (k×dim
+    * state) → a one-row broadcast → one narrow scoring pass. The corpus
+    * never shuffles and there is no driver state.
+    */
+  def centroidOutliers(embeddings: DataFrame, dim: Int, threshold: Double = 0.0,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val cent = embeddings.agg(array((0 until dim).map { i =>
+      round(sum(element_at(col(vecCol), i + 1).cast("double").cast(D)).cast("double")
+        / count(lit(1)), 6)
+    }: _*).as("cvec"))
+    embeddings.crossJoin(broadcast(cent))
+      .withColumn("cos_to_centroid", round(cosine(col(vecCol), col("cvec")), 6))
+      .select(col(idCol).as("vec_id"), col("cos_to_centroid"),
+        (col("cos_to_centroid") < threshold).as("is_outlier"))
+  }
+
   /** Symmetric per-vector int8 quantization (the 4× memory lever for
     * embedding stores / IVF lists): scale = 127 / max|x|, q_i =
     * round(x_i·scale) ∈ [−127, 127], plus a reconstruction-error audit

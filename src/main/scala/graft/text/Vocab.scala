@@ -25,8 +25,13 @@ object Vocab {
     * into one map-side-combined count keyed by the pair.
     */
   def bpePairCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = TextStats.bpeishTokens(lower(col(textCol)))
+    // tokenize in a standalone projection BEFORE the generator: Generate
+    // does no common-subexpression elimination, so referencing the
+    // tokenizer expression from inside the explode would re-run the
+    // regex once per reference (measured 4× the whole query's cost)
+    val t = col("toks")
     docs
+      .select(TextStats.bpeishTokens(lower(col(textCol))).as("toks"))
       .select(explode(
         when(size(t) < 2, array().cast("array<struct<a:string,b:string>>"))
           .otherwise(transform(sequence(lit(1), size(t) - 1),

@@ -265,6 +265,18 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(j - 0.25) < 1e-9) // 1 / (2 + 3 - 1)
   }
 
+  test("centroid outliers: decimal-exact centroid, planted off-manifold vector flagged") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)), (3L, Seq(-1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.text.Similarity.centroidOutliers(vecs, dim = 2, threshold = 0.0)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // centroid = (0.25, 0.25): the anti-diagonal vector scores cos = −1
+    assert(out(3L)._2 === -1.0 && out(3L)._3)
+    assert(out(2L)._2 === 1.0 && !out(2L)._3)
+    assert(!out(0L)._3 && !out(1L)._3)
+  }
+
   test("alternating components agree with propagation on chain/clique/edge fixtures") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L), (7L, 7L)).toDF("id_a", "id_b")

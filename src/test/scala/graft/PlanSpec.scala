@@ -152,4 +152,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
+
+  test("OOV stats probe the vocabulary via broadcast, never SMJ") {
+    val p = plan("q72_oov_stats")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not SMJ:\n$p")
+  }
+
+  test("centroid outlier scoring: one-row broadcast, corpus side stays narrow") {
+    val p = plan("q74_embed_outliers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle into the join:\n$p")
+  }
 }
