@@ -42,6 +42,51 @@ object CurationOps {
        ' ip 10.', CAST(doc_id % 256 AS VARCHAR),
        '.0.', CAST((doc_id * 3) % 256 AS VARCHAR), ' ', text)"""
 
+  /** Deterministic multi-line payload for the rule-set queries (q76/
+    * q77): the word-salad fixture is one line with no punctuation,
+    * bullets, symbols, or most stopwords, so the line-level rules would
+    * never fire. These constructed lines — built identically on both
+    * engines from doc_id — give every Gopher/C4 rule a real pass/fail
+    * split: a well-formed intro (always), a too-short line (%3), bullet
+    * lines (%5), a trailing-ellipsis line (%7), a '#' symbol line (%13),
+    * a lorem-ipsum line (%37), a curly-brace line (%23), a stopword-rich
+    * line (%4), a javascript line (%11), then the original text (no
+    * terminal punctuation — C4 drops it, Gopher counts its words).
+    */
+  private def ruleLinesText = concat(
+    lit("Intro line for document "), col("doc_id").cast("string"),
+    lit(" with plenty of good words here.\n"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit("Tiny line.\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit("- bullet point entry\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 1, lit("* another bullet marker here\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit("this sentence trails away into silence ...\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(13)) === 0, lit("### heading marker ###\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(37)) === 0,
+      lit("Lorem ipsum dolor sit amet consectetur.\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(23)) === 0,
+      lit("function blob { return 1; }\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(4)) < 2,
+      lit("and that have with of be to the stopword rich line.\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      lit("It uses javascript for rendering today.\n")).otherwise(lit("")),
+    col("text"))
+
+  private val ruleLinesTextSql =
+    """concat(
+       'Intro line for document ', CAST(doc_id AS VARCHAR),
+       ' with plenty of good words here.', chr(10),
+       CASE WHEN doc_id % 3 = 0 THEN 'Tiny line.' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 5 = 0 THEN '- bullet point entry' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 5 = 1 THEN '* another bullet marker here' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 7 = 0 THEN 'this sentence trails away into silence ...' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 13 = 0 THEN '### heading marker ###' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 37 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 23 = 0 THEN 'function blob { return 1; }' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 4 < 2 THEN 'and that have with of be to the stopword rich line.' || chr(10) ELSE '' END,
+       CASE WHEN doc_id % 11 = 0 THEN 'It uses javascript for rendering today.' || chr(10) ELSE '' END,
+       text)"""
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- PII scrubbing (C4/Dolma-style redaction + audit counts) ----
@@ -616,6 +661,230 @@ object CurationOps {
     //      engines). iid-random fixture vectors scatter around cos ≈ 0
     //      to their own mean, so threshold 0 yields a real nonempty
     //      outlier set on both sides.
+    // ---- SemDeDup: k-means clusters + within-cluster greedy cosine
+    //      pruning. The oracle replays q64's two Lloyd iterations
+    //      verbatim (same seeds, same DECIMAL-exact centroid update,
+    //      same round-6 argmax), then the within-cluster pairwise pass
+    //      with the same round-6 snap before the tau comparison — the
+    //      whole keep/drop decision is recomputed end-to-end by DuckDB.
+    ("q75_semdedup", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.semDedup(Tables(s, dir).embeddings,
+          k = 4, dim = 64, tau = 0.35)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sl AS (SELECT vec_id, v,
+               ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
+             FROM e ORDER BY h, vec_id LIMIT 4),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+                       v AS cv FROM sl),
+      a1 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, s.cid,
+                     round(list_cosine_similarity(e.v, s.cv), 6) AS cos_r
+                   FROM e CROSS JOIN seeds s)),
+      m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      d1 AS (SELECT cid, r.i AS i,
+               round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mu
+             FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
+      c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
+      a2 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, c.cid,
+                     round(list_cosine_similarity(e.v, c.cv), 6) AS cos_r
+                   FROM e CROSS JOIN c2 c)),
+      m2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1),
+      p AS (SELECT x.vec_id AS vid, CAST(COUNT(*) AS BIGINT) AS n_similar_smaller,
+              MAX(round(list_cosine_similarity(x.v, y.v), 6)) AS max_sim_r
+            FROM m2 x JOIN m2 y ON x.cid = y.cid AND y.vec_id < x.vec_id
+            WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+            GROUP BY x.vec_id)
+      SELECT m.vec_id, CAST(m.cid AS INTEGER) AS centroid_id,
+             coalesce(p.n_similar_smaller, 0) AS n_similar_smaller,
+             p.max_sim_r,
+             p.vid IS NULL AS is_kept
+      FROM m2 m LEFT JOIN p ON m.vec_id = p.vid ORDER BY m.vec_id""")),
+
+    // ---- Gopher quality rule set over the constructed multi-line
+    //      payload (the q54 trick: the word-salad fixture has no lines,
+    //      bullets, symbols, or most stopwords, so deterministic
+    //      payload lines — built identically on both engines — give
+    //      every rule a real pass/fail split).
+    ("q76_gopher_rules", (s: SparkSession, dir: String) => {
+      graft.text.Quality.gopherQuality(
+          Tables(s, dir).documents.withColumn("text", ruleLinesText))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH p AS (SELECT doc_id, $ruleLinesTextSql AS pt FROM documents),
+      t AS (SELECT doc_id, pt,
+              list_filter(regexp_split_to_array(lower(pt), '$ws+'), x -> x <> '') AS toks,
+              regexp_split_to_array(pt, '\n') AS ls
+            FROM p),
+      sg AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_word_len_r,
+               round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS frac_alpha_r,
+               CAST(len(list_intersect(toks,
+                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits,
+               round(CAST((len(pt) - len(regexp_replace(pt, '#', '', 'g')))
+                          + ((len(pt) - len(regexp_replace(pt, '\\.\\.\\.', '', 'g'))) // 3)
+                       AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio_r,
+               round(CAST(len(list_filter(ls, l ->
+                       starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
+                     / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS frac_bullet_r,
+               round(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+                     / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS frac_ellipsis_r
+             FROM t)
+      SELECT doc_id, n_words, mean_word_len_r, frac_alpha_r, n_stop_hits,
+             symbol_ratio_r, frac_bullet_r, frac_ellipsis_r,
+             (n_words BETWEEN 50 AND 100000) AS pass_words,
+             (mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0) AS pass_mean_wl,
+             (symbol_ratio_r < 0.1) AS pass_symbol,
+             (frac_bullet_r < 0.9) AS pass_bullet,
+             (frac_ellipsis_r < 0.3) AS pass_ellipsis,
+             (frac_alpha_r >= 0.8) AS pass_alpha,
+             (n_stop_hits >= 2) AS pass_stopwords,
+             ((n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0)
+               AND (symbol_ratio_r < 0.1) AND (frac_bullet_r < 0.9)
+               AND (frac_ellipsis_r < 0.3) AND (frac_alpha_r >= 0.8)
+               AND (n_stop_hits >= 2)) AS keep
+      FROM sg ORDER BY doc_id""")),
+
+    // ---- C4 cleaning pass over the same constructed payload: per-line
+    //      terminal-punctuation / length / javascript predicates, doc
+    //      lorem-ipsum + brace flags, >= 3 surviving lines.
+    ("q77_c4_filters", (s: SparkSession, dir: String) => {
+      graft.text.Quality.c4Clean(
+          Tables(s, dir).documents.withColumn("text", ruleLinesText))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH p AS (SELECT doc_id, $ruleLinesTextSql AS pt FROM documents),
+      t AS (SELECT doc_id, pt, regexp_split_to_array(pt, '\n') AS ls FROM p),
+      k AS (SELECT doc_id, pt, ls,
+              list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '$ws+'),
+                        w -> w <> '')) >= 5
+                AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+            FROM t)
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             array_to_string(kept, chr(10)) AS text_clean,
+             contains(lower(pt), 'lorem ipsum') AS has_lorem,
+             contains(pt, '{') AS has_brace,
+             (len(kept) >= 3 AND NOT contains(lower(pt), 'lorem ipsum')
+               AND NOT contains(pt, '{')) AS keep_doc
+      FROM k ORDER BY doc_id""")),
+
+    // ---- Hybrid retrieval: BM25 (q61's oracle CTE verbatim) fused
+    //      with the dense cosine ranking by reciprocal rank fusion.
+    ("q78_hybrid_rrf", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      graft.text.Relevance.hybridRrf(t.documents, t.embeddings)
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$ws+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '$ws+'))) AS term
+              FROM documents)
+        GROUP BY term),
+      qterms AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 8),
+      stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+               CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+      contrib AS (
+        SELECT tf.doc_id,
+               round(ln((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                          / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+                     * (CAST(tf.tf AS DOUBLE) * 2.2)
+                     / (CAST(tf.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))),
+                     6) AS c
+        FROM tf JOIN qterms q USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s),
+      bm AS (SELECT doc_id,
+               round(CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
+             FROM contrib GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 50),
+      lex AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+              FROM bm),
+      dn AS (SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+                 6) AS cos_r
+             FROM embeddings WHERE vec_id <> 0
+             ORDER BY cos_r DESC, doc_id LIMIT 50),
+      dr AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos_r DESC, doc_id) AS BIGINT) AS dense_rank
+             FROM dn),
+      f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank
+            FROM lex l FULL OUTER JOIN dr d ON l.doc_id = d.doc_id)
+      SELECT doc_id, lex_rank, dense_rank,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
+                   + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0.0), 9) AS rrf_r
+      FROM f ORDER BY rrf_r DESC, doc_id LIMIT 20""")),
+
+    // ---- n-gram novelty vs earlier documents (the q66 shingle CTE
+    //      with a min-doc_id first-occurrence join).
+    ("q79_ngram_novelty", (s: SparkSession, dir: String) => {
+      graft.text.Dedup.ngramNovelty(Tables(s, dir).documents, n = 8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                     x -> x <> '') AS toks
+                 FROM documents),
+      tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+      sh AS (SELECT DISTINCT doc_id,
+               ${TextStats.portableHash64Sql("array_to_string(toks[i : i + 7], ' ')")} AS h
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tt)),
+      f AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h)
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_r
+      FROM sh JOIN f USING (h)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
+    // ---- Zipf rank-frequency fit (corpus-health statistic): top-100
+    //      vocabulary, least-squares slope/intercept of log-freq vs
+    //      log-rank with DECIMAL-exact regression sums.
+    ("q80_zipf_slope", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.zipfSlope(Tables(s, dir).documents, n = 100)
+    }, Some(s"""
+      WITH w AS (SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS word
+                 FROM documents),
+      cnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+              GROUP BY word ORDER BY n DESC, word LIMIT 100),
+      pts AS (SELECT
+                round(ln(CAST(row_number() OVER (ORDER BY n DESC, word) AS DOUBLE)), 6) AS x,
+                round(ln(CAST(n AS DOUBLE)), 6) AS y
+              FROM cnt),
+      a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+            FROM pts)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_r,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept_r
+      FROM a""")),
+
     ("q74_embed_outliers", (s: SparkSession, dir: String) => {
       graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,
           threshold = 0.0)

@@ -421,6 +421,17 @@ object LLMOps {
         .orderBy(col("media_type"))
     }, None),
 
+    // ---- perceptual-hash image dedup (rows-only like q41: the signal
+    //      lives under a real javax.imageio decode no SQL engine can
+    //      replay; MultimodalSpec pins hash invariance, edit proximity,
+    //      and banded-join completeness). Planted exact copies must come
+    //      back at hamming 0 and light edits within the band budget.
+    ("q81_image_phash", (s: SparkSession, dir: String) => {
+      val corpus = Multimodal.syntheticImageCorpus(s, 100)
+      Multimodal.imagePhashNearDups(corpus, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
     // ---- within-doc repetition ratio (Gopher signal). The ratio only
     //      depends on distinct/total k-gram COUNTS, which are
     //      hash-function-independent (no collisions at fixture scale) —

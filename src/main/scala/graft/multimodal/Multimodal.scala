@@ -322,6 +322,151 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: bilinear-resize
+    * to 8×8, integer luma (BT.601 weights ×1000 — no float rounding),
+    * bit i set when pixel i's luma exceeds the 64-pixel mean. Identical
+    * images hash identically regardless of encoding; small
+    * brightness/scale edits stay within a few bits of Hamming distance —
+    * the standard cheap image-dedup key.
+    */
+  private[graft] def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val lum = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      lum(i) = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      i += 1
+    }
+    val mean = lum.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (lum(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash per image row: (media_id, phash) with null for
+    * undecodable payloads. Same batched-decode shape as
+    * [[extractFeatures]] (mapPartitions is justified here for the same
+    * reason: the payload is opaque binary no Column expression can
+    * decode).
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0),
+            decodeImage(payload).map(averageHash).map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
+    * split every 64-bit aHash into `maxHamming + 1` bit-bands — by
+    * pigeonhole, two hashes within Hamming `maxHamming` agree EXACTLY on
+    * at least one band — self-join on (band, bits), verify with
+    * `bit_count(xor)`. The same banding trick SimHash dedup uses: the
+    * corpus shuffles as (band-key, id) pairs only; the quadratic pair
+    * enumeration happens per bucket, never across the corpus — no
+    * all-pairs join at any scale. Output: (id_a, id_b, hamming).
+    */
+  def imagePhashNearDups(media: DataFrame, maxHamming: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
+    val nBands = maxHamming + 1
+    val bits = (64 + nBands - 1) / nBands
+    val hashed = imagePhash(media).filter(col("phash").isNotNull)
+    val keys = hashed.select(col("media_id").as("id"), col("phash"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * bits)
+              .bitwiseAND(lit((1L << math.min(bits, 63)) - 1)).as("bv"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("phash"), col("bk.band"), col("bk.bv"))
+    keys.select(col("band"), col("bv"), col("id").as("id_a"), col("phash").as("ph_a"))
+      .join(keys.select(col("band"), col("bv"), col("id").as("id_b"), col("phash").as("ph_b")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Deterministic block-noise PNG for the perceptual-dedup fixtures:
+    * an 8×8 grid of constant-gray blocks whose values come from an LCG
+    * seeded by `i`, so different seeds give ~32-bit-apart aHashes while
+    * the block structure survives the 8×8 resize exactly. `editBlocks`
+    * replaces that many leading blocks with a different value —
+    * simulating a small edit (logo/crop) that should stay within a few
+    * bits of the original's hash. (The gradient [[syntheticPng]] can't
+    * serve here: its aHash bit pattern is the same for every seed.)
+    */
+  private[graft] def syntheticPatternPng(i: Int, editBlocks: Int = 0,
+                                         w: Int = 64, h: Int = 64): Array[Byte] = {
+    val vals = new Array[Int](64)
+    var s = i * 2654435761L + 99991L
+    var b = 0
+    while (b < 64) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      vals(b) = ((s >>> 33) % 241).toInt // 0..240, headroom for edits
+      b += 1
+    }
+    var e = 0
+    while (e < math.min(editBlocks, 64)) {
+      vals(e) = (vals(e) + 120) % 241
+      e += 1
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = vals((y * 8 / h) * 8 + (x * 8 / w))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-dedup fixture: `n` distinct block-noise images, the first
+    * `nEdited` mirrored as lightly-edited near-dups (media_id + 1000)
+    * and the next `nExact` as byte-identical copies (media_id + 2000).
+    */
+  def syntheticImageCorpus(spark: SparkSession, n: Int,
+                           nEdited: Int = 10, nExact: Int = 10): DataFrame = {
+    import spark.implicits._
+    val base = (0 until n).map(i => (i.toLong, "image", syntheticPatternPng(i)))
+    val edited = (0 until math.min(nEdited, n))
+      .map(i => (1000L + i, "image", syntheticPatternPng(i, editBlocks = 2)))
+    val exact = (nEdited until math.min(nEdited + nExact, n))
+      .map(i => (2000L + i, "image", syntheticPatternPng(i)))
+    (base ++ edited ++ exact).toDF("media_id", "media_type", "payload")
+  }
+
   /** Real image resize: decode → bilinear scale onto a dstW×dstH canvas
     * → re-encode as PNG. Deterministic (fixed encoder, no metadata
     * timestamps). Returns None when the payload isn't a decodable image.

@@ -111,11 +111,54 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
-  /** n-gram Jaccard near-dup pairs without LSH (exact, for bounded sets
-    * or per-bucket verification).
+  /** Bands needed so a pair with Jaccard >= `threshold` misses every
+    * LSH band with probability <= `missTarget`, at `rowsPerBand` MinHash
+    * rows per band: smallest b with (1 - t^r)^b <= missTarget — the
+    * Jaccard twin of [[graft.text.Similarity.bandsFor]] (there the
+    * per-band collision probability is the hyperplane angle bound; here
+    * it is exactly t^r by the MinHash property P[h_min agrees] = J).
+    */
+  def jaccardBandsFor(threshold: Double, rowsPerBand: Int = 2,
+                      missTarget: Double = 1e-9): Int = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    val pBand = math.pow(threshold, rowsPerBand)
+    math.ceil(math.log(missTarget) / math.log1p(-pBand)).toInt.max(1)
+  }
+
+  /** n-gram Jaccard near-dup pairs — threshold-aware dispatch (the
+    * [[graft.text.Similarity.nearDupPairs]] pattern applied to Jaccard):
+    *
+    *  - `threshold >= 0.5`: banded MinHash LSH candidates verified with
+    *    EXACT Jaccard over the shingle-hash sets — identical output to
+    *    the all-pairs form except for pairs missed by every band, and
+    *    the band count is sized by [[jaccardBandsFor]] so that miss
+    *    probability is <= 1e-9 per qualifying pair (at t = 0.5,
+    *    r = 2 rows/band that is b = 73 bands / 146 hashes; at t = 0.8
+    *    just b = 21 / 42). Only bucket-mates are ever paired, so the
+    *    corpus never goes through a quadratic join — this is the 100 TB
+    *    path.
+    *  - `threshold < 0.5`: LSH cannot prune (the band count needed for
+    *    a 1e-9 miss bound grows past the signature budget while the
+    *    candidate set approaches all-pairs anyway), so the exact
+    *    all-pairs kernel runs — intended for bounded verification sets,
+    *    as [[ngramJaccardPairsExact]] documents.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, k: Int = 3,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    if (threshold >= 0.5) {
+      val bands = jaccardBandsFor(threshold, rowsPerBand = 2)
+      minhashNearDups(docs, threshold, k, numHashes = 2 * bands, bands = bands,
+        idCol = idCol, textCol = textCol)
+    } else ngramJaccardPairsExact(docs, threshold, k, idCol, textCol)
+
+  /** Exact all-pairs n-gram Jaccard (no LSH) — the bounded verification
+    * primitive backing oracle replay and per-bucket verify. Quadratic in
+    * the input by construction: NEVER call on an unbounded corpus — use
+    * [[ngramJaccardPairs]], which prunes through banded MinHash at any
+    * threshold where pruning is sound.
+    */
+  def ngramJaccardPairsExact(docs: DataFrame, threshold: Double, k: Int = 3,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -151,6 +194,38 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("text"))
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * n-grams whose corpus-wide first occurrence (minimum doc_id) is this
+    * document — "how much genuinely new content does each document add",
+    * the ordered-ingest complement of [[dupSpanCoverage]] (which asks
+    * how much of a document is duplicated ANYWHERE, this asks how much
+    * was seen EARLIER). Low-novelty documents are prune candidates in
+    * incremental crawls.
+    *
+    * Shape at scale: one native shingle pass → explode (corpus-sized
+    * ×1) → map-side-combined min(doc_id) per 60-bit gram hash → one
+    * key-partitioned join back on the hash → per-doc count aggregate.
+    * Two shuffles total, both carrying (hash, id) pairs, never text.
+    * Keyed on the portable hash so the whole signal is oracle-replayable
+    * (novelty depends only on hash equality, but the portable key lets
+    * the oracle replay the identical grouping).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      array_distinct(graft.catalyst.GraftFunctions.portableShingles(col(textCol), n)).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val sh = t.select(col("doc_id"), explode(col("hs")).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty_r"))
   }
 
   /** Cross-source duplication matrix: for every pair of sources, how

@@ -77,6 +77,51 @@ object Relevance {
       .limit(topK)
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    * fuse the lexical BM25 ranking ([[bm25TopDocs]]) with a dense
+    * embedding ranking (cosine to one query vector) by
+    * `rrf = Σ 1/(kRrf + rank)` over the lists a document appears in —
+    * the standard lexical+dense ensemble for retrieval-style curation
+    * (finding the docs most relevant to a probe both ways).
+    *
+    * Determinism: both ranks are row_number over a (score desc, id)
+    * total order; each 1/(k+rank) is one exact-input IEEE division and
+    * their sum is a single addition — identical on both engines — then
+    * snapped to round-9 before the final ordering.
+    *
+    * Shape at scale: BM25's shape is [[bm25TopDocs]]'s (broadcast query
+    * terms, one tf shuffle); the dense side is a broadcast one-row query
+    * against a narrow corpus scan into a bounded TakeOrdered top-`topN`;
+    * the fusion join touches 2·topN rows. The rank windows run AFTER the
+    * top-N cuts, so no unpartitioned window ever sees the corpus.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, queryVecId: Long = 0L,
+                topN: Int = 50, kRrf: Int = 60, topK: Int = 20,
+                idCol: String = "doc_id", textCol: String = "text",
+                vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lex = bm25TopDocs(docs, topK = topN, idCol = idCol, textCol = textCol)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val q = embeddings.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).as("qv"))
+    val dense = embeddings.filter(col(vecIdCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(vecIdCol).as("doc_id"),
+        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("doc_id")).limit(topN)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cos_r").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf.toLong) + col("dense_rank")), lit(0.0)),
+          9).as("rrf_r"))
+      .orderBy(col("rrf_r").desc, col("doc_id")).limit(topK)
+  }
+
   def tfIdfTopTerms(docs: DataFrame, k: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),

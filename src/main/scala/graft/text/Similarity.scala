@@ -461,6 +461,49 @@ object Similarity {
     * sums per-dim round-6 decimal addends (order-independent), so the
     * whole thing is oracle-replayable.
     */
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then inside each cluster drop every vector that
+    * has a more-canonical (smaller-id) neighbor with cosine >= `tau` —
+    * semantic near-duplicate pruning at a fraction of all-pairs cost.
+    *
+    * Output: (vec_id, centroid_id, n_similar_smaller, max_sim_r,
+    * is_kept) — one row per vector; `is_kept` is the greedy keep-first
+    * decision (no smaller-id neighbor above `tau` in the same cluster).
+    *
+    * Shape at scale: the k-means assignment is [[kmeansAssign]] (corpus
+    * never shuffles — broadcast-literal centroids); the within-cluster
+    * pairwise pass joins on `centroid_id`, so the quadratic term is
+    * bounded by the LARGEST CLUSTER, never the corpus. That is the
+    * published algorithm's own cost model: k is chosen ∝ corpus size
+    * (the paper uses 50k clusters for 100M docs) precisely so cluster
+    * sizes stay ~constant as the corpus grows. For clusters that still
+    * skew large, the per-cluster pass composes with [[nearDupPairs]]'
+    * banded LSH instead of the plain join — same contract, same output.
+    * Every cosine is snapped to round-6 before the `tau` comparison and
+    * the assignment reuses [[kmeansAssign]]'s engine-portable argmax, so
+    * the whole decision is oracle-replayable.
+    */
+  def semDedup(embeddings: DataFrame, k: Int, dim: Int, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(embeddings, k, dim, idCol = idCol, vecCol = vecCol)
+    val e = embeddings.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+    val withVec = assigned.select(col("vec_id"), col("centroid_id")).join(e, Seq("vec_id"))
+    val nbrs = withVec.select(col("centroid_id"),
+      col("vec_id").as("nbr_id"), col("v").as("nv"))
+    val pruned = withVec.join(nbrs, Seq("centroid_id"))
+      .filter(col("nbr_id") < col("vec_id"))
+      .withColumn("cs", round(cosine(col("v"), col("nv")), 6))
+      .filter(col("cs") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_similar_smaller"), max(col("cs")).as("max_sim_r"))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("n_similar_smaller"), lit(0L)).as("n_similar_smaller"),
+        col("max_sim_r"),
+        col("n_similar_smaller").isNull.as("is_kept"))
+  }
+
   def quantizeInt8(embeddings: DataFrame, dim: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")

@@ -50,6 +50,48 @@ object Vocab {
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(n)
 
+  /** Zipf rank-frequency fit over the corpus' top-`n` vocabulary: the
+    * least-squares slope/intercept of log(frequency) against log(rank) —
+    * the corpus-health statistic (natural language sits near slope −1;
+    * boilerplate-heavy or synthetic corpora drift off it). One row out.
+    *
+    * Parity-by-construction: ranks come from the deterministic
+    * (count desc, word) total order; each point's log-coordinates snap
+    * to round-6; the four regression sums accumulate those snapped
+    * values (and their round-6 products) as DECIMAL(25,6) — exact and
+    * order-independent, so Spark's partial aggregation and DuckDB's
+    * serial sum agree bit-for-bit — and the final slope/intercept
+    * arithmetic is one mirrored chain of IEEE double ops on identical
+    * inputs, snapped to round-6 on output.
+    *
+    * Shape at scale: the word-count table is the only corpus-sized
+    * shuffle (map-side combined); the top-`n` cut is a bounded
+    * TakeOrdered; the regression runs over `n` rows.
+    */
+  def zipfSlope(docs: DataFrame, n: Int = 100, textCol: String = "text"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("word"))
+    // the window runs AFTER the top-n cut, so it sorts n rows, not the
+    // vocabulary (no unpartitioned corpus window)
+    val pts = topVocab(docs, n, textCol)
+      .withColumn("rank", row_number().over(w))
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("n_occurrences").cast("double")), 6).as("y"))
+    val agg = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(D)).cast("double").as("sx"),
+      sum(col("y").cast(D)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 6).cast(D)).cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 6).cast(D)).cast("double").as("sxx"))
+    agg.select(col("n").cast("long").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_r"),
+      round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+        .as("intercept_r"))
+  }
+
   /** Per-document out-of-vocabulary statistics against the corpus'
     * own top-`vocabSize` vocabulary: token count, OOV count, OOV ratio.
     * The vocab is vocabulary-sized by construction, so it broadcasts;

@@ -33,6 +33,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("ngramJaccardPairs banded default equals the exact all-pairs kernel") {
+    // 30 docs: 10 planted near-dup pairs (1-word edits) + 10 unrelated.
+    // The dispatch (threshold 0.8 >= 0.5) runs banded MinHash + exact
+    // verify; with bands sized by jaccardBandsFor the miss probability
+    // per qualifying pair is <= 1e-9, so outputs must match exactly.
+    val corpus = (0 until 10).flatMap { i =>
+      val b = s"document number $i with a stable shared body of many words " +
+        s"covering topic $i in detail for the dedup fixture today"
+      Seq((i * 2L, b), (i * 2 + 1L, b.replace("today", "tonight")))
+    } ++ (0 until 10).map(i => (100L + i, s"singleton text $i " + ("x" + i) * 3))
+    val df = corpus.toDF("doc_id", "text")
+    val banded = Dedup.ngramJaccardPairs(df, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairsExact(df, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === exact)
+    assert(exact.size === 10)
+  }
+
+  test("jaccardBandsFor sizes the signature to the miss target") {
+    // (1 - t^2)^b <= 1e-9 at t=0.8 -> b = 21; t=0.5 -> b = 73
+    assert(Dedup.jaccardBandsFor(0.8) === 21)
+    assert(Dedup.jaccardBandsFor(0.5) === 73)
+    assert(math.pow(1 - math.pow(0.8, 2), Dedup.jaccardBandsFor(0.8)) <= 1e-9)
+  }
+
   test("jaccard: identical -> 1.0, disjoint -> 0.0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
       .toDF("s1", "s2", "s3")
@@ -80,6 +106,20 @@ class DedupSpec extends SparkSpec {
       .as[Double].collect()
     assert(r(0) === 0.0)
     assert(r(1) > 0.8)
+  }
+
+  test("ngram novelty: first occurrence is novel, later copies are not") {
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (10L, body),                                  // first occurrence
+      (20L, body),                                  // exact later copy -> 0 novelty
+      (30L, (1 to 20).map(i => s"zz$i").mkString(" "))  // disjoint -> fully novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(corpus, n = 8)
+      .select("doc_id", "novelty_r").as[(Long, Double)].collect().toMap
+    assert(out(10L) === 1.0)
+    assert(out(20L) === 0.0)
+    assert(out(30L) === 1.0)
   }
 
   test("shingles: short documents yield a single whole-text shingle") {

@@ -103,6 +103,33 @@ class MultimodalSpec extends SparkSpec {
     assert(key(rows) === key(again))
   }
 
+  test("perceptual hash: identical bytes -> equal, distinct seeds -> far, edits -> close") {
+    import graft.multimodal.Multimodal
+    def ph(bytes: Array[Byte]): Long =
+      Multimodal.decodeImage(bytes).map(Multimodal.averageHash).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = ph(Multimodal.syntheticPatternPng(1))
+    assert(a === ph(Multimodal.syntheticPatternPng(1)), "hash must be deterministic")
+    assert(ham(a, ph(Multimodal.syntheticPatternPng(2))) > 12,
+      "independent block-noise images must be far apart")
+    assert(ham(a, ph(Multimodal.syntheticPatternPng(1, editBlocks = 2))) <= 8,
+      "a 2-block edit must stay within a few bits")
+  }
+
+  test("banded phash near-dup join finds planted copies, skips unrelated") {
+    import graft.multimodal.Multimodal
+    val corpus = Multimodal.syntheticImageCorpus(spark, 40, nEdited = 5, nExact = 5)
+    val pairs = Multimodal.imagePhashNearDups(corpus, maxHamming = 8)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    for (i <- 5L until 10L)
+      assert(byPair.get((i, 2000L + i)).contains(0), s"exact copy of $i must hash at 0")
+    for (i <- 0L until 5L)
+      assert(byPair.contains((i, 1000L + i)), s"edited near-dup of $i must be found")
+    assert(pairs.forall(_._3 <= 8))
+  }
+
   test("MJPEG split recovers exact frame boundaries and each frame decodes") {
     val clip = Multimodal.syntheticMjpeg(3, nFrames = 5)
     val frames = Multimodal.splitMjpeg(clip)

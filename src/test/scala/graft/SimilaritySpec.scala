@@ -153,6 +153,26 @@ class SimilaritySpec extends SparkSpec {
       "bands must grow as the threshold drops")
   }
 
+  test("semDedup prunes same-cluster near-duplicates, keeps the smallest id") {
+    // 3 exact copies of vector 5 planted at ids 900/901/902: all land in
+    // the same k-means cluster (identical vectors) with cosine 1.0, so
+    // the greedy keep-first decision keeps only the smallest of
+    // {5, 900, 901, 902} and prunes the rest.
+    val copy = vecs.filter(col("vec_id") === 5)
+    val planted = vecs
+      .unionByName(copy.withColumn("vec_id", lit(900L)))
+      .unionByName(copy.withColumn("vec_id", lit(901L)))
+      .unionByName(copy.withColumn("vec_id", lit(902L)))
+    val out = Similarity.semDedup(planted, k = 4, dim = dim, tau = 0.99)
+      .select("vec_id", "is_kept", "n_similar_smaller")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(5L)._1, "the canonical (smallest-id) copy must be kept")
+    assert(!out(900L)._1 && !out(901L)._1 && !out(902L)._1)
+    assert(out(902L)._2 === 3L)  // 5, 900, 901 are all smaller similars
+    // vectors with no near-identical twin survive
+    assert(out.count { case (_, (kept, _)) => kept } >= 197)
+  }
+
   test("per-query top-k fans out over a query set") {
     val queries = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
