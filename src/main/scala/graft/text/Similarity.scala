@@ -384,7 +384,18 @@ object Similarity {
     */
   def kmeansAssign(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   salt: String = "kmeans"): DataFrame = {
+                   salt: String = "kmeans"): DataFrame =
+    kmeansAssignFull(embeddings, k, dim, iters, idCol, vecCol, salt).drop("v")
+
+  /** [[kmeansAssign]] with the vector column `v` carried through the
+    * assignment projection — for consumers like [[semDedup]] that need
+    * (assignment, vector) together: since the assignment is a pure
+    * projection, keeping `v` is free, whereas re-attaching it afterwards
+    * would cost a corpus-sized join on vec_id.
+    */
+  private[text] def kmeansAssignFull(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 2,
+                                     idCol: String = "vec_id", vecCol: String = "embedding",
+                                     salt: String = "kmeans"): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(25, 6)
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -423,7 +434,7 @@ object Similarity {
 
     e.withColumn("m", best(cents))
       .select(col("vec_id"), (-col("m.nid")).cast("int").as("centroid_id"),
-        col("m.s").as("cos_r"))
+        col("m.s").as("cos_r"), col("v"))
   }
 
   /** Embedding-space outlier scoring: cosine of every vector to the
@@ -486,9 +497,11 @@ object Similarity {
     */
   def semDedup(embeddings: DataFrame, k: Int, dim: Int, tau: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = kmeansAssign(embeddings, k, dim, idCol = idCol, vecCol = vecCol)
-    val e = embeddings.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-    val withVec = assigned.select(col("vec_id"), col("centroid_id")).join(e, Seq("vec_id"))
+    // the assignment is a pure projection, so the vector rides through
+    // it for free — no corpus-sized re-attach join on vec_id
+    val assigned = kmeansAssignFull(embeddings, k, dim, idCol = idCol, vecCol = vecCol)
+      .localCheckpoint(true) // assignment feeds both pairwise sides + output
+    val withVec = assigned.select(col("vec_id"), col("centroid_id"), col("v"))
     val nbrs = withVec.select(col("centroid_id"),
       col("vec_id").as("nbr_id"), col("v").as("nv"))
     val pruned = withVec.join(nbrs, Seq("centroid_id"))

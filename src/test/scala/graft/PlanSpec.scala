@@ -166,4 +166,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"corpus must not shuffle into the join:\n$p")
   }
+
+  test("semDedup pairwise pass joins only on the cluster key — never all-pairs") {
+    val p = plan("q75_semdedup")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs join:\n$p")
+    // the within-cluster self-join keys on centroid_id
+    assert(p.contains("centroid_id"), s"pairwise join must key on the cluster:\n$p")
+  }
+
+  test("hybrid RRF: dense side is a one-row broadcast into a bounded top-N") {
+    val p = plan("q78_hybrid_rrf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query vector must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N cuts must plan as TakeOrdered, not global sorts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ngram novelty shuffles (hash, id) pairs only — text never reaches an exchange") {
+    val p = plan("q79_ngram_novelty")
+    // every Exchange's partitioning expressions mention only the gram
+    // hash or the doc id, never the text column
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text")),
+      s"text must be projected away before any shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
