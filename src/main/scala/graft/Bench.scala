@@ -80,6 +80,10 @@ object Bench {
         (sp: SparkSession, d: String) =>
           graft.analytics.LLMOps.approxDistinctSketch(sp, d)
             .orderBy(col("l_returnflag")))
+      .updated("q82_approx_quantiles",
+        (sp: SparkSession, d: String) =>
+          graft.analytics.LLMOps.approxQuantileSketch(sp, d)
+            .orderBy(col("l_returnflag")))
       .updated("q40_lsh_ann",
         (sp: SparkSession, d: String) => {
           val t = graft.model.Tables(sp, d)
@@ -145,7 +149,8 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""notes":{"q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
-        s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate"},""" +
+        s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate",""" +
+        s""""q82_approx_quantiles":"sketch-only timed; exact-percentile certification runs in the correctness gate"},""" +
         s""""sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""

@@ -885,6 +885,35 @@ object CurationOps {
                AS intercept_r
       FROM a""")),
 
+    // ---- sequence-length histogram (packing/truncation planning): doc
+    //      counts per 16-token bucket with the cumulative share — the
+    //      statistic that picks max_seq_len and predicts packing waste
+    //      before a training run. One corpus pass → bucket-count agg;
+    //      the windows run over the bucket table (dozens of rows), never
+    //      the corpus.
+    ("q83_length_histogram", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val nTok = size(filter(TextStats.tokens(lower(col("text"))), x => x =!= ""))
+      val g = Tables(s, dir).documents
+        .select(((nTok.cast("long") / lit(16L)).cast("long") * 16).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      g.select(col("bucket"), col("n_docs"),
+          sum(col("n_docs")).over(Window.orderBy(col("bucket"))).as("cum_docs"),
+          round(sum(col("n_docs")).over(Window.orderBy(col("bucket"))).cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 6).as("cum_share"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH b AS (
+        SELECT CAST((len(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                 x -> x <> '')) // 16) * 16 AS BIGINT) AS bucket
+        FROM documents),
+      g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket)
+      SELECT bucket, n_docs,
+             CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+             round(CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+                   / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_share
+      FROM g ORDER BY bucket""")),
+
     ("q74_embed_outliers", (s: SparkSession, dir: String) => {
       graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,
           threshold = 0.0)

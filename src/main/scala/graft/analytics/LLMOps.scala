@@ -498,8 +498,53 @@ object LLMOps {
         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         TRUE AS parts_within_5pct,
         TRUE AS orders_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- approximate quantiles with a rank-tolerance certification
+    //      (the q42 playbook for order statistics): the featured op is
+    //      the single-pass approx_percentile sketch — the 100 TB path,
+    //      where exact percentiles need a full sort; the declared query
+    //      certifies each sketch value against the EXACT values at
+    //      quantile ± 1% of ranks. approx_percentile's guarantee is rank
+    //      error <= n/accuracy = 0.01% of ranks here, so the booleans
+    //      are deterministically TRUE with a 100× margin, and the oracle
+    //      hash-verifies the exact percentiles (q18's quantile_cont
+    //      parity) plus TRUE literals. The bench times the sketch alone
+    //      (see Bench.scala).
+    ("q82_approx_quantiles", (s: SparkSession, dir: String) => {
+      val exact = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.49, 0.50, 0.51, 0.94, 0.95, 0.96))").as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p"), 2), 6).as("p50_exact"),
+          round(element_at(col("p"), 5), 6).as("p95_exact"),
+          element_at(col("p"), 1).as("lo50"), element_at(col("p"), 3).as("hi50"),
+          element_at(col("p"), 4).as("lo95"), element_at(col("p"), 6).as("hi95"))
+      exact.join(approxQuantileSketch(s, dir), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+          col("a50").between(col("lo50"), col("hi50")).as("p50_within_rank_tol"),
+          col("a95").between(col("lo95"), col("hi95")).as("p95_within_rank_tol"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+        round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+        TRUE AS p50_within_rank_tol,
+        TRUE AS p95_within_rank_tol
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
+
+  /** The featured approximate-quantile operator alone: one partial+final
+    * sketch aggregate, no sort, no exact verification — what the bench
+    * times, and what a 100 TB pipeline would actually run (exact
+    * percentiles cost a per-group full sort).
+    */
+  def approxQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.50, 0.95), 10000)").as("a"))
+      .select(col("l_returnflag"),
+        element_at(col("a"), 1).as("a50"), element_at(col("a"), 2).as("a95"))
 
   /** The featured approximate-distinct operator alone — partial+final HLL
     * sketch merge over one hash aggregate, zero exact verification. This
