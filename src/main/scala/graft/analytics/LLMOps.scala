@@ -432,6 +432,16 @@ object LLMOps {
         .orderBy(col("id_a"), col("id_b"))
     }, None),
 
+    // ---- audio energy-contour fingerprint dedup (rows-only like q81:
+    //      the fingerprint lives under a real javax.sound.sampled
+    //      decode; MultimodalSpec pins gain invariance and banded-join
+    //      completeness).
+    ("q84_audio_fingerprint", (s: SparkSession, dir: String) => {
+      val corpus = Multimodal.syntheticAudioCorpus(s, 100)
+      Multimodal.audioFingerprintNearDups(corpus, maxHamming = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
     // ---- within-doc repetition ratio (Gopher signal). The ratio only
     //      depends on distinct/total k-gram COUNTS, which are
     //      hash-function-independent (no collisions at fixture scale) —

@@ -380,36 +380,106 @@ object Multimodal {
       }(enc)
   }
 
-  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
-    * split every 64-bit aHash into `maxHamming + 1` bit-bands — by
-    * pigeonhole, two hashes within Hamming `maxHamming` agree EXACTLY on
-    * at least one band — self-join on (band, bits), verify with
-    * `bit_count(xor)`. The same banding trick SimHash dedup uses: the
-    * corpus shuffles as (band-key, id) pairs only; the quadratic pair
-    * enumeration happens per bucket, never across the corpus — no
-    * all-pairs join at any scale. Output: (id_a, id_b, hamming).
+  /** Banded Hamming self-join over a (id, h) 64-bit-hash table: split
+    * every hash into `maxHamming + 1` bit-bands — by pigeonhole, two
+    * hashes within Hamming `maxHamming` agree EXACTLY on at least one
+    * band — self-join on (band, bits), verify with `bit_count(xor)`.
+    * The same banding trick SimHash dedup uses: the corpus shuffles as
+    * (band-key, id) pairs only; the quadratic pair enumeration happens
+    * per bucket, never across the corpus — no all-pairs join at any
+    * scale. Output: (id_a, id_b, hamming).
     */
-  def imagePhashNearDups(media: DataFrame, maxHamming: Int = 5): DataFrame = {
+  private def hammingBandJoin(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
     val nBands = maxHamming + 1
     val bits = (64 + nBands - 1) / nBands
-    val hashed = imagePhash(media).filter(col("phash").isNotNull)
-    val keys = hashed.select(col("media_id").as("id"), col("phash"),
+    val keys = hashed.select(col("id"), col("h"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("phash"), b * bits)
+            shiftrightunsigned(col("h"), b * bits)
               .bitwiseAND(lit((1L << math.min(bits, 63)) - 1)).as("bv"))
         }: _*)).as("bk"))
-      .select(col("id"), col("phash"), col("bk.band"), col("bk.bv"))
-    keys.select(col("band"), col("bv"), col("id").as("id_a"), col("phash").as("ph_a"))
-      .join(keys.select(col("band"), col("bv"), col("id").as("id_b"), col("phash").as("ph_b")),
+      .select(col("id"), col("h"), col("bk.band"), col("bk.bv"))
+    keys.select(col("band"), col("bv"), col("id").as("id_a"), col("h").as("h_a"))
+      .join(keys.select(col("band"), col("bv"), col("id").as("id_b"), col("h").as("h_b")),
         Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance —
+    * [[imagePhash]] into the banded [[hammingBandJoin]].
+    */
+  def imagePhashNearDups(media: DataFrame, maxHamming: Int = 5): DataFrame =
+    hammingBandJoin(
+      imagePhash(media).filter(col("phash").isNotNull)
+        .select(col("media_id").as("id"), col("phash").as("h")),
+      maxHamming)
+
+  /** 64-bit audio energy-contour fingerprint over the decoded waveform:
+    * 64 equal windows of mean-square energy, bit i set when
+    * `e(i) > e((i+5) mod 64)`. Comparing energy RATIOS makes the
+    * fingerprint exactly invariant to uniform gain changes (a positive
+    * scale multiplies every energy, preserving every strict comparison)
+    * and robust to re-encoding — the cheap audio-dedup key (an energy
+    * contour in the Haitsma–Kalker family, time-windows only).
+    */
+  private[graft] def audioEnergyHash(samples: Array[Double]): Long = {
+    val n = samples.length
+    if (n < 64) return 0L
+    val e = new Array[Double](64)
+    var w = 0
+    while (w < 64) {
+      val from = (n.toLong * w / 64).toInt
+      val to = (n.toLong * (w + 1) / 64).toInt
+      var s = 0.0
+      var i = from
+      while (i < to) { s += samples(i) * samples(i); i += 1 }
+      e(w) = s / math.max(to - from, 1)
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) > e((i + 5) % 64)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Energy-contour fingerprint per audio row: (media_id, afp) with null
+    * for undecodable payloads — the audio twin of [[imagePhash]].
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("afp",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0),
+            decodeAudio(payload).map { case (_, s) => audioEnergyHash(s) }
+              .map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance —
+    * [[audioFingerprint]] into the banded [[hammingBandJoin]].
+    */
+  def audioFingerprintNearDups(media: DataFrame, maxHamming: Int = 5): DataFrame =
+    hammingBandJoin(
+      audioFingerprint(media).filter(col("afp").isNotNull)
+        .select(col("media_id").as("id"), col("afp").as("h")),
+      maxHamming)
 
   /** Deterministic block-noise PNG for the perceptual-dedup fixtures:
     * an 8×8 grid of constant-gray blocks whose values come from an LCG
@@ -450,6 +520,57 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Envelope-modulated WAV for the audio-dedup fixtures: a 400 Hz tone
+    * whose amplitude steps through 16 LCG-seeded segment levels, so the
+    * 64-window energy contour is seed-distinctive (a pure constant-
+    * amplitude sine has a flat contour — useless for fingerprinting).
+    * `gain` scales every sample uniformly: the energy-contour hash must
+    * be invariant to it.
+    */
+  private[graft] def syntheticEnvelopeWav(i: Int, gain: Double = 1.0,
+                                          sampleRate: Float = 8000f,
+                                          nSamples: Int = 1024): Array[Byte] = {
+    val amps = new Array[Double](16)
+    var s0 = i * 2654435761L + 7919L
+    var k = 0
+    while (k < 16) {
+      s0 = s0 * 6364136223846793005L + 1442695040888963407L
+      amps(k) = 0.10 + ((s0 >>> 33) % 800) / 1000.0 // 0.10 .. 0.90
+      k += 1
+    }
+    val pcm = new Array[Byte](nSamples * 2)
+    var s = 0
+    while (s < nSamples) {
+      val a = gain * amps(s * 16 / nSamples)
+      val v = (a * math.sin(2 * math.Pi * 400.0 * s / sampleRate) * 32767).toInt
+      pcm(2 * s) = (v & 0xff).toByte
+      pcm(2 * s + 1) = ((v >> 8) & 0xff).toByte
+      s += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio-dedup fixture: `n` distinct envelope tones, the first
+    * `nGained` mirrored as gain-scaled (0.5×) near-dups (media_id +
+    * 1000) and the next `nExact` as byte-identical copies (media_id +
+    * 2000) — the audio twin of [[syntheticImageCorpus]].
+    */
+  def syntheticAudioCorpus(spark: SparkSession, n: Int,
+                           nGained: Int = 10, nExact: Int = 10): DataFrame = {
+    import spark.implicits._
+    val base = (0 until n).map(i => (i.toLong, "audio", syntheticEnvelopeWav(i)))
+    val gained = (0 until math.min(nGained, n))
+      .map(i => (1000L + i, "audio", syntheticEnvelopeWav(i, gain = 0.5)))
+    val exact = (nGained until math.min(nGained + nExact, n))
+      .map(i => (2000L + i, "audio", syntheticEnvelopeWav(i)))
+    (base ++ gained ++ exact).toDF("media_id", "media_type", "payload")
   }
 
   /** Image-dedup fixture: `n` distinct block-noise images, the first

@@ -130,6 +130,32 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 8))
   }
 
+  test("audio fingerprint: gain-invariant, seed-distinctive") {
+    import graft.multimodal.Multimodal
+    def fp(bytes: Array[Byte]): Long =
+      Multimodal.decodeAudio(bytes).map { case (_, s) => Multimodal.audioEnergyHash(s) }.get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = fp(Multimodal.syntheticEnvelopeWav(3))
+    assert(a === fp(Multimodal.syntheticEnvelopeWav(3)), "fingerprint must be deterministic")
+    assert(ham(a, fp(Multimodal.syntheticEnvelopeWav(3, gain = 0.5))) <= 5,
+      "uniform gain must not move the energy contour")
+    assert(ham(a, fp(Multimodal.syntheticEnvelopeWav(4))) > 12,
+      "independent envelopes must be far apart")
+  }
+
+  test("banded audio near-dup join finds gain-scaled and exact copies") {
+    import graft.multimodal.Multimodal
+    val corpus = Multimodal.syntheticAudioCorpus(spark, 40, nGained = 5, nExact = 5)
+    val pairs = Multimodal.audioFingerprintNearDups(corpus, maxHamming = 5)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    for (i <- 5L until 10L)
+      assert(byPair.get((i, 2000L + i)).contains(0), s"exact copy of $i must hash at 0")
+    for (i <- 0L until 5L)
+      assert(byPair.contains((i, 1000L + i)), s"gain-scaled copy of $i must be found")
+  }
+
   test("MJPEG split recovers exact frame boundaries and each frame decodes") {
     val clip = Multimodal.syntheticMjpeg(3, nFrames = 5)
     val frames = Multimodal.splitMjpeg(clip)
