@@ -914,6 +914,57 @@ object CurationOps {
                    / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_share
       FROM g ORDER BY bucket""")),
 
+    // ---- duplicated-span TRIM (q66's surgery counterpart): remove the
+    //      tokens covered by cross-document 8-grams, reassemble the
+    //      rest. Same shingle CTE as q66; the oracle materializes the
+    //      covered position set and anti-joins the token table — the
+    //      literal definition the Spark side implements distributively.
+    ("q85_dup_span_trim", (s: SparkSession, dir: String) => {
+      graft.text.Dedup.dupSpanTrim(Tables(s, dir).documents, n = 8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '$ws+'), x -> x <> '') AS otoks,
+                   list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                     x -> x <> '') AS toks
+                 FROM documents),
+      tt AS (SELECT doc_id, otoks, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+             FROM t WHERE len(toks) >= 8),
+      sh AS (SELECT doc_id, i,
+               ${TextStats.portableHash64Sql("array_to_string(toks[i : i + 7], ' ')")} AS h
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tt)),
+      dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      mk AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (h)),
+      cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS pos FROM mk),
+      tp AS (SELECT doc_id, unnest(otoks) AS tok,
+               unnest(range(1, len(otoks) + 1)) AS pos FROM tt),
+      kept AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+               WHERE NOT EXISTS (SELECT 1 FROM cov
+                 WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)),
+      ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text_trimmed
+             FROM kept GROUP BY doc_id)
+      SELECT tt.doc_id, tt.n_tokens,
+             coalesce(ag.n_kept, 0) AS n_kept,
+             tt.n_tokens - coalesce(ag.n_kept, 0) AS n_removed,
+             coalesce(ag.text_trimmed, '') AS text_trimmed
+      FROM tt LEFT JOIN ag USING (doc_id) ORDER BY tt.doc_id""")),
+
+    // ---- deterministic training-order shuffle: the decomposed range-
+    //      bucketed global rank must equal the oracle's serial
+    //      row_number over the same portable key (the q58 "decomposition
+    //      == serial spec" proof, applied to a global permutation).
+    ("q86_training_order", (s: SparkSession, dir: String) => {
+      graft.text.Packing.trainingOrder(Tables(s, dir).documents)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+               ${TextStats.portableHash64Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS k
+             FROM documents)
+      SELECT doc_id, k AS shuffle_key,
+             CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+      FROM t ORDER BY doc_id""")),
+
     ("q74_embed_outliers", (s: SparkSession, dir: String) => {
       graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,
           threshold = 0.0)

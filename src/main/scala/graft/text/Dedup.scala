@@ -477,6 +477,58 @@ object Dedup {
     * portable hash so the whole signal is oracle-replayable (the DuckDB
     * oracle still computes the literal position-set union).
     */
+  /** Cross-document duplicated-span TRIMMING — the surgery counterpart
+    * of [[dupSpanCoverage]] (which only scores): remove every token
+    * position covered by an `n`-gram that occurs in >= 2 distinct
+    * documents, and reassemble the survivors in order — the
+    * Lee-et-al.-style exact-substring dedup edit ("Deduplicating
+    * Training Data Makes Language Models Better"), n-gram-granular.
+    *
+    * Tokens are hashed lowercased (same universe as [[dupSpanCoverage]]
+    * / the oracle) but re-emitted in their ORIGINAL case — whitespace
+    * tokenization is case-independent, so positions align.
+    *
+    * Shape at scale: the shingle table and dup-key aggregate are
+    * [[dupSpanCoverage]]'s; producing the edit then genuinely needs the
+    * covered POSITIONS (unlike scoring, where the interval union
+    * sufficed), so dup-shingle starts explode ×n — bounded by n × the
+    * dup density, not the corpus — into a (doc_id, pos) anti-join
+    * against the exploded token table, and the reassembly is one
+    * groupBy(doc_id) ordered collect. Every shuffle carries (id, pos)
+    * or (id, token) pairs.
+    */
+  def dupSpanTrim(docs: DataFrame, n: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), x => x =!= lit("")).as("otoks"),
+      graft.catalyst.GraftFunctions.portableShingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .withColumn("n_tokens", size(col("otoks")).cast("long"))
+    val sh = t
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("int").as("i"), col("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val covered = sh.join(dup, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = t
+      .select(col("doc_id"), posexplode(col("otoks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"), col("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_trimmed"))
+    t.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_trimmed"), lit("")).as("text_trimmed"))
+  }
+
   def dupSpanCoverage(docs: DataFrame, n: Int = 8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // fused native shingle pass: the composed form (explode starts +

@@ -51,4 +51,47 @@ object Packing {
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         col("first_seq"), col("last_seq"))
   }
+
+  /** Deterministic training-order shuffle: assign every document its
+    * position in a pseudo-random global permutation — the corpus
+    * shuffling step before sequence packing (training wants documents in
+    * hash order, not crawl order; deterministic so re-runs and resumed
+    * jobs agree).
+    *
+    * The permutation key is the portable 60-bit hash of
+    * `"shuffle:" + doc_id`; the position is the key's GLOBAL rank,
+    * computed without a global sort or unpartitioned window:
+    *
+    *  1. range-bucket on the key's top bits (`key >> (60 − log₂ B)`) —
+    *     buckets partition the KEY SPACE, so bucket order concatenated
+    *     with within-bucket order IS the global order (a range-
+    *     partitioned sort with fixed deterministic ranges — no sampling
+    *     pass); hash keys are uniform, so buckets balance;
+    *  2. within-bucket ranks are a window PARTITIONed BY bucket;
+    *  3. bucket offsets are a window over the B-row bucket table
+    *     (the [[packOffsets]] two-phase discipline), broadcast back.
+    *
+    * The oracle recomputes positions with a plain global
+    * `row_number() OVER (ORDER BY key)` — equality proves the
+    * decomposition is the exact global rank.
+    */
+  def trainingOrder(docs: DataFrame, buckets: Int = 32,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val shift = 60 - (31 - Integer.numberOfLeadingZeros(buckets))
+    val t = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("k", TextStats.portableHash64(
+        concat(lit("shuffle:"), col("doc_id").cast("string"))))
+      .withColumn("b", shiftrightunsigned(col("k"), shift))
+    val offsets = t.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    val w = Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))
+    t.join(broadcast(offsets), Seq("b"))
+      .withColumn("pos", (col("off") + row_number().over(w)).cast("long"))
+      .select(col("doc_id"), col("k").as("shuffle_key"), col("pos"))
+  }
 }

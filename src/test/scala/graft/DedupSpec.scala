@@ -122,6 +122,20 @@ class DedupSpec extends SparkSpec {
     assert(out(30L) === 1.0)
   }
 
+  test("dup-span trim removes shared 8-grams, keeps unique suffixes in order") {
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$shared one two three four five six seven eight"),
+      (3L, (1 to 12).map(i => s"solo$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.dupSpanTrim(corpus, n = 8).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "text_trimmed")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 16L, 8L, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(1) === ((2L, 16L, 8L, "one two three four five six seven eight")))
+    assert(out(2) === ((3L, 12L, 0L, (1 to 12).map(i => s"solo$i").mkString(" "))))
+  }
+
   test("shingles: short documents yield a single whole-text shingle") {
     val sh = Seq((0L, "two words")).toDF("doc_id", "text")
       .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()

@@ -122,6 +122,15 @@ class PlanSpec extends SparkSpec {
       s"corpus window must hash-partition by bucket:\n$p")
   }
 
+  test("training-order shuffle windows per key-range bucket, never globally") {
+    val p = graft.text.Packing
+      .trainingOrder(spark.read.parquet(s"$sf/documents.parquet"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+    assert(p.contains("hashpartitioning(b"),
+      s"corpus rank window must hash-partition by the key-range bucket:\n$p")
+  }
+
   test("bm25 broadcasts the query-term and corpus-stats sides") {
     val p = plan("q61_bm25_rank")
     assert(p.contains("BroadcastHashJoin"), s"qterms join must broadcast:\n$p")
