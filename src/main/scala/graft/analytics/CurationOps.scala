@@ -965,6 +965,47 @@ object CurationOps {
              CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
       FROM t ORDER BY doc_id""")),
 
+    // ---- character-level Shannon entropy (garbage detector): per-term
+    //      integer-nanos snap makes the sum order-independent — the two
+    //      engines enumerate distinct characters in different orders.
+    ("q87_char_entropy", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextStats.distinctChars(col("text")).as("n_distinct_chars"),
+          TextStats.charEntropy(col("text")).as("entropy_r"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, ''), x -> x <> '') AS cs
+                 FROM documents),
+      d AS (SELECT doc_id, cs, list_distinct(cs) AS dc FROM c)
+      SELECT doc_id,
+             CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+             round(CAST(-list_sum(list_transform(dc, ch ->
+                     CAST(round(round((CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                                      / len(cs))
+                                     * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                                          / len(cs)), 9) * 1000000000.0, 0) AS BIGINT)))
+                   AS DOUBLE) / 1000000000.0, 6) AS entropy_r
+      FROM d ORDER BY doc_id""")),
+
+    // ---- per-domain contribution cap: at most k docs per source by
+    //      portable-hash order (deterministic random-without-replacement
+    //      draw, resumable and oracle-replayable).
+    ("q88_domain_cap", (s: SparkSession, dir: String) => {
+      Sampling.perGroupCap(Tables(s, dir).documents, groupCol = "source", k = 10)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id, source, cap_rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+                 AS cap_rank
+        FROM (SELECT doc_id, source,
+                ${TextStats.portableHash64Sql("concat('cap:', CAST(doc_id AS VARCHAR))")} AS h
+              FROM documents))
+      WHERE cap_rank <= 10 ORDER BY doc_id""")),
+
     ("q74_embed_outliers", (s: SparkSession, dir: String) => {
       graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,
           threshold = 0.0)

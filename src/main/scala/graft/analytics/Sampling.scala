@@ -79,4 +79,30 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), salt) < rate)
   }
+
+  /** Per-group contribution cap: keep at most `k` rows per group (the
+    * per-domain cap a crawl pipeline applies so no single site dominates
+    * the corpus), chosen deterministically by portable-hash order — a
+    * seeded random-without-replacement draw that is resumable and
+    * engine-replayable, like [[stratifiedSample]].
+    *
+    * Shape at scale: one rank window PARTITIONed BY the group — the
+    * shuffle is keyed on the group column. For pathologically hot groups
+    * (one domain = a large corpus fraction) the window sort within that
+    * group dominates; cap-then-rank via the [[graft.text.Packing
+    * .trainingOrder]] range-bucket decomposition is the escape hatch —
+    * same output, documented here rather than defaulted because real
+    * domain distributions make the plain window the cheaper plan.
+    */
+  def perGroupCap(df: DataFrame, groupCol: String, k: Int,
+                  keyCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__cap_h"), col(keyCol))
+    df.withColumn("__cap_h", graft.text.TextStats.portableHash64(
+        concat(lit(salt + ":"), col(keyCol).cast("string"))))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= k)
+      .drop("__cap_h")
+  }
 }

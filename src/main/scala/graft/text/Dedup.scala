@@ -217,7 +217,10 @@ object Dedup {
     val t = docs.select(col(idCol).as("doc_id"),
       array_distinct(graft.catalyst.GraftFunctions.portableShingles(col(textCol), n)).as("hs"))
       .filter(size(col("hs")) >= 1)
+    // sh feeds both the first-occurrence aggregate and the join back —
+    // materialize the md5-per-gram pass once (minhashNearDups discipline)
     val sh = t.select(col("doc_id"), explode(col("hs")).as("h"))
+      .localCheckpoint(true)
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("h"))
       .groupBy(col("doc_id"))
@@ -499,11 +502,16 @@ object Dedup {
     */
   def dupSpanTrim(docs: DataFrame, n: Int = 8,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the md5-per-gram shingle pass feeds three consumers (dup-key agg,
+    // covered-position join, token table + final join) — materialize it
+    // once (the minhashNearDups discipline; blocks are freed by the
+    // context cleaner). Measured 2.9 → 1.9 s at sf0.1.
     val t = docs.select(col(idCol).as("doc_id"),
       filter(split(col(textCol), "\\s+"), x => x =!= lit("")).as("otoks"),
       graft.catalyst.GraftFunctions.portableShingles(col(textCol), n).as("hs"))
       .filter(size(col("hs")) >= 1)
       .withColumn("n_tokens", size(col("otoks")).cast("long"))
+      .localCheckpoint(true)
     val sh = t
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("int").as("i"), col("h"))

@@ -82,6 +82,35 @@ object TextStats {
     lit(1.0) - size(uniq).cast("double") / greatest(size(all), lit(1)).cast("double")
   }
 
+  /** Character-level Shannon entropy (bits of the natural-log variety):
+    * `−Σ p(c)·ln p(c)` over the document's characters — the cheap
+    * garbage detector (binary blobs / key dumps / repeated-char padding
+    * sit far from prose's ~3 nats). Pure per-row higher-order
+    * functions — no explode, no shuffle: the per-character histogram is
+    * O(distinct × length) inside one projection.
+    *
+    * Parity-by-construction: each distinct character's `p·ln p` term is
+    * snapped to round-9 and scaled to INTEGER NANOS, so the sum is an
+    * exact long — order-independent, which matters because the two
+    * engines enumerate the distinct set in different orders
+    * (`array_distinct` is first-occurrence, DuckDB's `list_distinct` is
+    * arbitrary). The quantizeInt8 integer-micros discipline, one level
+    * finer.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= lit(""))
+    val n = size(chars).cast("double")
+    val termsNanos = transform(array_distinct(chars), c => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      round(round(p * log(p), 9) * lit(1e9), 0).cast("long")
+    })
+    round((-aggregate(termsNanos, lit(0L), (a, x) => a + x)).cast("double") / lit(1e9), 6)
+  }
+
+  /** Distinct-character count (the companion signal to [[charEntropy]]). */
+  def distinctChars(text: Column): Column =
+    size(array_distinct(filter(split(text, ""), c => c =!= lit("")))).cast("long")
+
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5, read as
     * an integer. Both Spark (`conv(substring(md5(x),1,15),16,10)`) and
     * DuckDB (`CAST('0x'||substring(md5(x),1,15) AS BIGINT)`) compute the

@@ -65,6 +65,32 @@ class CurationSpec extends SparkSpec {
     assert(keep.agg(sum("k")).as[Long].head() === keep.agg(sum("k")).as[Long].head())
   }
 
+  test("per-group cap keeps exactly k per group, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "source")
+    val kept = Sampling.perGroupCap(df, "source", k = 20)
+    val counts = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet === Set(20L))
+    assert(kept.agg(max("cap_rank")).as[Long].head() === 20L)
+    // hash-ordered, not rand(): identical on re-evaluation
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted
+    val ids2 = Sampling.perGroupCap(df, "source", k = 20)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids1 === ids2)
+  }
+
+  test("training order is a permutation and follows the hash order") {
+    val df = (0L until 500L).map(i => (i, "x")).toDF("doc_id", "text")
+    val out = graft.text.Packing.trainingOrder(df, buckets = 8)
+      .select("doc_id", "shuffle_key", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).sorted === (1L to 500L).toArray)   // exact permutation
+    // positions must order exactly like (key, doc_id)
+    val byPos = out.sortBy(_._3).map(r => (r._2, r._1))
+    assert(byPos === byPos.sorted)
+    // not the identity: the hash actually shuffles
+    assert(out.sortBy(_._3).map(_._1).take(20).toSeq !== (0L until 20L).toSeq)
+  }
+
   test("sequence packing: two-phase prefix sum equals the serial cumsum") {
     val docs = (0L until 300L)
       .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))

@@ -34,6 +34,20 @@ class TextStatsSpec extends SparkSpec {
     assert(uniq === 0.25 && stop === 1.0)
   }
 
+  test("char entropy: single-char text -> 0, uniform alphabet -> ln(k)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "aaaaaaaa"),                 // one symbol: entropy 0
+      (2L, "abcdabcdabcdabcd"),         // 4 symbols uniform: ln(4)
+      (3L, "the quick brown fox")       // prose: somewhere in between
+    ).toDF("doc_id", "text")
+    val e = df.select(col("doc_id"), TextStats.charEntropy(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(e(1L) === 0.0)
+    assert(math.abs(e(2L) - math.log(4.0)) < 1e-6)
+    assert(e(3L) > 0.0 && e(3L) < math.log(19.0))
+  }
+
   test("mean word length") {
     val m = Seq("ab abcd").toDF("t")
       .select(TextStats.meanWordLength(col("t"))).as[Double].head()
