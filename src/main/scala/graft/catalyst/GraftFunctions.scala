@@ -57,6 +57,9 @@ object GraftFunctions {
   /** Banded random-hyperplane LSH keys of an embedding column (one fused
     * pass over the vector for all bands; see [[HyperplaneBands]]).
     */
+  /** Integer-nanos character-entropy sum — see [[CharEntropyNanos]]. */
+  def charEntropyNanos(c: Column): Column = col(CharEntropyNanos(expr(c)))
+
   def hyperplaneBands(c: Column, bands: Int, rowsPerBand: Int, dim: Int, seed: Long): Column =
     col(HyperplaneBands(expr(c), bands, rowsPerBand, dim, seed))
 

@@ -389,15 +389,25 @@ object Multimodal {
     * per bucket, never across the corpus — no all-pairs join at any
     * scale. Output: (id_a, id_b, hamming).
     */
-  private def hammingBandJoin(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def hammingBandJoin(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
     val nBands = maxHamming + 1
-    val bits = (64 + nBands - 1) / nBands
+    // Distribute the 64 bits over DISJOINT bands as evenly as possible
+    // (the first 64 % nBands bands get one extra bit). A uniform
+    // ceil(64/nBands) width is WRONG when it doesn't divide 64: the last
+    // band's shift reaches 64, which Java reduces mod 64 — silently
+    // duplicating band 0 and voiding the pigeonhole guarantee (a pair
+    // differing once per real band would be missed).
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val keys = hashed.select(col("id"), col("h"),
         explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("h"), b * bits)
-              .bitwiseAND(lit((1L << math.min(bits, 63)) - 1)).as("bv"))
+          val sliced = shiftrightunsigned(col("h"), offsets(b))
+          val bv = if (widths(b) >= 64) sliced
+            else sliced.bitwiseAND(lit((1L << widths(b)) - 1))
+          struct(lit(b).as("band"), bv.as("bv"))
         }: _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.band"), col("bk.bv"))
     keys.select(col("band"), col("bv"), col("id").as("id_a"), col("h").as("h_a"))

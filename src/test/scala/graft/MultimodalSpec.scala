@@ -156,6 +156,22 @@ class MultimodalSpec extends SparkSpec {
       assert(byPair.contains((i, 1000L + i)), s"gain-scaled copy of $i must be found")
   }
 
+  test("banded hamming join: adversarial one-diff-per-band pair is still found") {
+    import graft.multimodal.Multimodal
+    // maxHamming = 8 -> 9 disjoint bands. Plant a pair differing in
+    // EXACTLY 8 bits placed one per band of the former buggy uniform
+    // 8-bit layout {7,15,23,31,39,47,55,63}: under that layout no band
+    // agreed (the 9th band silently duplicated band 0), so this pair was
+    // missed; the even disjoint-band layout must find it.
+    val h1 = 0L
+    val h2 = Seq(7, 15, 23, 31, 39, 47, 55, 63).map(1L << _).reduce(_ | _)
+    val far = 0x5555555555555555L // hamming 32 from h1 — must NOT pair
+    val df = Seq((1L, h1), (2L, h2), (3L, far)).toDF("id", "h")
+    val pairs = Multimodal.hammingBandJoin(df, maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 8)))
+  }
+
   test("MJPEG split recovers exact frame boundaries and each frame decodes") {
     val clip = Multimodal.syntheticMjpeg(3, nFrames = 5)
     val frames = Multimodal.splitMjpeg(clip)
