@@ -87,6 +87,44 @@ object CurationOps {
        CASE WHEN doc_id % 11 = 0 THEN 'It uses javascript for rendering today.' || chr(10) ELSE '' END,
        text)"""
 
+  /** The q76 signal CTE body (expects CTEs `p(doc_id, pt)` and
+    * `t(doc_id, pt, toks, ls)` in scope) — shared verbatim between the
+    * standalone rule query and the composed q89 pipeline so the two
+    * oracles cannot drift.
+    */
+  private def gopherSgSql = s"""
+      sg AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_word_len_r,
+               round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS frac_alpha_r,
+               CAST(len(list_intersect(toks,
+                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits,
+               round(CAST((len(pt) - len(regexp_replace(pt, '#', '', 'g')))
+                          + ((len(pt) - len(regexp_replace(pt, '\\.\\.\\.', '', 'g'))) // 3)
+                       AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio_r,
+               round(CAST(len(list_filter(ls, l ->
+                       starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
+                     / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS frac_bullet_r,
+               round(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+                     / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS frac_ellipsis_r
+             FROM t)"""
+
+  /** The q76 overall-keep predicate over `sg`'s columns. */
+  private val gopherKeepSql = """(n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0)
+               AND (symbol_ratio_r < 0.1) AND (frac_bullet_r < 0.9)
+               AND (frac_ellipsis_r < 0.3) AND (frac_alpha_r >= 0.8)
+               AND (n_stop_hits >= 2)"""
+
+  /** The q77 kept-lines expression (expects `ls` in scope). */
+  private def c4KeptSql = s"""list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '$ws+'),
+                        w -> w <> '')) >= 5
+                AND NOT contains(lower(trim(l)), 'javascript'))"""
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- PII scrubbing (C4/Dolma-style redaction + audit counts) ----
@@ -721,24 +759,7 @@ object CurationOps {
               list_filter(regexp_split_to_array(lower(pt), '$ws+'), x -> x <> '') AS toks,
               regexp_split_to_array(pt, '\n') AS ls
             FROM p),
-      sg AS (SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_words,
-               round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_word_len_r,
-               round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS frac_alpha_r,
-               CAST(len(list_intersect(toks,
-                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits,
-               round(CAST((len(pt) - len(regexp_replace(pt, '#', '', 'g')))
-                          + ((len(pt) - len(regexp_replace(pt, '\\.\\.\\.', '', 'g'))) // 3)
-                       AS DOUBLE)
-                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio_r,
-               round(CAST(len(list_filter(ls, l ->
-                       starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
-                     / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS frac_bullet_r,
-               round(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS DOUBLE)
-                     / CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS frac_ellipsis_r
-             FROM t)
+      $gopherSgSql
       SELECT doc_id, n_words, mean_word_len_r, frac_alpha_r, n_stop_hits,
              symbol_ratio_r, frac_bullet_r, frac_ellipsis_r,
              (n_words BETWEEN 50 AND 100000) AS pass_words,
@@ -748,11 +769,7 @@ object CurationOps {
              (frac_ellipsis_r < 0.3) AS pass_ellipsis,
              (frac_alpha_r >= 0.8) AS pass_alpha,
              (n_stop_hits >= 2) AS pass_stopwords,
-             ((n_words BETWEEN 50 AND 100000)
-               AND (mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0)
-               AND (symbol_ratio_r < 0.1) AND (frac_bullet_r < 0.9)
-               AND (frac_ellipsis_r < 0.3) AND (frac_alpha_r >= 0.8)
-               AND (n_stop_hits >= 2)) AS keep
+             ($gopherKeepSql) AS keep
       FROM sg ORDER BY doc_id""")),
 
     // ---- C4 cleaning pass over the same constructed payload: per-line
@@ -765,11 +782,7 @@ object CurationOps {
     }, Some(s"""
       WITH p AS (SELECT doc_id, $ruleLinesTextSql AS pt FROM documents),
       t AS (SELECT doc_id, pt, regexp_split_to_array(pt, '\n') AS ls FROM p),
-      k AS (SELECT doc_id, pt, ls,
-              list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$')
-                AND len(list_filter(regexp_split_to_array(trim(l), '$ws+'),
-                        w -> w <> '')) >= 5
-                AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+      k AS (SELECT doc_id, pt, ls, $c4KeptSql AS kept
             FROM t)
       SELECT doc_id,
              CAST(len(ls) AS BIGINT) AS n_lines,
@@ -1005,6 +1018,54 @@ object CurationOps {
                 ${TextStats.portableHash64Sql("concat('cap:', CAST(doc_id AS VARCHAR))")} AS h
               FROM documents))
       WHERE cap_rank <= 10 ORDER BY doc_id""")),
+
+    // ---- end-to-end round-6 curation pipeline: Gopher rules → C4
+    //      cleaning verdict → per-domain cap → deterministic training
+    //      order. Every stage is an oracled primitive (q76/q77/q88/q86)
+    //      and the composed oracle reuses their SQL pieces verbatim
+    //      (gopherSgSql/gopherKeepSql/c4KeptSql), so the two pipelines
+    //      cannot drift apart silently — the q59 composition argument
+    //      over the round-6 surface.
+    ("q89_curation_v2", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.withColumn("text", ruleLinesText)
+      val g = graft.text.Quality.gopherQuality(docs).select(col("doc_id"), col("keep"))
+      val c = graft.text.Quality.c4Clean(docs).select(col("doc_id"), col("keep_doc"))
+      val survivors = docs.join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+        .filter(col("keep") && col("keep_doc"))
+        .select(col("doc_id"), col("source"))
+      val capped = Sampling.perGroupCap(survivors, groupCol = "source", k = 8)
+      capped.join(graft.text.Packing.trainingOrder(capped), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("cap_rank"), col("pos"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH p AS (SELECT doc_id, source, $ruleLinesTextSql AS pt FROM documents),
+      t AS (SELECT doc_id, pt,
+              list_filter(regexp_split_to_array(lower(pt), '$ws+'), x -> x <> '') AS toks,
+              regexp_split_to_array(pt, '\n') AS ls
+            FROM p),
+      $gopherSgSql,
+      gk AS (SELECT doc_id FROM sg WHERE $gopherKeepSql),
+      ck AS (SELECT t.doc_id FROM t
+             WHERE len($c4KeptSql) >= 3
+               AND NOT contains(lower(pt), 'lorem ipsum')
+               AND NOT contains(pt, '{')),
+      surv AS (SELECT p.doc_id, p.source FROM p
+               JOIN gk USING (doc_id) JOIN ck USING (doc_id)),
+      capped AS (SELECT doc_id, source, cap_rank FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS BIGINT) AS cap_rank
+          FROM (SELECT doc_id, source,
+                  ${TextStats.portableHash64Sql("concat('cap:', CAST(doc_id AS VARCHAR))")} AS h
+                FROM surv))
+        WHERE cap_rank <= 8),
+      ord AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+              FROM (SELECT doc_id,
+                      ${TextStats.portableHash64Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS k
+                    FROM capped))
+      SELECT capped.doc_id, capped.source, capped.cap_rank, ord.pos
+      FROM capped JOIN ord USING (doc_id) ORDER BY capped.doc_id""")),
 
     ("q74_embed_outliers", (s: SparkSession, dir: String) => {
       graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,

@@ -31,6 +31,22 @@ class NullToleranceSpec extends SparkSpec {
     assert(docs.count() === 1)
   }
 
+  test("text operators degrade to null/empty on null text, never throw") {
+    val df = Seq((1L, Option("real words here to process fine")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    // per-row quality/entropy ops: null text -> null signals, no crash
+    val g = graft.text.Quality.gopherQuality(df).orderBy("doc_id").collect()
+    assert(g(0).getAs[Long]("n_words") === 6L)
+    assert(g(1).isNullAt(g(1).fieldIndex("n_words")))
+    val c = graft.text.Quality.c4Clean(df).orderBy("doc_id").collect()
+    assert(c(1).isNullAt(c(1).fieldIndex("text_clean")))
+    val e = df.select(graft.text.TextStats.charEntropy(col("text"))).collect()
+    assert(e(0).getDouble(0) > 0.0 || e(1).isNullAt(0))
+    // corpus ops: the null-text row simply contributes nothing
+    assert(graft.text.Dedup.ngramNovelty(df, n = 3).count() === 1)
+    assert(graft.text.Dedup.dupSpanTrim(df, n = 3).count() === 1)
+  }
+
   test("vote with null weight lands in downvotes (<=0 branch is null-safe)") {
     val v = Seq(("alice", "bob", "p", Option.empty[Int]))
       .toDF("voter", "author", "permlink", "weight")
