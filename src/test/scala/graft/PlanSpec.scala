@@ -86,6 +86,12 @@ class PlanSpec extends SparkSpec {
     // and both evaluate correctly through the codegen path
     assert(!df.head().isNullAt(0))
     assert(math.abs(emb.head().getDouble(0) - 1.0) < 1e-9)
+    val ent = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.catalyst.GraftFunctions.charEntropyNanos(col("text")).as("en"))
+    val p3 = ent.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p3.contains("Found 1 WholeStageCodegen subtrees"),
+      s"char_entropy_nanos fell out of codegen:\n${p3.take(300)}")
+    assert(ent.head().getLong(0) < 0L) // p·ln p terms are negative for prose
   }
 
   test("stratified sampling is a shuffle-free filter (pure projection predicate)") {
