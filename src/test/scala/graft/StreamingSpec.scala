@@ -113,6 +113,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Array((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a")))
   }
 
+  test("quality filters run unchanged on a stream (stateless batch/stream unification)") {
+    // gopherQuality/c4Clean are pure per-row projections, so the SAME
+    // operator code must work as a streaming transform with no
+    // modification — the property that lets one curation codebase serve
+    // both the backfill and the live ingest path.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+    val combined = graft.text.Quality.c4Clean(docs)
+      .select(col("doc_id"), col("n_kept"), col("keep_doc"))
+    val q = combined.writeStream
+      .outputMode("append").format("memory").queryName("quality_out").start()
+    val goodDoc = Seq(
+      "First proper sentence with plenty of words here.",
+      "Second proper sentence with plenty of words here.",
+      "Third proper sentence with plenty of words here.").mkString("\n")
+    mem.addData((1L, goodDoc), (2L, "no punctuation at all"))
+    q.processAllAvailable()
+    mem.addData((3L, goodDoc + "\ncode { brace }"))
+    q.processAllAvailable()
+    val rows = spark.table("quality_out")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows === Array((1L, 3L, true), (2L, 0L, false), (3L, 3L, false)))
+    // and the batch twin computes the identical verdicts
+    val batch = graft.text.Quality.c4Clean(
+        Seq((1L, goodDoc), (2L, "no punctuation at all"),
+          (3L, goodDoc + "\ncode { brace }")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("n_kept"), col("keep_doc"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(batch === rows)
+  }
+
   test("session windows in streaming mode match the gap rule (S4)") {
     // drive session_window through a memory sink on a small in-memory stream
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
