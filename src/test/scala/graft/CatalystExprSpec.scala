@@ -30,6 +30,34 @@ class CatalystExprSpec extends SparkSpec {
     assert(viaDf.toSeq === direct)
   }
 
+  test("char_entropy_nanos matches an independent reference on random strings") {
+    // independent reference: group codepoints with Scala collections and
+    // reproduce the exact snap arithmetic (BigDecimal HALF_UP, Math.log)
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      val n = cps.length.toDouble
+      if (cps.isEmpty) 0L
+      else cps.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        val r9 = java.math.BigDecimal.valueOf(p * math.log(p))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        java.math.BigDecimal.valueOf(r9 * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.sum
+    }
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcdefg 0123#.!\n"
+    val texts = (1 to 60).map(_ =>
+      (0 until (1 + rng.nextInt(120))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString) ++
+      Seq("a", "aa", " ", "the quick brown fox")
+    val viaDf = texts.toDF("t")
+      .select(GraftFunctions.charEntropyNanos(col("t"))).as[Long].collect()
+    assert(viaDf.toSeq === texts.map(ref))
+    // null -> null
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(GraftFunctions.charEntropyNanos(col("t"))).collect()(0).isNullAt(0))
+  }
+
   test("cosine_sim: known values and nulls") {
     val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 2f)))
       .toDF("a", "b", "c")
