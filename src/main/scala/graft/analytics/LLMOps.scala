@@ -442,6 +442,32 @@ object LLMOps {
         .orderBy(col("id_a"), col("id_b"))
     }, None),
 
+    // ---- Johnson–Lindenstrauss random projection: the sign matrix
+    //      derives from the portable hash of "rp:j:i", so the oracle
+    //      rebuilds the identical matrix in SQL and replays the
+    //      projection; per-term round-6 DECIMAL sums make the fold
+    //      order-independent. Output is the unscaled signed sum (see
+    //      Similarity.randomProjection's half-boundary note).
+    ("q90_random_projection", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.randomProjection(Tables(s, dir).embeddings,
+          dim = 64, outDim = 16)
+        .orderBy(col("vec_id"))
+    }, Some {
+      val cols = (0 until 16).map { j =>
+        val sign = TextStats.portableHash64Sql(
+          s"concat('rp:$j:', CAST(i - 1 AS VARCHAR))")
+        f"""round(CAST(list_sum(list_transform(range(1, 65), i ->
+             CAST(round(list_extract(v, i) *
+               (CASE WHEN $sign %% 2 = 0 THEN 1 ELSE -1 END), 6)
+             AS DECIMAL(25,6)))) AS DOUBLE), 6) AS p$j%02d"""
+      }.mkString(",\n             ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id,
+             $cols
+      FROM e ORDER BY vec_id"""
+    }),
+
     // ---- within-doc repetition ratio (Gopher signal). The ratio only
     //      depends on distinct/total k-gram COUNTS, which are
     //      hash-function-independent (no collisions at fixture scale) —

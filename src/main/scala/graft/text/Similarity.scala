@@ -472,6 +472,63 @@ object Similarity {
     * sums per-dim round-6 decimal addends (order-independent), so the
     * whole thing is oracle-replayable.
     */
+  /** Sign of the deterministic Rademacher entry (j, i) of the random
+    * projection matrix: ±1 from the parity of the portable 60-bit hash
+    * of `"rp:<j>:<i>"` — the same md5 derivation
+    * [[TextStats.portableHash64]] uses, computed here on the driver
+    * (j×i entries, index-sized) and recomputable verbatim by a SQL
+    * oracle.
+    */
+  private[graft] def rademacherSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's ±1
+    * variant): project `dim`-dimensional embeddings to `outDim`
+    * dimensions through a deterministic Rademacher sign matrix — the
+    * dimensionality-reduction step before LSH/IVF when the embedding
+    * width itself is the cost driver (distance distortion is bounded by
+    * the JL lemma).
+    *
+    * Output is the UNSCALED signed sum per output dimension: cosine
+    * consumers are scale-invariant, and distance consumers multiply by
+    * the constant 1/√outDim themselves. (Scaling inside the operator by
+    * 0.25 lands exact DECIMAL sums on round-6 HALF boundaries, where the
+    * engines' double-rounding paths legitimately disagree — measured
+    * 32/500 last-digit flips; the unscaled decimal → double → round-6
+    * path is the established-green BM25 pattern.)
+    *
+    * Determinism & parity: the sign matrix derives from the portable
+    * hash of "rp:j:i" (no RNG state, no seed file — any engine can
+    * rebuild it); each product term snaps to round-6 and sums as
+    * DECIMAL(25,6) — order-independent, so the engines may fold the
+    * terms in any order.
+    *
+    * Shape at scale: the matrix is outDim×dim literals baked into the
+    * projection expressions — a pure shuffle-free narrow pass, the
+    * kmeans-assignment shape. Output columns `p00..p<outDim-1>` are
+    * scalars (not an array) so downstream columnar pruning can drop
+    * unused output dims at the scan.
+    */
+  def randomProjection(embeddings: DataFrame, dim: Int, outDim: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val v = col(vecCol).cast("array<double>")
+    val outCols = (0 until outDim).map { j =>
+      val signs = typedlit((0 until dim).map(i => rademacherSign(j, i)))
+      val terms = zip_with(v, signs, (x, s) => round(x * s, 6).cast(D))
+      // re-cast the running sum to the accumulator type: decimal `+`
+      // widens precision and the aggregate merge must return the zero's
+      // type; (25,6) has 13 integer digits of headroom over any real sum
+      round(aggregate(terms, lit(0).cast(D), (a, x) => (a + x).cast(D)).cast("double"), 6)
+        .as(f"p$j%02d")
+    }
+    embeddings.select((col(idCol).as("vec_id") +: outCols): _*)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space with k-means, then inside each cluster drop every vector that

@@ -173,6 +173,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count { case (_, (kept, _)) => kept } >= 197)
   }
 
+  test("random projection: deterministic, identity-preserving, neighborhood-friendly") {
+    val copy = vecs.filter(col("vec_id") === 5).withColumn("vec_id", lit(900L))
+    val proj = Similarity.randomProjection(vecs.unionByName(copy), dim = dim, outDim = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(proj(5L) === proj(900L), "identical vectors must project identically")
+    assert(proj(5L) !== proj(6L), "distinct vectors must (generically) differ")
+    // the Rademacher matrix is balanced-ish: neither all +1 nor all -1
+    val signs = (0 until 4).flatMap(j => (0 until dim).map(i => Similarity.rademacherSign(j, i)))
+    assert(signs.count(_ > 0) > 8 && signs.count(_ < 0) > 8)
+  }
+
   test("per-query top-k fans out over a query set") {
     val queries = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
