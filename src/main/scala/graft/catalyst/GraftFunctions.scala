@@ -60,6 +60,10 @@ object GraftFunctions {
   /** Integer-nanos character-entropy sum — see [[CharEntropyNanos]]. */
   def charEntropyNanos(c: Column): Column = col(CharEntropyNanos(expr(c)))
 
+  /** One-pass JL ±1 projection — see [[RademacherProject]]. */
+  def rademacherProject(c: Column, outDim: Int): Column =
+    col(RademacherProject(expr(c), outDim))
+
   def hyperplaneBands(c: Column, bands: Int, rowsPerBand: Int, dim: Int, seed: Long): Column =
     col(HyperplaneBands(expr(c), bands, rowsPerBand, dim, seed))
 

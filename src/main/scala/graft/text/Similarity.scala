@@ -479,12 +479,8 @@ object Similarity {
     * (j×i entries, index-sized) and recomputable verbatim by a SQL
     * oracle.
     */
-  private[graft] def rademacherSign(j: Int, i: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 15)
-    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
-  }
+  private[graft] def rademacherSign(j: Int, i: Int): Double =
+    if (graft.catalyst.RademacherProject.positive(j, i)) 1.0 else -1.0
 
   /** Johnson–Lindenstrauss random projection (Achlioptas 2003's ±1
     * variant): project `dim`-dimensional embeddings to `outDim`
@@ -507,25 +503,23 @@ object Similarity {
     * DECIMAL(25,6) — order-independent, so the engines may fold the
     * terms in any order.
     *
-    * Shape at scale: the matrix is outDim×dim literals baked into the
-    * projection expressions — a pure shuffle-free narrow pass, the
-    * kmeans-assignment shape. Output columns `p00..p<outDim-1>` are
-    * scalars (not an array) so downstream columnar pruning can drop
-    * unused output dims at the scan.
+    * Shape at scale: one native pass per row over the input array
+    * ([[graft.catalyst.RademacherProject]], matrix memoized per JVM) —
+    * a pure shuffle-free narrow projection, the kmeans-assignment shape.
+    * Output columns `p00..p<outDim-1>` are scalars (not an array) so
+    * downstream columnar pruning can drop unused output dims at the
+    * scan.
     */
   def randomProjection(embeddings: DataFrame, dim: Int, outDim: Int = 16,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(25, 6)
-    val v = col(vecCol).cast("array<double>")
-    val outCols = (0 until outDim).map { j =>
-      val signs = typedlit((0 until dim).map(i => rademacherSign(j, i)))
-      val terms = zip_with(v, signs, (x, s) => round(x * s, 6).cast(D))
-      // re-cast the running sum to the accumulator type: decimal `+`
-      // widens precision and the aggregate merge must return the zero's
-      // type; (25,6) has 13 integer digits of headroom over any real sum
-      round(aggregate(terms, lit(0).cast(D), (a, x) => (a + x).cast(D)).cast("double"), 6)
-        .as(f"p$j%02d")
-    }
+    // one native pass computes all outDim sums (exact long-micros
+    // accumulation of the HALF_UP-rounded terms — bit-identical to the
+    // DECIMAL(25,6) fold the oracle replays); whole-stage codegen's
+    // subexpression elimination shares the array across the element_at
+    // projections
+    val proj = graft.catalyst.GraftFunctions
+      .rademacherProject(col(vecCol).cast("array<double>"), outDim)
+    val outCols = (0 until outDim).map(j => element_at(proj, j + 1).as(f"p$j%02d"))
     embeddings.select((col(idCol).as("vec_id") +: outCols): _*)
   }
 
