@@ -52,6 +52,29 @@ class DedupSpec extends SparkSpec {
     assert(exact.size === 10)
   }
 
+  test("banded dispatch equals exact on a seeded corpus with boundary-Jaccard pairs") {
+    // 1-to-3-word edits of 30-token docs put pair Jaccards right around
+    // the 0.8 threshold (J ≈ 0.7–0.9), exercising the band sizing where
+    // it is tightest; the outputs must still match exactly.
+    val rng = new scala.util.Random(11)
+    def doc(seed: Int) = (0 until 30).map(i => s"w${seed}_${i}").mkString(" ")
+    val corpus = (0 until 30).flatMap { s =>
+      val base = doc(s)
+      val toks = base.split(" ")
+      val edits = 1 + rng.nextInt(3)
+      val mutated = toks.clone()
+      (0 until edits).foreach(_ => mutated(rng.nextInt(30)) = s"x${rng.nextInt(1000)}")
+      Seq((s * 2L, base), (s * 2 + 1L, mutated.mkString(" ")))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val banded = Dedup.ngramJaccardPairs(df, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairsExact(df, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === exact)
+    assert(exact.nonEmpty, "fixture must generate pairs above the threshold")
+  }
+
   test("jaccardBandsFor sizes the signature to the miss target") {
     // (1 - t^2)^b <= 1e-9 at t=0.8 -> b = 21; t=0.5 -> b = 73
     assert(Dedup.jaccardBandsFor(0.8) === 21)
