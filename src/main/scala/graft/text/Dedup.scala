@@ -139,9 +139,13 @@ object Dedup {
     *    path.
     *  - `threshold < 0.5`: LSH cannot prune (the band count needed for
     *    a 1e-9 miss bound grows past the signature budget while the
-    *    candidate set approaches all-pairs anyway), so the exact
-    *    all-pairs kernel runs — intended for bounded verification sets,
-    *    as [[ngramJaccardPairsExact]] documents.
+    *    candidate set approaches all-pairs anyway), so the DETERMINISTIC
+    *    prefix-filtering join runs ([[jaccardJoinPrefix]]) — exact
+    *    output with zero miss probability, candidates bounded by
+    *    rare-token bucket mates instead of the corpus square. No
+    *    threshold regime falls back to all-pairs anymore;
+    *    [[ngramJaccardPairsExact]] remains only as the bounded oracle-
+    *    replay primitive.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, k: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -149,7 +153,67 @@ object Dedup {
       val bands = jaccardBandsFor(threshold, rowsPerBand = 2)
       minhashNearDups(docs, threshold, k, numHashes = 2 * bands, bands = bands,
         idCol = idCol, textCol = textCol)
-    } else ngramJaccardPairsExact(docs, threshold, k, idCol, textCol)
+    } else jaccardJoinPrefix(docs, threshold, k, idCol, textCol)
+
+  /** EXACT Jaccard similarity join by prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW 2007; Xiao et al., PPJoin, WWW 2008): the
+    * deterministic scale path for thresholds where banded MinHash
+    * cannot prune (t < 0.5), with NO miss probability at any threshold.
+    *
+    * Principle: order every document's shingle set by ascending global
+    * document frequency (rarest first; ties on the hash). If
+    * J(a,b) >= t then |a ∩ b| >= ceil(t·|a|), and a's suffix of length
+    * ceil(t·|a|) − 1 cannot hold the whole intersection — so every
+    * qualifying pair shares at least one token inside BOTH prefixes of
+    * length |x| − ceil(t·|x|) + 1. Candidates are therefore exactly the
+    * prefix-token bucket mates, and the rare-first ordering keeps those
+    * buckets small (a token of frequency f generates ≤ f² pairs, and
+    * prefixes systematically avoid frequent tokens).
+    *
+    * Shape at scale: one explode of (id, size, hash) triples; one
+    * map-side-combined df count on the hash; a per-doc rank window
+    * (shuffle on id); the candidate self-join keyed on the prefix
+    * token hash with the PPJoin length filter t·|b| <= |a| applied at
+    * the join; exact-Jaccard verification re-attaches the two shingle
+    * sets by key join. Every shuffle carries (hash, id, size) or
+    * (id, set) pairs — never text; no stage is quadratic in the corpus.
+    * Output is IDENTICAL to [[ngramJaccardPairsExact]] at any
+    * threshold — candidate generation is a superset of the qualifying
+    * pairs by the prefix theorem, and verification is exact.
+    */
+  def jaccardJoinPrefix(docs: DataFrame, threshold: Double, k: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    // the shingle sets feed the df count, the prefix ranking, and both
+    // verify joins — materialize the native one-pass shingle scan once
+    // (the minhashNearDups discipline)
+    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .localCheckpoint(true)
+    val tok = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = tok.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(byRank))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("h"), col("id"), col("sz"))
+    val cand = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
+      .filter(col("sz_a") * lit(threshold) <= col("sz_b") &&
+        col("sz_b") * lit(threshold) <= col("sz_a"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** Exact all-pairs n-gram Jaccard (no LSH) — the bounded verification
     * primitive backing oracle replay and per-bucket verify. Quadratic in

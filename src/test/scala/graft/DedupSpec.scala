@@ -75,6 +75,40 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must generate pairs above the threshold")
   }
 
+  test("prefix-filtered jaccard join equals the exact all-pairs kernel below the LSH cutoff") {
+    // Sub-0.5 thresholds are the regime where banded MinHash cannot
+    // prune and the prefix join is the designated scale path; the
+    // Bayardo prefix theorem says candidates ⊇ qualifying pairs and the
+    // verify is exact, so the outputs must match EXACTLY — no miss
+    // bound, unlike the banded dispatch. Fixture mixes heavy-overlap
+    // pairs, mid-overlap pairs, disjoint docs, and size-skewed docs
+    // (the length filter's edge).
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 20).flatMap { s =>
+      val n = 10 + rng.nextInt(30)
+      val base = (0 until n).map(i => s"w${s}_$i").mkString(" ")
+      val toks = base.split(" ")
+      val keep = toks.take(n / 2 + rng.nextInt(n / 2))    // 50–100% overlap slice
+      Seq((s * 2L, base),
+        (s * 2 + 1L, (keep ++ Seq(s"x$s", s"y$s")).mkString(" ")))
+    } ++ (0 until 5).map(i => (200L + i, s"lone $i " + (1 to 3).map(j => s"z${i}_$j").mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.4)) {
+      val pref = Dedup.jaccardJoinPrefix(df, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val exact = Dedup.ngramJaccardPairsExact(df, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref === exact, s"threshold $t")
+      assert(exact.nonEmpty, s"fixture must generate pairs at threshold $t")
+    }
+    // and the dispatch routes the sub-0.5 regime through the prefix join
+    val viaDispatch = Dedup.ngramJaccardPairs(df, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaPrefix = Dedup.jaccardJoinPrefix(df, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaDispatch === viaPrefix)
+  }
+
   test("jaccardBandsFor sizes the signature to the miss target") {
     // (1 - t^2)^b <= 1e-9 at t=0.8 -> b = 21; t=0.5 -> b = 73
     assert(Dedup.jaccardBandsFor(0.8) === 21)

@@ -198,6 +198,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("prefix jaccard join: candidate join keys on the prefix-token hash, text never shuffles") {
+    val p = plan("q91_jaccard_join")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text")),
+      s"text must be projected away before any shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("ngram novelty shuffles (hash, id) pairs only — text never reaches an exchange") {
     val p = plan("q79_ngram_novelty")
     // every Exchange's partitioning expressions mention only the gram
