@@ -49,6 +49,60 @@ object ScaleOps {
       FROM sh a, sh b WHERE a.id < b.id
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.4
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // ---- Bloom-filter decontamination with a no-false-negative
+    //      certification (the q42 playbook: approximate operator +
+    //      exact contract columns). The production path is the pure
+    //      Bloom probe (Bloom.bloomContaminationFlag — no join against
+    //      the reference set at all); the declared query ALSO runs the
+    //      exact broadcast-join count (q55's shape) and certifies the
+    //      sketch's defining guarantee per document: bloom hits >= exact
+    //      hits (a Bloom filter can never miss a true member). The
+    //      oracle replays the exact side in SQL and pins ok_no_fn TRUE;
+    //      the false-positive RATE (statistical, fpp-bound) is pinned by
+    //      BloomSpec, not the oracle.
+    ("q92_bloom_decontam", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val benchmark = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val bsh = benchmark
+        .select(explode(Dedup.shingleHashes(col("text"), 3)).as("sh"))
+        .distinct().localCheckpoint(true)
+      val bloom = graft.text.Bloom.buildLongBloom(bsh, "sh", fpp = 0.001)
+      val csh = corpus.select(col("doc_id").as("id"),
+        explode(Dedup.shingleHashes(col("text"), 3)).as("sh"))
+        .localCheckpoint(true)
+      val bloomHits = csh.filter(graft.text.Bloom.mightContain(bloom, col("sh")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_bloom"))
+      val exactHits = csh.join(broadcast(bsh), Seq("sh"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      corpus.select(col("doc_id").as("id"))
+        .join(bloomHits, Seq("id"), "left")
+        .join(exactHits, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"),
+          (coalesce(col("n_bloom"), lit(0L)) >= coalesce(col("n_shared"), lit(0L)))
+            .as("ok_no_fn"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH b AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+          i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' ')))) AS sh
+        FROM documents WHERE doc_id % 50 = 0),
+      c AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+          i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' ')))) AS sh
+        FROM documents WHERE doc_id % 50 <> 0),
+      h AS (SELECT doc_id, count(*) AS n_shared FROM c JOIN b USING (sh) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        COALESCE(h.n_shared, 0) > 0 AS contaminated,
+        TRUE AS ok_no_fn
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id"""))
   )
 }
