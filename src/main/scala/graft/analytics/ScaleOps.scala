@@ -103,6 +103,47 @@ object ScaleOps {
         COALESCE(h.n_shared, 0) > 0 AS contaminated,
         TRUE AS ok_no_fn
       FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
-      WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id"""))
+      WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""")),
+
+    // ---- heavy hitters via a mergeable Misra-Gries sketch, certified
+    //      against exact counts (the q42 playbook). The sketch is a
+    //      constant-size aggregation buffer (capacity 256) whose merge
+    //      runs in the partial-aggregate tree — at trillion-gram
+    //      vocabularies the exact groupBy's shuffle is the bottleneck
+    //      and the sketch replaces it with 256 entries per partition.
+    //      The declared query runs BOTH paths and certifies the MG
+    //      deviation contract on the exact top-20: every token with
+    //      exact count > N/capacity is present in the sketch, and the
+    //      sketch estimate is within [exact − N/capacity, exact]. The
+    //      oracle replays the exact side and pins both certs TRUE.
+    ("q93_heavy_hitters", (s: SparkSession, dir: String) => {
+      val cap = 256
+      val toks = Tables(s, dir).documents
+        .select(explode(TextStats.tokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      val sketch = toks
+        .agg(graft.catalyst.GraftFunctions.misraGriesTopK(col("tok"), cap).as("mg"))
+        .select(explode(col("mg")).as(Seq("tok", "est")))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(sketch), Seq("tok"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("n_exact"),
+          (col("est").isNotNull ||
+            col("n_exact") * cap <= col("n_total")).as("present_ok"),
+          (coalesce(col("est"), lit(0L)) <= col("n_exact") &&
+            (col("n_exact") - coalesce(col("est"), lit(0L))) * cap <= col("n_total"))
+            .as("err_ok"))
+        .orderBy(col("n_exact").desc, col("tok"))
+        .limit(20)
+    }, Some(s"""
+      WITH t AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
+             TRUE AS present_ok, TRUE AS err_ok
+      FROM t GROUP BY tok
+      ORDER BY n_exact DESC, tok LIMIT 20"""))
   )
 }

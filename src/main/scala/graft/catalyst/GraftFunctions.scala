@@ -64,6 +64,12 @@ object GraftFunctions {
   def rademacherProject(c: Column, outDim: Int): Column =
     col(RademacherProject(expr(c), outDim))
 
+  /** Mergeable Misra-Gries heavy-hitter summary of a string column —
+    * map<token, lower-bound count>, see [[MisraGriesTopK]].
+    */
+  def misraGriesTopK(c: Column, capacity: Int): Column =
+    col(MisraGriesTopK(expr(c), capacity).toAggregateExpression())
+
   def hyperplaneBands(c: Column, bands: Int, rowsPerBand: Int, dim: Int, seed: Long): Column =
     col(HyperplaneBands(expr(c), bands, rowsPerBand, dim, seed))
 

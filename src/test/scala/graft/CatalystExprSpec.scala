@@ -171,4 +171,30 @@ class CatalystExprSpec extends SparkSpec {
       .select(GraftFunctions.portableShingles(col("t"), 3)).as[Seq[Long]].collect()
     assert(short.forall(_.isEmpty))
   }
+
+  test("misra-gries sketch keeps its presence and deviation guarantees under distributed merge") {
+    // Zipf-ish stream across 32 partitions: the partial buffers must
+    // serialize, merge, and compact without ever violating the
+    // mergeable-summaries contract: est <= exact everywhere, deviation
+    // <= N/(cap+1), and every token above the N/(cap+1) support line
+    // survives compaction. cap=16 against ~200 distinct tokens forces
+    // many compactions.
+    val items = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"tok$i"))
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = items.size.toLong
+    val cap = 16
+    val sketch = items.toDF("tok").repartition(32)
+      .agg(GraftFunctions.misraGriesTopK(col("tok"), cap).as("mg"))
+      .select(explode(col("mg")).as(Seq("tok", "est")))
+      .as[(String, Long)].collect().toMap
+    assert(sketch.size <= cap)
+    val bound = n / (cap + 1)
+    sketch.foreach { case (tok, est) =>
+      assert(est <= exact(tok), s"$tok overestimated: $est > ${exact(tok)}")
+      assert(exact(tok) - est <= bound, s"$tok deviates past N/(cap+1): ${exact(tok) - est}")
+    }
+    exact.filter(_._2 > bound).keys.foreach { tok =>
+      assert(sketch.contains(tok), s"frequent token $tok (> $bound) missing from sketch")
+    }
+  }
 }

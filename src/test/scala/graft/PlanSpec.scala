@@ -207,6 +207,15 @@ class PlanSpec extends SparkSpec {
       s"text must be projected away before any shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("misra-gries sketch aggregates partial+final — constant-size buffers cross the shuffle") {
+    val p = plan("q93_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; two levels
+    // means the capacity-bounded buffer (not the token stream) is what
+    // crosses the exchange
+    val objAggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate in:\n$p")
+  }
+
   test("ngram novelty shuffles (hash, id) pairs only — text never reaches an exchange") {
     val p = plan("q79_ngram_novelty")
     // every Exchange's partitioning expressions mention only the gram
