@@ -144,6 +144,39 @@ object ScaleOps {
       SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
              TRUE AS present_ok, TRUE AS err_ok
       FROM t GROUP BY tok
-      ORDER BY n_exact DESC, tok LIMIT 20"""))
+      ORDER BY n_exact DESC, tok LIMIT 20""")),
+
+    // ---- PMI collocations (Church & Hanks): top adjacent word pairs
+    //      by pointwise mutual information, min pair count 5. The score
+    //      is one mirrored IEEE double chain over exact integer counts
+    //      snapped round-6 (the q65 lp discipline), so the oracle
+    //      recomputes the values bit-for-bit; ties at a rounded score
+    //      break on (w1, w2).
+    ("q94_pmi_collocations", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.pmiCollocations(Tables(s, dir).documents, minCount = 5)
+        .orderBy(col("pmi_r").desc, col("w1"), col("w2"))
+        .limit(50)
+    }, Some(s"""
+      WITH t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+      u AS (SELECT unnest(toks) AS w FROM t),
+      uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM u GROUP BY w),
+      tot1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM u),
+      i AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 j -> struct_pack(w1 := toks[j], w2 := toks[j + 1]))) AS pr
+        FROM t WHERE len(toks) >= 2),
+      bc AS (
+        SELECT pr.w1 AS w1, pr.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM i GROUP BY 1, 2 HAVING count(*) >= 5),
+      tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM i)
+      SELECT w1, w2, c12,
+             round(ln((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) * CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE))),
+                   6) AS pmi_r
+      FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot1, tot2
+      ORDER BY pmi_r DESC, w1, w2 LIMIT 50"""))
   )
 }

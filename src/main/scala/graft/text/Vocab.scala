@@ -92,6 +92,53 @@ object Vocab {
         .as("intercept_r"))
   }
 
+  /** Corpus-wide PMI collocations: pointwise mutual information of
+    * adjacent word pairs, PMI(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2)))
+    * with P(w1,w2) = c12/N2 (bigram instances) and P(w) = cu/N1 (token
+    * occurrences) — the classic collocation-extraction statistic
+    * (Church & Hanks 1990). `minCount` trims the rare-pair noise PMI is
+    * notoriously dominated by.
+    *
+    * Parity: all five inputs (c12, cu1, cu2, N1, N2) are exact
+    * integers; the score is ONE mirrored IEEE chain
+    * ln((c12·N1·N1)/(N2·cu1·cu2)) over their double casts, snapped
+    * round-6 (the q65 lp discipline) — so a DuckDB oracle recomputes it
+    * bit-for-bit.
+    *
+    * Shape at scale: bigram instances are a generator pass (corpus ×1);
+    * both count tables are map-side-combined aggregates; the scoring
+    * join runs on the minCount-FILTERED pair table (collocation-sized,
+    * not corpus-sized) against the vocabulary-sized unigram table, keys
+    * (w1)/(w2) — Zipf skew on stopword keys is the q65 AQE-skew-join
+    * argument. Totals ride along as one-row broadcasts.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      textCol: String = "text"): DataFrame = {
+    val t = docs.select(words(col(textCol)).as("toks"))
+    val inst = t.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n1 = uni.agg(sum(col("cu")).as("n1"))
+    val pairs = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val n2 = inst.agg(count(lit(1)).as("n2"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          (col("c12").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+            (col("n2").cast("double") * col("cu1").cast("double") * col("cu2").cast("double"))),
+          6).as("pmi_r"))
+  }
+
   /** Per-document out-of-vocabulary statistics against the corpus'
     * own top-`vocabSize` vocabulary: token count, OOV count, OOV ratio.
     * The vocab is vocabulary-sized by construction, so it broadcasts;
