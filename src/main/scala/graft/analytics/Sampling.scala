@@ -80,6 +80,65 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < rate)
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much likelier its hashed-unigram features
+    * are under a TARGET distribution (documents matching `isTarget` —
+    * the high-quality/in-domain exemplar set) than under the RAW corpus
+    * distribution:
+    *
+    *   logw(doc) = Σ over tokens of ln( p_t[bucket(w)] / p_r[bucket(w)] )
+    *
+    * with add-1-smoothed bucket probabilities p[b] = (c[b]+1)/(N+B)
+    * over B portable-hash feature buckets. Positive logw ⇒ the document
+    * looks more target-like than corpus-average; resampling keeps the
+    * positive tail (or samples ∝ exp(logw) when stochasticity is
+    * wanted — this deterministic form is the resumable default, the
+    * [[stratifiedSample]] philosophy).
+    *
+    * Parity: bucket counts and totals are exact integers; each bucket's
+    * log-ratio is ONE mirrored IEEE chain snapped round-6; the per-doc
+    * sum runs in DECIMAL(25,6) (order-independent — the q65
+    * discipline), so a DuckDB oracle replays every weight bit-for-bit
+    * (bucketing uses the md5-portable hash, not xxhash).
+    *
+    * Shape at scale: one token explode (corpus ×1, carrying (id, bool,
+    * bucket) triples); the two count tables are B rows after map-side
+    * combine; the log-ratio table is B rows and BROADCASTS back onto
+    * the token stream; the per-doc sum is one map-side-combined
+    * aggregate on doc_id. Nothing corpus-sized shuffles except the
+    * token explode's aggregation, and no stage depends on corpus order.
+    */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column, buckets: Int = 512,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val bd = buckets.toDouble
+    // feeds the raw counts, the target counts, and the score join —
+    // materialize the md5-per-token pass once (minhashNearDups
+    // discipline)
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(filter(TextStats.tokens(lower(col(textCol))), w => w =!= lit(""))).as("w"))
+      .withColumn("b", pmod(TextStats.portableHash64(col("w")), lit(buckets.toLong)))
+      .select(col("doc_id"), col("is_target"), col("b"))
+      .localCheckpoint(true)
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("is_target")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) * (col("nr").cast("double") + bd)) /
+            ((col("cr").cast("double") + 1.0) * (col("nt").cast("double") + bd))), 6).as("lr"))
+    toks.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr").cast(D)).cast("double").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s"), 6).as("logw_r"),
+        (round(col("s"), 6) > 0.0).as("keep"))
+  }
+
   /** Per-group contribution cap: keep at most `k` rows per group (the
     * per-domain cap a crawl pipeline applies so no single site dominates
     * the corpus), chosen deterministically by portable-hash order — a

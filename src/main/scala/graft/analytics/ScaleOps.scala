@@ -177,6 +177,42 @@ object ScaleOps {
                       / (CAST(n2 AS DOUBLE) * CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE))),
                    6) AS pmi_r
       FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot1, tot2
-      ORDER BY pmi_r DESC, w1, w2 LIMIT 50"""))
+      ORDER BY pmi_r DESC, w1, w2 LIMIT 50""")),
+
+    // ---- DSIR importance weights (hashed-unigram target/raw likelihood
+    //      ratio): target = the English slice, raw = the whole corpus.
+    //      Every input to the score is an exact integer count; the
+    //      bucket log-ratio is one mirrored IEEE chain snapped round-6
+    //      and the per-doc sum runs in DECIMAL(25,6), so the oracle
+    //      replays every weight bit-for-bit through the md5-portable
+    //      bucket hash.
+    ("q95_dsir_weights", (s: SparkSession, dir: String) => {
+      Sampling.dsirLogWeights(Tables(s, dir).documents,
+          isTarget = col("lang") === "en", buckets = 512)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tb AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               ${TextStats.portableHash64Sql("w")} % 512 AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                        x -> x <> '')) AS w
+              FROM documents)),
+      raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+      tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE is_target GROUP BY b),
+      tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nr,
+                     (SELECT CAST(count(*) AS BIGINT) FROM tb WHERE is_target) AS nt),
+      lr AS (
+        SELECT raw.b,
+               round(ln(((CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0)
+                           * (CAST(tot.nr AS DOUBLE) + 512.0))
+                        / ((CAST(raw.cr AS DOUBLE) + 1.0)
+                           * (CAST(tot.nt AS DOUBLE) + 512.0))), 6) AS lr
+        FROM raw LEFT JOIN tgt USING (b), tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE), 6) AS logw_r,
+             round(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE), 6) > 0.0 AS keep
+      FROM tb JOIN lr USING (b)
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

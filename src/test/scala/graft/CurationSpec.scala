@@ -240,6 +240,25 @@ class CurationSpec extends SparkSpec {
     assert(totalDocs === 500L) // partitions the whole fixture corpus
   }
 
+  test("DSIR weights separate target-like from off-target documents") {
+    // target = docs whose tokens come from the "quality" vocabulary;
+    // raw = everything. Docs written in the target vocabulary must
+    // score positive logw (likelier under target than raw), docs in the
+    // disjoint junk vocabulary negative; a mixed doc sits between.
+    val qualityDoc = (i: Int) => (0 until 30).map(j => s"good${j % 12}").mkString(" ")
+    val junkDoc = (i: Int) => (0 until 30).map(j => s"junk${(i * 7 + j) % 40}").mkString(" ")
+    val corpus = ((0 until 10).map(i => (i.toLong, qualityDoc(i), true)) ++
+      (10 until 20).map(i => (i.toLong, junkDoc(i), false)) ++
+      Seq((99L, qualityDoc(0).split(" ").take(15).mkString(" ") + " " +
+        junkDoc(0).split(" ").take(15).mkString(" "), false)))
+      .toDF("doc_id", "text", "is_target")
+    val out = Sampling.dsirLogWeights(corpus, isTarget = col("is_target"))
+      .select("doc_id", "logw_r").as[(Long, Double)].collect().toMap
+    (0 until 10).foreach(i => assert(out(i.toLong) > 0, s"target doc $i must score positive"))
+    (10 until 20).foreach(i => assert(out(i.toLong) < 0, s"junk doc $i must score negative"))
+    assert(out(99L) > out(10L) && out(99L) < out(0L), "mixed doc sits between")
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
