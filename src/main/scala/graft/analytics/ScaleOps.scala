@@ -213,6 +213,42 @@ object ScaleOps {
              round(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE), 6) AS logw_r,
              round(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE), 6) > 0.0 AS keep
       FROM tb JOIN lr USING (b)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- training-shard manifest: documents walk the deterministic
+    //      q86 permutation, shards cut at a 2048-token budget, and each
+    //      shard's manifest row carries counts, the position range, and
+    //      an order-free fingerprint-xor checksum. The oracle replays
+    //      the permutation AND the running token offset with plain
+    //      global windows — equality proves the two-phase bucket
+    //      decomposition is the exact global prefix sum (the q58/q86
+    //      argument, composed).
+    ("q96_shard_manifest", (s: SparkSession, dir: String) => {
+      graft.text.Packing.shardManifest(Tables(s, dir).documents, tokensPerShard = 2048L)
+        .orderBy(col("shard_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS n_tokens,
+               ${TextStats.portableHash64Sql(
+                 s"array_to_string(regexp_split_to_array(lower(trim(text)), '$ws+'), ' ')")} AS fp,
+               ${TextStats.portableHash64Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS k
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens, fp,
+               CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+        FROM t),
+      s AS (
+        SELECT doc_id, n_tokens, fp, pos,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        FROM o)
+      SELECT CAST(start_offset // 2048 AS BIGINT) AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+             CAST(MIN(pos) AS BIGINT) AS first_pos,
+             CAST(MAX(pos) AS BIGINT) AS last_pos,
+             bit_xor(fp) AS fp_xor
+      FROM s GROUP BY 1 ORDER BY shard_id"""))
   )
 }

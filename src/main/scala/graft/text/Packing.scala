@@ -52,6 +52,54 @@ object Packing {
         col("first_seq"), col("last_seq"))
   }
 
+  /** Training-shard manifest: walk the corpus in the deterministic
+    * [[trainingOrder]] permutation, assign each document to the shard
+    * holding its FIRST token under a fixed `tokensPerShard` budget
+    * (shard = running-token-offset DIV budget), and emit one manifest
+    * row per shard: document count, token total, the covered
+    * permutation-position range, and an order-free xor checksum of the
+    * content fingerprints (what a writer job would persist next to each
+    * shard file so a resumed / re-run export can prove shard equality
+    * without re-reading payloads).
+    *
+    * The running token offset in permutation order reuses the
+    * [[packOffsets]] two-phase prefix-sum discipline, but bucketed on
+    * position ranges (pos is the global permutation rank, so
+    * `(pos−1) DIV bucketSize` buckets are contiguous permutation
+    * slices): per-bucket totals aggregate in parallel, the bucket-table
+    * window is the one tiny serial step, within-bucket prefix sums run
+    * PARTITIONed BY bucket. No unpartitioned window ever touches the
+    * corpus; the manifest aggregate is one map-side-combined groupBy on
+    * shard_id.
+    */
+  def shardManifest(docs: DataFrame, tokensPerShard: Long, bucketSize: Int = 4096,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextStats.fingerprint(col(textCol)).as("fp"))
+      .join(trainingOrder(docs, idCol = idCol), Seq("doc_id"))
+      .withColumn("pbucket", expr(s"(pos - 1) DIV $bucketSize"))
+    val bucketOffsets = base.groupBy(col("pbucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset", coalesce(
+        sum(col("btotal")).over(Window.orderBy(col("pbucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pbucket"), col("boffset"))
+    val w = Window.partitionBy(col("pbucket")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), Seq("pbucket"))
+      .withColumn("start_offset",
+        col("boffset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"start_offset DIV $tokensPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        expr("bit_xor(fp)").as("fp_xor"))
+  }
+
   /** Deterministic training-order shuffle: assign every document its
     * position in a pseudo-random global permutation — the corpus
     * shuffling step before sequence packing (training wants documents in

@@ -207,6 +207,15 @@ class PlanSpec extends SparkSpec {
       s"text must be projected away before any shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("shard manifest windows per position bucket — no corpus-sized global window") {
+    val p = graft.text.Packing
+      .shardManifest(spark.read.parquet(s"$sf/documents.parquet"), tokensPerShard = 2048L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast:\n$p")
+    assert(p.contains("hashpartitioning(pbucket") || p.contains("hashpartitioning(b"),
+      s"corpus prefix-sum window must hash-partition by bucket:\n$p")
+  }
+
   test("misra-gries sketch aggregates partial+final — constant-size buffers cross the shuffle") {
     val p = plan("q93_heavy_hitters")
     // TypedImperativeAggregate plans as ObjectHashAggregate; two levels
