@@ -198,13 +198,25 @@ object Dedup {
     val prefix = tok.join(dfreq, Seq("h"))
       .withColumn("rn", row_number().over(byRank))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("h"), col("id"), col("sz"))
-    val cand = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+      .select(col("h"), col("id"), col("sz"), col("rn"))
+    // positional filter (PPJoin Lemma 1): for the FIRST token the pair
+    // shares — which the global rarest-first order forces into both
+    // prefixes — every other common element sits after it on BOTH
+    // sides, so overlap <= 1 + min(sz_a − rn_a, sz_b − rn_b). A later
+    // shared token only tightens the bound, so testing every
+    // occurrence and keeping the pair if ANY passes is equivalent to
+    // testing the first. J >= t needs overlap >= ceil(t(|a|+|b|)/(1+t)).
+    val cand = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       // length filter: J >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
       .filter(col("sz_a") * lit(threshold) <= col("sz_b") &&
         col("sz_b") * lit(threshold) <= col("sz_a"))
+      // the 1e-9 slack keeps an FP wobble at an exact-integer bound from
+      // ceil-ing one too high and dropping a qualifying pair — it can
+      // only loosen the filter, never tighten it
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+        ceil((col("sz_a") + col("sz_b")) * lit(threshold) / lit(1.0 + threshold) - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
       .distinct()
     cand
