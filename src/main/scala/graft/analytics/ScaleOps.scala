@@ -249,6 +249,118 @@ object ScaleOps {
              CAST(MIN(pos) AS BIGINT) AS first_pos,
              CAST(MAX(pos) AS BIGINT) AS last_pos,
              bit_xor(fp) AS fp_xor
-      FROM s GROUP BY 1 ORDER BY shard_id"""))
+      FROM s GROUP BY 1 ORDER BY shard_id""")),
+
+    // ---- dedup-cluster representative selection: keep the LONGEST
+    //      copy per near-dup cluster (token count, doc_id tiebreak) —
+    //      the q57 composition taken to its decision. Pairs come from
+    //      banded MinHash at 0.8 (16 one-row bands ⇒ miss <= 6.6e-12,
+    //      the q37 equality argument), so the oracle rebuilds the same
+    //      clusters by recursive-CTE transitive closure over exact
+    //      all-pairs Jaccard and replays the argmax with a window. The
+    //      score is an integer token count — no float parity surface.
+    ("q97_cluster_keep", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8,
+        numHashes = 16, bands = 16)
+      Dedup.selectRepresentatives(docs, pairs,
+          score = TextStats.tokenCount(col("text")).cast("long"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 500)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b FROM sh a, sh b
+        WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(n, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.n = e.src),
+      labels AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+      d AS (
+        SELECT doc_id,
+               COALESCE(l.cluster_id, doc_id) AS cluster_id,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS score
+        FROM documents LEFT JOIN labels l USING (doc_id)
+        WHERE doc_id < 500)
+      SELECT doc_id, cluster_id, score,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, doc_id) = 1 AS keep
+      FROM d ORDER BY doc_id""")),
+
+    // ---- corpus snapshot delta: two overlapping 90% slices of the
+    //      fixture stand in for consecutive crawl snapshots; the diff
+    //      keys on the portable content fingerprint, so the oracle
+    //      replays the full comparison value-for-value.
+    ("q98_snapshot_delta", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      Dedup.snapshotDelta(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 3),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 7))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH o AS (
+        SELECT DISTINCT ${TextStats.portableHash64Sql(
+          s"array_to_string(regexp_split_to_array(lower(trim(text)), '$ws+'), ' ')")} AS fp,
+               source
+        FROM documents WHERE doc_id % 10 <> 3),
+      n AS (
+        SELECT DISTINCT ${TextStats.portableHash64Sql(
+          s"array_to_string(regexp_split_to_array(lower(trim(text)), '$ws+'), ' ')")} AS fp,
+               source
+        FROM documents WHERE doc_id % 10 <> 7),
+      j AS (
+        SELECT COALESCE(o.source, n.source) AS source,
+               o.fp IS NOT NULL AS in_old, n.fp IS NOT NULL AS in_new
+        FROM o FULL JOIN n ON o.fp = n.fp AND o.source = n.source)
+      SELECT source,
+             CAST(SUM(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(SUM(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      FROM j GROUP BY source ORDER BY source""")),
+
+    // ---- robust (CCNet-normalization) dedup: reprints of every
+    //      fixture doc with injected page counters/punctuation must
+    //      collapse onto their originals under the digit/punct-stripping
+    //      fingerprint (every cluster lands n_copies=2 — the value-level
+    //      proof the normalization merges what it should), while plain
+    //      exact dedup (q30) keeps them apart. Grouping keys on the
+    //      md5-portable hash; the oracle groups the literal normalized
+    //      string.
+    ("q99_robust_dedup", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val reprints = docs.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" -- "), col("doc_id").cast("string"),
+          lit(" / 500 --")).as("text"))
+      docs.unionByName(reprints)
+        .groupBy(TextStats.robustFingerprint(col("text")).as("rfp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }, Some(s"""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000,
+               concat(text, ' -- ', CAST(doc_id AS VARCHAR), ' / 500 --')
+        FROM documents)
+      SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM all_docs
+      GROUP BY array_to_string(list_filter(regexp_split_to_array(
+        regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                       '[^a-z${TextStats.wsCharsSql}]', '', 'g'),
+        '$ws+'), x -> x <> ''), ' ')
+      ORDER BY keep_id"""))
   )
 }

@@ -338,6 +338,33 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6).as("fp_jaccard"))
   }
 
+  /** Corpus snapshot delta — the incremental-crawl bookkeeping view:
+    * compare two corpus snapshots by normalized content fingerprint and
+    * report, per source, how many distinct contents were added, removed,
+    * and retained. This is what decides whether a re-crawl is worth a
+    * retrain and which feeds churn.
+    *
+    * Shape at scale: each side reduces to a distinct (fingerprint,
+    * source) pair set — one map-side-combined shuffle each, carrying
+    * 8-byte keys, never text; the comparison is a full-outer join
+    * key-partitioned on the same pair; the report is a source-count
+    * aggregate. No stage is corpus-quadratic and nothing collects.
+    */
+  def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame,
+                    textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    def fps(d: DataFrame, marker: String) = d
+      .select(TextStats.fingerprint(col(textCol)).as("fp"), col(srcCol).as("source"))
+      .distinct()
+      .withColumn(marker, lit(1))
+    fps(oldDocs, "in_old")
+      .join(fps(newDocs, "in_new"), Seq("fp", "source"), "full_outer")
+      .groupBy(col("source"))
+      .agg(sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash: lowercase, tokenize on whitespace, xxhash64 each
@@ -529,6 +556,33 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("id") === col("label")).as("is_representative")),
       round)
+  }
+
+  /** Dedup-cluster representative selection — the decision step after
+    * [[connectedComponents]]: inside every near-dup cluster keep exactly
+    * one document, chosen by the caller's quality score (longest /
+    * highest-quality copy) with doc_id as the deterministic tiebreak;
+    * singletons (docs in no pair) keep themselves. This replaces the
+    * min-id `is_representative` default with the policy real pipelines
+    * want ("of the 12 mirrors of this page, keep the cleanest one").
+    *
+    * Shape at scale: one left join of the corpus onto the (id, cluster)
+    * label table (key-partitioned on doc_id), one rank window
+    * PARTITIONed BY cluster_id — near-dup clusters are tiny (bounded by
+    * mirror counts), so the window sort is per-group trivial; nothing
+    * unpartitioned, text never shuffles (only id, cluster, score).
+    */
+  def selectRepresentatives(docs: DataFrame, pairs: DataFrame, score: Column,
+                            idCol: String = "doc_id"): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), score.as("score"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("score"), col("keep"))
   }
 
   /** Cross-document duplicated-span coverage: for every `n`-token

@@ -150,6 +150,21 @@ object TextStats {
   def fingerprint(text: Column): Column =
     portableHash64(array_join(tokens(lower(trim(text))), " "))
 
+  /** Aggressive CCNet-style normalization fingerprint: lowercase, strip
+    * digit runs, strip every non-letter character, collapse whitespace —
+    * so "reprints" differing only in page numbers, dates, punctuation,
+    * or counters collapse onto one key. The standard pre-dedup
+    * normalization of web-corpus pipelines, one step beyond
+    * [[fingerprint]]'s whitespace/case robustness. The character class
+    * spells out the Java `\s` set explicitly ([[wsCharsSql]]) so the
+    * oracle's RE2 replays it byte-for-byte (the ADVICE r3 vertical-tab
+    * delta).
+    */
+  def robustFingerprint(text: Column): Column =
+    portableHash64(array_join(
+      filter(tokens(regexp_replace(regexp_replace(lower(text), "[0-9]+", ""),
+        s"[^a-z$wsCharsSql]", "")), w => w =!= lit("")), " "))
+
   /** Winnowing fingerprints (Schleimer et al.): k-gram hashes → the
     * minimum of each sliding window of `w` consecutive hashes, deduped.
     * Guarantees any shared substring of length >= k + w - 1 produces a

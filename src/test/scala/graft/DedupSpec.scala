@@ -155,6 +155,19 @@ class DedupSpec extends SparkSpec {
       (3L, "totally novel content")))
   }
 
+  test("representative selection keeps the best-scoring copy per cluster, singletons keep themselves") {
+    val corpus = Seq(
+      (1L, "short copy"), (2L, "the longer of the two copies"), (3L, "middle sized copy"),
+      (7L, "a lone document with no duplicates")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // 1-2-3 one cluster
+    val out = Dedup.selectRepresentatives(corpus, pairs,
+        score = graft.text.TextStats.tokenCount(col("text")).cast("long"))
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "keep").as[(Long, Long, Boolean)].collect()
+    // doc 2 (6 tokens) beats 3 (3 tokens) and 1 (2 tokens); 7 is its own cluster
+    assert(out === Array((1L, 1L, false), (2L, 1L, true), (3L, 1L, false), (7L, 7L, true)))
+  }
+
   test("repetition ratio: novel text -> 0, degenerate loop -> high") {
     val df = Seq(
       ("one two three four five six"),
