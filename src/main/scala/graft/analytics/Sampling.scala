@@ -139,6 +139,32 @@ object Sampling {
         (round(col("s"), 6) > 0.0).as("keep"))
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministically: the
+    * Efraimidis–Spirakis exponential-clock scheme. Each row draws a
+    * uniform u from its portable hash bucket (ppm granularity) and gets
+    * clock r = −ln(u)/w; the n smallest clocks are a weight-proportional
+    * sample without replacement — P(first pick = i) = w_i / Σw exactly,
+    * by the exponential races argument. Hash-derived clocks make the
+    * draw reproducible across runs, retries, and engines (the
+    * [[stratifiedSample]] philosophy applied to weighted draws — e.g.
+    * "pick a 100-document audit sample ∝ token count").
+    *
+    * Parity: u = (bucket + 0.5)/1e6 from integer buckets, w integer;
+    * the clock is one mirrored IEEE chain snapped round-9, so the
+    * oracle recomputes every clock bit-for-bit.
+    *
+    * Shape at scale: a pure projection followed by a global top-n —
+    * which Catalyst plans as TakeOrderedAndProject (per-partition
+    * heaps + a driver merge of n-row tops), never a full sort.
+    */
+  def prioritySample(df: DataFrame, weight: Column, n: Int,
+                     keyCol: String = "doc_id", salt: String = "prio"): DataFrame = {
+    val u = (hashBucketN(col(keyCol), salt, 1000000L).cast("double") + 0.5) / 1000000.0
+    df.withColumn("clock_r", round(-log(u) / weight.cast("double"), 9))
+      .orderBy(col("clock_r"), col(keyCol))
+      .limit(n)
+  }
+
   /** Per-group contribution cap: keep at most `k` rows per group (the
     * per-domain cap a crawl pipeline applies so no single site dominates
     * the corpus), chosen deterministically by portable-hash order — a

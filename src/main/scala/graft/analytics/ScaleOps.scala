@@ -361,6 +361,29 @@ object ScaleOps {
         regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
                        '[^a-z${TextStats.wsCharsSql}]', '', 'g'),
         '$ws+'), x -> x <> ''), ' ')
-      ORDER BY keep_id"""))
+      ORDER BY keep_id""")),
+
+    // ---- weighted priority sample (Efraimidis–Spirakis): a
+    //      100-document draw ∝ token count with deterministic
+    //      portable-hash clocks. Integer buckets and weights, one
+    //      mirrored IEEE clock chain snapped round-9 — the oracle
+    //      replays every clock and the top-100 cut exactly.
+    ("q100_priority_sample", (s: SparkSession, dir: String) => {
+      Sampling.prioritySample(
+          Tables(s, dir).documents
+            .select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens")),
+          weight = col("n_tokens"), n = 100)
+        .select(col("doc_id"), col("n_tokens"), col("clock_r"))
+        .orderBy(col("clock_r"), col("doc_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS n_tokens,
+               ${Sampling.hashBucketNSql("doc_id", "prio", 1000000L)} AS b
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             round(-ln((CAST(b AS DOUBLE) + 0.5) / 1000000.0)
+                   / CAST(n_tokens AS DOUBLE), 9) AS clock_r
+      FROM t ORDER BY clock_r, doc_id LIMIT 100"""))
   )
 }

@@ -51,6 +51,26 @@ class BloomSpec extends SparkSpec {
     (100 to 119).foreach(i => assert(!out(i.toLong), s"doc $i is clean and must not flag"))
   }
 
+  test("bloom probe runs unchanged under Structured Streaming (stateless predicate)") {
+    // the probe is a pure codegen'd predicate, so the SAME expression
+    // must serve the live-ingest path with no modification — incremental
+    // dedup against yesterday's corpus sketch, applied to today's stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val members = (0L until 1000L).map(i => i * 7919L)
+    val bloom = Bloom.buildLongBloom(members.toDF("v"), "v", fpp = 1e-6,
+      expectedItems = Some(10000L))
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("v")
+      .filter(Bloom.mightContain(bloom, col("v")))
+      .writeStream.outputMode("append").format("memory").queryName("bloom_out").start()
+    mem.addData(0L, 7919L, 1L, 2L, 999L * 7919L, 12345L)
+    q.processAllAvailable()
+    val flagged = spark.table("bloom_out").as[Long].collect().toSet
+    q.stop()
+    assert(flagged === Set(0L, 7919L, 999L * 7919L))
+  }
+
   test("bloom probe is a pure filter: the sketch never joins, text never shuffles") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bsh = docs.filter(col("doc_id") % 50 === 0)

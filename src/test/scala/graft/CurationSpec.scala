@@ -259,6 +259,24 @@ class CurationSpec extends SparkSpec {
     assert(out(99L) > out(10L) && out(99L) < out(0L), "mixed doc sits between")
   }
 
+  test("priority sample: heavy-weight rows dominate the weighted draw") {
+    // 500 light rows (w=1) vs 100 heavy rows (w=100): heavy mass is
+    // 10000/10500 ≈ 95%, so a 50-row draw is overwhelmingly heavy rows.
+    // The clocks are hash-deterministic, so this is a fixed outcome,
+    // not a flaky statistical assertion.
+    val rows = ((0 until 500).map(i => (i.toLong, 1L)) ++
+      (1000 until 1100).map(i => (i.toLong, 100L))).toDF("doc_id", "w")
+    val sample = Sampling.prioritySample(rows, weight = col("w"), n = 50)
+      .select("doc_id").as[Long].collect()
+    assert(sample.length === 50)
+    val heavy = sample.count(_ >= 1000)
+    assert(heavy >= 40, s"expected heavy-row dominance, got $heavy/50")
+    // clocks are reproducible: a second draw is identical
+    val again = Sampling.prioritySample(rows, weight = col("w"), n = 50)
+      .select("doc_id").as[Long].collect()
+    assert(sample.toSeq === again.toSeq)
+  }
+
   test("connected components: chain, clique, and singleton-free pair graph") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),

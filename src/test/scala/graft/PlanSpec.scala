@@ -207,6 +207,11 @@ class PlanSpec extends SparkSpec {
       s"text must be projected away before any shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("priority sample plans as TakeOrderedAndProject — no global sort of the corpus") {
+    val p = plan("q100_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n operator in:\n$p")
+  }
+
   test("shard manifest windows per position bucket — no corpus-sized global window") {
     val p = graft.text.Packing
       .shardManifest(spark.read.parquet(s"$sf/documents.parquet"), tokensPerShard = 2048L)
