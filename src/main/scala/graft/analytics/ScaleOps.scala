@@ -384,6 +384,120 @@ object ScaleOps {
       SELECT doc_id, n_tokens,
              round(-ln((CAST(b AS DOUBLE) + 0.5) / 1000000.0)
                    / CAST(n_tokens AS DOUBLE), 9) AS clock_r
-      FROM t ORDER BY clock_r, doc_id LIMIT 100"""))
+      FROM t ORDER BY clock_r, doc_id LIMIT 100""")),
+
+    // ---- containment join (doc-in-doc): 25-token excerpts of every
+    //      fixture doc are planted beside their sources; the asymmetric
+    //      predicate |a∩b|/|a| >= 0.8 must recover every
+    //      excerpt→source edge (containment 1.0) that symmetric Jaccard
+    //      scores near zero. MinHash cannot estimate containment, so
+    //      the prefix-filter path is the scale path at EVERY threshold
+    //      here; the oracle is the exact all-pairs containment over
+    //      string shingles (the prefix theorem guarantees a candidate
+    //      superset, so outputs must match exactly).
+    ("q101_containment_join", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+        .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+      val excerpts = docs.select((col("doc_id") + 20000).as("doc_id"),
+        array_join(slice(filter(TextStats.tokens(col("text")), x => x =!= lit("")),
+          1, 25), " ").as("text"))
+      Dedup.containmentJoinPrefix(docs.unionByName(excerpts), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 9).as("containment_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id + 20000,
+               array_to_string(list_filter(regexp_split_to_array(text, '$ws+'),
+                                           x -> x <> '')[1:25], ' ')
+        FROM documents WHERE doc_id < 300),
+      sh AS (
+        SELECT doc_id AS id,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
+              FROM all_docs)
+        WHERE len(toks) > 0)
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 9)
+               AS containment_r
+      FROM sh a, sh b
+      WHERE a.id <> b.id AND len(a.s) > 0 AND len(b.s) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+      ORDER BY id_a, id_b""")),
+
+    // ---- language-ID confusion matrix: the q34 heuristic's predictions
+    //      cross-tabulated against the fixture labels, with per-cell
+    //      recall. The oracle replays the per-language stopword scoring
+    //      and the argmax tie order, then aggregates identically.
+    ("q102_lang_confusion", (s: SparkSession, dir: String) => {
+      val pred = Tables(s, dir).documents
+        .select(col("lang"), TextStats.langIdPredicted(col("text")).as("lang_pred"))
+      val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_label"))
+      pred.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_label").cast("double"), 6)
+            .as("cell_recall_r"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }, Some {
+      def score(lang: String): String = {
+        val words = TextStats.langProfiles.toMap.apply(lang)
+        s"len(list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+      }
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${score("en")} AS s_en, ${score("de")} AS s_de,
+               ${score("es")} AS s_es, ${score("fr")} AS s_fr
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de' END AS lang_pred
+        FROM scored),
+      tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_label FROM pred GROUP BY lang)
+      SELECT p.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(count(*) AS DOUBLE) / CAST(t.n_label AS DOUBLE), 6)
+               AS cell_recall_r
+      FROM pred p JOIN tot t ON p.lang = t.lang
+      GROUP BY p.lang, p.lang_pred, t.n_label
+      ORDER BY p.lang, lang_pred"""
+    }),
+
+    // ---- per-source KL drift from the corpus token distribution: the
+    //      feed-health score. Integer counts, one mirrored IEEE term
+    //      chain snapped round-9, DECIMAL(30,9) sum — the oracle
+    //      replays every term and the sum bit-for-bit.
+    ("q103_source_kl", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.sourceTokenKL(Tables(s, dir).documents)
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      bysrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1, 2),
+      srctot AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM tok GROUP BY 1),
+      corp AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY 1),
+      corptot AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM tok),
+      terms AS (
+        SELECT b.source,
+               round((CAST(b.cs AS DOUBLE) / CAST(st.ns AS DOUBLE))
+                     * ln((CAST(b.cs AS DOUBLE) * CAST(ct.nc AS DOUBLE))
+                          / (CAST(st.ns AS DOUBLE) * CAST(c.cw AS DOUBLE))), 9) AS term,
+               st.ns
+        FROM bysrc b JOIN corp c USING (w) JOIN srctot st USING (source), corptot ct)
+      SELECT source, CAST(MIN(ns) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct_words,
+             round(CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE), 6) AS kl_r
+      FROM terms GROUP BY source ORDER BY source"""))
   )
 }

@@ -227,6 +227,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT containment join — the asymmetric twin of
+    * [[jaccardJoinPrefix]]: find pairs where C(a,b) = |a ∩ b| / |a|
+    * >= t, i.e. document a is (mostly) CONTAINED in document b — the
+    * quote/excerpt/subset-mirror case symmetric Jaccard misses (a
+    * 50-token quote inside a 5000-token page has J ≈ 0.01 but C = 1.0).
+    *
+    * Candidate generation: if C(a,b) >= t then |a ∩ b| >= ceil(t·|a|),
+    * so a's prefix (rarest-first global order, length
+    * |a| − ceil(t·|a|) + 1) must share a token with b — but with NO
+    * constraint on where that token sits in b (containment has no lower
+    * bound on |b|'s share), so the probe side indexes ALL of b's
+    * tokens, not just a prefix. Rare-first ordering still does the
+    * heavy lifting: prefix tokens are a's rarest, so the probe join
+    * fans out by the df of RARE tokens. The one-sided length filter
+    * |b| >= ceil(t·|a|) prunes the rest. Verification is exact.
+    *
+    * Shape at scale: same as [[jaccardJoinPrefix]] — (hash, id, size)
+    * shuffles, key joins, no quadratic stage. The probe side is
+    * corpus-tokens-sized (×k), which is the price of the asymmetric
+    * predicate; candidates stay bounded by rare-token df.
+    */
+  def containmentJoinPrefix(docs: DataFrame, threshold: Double, k: Int = 3,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .localCheckpoint(true)
+    val tok = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = tok.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(byRank))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("h"), col("id"), col("sz"))
+    val cand = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(tok.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Exact all-pairs n-gram Jaccard (no LSH) — the bounded verification
     * primitive backing oracle replay and per-bucket verify. Quadratic in
     * the input by construction: NEVER call on an unbounded corpus — use

@@ -139,6 +139,48 @@ object Vocab {
           6).as("pmi_r"))
   }
 
+  /** Per-source KL divergence from the corpus token distribution —
+    * KL(source ‖ corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) — the drift
+    * score that flags feeds whose language shifted (a new spam
+    * template, a scraper gone wrong, a domain change) without reading a
+    * single document. Zero-count terms cannot occur: every source word
+    * exists in the corpus distribution by construction, so the sum
+    * needs no smoothing.
+    *
+    * Parity: all four inputs (cs, Ns, cw, Nc) are exact integers; each
+    * word's term is one mirrored IEEE chain
+    * (cs/Ns)·ln((cs·Nc)/(Ns·cw)) snapped round-9; the per-source sum
+    * runs in DECIMAL(30,9) (order-independent), output snapped round-6.
+    *
+    * Shape at scale: (source, word) and (word) count tables are
+    * map-side-combined aggregates (vocabulary-sized outputs); the term
+    * join keys on the word; the final sum groups by source. Nothing
+    * corpus-sized crosses a shuffle except the token explode's own
+    * aggregation.
+    */
+  def sourceTokenKL(docs: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(30, 9)
+    val tok = docs.select(col(srcCol).as("source"), explode(words(col(textCol))).as("w"))
+    val bySrc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+    val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val corp = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val corpTot = tok.agg(count(lit(1)).as("nc"))
+    bySrc
+      .join(corp, Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("term", round(
+        (col("cs").cast("double") / col("ns").cast("double")) *
+          log((col("cs").cast("double") * col("nc").cast("double")) /
+            (col("ns").cast("double") * col("cw").cast("double"))), 9))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        first(col("ns")).as("n_tokens"),
+        round(sum(col("term").cast(D)).cast("double"), 6).as("kl_r"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_words"), col("kl_r"))
+  }
+
   /** Per-document out-of-vocabulary statistics against the corpus'
     * own top-`vocabSize` vocabulary: token count, OOV count, OOV ratio.
     * The vocab is vocabulary-sized by construction, so it broadcasts;

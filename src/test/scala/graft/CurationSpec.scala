@@ -259,6 +259,19 @@ class CurationSpec extends SparkSpec {
     assert(out(99L) > out(10L) && out(99L) < out(0L), "mixed doc sits between")
   }
 
+  test("source KL drift: a vocabulary-shifted feed scores far above normal feeds") {
+    val normal = (0 until 50).map(i => s"word${i % 20}").mkString(" ")
+    val shifted = (0 until 50).map(i => s"spam${i % 5}").mkString(" ")
+    val docs = ((0 until 10).map(i => (s"feedA", normal)) ++
+      (0 until 10).map(i => (s"feedB", normal)) ++
+      (0 until 10).map(i => (s"feedX", shifted))).toDF("source", "text")
+    val kl = graft.text.Vocab.sourceTokenKL(docs)
+      .select("source", "kl_r").as[(String, Double)].collect().toMap
+    assert(kl("feedX") > kl("feedA") + 0.5, s"shifted feed must drift: $kl")
+    assert(kl("feedA") < 0.5 && kl("feedB") < 0.5, s"normal feeds stay near corpus: $kl")
+    assert(kl.values.forall(_ >= 0.0), "KL is non-negative")
+  }
+
   test("priority sample: heavy-weight rows dominate the weighted draw") {
     // 500 light rows (w=1) vs 100 heavy rows (w=100): heavy mass is
     // 10000/10500 ≈ 95%, so a 50-row draw is overwhelmingly heavy rows.

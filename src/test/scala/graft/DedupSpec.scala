@@ -109,6 +109,22 @@ class DedupSpec extends SparkSpec {
     assert(viaDispatch === viaPrefix)
   }
 
+  test("containment join finds the quote inside the page, not the reverse") {
+    val page = (0 until 100).map(i => s"page$i").mkString(" ")
+    val quote = (10 until 30).map(i => s"page$i").mkString(" ")   // 20-token excerpt
+    val other = (0 until 50).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, page), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentJoinPrefix(df, threshold = 0.9)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect()
+    // quote ⊂ page at containment 1.0; the page is NOT contained in the
+    // quote (|page∩quote|/|page| ≈ 0.18); `other` shares nothing
+    assert(out.toSeq === Seq((2L, 1L, 1.0)))
+    // symmetric Jaccard misses this pair entirely at the same threshold
+    val j = Dedup.ngramJaccardPairsExact(df, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(j.isEmpty)
+  }
+
   test("jaccardBandsFor sizes the signature to the miss target") {
     // (1 - t^2)^b <= 1e-9 at t=0.8 -> b = 21; t=0.5 -> b = 73
     assert(Dedup.jaccardBandsFor(0.8) === 21)
