@@ -498,6 +498,104 @@ object ScaleOps {
       SELECT source, CAST(MIN(ns) AS BIGINT) AS n_tokens,
              CAST(count(*) AS BIGINT) AS n_distinct_words,
              round(CAST(SUM(CAST(term AS DECIMAL(30,9))) AS DOUBLE), 6) AS kl_r
-      FROM terms GROUP BY source ORDER BY source"""))
+      FROM terms GROUP BY source ORDER BY source""")),
+
+    // ---- blocklist screening: whole-token lexicon hits + keep verdict
+    //      at a 5% hit-ratio cap. The lexicon rides the plan as an
+    //      array literal (pure projection, no join); the oracle probes
+    //      the same list with list_filter.
+    ("q104_blocklist", (s: SparkSession, dir: String) => {
+      val lexicon = Seq("slow", "broken", "spill", "skew")
+      val (nHits, nDistinct, nToks, keep) =
+        graft.text.Scrub.blocklistScreen(col("text"), lexicon, maxHitRatio = 0.05)
+      Tables(s, dir).documents
+        .select(col("doc_id"), nHits.as("n_hits"), nDistinct.as("n_distinct_hits"),
+          nToks.as("n_tokens"), keep.as("keep"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks,
+                 x -> x IN ('slow','broken','spill','skew'))) AS BIGINT) AS n_hits,
+               CAST(len(list_distinct(list_filter(toks,
+                 x -> x IN ('slow','broken','spill','skew')))) AS BIGINT) AS n_distinct_hits,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t)
+      SELECT doc_id, n_hits, n_distinct_hits, n_tokens,
+             CAST(n_hits AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.05 AS keep
+      FROM h ORDER BY doc_id""")),
+
+    // ---- per-language top terms: the per-group top-k pattern done
+    //      scale-right — the rank window runs over the (lang, word)
+    //      COUNT table (vocabulary-sized, map-side combined), never the
+    //      corpus; ties at the rank cut break on the word for an
+    //      engine-portable order.
+    ("q105_top_terms_per_lang", (s: SparkSession, dir: String) => {
+      val counts = Tables(s, dir).documents
+        .select(col("lang"),
+          explode(filter(TextStats.tokens(lower(col("text"))), x => x =!= lit(""))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("w"))
+      counts.withColumn("rank", row_number().over(byLang).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    }, Some(s"""
+      WITH c AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY lang, w),
+      r AS (
+        SELECT lang, w, n,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS BIGINT)
+                 AS rank
+        FROM c)
+      SELECT lang, w, n, rank FROM r WHERE rank <= 5
+      ORDER BY lang, rank""")),
+
+    // ---- quality deciles (curriculum binning): rank every document by
+    //      its integer uniqueness-micros score through the distributed
+    //      exact-rank decomposition, cut ntile(10)-equivalent deciles
+    //      with pure integer arithmetic (decile = (rank−1)·10 DIV N + 1
+    //      reproduces SQL NTILE for every N), and report per-bin
+    //      document counts and score ranges. The oracle ranks with one
+    //      plain global window — equality proves the decomposition and
+    //      the NTILE identity at once.
+    ("q106_quality_deciles", (s: SparkSession, dir: String) => {
+      val urMicros = round(round(TextStats.uniqueWordRatio(col("text")), 6) * 1000000.0, 0)
+        .cast("long")
+      graft.text.Packing.scoreOrder(
+          Tables(s, dir).documents.select(col("doc_id"), urMicros.as("score")),
+          score = col("score"))
+        .withColumn("decile", ((col("rank") - 1) * 10 / col("n") + 1).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("decile"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(round(round(CAST(len(list_distinct(regexp_split_to_array(text, '$ws+'))) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(text, '$ws+')), 1), 6) * 1000000.0, 0)
+                 AS BIGINT) AS score
+        FROM documents),
+      r AS (
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rank,
+               (SELECT count(*) FROM t) AS n
+        FROM t)
+      SELECT CAST((rank - 1) * 10 // n + 1 AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(MIN(score) AS BIGINT) AS min_score,
+             CAST(MAX(score) AS BIGINT) AS max_score
+      FROM r GROUP BY 1 ORDER BY decile"""))
   )
 }

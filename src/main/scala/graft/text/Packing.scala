@@ -52,6 +52,46 @@ object Packing {
         col("first_seq"), col("last_seq"))
   }
 
+  /** Distributed EXACT global rank by an arbitrary long score — the
+    * [[trainingOrder]] decomposition generalized from uniform hash keys
+    * to data-dependent scores (quality ranking, curriculum ordering):
+    *
+    *  1. linear value-range buckets between the observed min and max —
+    *     any deterministic MONOTONE bucketing preserves "bucket order +
+    *     within-bucket order = global order", so balance is a
+    *     performance concern only (for pathologically clumped scores,
+    *     swap in quantile-based ranges; linear is the right default for
+    *     the roughly-unimodal score distributions quality metrics
+    *     produce);
+    *  2. within-bucket ranks via a window PARTITIONed BY bucket;
+    *  3. bucket offsets via a window over the `buckets`-row count table
+    *     (the one intentionally serial step), broadcast back.
+    *
+    * Ties break on doc_id, so the rank is a deterministic total order.
+    * The oracle equality against a plain `row_number() OVER (ORDER BY
+    * score, doc_id)` proves the decomposition exact.
+    */
+  def scoreOrder(docs: DataFrame, score: Column, buckets: Int = 1024,
+                 idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).cast("long").as("doc_id"), score.cast("long").as("score"))
+      .localCheckpoint(true)    // feeds the stats row and the ranked pass
+    val stats = t.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
+      count(lit(1)).as("n"))
+    val bucketed = t.crossJoin(broadcast(stats))
+      .withColumn("rb", floor(
+        (col("score") - col("mn")).cast("double") * buckets /
+          (col("mx") - col("mn") + 1).cast("double")).cast("long"))
+    val offsets = bucketed.groupBy(col("rb")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rb"), col("off"))
+    val w = Window.partitionBy(col("rb")).orderBy(col("score"), col("doc_id"))
+    bucketed.join(broadcast(offsets), Seq("rb"))
+      .withColumn("rank", (col("off") + row_number().over(w)).cast("long"))
+      .select(col("doc_id"), col("score"), col("rank"), col("n"))
+  }
+
   /** Training-shard manifest: walk the corpus in the deterministic
     * [[trainingOrder]] permutation, assign each document to the shard
     * holding its FIRST token under a fixed `tokensPerShard` budget

@@ -259,6 +259,17 @@ class CurationSpec extends SparkSpec {
     assert(out(99L) > out(10L) && out(99L) < out(0L), "mixed doc sits between")
   }
 
+  test("scoreOrder: distributed rank equals the serial sort on skewed, tie-heavy scores") {
+    // heavy ties (only 7 distinct scores across 4000 rows) and a skewed
+    // clump exercise bucket boundaries and the doc_id tiebreak
+    val rows = (0 until 4000).map(i => (i.toLong, (i % 7).toLong * (if (i % 13 == 0) 100L else 1L)))
+    val ranked = graft.text.Packing.scoreOrder(rows.toDF("doc_id", "score"), col("score"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val expected = rows.sortBy { case (id, sc) => (sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(ranked === expected)
+  }
+
   test("source KL drift: a vocabulary-shifted feed scores far above normal feeds") {
     val normal = (0 until 50).map(i => s"word${i % 20}").mkString(" ")
     val shifted = (0 until 50).map(i => s"spam${i % 5}").mkString(" ")
