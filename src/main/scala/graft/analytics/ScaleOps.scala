@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -596,6 +596,96 @@ object ScaleOps {
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(MIN(score) AS BIGINT) AS min_score,
              CAST(MAX(score) AS BIGINT) AS max_score
-      FROM r GROUP BY 1 ORDER BY decile"""))
+      FROM r GROUP BY 1 ORDER BY decile""")),
+
+    // ---- per-source distinctive terms (Monroe log-odds, Dirichlet
+    //      prior = corpus counts): integer counts through one mirrored
+    //      ln/sqrt chain snapped round-6; the rank cut orders
+    //      (z desc, word). The oracle replays scores and the per-source
+    //      top-3 verbatim.
+    ("q107_distinctive_terms", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.distinctiveTerms(Tables(s, dir).documents, topK = 3)
+        .orderBy(col("source"), col("rank"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      bysrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS ysw FROM tok GROUP BY 1, 2),
+      srctot AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM tok GROUP BY 1),
+      corp AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY 1),
+      corptot AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM tok),
+      scored AS (
+        SELECT b.source, b.w, b.ysw,
+               round((ln((CAST(b.ysw AS DOUBLE) + CAST(c.cw AS DOUBLE))
+                         / (CAST(st.ns AS DOUBLE) + CAST(ct.nc AS DOUBLE)
+                            - CAST(b.ysw AS DOUBLE) - CAST(c.cw AS DOUBLE)))
+                      - ln((CAST(c.cw - b.ysw AS DOUBLE) + CAST(c.cw AS DOUBLE))
+                           / (CAST(ct.nc - st.ns AS DOUBLE) + CAST(ct.nc AS DOUBLE)
+                              - CAST(c.cw - b.ysw AS DOUBLE) - CAST(c.cw AS DOUBLE))))
+                     / sqrt(1.0 / (CAST(b.ysw AS DOUBLE) + CAST(c.cw AS DOUBLE))
+                            + 1.0 / (CAST(c.cw - b.ysw AS DOUBLE) + CAST(c.cw AS DOUBLE))), 6)
+                 AS z_r
+        FROM bysrc b JOIN corp c USING (w) JOIN srctot st USING (source), corptot ct),
+      r AS (
+        SELECT source, w, ysw, z_r,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY z_r DESC, w) AS BIGINT)
+                 AS rank
+        FROM scored)
+      SELECT source, w, ysw, z_r, rank FROM r WHERE rank <= 3
+      ORDER BY source, rank""")),
+
+    // ---- explicit GROUPING SETS with grouping_id (completing the
+    //      rollup/cube family, §2.5): three hand-picked sets including
+    //      a non-prefix one ((l_linestatus) alone) that ROLLUP cannot
+    //      express, plus the grouping_id disambiguator for NULL-vs-
+    //      grouped rows. Decimal-exact quantity sums (the q11
+    //      discipline).
+    ("q108_grouping_sets", (s: SparkSession, dir: String) => {
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          Relational.dsumExact(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), round(col("sum_qty").cast("double"), 6).as("sum_qty_r"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS sum_qty_r
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- per-label embedding centroids + drift vs the global centroid
+    //      (cluster-balance report). Decimal-exact per-dim means snapped
+    //      round-6 (the q74 centroid discipline) make the centroid
+    //      vectors — and therefore the cosines — engine-identical.
+    ("q109_label_centroids", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.labelCentroids(Tables(s, dir).embeddings, dim = 64)
+        .orderBy(col("label"))
+    }, Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pl AS (SELECT label, r.i AS i,
+               round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mu
+             FROM e, range(1, 65) r(i) GROUP BY label, r.i),
+      lc AS (SELECT label, list(mu ORDER BY i) AS cv FROM pl GROUP BY label),
+      g AS (SELECT r.i AS i,
+              round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
+                / COUNT(*), 6) AS mu
+            FROM e, range(1, 65) r(i) GROUP BY r.i),
+      gc AS (SELECT list(mu ORDER BY i) AS gv FROM g),
+      sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label)
+      SELECT lc.label, sz.n_vecs,
+             round(list_cosine_similarity(lc.cv, (SELECT gv FROM gc)), 6) AS cos_to_global_r
+      FROM lc JOIN sz USING (label) ORDER BY label"""))
   )
 }

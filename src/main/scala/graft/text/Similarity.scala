@@ -463,6 +463,33 @@ object Similarity {
         (col("cos_to_centroid") < threshold).as("is_outlier"))
   }
 
+  /** Per-label centroid report: the decimal-exact mean vector of every
+    * label's embeddings ([[centroidOutliers]]'s aggregation, grouped)
+    * plus each label centroid's cosine to the GLOBAL centroid — the
+    * cluster-balance / drift view of an embedding space ("has cluster 7
+    * wandered off-manifold since the last index build?"). Low
+    * cos-to-global flags a label whose members point somewhere the
+    * corpus bulk does not.
+    *
+    * Shape at scale: one map-side-combined groupBy (labels × dim
+    * state), a one-row global aggregate broadcast onto the label table
+    * (label-count-sized, tiny) — the corpus never shuffles.
+    */
+  def labelCentroids(embeddings: DataFrame, dim: Int,
+                     labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    def centroid = array((0 until dim).map { i =>
+      round(sum(element_at(col(vecCol), i + 1).cast("double").cast(D)).cast("double")
+        / count(lit(1)), 6)
+    }: _*)
+    val perLabel = embeddings.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vecs"), centroid.as("cvec"))
+    val global = embeddings.agg(centroid.as("gvec"))
+    perLabel.crossJoin(broadcast(global))
+      .select(col("label"), col("n_vecs"),
+        round(cosine(col("cvec"), col("gvec")), 6).as("cos_to_global_r"))
+  }
+
   /** Symmetric per-vector int8 quantization (the 4× memory lever for
     * embedding stores / IVF lists): scale = 127 / max|x|, q_i =
     * round(x_i·scale) ∈ [−127, 127], plus a reconstruction-error audit

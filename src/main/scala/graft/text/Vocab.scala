@@ -181,6 +181,55 @@ object Vocab {
       .select(col("source"), col("n_tokens"), col("n_distinct_words"), col("kl_r"))
   }
 
+  /** Per-source distinctive terms by log-odds with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn, "Fightin' Words", 2008)
+    * — which words does THIS feed use disproportionately vs the rest of
+    * the corpus, z-scored so rare-word noise doesn't dominate (the
+    * failure mode of raw tf-idf/PMI source comparisons). Prior counts
+    * are the corpus totals (α_w = c_w), the standard informative
+    * choice.
+    *
+    *   δ_w = ln((y_sw+α_w)/(n_s+α₀−y_sw−α_w)) − ln((y_rw+α_w)/(n_r+α₀−y_rw−α_w))
+    *   z_w = δ_w / sqrt(1/(y_sw+α_w) + 1/(y_rw+α_w))
+    *
+    * Parity: every input is an exact integer count; the score is one
+    * mirrored IEEE chain (two ln, one sqrt, divisions — identical
+    * association both engines) snapped round-6; the per-source top-k
+    * cut orders (z desc, word) for an engine-portable tie break.
+    *
+    * Shape at scale: (source, word) and (word) counts are map-side-
+    * combined aggregates; scoring is a vocabulary-sized join keyed on
+    * the word; the rank window runs over the scored vocab table, never
+    * the corpus (the q105 discipline).
+    */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 3,
+                       srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"), explode(words(col(textCol))).as("w"))
+    val bySrc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("ysw"))
+    val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val corp = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val corpTot = tok.agg(count(lit(1)).as("nc"))
+    val d = (c: Column) => c.cast("double")
+    val scored = bySrc
+      .join(corp, Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("yrw", col("cw") - col("ysw"))
+      .withColumn("nr", col("nc") - col("ns"))
+      .withColumn("z", round(
+        (log((d(col("ysw")) + d(col("cw"))) /
+            (d(col("ns")) + d(col("nc")) - d(col("ysw")) - d(col("cw")))) -
+          log((d(col("yrw")) + d(col("cw"))) /
+            (d(col("nr")) + d(col("nc")) - d(col("yrw")) - d(col("cw"))))) /
+          sqrt(lit(1.0) / (d(col("ysw")) + d(col("cw"))) +
+            lit(1.0) / (d(col("yrw")) + d(col("cw")))), 6))
+    val byZ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("z").desc, col("w"))
+    scored.withColumn("rank", row_number().over(byZ).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("w"), col("ysw"), col("z").as("z_r"), col("rank"))
+  }
+
   /** Per-document out-of-vocabulary statistics against the corpus'
     * own top-`vocabSize` vocabulary: token count, OOV count, OOV ratio.
     * The vocab is vocabulary-sized by construction, so it broadcasts;
