@@ -50,6 +50,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the generated-class cache defaults to 100 entries; a 100+-query
+      // suite evicts every compiled subtree between the two timing
+      // passes, so each pass pays full Janino recompilation (~2 s on the
+      // widest aggregates — measured on q01 once the suite crossed 100
+      // queries). Sizing the cache to the suite makes pass 2 measure
+      // execution, which is the bench's stated policy (pass 2 amortizes
+      // codegen), and matches any long-lived production session.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
