@@ -168,4 +168,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(out === Array((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("streaming near-dup matches the batch operator and catches cross-batch pairs") {
+    // originals arrive in wave 1, their 1-word edits in wave 2 — every
+    // qualifying pair SPANS the batch boundary, so finding it proves the
+    // bucket state survives micro-batches. The pair SET (emission is
+    // at-least-once across bands) must equal the batch operator's
+    // output on the same corpus with identical parameters.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0 until 8).flatMap { i =>
+      val b = s"document number $i with a stable shared body of many words " +
+        s"covering topic $i in detail for the dedup fixture today"
+      Seq((i * 2L, b), (i * 2 + 1L, b.replace("today", "tonight")))
+    } ++ (0 until 4).map(i => (100L + i, s"unrelated singleton $i " + (s"z$i " * 8)))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.stream.StreamingNearDup
+      .nearDupPairs(mem.toDS().toDF("doc_id", "text"), threshold = 0.8)
+      .toDF("id_a", "id_b", "jaccard")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    mem.addData(corpus.filter(_._1 % 2 == 0): _*)   // originals
+    q.processAllAvailable()
+    mem.addData(corpus.filter(_._1 % 2 == 1): _*)   // edits, one batch later
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.text.Dedup.minhashNearDups(corpus.toDF("doc_id", "text"), threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 8, "every planted cross-batch pair must surface")
+  }
 }
