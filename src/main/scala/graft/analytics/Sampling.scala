@@ -121,14 +121,17 @@ object Sampling {
       .withColumn("b", pmod(TextStats.portableHash64(col("w")), lit(buckets.toLong)))
       .select(col("doc_id"), col("is_target"), col("b"))
       .localCheckpoint(true)
-    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = toks.filter(col("is_target")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val lr = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(raw.agg(sum(col("cr")).as("nr"))))
-      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+    // one conditional aggregate yields both distributions (no second
+    // pass over the token stream, no left join between count tables);
+    // totals derive from the B-row bucket table
+    val counts = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val lr = counts
+      .crossJoin(broadcast(counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))))
       .select(col("b"),
         round(log(
-          ((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) * (col("nr").cast("double") + bd)) /
+          ((col("ct").cast("double") + 1.0) * (col("nr").cast("double") + bd)) /
             ((col("cr").cast("double") + 1.0) * (col("nt").cast("double") + bd))), 6).as("lr"))
     toks.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))

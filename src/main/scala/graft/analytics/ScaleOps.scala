@@ -435,11 +435,13 @@ object ScaleOps {
     //      recall. The oracle replays the per-language stopword scoring
     //      and the argmax tie order, then aggregates identically.
     ("q102_lang_confusion", (s: SparkSession, dir: String) => {
-      val pred = Tables(s, dir).documents
+      // one corpus scoring pass; label totals derive from the matrix
+      // (ReuseExchange shares the scored aggregate between consumers)
+      val cm = Tables(s, dir).documents
         .select(col("lang"), TextStats.langIdPredicted(col("text")).as("lang_pred"))
-      val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_label"))
-      pred.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
-        .join(broadcast(totals), Seq("lang"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+      val totals = cm.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_label"))
+      cm.join(broadcast(totals), Seq("lang"))
         .select(col("lang"), col("lang_pred"), col("n_docs"),
           round(col("n_docs").cast("double") / col("n_label").cast("double"), 6)
             .as("cell_recall_r"))

@@ -114,6 +114,8 @@ object Vocab {
     */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5,
                       textCol: String = "text"): DataFrame = {
+    // two corpus passes (unigram + bigram explodes); both totals derive
+    // from the count tables instead of re-walking the corpus
     val t = docs.select(words(col(textCol)).as("toks"))
     val inst = t.filter(size(col("toks")) >= 2)
       .select(explode(zip_with(
@@ -124,9 +126,9 @@ object Vocab {
     val uni = t.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val n1 = uni.agg(sum(col("cu")).as("n1"))
-    val pairs = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
-    val n2 = inst.agg(count(lit(1)).as("n2"))
+    val allPairs = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val pairs = allPairs.filter(col("c12") >= minCount)
+    val n2 = allPairs.agg(sum(col("c12")).as("n2"))
     pairs
       .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
@@ -161,11 +163,17 @@ object Vocab {
   def sourceTokenKL(docs: DataFrame, srcCol: String = "source",
                     textCol: String = "text"): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(30, 9)
-    val tok = docs.select(col(srcCol).as("source"), explode(words(col(textCol))).as("w"))
-    val bySrc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
-    val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val corp = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val corpTot = tok.agg(count(lit(1)).as("nc"))
+    // ONE corpus tokenize/explode pass; every other table derives from
+    // the (source, word) count matrix. The four consumers share the
+    // identical aggregate subtree, so ReuseExchange materializes the
+    // explode's shuffle once — no localCheckpoint needed (measured: the
+    // eager checkpoint costs more than it saves here)
+    val bySrc = docs
+      .select(col(srcCol).as("source"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val corp = bySrc.groupBy(col("w")).agg(sum(col("cs")).as("cw"))
+    val corpTot = bySrc.agg(sum(col("cs")).as("nc"))
     bySrc
       .join(corp, Seq("w"))
       .join(broadcast(srcTot), Seq("source"))
@@ -204,11 +212,14 @@ object Vocab {
     */
   def distinctiveTerms(docs: DataFrame, topK: Int = 3,
                        srcCol: String = "source", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(srcCol).as("source"), explode(words(col(textCol))).as("w"))
-    val bySrc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("ysw"))
-    val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    val corp = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val corpTot = tok.agg(count(lit(1)).as("nc"))
+    // one corpus explode; totals derive from the count matrix (the
+    // sourceTokenKL discipline)
+    val bySrc = docs
+      .select(col(srcCol).as("source"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("ysw"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("ysw")).as("ns"))
+    val corp = bySrc.groupBy(col("w")).agg(sum(col("ysw")).as("cw"))
+    val corpTot = bySrc.agg(sum(col("ysw")).as("nc"))
     val d = (c: Column) => c.cast("double")
     val scored = bySrc
       .join(corp, Seq("w"))
