@@ -688,6 +688,117 @@ object ScaleOps {
       sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label)
       SELECT lc.label, sz.n_vecs,
              round(list_cosine_similarity(lc.cv, (SELECT gv FROM gc)), 6) AS cos_to_global_r
-      FROM lc JOIN sz USING (label) ORDER BY label"""))
+      FROM lc JOIN sz USING (label) ORDER BY label""")),
+
+    // ---- batched ANN evaluation: 10 query vectors served in ONE
+    //      corpus pass (lshTopKMulti), each certified for recall@10
+    //      against the exact multi-query brute force (also one pass:
+    //      corpus × broadcast queries → per-query rank window). Output
+    //      per query: the exact top-1 neighbor (oracle-replayable) and
+    //      the recall certification — the q40 contract generalized to a
+    //      query batch. Floor 2/10 sits below every measured per-query
+    //      recall on the synthetic corpus (q40's noise-floor argument)
+    //      and far above the 10/489 random expectation.
+    ("q110_ann_eval", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id").between(1, 10))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") > 10)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cs").desc, col("vec_id"))
+      val exactTop = corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          graft.text.Similarity.cosine(col("embedding"), col("qvec")).as("cs"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10)
+      val approx = graft.text.Similarity.lshTopKMulti(corpus, queries, 10,
+        nPlanes = 4, dim = 64, probeHamming = 1)
+      val hits = exactTop.select(col("q_id"), col("vec_id"))
+        .join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      exactTop.filter(col("rn") === 1)
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("vec_id").as("top1_id"),
+          round(col("cs"), 6).as("top1_cos_r"),
+          (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ok"))
+        .orderBy(col("q_id"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 10),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id > 10),
+      s AS (SELECT q_id, vec_id, list_cosine_similarity(v, qv) AS cs FROM c, q),
+      r AS (SELECT q_id, vec_id, cs,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+            FROM s)
+      SELECT q_id, vec_id AS top1_id, round(cs, 6) AS top1_cos_r, TRUE AS recall_ok
+      FROM r WHERE rn = 1 ORDER BY q_id""")),
+
+    // ---- ingest-rate spike detection: hourly event counts z-scored
+    //      against the trailing 24-hour window (emitted only once a
+    //      full day of history exists). The window runs over the HOURLY
+    //      count table — time-range-sized, the intentionally serial
+    //      step (the packOffsets bucket-table argument) — never the
+    //      event stream. All window sums are integers; the z chain is
+    //      one mirrored IEEE expression with a greatest() floor on the
+    //      variance so a constant stretch cannot divide by zero.
+    ("q111_rate_spikes", (s: SparkSession, dir: String) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("hour")).rowsBetween(-24, -1)
+      val d = (c: Column) => c.cast("double")
+      hourly
+        .withColumn("c", count(col("n")).over(w))
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .filter(col("c") === 24)
+        .withColumn("z_r", round(
+          (d(col("n")) - d(col("s1")) / d(col("c"))) /
+            sqrt(greatest(
+              (d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("c"))) / d(col("c")),
+              lit(0.000001))), 6))
+        .select(col("hour"), col("n"), col("z_r"), (col("z_r") >= 3.0).as("spike"))
+        .orderBy(col("hour"))
+    }, Some("""
+      WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+      w AS (SELECT hour, n,
+              COUNT(n) OVER win AS c,
+              SUM(n) OVER win AS s1,
+              SUM(n * n) OVER win AS s2
+            FROM h WINDOW win AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT hour, n,
+             round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                   / sqrt(greatest((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                           / CAST(c AS DOUBLE), 0.000001)), 6) AS z_r,
+             round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                   / sqrt(greatest((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+                           / CAST(c AS DOUBLE), 0.000001)), 6) >= 3.0 AS spike
+      FROM w WHERE c = 24 ORDER BY hour""")),
+
+    // ---- retention cohort matrix: users grouped by first-activity day,
+    //      distinct-active counts per day offset — the classic
+    //      engagement triangle. First-activity is a map-side-combined
+    //      min per user; the join back keys on user_id; the matrix
+    //      aggregate is cohorts × offsets (bounded by the time range).
+    ("q112_cohorts", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).events.select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      e.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }, Some("""
+      WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+      SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+      FROM e JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
   )
 }

@@ -361,6 +361,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query [[lshTopK]]: serve a whole BATCH of query vectors in
+    * ONE corpus pass — the realistic ANN serving/eval shape (nobody
+    * scans 100 TB per single query). The query set rides as a broadcast
+    * (bucket-expanded by the same Hamming probe masks), candidates are
+    * bucket-mates only, and the per-query top-k is a rank window
+    * PARTITIONed BY the query id over the candidate set — bounded by
+    * bucket sizes × queries, never corpus × queries.
+    */
+  def lshTopKMulti(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   nPlanes: Int, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   probeHamming: Int = 0): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val qb = queries.withColumn("qbucket", lshBucket(col("qvec"), nPlanes, dim))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+      .drop("qbucket")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
+    bucketed.join(broadcast(qb), Seq("bucket"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos_sim"), col("rn"))
+  }
+
   /** Lloyd's k-means over an embedding column, fully relational and
     * oracle-replayable:
     *
