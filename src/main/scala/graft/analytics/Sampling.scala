@@ -163,7 +163,11 @@ object Sampling {
   def prioritySample(df: DataFrame, weight: Column, n: Int,
                      keyCol: String = "doc_id", salt: String = "prio"): DataFrame = {
     val u = (hashBucketN(col(keyCol), salt, 1000000L).cast("double") + 0.5) / 1000000.0
-    df.withColumn("clock_r", round(-log(u) / weight.cast("double"), 9))
+    // w <= 0 means selection probability zero in the exponential-races
+    // scheme — excluded up front (under ANSI mode the clock division
+    // would otherwise throw DIVIDE_BY_ZERO rather than sort last)
+    df.filter(weight > 0)
+      .withColumn("clock_r", round(-log(u) / weight.cast("double"), 9))
       .orderBy(col("clock_r"), col(keyCol))
       .limit(n)
   }

@@ -47,6 +47,38 @@ class NullToleranceSpec extends SparkSpec {
     assert(graft.text.Dedup.dupSpanTrim(df, n = 3).count() === 1)
   }
 
+  test("round-6b operators degrade gracefully on null/empty text and empty inputs") {
+    val df = Seq((1L, Option("real words here to process into shingles fine")),
+      (2L, Option.empty[String]), (3L, Option(""))).toDF("doc_id", "text")
+    // similarity joins: null/empty-text rows contribute no shingle sets
+    // and silently drop out (size >= 1 guard); no pairs, no crash
+    assert(graft.text.Dedup.jaccardJoinPrefix(df, threshold = 0.4).count() === 0)
+    assert(graft.text.Dedup.containmentJoinPrefix(df, threshold = 0.8).count() === 0)
+    // robust fingerprint: null -> null key, groups fine
+    assert(graft.text.Dedup.exact(df).count() >= 1)
+    // snapshot delta with an empty new side: everything reads as removed
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val delta = graft.text.Dedup.snapshotDelta(
+        df.withColumn("source", lit("s")), empty)
+      .select("n_added", "n_removed", "n_retained").as[(Long, Long, Long)].head()
+    assert(delta._1 === 0L && delta._2 >= 1L && delta._3 === 0L)
+    // DSIR: null-text docs contribute no tokens -> no output row, no crash
+    assert(graft.analytics.Sampling.dsirLogWeights(
+      df.withColumn("is_target", col("doc_id") === 1), col("is_target")).count() === 1)
+    // priority sample with weight 0 rows: clock = -ln(u)/0 = Infinity —
+    // they sort last and never enter a sample smaller than the set
+    val weighted = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("doc_id", "w")
+    val picked = graft.analytics.Sampling.prioritySample(weighted, col("w"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!picked.contains(2L))
+    // misra-gries over an all-null column: empty summary, no crash
+    val nulls = Seq(Option.empty[String], Option.empty[String]).toDF("tok")
+    val mg = nulls.agg(graft.catalyst.GraftFunctions.misraGriesTopK(col("tok"), 4))
+      .head().getMap[String, Long](0)
+    assert(mg.isEmpty)
+  }
+
   test("vote with null weight lands in downvotes (<=0 branch is null-safe)") {
     val v = Seq(("alice", "bob", "p", Option.empty[Int]))
       .toDF("voter", "author", "permlink", "weight")
