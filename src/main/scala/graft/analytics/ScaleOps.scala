@@ -799,6 +799,113 @@ object ScaleOps {
       SELECT cohort_day, CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
              CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
       FROM e JOIN f USING (user_id)
-      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
+    // ---- dedup pipeline v3 (composed funnel): numbered reprints are
+    //      planted (the q99 construction), then the corpus flows
+    //      robust-dedup → near-dup representative keep (longest copy)
+    //      → benchmark decontamination, reporting the document count
+    //      after every stage. Every stage is an operator whose own
+    //      declared query is oracle-green (q99/q37/q57/q97/q55); the
+    //      composed oracle chains their SQL pieces, so the funnel
+    //      cannot drift from the primitives. Counts are integers —
+    //      no float surface anywhere.
+    ("q113_dedup_funnel", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).documents
+        .filter(col("doc_id") < 500 && pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val reprints = base.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" -- "), col("doc_id").cast("string"),
+          lit(" / 500 --")).as("text"))
+      val input = base.unionByName(reprints)
+      val benchmark = Tables(s, dir).documents
+        .filter(col("doc_id") < 500 && pmod(col("doc_id"), lit(50)) === 0)
+      // stage 1: robust (CCNet-normalization) dedup, keep min id
+      val keep1 = input.groupBy(TextStats.robustFingerprint(col("text")).as("rfp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val s1 = input.join(keep1, Seq("doc_id"), "left_semi")
+      // stage 2: near-dup clusters, keep the longest copy per cluster
+      val pairs = Dedup.minhashNearDups(s1, threshold = 0.8, numHashes = 16, bands = 16)
+      val keep2 = Dedup.selectRepresentatives(s1, pairs,
+          score = TextStats.tokenCount(col("text")).cast("long"))
+        .filter(col("keep")).select(col("doc_id"))
+      val s2 = s1.join(keep2, Seq("doc_id"), "left_semi")
+      // stage 3: drop docs sharing any 3-gram with the benchmark set
+      val s3 = s2.join(
+        Dedup.contamination(s2, benchmark).filter(col("contaminated"))
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+      stage("0_input", input)
+        .unionByName(stage("1_robust_dedup", s1))
+        .unionByName(stage("2_neardup_keep", s2))
+        .unionByName(stage("3_decontaminated", s3))
+        .orderBy(col("stage"))
+    }, Some(s"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 500 AND doc_id % 50 <> 0),
+      input AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 10000,
+               concat(text, ' -- ', CAST(doc_id AS VARCHAR), ' / 500 --') FROM base),
+      bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0),
+      keep1 AS (
+        SELECT MIN(doc_id) AS doc_id FROM input
+        GROUP BY array_to_string(list_filter(regexp_split_to_array(
+          regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                         '[^a-z${TextStats.wsCharsSql}]', '', 'g'),
+          '$ws+'), x -> x <> ''), ' ')),
+      s1 AS (SELECT i.doc_id, i.text FROM input i JOIN keep1 USING (doc_id)),
+      sh AS (
+        SELECT doc_id AS id,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS sgl
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
+              FROM s1)),
+      prs AS (
+        SELECT a.id AS id_a, b.id AS id_b FROM sh a, sh b
+        WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.sgl, b.sgl)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.sgl, b.sgl))), 1) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+      reach(n, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.n = e.src),
+      labels AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+      scored AS (
+        SELECT s1.doc_id, COALESCE(l.cluster_id, s1.doc_id) AS cid,
+               CAST(len(regexp_split_to_array(s1.text, '$ws+')) AS BIGINT) AS score
+        FROM s1 LEFT JOIN labels l USING (doc_id)),
+      keep2 AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY cid ORDER BY score DESC, doc_id) AS rn
+          FROM scored) WHERE rn = 1),
+      s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN keep2 USING (doc_id)),
+      bsh AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+          i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' ')))) AS sgl
+        FROM bench),
+      conta AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT s2.doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(s2.text), '$ws+')) - 2, 1) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(s2.text), '$ws+')[i:i+2], ' ')))) AS sgl
+          FROM s2) x JOIN bsh USING (sgl)),
+      s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM conta))
+      SELECT stage, n_docs FROM (
+        SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM input
+        UNION ALL SELECT '1_robust_dedup', CAST(count(*) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_neardup_keep', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_decontaminated', CAST(count(*) AS BIGINT) FROM s3)
+      ORDER BY stage"""))
   )
 }
