@@ -64,6 +64,12 @@ object GraftFunctions {
   def rademacherProject(c: Column, outDim: Int): Column =
     col(RademacherProject(expr(c), outDim))
 
+  /** Intersection size of two sorted-distinct array<long> columns —
+    * see [[SortedIntersectSize]] (inputs MUST be sorted distinct).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    col(SortedIntersectSize(expr(a), expr(b)))
+
   /** Mergeable Misra-Gries heavy-hitter summary of a string column —
     * map<token, lower-bound count>, see [[MisraGriesTopK]].
     */

@@ -101,7 +101,7 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSortedHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -110,6 +110,19 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** Exact Jaccard of two SORTED-distinct array<long> columns (the
+    * [[shingleHashes]] contract) through the native two-pointer merge
+    * kernel — |∩| from one allocation-free pass, |∪| = |a|+|b|−|∩|
+    * (exact for distinct arrays), identical value to [[jaccard]] but
+    * without materializing the intersect/union arrays per candidate
+    * pair.
+    */
+  def jaccardSortedHashes(a: Column, b: Column): Column = {
+    val inter = graft.catalyst.GraftFunctions.sortedIntersectSize(a, b)
+    inter.cast("double") /
+      greatest(size(a) + size(b) - inter, lit(1)).cast("double")
+  }
 
   /** Bands needed so a pair with Jaccard >= `threshold` misses every
     * LSH band with probability <= `missTarget`, at `rowsPerBand` MinHash
@@ -222,7 +235,7 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSortedHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -272,8 +285,8 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")).cast("double"))
+        graft.catalyst.GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
@@ -290,7 +303,7 @@ object Dedup {
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSortedHashes(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -172,6 +172,30 @@ class CatalystExprSpec extends SparkSpec {
     assert(short.forall(_.isEmpty))
   }
 
+  test("sorted_intersect_size matches array_intersect on random sorted-distinct arrays") {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rng.nextInt(50))(rng.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(50))(rng.nextInt(80).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (fast, ref) => assert(fast === ref) }
+    // and it stays inside whole-stage codegen on a parquet-backed stage
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftFunctions.shingleHashes(col("text"), 3).as("sh"))
+      .select(GraftFunctions.sortedIntersectSize(col("sh"), col("sh")).as("n"))
+    val p = docs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("Found 1 WholeStageCodegen subtrees"),
+      s"sorted_intersect_size fell out of codegen:\n${p.take(300)}")
+    assert(docs.head().getLong(0) > 0)
+  }
+
   test("misra-gries sketch keeps its presence and deviation guarantees under distributed merge") {
     // Zipf-ish stream across 32 partitions: the partial buffers must
     // serialize, merge, and compact without ever violating the
