@@ -109,6 +109,32 @@ class DedupSpec extends SparkSpec {
     assert(viaDispatch === viaPrefix)
   }
 
+  test("property: prefix join equals all-pairs on seeded random corpora and thresholds") {
+    // hand-rolled property sweep (the MergeSpec style): random corpora
+    // with planted overlap structure, random sub-0.5 thresholds — the
+    // prefix/length/positional filter stack must never drop a
+    // qualifying pair on ANY of them. Catches boundary bugs a single
+    // fixture can't (ceil edges, size-ratio edges, singleton tokens).
+    for (seed <- Seq(3, 17, 91)) {
+      val rng = new scala.util.Random(seed)
+      val corpus = (0 until 12).flatMap { s =>
+        val n = 5 + rng.nextInt(40)
+        val toks = (0 until n).map(i => s"t${seed}_${s}_$i")
+        val overlapFrom = rng.nextInt(12)
+        val stolen = (0 until rng.nextInt(n)).map(i => s"t${seed}_${overlapFrom}_$i")
+        Seq((s * 2L, toks.mkString(" ")),
+          (s * 2 + 1L, rng.shuffle(stolen ++ toks.take(n / 2)).mkString(" ")))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val t = 0.05 + rng.nextDouble() * 0.4
+      val pref = Dedup.jaccardJoinPrefix(df, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val exact = Dedup.ngramJaccardPairsExact(df, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref === exact, s"seed=$seed threshold=$t")
+    }
+  }
+
   test("containment join finds the quote inside the page, not the reverse") {
     val page = (0 until 100).map(i => s"page$i").mkString(" ")
     val quote = (10 until 30).map(i => s"page$i").mkString(" ")   // 20-token excerpt
