@@ -906,6 +906,49 @@ object ScaleOps {
         UNION ALL SELECT '1_robust_dedup', CAST(count(*) AS BIGINT) FROM s1
         UNION ALL SELECT '2_neardup_keep', CAST(count(*) AS BIGINT) FROM s2
         UNION ALL SELECT '3_decontaminated', CAST(count(*) AS BIGINT) FROM s3)
-      ORDER BY stage"""))
+      ORDER BY stage""")),
+
+    // ---- robust outlier detection (median absolute deviation): the
+    //      value-sanity gate heavy-tailed pipeline metrics need (mean/
+    //      stddev break under the very outliers being hunted). Robust
+    //      z = 0.6745·(x − med)/MAD, flag |z| > 3.5 (Iglewicz–Hoaglin).
+    //      percentile ↔ quantile_cont parity is the proven q18
+    //      mechanism; the z chain is mirrored with a MAD floor, and the
+    //      comparison runs on the round-6 snap so the flag count is
+    //      engine-stable. Two corpus passes (median, then deviation
+    //      median) + one flag pass — medians broadcast between them.
+    ("q114_mad_outliers", (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("ad", abs(col("l_extendedprice") - col("med")))
+      val mad = dev.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .withColumn("z_r", round(
+          (col("l_extendedprice") - col("med")) * 0.6745 /
+            greatest(col("mad"), lit(0.000001)), 6))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(first(col("med")), 6).as("med_r"),
+          round(first(col("mad")), 6).as("mad_r"),
+          sum(when(abs(col("z_r")) > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+                 FROM lineitem GROUP BY 1),
+      d AS (SELECT l.l_returnflag, l.l_extendedprice, m.med,
+                   abs(l.l_extendedprice - m.med) AS ad
+            FROM lineitem l JOIN m USING (l_returnflag)),
+      md AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+      SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             round(MIN(d.med), 6) AS med_r,
+             round(MIN(md.mad), 6) AS mad_r,
+             CAST(SUM(CASE WHEN abs(round((d.l_extendedprice - d.med) * 0.6745
+                    / greatest(md.mad, 0.000001), 6)) > 3.5
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM d JOIN md USING (l_returnflag)
+      GROUP BY d.l_returnflag ORDER BY d.l_returnflag"""))
   )
 }
