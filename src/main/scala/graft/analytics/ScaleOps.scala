@@ -112,10 +112,11 @@ object ScaleOps {
     //      vocabularies the exact groupBy's shuffle is the bottleneck
     //      and the sketch replaces it with 256 entries per partition.
     //      The declared query runs BOTH paths and certifies the MG
-    //      deviation contract on the exact top-20: every token with
-    //      exact count > N/capacity is present in the sketch, and the
-    //      sketch estimate is within [exact − N/capacity, exact]. The
-    //      oracle replays the exact side and pins both certs TRUE.
+    //      deviation contract on the exact top-20 at the sketch's OWN
+    //      documented bound N/(capacity+1): every token with exact
+    //      count > N/(cap+1) is present, and the estimate is within
+    //      [exact − N/(cap+1), exact]. The oracle replays the exact
+    //      side and pins both certs TRUE.
     ("q93_heavy_hitters", (s: SparkSession, dir: String) => {
       val cap = 256
       val toks = Tables(s, dir).documents
@@ -130,9 +131,9 @@ object ScaleOps {
         .crossJoin(broadcast(total))
         .select(col("tok"), col("n_exact"),
           (col("est").isNotNull ||
-            col("n_exact") * cap <= col("n_total")).as("present_ok"),
+            col("n_exact") * (cap + 1) <= col("n_total")).as("present_ok"),
           (coalesce(col("est"), lit(0L)) <= col("n_exact") &&
-            (col("n_exact") - coalesce(col("est"), lit(0L))) * cap <= col("n_total"))
+            (col("n_exact") - coalesce(col("est"), lit(0L))) * (cap + 1) <= col("n_total"))
             .as("err_ok"))
         .orderBy(col("n_exact").desc, col("tok"))
         .limit(20)
@@ -565,12 +566,14 @@ object ScaleOps {
 
     // ---- quality deciles (curriculum binning): rank every document by
     //      its integer uniqueness-micros score through the distributed
-    //      exact-rank decomposition, cut ntile(10)-equivalent deciles
-    //      with pure integer arithmetic (decile = (rank−1)·10 DIV N + 1
-    //      reproduces SQL NTILE for every N), and report per-bin
-    //      document counts and score ranges. The oracle ranks with one
-    //      plain global window — equality proves the decomposition and
-    //      the NTILE identity at once.
+    //      exact-rank decomposition, cut deciles with pure integer
+    //      arithmetic: decile = (rank−1)·10 DIV N + 1 — equal-width
+    //      rank bins (sizes differ by at most one, SPREAD across bins;
+    //      NOT SQL NTILE, which front-loads the larger bins when
+    //      N mod 10 != 0 — this formula is engine-portable without a
+    //      window function, which NTILE would need). The oracle ranks
+    //      with one plain global window and applies the same formula —
+    //      equality proves the rank decomposition exact.
     ("q106_quality_deciles", (s: SparkSession, dir: String) => {
       val urMicros = round(round(TextStats.uniqueWordRatio(col("text")), 6) * 1000000.0, 0)
         .cast("long")
@@ -704,13 +707,8 @@ object ScaleOps {
       val queries = emb.filter(col("vec_id").between(1, 10))
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
       val corpus = emb.filter(col("vec_id") > 10)
-      val wq = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cs").desc, col("vec_id"))
-      val exactTop = corpus.crossJoin(broadcast(queries))
-        .select(col("q_id"), col("vec_id"),
-          graft.text.Similarity.cosine(col("embedding"), col("qvec")).as("cs"))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= 10)
+      val exactTop = graft.text.Similarity
+        .topKPerQuery(corpus, queries, 10, qidCol = "q_id")
       val approx = graft.text.Similarity.lshTopKMulti(corpus, queries, 10,
         nPlanes = 4, dim = 64, probeHamming = 1)
       val hits = exactTop.select(col("q_id"), col("vec_id"))
@@ -719,7 +717,7 @@ object ScaleOps {
       exactTop.filter(col("rn") === 1)
         .join(hits, Seq("q_id"), "left")
         .select(col("q_id"), col("vec_id").as("top1_id"),
-          round(col("cs"), 6).as("top1_cos_r"),
+          round(col("cos_sim"), 6).as("top1_cos_r"),
           (coalesce(col("hits"), lit(0L)) >= 2).as("recall_ok"))
         .orderBy(col("q_id"))
     }, Some("""
@@ -736,16 +734,27 @@ object ScaleOps {
 
     // ---- ingest-rate spike detection: hourly event counts z-scored
     //      against the trailing 24-hour window (emitted only once a
-    //      full day of history exists). The window runs over the HOURLY
-    //      count table — time-range-sized, the intentionally serial
-    //      step (the packOffsets bucket-table argument) — never the
-    //      event stream. All window sums are integers; the z chain is
-    //      one mirrored IEEE expression with a greatest() floor on the
-    //      variance so a constant stretch cannot divide by zero.
+    //      full day of history exists). The hour spine is DENSIFIED
+    //      (sequence over the observed range, zero-filled) so the
+    //      trailing frame is truly 24 wall-clock hours even across gaps,
+    //      and an outage hour — the most anomalous rate event — gets a
+    //      row, a z-score, and a flag (|z|, so drops count as spikes).
+    //      Windows run over the HOURLY spine — time-range-sized, the
+    //      intentionally serial step (the packOffsets bucket-table
+    //      argument) — never the event stream. All window sums are
+    //      integers; the z chain is one mirrored IEEE expression with a
+    //      greatest() floor on the variance so a constant stretch
+    //      cannot divide by zero.
     ("q111_rate_spikes", (s: SparkSession, dir: String) => {
-      val hourly = Tables(s, dir).events
+      val counts = Tables(s, dir).events
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"))
+      val spine = counts
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val hourly = spine.join(counts, Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("hour")).rowsBetween(-24, -1)
       val d = (c: Column) => c.cast("double")
@@ -759,11 +768,16 @@ object ScaleOps {
             sqrt(greatest(
               (d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("c"))) / d(col("c")),
               lit(0.000001))), 6))
-        .select(col("hour"), col("n"), col("z_r"), (col("z_r") >= 3.0).as("spike"))
+        .select(col("hour"), col("n"), col("z_r"), (abs(col("z_r")) >= 3.0).as("spike"))
         .orderBy(col("hour"))
     }, Some("""
-      WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
-                 FROM events GROUP BY 1),
+      WITH hc AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(
+                  (SELECT MIN(hour) FROM hc), (SELECT MAX(hour) FROM hc),
+                  INTERVAL 1 HOUR)) AS hour),
+      h AS (SELECT spine.hour, COALESCE(hc.n, 0) AS n
+            FROM spine LEFT JOIN hc USING (hour)),
       w AS (SELECT hour, n,
               COUNT(n) OVER win AS c,
               SUM(n) OVER win AS s1,
@@ -774,10 +788,10 @@ object ScaleOps {
                    / sqrt(greatest((CAST(s2 AS DOUBLE)
                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
                            / CAST(c AS DOUBLE), 0.000001)), 6) AS z_r,
-             round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+             abs(round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
                    / sqrt(greatest((CAST(s2 AS DOUBLE)
                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
-                           / CAST(c AS DOUBLE), 0.000001)), 6) >= 3.0 AS spike
+                           / CAST(c AS DOUBLE), 0.000001)), 6)) >= 3.0 AS spike
       FROM w WHERE c = 24 ORDER BY hour""")),
 
     // ---- retention cohort matrix: users grouped by first-activity day,

@@ -195,12 +195,26 @@ object Dedup {
     * threshold — candidate generation is a superset of the qualifying
     * pairs by the prefix theorem, and verification is exact.
     */
-  def jaccardJoinPrefix(docs: DataFrame, threshold: Double, k: Int = 3,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    // the shingle sets feed the df count, the prefix ranking, and both
-    // verify joins — materialize the native one-pass shingle scan once
-    // (the minhashNearDups discipline)
+  /** FP guard for every prefix-filter bound: a product like 0.07·100
+    * computes as 7.000000000000001, and an unslacked ceil/comparison at
+    * such an exact-integer boundary would shorten a prefix or reject a
+    * length ratio that mathematically qualifies — silently dropping a
+    * pair whose Jaccard/containment is EXACTLY the threshold. Slack is
+    * always applied in the direction that LOOSENS a filter (at most one
+    * extra prefix slot / candidate), never tightens, so exactness is
+    * preserved. DedupSpec pins the J == t boundary case.
+    */
+  private val FpSlack = 1e-9
+
+  /** Shared rarest-first prefix index for the prefix-filter join family
+    * ([[jaccardJoinPrefix]] / [[containmentJoinPrefix]]): shingle sets
+    * (checkpointed — they feed the df count, the ranking, and the
+    * verify joins), the exploded (id, size, hash) token table, and the
+    * prefix slice of length |x| − ceil(t·|x|) + 1 in ascending global
+    * document frequency (ties on hash).
+    */
+  private def prefixIndex(docs: DataFrame, threshold: Double, k: Int,
+                          idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
       .filter(size(col("sh")) >= 1)
       .localCheckpoint(true)
@@ -210,8 +224,15 @@ object Dedup {
       .partitionBy(col("id")).orderBy(col("df"), col("h"))
     val prefix = tok.join(dfreq, Seq("h"))
       .withColumn("rn", row_number().over(byRank))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold) - lit(FpSlack)) + 1)
       .select(col("h"), col("id"), col("sz"), col("rn"))
+    (sets, tok, prefix)
+  }
+
+  def jaccardJoinPrefix(docs: DataFrame, threshold: Double, k: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val (sets, _, prefix) = prefixIndex(docs, threshold, k, idCol, textCol)
     // positional filter (PPJoin Lemma 1): for the FIRST token the pair
     // shares — which the global rarest-first order forces into both
     // prefixes — every other common element sits after it on BOTH
@@ -223,13 +244,11 @@ object Dedup {
       .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       // length filter: J >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
-      .filter(col("sz_a") * lit(threshold) <= col("sz_b") &&
-        col("sz_b") * lit(threshold) <= col("sz_a"))
-      // the 1e-9 slack keeps an FP wobble at an exact-integer bound from
-      // ceil-ing one too high and dropping a qualifying pair — it can
-      // only loosen the filter, never tighten it
+      // (FpSlack: equality at the boundary must survive the product)
+      .filter(col("sz_a") * lit(threshold) - lit(FpSlack) <= col("sz_b") &&
+        col("sz_b") * lit(threshold) - lit(FpSlack) <= col("sz_a"))
       .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
-        ceil((col("sz_a") + col("sz_b")) * lit(threshold) / lit(1.0 + threshold) - lit(1e-9)))
+        ceil((col("sz_a") + col("sz_b")) * lit(threshold) / lit(1.0 + threshold) - lit(FpSlack)))
       .select(col("id_a"), col("id_b"))
       .distinct()
     cand
@@ -264,21 +283,12 @@ object Dedup {
   def containmentJoinPrefix(docs: DataFrame, threshold: Double, k: Int = 3,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) >= 1)
-      .localCheckpoint(true)
-    val tok = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
-    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("h"))
-    val prefix = tok.join(dfreq, Seq("h"))
-      .withColumn("rn", row_number().over(byRank))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("h"), col("id"), col("sz"))
+    val (sets, tok, prefix) = prefixIndex(docs, threshold, k, idCol, textCol)
     val cand = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
       .join(tok.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      // one-sided length filter (FpSlack: the q91 boundary argument)
+      .filter(col("sz_b") >= ceil(col("sz_a") * lit(threshold) - lit(FpSlack)))
       .select(col("id_a"), col("id_b"))
       .distinct()
     cand

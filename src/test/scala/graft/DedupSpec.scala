@@ -109,6 +109,24 @@ class DedupSpec extends SparkSpec {
     assert(viaDispatch === viaPrefix)
   }
 
+  test("prefix join keeps a pair whose Jaccard is EXACTLY the threshold (FP boundary)") {
+    // b's 7 shingles ⊂ a's 100 shingles, J = 7/100 == 0.07 bit-exactly —
+    // but 100 * 0.07 computes as 7.000000000000001, so an unslacked
+    // length filter rejects sz_b = 7 and an unslacked prefix ceil
+    // shortens the prefix by one slot. The FpSlack guard must keep the
+    // pair, matching the all-pairs kernel.
+    val aToks = (0 until 102).map(i => s"bw$i")
+    val a = aToks.mkString(" ")                 // 100 3-shingles
+    val b = aToks.take(9).mkString(" ")         // 7 3-shingles, all ⊂ a's
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairsExact(df, threshold = 0.07)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L)), "fixture must sit exactly on the threshold")
+    val pref = Dedup.jaccardJoinPrefix(df, threshold = 0.07)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pref === exact)
+  }
+
   test("property: prefix join equals all-pairs on seeded random corpora and thresholds") {
     // hand-rolled property sweep (the MergeSpec style): random corpora
     // with planted overlap structure, random sub-0.5 thresholds — the
