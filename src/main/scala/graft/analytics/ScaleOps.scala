@@ -931,6 +931,10 @@ object ScaleOps {
     //      comparison runs on the round-6 snap so the flag count is
     //      engine-stable. Two corpus passes (median, then deviation
     //      median) + one flag pass — medians broadcast between them.
+    //      Spark's exact percentile buffers group values, which is the
+    //      oracle-able VERIFY primitive; at 100 TB swap the two medians
+    //      for approx_percentile under the q82 rank-tolerance contract
+    //      (same plan shape, sketch-sized buffers).
     ("q114_mad_outliers", (s: SparkSession, dir: String) => {
       val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
       val med = li.groupBy(col("l_returnflag"))
