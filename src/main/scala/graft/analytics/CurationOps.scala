@@ -942,7 +942,7 @@ object CurationOps {
                      x -> x <> '') AS toks
                  FROM documents),
       tt AS (SELECT doc_id, otoks, toks, CAST(len(toks) AS BIGINT) AS n_tokens
-             FROM t WHERE len(toks) >= 8),
+             FROM t),
       sh AS (SELECT doc_id, i,
                ${TextStats.portableHash64Sql("array_to_string(toks[i : i + 7], ' ')")} AS h
              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tt)),
@@ -994,11 +994,16 @@ object CurationOps {
       d AS (SELECT doc_id, cs, list_distinct(cs) AS dc FROM c)
       SELECT doc_id,
              CAST(len(dc) AS BIGINT) AS n_distinct_chars,
-             round(CAST(-list_sum(list_transform(dc, ch ->
+             -- COALESCE: list_sum of an empty list is NULL, but the
+             -- native expression returns entropy 0 for empty text —
+             -- mirror that (latent parity gap flagged in review r6b;
+             -- the fixture has no empty docs, but the contract should
+             -- not depend on that)
+             round(CAST(-COALESCE(list_sum(list_transform(dc, ch ->
                      CAST(round(round((CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
                                       / len(cs))
                                      * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
-                                          / len(cs)), 9) * 1000000000.0, 0) AS BIGINT)))
+                                          / len(cs)), 9) * 1000000000.0, 0) AS BIGINT))), 0)
                    AS DOUBLE) / 1000000000.0, 6) AS entropy_r
       FROM d ORDER BY doc_id""")),
 
@@ -1080,7 +1085,8 @@ object CurationOps {
       c AS (SELECT list(mu ORDER BY i) AS cv FROM d)
       SELECT vec_id,
              round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) AS cos_to_centroid,
-             round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) < 0.0 AS is_outlier
+             (round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) < 0.0
+              OR isnan(round(list_cosine_similarity(v, (SELECT cv FROM c)), 6))) AS is_outlier
       FROM e ORDER BY vec_id"""))
   )
 }

@@ -60,11 +60,24 @@ object RademacherProject {
 
   def compute(arr: ArrayData, outDim: Int): GenericArrayData = {
     val n = arr.numElements()
-    // one HALF_UP rounding per element (sign-symmetric), as exact micros
+    // one HALF_UP rounding per element (sign-symmetric), as exact micros.
+    // A non-finite or absurd-magnitude element (a corrupt embedding —
+    // the garbage centroidOutliers exists to catch) poisons every
+    // output dimension to NaN instead of throwing inside the expression
+    // and failing the task (BigDecimal.valueOf(NaN) raises
+    // NumberFormatException; review finding r6b): a linear combination
+    // of NaN IS NaN, and NaN rows flow to downstream filters.
     val micros = new Array[Long](n)
     var i = 0
     while (i < n) {
-      micros(i) = java.math.BigDecimal.valueOf(arr.getDouble(i))
+      val x = arr.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x) ||
+        math.abs(x) >= 1e12) {
+        val bad = new Array[Double](outDim)
+        java.util.Arrays.fill(bad, Double.NaN)
+        return new GenericArrayData(bad)
+      }
+      micros(i) = java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP)
         .movePointRight(6).longValueExact()
       i += 1

@@ -34,11 +34,30 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // WEAK session keys: a strong (session, …) key would pin every
+  // stopped session's analyzed plans for the JVM lifetime (test suites
+  // and long-lived services create/stop many sessions — review finding
+  // r6b). The inner key carries a cheap file-stat token so a rewritten
+  // fixture dir invalidates its entry (the ivfCacheKey discipline)
+  // instead of serving a stale file listing; superseded-token entries
+  // linger only until their session is collected.
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def cached(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+  private def statToken(dir: String, name: String): String = {
+    val f = new java.io.File(dir, s"$name.parquet")
+    val files = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty) else Array(f)
+    files.map(x => s"${x.getName}:${x.lastModified}:${x.length}")
+      .sorted.mkString(",").hashCode.toString
+  }
+
+  private def cached(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val inner = memo.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    inner.computeIfAbsent(s"$dir/$name|${statToken(dir, name)}",
+      _ => load(spark, dir, name))
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {

@@ -710,10 +710,13 @@ object Dedup {
     // covered-position join, token table + final join) — materialize it
     // once (the minhashNearDups discipline; blocks are freed by the
     // context cleaner). Measured 2.9 → 1.9 s at sf0.1.
+    // no size filter: a document with fewer than n tokens has no
+    // n-gram spans, so it passes through UNTRIMMED — a surgery operator
+    // whose output replaces the corpus must never silently drop rows
+    // (review finding r6b; the previous filter lost every sub-n doc)
     val t = docs.select(col(idCol).as("doc_id"),
       filter(split(col(textCol), "\\s+"), x => x =!= lit("")).as("otoks"),
       graft.catalyst.GraftFunctions.portableShingles(col(textCol), n).as("hs"))
-      .filter(size(col("hs")) >= 1)
       .withColumn("n_tokens", size(col("otoks")).cast("long"))
       .localCheckpoint(true)
     val sh = t

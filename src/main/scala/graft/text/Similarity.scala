@@ -343,13 +343,28 @@ object Similarity {
     * the probe set is a driver-side constant (≤ sum of binomials), so
     * the plan stays a broadcast-join + one narrow corpus pass.
     */
+  /** Probe-mask set for multi-probe LSH: every bucket XOR mask flipping
+    * at most `probeHamming` of the `nPlanes` sign bits, enumerated by
+    * BIT-POSITION COMBINATIONS (Σ C(nPlanes, i) masks) — never a
+    * 2^nPlanes scan, which overflows Int at 31 planes and walks ~10⁹
+    * candidates on the driver well before (review finding r6b).
+    */
+  private[graft] def probeMasks(nPlanes: Int, probeHamming: Int): Seq[Long] = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes in [1,62]: $nPlanes")
+    require(probeHamming >= 0 && probeHamming <= nPlanes,
+      s"probeHamming in [0,$nPlanes]: $probeHamming")
+    (0 to probeHamming).flatMap { h =>
+      (0 until nPlanes).combinations(h)
+        .map(bits => bits.foldLeft(0L)((m, b) => m | (1L << b)))
+    }
+  }
+
   def lshTopK(embeddings: DataFrame, query: DataFrame, k: Int,
               nPlanes: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               probeHamming: Int = 0): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val masks = probeMasks(nPlanes, probeHamming)
     val qb = query.withColumn("qbucket", lshBucket(col("qvec"), nPlanes, dim))
       .withColumn("bucket",
         explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
@@ -374,8 +389,7 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    probeHamming: Int = 0): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => Integer.bitCount(m) <= probeHamming)
+    val masks = probeMasks(nPlanes, probeHamming)
     val qb = queries.withColumn("qbucket", lshBucket(col("qvec"), nPlanes, dim))
       .withColumn("bucket",
         explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
@@ -487,8 +501,13 @@ object Similarity {
     }: _*).as("cvec"))
     embeddings.crossJoin(broadcast(cent))
       .withColumn("cos_to_centroid", round(cosine(col(vecCol), col("cvec")), 6))
+      // an all-zero vector — the canonical garbage embedding — yields
+      // cosine 0/0 = NaN, and `NaN < t` is FALSE under Spark's NaN
+      // ordering, so without the isnan arm the exact rows this filter
+      // exists to catch would pass it (review finding r6b)
       .select(col(idCol).as("vec_id"), col("cos_to_centroid"),
-        (col("cos_to_centroid") < threshold).as("is_outlier"))
+        (col("cos_to_centroid") < threshold || isnan(col("cos_to_centroid")))
+          .as("is_outlier"))
   }
 
   /** Per-label centroid report: the decimal-exact mean vector of every
@@ -571,10 +590,22 @@ object Similarity {
     // accumulation of the HALF_UP-rounded terms — bit-identical to the
     // DECIMAL(25,6) fold the oracle replays); whole-stage codegen's
     // subexpression elimination shares the array across the element_at
-    // projections
+    // projections. `dim` is enforced, not decorative: a vector whose
+    // width disagrees with the declared input dimension is a schema
+    // bug, and silently projecting whatever arrives would mask it
+    // (review finding r6b — the parameter was previously unused).
     val proj = graft.catalyst.GraftFunctions
       .rademacherProject(col(vecCol).cast("array<double>"), outDim)
-    val outCols = (0 until outDim).map(j => element_at(proj, j + 1).as(f"p$j%02d"))
+    // the guard rides INSIDE the first output column (a projected-away
+    // assert column would be pruned by the optimizer): width mismatch
+    // raises, never silently projects
+    val guard = when(size(col(vecCol)) =!= dim,
+      raise_error(concat(lit(s"randomProjection: expected dim $dim, got "),
+        size(col(vecCol)).cast("string"))))
+    val outCols = (0 until outDim).map { j =>
+      val e = element_at(proj, j + 1)
+      (if (j == 0) coalesce(guard.cast("double"), e) else e).as(f"p$j%02d")
+    }
     embeddings.select((col(idCol).as("vec_id") +: outCols): _*)
   }
 
@@ -585,8 +616,16 @@ object Similarity {
     * semantic near-duplicate pruning at a fraction of all-pairs cost.
     *
     * Output: (vec_id, centroid_id, n_similar_smaller, max_sim_r,
-    * is_kept) — one row per vector; `is_kept` is the greedy keep-first
-    * decision (no smaller-id neighbor above `tau` in the same cluster).
+    * is_kept) — one row per vector; `is_kept` means "no smaller-id
+    * neighbor above `tau` in the same cluster". NOTE this is the
+    * one-shot MATRIX variant, not the sequential greedy sweep: on a
+    * similarity chain A~B~C (A~C below tau) the greedy sweep would keep
+    * C after dropping B, while this variant drops BOTH B and C — a
+    * deliberately conservative over-removal that stays one relational
+    * pass (the sequential sweep is order-dependent and needs an
+    * iterative fixpoint). Dedup errs toward dropping look-alikes;
+    * callers needing the exact greedy semantics can iterate the pass on
+    * the kept set to a fixpoint.
     *
     * Shape at scale: the k-means assignment is [[kmeansAssign]] (corpus
     * never shuffles — broadcast-literal centroids); the within-cluster

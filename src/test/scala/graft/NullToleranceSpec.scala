@@ -42,9 +42,13 @@ class NullToleranceSpec extends SparkSpec {
     assert(c(1).isNullAt(c(1).fieldIndex("text_clean")))
     val e = df.select(graft.text.TextStats.charEntropy(col("text"))).collect()
     assert(e(0).getDouble(0) > 0.0 || e(1).isNullAt(0))
-    // corpus ops: the null-text row simply contributes nothing
+    // corpus ops: the null-text row contributes nothing to signals
     assert(graft.text.Dedup.ngramNovelty(df, n = 3).count() === 1)
-    assert(graft.text.Dedup.dupSpanTrim(df, n = 3).count() === 1)
+    // trim is a SURGERY op: every input row must come back out (the
+    // null-text row passes through with null token stats, not dropped)
+    val trimmed = graft.text.Dedup.dupSpanTrim(df, n = 3).orderBy("doc_id").collect()
+    assert(trimmed.length === 2)
+    assert(trimmed(1).isNullAt(trimmed(1).fieldIndex("n_tokens")))
   }
 
   test("round-6b operators degrade gracefully on null/empty text and empty inputs") {
