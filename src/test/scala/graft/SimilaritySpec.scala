@@ -184,6 +184,45 @@ class SimilaritySpec extends SparkSpec {
     assert(signs.count(_ > 0) > 8 && signs.count(_ < 0) > 8)
   }
 
+  test("probe masks enumerate bit combinations — no 2^nPlanes scan, no Int overflow") {
+    def c(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    // counts match sum-of-binomials at plane counts where the old
+    // 2^nPlanes range would have overflowed or walked ~10^9 ints
+    assert(Similarity.probeMasks(4, 1).size === 5)
+    assert(Similarity.probeMasks(62, 0) === Seq(0L))
+    assert(Similarity.probeMasks(62, 2).size === 1 + 62 + c(62, 2))
+    assert(Similarity.probeMasks(31, 1).size === 32)
+    // each mask flips at most probeHamming bits, all distinct
+    val m = Similarity.probeMasks(62, 2)
+    assert(m.distinct.size === m.size)
+    assert(m.forall(x => java.lang.Long.bitCount(x) <= 2))
+  }
+
+  test("centroid outliers: zero and NaN vectors are flagged, not silently passed") {
+    val withGarbage = vecs.unionByName(Seq(
+      (900L, Seq.fill(dim)(0f)),
+      (901L, Seq.fill(dim)(Float.NaN))).toDF("vec_id", "embedding"))
+    val out = Similarity.centroidOutliers(withGarbage, dim = dim, threshold = 0.0)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(900L), "all-zero vector (NaN cosine) must flag as outlier")
+    assert(out(901L), "NaN vector must flag as outlier")
+  }
+
+  test("random projection: NaN elements poison the row instead of crashing; wrong dim raises") {
+    val withNaN = vecs.unionByName(
+      Seq((902L, Seq.fill(dim)(Float.NaN))).toDF("vec_id", "embedding"))
+    val proj = Similarity.randomProjection(withNaN, dim = dim, outDim = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(proj(902L).forall(_.isNaN), "corrupt row projects to NaN, job survives")
+    assert(proj(0L).forall(!_.isNaN))
+    val wrong = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(wrong, dim = dim, outDim = 4).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("per-query top-k fans out over a query set") {
     val queries = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
