@@ -34,16 +34,20 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  // WEAK session keys: a strong (session, …) key would pin every
-  // stopped session's analyzed plans for the JVM lifetime (test suites
-  // and long-lived services create/stop many sessions — review finding
-  // r6b). The inner key carries a cheap file-stat token so a rewritten
-  // fixture dir invalidates its entry (the ivfCacheKey discipline)
-  // instead of serving a stale file listing; superseded-token entries
-  // linger only until their session is collected.
+  // Bounded LRU, NOT a weak map: a cached DataFrame strongly references
+  // its SparkSession, so weak session keys are never collectible (the
+  // WeakHashMap value-refers-to-key trap) — the honest fix is eviction
+  // by churn. 256 entries comfortably covers one session × all fixture
+  // dirs; entries for stopped sessions or rewritten dirs age out as new
+  // reads displace them. The key carries a cheap file-stat token so a
+  // REWRITTEN fixture dir misses immediately (the ivfCacheKey
+  // discipline) instead of serving a stale file listing.
+  private val memoCap = 256
   private val memo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > memoCap
+    })
 
   private def statToken(dir: String, name: String): String = {
     val f = new java.io.File(dir, s"$name.parquet")
@@ -53,10 +57,12 @@ object Tables {
   }
 
   private def cached(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val inner = memo.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    inner.computeIfAbsent(s"$dir/$name|${statToken(dir, name)}",
-      _ => load(spark, dir, name))
+    val key = s"${System.identityHashCode(spark)}|$dir/$name|${statToken(dir, name)}"
+    memo.synchronized {
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else { val df = load(spark, dir, name); memo.put(key, df); df }
+    }
   }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -67,10 +73,25 @@ object Tables {
         // convert to a microsecond TimestampType; the fixture has no
         // sub-microsecond components, so no information is lost vs the
         // DuckDB oracle.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        // scope the legacy conf to this schema inference: set, read,
+        // restore — leaving it on session-wide would silently turn
+        // every later TIMESTAMP(NANOS) read in the session into raw
+        // longs (review finding r6b). The loaded DataFrame keeps its
+        // inferred long schema; execution converts through the column
+        // we build here, not through the conf.
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
+        }
       case _ =>
         spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -19,12 +19,8 @@ object Keys {
   def postKey(author: Column, permlink: Column): Column =
     xxhash64(concat_ws("/", author, permlink)).as("post_id")
 
-  /** Same key computed from a vote row — votes reference posts by the
-    * identical hash so the vote→post join needs no extra lookup state
-    * (reference handlers/votes.js:6-9).
-    */
-  def postKeyOfVote(voter: Column, author: Column, permlink: Column): Column =
-    xxhash64(concat_ws("/", author, permlink))
+  // (postKeyOfVote removed: it duplicated postKey with an unused voter
+  // parameter and had no callers — Votes.keyed goes through postKey)
 
   /** Accounts use their natural name key
     * (reference handlers/account_updates.js:9).

@@ -59,11 +59,25 @@ object Merge {
     */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String] = Seq("year", "month")): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the overwrite mode rides the WRITER, not the session conf — a
+    // session-wide `conf.set` would silently flip every later
+    // partitioned Overwrite in the same session from replace-table to
+    // partial-overwrite semantics (review finding r6b)
     df.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
+
+  /** Filesystem-agnostic existence probe through the session's Hadoop
+    * conf — `java.io.File` is ALWAYS false for hdfs://, s3://, etc.,
+    * which would silently rebuild state from scratch every batch on a
+    * non-local deployment (review finding r6b).
+    */
+  private[graft] def pathExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** First-seen partition routing: every key's partition columns are
@@ -104,7 +118,7 @@ object Merge {
                         keys: Seq[String], orderCol: String,
                         partitionCols: Seq[String] = Seq("year", "month")): Unit = {
     val spark = incoming.sparkSession
-    val exists = new java.io.File(path).exists()
+    val exists = pathExists(spark, path)
     val incomingTagged = incoming.withColumn("__from_state", lit(false))
     val merged = if (!exists) {
       latestWins(routeFirstSeen(incomingTagged, keys, orderCol, partitionCols)

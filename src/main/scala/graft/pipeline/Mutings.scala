@@ -18,9 +18,12 @@ object Mutings {
 
   val communityId = "hive-118554"
 
-  /** P8: the muted-role filter (handle_mutings.js:37-39). */
+  /** P8: the muted-role filter (handle_mutings.js:37-39). Distinct —
+    * duplicate role rows for one account (re-ingested snapshots, title
+    * variants) must not multiply the posts they left-join against.
+    */
   def mutedAccounts(roles: DataFrame): DataFrame =
-    roles.filter(col("role") === "muted").select(col("account"))
+    roles.filter(col("role") === "muted").select(col("account")).distinct()
 
   /** J3+SNK2: posts left-joined against muted accounts on author; the
     * flag is true iff the author is muted AND the post is in the
@@ -31,8 +34,12 @@ object Mutings {
     val muted = mutedAccounts(roles).withColumnRenamed("account", "muted_author")
     posts
       .join(broadcast(muted), posts("author") === col("muted_author"), "left")
+      // coalesce: a muted author's post with a NULL parent_permlink
+      // must flag FALSE, not null (three-valued logic would leak a null
+      // through the AND and make `!flag` filters drop the row)
       .withColumn("muted_in_community",
-        col("muted_author").isNotNull && (col("parent_permlink") === communityId))
+        coalesce(col("muted_author").isNotNull &&
+          (col("parent_permlink") === communityId), lit(false)))
       .drop("muted_author")
   }
 }

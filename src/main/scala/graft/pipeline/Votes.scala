@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Votes {
 
-  /** Votes with their post key attached (reference votes.js:6-9). */
+  /** Votes with their post key attached (reference votes.js:6-9) —
+    * derived through [[graft.ops.Keys.postKey]] so a key-scheme change
+    * (seed, separator) can never silently fork the vote path from the
+    * post path.
+    */
   def keyed(votes: DataFrame): DataFrame =
     votes.withColumn("post_id",
-      xxhash64(concat_ws("/", col("author"), col("permlink"))))
+      graft.ops.Keys.postKey(col("author"), col("permlink")))
 
   /** J1: keep only votes whose post exists (reference votes.js:40-46 —
     * votes for unknown posts are dropped). `posts` needs only its key

@@ -28,8 +28,16 @@ object StreamingNearDup {
 
   final case class Bucket(members: Seq[(Long, Array[Long])])
 
+  /** Defaults MATCH [[graft.text.Dedup.minhashNearDups]] exactly
+    * (16 hashes / 4 bands) — the batch-parity contract is only
+    * meaningful at identical parameters, and a diverging band default
+    * would emit different candidate sets at the same call shape
+    * (review finding r6b). The id column must already be LongType
+    * (like the batch twin, which never casts): an implicit cast would
+    * fail loudly under ANSI or null out ids without it.
+    */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8,
-                   k: Int = 3, numHashes: Int = 16, bands: Int = 16,
+                   k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    timeout: Option[String] = None,
                    idCol: String = "doc_id", textCol: String = "text"): Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
@@ -38,7 +46,7 @@ object StreamingNearDup {
       if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     val keyed = docs
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).as("id"),
         Dedup.shingleHashes(col(textCol), k).as("sh"))
       .withColumn("bk", explode(
         Dedup.bandKeys(Dedup.minhashSignature(col("sh"), numHashes), numHashes, bands)))

@@ -69,7 +69,7 @@ object Sync {
       case Some(existing) =>
         existing.unionByName(activity)
           .groupBy(col("name")).agg(max(col("last_active")).as("last_active"))
-      case None => activity.withColumnRenamed("last_active", "last_active")
+      case None => activity
     }
 
     // vote_sets/accounts are hash-keyed (no time partitioning): full
@@ -84,7 +84,9 @@ object Sync {
   }
 
   private def readState(spark: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+    // filesystem-agnostic probe (java.io.File is always false on
+    // hdfs://s3://, which would silently drop all accumulated state)
+    if (graft.pipeline.Merge.pathExists(spark, path)) Some(spark.read.parquet(path)) else None
 
   /** Start the streaming sync over a directory of op-envelope JSON files
     * (the file source stands in for the RPC poll, SURVEY SRC1).
