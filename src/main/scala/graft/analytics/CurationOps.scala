@@ -272,7 +272,7 @@ object CurationOps {
                  / greatest(len(regexp_split_to_array(text, '$ws+')), 1) AS uniq_ratio
         FROM documents),
       f AS (
-        SELECT *, ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
+        SELECT *, ${TextStats.fingerprintSql("text")} AS fp
         FROM q WHERE n_words >= 30 AND uniq_ratio >= 0.35),
       r AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp)
       SELECT doc_id, lang, source, n_words
@@ -290,12 +290,12 @@ object CurationOps {
     }, Some(s"""
       WITH tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$ws+')) AS term
+        FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS term
               FROM documents)
         GROUP BY doc_id, term),
       dfq AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '$ws+'))) AS term
+        FROM (SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> ''))) AS term
               FROM documents)
         GROUP BY term),
       n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -320,13 +320,13 @@ object CurationOps {
       graft.text.Relevance.bm25TopDocs(Tables(s, dir).documents)
     }, Some(s"""
       WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$ws+')) AS term
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
       dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
       dfq AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '$ws+'))) AS term
+        FROM (SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> ''))) AS term
               FROM documents)
         GROUP BY term),
       qterms AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 8),
@@ -357,7 +357,8 @@ object CurationOps {
       graft.text.Chunking.chunkTokens(Tables(s, dir).documents, chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))
     }, Some(s"""
-      WITH t AS (SELECT doc_id, regexp_split_to_array(text, '$ws+') AS toks
+      WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '$ws+'),
+                              x -> x <> '') AS toks
                  FROM documents),
       c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t)
       SELECT doc_id,
@@ -431,7 +432,8 @@ object CurationOps {
       graft.text.LangModel.bigramPerplexity(Tables(s, dir).documents)
         .orderBy(col("doc_id"))
     }, Some(s"""
-      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '$ws+') AS toks
+      WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                              x -> x <> '') AS toks
                  FROM documents),
       bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
              FROM t WHERE len(toks) >= 2),
@@ -494,22 +496,30 @@ object CurationOps {
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       a AS (SELECT vec_id, v,
               list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
-      s AS (SELECT vec_id, v, 127.0 / amax AS scale FROM a WHERE amax > 0.0),
-      q AS (SELECT vec_id, v, scale,
-              list_transform(v, x ->
-                greatest(-127, least(127, CAST(round(x * scale, 0) AS INTEGER)))) AS qv
+      s AS (SELECT vec_id, v,
+              amax > 0.0 AND NOT isnan(amax) AS quantizable,
+              CASE WHEN amax > 0.0 AND NOT isnan(amax)
+                   THEN 127.0 / amax END AS scale
+            FROM a),
+      q AS (SELECT vec_id, v, quantizable, scale,
+              CASE WHEN quantizable THEN list_transform(v, x ->
+                greatest(-127, least(127, CAST(round(x * scale, 0) AS INTEGER))))
+              ELSE list_transform(v, x -> 0) END AS qv
             FROM s),
-      r AS (SELECT vec_id, scale, qv,
-              list_transform(range(1, len(v) + 1), i ->
-                CAST(list_extract(qv, i) AS DOUBLE) / scale - list_extract(v, i)) AS err
+      r AS (SELECT vec_id, quantizable, scale, qv,
+              CASE WHEN quantizable THEN list_transform(range(1, len(v) + 1), i ->
+                CAST(list_extract(qv, i) AS DOUBLE) / scale - list_extract(v, i)) END AS err
             FROM q)
       SELECT vec_id,
              array_to_string(qv, ',') AS q_str,
              round(scale, 6) AS scale_r,
-             round(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err,
-             round(CAST(list_sum(list_transform(err, x ->
-                 CAST(round(round(x * x, 6) * 1000000.0, 0) AS BIGINT))) AS DOUBLE)
-               / 1000000.0 / 64.0, 6) AS mse
+             CASE WHEN quantizable
+                  THEN round(list_max(list_transform(err, x -> abs(x))), 6) END AS max_abs_err,
+             CASE WHEN quantizable
+                  THEN round(CAST(list_sum(list_transform(err, x ->
+                      CAST(round(round(x * x, 6) * 1000000.0, 0) AS BIGINT))) AS DOUBLE)
+                    / 1000000.0 / 64.0, 6) END AS mse,
+             quantizable
       FROM r ORDER BY vec_id""")),
 
     // ---- Corpus report card (per lang × source health summary) ----
@@ -553,7 +563,7 @@ object CurationOps {
                CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS n_words,
                CAST(len(list_distinct(regexp_split_to_array(text, '$ws+'))) AS DOUBLE)
                  / greatest(len(regexp_split_to_array(text, '$ws+')), 1) AS uniq_ratio,
-               ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
+               ${TextStats.fingerprintSql("text")} AS fp
         FROM documents),
       g AS (
         SELECT lang, source,
@@ -585,8 +595,8 @@ object CurationOps {
     //      xxhash64(trim(line)) but its OUTPUT depends only on hash
     //      EQUALITY, never hash values (the q53 argument), so the scale
     //      default stays and the oracle groups trimmed line STRINGS
-    //      directly. Docs whose every line is boilerplate vanish on both
-    //      engines (no rows from the reassembly group-by).
+    //      directly. Docs whose every line is boilerplate come back
+    //      with empty text (surgery ops never lose rows — r6b).
     ("q70_line_dedup", (s: SparkSession, dir: String) => {
       val docs = Tables(s, dir).documents
         .withColumn("text",
@@ -602,11 +612,15 @@ object CurationOps {
       ln AS (
         SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos FROM t),
       freq AS (
-        SELECT trim(line) AS tl FROM ln GROUP BY 1 HAVING COUNT(*) > 1)
-      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-      FROM ln
-      WHERE NOT EXISTS (SELECT 1 FROM freq WHERE freq.tl = trim(ln.line))
-      GROUP BY doc_id ORDER BY doc_id""")),
+        SELECT trim(line) AS tl FROM ln GROUP BY 1 HAVING COUNT(*) > 1),
+      kept AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kt
+        FROM ln
+        WHERE NOT EXISTS (SELECT 1 FROM freq WHERE freq.tl = trim(ln.line))
+        GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(kept.kt, '') AS text
+      FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+      ORDER BY d.doc_id""")),
 
     // ---- BPE pair-frequency table (tokenizer-training prep): the
     //      corpus-wide adjacent-pair counts over the BPE-ish
@@ -678,7 +692,7 @@ object CurationOps {
         FROM documents WHERE doc_id % 10 = 0),
       fp AS (
         SELECT DISTINCT
-          ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp,
+          ${TextStats.fingerprintSql("text")} AS fp,
           source AS src
         FROM all_docs),
       per AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY src),
@@ -801,13 +815,13 @@ object CurationOps {
       graft.text.Relevance.hybridRrf(t.documents, t.embeddings)
     }, Some(s"""
       WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$ws+')) AS term
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
       dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
       dfq AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '$ws+'))) AS term
+        FROM (SELECT doc_id, unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> ''))) AS term
               FROM documents)
         GROUP BY term),
       qterms AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 8),

@@ -63,7 +63,7 @@ object LLMOps {
     }, Some(s"""
       SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
       FROM documents
-      GROUP BY regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')
+      GROUP BY array_to_string(list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> ''), ' ')
       ORDER BY keep_id""")),
 
     // ---- token counting: whitespace + BPE-ish pre-tokenizer ----
@@ -256,7 +256,7 @@ object LLMOps {
         .orderBy(col("doc_id"))
     }, Some(s"""
       SELECT doc_id,
-        ${TextStats.portableHash64Sql(s"regexp_replace(lower(trim(text)), '$ws+', ' ', 'g')")} AS fp
+        ${TextStats.fingerprintSql("text")} AS fp
       FROM documents ORDER BY doc_id""")),
 
     // ---- LSH-bucketed approximate NN with an in-plan accuracy contract

@@ -231,8 +231,7 @@ object ScaleOps {
       WITH t AS (
         SELECT doc_id,
                CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS n_tokens,
-               ${TextStats.portableHash64Sql(
-                 s"array_to_string(regexp_split_to_array(lower(trim(text)), '$ws+'), ' ')")} AS fp,
+               ${TextStats.fingerprintSql("text")} AS fp,
                ${TextStats.portableHash64Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS k
         FROM documents),
       o AS (
@@ -312,13 +311,11 @@ object ScaleOps {
         .orderBy(col("source"))
     }, Some(s"""
       WITH o AS (
-        SELECT DISTINCT ${TextStats.portableHash64Sql(
-          s"array_to_string(regexp_split_to_array(lower(trim(text)), '$ws+'), ' ')")} AS fp,
+        SELECT DISTINCT ${TextStats.fingerprintSql("text")} AS fp,
                source
         FROM documents WHERE doc_id % 10 <> 3),
       n AS (
-        SELECT DISTINCT ${TextStats.portableHash64Sql(
-          s"array_to_string(regexp_split_to_array(lower(trim(text)), '$ws+'), ' ')")} AS fp,
+        SELECT DISTINCT ${TextStats.fingerprintSql("text")} AS fp,
                source
         FROM documents WHERE doc_id % 10 <> 7),
       j AS (

@@ -54,9 +54,6 @@ object GraftFunctions {
   def portableShingles(c: Column, k: Int): Column =
     col(PortableShingles(expr(c), k))
 
-  /** Banded random-hyperplane LSH keys of an embedding column (one fused
-    * pass over the vector for all bands; see [[HyperplaneBands]]).
-    */
   /** Integer-nanos character-entropy sum — see [[CharEntropyNanos]]. */
   def charEntropyNanos(c: Column): Column = col(CharEntropyNanos(expr(c)))
 
@@ -76,6 +73,9 @@ object GraftFunctions {
   def misraGriesTopK(c: Column, capacity: Int): Column =
     col(MisraGriesTopK(expr(c), capacity).toAggregateExpression())
 
+  /** Banded random-hyperplane LSH keys of an embedding column (one fused
+    * pass over the vector for all bands; see [[HyperplaneBands]]).
+    */
   def hyperplaneBands(c: Column, bands: Int, rowsPerBand: Int, dim: Int, seed: Long): Column =
     col(HyperplaneBands(expr(c), bands, rowsPerBand, dim, seed))
 
@@ -87,7 +87,10 @@ object GraftFunctions {
   def xxhash64Seeded(seed: Long, cols: Column*): Column =
     col(XxHash64(cols.map(expr), seed))
 
-  /** Register all functions on an existing session for SQL use. */
+  /** Register the SQL-callable native functions on an existing session.
+    * Integer-parameterized expressions take their parameter as a
+    * literal argument (like Spark's own `approx_count_distinct` rsd).
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
@@ -96,6 +99,25 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("xxhash64_seeded",
       (es: Seq[Expression]) => xxHashWithLiteralSeed(es), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_size",
+      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_entropy_nanos",
+      (es: Seq[Expression]) => CharEntropyNanos(es.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      (es: Seq[Expression]) => ShingleHashes(es(0), litInt(es, 1)), "built-in")
+    reg.createOrReplaceTempFunction("portable_shingles",
+      (es: Seq[Expression]) => PortableShingles(es(0), litInt(es, 1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (es: Seq[Expression]) => MinHashSig(es(0), litInt(es, 1)), "built-in")
+    reg.createOrReplaceTempFunction("portable_winnow",
+      (es: Seq[Expression]) => PortableWinnow(es(0), litInt(es, 1), litInt(es, 2)), "built-in")
+  }
+
+  private def litInt(es: Seq[Expression], pos: Int): Int = es(pos) match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"argument ${pos + 1} must be a literal integer, got $other")
   }
 
   private[catalyst] def xxHashWithLiteralSeed(es: Seq[Expression]): Expression = es.head match {

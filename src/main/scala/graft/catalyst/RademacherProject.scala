@@ -87,9 +87,21 @@ object RademacherProject {
     while (j < outDim) {
       var s = 0L
       i = 0
-      while (i < n) {
-        if (positive(j, i)) s += micros(i) else s -= micros(i)
-        i += 1
+      try {
+        // addExact: per-element micros can reach ~1e18 under the 1e12
+        // magnitude guard, so an unchecked sum over 10+ such elements
+        // could wrap silently and emit a finite WRONG value — overflow
+        // routes to the same NaN path as non-finite inputs (review
+        // finding r6b)
+        while (i < n) {
+          s = if (positive(j, i)) Math.addExact(s, micros(i))
+              else Math.subtractExact(s, micros(i))
+          i += 1
+        }
+      } catch {
+        case _: ArithmeticException =>
+          java.util.Arrays.fill(out, Double.NaN)
+          return new GenericArrayData(out)
       }
       // exact long micros / 1e6 is the nearest double of the decimal sum
       // (what CAST(DECIMAL AS DOUBLE) yields); final round-6 mirrors the

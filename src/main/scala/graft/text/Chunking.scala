@@ -20,7 +20,7 @@ object Chunking {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
     val stride = chunkSize - overlap
-    val toks: Column = TextStats.tokens(col(textCol))
+    val toks: Column = filter(TextStats.tokens(col(textCol)), t => t =!= lit(""))
     docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))

@@ -337,13 +337,19 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxOccurrences)
       .select(col("lh"))
-    lines
+    val kept = lines
       .join(frequent, Seq("lh"), "left_anti")
       .groupBy(col("id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line")), "\n").as("text"))
-      .withColumnRenamed("id", idCol)
+          s => s.getField("line")), "\n").as("__kept_text"))
+    // surgery ops never lose rows (the dupSpanTrim contract): a doc
+    // whose EVERY line is boilerplate comes back with empty text, not
+    // silently vanished from the corpus (review finding r6b)
+    docs.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__kept_text"), lit("")).as("text"))
   }
 
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT

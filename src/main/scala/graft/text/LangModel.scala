@@ -33,7 +33,7 @@ object LangModel {
   def bigramPerplexity(docs: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"),
-      TextStats.tokens(lower(col(textCol))).as("toks"))
+      filter(TextStats.tokens(lower(col(textCol))), t => t =!= lit("")).as("toks"))
     val inst = t.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),

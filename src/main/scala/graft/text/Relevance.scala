@@ -46,11 +46,11 @@ object Relevance {
                   k1: Double = 1.2, b: Double = 0.75,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
-      explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+      explode(filter(TextStats.tokens(lower(col(textCol))), t => t =!= lit(""))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val dfreq = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextStats.tokens(lower(col(textCol))))).as("term"))
+        explode(array_distinct(filter(TextStats.tokens(lower(col(textCol))), t => t =!= lit("")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(nTerms)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
@@ -125,10 +125,10 @@ object Relevance {
   def tfIdfTopTerms(docs: DataFrame, k: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
-      explode(TextStats.tokens(lower(col(textCol)))).as("term"))
+      explode(filter(TextStats.tokens(lower(col(textCol))), t => t =!= lit(""))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextStats.tokens(lower(col(textCol))))).as("term"))
+        explode(array_distinct(filter(TextStats.tokens(lower(col(textCol))), t => t =!= lit("")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))

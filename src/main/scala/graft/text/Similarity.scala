@@ -387,20 +387,21 @@ object Similarity {
   def lshTopKMulti(embeddings: DataFrame, queries: DataFrame, k: Int,
                    nPlanes: Int, dim: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   probeHamming: Int = 0): DataFrame = {
+                   probeHamming: Int = 0,
+                   qidCol: String = "q_id", qvecCol: String = "qvec"): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val masks = probeMasks(nPlanes, probeHamming)
-    val qb = queries.withColumn("qbucket", lshBucket(col("qvec"), nPlanes, dim))
+    val qb = queries.withColumn("qbucket", lshBucket(col(qvecCol), nPlanes, dim))
       .withColumn("bucket",
         explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
       .drop("qbucket")
     val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
+      .partitionBy(col(qidCol)).orderBy(col("cos_sim").desc, col(idCol))
     bucketed.join(broadcast(qb), Seq("bucket"))
-      .withColumn("cos_sim", cosine(col(vecCol), col("qvec")))
+      .withColumn("cos_sim", cosine(col(vecCol), col(qvecCol)))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col(idCol), col("cos_sim"), col("rn"))
+      .select(col(qidCol), col(idCol), col("cos_sim"), col("rn"))
   }
 
   /** Lloyd's k-means over an embedding column, fully relational and
@@ -673,16 +674,24 @@ object Similarity {
     embeddings
       .select(col(idCol).as("vec_id"), v.as(vecCol))
       .withColumn("amax", array_max(transform(col(vecCol), x => abs(x))))
-      .filter(col("amax") > 0.0)
-      .withColumn("scale", lit(127.0) / col("amax"))
-      .withColumn("q", transform(col(vecCol), x =>
+      // degenerate vectors (all-zero, or NaN-poisoned so amax is NaN)
+      // keep their row with null quantization stats and a flag — a
+      // per-vector transform whose output replaces the embedding store
+      // must never silently lose ids (review finding r6b)
+      .withColumn("quantizable", col("amax") > 0.0 && !isnan(col("amax")))
+      .withColumn("scale", when(col("quantizable"), lit(127.0) / col("amax")))
+      .withColumn("q", when(col("quantizable"), transform(col(vecCol), x =>
         greatest(lit(-127), least(lit(127), round(x * col("scale"), 0).cast("int")))))
-      .withColumn("err", zip_with(col(vecCol), col("q"),
-        (x, q) => q.cast("double") / col("scale") - x))
+        .otherwise(transform(col(vecCol), _ => lit(0))))
+      .withColumn("err", when(col("quantizable"), zip_with(col(vecCol), col("q"),
+        (x, q) => q.cast("double") / col("scale") - x)))
       .select(col("vec_id"),
         array_join(col("q"), ",").as("q_str"),
         round(col("scale"), 6).as("scale_r"),
-        round(array_max(transform(col("err"), x => abs(x))), 6).as("max_abs_err"),
-        round(mseMicros.cast("double") / 1000000.0 / lit(dim.toDouble), 6).as("mse"))
+        when(col("quantizable"),
+          round(array_max(transform(col("err"), x => abs(x))), 6)).as("max_abs_err"),
+        when(col("quantizable"),
+          round(mseMicros.cast("double") / 1000000.0 / lit(dim.toDouble), 6)).as("mse"),
+        col("quantizable"))
   }
 }

@@ -148,7 +148,19 @@ object TextStats {
     * test.
     */
   def fingerprint(text: Column): Column =
-    portableHash64(array_join(tokens(lower(trim(text))), " "))
+    // filter empty tokens, don't trim: Spark trim() strips only the
+    // space character, so a trailing "\n" used to survive as an empty
+    // token and change the hash — two byte-identical docs differing by
+    // a trailing newline (near-universal in web text) fingerprinted as
+    // distinct content (review finding r6b). Empty-token filtering is
+    // whitespace-robust for every \s character.
+    portableHash64(array_join(filter(tokens(lower(text)), w => w =!= lit("")), " "))
+
+  /** The matching DuckDB SQL for [[fingerprint]] (oracle authoring) —
+    * one definition so the engine and every oracle move in lockstep.
+    */
+  def fingerprintSql(expr: String): String =
+    portableHash64Sql(s"array_to_string(list_filter(regexp_split_to_array(lower($expr), '$wsClassSql+'), x -> x <> ''), ' ')")
 
   /** Aggressive CCNet-style normalization fingerprint: lowercase, strip
     * digit runs, strip every non-letter character, collapse whitespace —
@@ -180,7 +192,12 @@ object TextStats {
     val mins = transform(
       sequence(lit(1), greatest(n - (w - 1), lit(1))),
       i => array_min(slice(grams, i, lit(w))))
-    array_sort(array_distinct(mins))
+    // zero-gram docs (empty/whitespace-only text) must yield [] — the
+    // forced single window would otherwise emit array(null) (array_min
+    // of an empty slice is null), leaking a null "fingerprint" that the
+    // portable twin correctly never produces (review finding r6b)
+    when(n === 0, array().cast("array<bigint>"))
+      .otherwise(array_sort(array_distinct(mins)))
   }
 
   /** Engine-portable winnowing: the same algorithm as

@@ -206,13 +206,15 @@ class DedupSpec extends SparkSpec {
     val corpus = Seq(
       (1L, s"unique first line\n$boiler\nunique third line"),
       (2L, s"$boiler\nanother doc body"),
-      (3L, s"totally novel content\n$boiler")).toDF("doc_id", "text")
+      (3L, s"totally novel content\n$boiler"),
+      (4L, boiler)).toDF("doc_id", "text")            // all-boilerplate doc
     val out = Dedup.lineLevelDedup(corpus, maxOccurrences = 1)
       .orderBy("doc_id").as[(Long, String)].collect()
     assert(out === Array(
       (1L, "unique first line\nunique third line"),
       (2L, "another doc body"),
-      (3L, "totally novel content")))
+      (3L, "totally novel content"),
+      (4L, "")))                                      // emptied, never dropped
   }
 
   test("representative selection keeps the best-scoring copy per cluster, singletons keep themselves") {
