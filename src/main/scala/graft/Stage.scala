@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization barrier for intermediates that feed multiple
+  * consumers or iterative rounds (shingle tables, label-propagation
+  * frontiers, packing spines): compute once, truncate lineage, reuse.
+  *
+  * Which barrier depends on the deployment:
+  *
+  *  - With a RELIABLE checkpoint dir configured
+  *    (`sparkContext.setCheckpointDir` — HDFS/S3 on a real cluster),
+  *    use `checkpoint`: blocks live in the shared filesystem and
+  *    survive executor loss, the property that matters on a
+  *    1000-executor run where preemption/decommission is routine. A
+  *    `localCheckpoint` there is a correctness-of-availability bug:
+  *    its blocks die with their executor AND the lineage needed to
+  *    recompute them was severed — the job fails instead of recovering.
+  *  - Without one (zero-config local/dev, single-JVM `local[n]` where
+  *    executor loss means the whole JVM died anyway), use
+  *    `localCheckpoint`: same lineage truncation, no filesystem
+  *    round-trip.
+  *
+  * Both are eager, so the common pattern — materialize once, feed the
+  * df count AND the score join — pays the upstream computation exactly
+  * once either way.
+  */
+object Stage {
+  def mat(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+}

@@ -184,14 +184,10 @@ object ChainOps {
       // past 10^11 rows/key (ANSI fails loudly beyond).
       Salting.saltedCountSum(
         Tables(s, dir).lineitem
-          .withColumn("__q", (col("l_quantity")
-            .cast(org.apache.spark.sql.types.DecimalType(25, 6)) * lit(1000000L)).cast("long")),
+          .withColumn("__q", Relational.microsOf(col("l_quantity"))),
         keyCol = "l_returnflag", valueCol = "__q", uniqueCol = "l_orderkey")
         .select(col("l_returnflag"), col("n"),
-                round((col("total").cast(org.apache.spark.sql.types.DecimalType(38, 0))
-                  / lit(1000000L))
-                  .cast(org.apache.spark.sql.types.DecimalType(38, 6))
-                  .cast("double"), 6).as("total"))
+                round(Relational.microsTotal(col("total")).cast("double"), 6).as("total"))
         .orderBy(col("l_returnflag"))
     }, Some("""
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

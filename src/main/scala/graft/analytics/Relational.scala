@@ -49,17 +49,32 @@ object Relational {
   // >> floors and & is a non-negative mod). Long sum buffers stay in
   // UnsafeRow/whole-stage codegen — measured 1.8× faster than the
   // BigDecimal-backed DECIMAL(38,6) sum buffer at sf0.1 with bit-equal
-  // results. Exactness envelope: |micros| ≤ 10^13 for DECIMAL-range
-  // addends, so lo ≤ 2^31 and hi ≤ 2^42 per row — the long sums are
-  // exact to ~2^21 ≈ 4×10^9 rows per group per partition-tree, and ANSI
-  // mode fails loudly (no silent wrap) beyond; widen the split constant
-  // for wilder scales. The per-group combine reconstructs the exact
-  // integer total in DECIMAL(38,x) before the same final cast chain.
+  // results. Exactness envelope: |micros| ≤ 10^13 for the fixture's
+  // addends, so per row lo < 2^31 and |hi| = |micros >> 31| ≤ ~4657 ≈
+  // 2^12.2 — the binding constraint is the lo sum, exact to 2^63/2^31 =
+  // 2^32 ≈ 4.3×10^9 rows per group per partition-tree (the hi sum is
+  // good past 2^50 rows), and ANSI mode fails loudly (no silent wrap)
+  // beyond; widen the split constant for wilder scales. The per-group
+  // combine reconstructs the exact integer total in DECIMAL(38,x)
+  // before the same final cast chain.
+  //
+  // The unscale/split/reconstruct chains are exactness-critical and
+  // shared by every split-accumulator consumer (q01-family aggregates,
+  // the q09 running window, ChainOps' q43 salted form) — ONE definition
+  // each, so a future widening of the split constant lands everywhere.
+  private[analytics] def microsOf(c: Column): Column =
+    (c.cast(D) * lit(1000000L)).cast("long")
+  private[analytics] def hiOf(m: Column): Column = shiftright(m, 31)
+  private[analytics] def loOf(m: Column): Column = m.bitwiseAND(lit((1L << 31) - 1))
+  private[analytics] def reconstruct(hiSum: Column, loSum: Column): Column =
+    ((hiSum.cast(DecimalType(38, 0)) * lit(2147483648L) + loSum) / lit(1000000L)).cast(DF)
+  /** Single-long variant: an already-exact micros total back to DECIMAL(38,6). */
+  private[analytics] def microsTotal(totalSum: Column): Column =
+    (totalSum.cast(DecimalType(38, 0)) / lit(1000000L)).cast(DF)
+
   private[analytics] def dsumExact(c: Column): Column = {
-    val m = (c.cast(D) * lit(1000000L)).cast("long")
-    val hi = sum(shiftright(m, 31))
-    val lo = sum(m.bitwiseAND(lit((1L << 31) - 1)))
-    ((hi.cast(DecimalType(38, 0)) * lit(2147483648L) + lo) / lit(1000000L)).cast(DF)
+    val m = microsOf(c)
+    reconstruct(sum(hiOf(m)), sum(loOf(m)))
   }
 
   private def dsum(c: Column): Column =
@@ -225,9 +240,8 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // same split-accumulator trick as dsumExact, per window frame: two
       // long running sums reconstruct the exact decimal running total
-      val m = (col("l_quantity").cast(D) * lit(1000000L)).cast("long")
-      val runExact = ((sum(shiftright(m, 31)).over(w).cast(DecimalType(38, 0)) * lit(2147483648L)
-        + sum(m.bitwiseAND(lit((1L << 31) - 1))).over(w)) / lit(1000000L)).cast(DF)
+      val m = microsOf(col("l_quantity"))
+      val runExact = reconstruct(sum(hiOf(m)).over(w), sum(loOf(m)).over(w))
       Tables(s, dir).lineitem
         .withColumn("running_qty", round(runExact.cast("double"), 6))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

@@ -57,15 +57,23 @@ object Sampling {
                           temperature: Double, salt: String = "temp"): DataFrame = {
     require(temperature >= 1.0, s"temperature < 1 would upsample; got $temperature")
     val exponent = 1.0 / temperature - 1.0
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("c_dom"))
+    // null domains (missing metadata — routine in crawl corpora) form
+    // their own stratum: the rate join runs on a null-coalesced shadow
+    // column, because a plain inner equi-join would silently EXCLUDE
+    // every null-domain row (null never equals null) instead of
+    // sampling it at its group's rate
+    val dom = coalesce(col(domainCol).cast("string"), lit("\u0000"))
+    val counts = df.groupBy(dom.as("__dom")).agg(count(lit(1)).as("c_dom"))
     val cmin = counts.agg(min(col("c_dom")).as("c_min"))
     val rates = counts.crossJoin(broadcast(cmin))
       .withColumn("keep_ppm",
         round(round(pow(col("c_dom").cast("double") / col("c_min").cast("double"),
           lit(exponent)), 6) * 1000000.0, 0).cast("long"))
-      .select(col(domainCol), col("c_dom"), col("keep_ppm"))
-    df.join(broadcast(rates), Seq(domainCol))
+      .select(col("__dom"), col("c_dom"), col("keep_ppm"))
+    df.withColumn("__dom", dom)
+      .join(broadcast(rates), Seq("__dom"))
       .filter(hashBucketN(col(keyCol), salt, 1000000L) < col("keep_ppm"))
+      .drop("__dom")
   }
 
   /** Keep each row iff its bucket falls under its stratum's per-mille
@@ -120,7 +128,7 @@ object Sampling {
         explode(filter(TextStats.tokens(lower(col(textCol))), w => w =!= lit(""))).as("w"))
       .withColumn("b", pmod(TextStats.portableHash64(col("w")), lit(buckets.toLong)))
       .select(col("doc_id"), col("is_target"), col("b"))
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     // one conditional aggregate yields both distributions (no second
     // pass over the token stream, no left join between count tables);
     // totals derive from the B-row bucket table
@@ -165,8 +173,12 @@ object Sampling {
     val u = (hashBucketN(col(keyCol), salt, 1000000L).cast("double") + 0.5) / 1000000.0
     // w <= 0 means selection probability zero in the exponential-races
     // scheme — excluded up front (under ANSI mode the clock division
-    // would otherwise throw DIVIDE_BY_ZERO rather than sort last)
-    df.filter(weight > 0)
+    // would otherwise throw DIVIDE_BY_ZERO rather than sort last).
+    // A null key has no hash → null clock, which Spark's ascending
+    // nulls-FIRST default would sort ahead of every real clock —
+    // null-keyed rows would win sample slots with probability 1
+    // regardless of weight. No key ⇒ no deterministic draw ⇒ excluded.
+    df.filter(col(keyCol).isNotNull && weight > 0)
       .withColumn("clock_r", round(-log(u) / weight.cast("double"), 9))
       .orderBy(col("clock_r"), col(keyCol))
       .limit(n)
@@ -188,9 +200,15 @@ object Sampling {
     */
   def perGroupCap(df: DataFrame, groupCol: String, k: Int,
                   keyCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    // nulls LAST on both sort keys: a null keyCol hashes to null, and
+    // the ascending nulls-first default would hand every null-keyed row
+    // a guaranteed cap slot (rank 1..k), evicting real documents from
+    // the group. Nulls-last keeps them only when slots remain after all
+    // hash-ranked rows (ties among multiple null-key rows carry no
+    // distinguishing key on purpose — there is nothing to order them by).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(col("__cap_h"), col(keyCol))
+      .orderBy(col("__cap_h").asc_nulls_last, col(keyCol).asc_nulls_last)
     df.withColumn("__cap_h", graft.text.TextStats.portableHash64(
         concat(lit(salt + ":"), col(keyCol).cast("string"))))
       .withColumn("cap_rank", row_number().over(w).cast("long"))

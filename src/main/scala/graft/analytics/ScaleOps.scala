@@ -68,11 +68,11 @@ object ScaleOps {
       val benchmark = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       val bsh = benchmark
         .select(explode(Dedup.shingleHashes(col("text"), 3)).as("sh"))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(graft.Stage.mat)
       val bloom = graft.text.Bloom.buildLongBloom(bsh, "sh", fpp = 0.001)
       val csh = corpus.select(col("doc_id").as("id"),
         explode(Dedup.shingleHashes(col("text"), 3)).as("sh"))
-        .localCheckpoint(true)
+        .transform(graft.Stage.mat)
       val bloomHits = csh.filter(graft.text.Bloom.mightContain(bloom, col("sh")))
         .groupBy(col("id")).agg(count(lit(1)).as("n_bloom"))
       val exactHits = csh.join(broadcast(bsh), Seq("sh"))

@@ -195,6 +195,7 @@ object Multimodal {
     val n = payload.length
     @inline def u(i: Int): Int = payload(i) & 0xff
     var i = 0
+    var aborts = 16 // failed-walk retry budget (see the abort branch)
     while (i + 1 < n) {
       if (u(i) == 0xFF && u(i + 1) == 0xD8) {
         val start = i
@@ -227,7 +228,16 @@ object Multimodal {
           }
         }
         if (end > start) { out += java.util.Arrays.copyOfRange(payload, start, end); i = end }
-        else i += 2
+        else {
+          // aborted walk: retrying from start+2 preserves maximal frame
+          // recovery on garbage-prefixed streams, but each retry re-walks
+          // the tail — O(n²) on adversarial input (e.g. FF D8 repeated).
+          // Budget the retries: after `aborts` failed walks, skip past
+          // the scanned region instead — termination in O(budget·n),
+          // graceful degradation preserved for real corrupt payloads.
+          aborts -= 1
+          if (aborts >= 0) i += 2 else i = math.max(i + 2, p)
+        }
       } else i += 1
     }
     out.toSeq
@@ -290,15 +300,20 @@ object Multimodal {
     StructField("media_type", StringType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** Per-partition batched decode → feature column. Repartitions by
-    * media_type first so each task touches one codec (cache/dictionary
-    * locality at scale), then maps partitions with an iterator — the
-    * rows stream through without materializing the partition.
+  /** Per-partition batched decode → feature column. RANGE-repartitions
+    * on (media_type, media_id) first: range partitioning keeps each
+    * partition contiguous in the sort order, so tasks stay (almost)
+    * single-codec for cache/dictionary locality at scale — while the
+    * media_id spread gives every partition work. (Hash-repartitioning
+    * on media_type alone would collapse the whole corpus onto one task
+    * per distinct type — three decode tasks for 100 TB.) Then maps
+    * partitions with an iterator — the rows stream through without
+    * materializing the partition.
     */
   def extractFeatures(media: DataFrame, partitions: Int = 0): DataFrame = {
     val repart =
-      if (partitions > 0) media.repartition(partitions, col("media_type"))
-      else media.repartition(col("media_type"))
+      if (partitions > 0) media.repartitionByRange(partitions, col("media_type"), col("media_id"))
+      else media.repartitionByRange(col("media_type"), col("media_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     repart.select(col("media_id"), col("media_type"), col("payload"))
       .mapPartitions { rows =>
@@ -356,29 +371,34 @@ object Multimodal {
     bits
   }
 
-  /** Perceptual hash per image row: (media_id, phash) with null for
-    * undecodable payloads. Same batched-decode shape as
-    * [[extractFeatures]] (mapPartitions is justified here for the same
-    * reason: the payload is opaque binary no Column expression can
-    * decode).
+  /** Shared shape of every per-row media fingerprint: filter to one
+    * media_type, batched mapPartitions decode (justified: the payload is
+    * opaque binary no Column expression can decode), (media_id, <hash>)
+    * out with null for undecodable payloads. One definition of the
+    * null-payload / Row-boxing plumbing so a new media type cannot
+    * silently diverge from the others.
     */
-  def imagePhash(media: DataFrame): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("media_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("phash",
-        org.apache.spark.sql.types.LongType, nullable = true)))
+  private def mediaFingerprint(media: DataFrame, mediaType: String, outCol: String)
+                              (hash: Array[Byte] => Option[Long]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField(outCol, LongType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    media.filter(col("media_type") === "image")
+    media.filter(col("media_type") === mediaType)
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          Row(r.getLong(0),
-            decodeImage(payload).map(averageHash).map(Long.box).orNull)
+          Row(r.getLong(0), hash(payload).map(Long.box).orNull)
         }
       }(enc)
   }
+
+  /** Perceptual hash per image row: (media_id, phash) with null for
+    * undecodable payloads.
+    */
+  def imagePhash(media: DataFrame): DataFrame =
+    mediaFingerprint(media, "image", "phash")(p => decodeImage(p).map(averageHash))
 
   /** Banded Hamming self-join over a (id, h) 64-bit-hash table: split
     * every hash into `maxHamming + 1` bit-bands — by pigeonhole, two
@@ -463,24 +483,9 @@ object Multimodal {
   /** Energy-contour fingerprint per audio row: (media_id, afp) with null
     * for undecodable payloads — the audio twin of [[imagePhash]].
     */
-  def audioFingerprint(media: DataFrame): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("media_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("afp",
-        org.apache.spark.sql.types.LongType, nullable = true)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    media.filter(col("media_type") === "audio")
-      .select(col("media_id"), col("payload"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          Row(r.getLong(0),
-            decodeAudio(payload).map { case (_, s) => audioEnergyHash(s) }
-              .map(Long.box).orNull)
-        }
-      }(enc)
-  }
+  def audioFingerprint(media: DataFrame): DataFrame =
+    mediaFingerprint(media, "audio", "afp")(p =>
+      decodeAudio(p).map { case (_, s) => audioEnergyHash(s) })
 
   /** Near-duplicate audio pairs by fingerprint Hamming distance —
     * [[audioFingerprint]] into the banded [[hammingBandJoin]].

@@ -22,7 +22,12 @@ object Normalize {
     * reference's catch-all.
     */
   private def decodeIfDoubleEncoded(json: Column): Column =
-    when(ltrim(json).startsWith("\""), get_json_object(json, "$")).otherwise(json)
+    // trim the full JSON whitespace class, not ltrim's space-only: a
+    // tab/newline/CR before the quoted payload is legal JSON whitespace
+    // the reference's JSON.parse accepts, and space-only trimming would
+    // misroute such documents to the single-parse branch (→ null → {})
+    when(ltrim(json, " \t\n\r\f").startsWith("\""),
+      get_json_object(json, "$")).otherwise(json)
 
   def parsedMetadata(jsonMetadata: Column): Column =
     from_json(decodeIfDoubleEncoded(jsonMetadata), Schemas.postMetadata)

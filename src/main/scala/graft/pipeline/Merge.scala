@@ -143,6 +143,6 @@ object Merge {
         .drop("__from_state"), keys, Seq(col(orderCol)))
     }
     // materialize before overwriting the partitions we just read
-    writePartitioned(merged.localCheckpoint(true), path, partitionCols)
+    writePartitioned(merged.transform(graft.Stage.mat), path, partitionCols)
   }
 }

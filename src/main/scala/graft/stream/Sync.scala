@@ -77,8 +77,8 @@ object Sync {
     // merge is a bucket-local co-located join. Materialize before
     // overwriting the paths just read (production twin: a mergeable
     // table format's transactional commit).
-    val setsM = voteSets.localCheckpoint(true)
-    val actM  = lastActive.localCheckpoint(true)
+    val setsM = voteSets.transform(graft.Stage.mat)
+    val actM  = lastActive.transform(graft.Stage.mat)
     setsM.write.mode("overwrite").parquet(s"$stateDir/vote_sets")
     actM.write.mode("overwrite").parquet(s"$stateDir/accounts")
   }

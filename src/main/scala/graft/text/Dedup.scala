@@ -83,7 +83,7 @@ object Dedup {
     // context cleaner when the result goes out of scope, so repeated
     // calls in a shared session don't accumulate cached RDDs
     val base = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     // Candidate generation travels light: only (band, bandHash, id) goes
     // through the self-join shuffle, and pair dedup happens on the bare
     // id pair — the shingle sets (the wide payload) are re-attached by
@@ -217,7 +217,7 @@ object Dedup {
                           idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val sets = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
       .filter(size(col("sh")) >= 1)
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     val tok = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byRank = org.apache.spark.sql.expressions.Window
@@ -376,7 +376,7 @@ object Dedup {
     // sh feeds both the first-occurrence aggregate and the join back —
     // materialize the md5-per-gram pass once (minhashNearDups discipline)
     val sh = t.select(col("doc_id"), explode(col("hs")).as("h"))
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("h"))
       .groupBy(col("doc_id"))
@@ -513,7 +513,7 @@ object Dedup {
     * Algorithm: iterative min-label propagation (each node takes the min
     * of its own and its neighbors' labels) to a fixpoint — O(diameter)
     * rounds, one shuffle-join per round on (id, label) pairs only; each
-    * round's result is localCheckpoint'ed so lineage stays flat and the
+    * round's result is Stage.mat-materialized so lineage stays flat and the
     * convergence count reuses the materialized blocks. Near-dup graphs
     * are overwhelmingly tiny cliques/chains (diameter ≤ 3 in practice),
     * so rounds stay in single digits. `diameterHint` is the escalation
@@ -533,10 +533,10 @@ object Dedup {
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     var round = 0
     var converged = false
     val propRounds = math.min(maxRounds, diameterHint)
@@ -546,7 +546,7 @@ object Dedup {
       val next = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.Stage.mat)
       converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).isEmpty
       labels = next
@@ -573,7 +573,7 @@ object Dedup {
     *  - SMALL-STAR: per node u (over smaller neighbors only), link u
     *    and all its smaller neighbors to their minimum — stars flatten.
     * Edges shuffle as bare (long, long) pairs; every round
-    * localCheckpoints so lineage stays flat; convergence = the edge set
+    * Stage.mat barriers so lineage stays flat; convergence = the edge set
     * reached a fixpoint (then it IS the star forest u → component-min).
     * Output schema matches [[connectedComponents]] exactly.
     */
@@ -591,12 +591,12 @@ object Dedup {
                                            maxRounds: Int): (DataFrame, Int) = {
     val nodes = pairs.select(col(aCol).cast("long").as("id"))
       .unionByName(pairs.select(col(bCol).cast("long").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.Stage.mat)
     var edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.Stage.mat)
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
@@ -618,7 +618,7 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .unionByName(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.Stage.mat)
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
@@ -724,7 +724,7 @@ object Dedup {
       filter(split(col(textCol), "\\s+"), x => x =!= lit("")).as("otoks"),
       graft.catalyst.GraftFunctions.portableShingles(col(textCol), n).as("hs"))
       .withColumn("n_tokens", size(col("otoks")).cast("long"))
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     val sh = t
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("int").as("i"), col("h"))

@@ -74,7 +74,7 @@ object Packing {
   def scoreOrder(docs: DataFrame, score: Column, buckets: Int = 1024,
                  idCol: String = "doc_id"): DataFrame = {
     val t = docs.select(col(idCol).cast("long").as("doc_id"), score.cast("long").as("score"))
-      .localCheckpoint(true)    // feeds the stats row and the ranked pass
+      .transform(graft.Stage.mat)    // feeds the stats row and the ranked pass
     val stats = t.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
       count(lit(1)).as("n"))
     val bucketed = t.crossJoin(broadcast(stats))

@@ -191,7 +191,7 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         graft.catalyst.GraftFunctions.hyperplaneBands(
           col(vecCol), bands, planesPerBand, dim, seed).as("bks"))
-      .localCheckpoint(true)
+      .transform(graft.Stage.mat)
     // candidates travel light: only (band, bits, id) shuffles; the wide
     // vectors re-attach to the surviving distinct pairs by key join
     val keys = base.select(col("id"),
@@ -646,7 +646,7 @@ object Similarity {
     // the assignment is a pure projection, so the vector rides through
     // it for free — no corpus-sized re-attach join on vec_id
     val assigned = kmeansAssignFull(embeddings, k, dim, idCol = idCol, vecCol = vecCol)
-      .localCheckpoint(true) // assignment feeds both pairwise sides + output
+      .transform(graft.Stage.mat) // assignment feeds both pairwise sides + output
     val withVec = assigned.select(col("vec_id"), col("centroid_id"), col("v"))
     val nbrs = withVec.select(col("centroid_id"),
       col("vec_id").as("nbr_id"), col("v").as("nv"))

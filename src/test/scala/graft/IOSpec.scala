@@ -74,4 +74,26 @@ class IOSpec extends SparkSpec {
     // every portable hash fits the 60-bit budget (no ANSI overflow ever)
     assert((fps.values.flatten ++ short).forall(h => h >= 0L && h < (1L << 60)))
   }
+
+  test("Stage.mat picks the reliable checkpoint when a checkpoint dir is configured") {
+    // local default: executor-local checkpoint (no filesystem round-trip).
+    // With a checkpoint dir (the cluster deployment), blocks must land
+    // there — localCheckpoint blocks die with their executor AND sever
+    // the recompute lineage, so a preempted executor would fail the job.
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Stage.mat(df).count() === 2)
+    // the session is JVM-wide; restore the (no-public-unset) checkpoint
+    // dir afterwards so later suites keep the zero-config local branch
+    val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+    f.setAccessible(true)
+    val prev = f.get(spark.sparkContext)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val reliable = Stage.mat(df)
+      assert(reliable.count() === 2)
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "reliable checkpoint must write to the dir")
+    } finally f.set(spark.sparkContext, prev)
+  }
 }

@@ -188,6 +188,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.splitMjpeg(null).isEmpty)
   }
 
+  test("MJPEG split terminates fast on adversarial all-SOI payloads") {
+    import graft.multimodal.Multimodal
+    // 1 MB of repeated FF D8: every offset is an SOI and every marker
+    // walk runs to the end — unbounded retries would do ~n²/4 byte reads
+    // (≈2.5e11 here, minutes); the retry budget keeps it O(budget·n)
+    val evil = Array.tabulate[Byte](1 << 20)(i => if (i % 2 == 0) 0xFF.toByte else 0xD8.toByte)
+    val t0 = System.nanoTime()
+    assert(Multimodal.splitMjpeg(evil).isEmpty)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 5000, s"adversarial split took ${elapsedMs}ms")
+    // and a garbage prefix within the retry budget still recovers frames
+    val clip = Multimodal.syntheticMjpeg(3, nFrames = 2)
+    val prefixed = Array.fill[Byte](7)(0xFF.toByte) ++ Array[Byte](0xD8.toByte) ++ clip
+    assert(Multimodal.splitMjpeg(prefixed).length === 2)
+  }
+
   test("video frame stats are real per-frame pixel statistics of the MJPEG clip") {
     val media = Multimodal.syntheticMedia(spark, 9) // video ids: 2, 5, 8
     val stats = Multimodal.videoFrameStats(media).collect()

@@ -27,6 +27,15 @@ class NormalizeSpec extends SparkSpec {
     assert(tagsFor(doubled) === Seq("x", "y"))
   }
 
+  test("double-encoded metadata prefixed by tab/newline still re-parses") {
+    // JSON.parse accepts any JSON whitespace before the payload; the
+    // double-encode detector must trim the same class, not just spaces
+    val doubled = "{\\\"tags\\\":[\\\"x\\\"]}"
+    for (ws <- Seq("\t", "\n", "\r\n", " \t ")) {
+      assert(tagsFor(ws + "\"" + doubled + "\"") === Seq("x"), s"prefix ${ws.map(_.toInt)}")
+    }
+  }
+
   test("invalid JSON falls back to empty tags (comments.js:37-40)") {
     assert(tagsFor("{not json") === Seq.empty)
     assert(tagsFor("") === Seq.empty)

@@ -83,6 +83,35 @@ class NullToleranceSpec extends SparkSpec {
     assert(mg.isEmpty)
   }
 
+  test("sampling operators are null-key/null-domain safe") {
+    import graft.analytics.Sampling
+    // prioritySample: a null key has no hash -> null clock, which the
+    // ascending nulls-first default would sort ahead of EVERY real
+    // clock — null-keyed rows must be excluded, not guaranteed winners
+    val weighted = Seq((Option(1L), 5L), (Option.empty[Long], 1000000L), (Option(3L), 7L))
+      .toDF("doc_id", "w")
+    val picked = Sampling.prioritySample(weighted, col("w"), 2)
+      .select("doc_id").as[Option[Long]].collect().toSet
+    assert(picked === Set(Option(1L), Option(3L)))
+    // perGroupCap: null-keyed rows (null hash) must not occupy the first
+    // k slots of their group — real-keyed docs rank first
+    val grouped = Seq((Option(1L), "s"), (Option(2L), "s"),
+      (Option.empty[Long], "s"), (Option.empty[Long], "s")).toDF("doc_id", "source")
+    val capped = Sampling.perGroupCap(grouped, "source", k = 2)
+      .select("doc_id").as[Option[Long]].collect().toSet
+    assert(capped === Set(Option(1L), Option(2L)))
+    // temperatureResample: null-domain rows form their own stratum and
+    // get sampled at that stratum's rate — NOT silently dropped by an
+    // inner join where null never equals null. The null group here is
+    // the smallest stratum -> rate 1.0 -> all three rows survive.
+    val mixed = (1L to 20L).map(i => (i, Option("en"))) ++
+      (21L to 23L).map(i => (i, Option.empty[String]))
+    val kept = Sampling.temperatureResample(
+        mixed.toDF("doc_id", "lang"), "lang", "doc_id", temperature = 2.0)
+      .filter(col("lang").isNull).count()
+    assert(kept === 3L)
+  }
+
   test("vote with null weight lands in downvotes (<=0 branch is null-safe)") {
     val v = Seq(("alice", "bob", "p", Option.empty[Int]))
       .toDF("voter", "author", "permlink", "weight")
