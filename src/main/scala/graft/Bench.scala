@@ -123,8 +123,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
+      // stop the clock BEFORE releasing the query's persistent blocks —
+      // the unpersist sweep is inter-query housekeeping, not operator cost
+      val elapsed = (System.nanoTime() - t0) / 1e9
       releaseBlocks()
-      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      if (ok) Some(elapsed) else None
     }
 
     // min over two temporally-separated full passes (pass 2 also

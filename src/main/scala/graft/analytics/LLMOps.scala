@@ -34,15 +34,11 @@ object LLMOps {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
 
-  private def ivfCacheKey(dir: String): String = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    val stat =
-      if (f.isDirectory)
-        f.listFiles().map(x => s"${x.getName}:${x.lastModified}:${x.length}")
-          .sorted.mkString(",")
-      else s"${f.lastModified}:${f.length}"
-    s"$dir|$stat"
-  }
+  // one definition of the file-stat snapshot discipline — Tables.statToken
+  // carries the null-guarded listing (listFiles can return null on a
+  // permission error or a concurrent fixture rewrite)
+  private def ivfCacheKey(dir: String): String =
+    s"$dir|${graft.model.Tables.statToken(dir, "embeddings")}"
 
   /** The memoized offline-built IVF index for a corpus dir (trains on
     * first use, probe-only afterwards). Public so the bench times the

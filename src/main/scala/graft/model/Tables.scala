@@ -49,7 +49,7 @@ object Tables {
         size() > memoCap
     })
 
-  private def statToken(dir: String, name: String): String = {
+  private[graft] def statToken(dir: String, name: String): String = {
     val f = new java.io.File(dir, s"$name.parquet")
     val files = if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty) else Array(f)
     files.map(x => s"${x.getName}:${x.lastModified}:${x.length}")

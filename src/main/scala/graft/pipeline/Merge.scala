@@ -132,9 +132,14 @@ object Merge {
         .select(partitionCols.map(col): _*).distinct()
       val newParts = incoming.select(partitionCols.map(col): _*).distinct()
       val touched = oldParts.unionByName(newParts).distinct().collect()
+      // null-safe equality: a null partition value (null orderCol → null
+      // year/month) lands in the default partition, and === against a null
+      // literal is never-true — plain === would exclude the existing
+      // null-partition state rows from the merge while the dynamic
+      // overwrite still rewrites that partition, silently deleting them
       val pruning = touched.map { r =>
         partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _)
       }.reduceOption(_ || _).getOrElse(lit(false))
       val existingTouched = state.filter(pruning).withColumn("__from_state", lit(true))

@@ -33,15 +33,20 @@ object Votes {
     keyed(votes).join(posts.select(col("post_id")), Seq("post_id"), "left_semi")
 
   /** A1: per-post distinct voter sets split by weight sign (reference
-    * votes.js:11-19; weight > 0 → upvotes, weight <= 0 → downvotes —
-    * note a 0-weight vote lands in downvotes, matching the reference's
-    * `else` branch). Sets are sorted for deterministic output.
+    * votes.js:17; `weight > 0 ? "upvotes" : "downvotes"` — the else
+    * branch is TOTAL: a 0-weight vote AND a vote with no weight at all
+    * (undefined > 0 is false in JS) both land in downvotes). The
+    * null-coalesced predicate keeps that totality — a bare
+    * `when(weight <= 0)` is NULL for null weights and would drop the
+    * voter from both sets. Sets are sorted for deterministic output.
     */
-  def voterSets(votes: DataFrame): DataFrame =
+  def voterSets(votes: DataFrame): DataFrame = {
+    val isUp = coalesce(col("weight") > 0, lit(false))
     votes.groupBy(col("post_id"))
       .agg(
-        array_sort(collect_set(when(col("weight") > 0, col("voter")))).as("upvotes"),
-        array_sort(collect_set(when(col("weight") <= 0, col("voter")))).as("downvotes"))
+        array_sort(collect_set(when(isUp, col("voter")))).as("upvotes"),
+        array_sort(collect_set(when(!isUp, col("voter")))).as("downvotes"))
+  }
 
   /** Incremental merge of new voter sets into existing ones: the
     * relational form of the reference's append-if-absent painless script

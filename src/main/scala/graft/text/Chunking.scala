@@ -23,7 +23,13 @@ object Chunking {
     val toks: Column = filter(TextStats.tokens(col(textCol)), t => t =!= lit(""))
     docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      // empty/whitespace-only docs have zero tokens → sequence(0, -1, +stride)
+      // throws "Illegal sequence boundaries" in Spark; such docs produce no
+      // chunks (the oracle's range(0, 0, stride) is empty), so explode an
+      // empty start list instead of crashing the job on one degenerate row
+      .withColumn("start", explode(when(size(col("toks")) === 0,
+          array().cast("array<int>"))
+        .otherwise(sequence(lit(0), size(col("toks")) - 1, lit(stride)))))
       .select(
         col("doc_id"),
         (col("start") / stride).cast("int").as("chunk_idx"),

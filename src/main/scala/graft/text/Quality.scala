@@ -30,8 +30,11 @@ object Quality {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // TextStats.tokens is the one tokenizer the oracle whitespace class
+  // mirrors — routing through it keeps Gopher/C4 word counts in lockstep
+  // with every other operator if the split class ever changes
   private def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => w =!= lit(""))
+    filter(TextStats.tokens(lower(text)), w => w =!= lit(""))
 
   /** Per-document Gopher quality signals and pass flags. Output: one row
     * per input row — signals (word count, mean word length, alpha-word

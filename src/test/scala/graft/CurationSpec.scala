@@ -152,6 +152,17 @@ class CurationSpec extends SparkSpec {
     assert(chunks.flatMap(_._4.split(" ")).distinct.length === 50) // full coverage
   }
 
+  test("chunking: zero-token documents yield no chunks instead of crashing") {
+    // sequence(0, -1, +stride) throws "Illegal sequence boundaries" — an
+    // empty or whitespace-only doc must contribute zero rows (the oracle's
+    // range(0, 0, stride) is empty), not fail the whole job
+    val docs = Seq((1L, ""), (2L, "   \n\t  "), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val chunks = graft.text.Chunking.chunkTokens(docs, chunkSize = 2, overlap = 1)
+      .select("doc_id").as[Long].collect()
+    assert(chunks.forall(_ === 3L) && chunks.nonEmpty)
+  }
+
   test("temperature resample: rarest domain keeps 100%, 4x domain keeps ~50% at T=2") {
     val rows = (1 to 100).map(i => (i.toLong, "rare")) ++
       (101 to 500).map(i => (i.toLong, "big"))

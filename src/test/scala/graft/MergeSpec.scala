@@ -114,6 +114,33 @@ class MergeSpec extends SparkSpec {
     assert(march === Seq(2L))
   }
 
+  test("null partition values survive a second upsert (null-safe pruning)") {
+    // a null timestamp routes to the default partition (null year/month);
+    // the pruning predicate must match it with <=> — a plain === against a
+    // null literal is never-true, so the existing null-partition rows would
+    // be excluded from the merge while the dynamic overwrite still rewrites
+    // that partition: silent permanent deletion
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-nullpart").toString + "/posts"
+    def row(id: Long, ts: Option[String], v: String) = {
+      val t = ts.map(Timestamp.valueOf)
+      (id, t.orNull, v,
+        t.map(_.toLocalDateTime.getYear.asInstanceOf[Integer]).orNull,
+        t.map(_.toLocalDateTime.getMonthValue.asInstanceOf[Integer]).orNull)
+    }
+    Merge.upsertPartitioned(
+      Seq(row(1L, None, "no-ts-1"), row(2L, Some("2024-01-10 00:00:00"), "jan"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+    // second batch lands another null-partition row; id=1 must survive
+    Merge.upsertPartitioned(
+      Seq(row(3L, None, "no-ts-3"))
+        .toDF("id", "timestamp", "v", "year", "month"),
+      path, Seq("id"), "timestamp")
+    val state = spark.read.parquet(path).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(state === Seq((1L, "no-ts-1"), (2L, "jan"), (3L, "no-ts-3")))
+  }
+
   test("batch-internal create+edit routes by the creation row's partition") {
     val path = java.nio.file.Files.createTempDirectory("graft-merge-batch").toString + "/posts"
     def row(id: Long, ts: String, v: String) = {

@@ -118,8 +118,9 @@ class NullToleranceSpec extends SparkSpec {
       .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
     val row = Votes.voterSets(Votes.keyed(v))
       .select("upvotes", "downvotes").as[(Seq[String], Seq[String])].head()
-    // null weight: when(weight > 0) is null -> not an upvote; when(weight <= 0)
-    // is also null -> not a downvote either. The voter is dropped, not crashed.
-    assert(row._1 === Seq.empty && row._2 === Seq.empty)
+    // reference votes.js:17 — `weight > 0 ? up : down` has a TOTAL else
+    // branch: undefined > 0 is false in JS, so a weightless vote is a
+    // downvote, not a dropped vote
+    assert(row._1 === Seq.empty && row._2 === Seq("alice"))
   }
 }
