@@ -413,8 +413,7 @@ object CurationOps {
                    FROM e CROSS JOIN seeds s)),
       m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
       d1 AS (SELECT cid, r.i AS i,
-               round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mu
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
              FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
       c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
       a2 AS (SELECT vec_id, cid, cos_r,
@@ -737,8 +736,7 @@ object CurationOps {
                    FROM e CROSS JOIN seeds s)),
       m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
       d1 AS (SELECT cid, r.i AS i,
-               round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mu
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
              FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
       c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
       a2 AS (SELECT vec_id, v, cid, cos_r,
@@ -1090,11 +1088,10 @@ object CurationOps {
       graft.text.Similarity.centroidOutliers(Tables(s, dir).embeddings, dim = 64,
           threshold = 0.0)
         .orderBy(col("vec_id"))
-    }, Some("""
+    }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       d AS (SELECT r.i AS i,
-              round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
-                / COUNT(*), 6) AS mu
+              ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
             FROM e, range(1, 65) r(i) GROUP BY r.i),
       c AS (SELECT list(mu ORDER BY i) AS cv FROM d)
       SELECT vec_id,

@@ -673,16 +673,14 @@ object ScaleOps {
     ("q109_label_centroids", (s: SparkSession, dir: String) => {
       graft.text.Similarity.labelCentroids(Tables(s, dir).embeddings, dim = 64)
         .orderBy(col("label"))
-    }, Some("""
+    }, Some(s"""
       WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       pl AS (SELECT label, r.i AS i,
-               round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mu
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
              FROM e, range(1, 65) r(i) GROUP BY label, r.i),
       lc AS (SELECT label, list(mu ORDER BY i) AS cv FROM pl GROUP BY label),
       g AS (SELECT r.i AS i,
-              round(CAST(SUM(CAST(list_extract(v, r.i) AS DECIMAL(25,6))) AS DOUBLE)
-                / COUNT(*), 6) AS mu
+              ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
             FROM e, range(1, 65) r(i) GROUP BY r.i),
       gc AS (SELECT list(mu ORDER BY i) AS gv FROM g),
       sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label)

@@ -28,6 +28,53 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.catalyst.GraftFunctions.cosineSim(a, b)
 
+  /** Engine-portable round-6 mean of `term` over the aggregation group —
+    * the centroid-coordinate aggregate shared by every clustering /
+    * centroid operator (k-means, SemDeDup, outlier scoring, label
+    * centroids).
+    *
+    * `round(sum/count, 6)` on the double quotient is the one step the
+    * engines legitimately disagree on: Spark rounds the exact binary
+    * expansion of the quotient (BigDecimal HALF_UP) while DuckDB scales
+    * then rounds — observed at sf0.1 (a label-centroid quotient of
+    * 0.0032134999999999998 sits below the half boundary exactly, the
+    * scaled path lands on it: 0.003213 vs 0.003214). So the mean is
+    * computed where both engines are exact: an integer-micros sum
+    * (DECIMAL(25,6) addends ×1e6 — the microsOf discipline) and explicit
+    * HALF_UP integer division `(2|s|+n) quot (2n)` applied away from
+    * zero; the final /1e6 is one IEEE division that both engines perform
+    * identically. Overflow: |2·Σmicros| must stay under 2^63 — good past
+    * 10^12 rows/group at unit-scale embeddings, ANSI-loud beyond.
+    *
+    * The `(a − pmod(a,b))/b` long-division detour exists because Spark
+    * exposes no integral-divide Column function: a−pmod is the exact
+    * multiple q·b in long arithmetic, and the double division then
+    * carries |rel err| ≤ 2.3e-16 on a quotient bounded by max|x|·10^6 —
+    * the round() re-snap is exact for any quotient below ~10^9, i.e. any
+    * embedding magnitude below ~1000.
+    */
+  private[graft] def meanRound6(term: Column): Column = {
+    val D = org.apache.spark.sql.types.DecimalType(25, 6)
+    val s = sum((term.cast(D) * lit(1000000L)).cast("long"))
+    val n = count(lit(1))
+    def posDiv(a: Column, b: Column): Column =
+      round((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
+    val mag = posDiv(abs(s) * 2 + n, n * 2)
+    when(s >= 0, mag).otherwise(-mag).cast("double") / lit(1000000.0)
+  }
+
+  /** The matching DuckDB aggregate-expression SQL for [[meanRound6]]
+    * (oracle authoring; `x` is the per-row term, e.g.
+    * `list_extract(v, r.i)`). DuckDB's SUM(BIGINT) is HUGEINT and `//`
+    * is exact integral division, so the whole chain is exact until the
+    * same final /1e6.
+    */
+  def meanRound6Sql(x: String): String = {
+    val s = s"SUM(CAST(CAST($x AS DECIMAL(25,6)) * 1000000 AS BIGINT))"
+    s"(CASE WHEN $s >= 0 THEN (2*$s + COUNT(*)) // (2*COUNT(*)) " +
+      s"ELSE -((2*(-($s)) + COUNT(*)) // (2*COUNT(*))) END / 1000000.0)"
+  }
+
   /** Brute-force top-k cosine neighbors of one query vector (given as a
     * one-row DataFrame with column `qvec`). Returns (vec_id, cos_sim)
     * ordered best-first.
@@ -468,8 +515,7 @@ object Similarity {
         .select((-col("m.nid")).cast("int").as("cid"), col("v"))
         .groupBy(col("cid"))
         .agg(array((0 until dim).map { i =>
-          round(sum(element_at(col("v"), i + 1).cast("double").cast(D))
-            .cast("double") / count(lit(1)), 6)
+          meanRound6(element_at(col("v"), i + 1).cast("double"))
         }: _*).as("cv"))
         .orderBy(col("cid"))
         .as[(Int, Seq[Double])].collect().toSeq
@@ -495,10 +541,8 @@ object Similarity {
     */
   def centroidOutliers(embeddings: DataFrame, dim: Int, threshold: Double = 0.0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(25, 6)
     val cent = embeddings.agg(array((0 until dim).map { i =>
-      round(sum(element_at(col(vecCol), i + 1).cast("double").cast(D)).cast("double")
-        / count(lit(1)), 6)
+      meanRound6(element_at(col(vecCol), i + 1).cast("double"))
     }: _*).as("cvec"))
     embeddings.crossJoin(broadcast(cent))
       .withColumn("cos_to_centroid", round(cosine(col(vecCol), col("cvec")), 6))
@@ -525,10 +569,8 @@ object Similarity {
     */
   def labelCentroids(embeddings: DataFrame, dim: Int,
                      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(25, 6)
     def centroid = array((0 until dim).map { i =>
-      round(sum(element_at(col(vecCol), i + 1).cast("double").cast(D)).cast("double")
-        / count(lit(1)), 6)
+      meanRound6(element_at(col(vecCol), i + 1).cast("double"))
     }: _*)
     val perLabel = embeddings.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_vecs"), centroid.as("cvec"))
