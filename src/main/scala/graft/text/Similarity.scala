@@ -39,12 +39,13 @@ object Similarity {
     * then rounds — observed at sf0.1 (a label-centroid quotient of
     * 0.0032134999999999998 sits below the half boundary exactly, the
     * scaled path lands on it: 0.003213 vs 0.003214). So the mean is
-    * computed where both engines are exact: an integer-micros sum
-    * (DECIMAL(25,6) addends ×1e6 — the microsOf discipline) and explicit
-    * HALF_UP integer division `(2|s|+n) quot (2n)` applied away from
-    * zero; the final /1e6 is one IEEE division that both engines perform
-    * identically. Overflow: |2·Σmicros| must stay under 2^63 — good past
-    * 10^12 rows/group at unit-scale embeddings, ANSI-loud beyond.
+    * computed where both engines are exact: the DECIMAL(25,6) sum is
+    * converted to integer micros per group (×1e6, integral by
+    * construction) and divided with explicit HALF_UP integer division
+    * `(2|s|+n) quot (2n)` applied away from zero; the final /1e6 is one
+    * IEEE division that both engines perform identically. Overflow:
+    * |2·Σmicros| must stay under 2^63 — good past 10^12 rows/group at
+    * unit-scale embeddings, ANSI-loud beyond.
     *
     * The `(a − pmod(a,b))/b` long-division detour exists because Spark
     * exposes no integral-divide Column function: a−pmod is the exact
@@ -55,7 +56,12 @@ object Similarity {
     */
   private[graft] def meanRound6(term: Column): Column = {
     val D = org.apache.spark.sql.types.DecimalType(25, 6)
-    val s = sum((term.cast(D) * lit(1000000L)).cast("long"))
+    // per ROW only the decimal quantize+add runs (the original fast
+    // aggregate); the ×1e6-to-integer-micros conversion happens once per
+    // GROUP on the exact decimal total — putting the multiply per-row
+    // costs 64 BigDecimal multiplies/row on a 64-dim centroid and
+    // measured 3× on the centroid queries
+    val s = (sum(term.cast(D)) * lit(1000000L)).cast("long")
     val n = count(lit(1))
     def posDiv(a: Column, b: Column): Column =
       round((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
@@ -70,7 +76,7 @@ object Similarity {
     * same final /1e6.
     */
   def meanRound6Sql(x: String): String = {
-    val s = s"SUM(CAST(CAST($x AS DECIMAL(25,6)) * 1000000 AS BIGINT))"
+    val s = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) * 1000000 AS BIGINT)"
     s"(CASE WHEN $s >= 0 THEN (2*$s + COUNT(*)) // (2*COUNT(*)) " +
       s"ELSE -((2*(-($s)) + COUNT(*)) // (2*COUNT(*))) END / 1000000.0)"
   }
@@ -486,7 +492,6 @@ object Similarity {
   private[text] def kmeansAssignFull(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 2,
                                      idCol: String = "vec_id", vecCol: String = "embedding",
                                      salt: String = "kmeans"): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(25, 6)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))

@@ -232,4 +232,23 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect()
     assert(own.forall(p => p._1 == p._2))
   }
+
+  test("meanRound6 resolves exact half-boundary means half-up, away from zero") {
+    // the sf0.1 q109 case in miniature: 616992/192 micros = 3213.5 exactly.
+    // round(sum/count, 6) on the double quotient is engine-AMBIGUOUS there
+    // (the quotient's binary expansion sits below the boundary, so Spark's
+    // exact-expansion HALF_UP says 0.003213 while a scale-then-round path
+    // says 0.003214); the integer half-up division must say 0.003214 — and
+    // mirror to -0.003214 for the negated data (HALF_UP is away from zero).
+    def meanOf(xs: Seq[Double]): Double =
+      xs.toDF("x").agg(Similarity.meanRound6(col("x")).as("mu"))
+        .as[Double].head()
+    val pos = Seq.fill(191)(0.003214) :+ 0.003118 // 191·3214 + 3118 = 616992 micros
+    assert(pos.map(x => (x * 1e6).round).sum === 616992L,
+      "fixture must sum to the exact tie")
+    assert(meanOf(pos) === 0.003214)
+    assert(meanOf(pos.map(-_)) === -0.003214)
+    // non-tie sanity: plain mean of exact micros
+    assert(meanOf(Seq(0.000001, 0.000002, 0.000003)) === 0.000002)
+  }
 }
