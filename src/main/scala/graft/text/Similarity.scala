@@ -38,14 +38,21 @@ object Similarity {
     * expansion of the quotient (BigDecimal HALF_UP) while DuckDB scales
     * then rounds — observed at sf0.1 (a label-centroid quotient of
     * 0.0032134999999999998 sits below the half boundary exactly, the
-    * scaled path lands on it: 0.003213 vs 0.003214). So the mean is
-    * computed where both engines are exact: the DECIMAL(25,6) sum is
-    * converted to integer micros per group (×1e6, integral by
-    * construction) and divided with explicit HALF_UP integer division
-    * `(2|s|+n) quot (2n)` applied away from zero; the final /1e6 is one
-    * IEEE division that both engines perform identically. Overflow:
-    * |2·Σmicros| must stay under 2^63 — good past 10^12 rows/group at
-    * unit-scale embeddings, ANSI-loud beyond.
+    * scaled path lands on it: 0.003213 vs 0.003214). So every step runs
+    * where both engines are bit-identical: each element is quantized to
+    * integer micros as `floor(x·1e6 + 0.5)` — an IEEE multiply, an IEEE
+    * add and floor, each exactly specified, so the two engines cannot
+    * diverge (ties-at-the-tie-point round toward +∞ by this definition;
+    * what matters for portability is that BOTH sides define the micros
+    * identically, and the oracle SQL is generated from the same
+    * formula) — then summed in long arithmetic and divided with explicit
+    * HALF_UP integer division `(2|s|+n) quot (2n)` applied away from
+    * zero; the final /1e6 is one IEEE division. Keeping the whole
+    * per-row path in primitive long/double ops (no decimal) keeps it
+    * inside whole-stage codegen: the earlier DECIMAL(25,6) quantize+add
+    * formulation measured 2× slower across all four centroid queries.
+    * Overflow: |2·Σmicros| must stay under 2^63 — good past 10^12
+    * rows/group at unit-scale embeddings, ANSI-loud beyond.
     *
     * The `(a − pmod(a,b))/b` long-division detour exists because Spark
     * exposes no integral-divide Column function: a−pmod is the exact
@@ -54,29 +61,52 @@ object Similarity {
     * the round() re-snap is exact for any quotient below ~10^9, i.e. any
     * embedding magnitude below ~1000.
     */
-  private[graft] def meanRound6(term: Column): Column = {
-    val D = org.apache.spark.sql.types.DecimalType(25, 6)
-    // per ROW only the decimal quantize+add runs (the original fast
-    // aggregate); the ×1e6-to-integer-micros conversion happens once per
-    // GROUP on the exact decimal total — putting the multiply per-row
-    // costs 64 BigDecimal multiplies/row on a 64-dim centroid and
-    // measured 3× on the centroid queries
-    val s = (sum(term.cast(D)) * lit(1000000L)).cast("long")
-    val n = count(lit(1))
+  private[graft] def meanRound6(term: Column): Column =
+    microsMean(sum(microsRound6(term)), count(lit(1)))
+
+  /** Per-row micros quantization: `floor(x·1e6 + 0.5)` as a long —
+    * primitive IEEE ops only, stays in whole-stage codegen.
+    */
+  private[graft] def microsRound6(term: Column): Column =
+    floor(term * lit(1.0e6) + lit(0.5))
+
+  /** Projection-level portable mean from (Σmicros, n): explicit HALF_UP
+    * integer division away from zero, then one IEEE /1e6. Kept OUT of
+    * the aggregate on the hot centroid paths: embedding dim × this
+    * expression tree inside HashAggregate's result projection blows the
+    * generated method past the JIT limits and drops the whole stage —
+    * including the per-row update loop — out of compiled code (measured
+    * 4× on the centroid queries). As a post-agg select it runs once per
+    * group and the aggregate stays a plain long-sum.
+    */
+  private[graft] def microsMean(s: Column, n: Column): Column = {
     def posDiv(a: Column, b: Column): Column =
       round((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
     val mag = posDiv(abs(s) * 2 + n, n * 2)
     when(s >= 0, mag).otherwise(-mag).cast("double") / lit(1000000.0)
   }
 
+  /** The shared centroid-vector aggregation: aggregate = array of plain
+    * micros long-sums + a count, then a post-agg `transform` divides —
+    * per group, off the hot path. Returns (aggColumns, meanExpr(n)).
+    */
+  private[graft] def microsSumArray(dim: Int, vec: Column): Column =
+    array((0 until dim).map { i =>
+      sum(microsRound6(element_at(vec, i + 1).cast("double")))
+    }: _*)
+
+  private[graft] def microsMeanArray(sums: Column, n: Column): Column =
+    transform(sums, s => microsMean(s, n))
+
   /** The matching DuckDB aggregate-expression SQL for [[meanRound6]]
     * (oracle authoring; `x` is the per-row term, e.g.
-    * `list_extract(v, r.i)`). DuckDB's SUM(BIGINT) is HUGEINT and `//`
-    * is exact integral division, so the whole chain is exact until the
-    * same final /1e6.
+    * `list_extract(v, r.i)`). FLOOR on a double is exact in both
+    * engines, the cast-after-floor is exact (integral double), DuckDB's
+    * SUM(BIGINT) is HUGEINT and `//` is exact integral division, so the
+    * whole chain is exact until the same final /1e6.
     */
   def meanRound6Sql(x: String): String = {
-    val s = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) * 1000000 AS BIGINT)"
+    val s = s"SUM(CAST(FLOOR($x * 1000000.0 + 0.5) AS BIGINT))"
     s"(CASE WHEN $s >= 0 THEN (2*$s + COUNT(*)) // (2*COUNT(*)) " +
       s"ELSE -((2*(-($s)) + COUNT(*)) // (2*COUNT(*))) END / 1000000.0)"
   }
@@ -519,9 +549,8 @@ object Similarity {
       cents = e.withColumn("m", best(cents))
         .select((-col("m.nid")).cast("int").as("cid"), col("v"))
         .groupBy(col("cid"))
-        .agg(array((0 until dim).map { i =>
-          meanRound6(element_at(col("v"), i + 1).cast("double"))
-        }: _*).as("cv"))
+        .agg(microsSumArray(dim, col("v")).as("ms"), count(lit(1)).as("n"))
+        .select(col("cid"), microsMeanArray(col("ms"), col("n")).as("cv"))
         .orderBy(col("cid"))
         .as[(Int, Seq[Double])].collect().toSeq
     }
@@ -546,9 +575,9 @@ object Similarity {
     */
   def centroidOutliers(embeddings: DataFrame, dim: Int, threshold: Double = 0.0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = embeddings.agg(array((0 until dim).map { i =>
-      meanRound6(element_at(col(vecCol), i + 1).cast("double"))
-    }: _*).as("cvec"))
+    val cent = embeddings
+      .agg(microsSumArray(dim, col(vecCol)).as("ms"), count(lit(1)).as("n"))
+      .select(microsMeanArray(col("ms"), col("n")).as("cvec"))
     embeddings.crossJoin(broadcast(cent))
       .withColumn("cos_to_centroid", round(cosine(col(vecCol), col("cvec")), 6))
       // an all-zero vector — the canonical garbage embedding — yields
@@ -574,12 +603,13 @@ object Similarity {
     */
   def labelCentroids(embeddings: DataFrame, dim: Int,
                      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
-    def centroid = array((0 until dim).map { i =>
-      meanRound6(element_at(col(vecCol), i + 1).cast("double"))
-    }: _*)
     val perLabel = embeddings.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n_vecs"), centroid.as("cvec"))
-    val global = embeddings.agg(centroid.as("gvec"))
+      .agg(count(lit(1)).as("n_vecs"), microsSumArray(dim, col(vecCol)).as("ms"))
+      .select(col("label"), col("n_vecs"),
+        microsMeanArray(col("ms"), col("n_vecs")).as("cvec"))
+    val global = embeddings
+      .agg(microsSumArray(dim, col(vecCol)).as("ms"), count(lit(1)).as("n"))
+      .select(microsMeanArray(col("ms"), col("n")).as("gvec"))
     perLabel.crossJoin(broadcast(global))
       .select(col("label"), col("n_vecs"),
         round(cosine(col("cvec"), col("gvec")), 6).as("cos_to_global_r"))
