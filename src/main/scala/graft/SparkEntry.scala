@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     analytics.Relational.defs ++ analytics.ChainOps.defs ++
       analytics.LLMOps.defs ++ analytics.TemporalOps.defs ++
-      analytics.CurationOps.defs ++ analytics.ScaleOps.defs
+      analytics.CurationOps.defs ++ analytics.ScaleOps.defs ++
+      analytics.GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The pricing summary always yields the 6 (returnflag, linestatus)

@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Graph analytics over the chain's interaction graph.
+  *
+  * The reference's domain is a social blockchain — accounts voting on
+  * and commenting about content (`handlers/votes.js`,
+  * `handlers/comments.js`) — so an influence rank over the
+  * account↔content interaction graph is the natural graph-analytics
+  * extension of the §2 vote/semi-join family (the metric OpenSearch
+  * users compute offline from exactly the tables the reference
+  * maintains).
+  *
+  * Arithmetic discipline: ranks live in INTEGER MICROS end-to-end.
+  * Every per-iteration step — contribution `rank div outdeg`, damping
+  * `(85·Σ) div 100`, the teleport base — is exact integer arithmetic,
+  * so there is no FP summation order to disagree on and the oracle
+  * replays all iterations bit-for-bit. (A double-valued PageRank would
+  * hit the q109 half-boundary ambiguity through `round(rank/outdeg,6)`
+  * — quotients of micro-grid rationals land on rounding boundaries in
+  * practice.) The deliberate cost: each division floors away < 1 micro
+  * per edge; rank mass decays by ≤ E micros per iteration — a defined,
+  * deterministic semantics, not drift.
+  *
+  * Scale shape (the GraphX-less, pure-DataFrame PageRank): one
+  * edges⋈ranks hash join on `src` + one `dst`-keyed map-side-combined
+  * aggregate per iteration. At 100 TB: bucket both edges and ranks by
+  * the node key so the per-iteration join is shuffle-free (the
+  * `sources/Bucketing` discipline); the aggregate's skew on celebrity
+  * nodes (Zipf in-degree) is the q43/AQE salted-agg escape; lineage is
+  * cut per iteration with localCheckpoint (node-count-sized state, the
+  * connectedComponents precedent — not the corpus).
+  */
+object GraphOps {
+  import Relational.QFn
+
+  /** Integer-micros PageRank over an already-bidirected, deduplicated
+    * edge list (src, dst). Bidirection guarantees every node has
+    * out-degree ≥ 1, so there is no dangling-mass term. Returns
+    * (node, rank_m, rank_r) after `iters` synchronous iterations from
+    * a uniform `1e6 div N` start.
+    */
+  def pageRankMicros(edges: DataFrame, iters: Int = 3, damp: Int = 85): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = edges.join(deg, Seq("src")).localCheckpoint()
+    val n = deg.count() // node count — driver scalar, index-sized
+    val base = (100L - damp) * 1000000L / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(1000000L / n).as("rank_m"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("rank_m div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"($damp * s) div 100")).as("rank_m"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank_m"),
+      (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
+  }
+
+  /** The declared interaction graph: user↔item edges from the event
+    * stream (item = the `props.k` entity, the q21 extraction), distinct
+    * then mirrored.
+    */
+  private def interactionEdges(s: SparkSession, dir: String): DataFrame = {
+    val inter = Tables(s, dir).events
+      .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
+        concat(lit("i:"),
+          coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+            .cast("string")).as("b"))
+      .distinct()
+    inter.select(col("a").as("src"), col("b").as("dst"))
+      .union(inter.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- PageRank (integer-micros, 3 synchronous iterations) over the
+    //      bidirected user↔item interaction graph. The oracle unrolls
+    //      all three iterations in exact integer arithmetic (DuckDB's
+    //      `//` on BIGINT/HUGEINT), so every rank value is replayed to
+    //      the micro. Plan: per iteration one hash join (node-count
+    //      build side) + one map-side-combined agg — see the object
+    //      scaladoc for the 100 TB bucketing/skew argument.
+    ("q117_pagerank", (s: SparkSession, dir: String) => {
+      pageRankMicros(interactionEdges(s, dir), iters = 3)
+        .orderBy(col("node"))
+    }, Some("""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events),
+      e AS (SELECT a AS src, b AS dst FROM inter
+            UNION ALL SELECT b AS src, a AS dst FROM inter),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      ew AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+      p AS (SELECT count(*) AS n FROM deg),
+      r0 AS (SELECT src AS node, CAST(1000000 // n AS BIGINT) AS rank_m FROM deg, p),
+      r1 AS (SELECT ew.dst AS node,
+               CAST((15 * 1000000) // (100 * p.n)
+                    + (85 * SUM(r.rank_m // ew.outdeg)) // 100 AS BIGINT) AS rank_m
+             FROM ew JOIN r0 r ON ew.src = r.node CROSS JOIN p
+             GROUP BY ew.dst, p.n),
+      r2 AS (SELECT ew.dst AS node,
+               CAST((15 * 1000000) // (100 * p.n)
+                    + (85 * SUM(r.rank_m // ew.outdeg)) // 100 AS BIGINT) AS rank_m
+             FROM ew JOIN r1 r ON ew.src = r.node CROSS JOIN p
+             GROUP BY ew.dst, p.n),
+      r3 AS (SELECT ew.dst AS node,
+               CAST((15 * 1000000) // (100 * p.n)
+                    + (85 * SUM(r.rank_m // ew.outdeg)) // 100 AS BIGINT) AS rank_m
+             FROM ew JOIN r2 r ON ew.src = r.node CROSS JOIN p
+             GROUP BY ew.dst, p.n)
+      SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
+      FROM r3 ORDER BY node"""))
+  )
+}
