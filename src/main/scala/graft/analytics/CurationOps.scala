@@ -1098,6 +1098,49 @@ object CurationOps {
              round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) AS cos_to_centroid,
              (round(list_cosine_similarity(v, (SELECT cv FROM c)), 6) < 0.0
               OR isnan(round(list_cosine_similarity(v, (SELECT cv FROM c)), 6))) AS is_outlier
-      FROM e ORDER BY vec_id"""))
+      FROM e ORDER BY vec_id""")),
+
+    // ---- UniMax language-budget sampling (waterfilling quotas +
+    //      exact hash-order selection). Budget 350 on the sf0.01
+    //      distribution caps fr(64) and de(70) below their equal share
+    //      and redistributes the surplus to es/zh/en — the allocation
+    //      path UniMax exists for. The oracle replays the ascending
+    //      waterfilling pass as a recursive CTE in exact integer
+    //      arithmetic, then the same portable-hash-ranked selection, so
+    //      every kept doc_id is value-checked. Scale split documented
+    //      on [[Sampling.unimaxSelect]] (exact rank = verify primitive;
+    //      rate-filter form for corpus-sized strata).
+    ("q118_unimax_budget", (s: SparkSession, dir: String) => {
+      Sampling.unimaxSelect(Tables(s, dir).documents, "lang", "doc_id", budget = 350L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE caps AS (
+        SELECT COALESCE(lang, chr(0)) AS lang, CAST(count(*) AS BIGINT) AS cap
+        FROM documents GROUP BY 1),
+      ord AS (SELECT lang, cap,
+                CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i
+              FROM caps),
+      nl AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ord),
+      wf(i, lang, quota, rem) AS (
+        SELECT o.i, o.lang,
+               least(o.cap, 350 // (SELECT k FROM nl)),
+               350 - least(o.cap, 350 // (SELECT k FROM nl))
+        FROM ord o WHERE o.i = 1
+        UNION ALL
+        SELECT o.i, o.lang,
+               least(o.cap, wf.rem // ((SELECT k FROM nl) - wf.i)),
+               wf.rem - least(o.cap, wf.rem // ((SELECT k FROM nl) - wf.i))
+        FROM wf JOIN ord o ON o.i = wf.i + 1),
+      sel AS (SELECT doc_id, lang, source,
+                COALESCE(lang, chr(0)) AS sl,
+                row_number() OVER (PARTITION BY COALESCE(lang, chr(0))
+                  ORDER BY ${TextStats.portableHash64Sql(
+                    "concat('unimax:', CAST(doc_id AS VARCHAR))")}, doc_id) AS rnk
+              FROM documents)
+      SELECT s.doc_id, s.lang, s.source
+      FROM sel s JOIN wf ON s.sl = wf.lang
+      WHERE s.rnk <= wf.quota
+      ORDER BY s.doc_id"""))
   )
 }

@@ -198,6 +198,66 @@ object Sampling {
     * same output, documented here rather than defaulted because real
     * domain distributions make the plain window the cheaper plan.
     */
+  /** UniMax-style language-budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): distribute a total
+    * document budget across languages as uniformly as possible without
+    * over-sampling any language past its capacity — one ascending
+    * waterfilling pass. Languages are visited by (capacity, name);
+    * each receives `min(capacity, remaining div langsLeft)`; surplus
+    * from capped low-resource languages flows to the rest. Pure
+    * integer arithmetic over |languages| rows — driver-sized by
+    * definition, and replayable by a recursive-CTE oracle.
+    */
+  def waterfillQuotas(caps: Seq[(String, Long)], budget: Long): Seq[(String, Long)] = {
+    require(budget >= 0, s"budget must be non-negative; got $budget")
+    val sorted = caps.sortBy { case (l, c) => (c, l) }
+    var rem = budget
+    var left = sorted.length
+    sorted.map { case (l, c) =>
+      val q = math.min(c, rem / left)
+      rem -= q
+      left -= 1
+      (l, q)
+    }
+  }
+
+  /** Apply [[waterfillQuotas]] to a corpus: per language keep exactly
+    * `quota` documents, chosen by portable-hash order (deterministic
+    * across runs/retries/engines — the [[stratifiedSample]]
+    * philosophy, with exact counts instead of rates). Null languages
+    * form their own stratum via the temperatureResample shadow-column
+    * rule.
+    *
+    * Shape at scale: the language counts are |languages| rows (the one
+    * bounded collect); selection is a per-language window rank — per
+    * partition the stratum can be corpus-sized (English), so at 100 TB
+    * swap the exact rank for the rate form `hashBucketN(key) <
+    * quota·1e6/capacity` (a pure filter, quota hit within sampling
+    * noise); the exact-rank form is the verify primitive, same split
+    * as q88's perGroupCap.
+    */
+  def unimaxSelect(docs: DataFrame, langCol: String, keyCol: String,
+                   budget: Long, salt: String = "unimax"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shadow = coalesce(col(langCol).cast("string"), lit("\u0000"))
+    val caps = docs.groupBy(shadow.as("__lang")).agg(count(lit(1)).as("cap"))
+      .as[(String, Long)].collect().toSeq
+    val quotas = waterfillQuotas(caps, budget)
+    val qDf = quotas.toDF("__lang", "quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lang"))
+      .orderBy(col("__ux_h").asc_nulls_last, col(keyCol).asc_nulls_last)
+    docs.withColumn("__lang", shadow)
+      .withColumn("__ux_h", graft.text.TextStats.portableHash64(
+        concat(lit(salt + ":"), col(keyCol).cast("string"))))
+      .withColumn("__rnk", row_number().over(w).cast("long"))
+      .join(broadcast(qDf), Seq("__lang"))
+      .filter(col("__rnk") <= col("quota"))
+      .drop("__lang", "__ux_h", "__rnk")
+  }
+
   def perGroupCap(df: DataFrame, groupCol: String, k: Int,
                   keyCol: String = "doc_id", salt: String = "cap"): DataFrame = {
     // nulls LAST on both sort keys: a null keyCol hashes to null, and
