@@ -46,11 +46,17 @@ object GraphOps {
     */
   def pageRankMicros(edges: DataFrame, iters: Int = 3, damp: Int = 85): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = edges.join(deg, Seq("src")).localCheckpoint()
+    // ew feeds every iteration — materialize once (Stage.mat). The
+    // per-iteration frontier stays lineage-chained: at iters=3 the
+    // plan is 3 join+agg pairs deep, which pipelines as ONE job;
+    // checkpointing every round would insert a job barrier per
+    // iteration for no recovery benefit at this depth (cut lineage
+    // per round only for deep/open-ended iteration — the
+    // connectedComponents regime).
+    val ew = graft.Stage.mat(edges.join(deg, Seq("src")))
     val n = deg.count() // node count — driver scalar, index-sized
     val base = (100L - damp) * 1000000L / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(1000000L / n).as("rank_m"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       ranks = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst"), expr("rank_m div outdeg").as("c"))
@@ -58,7 +64,6 @@ object GraphOps {
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(base) + expr(s"($damp * s) div 100")).as("rank_m"))
-        .localCheckpoint()
     }
     ranks.select(col("node"), col("rank_m"),
       (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))

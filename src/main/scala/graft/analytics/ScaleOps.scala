@@ -846,23 +846,27 @@ object ScaleOps {
       val input = base.unionByName(reprints)
       val benchmark = Tables(s, dir).documents
         .filter(col("doc_id") < 500 && pmod(col("doc_id"), lit(50)) === 0)
-      // stage 1: robust (CCNet-normalization) dedup, keep min id
-      val keep1 = input.groupBy(TextStats.robustFingerprint(col("text")).as("rfp"))
+      // stage 1: robust (CCNet-normalization) dedup, keep min id.
+      // each stage feeds BOTH the next stage and its own funnel count —
+      // materialize (Stage.mat) so the lineage isn't recomputed once
+      // per downstream consumer (input: 3 consumers; s1: 4; s2: 3)
+      val inputM = graft.Stage.mat(input)
+      val keep1 = inputM.groupBy(TextStats.robustFingerprint(col("text")).as("rfp"))
         .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      val s1 = input.join(keep1, Seq("doc_id"), "left_semi")
+      val s1 = graft.Stage.mat(inputM.join(keep1, Seq("doc_id"), "left_semi"))
       // stage 2: near-dup clusters, keep the longest copy per cluster
       val pairs = Dedup.minhashNearDups(s1, threshold = 0.8, numHashes = 16, bands = 16)
       val keep2 = Dedup.selectRepresentatives(s1, pairs,
           score = TextStats.tokenCount(col("text")).cast("long"))
         .filter(col("keep")).select(col("doc_id"))
-      val s2 = s1.join(keep2, Seq("doc_id"), "left_semi")
+      val s2 = graft.Stage.mat(s1.join(keep2, Seq("doc_id"), "left_semi"))
       // stage 3: drop docs sharing any 3-gram with the benchmark set
       val s3 = s2.join(
         Dedup.contamination(s2, benchmark).filter(col("contaminated"))
           .select(col("doc_id")), Seq("doc_id"), "left_anti")
       def stage(name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-      stage("0_input", input)
+      stage("0_input", inputM)
         .unionByName(stage("1_robust_dedup", s1))
         .unionByName(stage("2_neardup_keep", s2))
         .unionByName(stage("3_decontaminated", s3))
@@ -938,23 +942,28 @@ object ScaleOps {
     //      value-sanity gate heavy-tailed pipeline metrics need (mean/
     //      stddev break under the very outliers being hunted). Robust
     //      z = 0.6745·(x − med)/MAD, flag |z| > 3.5 (Iglewicz–Hoaglin).
-    //      percentile ↔ quantile_cont parity is the proven q18
-    //      mechanism; the z chain is mirrored with a MAD floor, and the
-    //      comparison runs on the round-6 snap so the flag count is
-    //      engine-stable. Two corpus passes (median, then deviation
-    //      median) + one flag pass — medians broadcast between them.
-    //      Spark's exact percentile buffers group values, which is the
-    //      oracle-able VERIFY primitive; at 100 TB swap the two medians
-    //      for approx_percentile under the q82 rank-tolerance contract
-    //      (same plan shape, sketch-sized buffers).
+    //      Both medians run as DISTINCT-VALUE HISTOGRAM medians
+    //      ([[histMedian]]): counts per (group, value), a cumulative
+    //      window over the distinct-value table only, conditional-min
+    //      rank probes, explicit lo + (hi−lo)/2 interpolation —
+    //      mirrored token-for-token by the oracle, so both engines
+    //      compute bit-identical medians with NO dependence on either
+    //      engine's quantile implementation. This replaced Spark's
+    //      exact `percentile`, which buffers every group value in the
+    //      aggregate (the 100 TB OOM hazard — a billion-row group
+    //      cannot be buffered; histogram state is bounded by value
+    //      CARDINALITY) and was the suite's slowest query at sf0.1.
+    //      The z chain is one mirrored IEEE expression with a MAD
+    //      floor, compared on the round-6 snap so the flag count is
+    //      engine-stable.
     ("q114_mad_outliers", (s: SparkSession, dir: String) => {
       val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val med = histMedian(li, "l_returnflag", "l_extendedprice", "med")
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
-        .withColumn("ad", abs(col("l_extendedprice") - col("med")))
-      val mad = dev.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
+        .select(col("l_returnflag"), col("l_extendedprice"), col("med"),
+          abs(col("l_extendedprice") - col("med")).as("ad"))
+      val mad = histMedian(dev.select(col("l_returnflag"), col("ad")),
+        "l_returnflag", "ad", "mad")
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .withColumn("z_r", round(
           (col("l_extendedprice") - col("med")) * 0.6745 /
@@ -965,20 +974,20 @@ object ScaleOps {
           round(first(col("mad")), 6).as("mad_r"),
           sum(when(abs(col("z_r")) > 3.5, 1L).otherwise(0L)).as("n_outliers"))
         .orderBy(col("l_returnflag"))
-    }, Some("""
-      WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-                 FROM lineitem GROUP BY 1),
+    }, Some(s"""
+      WITH m AS (${histMedianSql("SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem")}),
       d AS (SELECT l.l_returnflag, l.l_extendedprice, m.med,
                    abs(l.l_extendedprice - m.med) AS ad
-            FROM lineitem l JOIN m USING (l_returnflag)),
-      md AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+            FROM lineitem l JOIN m ON l.l_returnflag = m.g),
+      md AS (SELECT g AS g2, med AS mad FROM
+               (${histMedianSql("SELECT l_returnflag AS g, ad AS x FROM d")}))
       SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
              round(MIN(d.med), 6) AS med_r,
              round(MIN(md.mad), 6) AS mad_r,
              CAST(SUM(CASE WHEN abs(round((d.l_extendedprice - d.med) * 0.6745
                     / greatest(md.mad, 0.000001), 6)) > 3.5
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      FROM d JOIN md USING (l_returnflag)
+      FROM d JOIN md ON d.l_returnflag = md.g2
       GROUP BY d.l_returnflag ORDER BY d.l_returnflag""")),
 
     // ---- product quantization (codebook + encode + fidelity audit):
@@ -1079,4 +1088,103 @@ object ScaleOps {
       SELECT q_id, vec_id AS top1_id, round(cs, 6) AS top1_cos_r, TRUE AS recall_ok
       FROM r WHERE rn = 1 ORDER BY q_id"""))
   )
+
+  /** Exact per-group median by TWO-PHASE RANK SELECTION —
+    * quantile_cont(0.5)-equivalent semantics without ever buffering or
+    * globally sorting a group:
+    *
+    *  1. one agg → (n, min, max) per group;
+    *  2. every row maps to one of 1024 range buckets (a pure
+    *     projection — `floor(((x−mn)/(mx−mn))·1024)` clamped, identical
+    *     IEEE ops in both engines);
+    *  3. the per-(group, bucket) count table (≤1024 rows/group) locates
+    *     which bucket holds rank k1 = (n+1) div 2 and k2 = (n+2) div 2
+    *     — the only window in the plan runs over THIS tiny table;
+    *  4. only candidate-bucket rows (≈ n/1024) are re-scanned and
+    *     cumulated by distinct value, rank offsets carried from the
+    *     bucket table; median = lo + (hi − lo)/2 (hi = lo when n odd).
+    *
+    * Every corpus pass is a narrow scan + map-side-combined agg; no
+    * stage holds more than bucket-resolution state. This is the 100 TB
+    * form of an exact median: Spark's `percentile` buffers the whole
+    * group per aggregate buffer, and a distinct-value window would put
+    * a near-unique column's whole group in ONE window partition — both
+    * melt on a billion-row group; this plan never materializes more
+    * than the per-bucket slice.
+    */
+  private def histMedian(vals: DataFrame, g: String, x: String, out: String): DataFrame = {
+    val B = 1024
+    val stats = vals.groupBy(col(g)).agg(count(lit(1)).as("n"),
+      min(col(x)).as("mn"), max(col(x)).as("mx"))
+    val withB = vals.join(broadcast(stats), Seq(g))
+      .withColumn("b", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit((B - 1).toLong),
+          floor((col(x) - col("mn")) / (col("mx") - col("mn")) * B))))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g)).orderBy(col("b"))
+    val bcum = withB.groupBy(col(g), col("b"), col("n")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_end", sum(col("c")).over(wB))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+    val ks = bcum
+      .withColumn("k1", expr("(n + 1) div 2"))
+      .withColumn("k2", expr("(n + 2) div 2"))
+      .filter((col("cum_start") < col("k1") && col("k1") <= col("cum_end")) ||
+        (col("cum_start") < col("k2") && col("k2") <= col("cum_end")))
+      .select(col(g), col("b"), col("cum_start"), col("k1"), col("k2"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g), col("b")).orderBy(col(x))
+    withB.select(col(g), col("b"), col(x))
+      .join(broadcast(ks), Seq(g, "b"))
+      .groupBy(col(g), col("b"), col("cum_start"), col("k1"), col("k2"), col(x))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("vcum", sum(col("c")).over(wv) + col("cum_start"))
+      .groupBy(col(g))
+      .agg(min(when(col("vcum") >= col("k1"), col(x))).as("lo"),
+        min(when(col("vcum") >= col("k2"), col(x))).as("hi"))
+      .select(col(g), (col("lo") + (col("hi") - col("lo")) / 2).as(out))
+  }
+
+  /** The mirrored DuckDB form: `src` must yield columns (g, x); the
+    * fragment yields (g, med) with the identical bucket map, rank
+    * probes, and interpolation expression.
+    */
+  private def histMedianSql(src: String): String =
+    s"""SELECT g, lo + (hi - lo)/2 AS med FROM (
+          SELECT vc.g,
+                 MIN(CASE WHEN vcum >= k1 THEN x END) AS lo,
+                 MIN(CASE WHEN vcum >= k2 THEN x END) AS hi
+          FROM (
+            SELECT wb.g, wb.b, ks.cum_start, ks.k1, ks.k2, wb.x,
+                   SUM(count(*)) OVER (PARTITION BY wb.g, wb.b ORDER BY wb.x)
+                     + ks.cum_start AS vcum
+            FROM (
+              SELECT s.g, s.x,
+                     CASE WHEN st.mx = st.mn THEN 0
+                          ELSE CAST(least(1023.0,
+                            floor(((s.x - st.mn) / (st.mx - st.mn)) * 1024)) AS BIGINT)
+                     END AS b
+              FROM ($src) s
+              JOIN (SELECT g, CAST(count(*) AS BIGINT) AS n, MIN(x) AS mn, MAX(x) AS mx
+                    FROM ($src) GROUP BY g) st USING (g)) wb
+            JOIN (
+              SELECT g, b, cum_end - c AS cum_start, (n + 1)//2 AS k1, (n + 2)//2 AS k2
+              FROM (
+                SELECT g, b, n, c, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum_end
+                FROM (
+                  SELECT wb2.g, wb2.b, wb2.n, CAST(count(*) AS BIGINT) AS c
+                  FROM (
+                    SELECT s.g, s.x, st.n,
+                           CASE WHEN st.mx = st.mn THEN 0
+                                ELSE CAST(least(1023.0,
+                                  floor(((s.x - st.mn) / (st.mx - st.mn)) * 1024)) AS BIGINT)
+                           END AS b
+                    FROM ($src) s
+                    JOIN (SELECT g, CAST(count(*) AS BIGINT) AS n, MIN(x) AS mn, MAX(x) AS mx
+                          FROM ($src) GROUP BY g) st USING (g)) wb2
+                  GROUP BY wb2.g, wb2.b, wb2.n))
+              WHERE cum_end - c < (n + 1)//2 AND (n + 1)//2 <= cum_end
+                 OR cum_end - c < (n + 2)//2 AND (n + 2)//2 <= cum_end) ks
+              ON wb.g = ks.g AND wb.b = ks.b
+            GROUP BY wb.g, wb.b, ks.cum_start, ks.k1, ks.k2, wb.x) vc
+          GROUP BY vc.g)"""
 }

@@ -57,6 +57,17 @@ object GraftFunctions {
   /** Integer-nanos character-entropy sum — see [[CharEntropyNanos]]. */
   def charEntropyNanos(c: Column): Column = col(CharEntropyNanos(expr(c)))
 
+  /** Fused product-quantization encode + reconstruction cosine over a
+    * literal codebook — see [[PQEncode]]. `cb(j)(c)` = centroid c of
+    * subspace j.
+    */
+  def pqEncode(vec: Column, cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column = {
+    val m = cb.length
+    val k = cb.head.length
+    val d = cb.head.head.length
+    col(PQEncode(expr(vec), cb.flatten.flatten.toArray, m, k, d))
+  }
+
   /** One-pass JL ±1 projection — see [[RademacherProject]]. */
   def rademacherProject(c: Column, outDim: Int): Column =
     col(RademacherProject(expr(c), outDim))

@@ -78,16 +78,15 @@ object PQ {
     val cb0: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       (0 until m).map(j => seedVecs.map(_.slice(j * d, (j + 1) * d)))
 
-    // One Lloyd update: encode against cb0 (pure projection), explode to
-    // (j, code, sv) and take the micros mean per cell — a single
-    // map-side-combined shuffle with m·k·d longs of state.
-    val enc = withCodes(e, cb0, d)
-    val cells = enc
-      .select(posexplode(array((0 until m).map { j =>
-        struct(col(s"__code_$j").as("code"),
-          slice(col("v"), j * d + 1, d).as("sv"))
-      }: _*)).as(Seq("j", "cell")))
-      .select(col("j"), col("cell.code").as("code"), col("cell.sv").as("sv"))
+    // One Lloyd update: encode against cb0 (one native-expression
+    // projection), explode to (j, code, sv) and take the micros mean
+    // per cell — a single map-side-combined shuffle with m·k·d longs
+    // of state.
+    val cells = e
+      .select(col("v"),
+        graft.catalyst.GraftFunctions.pqEncode(col("v"), cb0).getField("codes").as("codes"))
+      .select(col("v"), posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("j"), col("code"), slice(col("v"), col("j") * d + 1, lit(d)).as("sv"))
       .groupBy(col("j"), col("code"))
       .agg(Similarity.microsSumArray(d, col("sv")).as("ms"),
         count(lit(1)).as("n"))
@@ -101,43 +100,21 @@ object PQ {
     (0 until m).map(j => cb0(j).indices.map(c => cells.getOrElse((j, c), cb0(j)(c))))
   }
 
-  /** Append `__code_j` columns (0 until m): per subspace, the argmin
-    * code over round-6 squared-L2 to the literal codebook — m
-    * independent `least(struct…)` projections, fully codegen'd, zero
-    * shuffle (the nearestCentroid shape, per subspace).
-    */
-  private def withCodes(e: DataFrame,
-                        cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-                        d: Int): DataFrame =
-    cb.indices.foldLeft(e) { (df, j) =>
-      val sv = slice(col("v"), j * d + 1, d)
-      df.withColumn(s"__code_$j",
-        least(cb(j).zipWithIndex.map { case (cv, c) =>
-          struct(round(l2sq(sv, typedlit(cv.toSeq), d), 6).as("dist"),
-            lit(c).as("c"))
-        }: _*).getField("c"))
-    }
-
   /** Encode + reconstruction audit: per vector its m-byte code word and
     * the round-6 cosine between the vector and its codebook
     * reconstruction — the fidelity signal a pipeline gates on before
-    * trusting PQ distances (the q67 int8-audit pattern at 32×
-    * compression). Pure projection; no shuffle.
+    * trusting PQ distances (the q67 int8-audit pattern). One native
+    * fused-loop expression ([[graft.catalyst.PQEncode]]) per row; pure
+    * projection, no shuffle, stays in whole-stage codegen.
     */
   def pqEncode(embeddings: DataFrame, cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = cb.length
-    val d = cb.head.head.length
-    val e = embeddings.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val recon = flatten(array((0 until m).map { j =>
-      element_at(typedlit(cb(j).map(_.toSeq).toSeq), col(s"__code_$j") + 1)
-    }: _*))
-    withCodes(e, cb, d)
-      .select(col("vec_id"),
-        array((0 until m).map(j => col(s"__code_$j")): _*).as("codes"),
-        round(Similarity.cosine(col("v"), recon), 6).as("recon_cos_r"))
-  }
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol).as("vec_id"),
+        graft.catalyst.GraftFunctions.pqEncode(
+          col(vecCol).cast("array<double>"), cb).as("pq"))
+      .select(col("vec_id"), col("pq.codes").as("codes"),
+        round(col("pq.recon_cos"), 6).as("recon_cos_r"))
 
   /** [[pqEncode]] with the code word rendered `"c0,c1,…"` — the declared
     * query's shape (the harness compare layer can't sort array cells;
