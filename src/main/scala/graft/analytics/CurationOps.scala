@@ -1141,6 +1141,65 @@ object CurationOps {
       SELECT s.doc_id, s.lang, s.source
       FROM sel s JOIN wf ON s.sl = wf.lang
       WHERE s.rnk <= wf.quota
-      ORDER BY s.doc_id"""))
+      ORDER BY s.doc_id""")),
+
+    // ---- leakage-safe train/test split: near-dup CLUSTERS are the
+    //      split unit, not documents — a hash split over raw doc ids
+    //      puts one copy of a near-duplicate in train and its twin in
+    //      test, and the eval set silently overlaps the training set
+    //      (the benchmark-contamination failure mode q55 guards
+    //      against, generated from WITHIN the corpus). Every document
+    //      maps to its q57 cluster label (singletons to themselves);
+    //      the 80/20 assignment hashes the CLUSTER id, so an entire
+    //      near-dup family lands on one side by construction. The
+    //      oracle replays clusters via the q57 recursive-CTE closure
+    //      and the same portable-hash rule. Shape: the q57 cluster
+    //      pass + one broadcast join + a pure hash filter — nothing
+    //      new shuffles at corpus scale.
+    ("q121_leakage_split", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.8,
+        numHashes = 16, bands = 16)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("split",
+          when(pmod(TextStats.portableHash64(
+            concat(lit("split:"), col("cluster_id").cast("string"))), lit(100L)) < 80,
+            lit("train")).otherwise(lit("test")))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 500)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b FROM sh a, sh b
+        WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(n, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.n = e.src),
+      labels AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+      cl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+             FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+             LEFT JOIN labels l USING (doc_id))
+      SELECT doc_id, cluster_id,
+             CASE WHEN ${TextStats.portableHash64Sql(
+               "concat('split:', CAST(cluster_id AS VARCHAR))")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM cl ORDER BY doc_id"""))
   )
 }

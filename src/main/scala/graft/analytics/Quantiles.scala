@@ -1,0 +1,141 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact multi-quantile computation by TWO-PHASE RANK SELECTION — the
+  * 100 TB form of `percentile(x, array(...))`.
+  *
+  * Spark's exact `percentile` buffers every group value inside the
+  * aggregation buffer and sorts it per group: a billion-row group is
+  * an OOM, not a plan. The approx_percentile sketch (q82) bounds the
+  * buffer but gives rank-tolerance answers. This operator returns
+  * EXACT quantile_cont values while never materializing more than
+  * bucket-resolution state:
+  *
+  *  1. one agg → (n, min, max) per group;
+  *  2. every row maps to one of 1024 range buckets — a pure projection
+  *     of identical IEEE ops in both engines;
+  *  3. the per-(group, bucket) count table (≤1024 rows per group)
+  *     locates, for every requested quantile p, the buckets holding
+  *     ranks klo = ⌊(n−1)p⌋+1 and khi (the quantile_cont rank pair) —
+  *     the only windows in the plan run over this tiny table;
+  *  4. only candidate-bucket rows (≈ n/1024 each) are re-scanned,
+  *     cumulated by distinct value with rank offsets carried from the
+  *     bucket table, and interpolated: q = vlo + (vhi − vlo)·frac.
+  *
+  * Every step is mirrored token-for-token by [[sql]], so the result is
+  * value-checkable with no dependence on either engine's quantile
+  * implementation (q18's percentile ↔ quantile_cont parity is an
+  * implementation coincidence this operator does not need).
+  */
+object Quantiles {
+
+  private val B = 1024
+
+  /** Exact per-group quantile_cont for each p in `ps`. Returns rows
+    * (g, p, q_r) — q_r round-6 snapped, ordered output left to the
+    * caller.
+    */
+  def exactQuantiles(vals: DataFrame, g: String, x: String,
+                     ps: Seq[Double]): DataFrame = {
+    val stats = vals.groupBy(col(g)).agg(count(lit(1)).as("n"),
+      min(col(x)).as("mn"), max(col(x)).as("mx"))
+    val withB = vals.join(broadcast(stats), Seq(g))
+      .withColumn("b", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit((B - 1).toLong),
+          floor((col(x) - col("mn")) / (col("mx") - col("mn")) * B))))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g)).orderBy(col("b"))
+    val bcum = withB.groupBy(col(g), col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_end", sum(col("c")).over(wB))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+    val probes = stats
+      .select(col(g), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("pos0", (col("n") - 1) * col("p"))
+      .withColumn("klo", floor(col("pos0")) + 1)
+      .withColumn("frac", col("pos0") - floor(col("pos0")))
+      .withColumn("khi", col("klo") + when(col("frac") > 0, 1L).otherwise(0L))
+      .select(col(g), col("p"), col("klo"), col("khi"), col("frac"))
+    val cand = bcum.join(broadcast(probes), Seq(g))
+      .filter((col("cum_start") < col("klo") && col("klo") <= col("cum_end")) ||
+        (col("cum_start") < col("khi") && col("khi") <= col("cum_end")))
+      .select(col(g), col("b"), col("cum_start")).distinct()
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(g), col("b")).orderBy(col(x))
+    val vcums = withB.select(col(g), col("b"), col(x))
+      .join(broadcast(cand), Seq(g, "b"))
+      .groupBy(col(g), col("b"), col("cum_start"), col(x))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("vcum", sum(col("c")).over(wv) + col("cum_start"))
+      .select(col(g), col(x), col("vcum"))
+    vcums.join(broadcast(probes), Seq(g))
+      .groupBy(col(g), col("p"), col("frac"))
+      .agg(min(when(col("vcum") >= col("klo"), col(x))).as("vlo"),
+        min(when(col("vcum") >= col("khi"), col(x))).as("vhi"))
+      .select(col(g), col("p"),
+        round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as("q_r"))
+  }
+
+  /** The mirrored DuckDB form: `src` must yield columns (g, x);
+    * `psSql` e.g. "(VALUES (0.25), (0.5)) ps(p)". Yields (g, p, q_r).
+    */
+  def sql(src: String, psSql: String): String =
+    s"""SELECT vp.g, vp.p,
+               round(MIN(CASE WHEN vcum >= klo THEN x END)
+                 + (MIN(CASE WHEN vcum >= khi THEN x END)
+                    - MIN(CASE WHEN vcum >= klo THEN x END)) * frac, 6) AS q_r
+        FROM (
+          SELECT vc.g, vc.x, vc.vcum, pr.p, pr.klo, pr.khi, pr.frac
+          FROM (
+            SELECT wb.g, wb.b, cand.cum_start, wb.x,
+                   SUM(count(*)) OVER (PARTITION BY wb.g, wb.b ORDER BY wb.x)
+                     + cand.cum_start AS vcum
+            FROM (
+              SELECT s.g, s.x,
+                     CASE WHEN st.mx = st.mn THEN 0
+                          ELSE CAST(least(${B - 1}.0,
+                            floor(((s.x - st.mn) / (st.mx - st.mn)) * $B)) AS BIGINT)
+                     END AS b
+              FROM ($src) s
+              JOIN (SELECT g, MIN(x) AS mn, MAX(x) AS mx
+                    FROM ($src) GROUP BY g) st USING (g)) wb
+            JOIN (
+              SELECT DISTINCT bc.g, bc.b, bc.cum_start
+              FROM (
+                SELECT g, b, c, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum_end,
+                       SUM(c) OVER (PARTITION BY g ORDER BY b) - c AS cum_start
+                FROM (
+                  SELECT wb2.g, wb2.b, CAST(count(*) AS BIGINT) AS c
+                  FROM (
+                    SELECT s.g, s.x,
+                           CASE WHEN st.mx = st.mn THEN 0
+                                ELSE CAST(least(${B - 1}.0,
+                                  floor(((s.x - st.mn) / (st.mx - st.mn)) * $B)) AS BIGINT)
+                           END AS b
+                    FROM ($src) s
+                    JOIN (SELECT g, MIN(x) AS mn, MAX(x) AS mx
+                          FROM ($src) GROUP BY g) st USING (g)) wb2
+                  GROUP BY wb2.g, wb2.b)) bc
+              JOIN (
+                SELECT g, p, CAST(floor((n - 1) * p) AS BIGINT) + 1 AS klo,
+                       CAST(floor((n - 1) * p) AS BIGINT) + 1
+                         + CASE WHEN (n - 1) * p - floor((n - 1) * p) > 0
+                                THEN 1 ELSE 0 END AS khi
+                FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ($src) GROUP BY g)
+                CROSS JOIN $psSql) pr2
+                ON bc.g = pr2.g
+               AND (bc.cum_start < pr2.klo AND pr2.klo <= bc.cum_end
+                 OR bc.cum_start < pr2.khi AND pr2.khi <= bc.cum_end)) cand
+              ON wb.g = cand.g AND wb.b = cand.b
+            GROUP BY wb.g, wb.b, cand.cum_start, wb.x) vc
+          JOIN (
+            SELECT g, p, (n - 1) * p - floor((n - 1) * p) AS frac,
+                   CAST(floor((n - 1) * p) AS BIGINT) + 1 AS klo,
+                   CAST(floor((n - 1) * p) AS BIGINT) + 1
+                     + CASE WHEN (n - 1) * p - floor((n - 1) * p) > 0
+                            THEN 1 ELSE 0 END AS khi
+            FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ($src) GROUP BY g)
+            CROSS JOIN $psSql) pr USING (g)) vp
+        GROUP BY vp.g, vp.p, vp.frac"""
+}

@@ -1086,7 +1086,68 @@ object ScaleOps {
                    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
             FROM s)
       SELECT q_id, vec_id AS top1_id, round(cs, 6) AS top1_cos_r, TRUE AS recall_ok
-      FROM r WHERE rn = 1 ORDER BY q_id"""))
+      FROM r WHERE rn = 1 ORDER BY q_id""")),
+
+    // ---- exact multi-quantile by two-phase rank selection (the 100 TB
+    //      form of percentile(x, array(...)) — see [[Quantiles]]):
+    //      per-group p25/p50/p75/p95 with bucket-resolution state,
+    //      never buffering a group. The oracle replays the bucket map,
+    //      rank probes, and quantile_cont interpolation token-for-token
+    //      — no dependence on either engine's quantile implementation,
+    //      unlike q18's (proven but coincidental) percentile ↔
+    //      quantile_cont agreement.
+    ("q119_exact_quantiles", (s: SparkSession, dir: String) => {
+      Quantiles.exactQuantiles(
+        Tables(s, dir).lineitem
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")),
+        "g", "x", Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("g").as("l_returnflag"), col("p"), col("q_r"))
+        .orderBy(col("l_returnflag"), col("p"))
+    }, Some(s"""
+      SELECT g AS l_returnflag, p, q_r FROM (
+        ${Quantiles.sql("SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem",
+          "(VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)), " +
+            "(CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) ps(p)")})
+      ORDER BY l_returnflag, p""")),
+
+    // ---- hard-negative mining (contrastive-retrieval training prep):
+    //      per query, the top-5 most-similar vectors carrying a
+    //      DIFFERENT label — the "looks relevant, isn't" examples a
+    //      dual-encoder trains against. Exact by construction (q35's
+    //      broadcast-queries + narrow-corpus-pass shape with a label
+    //      anti-filter), so the oracle replays it value-for-value;
+    //      at index scale the same mining runs over the q116 ADC
+    //      shortlist instead of the exact pass — the split is the
+    //      q45/q115 offline/online contract.
+    ("q120_hard_negatives", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id").between(1, 10))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val corpus = emb.filter(col("vec_id") > 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("cos_sim",
+          graft.text.Similarity.cosine(col("embedding"), col("qvec")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+          col("vec_id").as("neg_id"), round(col("cos_sim"), 6).as("cos_r"))
+        .orderBy(col("q_id"), col("rnk"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 10),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings WHERE vec_id > 10),
+      s AS (SELECT q.q_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cs
+            FROM c, q WHERE c.label <> q.ql),
+      r AS (SELECT q_id, vec_id, cs,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+            FROM s)
+      SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neg_id, round(cs, 6) AS cos_r
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 
   /** Exact per-group median by TWO-PHASE RANK SELECTION —

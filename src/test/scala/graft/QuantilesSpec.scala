@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Quantiles
+
+/** Two-phase rank-selection quantiles must agree with Spark's exact
+  * `percentile` (an independent implementation of quantile_cont) on
+  * every group shape: odd/even counts, ties, constant groups,
+  * singletons.
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+  private def check(rows: Seq[(String, Double)]): Unit = {
+    val df = rows.toDF("g", "x")
+    val got = Quantiles.exactQuantiles(df, "g", "x", ps)
+      .select(col("g"), col("p"), col("q_r"))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    val want = df.groupBy(col("g"))
+      .agg(expr(s"percentile(x, array(${ps.mkString(",")}))").as("q"))
+      .select(col("g"), posexplode(col("q")))
+      .as[(String, Int, Double)].collect()
+      .map { case (g, i, q) => (g, ps(i)) -> BigDecimal(q).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v === want(k), s"quantile mismatch at $k: got $v want ${want(k)}")
+    }
+  }
+
+  test("matches percentile() on mixed odd/even groups with ties") {
+    check(Seq.tabulate(101)(i => ("odd", (i * 37 % 50).toDouble)) ++
+      Seq.tabulate(100)(i => ("even", (i * 13 % 30).toDouble)))
+  }
+
+  test("matches percentile() on constant and singleton groups") {
+    check(Seq.fill(7)(("const", 42.0)) :+ (("single", 3.14)))
+  }
+
+  test("matches percentile() on negative and wide-range values") {
+    check(Seq.tabulate(64)(i => ("w", math.sin(i * 3 + 1) * math.pow(10, i % 6) - 500)))
+  }
+
+  test("only bucket-resolution state crosses the plan: no corpus-sized window partition") {
+    val df = Seq.tabulate(500)(i => ("a", i.toDouble)).toDF("g", "x")
+    val p = Quantiles.exactQuantiles(df, "g", "x", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    // the distinct-value window must run AFTER the candidate-bucket
+    // semi-join (partition keys g AND b), never over (g) alone on the
+    // full value table
+    assert(p.contains("windowspecdefinition(g#") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
