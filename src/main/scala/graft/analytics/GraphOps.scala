@@ -55,6 +55,10 @@ object GraphOps {
     // connectedComponents regime).
     val ew = graft.Stage.mat(edges.join(deg, Seq("src")))
     val n = deg.count() // node count — driver scalar, index-sized
+    if (n == 0)          // empty graph: the base/start divisions below
+      return edges       // would be driver ÷0; rank table is just empty
+        .select(col("src").as("node"), lit(0L).as("rank_m"), lit(0.0).as("rank_r"))
+        .limit(0)
     val base = (100L - damp) * 1000000L / (100L * n)
     var ranks = deg.select(col("src").as("node"), lit(1000000L / n).as("rank_m"))
     for (_ <- 1 to iters) {
@@ -74,7 +78,12 @@ object GraphOps {
     * then mirrored.
     */
   private def interactionEdges(s: SparkSession, dir: String): DataFrame = {
+    // user_id IS NOT NULL on both sides: Spark's concat null-propagates
+    // while DuckDB's skips nulls ('u:'), so a null row must never reach
+    // either concat. The $.k cast is lenient in Spark (null on non-
+    // numeric) — TRY_CAST is the DuckDB mirror.
     val inter = Tables(s, dir).events
+      .filter(col("user_id").isNotNull)
       .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
         concat(lit("i:"),
           coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
@@ -99,8 +108,8 @@ object GraphOps {
     }, Some("""
       WITH inter AS (
         SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
-               concat('i:', CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS VARCHAR)) AS b
-        FROM events),
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
       e AS (SELECT a AS src, b AS dst FROM inter
             UNION ALL SELECT b AS src, a AS dst FROM inter),
       deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),

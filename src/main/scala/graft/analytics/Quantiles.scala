@@ -28,20 +28,29 @@ import org.apache.spark.sql.functions._
   * value-checkable with no dependence on either engine's quantile
   * implementation (q18's percentile ↔ quantile_cont parity is an
   * implementation coincidence this operator does not need).
+  *
+  * Null handling (quantile_cont semantics): rows with a null measure
+  * are ignored — both sides filter `x IS NOT NULL` before counting, so
+  * ranks are computed over real values only. Rows with a NULL GROUP
+  * KEY are excluded (g behaves as a join key throughout; coalesce g
+  * upstream if null groups must be ranked) — the exclusion is
+  * identical in both engines, never a divergence.
   */
 object Quantiles {
 
   private val B = 1024
 
-  /** Exact per-group quantile_cont for each p in `ps`. Returns rows
-    * (g, p, q_r) — q_r round-6 snapped, ordered output left to the
-    * caller.
+  /** Exact per-group quantile_cont for each p in `ps`, UNROUNDED.
+    * Returns rows (g, p, q); [[exactQuantiles]] adds the round-6 snap
+    * that hash-compared pipelines need, while median-of-deviation
+    * chains (q114 MAD) consume the raw value.
     */
-  def exactQuantiles(vals: DataFrame, g: String, x: String,
-                     ps: Seq[Double]): DataFrame = {
-    val stats = vals.groupBy(col(g)).agg(count(lit(1)).as("n"),
+  def quantilesRaw(vals: DataFrame, g: String, x: String,
+                   ps: Seq[Double]): DataFrame = {
+    val clean = vals.filter(col(x).isNotNull)
+    val stats = clean.groupBy(col(g)).agg(count(lit(1)).as("n"),
       min(col(x)).as("mn"), max(col(x)).as("mx"))
-    val withB = vals.join(broadcast(stats), Seq(g))
+    val withB = clean.join(broadcast(stats), Seq(g))
       .withColumn("b", when(col("mx") === col("mn"), lit(0L))
         .otherwise(least(lit((B - 1).toLong),
           floor((col(x) - col("mn")) / (col("mx") - col("mn")) * B))))
@@ -74,17 +83,28 @@ object Quantiles {
       .agg(min(when(col("vcum") >= col("klo"), col(x))).as("vlo"),
         min(when(col("vcum") >= col("khi"), col(x))).as("vhi"))
       .select(col(g), col("p"),
-        round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as("q_r"))
+        (col("vlo") + (col("vhi") - col("vlo")) * col("frac")).as("q"))
   }
 
-  /** The mirrored DuckDB form: `src` must yield columns (g, x);
-    * `psSql` e.g. "(VALUES (0.25), (0.5)) ps(p)". Yields (g, p, q_r).
+  /** Exact per-group quantile_cont for each p in `ps`. Returns rows
+    * (g, p, q_r) — q_r round-6 snapped, ordered output left to the
+    * caller.
     */
-  def sql(src: String, psSql: String): String =
+  def exactQuantiles(vals: DataFrame, g: String, x: String,
+                     ps: Seq[Double]): DataFrame =
+    quantilesRaw(vals, g, x, ps)
+      .select(col(g), col("p"), round(col("q"), 6).as("q_r"))
+
+  /** The mirrored DuckDB form of [[quantilesRaw]]: `src` must yield
+    * columns (g, x); `psSql` e.g. "(VALUES (0.25), (0.5)) ps(p)".
+    * Yields (g, p, q) unrounded.
+    */
+  def rawSql(src: String, psSql: String): String = {
+    val clean = s"SELECT g, x FROM ($src) WHERE x IS NOT NULL"
     s"""SELECT vp.g, vp.p,
-               round(MIN(CASE WHEN vcum >= klo THEN x END)
+               MIN(CASE WHEN vcum >= klo THEN x END)
                  + (MIN(CASE WHEN vcum >= khi THEN x END)
-                    - MIN(CASE WHEN vcum >= klo THEN x END)) * frac, 6) AS q_r
+                    - MIN(CASE WHEN vcum >= klo THEN x END)) * frac AS q
         FROM (
           SELECT vc.g, vc.x, vc.vcum, pr.p, pr.klo, pr.khi, pr.frac
           FROM (
@@ -97,9 +117,9 @@ object Quantiles {
                           ELSE CAST(least(${B - 1}.0,
                             floor(((s.x - st.mn) / (st.mx - st.mn)) * $B)) AS BIGINT)
                      END AS b
-              FROM ($src) s
+              FROM ($clean) s
               JOIN (SELECT g, MIN(x) AS mn, MAX(x) AS mx
-                    FROM ($src) GROUP BY g) st USING (g)) wb
+                    FROM ($clean) GROUP BY g) st USING (g)) wb
             JOIN (
               SELECT DISTINCT bc.g, bc.b, bc.cum_start
               FROM (
@@ -113,16 +133,16 @@ object Quantiles {
                                 ELSE CAST(least(${B - 1}.0,
                                   floor(((s.x - st.mn) / (st.mx - st.mn)) * $B)) AS BIGINT)
                            END AS b
-                    FROM ($src) s
+                    FROM ($clean) s
                     JOIN (SELECT g, MIN(x) AS mn, MAX(x) AS mx
-                          FROM ($src) GROUP BY g) st USING (g)) wb2
+                          FROM ($clean) GROUP BY g) st USING (g)) wb2
                   GROUP BY wb2.g, wb2.b)) bc
               JOIN (
                 SELECT g, p, CAST(floor((n - 1) * p) AS BIGINT) + 1 AS klo,
                        CAST(floor((n - 1) * p) AS BIGINT) + 1
                          + CASE WHEN (n - 1) * p - floor((n - 1) * p) > 0
                                 THEN 1 ELSE 0 END AS khi
-                FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ($src) GROUP BY g)
+                FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ($clean) GROUP BY g)
                 CROSS JOIN $psSql) pr2
                 ON bc.g = pr2.g
                AND (bc.cum_start < pr2.klo AND pr2.klo <= bc.cum_end
@@ -135,7 +155,12 @@ object Quantiles {
                    CAST(floor((n - 1) * p) AS BIGINT) + 1
                      + CASE WHEN (n - 1) * p - floor((n - 1) * p) > 0
                             THEN 1 ELSE 0 END AS khi
-            FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ($src) GROUP BY g)
+            FROM (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ($clean) GROUP BY g)
             CROSS JOIN $psSql) pr USING (g)) vp
         GROUP BY vp.g, vp.p, vp.frac"""
+  }
+
+  /** The mirrored DuckDB form of [[exactQuantiles]]. Yields (g, p, q_r). */
+  def sql(src: String, psSql: String): String =
+    s"SELECT g, p, round(q, 6) AS q_r FROM (${rawSql(src, psSql)})"
 }

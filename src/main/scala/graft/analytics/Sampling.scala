@@ -184,20 +184,6 @@ object Sampling {
       .limit(n)
   }
 
-  /** Per-group contribution cap: keep at most `k` rows per group (the
-    * per-domain cap a crawl pipeline applies so no single site dominates
-    * the corpus), chosen deterministically by portable-hash order — a
-    * seeded random-without-replacement draw that is resumable and
-    * engine-replayable, like [[stratifiedSample]].
-    *
-    * Shape at scale: one rank window PARTITIONed BY the group — the
-    * shuffle is keyed on the group column. For pathologically hot groups
-    * (one domain = a large corpus fraction) the window sort within that
-    * group dominates; cap-then-rank via the [[graft.text.Packing
-    * .trainingOrder]] range-bucket decomposition is the escape hatch —
-    * same output, documented here rather than defaulted because real
-    * domain distributions make the plain window the cheaper plan.
-    */
   /** UniMax-style language-budget allocation (Chung et al. 2023,
     * "UniMax: Fairer and More Effective Language Sampling for
     * Large-Scale Multilingual Pretraining"): distribute a total
@@ -245,7 +231,7 @@ object Sampling {
     val caps = docs.groupBy(shadow.as("__lang")).agg(count(lit(1)).as("cap"))
       .as[(String, Long)].collect().toSeq
     val quotas = waterfillQuotas(caps, budget)
-    val qDf = quotas.toDF("__lang", "quota")
+    val qDf = quotas.toDF("__lang", "__ux_quota")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__lang"))
       .orderBy(col("__ux_h").asc_nulls_last, col(keyCol).asc_nulls_last)
@@ -254,10 +240,24 @@ object Sampling {
         concat(lit(salt + ":"), col(keyCol).cast("string"))))
       .withColumn("__rnk", row_number().over(w).cast("long"))
       .join(broadcast(qDf), Seq("__lang"))
-      .filter(col("__rnk") <= col("quota"))
-      .drop("__lang", "__ux_h", "__rnk")
+      .filter(col("__rnk") <= col("__ux_quota"))
+      .drop("__lang", "__ux_h", "__rnk", "__ux_quota")
   }
 
+  /** Per-group contribution cap: keep at most `k` rows per group (the
+    * per-domain cap a crawl pipeline applies so no single site dominates
+    * the corpus), chosen deterministically by portable-hash order — a
+    * seeded random-without-replacement draw that is resumable and
+    * engine-replayable, like [[stratifiedSample]].
+    *
+    * Shape at scale: one rank window PARTITIONed BY the group — the
+    * shuffle is keyed on the group column. For pathologically hot groups
+    * (one domain = a large corpus fraction) the window sort within that
+    * group dominates; cap-then-rank via the [[graft.text.Packing
+    * .trainingOrder]] range-bucket decomposition is the escape hatch —
+    * same output, documented here rather than defaulted because real
+    * domain distributions make the plain window the cheaper plan.
+    */
   def perGroupCap(df: DataFrame, groupCol: String, k: Int,
                   keyCol: String = "doc_id", salt: String = "cap"): DataFrame = {
     // nulls LAST on both sort keys: a null keyCol hashes to null, and

@@ -958,10 +958,15 @@ object ScaleOps {
     //      engine-stable.
     ("q114_mad_outliers", (s: SparkSession, dir: String) => {
       val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
-      val med = histMedian(li, "l_returnflag", "l_extendedprice", "med")
-      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      // med feeds dev, and dev feeds BOTH the mad median (3 internal
+      // corpus passes) and the final z agg — without the barriers the
+      // whole med pipeline re-runs inside every dev consumer (~12
+      // lineitem scans; measured 2.2 s, the suite's slowest query).
+      val med = graft.Stage.mat(
+        histMedian(li, "l_returnflag", "l_extendedprice", "med"))
+      val dev = graft.Stage.mat(li.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("l_extendedprice"), col("med"),
-          abs(col("l_extendedprice") - col("med")).as("ad"))
+          abs(col("l_extendedprice") - col("med")).as("ad")))
       val mad = histMedian(dev.select(col("l_returnflag"), col("ad")),
         "l_returnflag", "ad", "mad")
       dev.join(broadcast(mad), Seq("l_returnflag"))
@@ -1150,102 +1155,21 @@ object ScaleOps {
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 
-  /** Exact per-group median by TWO-PHASE RANK SELECTION —
-    * quantile_cont(0.5)-equivalent semantics without ever buffering or
-    * globally sorting a group:
-    *
-    *  1. one agg → (n, min, max) per group;
-    *  2. every row maps to one of 1024 range buckets (a pure
-    *     projection — `floor(((x−mn)/(mx−mn))·1024)` clamped, identical
-    *     IEEE ops in both engines);
-    *  3. the per-(group, bucket) count table (≤1024 rows/group) locates
-    *     which bucket holds rank k1 = (n+1) div 2 and k2 = (n+2) div 2
-    *     — the only window in the plan runs over THIS tiny table;
-    *  4. only candidate-bucket rows (≈ n/1024) are re-scanned and
-    *     cumulated by distinct value, rank offsets carried from the
-    *     bucket table; median = lo + (hi − lo)/2 (hi = lo when n odd).
-    *
-    * Every corpus pass is a narrow scan + map-side-combined agg; no
-    * stage holds more than bucket-resolution state. This is the 100 TB
-    * form of an exact median: Spark's `percentile` buffers the whole
-    * group per aggregate buffer, and a distinct-value window would put
-    * a near-unique column's whole group in ONE window partition — both
-    * melt on a billion-row group; this plan never materializes more
-    * than the per-bucket slice.
+  /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.
+    * The rank pair there (klo = ⌊(n−1)·0.5⌋+1, khi, frac ∈ {0, 0.5})
+    * is the (n+1)÷2 / (n+2)÷2 median pair, and vlo + (vhi−vlo)·0.5 is
+    * bit-identical IEEE to lo + (hi−lo)/2, so delegating changes no
+    * value. See [[Quantiles]] for why two-phase rank selection is the
+    * 100 TB form (bucket-resolution state, never a buffered group).
     */
-  private def histMedian(vals: DataFrame, g: String, x: String, out: String): DataFrame = {
-    val B = 1024
-    val stats = vals.groupBy(col(g)).agg(count(lit(1)).as("n"),
-      min(col(x)).as("mn"), max(col(x)).as("mx"))
-    val withB = vals.join(broadcast(stats), Seq(g))
-      .withColumn("b", when(col("mx") === col("mn"), lit(0L))
-        .otherwise(least(lit((B - 1).toLong),
-          floor((col(x) - col("mn")) / (col("mx") - col("mn")) * B))))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(g)).orderBy(col("b"))
-    val bcum = withB.groupBy(col(g), col("b"), col("n")).agg(count(lit(1)).as("c"))
-      .withColumn("cum_end", sum(col("c")).over(wB))
-      .withColumn("cum_start", col("cum_end") - col("c"))
-    val ks = bcum
-      .withColumn("k1", expr("(n + 1) div 2"))
-      .withColumn("k2", expr("(n + 2) div 2"))
-      .filter((col("cum_start") < col("k1") && col("k1") <= col("cum_end")) ||
-        (col("cum_start") < col("k2") && col("k2") <= col("cum_end")))
-      .select(col(g), col("b"), col("cum_start"), col("k1"), col("k2"))
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(g), col("b")).orderBy(col(x))
-    withB.select(col(g), col("b"), col(x))
-      .join(broadcast(ks), Seq(g, "b"))
-      .groupBy(col(g), col("b"), col("cum_start"), col("k1"), col("k2"), col(x))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("vcum", sum(col("c")).over(wv) + col("cum_start"))
-      .groupBy(col(g))
-      .agg(min(when(col("vcum") >= col("k1"), col(x))).as("lo"),
-        min(when(col("vcum") >= col("k2"), col(x))).as("hi"))
-      .select(col(g), (col("lo") + (col("hi") - col("lo")) / 2).as(out))
-  }
+  private def histMedian(vals: DataFrame, g: String, x: String, out: String): DataFrame =
+    Quantiles.quantilesRaw(vals, g, x, Seq(0.5))
+      .select(col(g), col("q").as(out))
 
   /** The mirrored DuckDB form: `src` must yield columns (g, x); the
-    * fragment yields (g, med) with the identical bucket map, rank
-    * probes, and interpolation expression.
+    * fragment yields (g, med) — [[Quantiles.rawSql]] at p = 0.5.
     */
   private def histMedianSql(src: String): String =
-    s"""SELECT g, lo + (hi - lo)/2 AS med FROM (
-          SELECT vc.g,
-                 MIN(CASE WHEN vcum >= k1 THEN x END) AS lo,
-                 MIN(CASE WHEN vcum >= k2 THEN x END) AS hi
-          FROM (
-            SELECT wb.g, wb.b, ks.cum_start, ks.k1, ks.k2, wb.x,
-                   SUM(count(*)) OVER (PARTITION BY wb.g, wb.b ORDER BY wb.x)
-                     + ks.cum_start AS vcum
-            FROM (
-              SELECT s.g, s.x,
-                     CASE WHEN st.mx = st.mn THEN 0
-                          ELSE CAST(least(1023.0,
-                            floor(((s.x - st.mn) / (st.mx - st.mn)) * 1024)) AS BIGINT)
-                     END AS b
-              FROM ($src) s
-              JOIN (SELECT g, CAST(count(*) AS BIGINT) AS n, MIN(x) AS mn, MAX(x) AS mx
-                    FROM ($src) GROUP BY g) st USING (g)) wb
-            JOIN (
-              SELECT g, b, cum_end - c AS cum_start, (n + 1)//2 AS k1, (n + 2)//2 AS k2
-              FROM (
-                SELECT g, b, n, c, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum_end
-                FROM (
-                  SELECT wb2.g, wb2.b, wb2.n, CAST(count(*) AS BIGINT) AS c
-                  FROM (
-                    SELECT s.g, s.x, st.n,
-                           CASE WHEN st.mx = st.mn THEN 0
-                                ELSE CAST(least(1023.0,
-                                  floor(((s.x - st.mn) / (st.mx - st.mn)) * 1024)) AS BIGINT)
-                           END AS b
-                    FROM ($src) s
-                    JOIN (SELECT g, CAST(count(*) AS BIGINT) AS n, MIN(x) AS mn, MAX(x) AS mx
-                          FROM ($src) GROUP BY g) st USING (g)) wb2
-                  GROUP BY wb2.g, wb2.b, wb2.n))
-              WHERE cum_end - c < (n + 1)//2 AND (n + 1)//2 <= cum_end
-                 OR cum_end - c < (n + 2)//2 AND (n + 2)//2 <= cum_end) ks
-              ON wb.g = ks.g AND wb.b = ks.b
-            GROUP BY wb.g, wb.b, ks.cum_start, ks.k1, ks.k2, wb.x) vc
-          GROUP BY vc.g)"""
+    s"""SELECT g, q AS med FROM (
+          ${Quantiles.rawSql(src, "(VALUES (CAST(0.5 AS DOUBLE))) ps(p)")})"""
 }

@@ -497,10 +497,10 @@ object Similarity {
     *    aggregatable hash agg, not a window, so the corpus pass is one
     *    map-side-combined shuffle keyed by vec_id; round-6 snap +
     *    smaller-cid tie-break make the argmax engine-portable;
-    *  - **update**: per-dimension means as exact DECIMAL(25,6) sums ÷
-    *    count (the Relational.scala float-sum discipline — double
-    *    addition is order-dependent, decimal addition is not), snapped
-    *    round-6 so both engines hold bit-identical centroids.
+    *  - **update**: per-dimension means via [[meanRound6]] — each
+    *    element quantized to integer micros (`floor(x·1e6 + 0.5)`),
+    *    summed in long arithmetic (order-independent), divided HALF_UP
+    *    — so both engines hold bit-identical round-6 centroids.
     *
     * Returns the final per-vector assignment (vec_id, centroid_id,
     * cos_r). `iters` fixed small (default 2): each iteration is one
@@ -564,10 +564,10 @@ object Similarity {
     * corpus centroid, flagged when below `threshold` — the cheap quality
     * filter that catches garbage embeddings (zero-ish vectors, encoder
     * failures, off-manifold points) before they pollute an ANN index or
-    * a near-dup pass. The centroid is the per-dimension DECIMAL-exact
-    * round-6 mean (the [[kmeansAssign]] update discipline — decimal
-    * addition is order-independent, so both engines hold bit-identical
-    * centroids), which keeps the whole signal oracle-replayable.
+    * a near-dup pass. The centroid is the per-dimension [[meanRound6]]
+    * mean (the [[kmeansAssign]] update discipline — integer-micros long
+    * sums are order-independent, so both engines hold bit-identical
+    * round-6 centroids), which keeps the whole signal oracle-replayable.
     *
     * Shape at scale: one map-side-combined corpus aggregate (k×dim
     * state) → a one-row broadcast → one narrow scoring pass. The corpus

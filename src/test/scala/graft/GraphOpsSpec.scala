@@ -32,6 +32,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(rs.forall(_ > 0L))
   }
 
+  test("an empty edge list yields an empty rank table, not a driver division by zero") {
+    val empty = star.limit(0)
+    val r = GraphOps.pageRankMicros(empty, iters = 3)
+    assert(r.columns.toSeq === Seq("node", "rank_m", "rank_r"))
+    assert(r.count() === 0L)
+  }
+
   test("hub outranks leaves and the result is deterministic") {
     val r1 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
     val r2 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq

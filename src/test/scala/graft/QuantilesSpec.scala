@@ -44,6 +44,16 @@ class QuantilesSpec extends SparkSpec {
     check(Seq.tabulate(64)(i => ("w", math.sin(i * 3 + 1) * math.pow(10, i % 6) - 500)))
   }
 
+  test("null measures are ignored (quantile_cont semantics), not counted as phantom ranks") {
+    // [1,2,3,null]: n must be 3, so p=0.5 → 2.0. Counting the null
+    // (the pre-fix behavior) computes ranks against n=4 → 2.5.
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None))
+      .toDF("g", "x")
+    val got = Quantiles.exactQuantiles(df, "g", "x", Seq(0.5))
+      .select(col("q_r")).as[Double].collect()
+    assert(got.toSeq === Seq(2.0))
+  }
+
   test("only bucket-resolution state crosses the plan: no corpus-sized window partition") {
     val df = Seq.tabulate(500)(i => ("a", i.toDouble)).toDF("g", "x")
     val p = Quantiles.exactQuantiles(df, "g", "x", Seq(0.5))

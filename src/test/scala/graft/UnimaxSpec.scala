@@ -40,5 +40,7 @@ class UnimaxSpec extends SparkSpec {
     val again = Sampling.unimaxSelect(docs, "lang", "doc_id", budget = 30L)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again === out.select("doc_id").as[Long].collect().sorted.toSeq)
+    // schema contract: a sample is input rows, not input + join internals
+    assert(out.columns.toSeq === docs.columns.toSeq)
   }
 }
