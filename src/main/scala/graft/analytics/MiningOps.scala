@@ -1,0 +1,427 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.{Dedup, TextStats}
+
+/** Round-6d operators: dedup-graph structure audits, classifier/scorer
+  * evaluation metrics, and co-occurrence mining — the measurement layer
+  * a curation pipeline needs around its filters (is the near-dup graph
+  * clean? does a quality scorer actually separate? how good is the
+  * language-ID stage?). Every declared query carries a value-level
+  * DuckDB oracle; all derived ratios live in integer micros (the
+  * GraphOps discipline) so no FP summation or rounding boundary can
+  * diverge between engines.
+  */
+object MiningOps {
+  import Relational.QFn
+
+  private val ws = TextStats.wsClassSql
+
+  /** The exact all-pairs near-dup edge CTE shared by the q122/q123
+    * oracles (the q37/q57 replay: exact shingle Jaccard over doc_id <
+    * 500, threshold 0.8 — band-miss probability <= 1e-12 per the
+    * DedupSpec argument, so banded candidates == exact pairs on the
+    * fixture). Carries the raw text for the edit-distance verify.
+    */
+  private def pairsSql(extra: String = ""): String = s"""
+      sh AS (
+        SELECT doc_id AS id, pt,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(
+                      range(1, greatest(len(toks) - 2, 1) + 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        FROM (SELECT doc_id, text AS pt,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 500)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS j
+               $extra
+        FROM sh a, sh b WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8)"""
+
+  /** Edit-distance-verified near-duplicates: MinHash-banded candidates
+    * (never all-pairs), exact-Jaccard verified, then a character-level
+    * Levenshtein verify on the surviving pairs — the second opinion
+    * that catches shingle-level coincidences (shared vocabulary,
+    * reordered boilerplate) that token-set Jaccard alone cannot
+    * distinguish from true revisions.
+    *
+    * Scale shape: the candidate set is orders of magnitude smaller
+    * than the corpus (the minhashNearDups argument), and only those
+    * pairs ever pay the O(len_a*len_b) DP. For a production maxRatio
+    * cutoff, `boundedLev = true` switches to Spark's banded
+    * `levenshtein(l, r, threshold)` (O(d*n) per pair, early-exit -1
+    * beyond d) — the declared query keeps the unbounded form because
+    * the oracle engine has no banded variant, and MiningOpsSpec pins
+    * bounded == unbounded on every fixture pair. Both engines compute
+    * codepoint-level unit-cost Levenshtein (verified on multibyte
+    * fixtures), so the values are portable as exact integers.
+    */
+  def editVerifiedNearDups(docs: DataFrame, threshold: Double = 0.8,
+                           maxRatioMicros: Long = 200000L,
+                           numHashes: Int = 16, bands: Int = 16,
+                           boundedLev: Boolean = false): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    val maxLev = if (boundedLev) {
+      // bound the band by the largest distance any pair could pass at:
+      // d <= maxRatio * max_len <= maxRatio * global max length
+      val mx = t.agg(max(length(col("text")))).head().getInt(0).toLong
+      (maxRatioMicros * mx / 1000000L).toInt.max(1)
+    } else 0
+    Dedup.minhashNearDups(docs, threshold, numHashes = numHashes, bands = bands)
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("lev",
+        (if (boundedLev) levenshtein(col("text_a"), col("text_b"), maxLev)
+         else levenshtein(col("text_a"), col("text_b"))).cast("long"))
+      .withColumn("edit_ratio_micros",
+        expr("(lev * 1000000) DIV greatest(greatest(char_length(text_a), char_length(text_b)), 1)"))
+      .filter(col("lev") >= 0 && col("edit_ratio_micros") <= maxRatioMicros)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("lev"), col("edit_ratio_micros"))
+  }
+
+  /** Per-cluster structure audit of the near-dup graph: size, internal
+    * edge count, triangle count, edge density and transitivity (both in
+    * integer micros). Dense clusters (density ~ 1e6) are true clone
+    * families; long sparse chains (density -> 0, transitivity 0) are
+    * exactly the transitive-closure false merges the
+    * large-star/small-star scaladoc warns about — this is the query a
+    * dedup operator runs before trusting cluster-level keep decisions.
+    *
+    * Scale shape: everything downstream of the corpus-sized
+    * minhashNearDups runs on the EDGE LIST (near-dup edges ~ o(corpus)).
+    * Triangle enumeration is the two-join wedge closure on (a<b<c)
+    * oriented edges — Sigma(deg^2) work, bounded because near-dup degrees
+    * are clone-family-sized; for adversarial degree skew the standard
+    * escape is orienting by (degree, id) instead of id, which caps
+    * wedge fan-out at sqrt(edges) (documented, not needed for dedup
+    * graphs). All shuffles carry bare (long, long) ids.
+    */
+  def clusterDensity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .transform(graft.Stage.mat) // feeds labels, degrees, and both triangle joins
+    val labels = Dedup.connectedComponents(e)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val edgeC = e.join(labels.select(col("doc_id").as("id_a"), col("cluster_id")), Seq("id_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    val deg = e.select(col("id_a").as("id")).unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.join(labels.select(col("doc_id").as("id"), col("cluster_id")), Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(e.as("e3"), col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a").as("id_a"))
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster_id")), Seq("id_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_triangles"))
+    labels.select(col("cluster_id"), col("cluster_size").as("n_docs")).distinct()
+      .join(edgeC, Seq("cluster_id"))
+      .join(wedges, Seq("cluster_id"))
+      .join(tri, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        // n_docs >= 2 by construction (clusters come from edges)
+        expr("(2000000 * n_edges) DIV (n_docs * (n_docs - 1))").as("density_micros"),
+        expr("(3000000 * coalesce(n_triangles, 0)) DIV greatest(n_wedges, 1)")
+          .as("transitivity_micros"))
+  }
+
+  /** One-vs-rest ROC AUC of an integer score against each language
+    * label, by the tie-aware Mann-Whitney rank-sum identity:
+    * AUC = (2*R_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg), where R_pos is
+    * the sum of AVERAGE ranks over positives. Everything up to the one
+    * final division is exact integer arithmetic: 2*avg_rank of a tie
+    * group with min-rank m and size c is the integer 2*(m-1) + c + 1,
+    * so two engines cannot disagree on any intermediate.
+    *
+    * Scale shape: global ranks come from [[graft.text.Packing.scoreOrder]]
+    * (range-bucketed two-phase rank — no corpus-wide window); tie-group
+    * (min-rank, count) reduces per distinct score map-side; the AUC
+    * aggregate is one row per label. The rank->tie-group reduction is
+    * sound for ANY tie-break order because row_number ranks within a
+    * tie group are consecutive regardless of which doc got which.
+    */
+  def rankSumAuc(scored: DataFrame, labelCol: String = "lang",
+                 scoreCol: String = "score", idCol: String = "doc_id"): DataFrame = {
+    val base = scored.select(col(idCol), col(labelCol).as("label"),
+      col(scoreCol).cast("long").as("score"))
+    val ranks = graft.text.Packing.scoreOrder(base, col("score"), idCol = idCol)
+    val grp = ranks.groupBy(col("score"))
+      .agg(min(col("rank")).as("mn"), count(lit(1)).as("cnt"))
+    val pos = base.groupBy(col("label"), col("score")).agg(count(lit(1)).as("pc"))
+    val tot = base.groupBy(col("label")).agg(count(lit(1)).as("n_pos"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    pos.join(grp, Seq("score"))
+      .groupBy(col("label"))
+      .agg(sum(col("pc") * (lit(2L) * (col("mn") - 1) + col("cnt") + 1)).as("two_rpos"))
+      .join(tot, Seq("label"))
+      .crossJoin(broadcast(nAll))
+      .select(col("label"), col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+        expr("""((two_rpos - n_pos * (n_pos + 1)) * 1000000)
+                 DIV greatest(2 * n_pos * (n_all - n_pos), 1)""").as("auc_micros"))
+  }
+
+  /** Per-class precision/recall/F1 (integer micros) plus a trailing
+    * macro row for a predicted-vs-actual label pair. Classes with no
+    * predictions (the fixture's 'zh' — outside the q34 profile set)
+    * score 0 by the tp=0 numerator, not a 0/0: every division is
+    * `DIV greatest(denom, 1)`. The macro row carries summed counts and
+    * macro-averaged (unweighted class-mean) metric micros.
+    */
+  def classificationReport(preds: DataFrame, actCol: String = "act",
+                           predCol: String = "pred"): DataFrame = {
+    val p = preds.select(col(actCol).as("act"), col(predCol).as("pred"))
+    val classes = p.select(col("act").as("lang"))
+      .unionByName(p.select(col("pred").as("lang"))).distinct()
+    val actC = p.groupBy(col("act").as("lang")).agg(count(lit(1)).as("n_act"))
+    val predC = p.groupBy(col("pred").as("lang")).agg(count(lit(1)).as("n_pred"))
+    val tpC = p.filter(col("act") === col("pred"))
+      .groupBy(col("act").as("lang")).agg(count(lit(1)).as("tp"))
+    val per = classes
+      .join(actC, Seq("lang"), "left")
+      .join(predC, Seq("lang"), "left")
+      .join(tpC, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_act"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision_micros", expr("(1000000 * tp) DIV greatest(tp + fp, 1)"))
+      .withColumn("recall_micros", expr("(1000000 * tp) DIV greatest(tp + fn, 1)"))
+      .withColumn("f1_micros",
+        expr("(2 * precision_micros * recall_micros) DIV greatest(precision_micros + recall_micros, 1)"))
+    val macroRow = per.agg(
+      sum(col("tp")).as("tp"), sum(col("fp")).as("fp"), sum(col("fn")).as("fn"),
+      expr("sum(precision_micros) DIV count(*)").as("precision_micros"),
+      expr("sum(recall_micros) DIV count(*)").as("recall_micros"),
+      expr("sum(f1_micros) DIV count(*)").as("f1_micros"))
+      .select(lit("zz_macro").as("lang"), col("tp"), col("fp"), col("fn"),
+        col("precision_micros"), col("recall_micros"), col("f1_micros"))
+    per.unionByName(macroRow)
+  }
+
+  /** Within-order part co-occurrence with support and lift (market-
+    * basket association mining over the order/lineitem fact). Lift in
+    * integer micros: (c_ab * n_orders * 1e6) DIV (c_a * c_b).
+    *
+    * Scale shape: pair generation is a self-join CO-PARTITIONED on the
+    * basket key (one shuffle each side, no broadcast of the fact), so
+    * work is Sigma_orders C(k,2) — linear in the fact for bounded basket
+    * sizes; pair counts and item counts are map-side-combined
+    * aggregates; the item-count re-attachment joins on the
+    * part-cardinality dimension (broadcast-able). Top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def basketLift(lineitem: DataFrame, minSupport: Long = 3, topK: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(graft.Stage.mat) // feeds the pair join (twice) and both count aggs
+    val nOrders = li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+    val itemC = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    pairs
+      .join(itemC.select(col("l_partkey").as("pa"), col("c").as("c_a")), Seq("pa"))
+      .join(itemC.select(col("l_partkey").as("pb"), col("c").as("c_b")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * n_orders * 1000000) DIV (c_a * c_b)").as("lift_micros"))
+      .orderBy(col("lift_micros").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- edit-distance-verified near-dup pairs: banded MinHash
+    //      candidates -> exact Jaccard >= 0.8 -> Levenshtein <= 20% of
+    //      the longer text. The oracle recomputes BOTH verifies exactly
+    //      over all pairs (band-miss <= 1e-12, the q37 argument); the
+    //      Levenshtein integers must match to the character, which
+    //      value-verifies the edit-distance computation itself, not
+    //      just the survivor set.
+    ("q122_edit_neardup", (s: SparkSession, dir: String) => {
+      editVerifiedNearDups(Tables(s, dir).documents.filter(col("doc_id") < 500),
+          threshold = 0.8, maxRatioMicros = 200000L)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard_r"),
+          col("lev"), col("edit_ratio_micros"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH ${pairsSql(", levenshtein(a.pt, b.pt) AS lev, greatest(greatest(len(a.pt), len(b.pt)), 1) AS mx")}
+      SELECT id_a, id_b, round(j, 9) AS jaccard_r, CAST(lev AS BIGINT) AS lev,
+             CAST((lev * 1000000) // mx AS BIGINT) AS edit_ratio_micros
+      FROM pairs WHERE (lev * 1000000) // mx <= 200000
+      ORDER BY id_a, id_b""")),
+
+    // ---- near-dup cluster structure audit: per-cluster size, edges,
+    //      triangles, density + transitivity micros. The oracle replays
+    //      the exact pairs, the recursive-CTE closure (q57), the
+    //      oriented two-join triangle closure, and the integer ratios.
+    ("q123_cluster_density", (s: SparkSession, dir: String) => {
+      clusterDensity(Dedup.minhashNearDups(
+          Tables(s, dir).documents.filter(col("doc_id") < 500),
+          threshold = 0.8, numHashes = 16, bands = 16))
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE ${pairsSql()},
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(n, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.n = e.src),
+      labels AS (SELECT n AS id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+      sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM labels GROUP BY cluster_id),
+      ec AS (SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+             FROM pairs p JOIN labels l ON p.id_a = l.id GROUP BY l.cluster_id),
+      deg AS (SELECT id, count(*) AS d FROM
+                (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+              GROUP BY id),
+      wg AS (SELECT l.cluster_id, SUM(d * (d - 1) // 2) AS n_wedges
+             FROM deg JOIN labels l USING (id) GROUP BY l.cluster_id),
+      tri AS (SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_triangles
+              FROM pairs e1
+                JOIN pairs e2 ON e1.id_b = e2.id_a
+                JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+                JOIN labels l ON e1.id_a = l.id
+              GROUP BY l.cluster_id)
+      SELECT s.cluster_id, s.n_docs, ec.n_edges,
+             COALESCE(tri.n_triangles, 0) AS n_triangles,
+             CAST((2000000 * ec.n_edges) // (s.n_docs * (s.n_docs - 1)) AS BIGINT)
+               AS density_micros,
+             CAST((3000000 * COALESCE(tri.n_triangles, 0)) // greatest(wg.n_wedges, 1) AS BIGINT)
+               AS transitivity_micros
+      FROM sizes s JOIN ec USING (cluster_id) JOIN wg USING (cluster_id)
+        LEFT JOIN tri USING (cluster_id)
+      ORDER BY s.cluster_id""")),
+
+    // ---- one-vs-rest AUC of character entropy as a language signal:
+    //      does raw char-level entropy separate each language from the
+    //      rest? (zh ~ 1.0: ideographic scripts have far higher
+    //      per-char entropy; latin languages cluster near 0.5.) The
+    //      score is the q87 integer entropy-nanos, the ranks are exact
+    //      integers, and the single division lands in micros — the
+    //      oracle replays every step bit-for-bit.
+    ("q124_entropy_auc", (s: SparkSession, dir: String) => {
+      val scored = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        (-graft.catalyst.GraftFunctions.charEntropyNanos(col("text"))).as("score"))
+      rankSumAuc(scored, labelCol = "lang")
+        .withColumnRenamed("label", "lang")
+        .orderBy(col("lang"))
+    }, Some("""
+      WITH c AS (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text, ''), x -> x <> '') AS cs
+                 FROM documents),
+      d AS (SELECT doc_id, lang, cs, list_distinct(cs) AS dc FROM c),
+      sc AS (SELECT doc_id, lang,
+               -COALESCE(list_sum(list_transform(dc, ch ->
+                   CAST(round(round((CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                                    / len(cs))
+                                   * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                                        / len(cs)), 9) * 1000000000.0, 0) AS BIGINT))), 0)
+                 AS score
+             FROM d),
+      grp AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY score),
+      rk AS (SELECT score, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             FROM grp),
+      pos AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS pc FROM sc GROUP BY lang, score),
+      tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pos FROM sc GROUP BY lang),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM sc),
+      r AS (SELECT p.lang, SUM(p.pc * (2 * rk.cum + rk.cnt + 1)) AS two_rpos
+            FROM pos p JOIN rk USING (score) GROUP BY p.lang)
+      SELECT t.lang, t.n_pos, n_all - t.n_pos AS n_neg,
+             CAST(((r.two_rpos - t.n_pos * (t.n_pos + 1)) * 1000000)
+                  // greatest(2 * t.n_pos * (n_all - t.n_pos), 1) AS BIGINT) AS auc_micros
+      FROM r JOIN tot t USING (lang) CROSS JOIN nn ORDER BY t.lang""")),
+
+    // ---- market-basket lift over order/lineitem: top-20 part pairs by
+    //      lift (min co-occurrence 3). All counts and the lift micros
+    //      are exact integers; ties order on (pa, pb).
+    ("q125_basket_lift", (s: SparkSession, dir: String) => {
+      basketLift(Tables(s, dir).lineitem, minSupport = 3, topK = 20)
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+      ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY l_partkey),
+      pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS c_ab
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT pr.pa, pr.pb, pr.c_ab, ia.c AS c_a, ib.c AS c_b,
+             CAST((pr.c_ab * n.n_orders * 1000000) // (ia.c * ib.c) AS BIGINT) AS lift_micros
+      FROM pr JOIN ic ia ON pr.pa = ia.l_partkey
+              JOIN ic ib ON pr.pb = ib.l_partkey
+              CROSS JOIN n
+      ORDER BY lift_micros DESC, pa, pb LIMIT 20""")),
+
+    // ---- language-ID classification report: per-class P/R/F1 micros
+    //      vs the actual lang label, plus the zz_macro row (summed
+    //      counts, unweighted class-mean metrics). 'zh' is outside the
+    //      q34 profile set, so its row pins the tp=0 guard semantics.
+    ("q126_macro_f1", (s: SparkSession, dir: String) => {
+      val p = Tables(s, dir).documents.select(col("lang").as("act"),
+        TextStats.langIdPredicted(col("text")).as("pred"))
+      classificationReport(p).orderBy(col("lang"))
+    }, Some {
+      def score(lang: String): String = {
+        val words = TextStats.langProfiles.toMap.apply(lang)
+        s"len(list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+      }
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang AS act,
+               ${score("en")} AS s_en, ${score("de")} AS s_de,
+               ${score("es")} AS s_es, ${score("fr")} AS s_fr
+        FROM documents),
+      p AS (SELECT act,
+              CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                   WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                   WHEN s_en >= s_de THEN 'en'
+                   ELSE 'de' END AS pred
+            FROM scored),
+      classes AS (SELECT act AS lang FROM p UNION SELECT pred FROM p),
+      ac AS (SELECT act AS lang, CAST(count(*) AS BIGINT) AS n_act FROM p GROUP BY act),
+      pc AS (SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred FROM p GROUP BY pred),
+      tc AS (SELECT act AS lang, CAST(count(*) AS BIGINT) AS tp FROM p WHERE act = pred GROUP BY act),
+      per AS (
+        SELECT c.lang,
+               COALESCE(tc.tp, 0) AS tp,
+               COALESCE(pc.n_pred, 0) - COALESCE(tc.tp, 0) AS fp,
+               COALESCE(ac.n_act, 0) - COALESCE(tc.tp, 0) AS fn
+        FROM classes c LEFT JOIN ac USING (lang) LEFT JOIN pc USING (lang)
+          LEFT JOIN tc USING (lang)),
+      m AS (
+        SELECT lang, tp, fp, fn,
+               (1000000 * tp) // greatest(tp + fp, 1) AS precision_micros,
+               (1000000 * tp) // greatest(tp + fn, 1) AS recall_micros
+        FROM per),
+      m2 AS (
+        SELECT lang, tp, fp, fn, precision_micros, recall_micros,
+               (2 * precision_micros * recall_micros)
+                 // greatest(precision_micros + recall_micros, 1) AS f1_micros
+        FROM m)
+      SELECT * FROM (
+        SELECT lang, tp, fp, fn, CAST(precision_micros AS BIGINT) AS precision_micros,
+               CAST(recall_micros AS BIGINT) AS recall_micros,
+               CAST(f1_micros AS BIGINT) AS f1_micros
+        FROM m2
+        UNION ALL
+        SELECT 'zz_macro', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+               CAST(SUM(fn) AS BIGINT),
+               CAST(SUM(precision_micros) // count(*) AS BIGINT),
+               CAST(SUM(recall_micros) // count(*) AS BIGINT),
+               CAST(SUM(f1_micros) // count(*) AS BIGINT)
+        FROM m2)
+      ORDER BY lang"""
+    })
+  )
+}

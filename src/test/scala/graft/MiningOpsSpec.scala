@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.MiningOps
+
+/** Hand-computed fixtures for the mining/evaluation layer: edit-verified
+  * near-dups (incl. the bounded-Levenshtein equivalence the scaladoc
+  * promises), cluster-density structure audits, rank-sum AUC with ties,
+  * the per-class/macro classification report, and basket lift.
+  */
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 14 tokens, 69 chars; the edit appends one char (lev 1) and touches
+  // only the final shingle: J = 11/13 = 0.846 >= 0.8.
+  private val rev =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val revEdited =
+    "the quick brown fox jumps over the lazy dog near the river bank todays"
+
+  private def docs = Seq(
+    (1L, rev), (2L, rev), (3L, revEdited),
+    (4L, "completely unrelated text about spark physical plans and shuffles here"),
+    (5L, "short one")
+  ).toDF("doc_id", "text")
+
+  test("editVerifiedNearDups keeps true revisions and reports exact Levenshtein") {
+    val r = MiningOps.editVerifiedNearDups(docs, threshold = 0.8)
+      .orderBy("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getLong(4)))
+    // (1,2): identical -> lev 0, ratio 0. (1,3)/(2,3): one inserted char
+    // over max length 70 -> 1*1e6 div 70 = 14285.
+    assert(r.toSeq === Seq((1L, 2L, 0L, 0L), (1L, 3L, 1L, 14285L), (2L, 3L, 1L, 14285L)))
+  }
+
+  test("bounded and unbounded Levenshtein verify agree on every fixture pair") {
+    val ub = MiningOps.editVerifiedNearDups(docs, threshold = 0.8, boundedLev = false)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = MiningOps.editVerifiedNearDups(docs, threshold = 0.8, boundedLev = true)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(ub === b)
+    assert(ub.nonEmpty)
+  }
+
+  test("a tight edit-ratio cutoff drops the edited revision but keeps the clone") {
+    val r = MiningOps.editVerifiedNearDups(docs, threshold = 0.8, maxRatioMicros = 0L)
+      .select("id_a", "id_b").orderBy("id_a").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq === Seq((1L, 2L)))
+  }
+
+  test("clusterDensity separates a clique from a chain by hand-computed micros") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),            // triangle
+      (10L, 11L), (11L, 12L), (12L, 13L)       // 4-node path
+    ).toDF("id_a", "id_b")
+    val r = MiningOps.clusterDensity(pairs).orderBy("cluster_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    // triangle: 3 docs, 3 edges, 1 triangle, density 2e6*3/(3*2)=1e6,
+    //   wedges = 3 (deg 2 each) -> transitivity 3e6*1/3 = 1e6.
+    // path: 4 docs, 3 edges, 0 triangles, density 2e6*3/(4*3)=5e5,
+    //   transitivity 0.
+    assert(r.toSeq === Seq(
+      (1L, 3L, 3L, 1L, 1000000L, 1000000L),
+      (10L, 4L, 3L, 0L, 500000L, 0L)))
+  }
+
+  test("rankSumAuc is 1e6/0 for perfect separation and tie-aware in between") {
+    val perfect = Seq((1L, "x", 10L), (2L, "x", 8L), (3L, "y", 5L), (4L, "y", 1L))
+      .toDF("doc_id", "lang", "score")
+    val p = MiningOps.rankSumAuc(perfect).orderBy("label").collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(p === Map("x" -> 1000000L, "y" -> 0L))
+    // tie: docs 1 (x) and 2 (y) share score 5; doc 3 (y) below.
+    // avg rank of the tie group = 2.5 -> AUC_x = (5 - 2)/4 = 0.75.
+    val tied = Seq((1L, "x", 5L), (2L, "y", 5L), (3L, "y", 1L))
+      .toDF("doc_id", "lang", "score")
+    val t = MiningOps.rankSumAuc(tied).orderBy("label").collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(t("x") === 750000L)
+  }
+
+  test("classificationReport hand-computed per-class and macro rows") {
+    val preds = Seq(("en", "en"), ("en", "de"), ("de", "de"), ("fr", "de"))
+      .toDF("act", "pred")
+    val r = MiningOps.classificationReport(preds).orderBy("lang").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r.toSeq === Seq(
+      // de: tp=1 fp=2 fn=0 -> P=333333 R=1e6 F1=2*P*R div (P+R)=499999
+      ("de", 1L, 2L, 0L, 333333L, 1000000L, 499999L),
+      // en: tp=1 fp=0 fn=1 -> P=1e6 R=5e5 F1=666666
+      ("en", 1L, 0L, 1L, 1000000L, 500000L, 666666L),
+      // fr: never predicted -> all zero, no division error
+      ("fr", 0L, 0L, 1L, 0L, 0L, 0L),
+      // macro: summed counts, unweighted class means (floor div by 3)
+      ("zz_macro", 2L, 2L, 2L, 444444L, 500000L, 388888L)))
+  }
+
+  test("basketLift hand-computed lift with support filtering") {
+    val li = Seq(
+      (100L, 1L), (100L, 2L),
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L), (300L, 3L),
+      (400L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = MiningOps.basketLift(li, minSupport = 3, topK = 20).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(5)))
+    // only (1,2) reaches support 3; lift = 3*4*1e6 div (3*3) = 1333333
+    assert(r.toSeq === Seq((1L, 2L, 3L, 1333333L)))
+  }
+
+  test("basketLift ignores duplicate lineitem rows for the same (order, part)") {
+    val li = Seq(
+      (100L, 1L), (100L, 1L), (100L, 2L),
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = MiningOps.basketLift(li, minSupport = 3, topK = 20).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(5)))
+    // 3 orders here: lift = 3*3*1e6 div (3*3) = 1e6 — and the duplicate
+    // (100, p1) row must not inflate c_a past 3
+    assert(r.toSeq === Seq((1L, 2L, 3L, 1000000L)))
+  }
+}
