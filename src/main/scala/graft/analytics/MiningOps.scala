@@ -69,10 +69,20 @@ object MiningOps {
                            boundedLev: Boolean = false): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"))
     val maxLev = if (boundedLev) {
-      // bound the band by the largest distance any pair could pass at:
-      // d <= maxRatio * max_len <= maxRatio * global max length
-      val mx = t.agg(max(length(col("text")))).head().getInt(0).toLong
-      (maxRatioMicros * mx / 1000000L).toInt.max(1)
+      // Bound the band by the largest distance any pair could PASS THE
+      // FILTER at. The filter admits lev iff
+      //   floor(lev * 1e6 / mx_pair) <= maxRatioMicros
+      //   <=> lev * 1e6 < (maxRatioMicros + 1) * mx_pair
+      //   <=> lev <= floor((maxRatioMicros + 1) * mx_pair / 1e6)   (lev integral)
+      // so the band must be derived from the SAME inequality with
+      // mx_pair <= global max length — NOT floor(maxRatio * mx), which
+      // for non-divisible lengths (e.g. maxRatioMicros=285714, 7-char
+      // texts: lev=2 passes but floor(.285714*7)=1) silently drops
+      // passing pairs (ADVICE r6). coalesce guards the empty/all-null
+      // corpus (max returns null -> NPE on getInt).
+      val mx = t.agg(coalesce(max(length(col("text"))), lit(0)))
+        .head().getInt(0).toLong
+      (((maxRatioMicros + 1L) * mx) / 1000000L).toInt.max(1)
     } else 0
     Dedup.minhashNearDups(docs, threshold, numHashes = numHashes, bands = bands)
       .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
@@ -104,7 +114,16 @@ object MiningOps {
     * graphs). All shuffles carry bare (long, long) ids.
     */
   def clusterDensity(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // Canonicalize defensively (ADVICE r6): the a<b<c two-join closure
+    // and the degree/edge counts are only correct on deduplicated,
+    // id_a < id_b oriented edges; a caller passing reversed or
+    // duplicate pairs would otherwise inflate n_edges/degrees and
+    // double- or miss-count triangles. The distinct is one shuffle on
+    // the (long, long) edge list — o(corpus) by the near-dup argument.
+    val e = pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
       .transform(graft.Stage.mat) // feeds labels, degrees, and both triangle joins
     val labels = Dedup.connectedComponents(e)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -232,8 +251,15 @@ object MiningOps {
       .join(itemC.select(col("l_partkey").as("pa"), col("c").as("c_a")), Seq("pa"))
       .join(itemC.select(col("l_partkey").as("pb"), col("c").as("c_b")), Seq("pb"))
       .crossJoin(broadcast(nOrders))
+      // The numerator c_ab * n_orders * 1e6 overflows Long once
+      // c_ab * n_orders exceeds ~9.2e12 (a frequent pair at corpus
+      // scale), so the product runs in DECIMAL(38,0); DIV (integral
+      // divide) returns the same BIGINT micros as the all-Long form
+      // wherever that form doesn't overflow, which keeps the DuckDB
+      // oracle (128-bit integer math) bit-identical at every scale.
       .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
-        expr("(c_ab * n_orders * 1000000) DIV (c_a * c_b)").as("lift_micros"))
+        expr("""(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000)
+                 DIV (CAST(c_a AS DECIMAL(38,0)) * c_b)""").as("lift_micros"))
       .orderBy(col("lift_micros").desc, col("pa"), col("pb"))
       .limit(topK)
   }

@@ -42,6 +42,39 @@ class MiningOpsSpec extends SparkSpec {
     assert(ub.nonEmpty)
   }
 
+  test("bounded band covers the filter's admission region exactly (ADVICE r6)") {
+    // "a   b c" (7 chars) vs "a b c" (5): identical token shingles
+    // (J = 1) but lev = 2; ratio = floor(2e6/7) = 285714. At
+    // maxRatioMicros = 285714 the unbounded filter ADMITS the pair,
+    // but the old band floor(285714 * 7 / 1e6) = 1 made the banded
+    // levenshtein return -1 and silently dropped it. The corrected
+    // band floor((285714+1) * 7 / 1e6) = 2 keeps bounded == unbounded
+    // in this divergent region.
+    val d = Seq((1L, "a   b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val ub = MiningOps.editVerifiedNearDups(d, threshold = 0.8,
+      maxRatioMicros = 285714L, boundedLev = false)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = MiningOps.editVerifiedNearDups(d, threshold = 0.8,
+      maxRatioMicros = 285714L, boundedLev = true)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(ub.nonEmpty, "unbounded filter must admit the lev=2/len=7 pair")
+    assert(ub === b)
+  }
+
+  test("boundedLev tolerates an empty corpus (max(length) is null)") {
+    val d = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(MiningOps.editVerifiedNearDups(d, boundedLev = true).count() === 0L)
+  }
+
+  test("clusterDensity canonicalizes reversed and duplicate edges") {
+    val canonical = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("id_a", "id_b")
+    val a = MiningOps.clusterDensity(canonical).orderBy("cluster_id").collect().toSeq
+    val b = MiningOps.clusterDensity(messy).orderBy("cluster_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("a tight edit-ratio cutoff drops the edited revision but keeps the clone") {
     val r = MiningOps.editVerifiedNearDups(docs, threshold = 0.8, maxRatioMicros = 0L)
       .select("id_a", "id_b").orderBy("id_a").collect().map(x => (x.getLong(0), x.getLong(1)))
