@@ -34,6 +34,29 @@ object LLMOps {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
 
+  /** Fixture-manifest oracle for the media-dedup cert queries (q81/q84):
+    * the planted-pair manifest as DuckDB VALUES literals with every cert
+    * column TRUE, plus the pinned deterministic total pair count (the
+    * corpora are LCG-seeded, so the banded join's full output — planted
+    * AND accidental pairs — is a constant; a changed count hash-fails).
+    */
+  private def plantedManifestOracle(nearKind: String, nPairsTotal: Long): String = {
+    val rows = ((0 until 10).map(i => (i.toLong, 1000L + i, nearKind)) ++
+        (10 until 20).map(i => (i.toLong, 2000L + i, "exact")))
+      .map { case (a, b, k) =>
+        s"(CAST($a AS BIGINT), CAST($b AS BIGINT), '$k', TRUE, TRUE, CAST($nPairsTotal AS BIGINT))"
+      }.mkString(",\n        ")
+    s"""
+      SELECT * FROM (VALUES
+        $rows)
+        t(id_a, id_b, kind, recovered, ham_ok, n_pairs_total)
+      ORDER BY id_a, id_b"""
+  }
+  // both measured totals are exactly the 20 planted pairs — the seeded
+  // corpora produce zero accidental collisions within the band budgets
+  private val imagePhashOracle = plantedManifestOracle("edit", 20L)
+  private val audioFingerprintOracle = plantedManifestOracle("gain", 20L)
+
   // one definition of the file-stat snapshot discipline — Tables.statToken
   // carries the null-guarded listing (listFiles can return null on a
   // permission error or a concurrent fixture rewrite)
@@ -407,36 +430,103 @@ object LLMOps {
         LIMIT 10)
       ORDER BY cos_sim_r DESC, vec_id""")),
 
-    // ---- multimodal feature extraction (stubbed decode; rows-only) ----
+    // ---- multimodal feature extraction, certification-oracled (VERDICT
+    //      r6 #1, the q40/q45 playbook): DuckDB cannot decode PNG/WAV/
+    //      MJPEG bytes, but every fixture payload carries its own typed
+    //      metadata (width/height/codec), so the DECODED features can be
+    //      certified against the manifest IN-PLAN. Per media_type:
+    //      `n_media` (fixture: 300 rows round-robin over 3 types),
+    //      `mean_f0` — feature[0] is width (image 128), sampleRate
+    //      (audio 8000) or frame count (video MJPEG 5), all exact
+    //      metadata constants, so the mean is an exact literal — and
+    //      `meta_ok` = bool_and of the per-row decode-vs-metadata check
+    //      (image: decoded w×h == the row's width/height columns; audio:
+    //      8000 Hz / 1 channel / 16-bit; video: 5 frames of 64×48). The
+    //      oracle is the fixture-manifest literals + TRUE: a real decode
+    //      regression (wrong dims, dropped frame, stub fallback) flips
+    //      meta_ok or mean_f0 and hash-fails.
     ("q41_multimodal_features", (s: SparkSession, dir: String) => {
       val media = Multimodal.syntheticMedia(s, 300)
+      val f = col("feature")
+      val metaOk = when(col("media_type") === "image",
+          element_at(f, 1) === col("width").cast("float") &&
+          element_at(f, 2) === col("height").cast("float"))
+        .when(col("media_type") === "audio",
+          element_at(f, 1) === lit(8000f) && element_at(f, 2) === lit(1f) &&
+          element_at(f, 8) === lit(16f))
+        .otherwise( // video: MJPEG frame count + per-frame dims
+          element_at(f, 1) === lit(5f) && element_at(f, 2) === lit(64f) &&
+          element_at(f, 3) === lit(48f))
       Multimodal.extractFeatures(media)
+        .join(media.select(col("media_id"), col("width"), col("height")), Seq("media_id"))
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n_media"),
-             round(avg(element_at(col("feature"), 1)), 6).as("mean_f0"))
+             round(avg(element_at(f, 1)), 6).as("mean_f0"),
+             bool_and(metaOk).as("meta_ok"))
         .orderBy(col("media_type"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('audio', CAST(100 AS BIGINT), CAST(8000.0 AS DOUBLE), TRUE),
+        ('image', CAST(100 AS BIGINT), CAST(128.0  AS DOUBLE), TRUE),
+        ('video', CAST(100 AS BIGINT), CAST(5.0    AS DOUBLE), TRUE))
+        t(media_type, n_media, mean_f0, meta_ok)
+      ORDER BY media_type""")),
 
-    // ---- perceptual-hash image dedup (rows-only like q41: the signal
-    //      lives under a real javax.imageio decode no SQL engine can
-    //      replay; MultimodalSpec pins hash invariance, edit proximity,
-    //      and banded-join completeness). Planted exact copies must come
-    //      back at hamming 0 and light edits within the band budget.
+    // ---- perceptual-hash image dedup, certification-oracled (VERDICT
+    //      r6 #1): the aHash lives under a real javax.imageio decode no
+    //      SQL engine can replay, but the fixture MANIFEST is literal —
+    //      10 lightly-edited near-dups planted at (i, 1000+i), i<10, and
+    //      10 byte-identical copies at (i, 2000+i), 10<=i<20. Rows are
+    //      that manifest; `recovered` certifies the banded Hamming join
+    //      returned the pair, `ham_ok` certifies exact copies at
+    //      distance 0 and edits within the band budget, `n_pairs_total`
+    //      pins the full (deterministic, seeded) pair count so spurious
+    //      extra pairs also hash-fail. Oracle: manifest literals + TRUE.
     ("q81_image_phash", (s: SparkSession, dir: String) => {
+      import s.implicits._
       val corpus = Multimodal.syntheticImageCorpus(s, 100)
-      Multimodal.imagePhashNearDups(corpus, maxHamming = 8)
+      val pairs = Multimodal.imagePhashNearDups(corpus, maxHamming = 8)
+      val manifest = ((0 until 10).map(i => (i.toLong, 1000L + i, "edit")) ++
+          (10 until 20).map(i => (i.toLong, 2000L + i, "exact")))
+        .toDF("id_a", "id_b", "kind")
+      val total = pairs.agg(count(lit(1)).as("n_pairs_total"))
+      // pairs is o(n) by the banding argument — broadcast-sized here;
+      // the manifest side must survive the left join, so pairs builds.
+      manifest.join(broadcast(pairs), Seq("id_a", "id_b"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("id_a"), col("id_b"), col("kind"),
+          col("hamming").isNotNull.as("recovered"),
+          coalesce(when(col("kind") === "exact", col("hamming") === 0)
+            .otherwise(col("hamming") <= 8), lit(false)).as("ham_ok"),
+          col("n_pairs_total"))
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some(imagePhashOracle)),
 
-    // ---- audio energy-contour fingerprint dedup (rows-only like q81:
-    //      the fingerprint lives under a real javax.sound.sampled
-    //      decode; MultimodalSpec pins gain invariance and banded-join
-    //      completeness).
+    // ---- audio energy-contour fingerprint dedup, certification-oracled
+    //      (VERDICT r6 #1): same playbook as q81 over the audio fixture —
+    //      10 gain-scaled (0.5×) near-dups at (i, 1000+i), i<10, whose
+    //      energy-RATIO fingerprint must be gain-invariant, and 10
+    //      byte-identical copies at (i, 2000+i), 10<=i<20. `ham_ok`
+    //      requires distance 0 for both kinds (ratio comparisons are
+    //      EXACTLY preserved under uniform positive gain — strict
+    //      inequality on g²-scaled energies), `n_pairs_total` pins the
+    //      deterministic pair count. Oracle: manifest literals + TRUE.
     ("q84_audio_fingerprint", (s: SparkSession, dir: String) => {
+      import s.implicits._
       val corpus = Multimodal.syntheticAudioCorpus(s, 100)
-      Multimodal.audioFingerprintNearDups(corpus, maxHamming = 5)
+      val pairs = Multimodal.audioFingerprintNearDups(corpus, maxHamming = 5)
+      val manifest = ((0 until 10).map(i => (i.toLong, 1000L + i, "gain")) ++
+          (10 until 20).map(i => (i.toLong, 2000L + i, "exact")))
+        .toDF("id_a", "id_b", "kind")
+      val total = pairs.agg(count(lit(1)).as("n_pairs_total"))
+      manifest.join(broadcast(pairs), Seq("id_a", "id_b"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("id_a"), col("id_b"), col("kind"),
+          col("hamming").isNotNull.as("recovered"),
+          coalesce(col("hamming") === 0, lit(false)).as("ham_ok"),
+          col("n_pairs_total"))
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some(audioFingerprintOracle)),
 
     // ---- Johnson–Lindenstrauss random projection: the sign matrix
     //      derives from the portable hash of "rp:j:i", so the oracle
