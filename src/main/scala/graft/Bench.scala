@@ -115,7 +115,25 @@ object Bench {
             .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
         })
 
+    // Per-run JVM attribution (VERDICT r6 #2: the driver's run measured
+    // ~1.8× the builder's self-measured total with identical code; without
+    // per-query GC/JIT numbers recorded under BOTH environments the gap is
+    // unattributable). Deltas of the standard MX beans cost ~nothing and
+    // land in bench_detail.json beside each wall-clock run; a
+    // driver-vs-builder diff of the same query then separates "the plan
+    // got slower" from "the container was compiling/collecting".
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    def jitMs(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+    }
+    final case class Run(sec: Double, gcMs: Long, jitMs: Long)
+    val detail = scala.collection.mutable.LinkedHashMap.empty[String, List[Run]]
+
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val (g0, j0) = (gcMs(), jitMs())
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -126,6 +144,8 @@ object Bench {
       // stop the clock BEFORE releasing the query's persistent blocks —
       // the unpersist sweep is inter-query housekeeping, not operator cost
       val elapsed = (System.nanoTime() - t0) / 1e9
+      detail.updateWith(name)(prev =>
+        Some(prev.getOrElse(Nil) :+ Run(elapsed, gcMs() - g0, jitMs() - j0)))
       releaseBlocks()
       if (ok) Some(elapsed) else None
     }
@@ -169,6 +189,19 @@ object Bench {
     println(compact)
     try Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    // Attribution sidecar (file only, NEVER stdout: the driver's tail
+    // capture must keep ending with the compact record above). One entry
+    // per query: every run's wall-clock + the GC/JIT-compile milliseconds
+    // the JVM spent during that run.
+    val detailPath = outPath.replaceAll("\\.json$", "") + "_detail.json"
+    val dj = detail.map { case (k, runs) =>
+      "\"" + k + "\":{" +
+        "\"sec\":[" + runs.map(r => fmt(r.sec)).mkString(",") + "]," +
+        "\"gc_ms\":[" + runs.map(_.gcMs).mkString(",") + "]," +
+        "\"jit_ms\":[" + runs.map(_.jitMs).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    try Files.write(Paths.get(detailPath), (dj + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $detailPath: $e") }
     spark.stop()
   }
 }

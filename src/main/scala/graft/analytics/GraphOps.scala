@@ -73,6 +73,61 @@ object GraphOps {
       (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
   }
 
+  /** Integer-micros PageRank over an arbitrary DIRECTED, deduplicated
+    * edge list (src, dst) — the general form of [[pageRankMicros]], which
+    * requires bidirection to guarantee outdeg ≥ 1. Here the node universe
+    * is src ∪ dst and nodes with no out-edges (dangling: sinks, leaf
+    * pages, items that never act) redistribute their rank mass uniformly,
+    * the standard correction that keeps total mass ~1 instead of leaking
+    * it every iteration:
+    *
+    *   rank'(v) = base + (damp · (Σ_{u→v} rank_m(u) div outdeg(u)
+    *                               + dang_m div N)) div 100
+    *
+    * where dang_m = Σ rank_m over dangling nodes, computed IN-PLAN as a
+    * one-row aggregate broadcast into the update — never a per-iteration
+    * driver action. All divisions are integer floors (micros discipline,
+    * see the object scaladoc): each iteration loses < 1 micro per edge
+    * plus < 1 micro per node to flooring — defined, deterministic, and
+    * replayed bit-for-bit by the oracle's `//`.
+    *
+    * Each iteration's rank table is materialized (Stage.mat): unlike the
+    * bidirected variant, the frontier here has TWO consumers — the
+    * contribution join and the dangling-mass aggregate — so a
+    * lineage-chained loop would recompute each frontier 2^i times.
+    * State is node-count-sized, the connectedComponents regime.
+    */
+  def pageRankDirectedMicros(edges: DataFrame, iters: Int = 3, damp: Int = 85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = graft.Stage.mat(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = graft.Stage.mat(e.join(deg, Seq("src")))
+    val n = nodes.count() // node count — driver scalar, index-sized
+    if (n == 0)
+      return e.select(col("src").as("node"), lit(0L).as("rank_m"), lit(0.0).as("rank_r"))
+        .limit(0)
+    val base = (100L - damp) * 1000000L / (100L * n)
+    val degNodes = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("node"), lit(1000000L / n).as("rank_m"))
+    for (_ <- 1 to iters) {
+      val r = graft.Stage.mat(ranks)
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst"), expr("rank_m div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), col("s"))
+      val dang = r.join(degNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank_m")), lit(0L)).as("dang_m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($damp * (coalesce(s, 0L) + dang_m div ${n}L)) div 100")).as("rank_m"))
+    }
+    ranks.select(col("node"), col("rank_m"),
+      (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
+  }
+
   /** The declared interaction graph: user↔item edges from the event
     * stream (item = the `props.k` entity, the q21 extraction), distinct
     * then mirrored.
@@ -93,7 +148,62 @@ object GraphOps {
       .union(inter.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** One unrolled directed-PageRank iteration for the DuckDB oracle:
+    * dangling-mass aggregate, contribution sum, and the floored update —
+    * token-for-token the [[pageRankDirectedMicros]] arithmetic.
+    */
+  private def prDirIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""d$i AS (SELECT COALESCE(SUM(r.rank_m), 0) AS dang
+              FROM $prev r LEFT JOIN deg ON r.node = deg.src
+              WHERE deg.src IS NULL),
+      s$i AS (SELECT ew.dst AS node, SUM(r.rank_m // ew.outdeg) AS s
+              FROM ew JOIN $prev r ON ew.src = r.node GROUP BY ew.dst),
+      r$i AS (SELECT nodes.node,
+                CAST((15 * 1000000) // (100 * p.n)
+                     + (85 * (COALESCE(s$i.s, 0) + d$i.dang // p.n)) // 100 AS BIGINT) AS rank_m
+              FROM nodes LEFT JOIN s$i ON nodes.node = s$i.node
+              CROSS JOIN d$i CROSS JOIN p)"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- directed PageRank with dangling-mass redistribution over the
+    //      user→item action graph (no mirroring: items never act, so
+    //      every 'i:' node is a genuine sink and the dangling term
+    //      carries ~half the mass each iteration — the variant the
+    //      bidirected q117 cannot express). Same integer-micros
+    //      discipline; the oracle unrolls all three iterations
+    //      including the one-row dangling aggregate. Plan per
+    //      iteration: contribution join + agg (as q117) plus a one-row
+    //      dangling sum broadcast into the update; frontiers are
+    //      materialized because they feed BOTH consumers (see
+    //      pageRankDirectedMicros scaladoc).
+    ("q127_pagerank_directed", (s: SparkSession, dir: String) => {
+      val inter = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("i:"),
+            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+              .cast("string")).as("dst"))
+        .distinct()
+      pageRankDirectedMicros(inter, iters = 3)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS src,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS dst
+        FROM events WHERE user_id IS NOT NULL),
+      nodes AS (SELECT src AS node FROM inter UNION SELECT dst FROM inter),
+      deg AS (SELECT src, count(*) AS outdeg FROM inter GROUP BY src),
+      ew AS (SELECT inter.src, inter.dst, deg.outdeg FROM inter JOIN deg USING (src)),
+      p AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS rank_m FROM nodes, p),
+      ${prDirIterSql(1)},
+      ${prDirIterSql(2)},
+      ${prDirIterSql(3)}
+      SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
+      FROM r3 ORDER BY node""")),
 
     // ---- PageRank (integer-micros, 3 synchronous iterations) over the
     //      bidirected user↔item interaction graph. The oracle unrolls

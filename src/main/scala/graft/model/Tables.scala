@@ -68,29 +68,43 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-        // read as a timestamp. Read it as raw nanos (legacy conf) and
-        // convert to a microsecond TimestampType; the fixture has no
-        // sub-microsecond components, so no information is lost vs the
-        // DuckDB oracle.
+        // events.ts has shipped as TWO parquet physical types across
+        // driver fixture generations: TIMESTAMP(NANOS) (rounds ≤6; Spark
+        // 4 refuses to read it as a timestamp without the legacy
+        // nanos-as-long conf) and TIMESTAMP(MICROS, not UTC-adjusted)
+        // (round 7+; Spark infers TIMESTAMP_NTZ). Read under the legacy
+        // conf — it only affects NANOS fields — then normalize whichever
+        // schema came back to the same microsecond TimestampType, so
+        // every downstream query and the DuckDB oracle see one schema
+        // regardless of fixture vintage. (NTZ→Timestamp cast under the
+        // UTC session timezone preserves the wall-clock value exactly.)
         // scope the legacy conf to this schema inference: set, read,
         // restore — leaving it on session-wide would silently turn
         // every later TIMESTAMP(NANOS) read in the session into raw
         // longs (review finding r6b). The loaded DataFrame keeps its
-        // inferred long schema; execution converts through the column
-        // we build here, not through the conf.
+        // inferred schema; execution converts through the column we
+        // build here, not through the conf.
         val key = "spark.sql.legacy.parquet.nanosAsLong"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "true")
-        try {
-          spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
-        } finally {
-          prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None    => spark.conf.unset(key)
+        val raw =
+          try spark.read.parquet(s"$dir/events.parquet")
+          finally {
+            prev match {
+              case Some(v) => spark.conf.set(key, v)
+              case None    => spark.conf.unset(key)
+            }
           }
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        raw.schema("ts").dataType match {
+          case LongType => // nanos fixture read as raw longs
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          case TimestampNTZType => // micros fixture, not UTC-adjusted
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+          case _ => raw
         }
       case _ =>
         spark.read.parquet(s"$dir/$name.parquet")

@@ -39,6 +39,57 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.count() === 0L)
   }
 
+  // ---- directed variant: dangling-mass redistribution ----
+
+  test("directed chain a->b->c matches hand-computed micros at 1 and 2 iterations") {
+    // N=3, init=333333, base=50000; deg a=1, b=1; c dangling.
+    // iter1: dang=333333, dang div 3 = 111111
+    //   a: 50000 + (85*(0      +111111)) div 100 = 50000 +  94444 = 144444
+    //   b: 50000 + (85*(333333+111111)) div 100 = 50000 + 377777 = 427777
+    //   c: 50000 + (85*(333333+111111)) div 100 = 427777
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r1 = GraphOps.pageRankDirectedMicros(chain, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1 === Map("a" -> 144444L, "b" -> 427777L, "c" -> 427777L))
+    // iter2: dang=427777 (c), div 3 = 142592
+    //   a: 50000 + (85*142592)           div 100 = 50000 + 121203 = 171203
+    //   b: 50000 + (85*(144444+142592)) div 100 = 50000 + 243980 = 293980
+    //   c: 50000 + (85*(427777+142592)) div 100 = 50000 + 484813 = 534813
+    val r2 = GraphOps.pageRankDirectedMicros(chain, iters = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 === Map("a" -> 171203L, "b" -> 293980L, "c" -> 534813L))
+  }
+
+  test("directed star a->{b,c} redistributes the sinks' mass to every node") {
+    // N=3, init=333333, base=50000; deg a=2; b,c dangling.
+    // iter1: dang=666666, div 3 = 222222; contrib b,c = 333333 div 2 = 166666
+    //   a: 50000 + (85*222222)           div 100 = 50000 + 188888 = 238888
+    //   b: 50000 + (85*(166666+222222)) div 100 = 50000 + 330554 = 380554 (= c)
+    val dstar = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val r = GraphOps.pageRankDirectedMicros(dstar, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 238888L, "b" -> 380554L, "c" -> 380554L))
+  }
+
+  test("directed PageRank conserves mass within the flooring envelope and handles empty input") {
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val rs = GraphOps.pageRankDirectedMicros(chain, iters = 3)
+      .select("rank_m").as[Long].collect()
+    // dangling redistribution keeps total mass ~1e6: each iteration
+    // floors away <1 micro per edge + <1 per node + the damp/base floors
+    assert(rs.sum <= 1000000L && rs.sum >= 1000000L - 100L)
+    val empty = chain.limit(0)
+    val r = GraphOps.pageRankDirectedMicros(empty, iters = 2)
+    assert(r.columns.toSeq === Seq("node", "rank_m", "rank_r"))
+    assert(r.count() === 0L)
+  }
+
+  test("bidirected edge list: directed variant agrees with pageRankMicros (no dangling nodes)") {
+    val r1 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
+    val r2 = GraphOps.pageRankDirectedMicros(star, iters = 3).orderBy("node").collect().toSeq
+    assert(r1 === r2)
+  }
+
   test("hub outranks leaves and the result is deterministic") {
     val r1 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
     val r2 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
