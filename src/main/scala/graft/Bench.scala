@@ -101,6 +101,19 @@ object Bench {
               query, 10, nPlanes = 4, dim = 64, probeHamming = 1)
             .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim_r"))
         })
+      .updated("q128_hard_negatives_adc",
+        (sp: SparkSession, d: String) => {
+          val emb = graft.model.Tables(sp, d).embeddings
+          val queries = emb.filter(col("vec_id").between(1, 10))
+            .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+              col("label").as("qlabel"))
+          val corpus = emb.filter(col("vec_id") > 10)
+          graft.text.PQ.hardNegativesAdc(corpus, queries,
+              graft.analytics.ScaleOps.pqCodebook(sp, d), k = 5, shortlistK = 400)
+            .select(col("q_id"), col("rnk"), col("neg_id"),
+              round(col("cos_sim"), 6).as("cos_r"))
+            .orderBy(col("q_id"), col("rnk"))
+        })
       .updated("q45_ivf_ann",
         (sp: SparkSession, d: String) => {
           val t = graft.model.Tables(sp, d)
@@ -152,8 +165,20 @@ object Bench {
 
     // min over two temporally-separated full passes (pass 2 also
     // amortizes codegen/plan compilation); a >30% disagreement between
-    // passes triggers a deciding third run for that query
+    // passes triggers a deciding third run for that query.
+    //
+    // Untimed JIT warm-up pass first (round 7, VERDICT r6 #7): the
+    // per-query gc/jit attribution showed the first execution of each
+    // query carries SECONDS of JVM JIT compilation (q117: 10.4 s of
+    // compiler-thread time inside an 11.8 s first run, settling to 0.3 s
+    // by the third), so cold passes measure the compiler, not the
+    // operator. One untimed sweep triggers that compilation before any
+    // clock starts — zero operator changes, and the timed passes now
+    // isolate steady-state operator cost, which is the bench's stated
+    // policy. Warm runs still land in bench_detail.json (index 0 of each
+    // sec/gc_ms/jit_ms array) so the attribution evidence stays visible.
     val ordered = benchQueries.toSeq.sortBy(_._1)
+    ordered.foreach { case (name, fn) => once(name, fn) }
     val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
     val pass2 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
     val results: Seq[(String, Option[Double])] =
@@ -180,6 +205,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""notes":{"q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
+        s""""q128_hard_negatives_adc":"ADC shortlist + exact rerank timed; the exact-pass recall certification runs in the correctness gate",""" +
         s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate",""" +
         s""""q82_approx_quantiles":"sketch-only timed; exact-percentile certification runs in the correctness gate"},""" +
         s""""sf":"$sfDir"}"""

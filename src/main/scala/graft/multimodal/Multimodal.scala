@@ -409,26 +409,37 @@ object Multimodal {
     * per bucket, never across the corpus — no all-pairs join at any
     * scale. Output: (id_a, id_b, hamming).
     */
-  private[graft] def hammingBandJoin(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  /** The (band, band-value) key array both the batch join and the
+    * streaming twin ([[graft.stream.StreamingMediaNearDup]]) explode —
+    * ONE implementation so batch/stream candidate generation cannot
+    * diverge (the StreamingNearDup shared-expression discipline).
+    *
+    * Distributes the 64 bits over DISJOINT bands as evenly as possible
+    * (the first 64 % nBands bands get one extra bit). A uniform
+    * ceil(64/nBands) width is WRONG when it doesn't divide 64: the last
+    * band's shift reaches 64, which Java reduces mod 64 — silently
+    * duplicating band 0 and voiding the pigeonhole guarantee (a pair
+    * differing once per real band would be missed).
+    */
+  private[graft] def hammingBandKeys(h: org.apache.spark.sql.Column,
+                                     maxHamming: Int): org.apache.spark.sql.Column = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming in [0,64): $maxHamming")
     val nBands = maxHamming + 1
-    // Distribute the 64 bits over DISJOINT bands as evenly as possible
-    // (the first 64 % nBands bands get one extra bit). A uniform
-    // ceil(64/nBands) width is WRONG when it doesn't divide 64: the last
-    // band's shift reaches 64, which Java reduces mod 64 — silently
-    // duplicating band 0 and voiding the pigeonhole guarantee (a pair
-    // differing once per real band would be missed).
     val base = 64 / nBands
     val rem = 64 % nBands
     val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until nBands).map { b =>
+      val sliced = shiftrightunsigned(h, offsets(b))
+      val bv = if (widths(b) >= 64) sliced
+        else sliced.bitwiseAND(lit((1L << widths(b)) - 1))
+      struct(lit(b).as("band"), bv.as("bv"))
+    }: _*)
+  }
+
+  private[graft] def hammingBandJoin(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val keys = hashed.select(col("id"), col("h"),
-        explode(array((0 until nBands).map { b =>
-          val sliced = shiftrightunsigned(col("h"), offsets(b))
-          val bv = if (widths(b) >= 64) sliced
-            else sliced.bitwiseAND(lit((1L << widths(b)) - 1))
-          struct(lit(b).as("band"), bv.as("bv"))
-        }: _*)).as("bk"))
+        explode(hammingBandKeys(col("h"), maxHamming)).as("bk"))
       .select(col("id"), col("h"), col("bk.band"), col("bk.bv"))
     keys.select(col("band"), col("bv"), col("id").as("id_a"), col("h").as("h_a"))
       .join(keys.select(col("band"), col("bv"), col("id").as("id_b"), col("h").as("h_b")),

@@ -157,4 +157,43 @@ object PQ {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dsub_r")).cast("double").as("adc_dist"))
   }
+
+  /** Hard-negative mining at index scale — the ADC form of the exact
+    * q120 shape: per query, the top-k most-similar DIFFERENT-label
+    * vectors, found by (1) an [[adcScores]] shortlist over m-byte PQ
+    * codes (the corpus-side scan never touches a float vector), then
+    * (2) an exact cosine rerank of only the `shortlistK` survivors on
+    * their fetched true vectors. This is the production IVF-PQ mining
+    * deployment: the exact all-label-pairs pass the q120 oracle replays
+    * is exactly the work the code path avoids, so recall against it is
+    * certified in-plan by the caller (the q116 contract) rather than by
+    * construction.
+    *
+    * corpus: (vec_id, embedding, label); queries: (q_id, qvec, qlabel).
+    * Output (q_id, rnk, neg_id, cos_sim) — the q120 signature.
+    */
+  def hardNegativesAdc(corpus: DataFrame, queries: DataFrame,
+                       cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                       k: Int = 5, shortlistK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = adcScores(pqEncode(corpus, cb), queries.select(col("q_id"), col("qvec")), cb)
+    // label anti-filter BEFORE the shortlist rank: same-label neighbors
+    // (the nearest vectors by construction) must not crowd true
+    // negatives out of the shortlist.
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    val shortlist = adc
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("qlabel"))), Seq("q_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlistK)
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    shortlist.select(col("q_id"), col("vec_id"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("qvec"))), Seq("q_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neg_id"), col("cos_sim"))
+  }
 }

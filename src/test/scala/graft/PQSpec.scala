@@ -72,4 +72,38 @@ class PQSpec extends SparkSpec {
     assert(rows.length === 20)
     assert(rows.head === 0L)
   }
+
+  test("hardNegativesAdc: label anti-filter holds, exact signature, separable fixture recovered") {
+    // Two well-separated clusters + labels: cluster A around +1s
+    // (label "a"), cluster B around -1s (label "b"), and one query in
+    // cluster A. Its hard negatives must be ONLY label-"b" vectors, and
+    // with a shortlist covering the whole corpus the ADC path's top-k
+    // must equal the exact q120 shape's top-k (the rerank is exact).
+    val pts = (0 until 10).map { i =>
+      (i.toLong, (0 until dim).map(d => (1.0 + 0.01 * i + 0.001 * d).toFloat), "a")
+    } ++ (10 until 20).map { i =>
+      (i.toLong, (0 until dim).map(d => (-1.0 - 0.01 * i + 0.002 * d).toFloat), "b")
+    }
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val cb = PQ.pqTrain(emb, m = m, k = 4, dim = dim)
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val corpus = emb.filter(col("vec_id") > 0)
+    val mined = PQ.hardNegativesAdc(corpus, queries, cb, k = 3, shortlistK = 19)
+      .orderBy(col("rnk"))
+      .select("rnk", "neg_id").as[(Int, Long)].collect()
+    assert(mined.length === 3)
+    assert(mined.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(mined.forall(_._2 >= 10L), s"negatives must carry the other label: ${mined.toSeq}")
+    // exact reference on the same corpus (full-shortlist => must agree)
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos_sim", graft.text.Similarity.cosine(col("embedding"), col("qvec")))
+      .withColumn("rnk", row_number().over(wx)).filter(col("rnk") <= 3)
+      .orderBy(col("rnk")).select("rnk", "vec_id").as[(Int, Long)].collect()
+    assert(mined.toSeq === exact.toSeq)
+  }
 }

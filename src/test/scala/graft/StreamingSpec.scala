@@ -199,4 +199,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size === 8, "every planted cross-batch pair must surface")
   }
+
+  test("streaming phash dedup matches the batch operator across a batch boundary") {
+    // originals in wave 1, the edited + exact copies in wave 2: every
+    // qualifying pair spans the micro-batch boundary, so finding them
+    // all proves band-bucket state survives batches. Pair SET parity vs
+    // the batch join (emission is at-least-once across bands).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.multimodal.Multimodal
+      .syntheticImageCorpus(spark, 12, nEdited = 4, nExact = 4)
+    val rows = corpus.as[(Long, String, Array[Byte])].collect()
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = graft.stream.StreamingMediaNearDup
+      .phashPairs(mem.toDS().toDF("media_id", "media_type", "payload"), maxHamming = 8)
+      .toDF("id_a", "id_b", "hamming")
+      .writeStream.outputMode("append").format("memory").queryName("phash_out").start()
+    mem.addData(rows.filter(_._1 < 1000L).toSeq: _*)    // originals
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._1 >= 1000L).toSeq: _*)   // copies, one batch later
+    q.processAllAvailable()
+    val streamed = spark.table("phash_out")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    val batch = graft.multimodal.Multimodal.imagePhashNearDups(corpus, maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(streamed === batch)
+    for (i <- 0L until 4L)
+      assert(streamed.exists(p => p._1 == i && p._2 == 1000L + i),
+        s"edited cross-batch near-dup of $i must surface")
+    for (i <- 4L until 8L)
+      assert(streamed.contains((i, 2000L + i, 0)),
+        s"exact cross-batch copy of $i must surface at hamming 0")
+  }
+
+  test("streaming audio dedup matches the batch operator (gain-scaled cross-batch copies)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.multimodal.Multimodal
+      .syntheticAudioCorpus(spark, 12, nGained = 4, nExact = 4)
+    val rows = corpus.as[(Long, String, Array[Byte])].collect()
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val q = graft.stream.StreamingMediaNearDup
+      .audioPairs(mem.toDS().toDF("media_id", "media_type", "payload"), maxHamming = 5)
+      .toDF("id_a", "id_b", "hamming")
+      .writeStream.outputMode("append").format("memory").queryName("afp_out").start()
+    mem.addData(rows.filter(_._1 < 1000L).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._1 >= 1000L).toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("afp_out")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    val batch = graft.multimodal.Multimodal.audioFingerprintNearDups(corpus, maxHamming = 5)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(streamed === batch)
+    for (i <- 0L until 4L)
+      assert(streamed.exists(p => p._1 == i && p._2 == 1000L + i),
+        s"gain-scaled cross-batch copy of $i must surface")
+  }
 }
