@@ -79,4 +79,19 @@ object Bloom {
         coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
         (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("flagged"))
   }
+
+  /** Stateless per-document form of [[bloomContaminationFlag]]: the
+    * sketch rides the plan as a literal and the flag is an `exists`
+    * probe over the document's own shingle array — a pure projection
+    * with no join and no aggregate, so the SAME operator runs unchanged
+    * on a streaming ingest (where decontamination actually belongs: a
+    * contaminated document should never reach the corpus). Flag
+    * semantics match the batch form exactly (flagged ⇔ ≥1 shingle
+    * probes positive); the batch form additionally counts hits.
+    */
+  def contaminationFlagStateless(corpus: DataFrame, bloomBytes: Array[Byte], k: Int = 3,
+                                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus.select(col(idCol),
+      exists(Dedup.shingleHashes(col(textCol), k),
+        sh => mightContain(bloomBytes, sh)).as("flagged"))
 }

@@ -258,4 +258,37 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exists(p => p._1 == i && p._2 == 1000L + i),
         s"gain-scaled cross-batch copy of $i must surface")
   }
+
+  test("Bloom decontamination runs unchanged on a stream (stateless sketch-literal probe)") {
+    // the sketch is a plan literal and the flag an exists() probe over
+    // the doc's own shingles — no join, no aggregate — so the SAME
+    // operator serves backfill and live ingest; flags must match the
+    // batch join+agg form on the identical corpus.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val reference = Seq((900L, benchText)).toDF("doc_id", "text")
+    val bloom = graft.text.Bloom.buildLongBloom(
+      reference.select(explode(graft.text.Dedup.shingleHashes(col("text"), 3)).as("v")), "v")
+    val corpus = Seq(
+      (1L, "completely unrelated content with no shared phrases whatsoever in it"),
+      (2L, s"a document quoting: $benchText verbatim inside"),
+      (3L, "another clean document talking about entirely different things"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.text.Bloom
+      .contaminationFlagStateless(mem.toDS().toDF("doc_id", "text"), bloom)
+      .writeStream.outputMode("append").format("memory").queryName("bloom_out").start()
+    mem.addData(corpus(0), corpus(1))
+    q.processAllAvailable()
+    mem.addData(corpus(2))
+    q.processAllAvailable()
+    val streamed = spark.table("bloom_out")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    q.stop()
+    assert(streamed === Seq((1L, false), (2L, true), (3L, false)))
+    val batch = graft.text.Bloom
+      .bloomContaminationFlag(corpus.toDF("doc_id", "text"), bloom)
+      .select("doc_id", "flagged").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(batch === streamed)
+  }
 }
