@@ -101,7 +101,11 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
     val nodes = graft.Stage.mat(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // deg is mat'd (node-count-sized) because it feeds the ew build AND
+    // every iteration's dangling anti-join — lineage-chained, each of
+    // the `iters` dangling aggregates would re-derive the raw edge
+    // input from scratch (r7 review).
+    val deg = graft.Stage.mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val ew = graft.Stage.mat(e.join(deg, Seq("src")))
     val n = nodes.count() // node count — driver scalar, index-sized
     if (n == 0)

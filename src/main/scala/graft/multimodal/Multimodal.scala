@@ -400,15 +400,6 @@ object Multimodal {
   def imagePhash(media: DataFrame): DataFrame =
     mediaFingerprint(media, "image", "phash")(p => decodeImage(p).map(averageHash))
 
-  /** Banded Hamming self-join over a (id, h) 64-bit-hash table: split
-    * every hash into `maxHamming + 1` bit-bands — by pigeonhole, two
-    * hashes within Hamming `maxHamming` agree EXACTLY on at least one
-    * band — self-join on (band, bits), verify with `bit_count(xor)`.
-    * The same banding trick SimHash dedup uses: the corpus shuffles as
-    * (band-key, id) pairs only; the quadratic pair enumeration happens
-    * per bucket, never across the corpus — no all-pairs join at any
-    * scale. Output: (id_a, id_b, hamming).
-    */
   /** The (band, band-value) key array both the batch join and the
     * streaming twin ([[graft.stream.StreamingMediaNearDup]]) explode —
     * ONE implementation so batch/stream candidate generation cannot
@@ -437,6 +428,16 @@ object Multimodal {
     }: _*)
   }
 
+  /** Banded Hamming self-join over a (id, h) 64-bit-hash table: split
+    * every hash into `maxHamming + 1` bit-bands
+    * ([[hammingBandKeys]]) — by pigeonhole, two hashes within Hamming
+    * `maxHamming` agree EXACTLY on at least one band — self-join on
+    * (band, bits), verify with `bit_count(xor)`. The same banding trick
+    * SimHash dedup uses: the corpus shuffles as (band-key, id) pairs
+    * only; the quadratic pair enumeration happens per bucket, never
+    * across the corpus — no all-pairs join at any scale.
+    * Output: (id_a, id_b, hamming).
+    */
   private[graft] def hammingBandJoin(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val keys = hashed.select(col("id"), col("h"),
         explode(hammingBandKeys(col("h"), maxHamming)).as("bk"))
@@ -598,6 +599,19 @@ object Multimodal {
       .map(i => (2000L + i, "audio", syntheticEnvelopeWav(i)))
     (base ++ gained ++ exact).toDF("media_id", "media_type", "payload")
   }
+
+  /** The planted-pair manifest of the media-dedup fixtures at their
+    * q81/q84 operating point (nEdited/nGained = 10, nExact = 10,
+    * n ≥ 20): near-kind pairs at (i, 1000+i) for i < 10 and exact
+    * copies at (i, 2000+i) for 10 ≤ i < 20. ONE definition consumed by
+    * the declared queries AND their oracle literal builder, so the
+    * layout cannot drift between the three hand-maintained copies it
+    * replaces (r7 review). Must stay consistent with
+    * [[syntheticImageCorpus]]/[[syntheticAudioCorpus]] defaults.
+    */
+  def plantedPairs(nearKind: String): Seq[(Long, Long, String)] =
+    (0 until 10).map(i => (i.toLong, 1000L + i, nearKind)) ++
+      (10 until 20).map(i => (i.toLong, 2000L + i, "exact"))
 
   /** Image-dedup fixture: `n` distinct block-noise images, the first
     * `nEdited` mirrored as lightly-edited near-dups (media_id + 1000)

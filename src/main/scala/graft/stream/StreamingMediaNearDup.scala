@@ -32,7 +32,12 @@ import graft.multimodal.Multimodal
   */
 object StreamingMediaNearDup {
 
-  final case class HBucket(members: Seq[(Long, Long)])
+  // id -> hash. A Map, not a Seq: a skewed band value (bv=0 for dark
+  // images / silent audio is a real perceptual-hash hot key) can
+  // accumulate thousands of members, and the per-arrival duplicate
+  // check must stay O(1) instead of an O(m) scan + full-Seq copy
+  // (r7 review). The pair-verification loop is O(m) by design.
+  final case class HBucket(members: Map[Long, Long])
 
   /** Band-bucketed streaming Hamming self-join over a (possibly
     * streaming) (id, h) 64-bit-hash table — the stateful core shared by
@@ -60,16 +65,16 @@ object StreamingMediaNearDup {
             state.remove()
             Iterator.empty
           } else {
-            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            var members = state.getOption.map(_.members).getOrElse(Map.empty[Long, Long])
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
             rows.foreach { case (_, id, h) =>
-              if (!members.exists(_._1 == id)) {
+              if (!members.contains(id)) {
                 members.foreach { case (oid, oh) =>
                   val d = java.lang.Long.bitCount(h ^ oh)
                   if (d <= maxHamming)
                     out += ((math.min(id, oid), math.max(id, oid), d))
                 }
-                members = members :+ (id -> h)
+                members = members + (id -> h)
               }
             }
             state.update(HBucket(members))

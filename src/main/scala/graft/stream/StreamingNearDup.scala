@@ -26,7 +26,12 @@ import graft.text.Dedup
   */
 object StreamingNearDup {
 
-  final case class Bucket(members: Seq[(Long, Array[Long])])
+  // id -> shingle hashes. A Map, not a Seq: a hot band bucket (boiler-
+  // plate-heavy corpora collapse many docs into one band value) must
+  // keep the per-arrival duplicate check O(1) rather than an O(m) scan
+  // plus full-Seq copy; the candidate-verification loop is O(m) by
+  // design (r7 review, same fix as StreamingMediaNearDup).
+  final case class Bucket(members: Map[Long, Array[Long]])
 
   /** Defaults MATCH [[graft.text.Dedup.minhashNearDups]] exactly
     * (16 hashes / 4 bands) — the batch-parity contract is only
@@ -60,10 +65,10 @@ object StreamingNearDup {
             state.remove()
             Iterator.empty
           } else {
-            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            var members = state.getOption.map(_.members).getOrElse(Map.empty[Long, Array[Long]])
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             rows.foreach { case (_, id, sh) =>
-              if (!members.exists(_._1 == id)) {
+              if (!members.contains(id)) {
                 val set = sh.toSet
                 members.foreach { case (oid, osh) =>
                   val inter = osh.count(set.contains).toDouble
@@ -72,7 +77,7 @@ object StreamingNearDup {
                   if (j >= threshold)
                     out += ((math.min(id, oid), math.max(id, oid), j))
                 }
-                members = members :+ (id -> sh)
+                members = members + (id -> sh)
               }
             }
             state.update(Bucket(members))

@@ -87,11 +87,15 @@ object Bloom {
     * on a streaming ingest (where decontamination actually belongs: a
     * contaminated document should never reach the corpus). Flag
     * semantics match the batch form exactly (flagged ⇔ ≥1 shingle
-    * probes positive); the batch form additionally counts hits.
+    * probes positive); the batch form additionally counts hits. The
+    * coalesce mirrors the batch form's null handling: a null-text doc
+    * has no shingles, so it is NOT flagged (exists over the null array
+    * would return null, and a `!flagged` admit filter would silently
+    * drop docs the batch path keeps — r7 review).
     */
   def contaminationFlagStateless(corpus: DataFrame, bloomBytes: Array[Byte], k: Int = 3,
                                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     corpus.select(col(idCol),
-      exists(Dedup.shingleHashes(col(textCol), k),
-        sh => mightContain(bloomBytes, sh)).as("flagged"))
+      coalesce(exists(Dedup.shingleHashes(col(textCol), k),
+        sh => mightContain(bloomBytes, sh)), lit(false)).as("flagged"))
 }

@@ -51,6 +51,21 @@ class BloomSpec extends SparkSpec {
     (100 to 119).foreach(i => assert(!out(i.toLong), s"doc $i is clean and must not flag"))
   }
 
+  test("stateless flag treats null text as NOT flagged — batch-form parity") {
+    // shingleHashes null-propagates, so exists() alone would return null
+    // for a null-text doc while the batch join+agg form says false; the
+    // coalesce pins the two forms equal (r7 review).
+    val bloom = Bloom.buildLongBloom(Seq(1L, 2L).toDF("v"), "v")
+    val docs = Seq((1L, Some("some perfectly ordinary text here today")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val stateless = Bloom.contaminationFlagStateless(docs, bloom)
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toSeq
+    val batch = Bloom.bloomContaminationFlag(docs, bloom)
+      .orderBy("doc_id").select("doc_id", "flagged").as[(Long, Boolean)].collect().toSeq
+    assert(stateless === batch)
+    assert(stateless === Seq((1L, false), (2L, false)))
+  }
+
   test("bloom probe runs unchanged under Structured Streaming (stateless predicate)") {
     // the probe is a pure codegen'd predicate, so the SAME expression
     // must serve the live-ingest path with no modification — incremental

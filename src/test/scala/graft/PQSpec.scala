@@ -106,4 +106,28 @@ class PQSpec extends SparkSpec {
       .orderBy(col("rnk")).select("rnk", "vec_id").as[(Int, Long)].collect()
     assert(mined.toSeq === exact.toSeq)
   }
+
+  test("hardNegativesAdc shortlist keeps the NEAREST codes (ordering direction pinned)") {
+    // With the shortlist smaller than the corpus, an inverted ADC sort
+    // (DESC) would keep the FARTHEST codes and only surface later as a
+    // recall-cert hash failure in the full gate (r7 review) — pin it at
+    // unit level. Identical vectors encode to identical codes, so ADC
+    // distances are exactly equal within each group and the shortlist
+    // decision is unambiguous: qvec-copies (ids 10-12) in, -qvec rows
+    // (ids 13-19) out.
+    val qv = (0 until dim).map(d => math.sin(d + 1).toFloat)
+    val pts = Seq((0L, qv, "a")) ++
+      (10 until 13).map(i => (i.toLong, qv, "b")) ++
+      (13 until 20).map(i => (i.toLong, qv.map(x => -x), "b"))
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val cb = PQ.pqTrain(emb, m = m, k = 4, dim = dim)
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val corpus = emb.filter(col("vec_id") > 0)
+    val mined = PQ.hardNegativesAdc(corpus, queries, cb, k = 3, shortlistK = 3)
+      .select("neg_id").as[Long].collect().toSet
+    assert(mined === Set(10L, 11L, 12L),
+      s"shortlist must keep the nearest codes, got: $mined")
+  }
 }

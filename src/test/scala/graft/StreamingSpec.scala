@@ -277,12 +277,12 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val q = graft.text.Bloom
       .contaminationFlagStateless(mem.toDS().toDF("doc_id", "text"), bloom)
-      .writeStream.outputMode("append").format("memory").queryName("bloom_out").start()
+      .writeStream.outputMode("append").format("memory").queryName("bloom_flags_out").start()
     mem.addData(corpus(0), corpus(1))
     q.processAllAvailable()
     mem.addData(corpus(2))
     q.processAllAvailable()
-    val streamed = spark.table("bloom_out")
+    val streamed = spark.table("bloom_flags_out")
       .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
     q.stop()
     assert(streamed === Seq((1L, false), (2L, true), (3L, false)))
