@@ -643,6 +643,22 @@ object CurationOps {
       FROM p GROUP BY 1, 2
       ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 50""")),
 
+    // ---- BPE merge LEARNING (the full tokenizer-training loop, not
+    //      just q71's first-merge statistic): 6 iterations of
+    //      pick-most-frequent-adjacent-pair → fuse-everywhere over the
+    //      character-spaced word histogram, weighted by word counts.
+    //      Deterministic (count desc, then pair) argmax; merge
+    //      application is a sentinel-padded literal replace with
+    //      identical left-to-right non-overlap semantics in both
+    //      engines (greedy BPE). The oracle unrolls all 6 iterations —
+    //      histogram, pair stats, argmax, rewrite — token-for-token.
+    //      Scale: iterations run on the vocab-sized histogram, never
+    //      the corpus (see Vocab.bpeLearnMerges scaladoc).
+    ("q129_bpe_learn", (s: SparkSession, dir: String) => {
+      graft.text.Vocab.bpeLearnMerges(Tables(s, dir).documents, nMerges = 6)
+        .orderBy(col("merge_rank"))
+    }, Some(graft.text.Vocab.bpeLearnSql(6))),
+
     // ---- vocabulary build + per-doc OOV rate: top-1000 corpus words as
     //      the vocab (count desc, word — deterministic cut), then each
     //      document's out-of-vocabulary token share against it. Docs

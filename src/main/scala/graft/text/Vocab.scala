@@ -40,6 +40,106 @@ object Vocab {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Learn the first `nMerges` BPE merges over the corpus — the actual
+    * tokenizer-training loop (Sennrich et al. 2016), not just the
+    * first-merge statistic ([[bpePairCounts]]): start from the
+    * character-level word representation, repeatedly pick the most
+    * frequent adjacent token pair (count desc, then (a, b) lexicographic
+    * — a deterministic, engine-portable tie-break) and fuse it
+    * everywhere it occurs. Returns (merge_rank, tok_a, tok_b, n) — the
+    * learned merge table, in order.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: ONE
+    * corpus pass collapses to the distinct-word count histogram
+    * (vocab-sized, millions of rows, not the corpus), and every merge
+    * iteration runs entirely on that table: pair statistics via a
+    * map-side-combined aggregate weighted by word count, the argmax
+    * merge as a one-row driver selection (the n=count() discipline),
+    * and merge application as a literal-`replace` projection. The
+    * histogram is materialized per iteration (Stage.mat) because it
+    * feeds both the pair statistics and the next rewrite — the
+    * pageRankDirectedMicros two-consumer argument.
+    *
+    * Merge application semantics: tokens live space-joined with
+    * sentinel padding (` l o w `), and fusing pair (a, b) is the
+    * literal replace of ` a b ` with ` ab ` — a left-to-right,
+    * non-overlapping scan in BOTH engines, which is exactly greedy BPE
+    * ("a a a" under merge (a,a) → "aa a"). The oracle
+    * ([[bpeLearnSql]]) replays every iteration token-for-token.
+    */
+  def bpeLearnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wc = graft.Stage.mat(
+      docs.select(explode(words(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"),
+          col("cnt")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // tokenize in a standalone projection BEFORE the generator (the
+      // bpePairCounts no-CSE-in-Generate lesson)
+      val t = col("toks")
+      val best = wc
+        .select(col("cnt"), split(trim(col("w")), " ").as("toks"))
+        .select(col("cnt"), explode(
+          when(size(t) < 2, array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(transform(sequence(lit(1), size(t) - 1),
+              i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, c))
+        // literal (not regex) replace: merge tokens are corpus strings
+        wc = graft.Stage.mat(wc.select(
+          call_function("replace", col("w"),
+            lit(" " + a + " " + b + " "), lit(" " + a + b + " ")).as("w"),
+          col("cnt")))
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "tok_a", "tok_b", "n")
+  }
+
+  /** The mirrored DuckDB replay of [[bpeLearnMerges]]: the same word
+    * histogram, character spacing, weighted pair counts, (c desc, a, b)
+    * argmax, and sentinel-padded literal replace, unrolled per merge.
+    */
+  def bpeLearnSql(nMerges: Int, src: String = "documents"): String = {
+    val ws = TextStats.wsClassSql
+    val iters = (1 to nMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT p.pr[1] AS a, p.pr[2] AS b, SUM(p.cnt) AS c FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> [toks[i], toks[i + 1]])) AS pr, cnt
+            FROM (SELECT string_split(trim(w), ' ') AS toks, cnt FROM $prev)
+          ) p GROUP BY 1, 2),
+        b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+        w$i AS (SELECT replace(w, ' ' || b.a || ' ' || b.b || ' ',
+                               ' ' || b.a || b.b || ' ') AS w, cnt
+                FROM $prev, b$i b)"""
+    }.mkString(",\n      ")
+    val sel = (1 to nMerges).map(i =>
+      s"SELECT $i AS merge_rank, a AS tok_a, b AS tok_b, CAST(c AS BIGINT) AS n FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH hist AS (
+        SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                   x -> x <> '')) AS w
+          FROM $src) GROUP BY 1),
+      w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w, cnt FROM hist),
+      $iters
+      $sel
+      ORDER BY merge_rank"""
+  }
+
   /** Top-`n` whitespace-token vocabulary by corpus frequency, with a
     * deterministic total order (count desc, then token) so the cut at
     * rank n is engine-portable.

@@ -410,4 +410,34 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect()
     assert(viaSwitch.length === n && viaSwitch.forall(_._2 === 0L))
   }
+
+  test("BPE merge learning matches the hand-computed Sennrich example") {
+    // corpus: low ×3, lower ×2, newest ×1 (the canonical BPE fixture).
+    // pair counts at start: (l,o)=5, (o,w)=5, (w,e)=3, (e,r)=2, rest 1.
+    //  merge 1: tie at 5 → (a,b) lexicographic → (l,o), n=5
+    //  merge 2: (lo,w)=5                                  → (lo,w), n=5
+    //  merge 3: tie at 2 between (e,r) and (low,e) → 'e'<'low' → (e,r)
+    //  merge 4: (low,er)=2
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val m = graft.text.Vocab.bpeLearnMerges(docs, nMerges = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m === Seq((1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "e", "r", 2L), (4, "low", "er", 2L)))
+  }
+
+  test("BPE merge application is greedy left-to-right: 'a a a' fuses once under (a,a)") {
+    // ' a a a ' under merge (a,a): the literal replace consumes the
+    // middle token — ' aa a ', exactly greedy BPE. The next round can
+    // then learn (aa,a). Also pins the tie-break and exhaustion path.
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = graft.text.Vocab.bpeLearnMerges(docs, nMerges = 5)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // start: ' a a a ' ×2 → (a,a)=4 → merge1 (a,a,4); then ' aa a ' ×2
+    // → (aa,a)=2 → merge2 (aa,a,2); then ' aaa ' has no pairs → the
+    // loop exhausts at 2 merges despite nMerges=5
+    assert(m === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
 }
