@@ -1210,7 +1210,41 @@ object ScaleOps {
             FROM s)
       SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neg_id, round(cs, 6) AS cos_r,
              TRUE AS adc_recall_ok
-      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ---- dominant principal component by integer power iteration
+    //      (embedding anisotropy/drift diagnostic): 3 covariance-free
+    //      iterations over the centered integer-micros corpus, L∞
+    //      normalization (no sqrt — stays in the rationals), DECIMAL
+    //      accumulation for the N-growing sums. The oracle replays the
+    //      quantization, half-up mean, both per-iteration products, and
+    //      the floored normalization exactly — see
+    //      Similarity.topPrincipalComponent for the 100 TB shape
+    //      (d-sized state, one d-group shuffle per iteration).
+    ("q130_top_pc", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.topPrincipalComponent(
+          Tables(s, dir).embeddings, dim = 64, iters = 3)
+        .orderBy(col("j"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vmt AS (SELECT vec_id, list_transform(v,
+                x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS vm FROM e),
+      mus AS (SELECT r.j AS j, SUM(vm[r.j]) AS sj, COUNT(*) AS n
+              FROM vmt, range(1, 65) r(j) GROUP BY r.j),
+      mur AS (SELECT j, CASE WHEN sj >= 0 THEN (2*sj + n) // (2*n)
+                             ELSE -((2*(-sj) + n) // (2*n)) END AS mu FROM mus),
+      mul AS (SELECT list(mu ORDER BY j) AS mu FROM mur),
+      cmt AS (SELECT vec_id AS rid,
+                list_transform(range(1, 65), j -> vm[j] - mu[j]) AS cm
+              FROM vmt, mul),
+      x0 AS (SELECT list_transform(range(1, 65),
+               j -> CAST(CASE WHEN j = 1 THEN 1000000 ELSE 0 END AS BIGINT)) AS xm),
+      ${graft.text.Similarity.powerIterSql(1, 64)},
+      ${graft.text.Similarity.powerIterSql(2, 64)},
+      ${graft.text.Similarity.powerIterSql(3, 64)}
+      SELECT r.j AS j, x.xm[r.j] AS pc_m, x.xm[r.j] / 1000000.0 AS pc_r
+      FROM x3 x, range(1, 65) r(j)
+      ORDER BY j"""))
   )
 
   /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.

@@ -771,4 +771,107 @@ object Similarity {
           round(mseMicros.cast("double") / 1000000.0 / lit(dim.toDouble), 6)).as("mse"),
         col("quantizable"))
   }
+
+  /** Half-up integer division away from zero on LONG/DECIMAL columns —
+    * the [[microsMean]] magnitude formula kept in integer space (no
+    * final /1e6), used where the mean itself must stay an exact integer
+    * micros value. `div` is Spark's IntegralDivide — exact, unlike a
+    * float divide + floor whose rounding can cross an integer boundary.
+    */
+  private[graft] def halfUpDivMicros(s: Column, n: Column): Column = {
+    val mag = call_function("div", abs(s) * 2 + n, n * 2)
+    when(s >= 0, mag).otherwise(-mag)
+  }
+
+  /** Dominant principal component of the embedding corpus by POWER
+    * ITERATION in exact integer arithmetic — the embedding-health
+    * diagnostic (anisotropy/drift direction) a curation pipeline tracks
+    * per snapshot, and the classic covariance-free scale algorithm: the
+    * d×d covariance never materializes; each iteration is two corpus
+    * passes with d-sized state.
+    *
+    * Arithmetic discipline (the PageRank/micros playbook, applied to
+    * linear algebra):
+    *  - vectors quantize ONCE to integer micros (`floor(v·1e6 + 0.5)` —
+    *    exact IEEE both engines);
+    *  - the per-dimension mean is a half-up integer division
+    *    ([[halfUpDivMicros]]), so centered vectors are exact integers;
+    *  - iteration k: srow = ⟨cm, x⟩ per row (longs — |cm|·|x|·d ≲ 1e15),
+    *    y_j = Σ_rows cm_j·srow accumulated in DECIMAL(38,0) (exact,
+    *    order-independent; magnitude grows with N, so decimal, not
+    *    long — headroom to ~1e38 rows·micros³);
+    *  - NORMALIZATION IS L∞, NOT L2: x'_j = sign(y_j)·(|y_j|·1e6 div
+    *    max|y|) — a sqrt would leave the rationals and the two engines
+    *    could round differently; the L∞-normalized iterate converges to
+    *    the same dominant eigendirection.
+    * Every step is replayed exactly by the DuckDB oracle (unrolled per
+    * iteration).
+    *
+    * Scale shape: one Stage.mat'd pass builds the centered integer
+    * corpus; per iteration one zip_with/aggregate projection (no
+    * shuffle) + one d-group map-side-combined aggregate (the only
+    * shuffle, d rows out) + a one-row max. x rides as a broadcast
+    * 1-row array. Driver state: none beyond the d-length iterate.
+    *
+    * Returns (j, pc_m, pc_r): 1-based dimension index, the L∞-unit
+    * eigendirection in integer micros, and its double rendering.
+    */
+  def topPrincipalComponent(embeddings: DataFrame, dim: Int, iters: Int = 3,
+                            vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vm = graft.Stage.mat(embeddings
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .select(transform(col("v"),
+        x => floor(x * lit(1.0e6) + lit(0.5)).cast("long")).as("vm")))
+    val mu = vm.agg(
+        array((0 until dim).map(j => sum(element_at(col("vm"), j + 1))): _*).as("s"),
+        count(lit(1)).as("n"))
+      .select(transform(col("s"), s => halfUpDivMicros(s, col("n"))).as("mu"))
+    val cvm = graft.Stage.mat(vm.crossJoin(broadcast(mu))
+      .select(zip_with(col("vm"), col("mu"), (a, b) => a - b).as("cm")))
+    var x = spark.range(1).select(
+      array((0 until dim).map(j => lit(if (j == 0) 1000000L else 0L)): _*).as("xm"))
+    for (_ <- 1 to iters) {
+      val y = cvm.crossJoin(broadcast(x))
+        .select(col("cm"),
+          aggregate(zip_with(col("cm"), col("xm"), (a, b) => a * b),
+            lit(0L), (acc, t) => acc + t).as("srow"))
+        .select(col("srow"), posexplode(col("cm")).as(Seq("j", "cmj")))
+        .select(col("j"), (col("cmj").cast(D) * col("srow")).as("t"))
+        .groupBy(col("j")).agg(sum(col("t")).as("yj"))
+      val m = y.agg(greatest(max(abs(col("yj"))), lit(1).cast(D)).as("m"))
+      x = graft.Stage.mat(y.crossJoin(broadcast(m))
+        .select(col("j"),
+          when(col("yj") >= 0,
+            call_function("div", abs(col("yj")) * 1000000, col("m")))
+            .otherwise(-call_function("div", abs(col("yj")) * 1000000, col("m")))
+            .cast("long").as("xj"))
+        .agg(array_sort(collect_list(struct(col("j"), col("xj")))).as("p"))
+        .select(transform(col("p"), e => e.getField("xj")).as("xm")))
+    }
+    x.select(posexplode(col("xm")).as(Seq("j0", "pc_m")))
+      .select((col("j0") + 1).cast("long").as("j"), col("pc_m"),
+        (col("pc_m").cast("double") / lit(1000000.0)).as("pc_r"))
+  }
+
+  /** One unrolled power-iteration round for the DuckDB oracle —
+    * token-for-token the [[topPrincipalComponent]] arithmetic (srow in
+    * BIGINT, y in HUGEINT, L∞ half-free normalization with the same
+    * `//` floor on magnitudes).
+    */
+  def powerIterSql(i: Int, dim: Int): String = {
+    val prev = s"x${i - 1}"
+    s"""s$i AS (SELECT c.rid, SUM(c.cm[r.j] * x.xm[r.j]) AS srow
+              FROM cmt c, range(1, ${dim + 1}) r(j), $prev x
+              GROUP BY c.rid),
+      y$i AS (SELECT r.j AS j, SUM(CAST(c.cm[r.j] AS HUGEINT) * s.srow) AS yj
+              FROM cmt c JOIN s$i s USING (rid), range(1, ${dim + 1}) r(j)
+              GROUP BY r.j),
+      m$i AS (SELECT GREATEST(MAX(ABS(yj)), 1) AS m FROM y$i),
+      x$i AS (SELECT list(CAST(CASE WHEN yj >= 0 THEN (ABS(yj) * 1000000) // m
+                               ELSE -((ABS(yj) * 1000000) // m) END AS BIGINT)
+                          ORDER BY j) AS xm
+              FROM y$i, m$i)"""
+  }
 }

@@ -251,4 +251,42 @@ class SimilaritySpec extends SparkSpec {
     // non-tie sanity: plain mean of exact micros
     assert(meanOf(Seq(0.000001, 0.000002, 0.000003)) === 0.000002)
   }
+
+  test("power iteration recovers the dominant direction, L∞-unit, deterministic") {
+    // variance lives on axis 1 (values ±2, ±1 around mean 0), axis 2
+    // carries only a constant offset (no variance after centering) —
+    // the dominant eigendirection is e1, so the L∞-unit iterate must be
+    // (±1e6, 0). Start x0 = e1 keeps the positive sign.
+    val docs = Seq(
+      (1L, Seq(2.0f, 5.0f)), (2L, Seq(-2.0f, 5.0f)),
+      (3L, Seq(1.0f, 5.0f)), (4L, Seq(-1.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(docs, dim = 2, iters = 3)
+      .orderBy("j").as[(Long, Long, Double)].collect().toSeq
+    assert(pc === Seq((1L, 1000000L, 1.0), (2L, 0L, 0.0)))
+    val pc2 = Similarity.topPrincipalComponent(docs, dim = 2, iters = 3)
+      .orderBy("j").as[(Long, Long, Double)].collect().toSeq
+    assert(pc === pc2)
+  }
+
+  test("power iteration rotates toward the dominant direction from an off-axis start") {
+    // dominant eigendirection (1,1) (points ±(10,10)) with a tiny
+    // orthogonal (1,-1) component: eigenvalue ratio ~10⁴ per round, so
+    // from the e1 start the iterate must rotate to the diagonal — both
+    // components L∞-near-unit with the SAME sign — within 3 rounds.
+    // (A diagonal-covariance fixture cannot test this: e1 would already
+    // be an exact eigenvector and the iterate would sit still.)
+    val docs = Seq(
+      (1L, Seq(10.0f, 10.0f)), (2L, Seq(-10.0f, -10.0f)),
+      (3L, Seq(0.1f, -0.1f)), (4L, Seq(-0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(docs, dim = 2, iters = 3)
+      .orderBy("j").as[(Long, Long, Double)].collect().toSeq
+    val byJ = pc.map(p => p._1 -> p._2).toMap
+    assert(math.abs(byJ(1L)).max(math.abs(byJ(2L))) === 1000000L,
+      s"L∞ unit: $pc")
+    assert(math.abs(byJ(1L)) > 999000L && math.abs(byJ(2L)) > 999000L,
+      s"iterate must rotate onto the diagonal: $pc")
+    assert(byJ(1L).sign === byJ(2L).sign, s"same-sign diagonal: $pc")
+  }
 }
