@@ -112,6 +112,30 @@ class NullToleranceSpec extends SparkSpec {
     assert(kept === 3L)
   }
 
+  test("round-7 operators tolerate null rows: BPE learning, power iteration, directed PageRank") {
+    // null text contributes no words — merges must match the corpus
+    // without the null row, not throw
+    val docs = Seq((1L, Option("low low low")), (2L, Option("lower lower")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val m = graft.text.Vocab.bpeLearnMerges(docs, nMerges = 2)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(m === Seq((1, "l", "o", 5L), (2, "lo", "w", 5L)))
+    // null embedding rows drop out of every aggregate (no crash, same
+    // direction as the clean corpus)
+    val emb = Seq((1L, Option(Seq(2.0f, 0.0f))), (2L, Option(Seq(-2.0f, 0.0f))),
+      (3L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val pc = graft.text.Similarity.topPrincipalComponent(emb, dim = 2, iters = 2)
+      .orderBy("j").as[(Long, Long, Double)].collect().toSeq
+    assert(pc === Seq((1L, 1000000L, 1.0), (2L, 0L, 0.0)))
+    // null src/dst edges form their own node like any other key — the
+    // rank table stays total and finite (no crash, mass conserved)
+    val edges = Seq((Option("a"), Option("b")), (Option.empty[String], Option("a")))
+      .toDF("src", "dst")
+    val pr = graft.analytics.GraphOps.pageRankDirectedMicros(edges, iters = 2)
+      .select("rank_m").as[Long].collect()
+    assert(pr.length === 3 && pr.forall(_ >= 0L))
+  }
+
   test("vote with null weight lands in downvotes (<=0 branch is null-safe)") {
     val v = Seq(("alice", "bob", "p", Option.empty[Int]))
       .toDF("voter", "author", "permlink", "weight")
