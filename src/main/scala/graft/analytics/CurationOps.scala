@@ -659,6 +659,46 @@ object CurationOps {
         .orderBy(col("merge_rank"))
     }, Some(graft.text.Vocab.bpeLearnSql(6))),
 
+    // ---- source-concentration report (Gini + HHI over the per-source
+    //      doc distribution): the diagnostic that catches a crawl
+    //      collapsing onto few domains before it skews training. Exact
+    //      integer arithmetic: Gini via the rank identity
+    //      Σ(2i−n−1)c_i = 2Σi·c_i − (n+1)T computed in DECIMAL(38,0)
+    //      (both Σ terms grow with corpus²), HHI as Σc²·1e6 div T²;
+    //      floor division on provably-nonneg numerators is identical in
+    //      both engines. The rank window is global but runs on the
+    //      SOURCE-count table — domain-cardinality-sized, never the
+    //      corpus (the quality-deciles justification); Gini is
+    //      invariant to rank order within tied counts, so the
+    //      (count, source) tie-break is for determinism only.
+    ("q131_source_concentration", (s: SparkSession, dir: String) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val c = Tables(s, dir).documents
+        .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").asc, col("source").asc)
+      val agg = c.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("t"),
+          sum(col("i").cast(D) * col("c")).as("a"),
+          sum(col("c").cast(D) * col("c")).as("sq"))
+      agg.select(col("n").as("n_sources"),
+        call_function("div",
+          (lit(2).cast(D) * col("a") - (col("n").cast(D) + 1) * col("t")) * 1000000,
+          col("n").cast(D) * col("t")).as("gini_m"),
+        call_function("div", col("sq") * 1000000,
+          col("t").cast(D) * col("t")).as("hhi_m"))
+    }, Some("""
+      WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+      r AS (SELECT c, source, row_number() OVER (ORDER BY c, source) AS i FROM c),
+      a AS (SELECT count(*) AS n, SUM(c) AS t,
+                   SUM(CAST(i AS HUGEINT) * c) AS a,
+                   SUM(CAST(c AS HUGEINT) * c) AS sq FROM r)
+      SELECT CAST(n AS BIGINT) AS n_sources,
+             CAST((2*a - (CAST(n AS HUGEINT) + 1) * t) * 1000000
+                  // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_m,
+             CAST(sq * 1000000 // (CAST(t AS HUGEINT) * t) AS BIGINT) AS hhi_m
+      FROM a""")),
+
     // ---- vocabulary build + per-doc OOV rate: top-1000 corpus words as
     //      the vocab (count desc, word — deterministic cut), then each
     //      document's out-of-vocabulary token share against it. Docs

@@ -440,4 +440,41 @@ class CurationSpec extends SparkSpec {
     // loop exhausts at 2 merges despite nMerges=5
     assert(m === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
+
+  test("source concentration: hand-computed Gini/HHI micros on a 3-source corpus") {
+    // counts [1,1,2]: n=3, T=4, A = Σi·c = 1+2+6 = 9,
+    // gini = (2·9 − 4·4)·1e6 div 12 = 2e6 div 12 = 166666
+    // hhi  = (1+1+4)·1e6 div 16 = 375000
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"), (4L, "s3"))
+      .toDF("doc_id", "source")
+    // the q131 plan, inline on the fixture (the declared query reads the
+    // parquet table; the arithmetic under test is identical)
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").asc, col("source").asc)
+    val r = c.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("t"),
+        sum(col("i").cast(D) * col("c")).as("a"),
+        sum(col("c").cast(D) * col("c")).as("sq"))
+      .select(col("n"),
+        call_function("div",
+          (lit(2).cast(D) * col("a") - (col("n").cast(D) + 1) * col("t")) * 1000000,
+          col("n").cast(D) * col("t")).as("gini_m"),
+        call_function("div", col("sq") * 1000000,
+          col("t").cast(D) * col("t")).as("hhi_m"))
+      .as[(Long, Long, Long)].head()
+    assert(r === ((3L, 166666L, 375000L)))
+    // uniform distribution → gini 0; single source → hhi 1e6
+    val uni = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "source")
+    val cu = uni.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val ru = cu.withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").asc, col("source").asc)))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("t"),
+        sum(col("i").cast(D) * col("c")).as("a"))
+      .select(call_function("div",
+        (lit(2).cast(D) * col("a") - (col("n").cast(D) + 1) * col("t")) * 1000000,
+        col("n").cast(D) * col("t")).as("g"))
+      .as[Long].head()
+    assert(ru === 0L)
+  }
 }
