@@ -132,6 +132,61 @@ object GraphOps {
       (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
   }
 
+  /** TrustRank / personalized PageRank (Gyöngyi et al. 2004) — the
+    * seed-biased variant of [[pageRankDirectedMicros]] and the standard
+    * corpus-curation technique it exists for: seed a small trusted set,
+    * propagate trust over the link/interaction graph, and use the
+    * converged score to rank or filter the rest. Differences from the
+    * uniform variant, both in exact integer micros:
+    *  - the teleport base goes ONLY to seeds: `(100−damp)·1e6 div
+    *    (100·|S|)` per seed, 0 elsewhere;
+    *  - dangling mass redistributes to the SEEDS, not all nodes
+    *    (`dang div |S|` added inside the damped term for seed nodes);
+    *  - the start vector is `1e6 div |S|` on seeds, 0 elsewhere.
+    * Plan shape is identical to the directed variant (one contribution
+    * join + agg, one one-row dangling aggregate, per-iteration
+    * Stage.mat); the seed set rides as a broadcast membership flag.
+    * `seeds` must be a DataFrame with a `node` column, a subset of the
+    * graph's nodes, deduplicated.
+    */
+  def trustRankMicros(edges: DataFrame, seeds: DataFrame,
+                      iters: Int = 3, damp: Int = 85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = graft.Stage.mat(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val deg = graft.Stage.mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val ew = graft.Stage.mat(e.join(deg, Seq("src")))
+    val sd = graft.Stage.mat(seeds.select(col("node")).distinct())
+    val ns = sd.count() // seed count — driver scalar, index-sized
+    if (ns == 0)
+      return e.select(col("src").as("node"), lit(0L).as("rank_m"), lit(0.0).as("rank_r"))
+        .limit(0)
+    val base = (100L - damp) * 1000000L / (100L * ns)
+    val degNodes = deg.select(col("src").as("node"))
+    val flagged = graft.Stage.mat(nodes.join(
+        sd.select(col("node"), lit(true).as("is_seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed")))
+    var ranks = flagged.select(col("node"),
+      when(col("is_seed"), lit(1000000L / ns)).otherwise(lit(0L)).as("rank_m"))
+    for (_ <- 1 to iters) {
+      val r = graft.Stage.mat(ranks)
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst"), expr("rank_m div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), col("s"))
+      val dang = r.join(degNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank_m")), lit(0L)).as("dang_m"))
+      ranks = flagged.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($damp * (coalesce(s, 0L) + " +
+              s"(case when is_seed then dang_m div ${ns}L else 0L end))) div 100")).as("rank_m"))
+    }
+    ranks.select(col("node"), col("rank_m"),
+      (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
+  }
+
   /** The declared interaction graph: user↔item edges from the event
     * stream (item = the `props.k` entity, the q21 extraction), distinct
     * then mirrored.
@@ -170,7 +225,71 @@ object GraphOps {
               CROSS JOIN d$i CROSS JOIN p)"""
   }
 
+  /** One unrolled TrustRank iteration for the DuckDB oracle — the
+    * [[trustRankMicros]] update with seed-gated base and dangling terms.
+    */
+  private def trIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""d$i AS (SELECT COALESCE(SUM(r.rank_m), 0) AS dang
+              FROM $prev r LEFT JOIN deg ON r.node = deg.src
+              WHERE deg.src IS NULL),
+      s$i AS (SELECT ew.dst AS node, SUM(r.rank_m // ew.outdeg) AS s
+              FROM ew JOIN $prev r ON ew.src = r.node GROUP BY ew.dst),
+      r$i AS (SELECT fn.node,
+                CAST(CASE WHEN fn.is_seed THEN (15 * 1000000) // (100 * ns.k) ELSE 0 END
+                     + (85 * (COALESCE(s$i.s, 0)
+                        + CASE WHEN fn.is_seed THEN d$i.dang // ns.k ELSE 0 END)) // 100
+                     AS BIGINT) AS rank_m
+              FROM fn LEFT JOIN s$i ON fn.node = s$i.node
+              CROSS JOIN d$i CROSS JOIN ns)"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- TrustRank over the directed user→item action graph: seeds =
+    //      the 5 most-active users (count desc, id — a deterministic,
+    //      oracle-replayable selection standing in for an editorial
+    //      trust list), teleport and dangling mass confined to the
+    //      seeds, 3 iterations. Items accumulate trust only via edges
+    //      from trusted-mass users — the corpus-curation propagation
+    //      TrustRank exists for. Same integer-micros discipline and
+    //      plan shape as q127; the oracle unrolls seed selection and
+    //      all three seed-gated iterations.
+    ("q132_trustrank", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+      val inter = ev
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("i:"),
+            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+              .cast("string")).as("dst"))
+        .distinct()
+      val seeds = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("user_id")).limit(5)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("node"))
+      trustRankMicros(inter, seeds, iters = 3)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS src,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS dst
+        FROM events WHERE user_id IS NOT NULL),
+      nodes AS (SELECT src AS node FROM inter UNION SELECT dst FROM inter),
+      deg AS (SELECT src, count(*) AS outdeg FROM inter GROUP BY src),
+      ew AS (SELECT inter.src, inter.dst, deg.outdeg FROM inter JOIN deg USING (src)),
+      seeds AS (SELECT concat('u:', CAST(user_id AS VARCHAR)) AS node
+                FROM (SELECT user_id, count(*) AS c FROM events
+                      WHERE user_id IS NOT NULL
+                      GROUP BY user_id ORDER BY c DESC, user_id LIMIT 5)),
+      ns AS (SELECT count(*) AS k FROM seeds),
+      fn AS (SELECT nodes.node, (s.node IS NOT NULL) AS is_seed
+             FROM nodes LEFT JOIN seeds s ON nodes.node = s.node),
+      r0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1000000 // k AS BIGINT)
+                           ELSE 0 END AS rank_m FROM fn, ns),
+      ${trIterSql(1)},
+      ${trIterSql(2)},
+      ${trIterSql(3)}
+      SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
+      FROM r3 ORDER BY node""")),
 
     // ---- directed PageRank with dangling-mass redistribution over the
     //      user→item action graph (no mirroring: items never act, so

@@ -84,6 +84,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.count() === 0L)
   }
 
+  test("TrustRank on the chain a->b->c with seed {a} matches hand-computed micros") {
+    // |S|=1, base = 15e6/100 = 150000; start a=1e6, b=c=0; c dangling.
+    // iter1: dang=0;      a: 150000,                b: 85%*1e6   = 850000, c: 0
+    // iter2: dang=0;      a: 150000,                b: 85%*150000=127500,  c: 85%*850000=722500
+    // iter3: dang=722500 (seed-gated, a only):
+    //   a: 150000 + (85*722500) div 100 = 150000 + 614125 = 764125
+    //   b: (85*150000) div 100 = 127500
+    //   c: (85*127500) div 100 = 108375
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = GraphOps.trustRankMicros(chain, seeds, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 764125L, "b" -> 127500L, "c" -> 108375L))
+    // non-seed-reachable-only nodes hold zero trust: seed {c} on the
+    // same chain gives c (sink) all mass, a/b none flows back
+    val r2 = GraphOps.trustRankMicros(chain, Seq("c").toDF("node"), iters = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2("a") === 0L && r2("b") === 0L)
+    // empty seed set: empty result, not a division by zero
+    assert(GraphOps.trustRankMicros(chain, seeds.limit(0), iters = 2).count() === 0L)
+  }
+
   test("bidirected edge list: directed variant agrees with pageRankMicros (no dangling nodes)") {
     val r1 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
     val r2 = GraphOps.pageRankDirectedMicros(star, iters = 3).orderBy("node").collect().toSeq
