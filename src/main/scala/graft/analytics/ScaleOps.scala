@@ -1244,7 +1244,57 @@ object ScaleOps {
       ${graft.text.Similarity.powerIterSql(3, 64)}
       SELECT r.j AS j, x.xm[r.j] AS pc_m, x.xm[r.j] / 1000000.0 AS pc_r
       FROM x3 x, range(1, 65) r(j)
-      ORDER BY j"""))
+      ORDER BY j""")),
+
+    // ---- top-2 principal components via integer deflation (the q130
+    //      loop, then each centered vector sheds its PC1 projection by
+    //      a truncate-toward-zero integer division, then the same loop
+    //      on the deflated corpus). The oracle namespaces a second
+    //      unrolled iteration block (b-prefix) over the deflated CTE
+    //      and replays the deflation division sign-split exactly.
+    ("q133_top2_pc", (s: SparkSession, dir: String) => {
+      graft.text.Similarity.topTwoPrincipalComponents(
+          Tables(s, dir).embeddings, dim = 64, iters = 3)
+        .orderBy(col("comp"), col("j"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      vmt AS (SELECT vec_id, list_transform(v,
+                x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS vm FROM e),
+      mus AS (SELECT r.j AS j, SUM(vm[r.j]) AS sj, COUNT(*) AS n
+              FROM vmt, range(1, 65) r(j) GROUP BY r.j),
+      mur AS (SELECT j, CASE WHEN sj >= 0 THEN (2*sj + n) // (2*n)
+                             ELSE -((2*(-sj) + n) // (2*n)) END AS mu FROM mus),
+      mul AS (SELECT list(mu ORDER BY j) AS mu FROM mur),
+      cmt AS MATERIALIZED (SELECT vec_id AS rid,
+                list_transform(range(1, 65), j -> vm[j] - mu[j]) AS cm
+              FROM vmt, mul),
+      x0 AS (SELECT list_transform(range(1, 65),
+               j -> CAST(CASE WHEN j = 1 THEN 1000000 ELSE 0 END AS BIGINT)) AS xm),
+      ${graft.text.Similarity.powerIterSql(1, 64)},
+      ${graft.text.Similarity.powerIterSql(2, 64)},
+      ${graft.text.Similarity.powerIterSql(3, 64)},
+      xx AS MATERIALIZED (SELECT SUM(x.xm[r.j] * x.xm[r.j]) AS xx
+             FROM x3 x, range(1, 65) r(j)),
+      sd AS MATERIALIZED (SELECT c.rid, SUM(c.cm[r.j] * x.xm[r.j]) AS srow
+             FROM cmt c, range(1, 65) r(j), x3 x GROUP BY c.rid),
+      cm2 AS MATERIALIZED (SELECT c.rid, list_transform(range(1, 65), j ->
+                CAST(c.cm[j] - (CASE WHEN CAST(s.srow AS HUGEINT) * x.xm[j] >= 0
+                          THEN (CAST(s.srow AS HUGEINT) * x.xm[j]) // xx.xx
+                          ELSE -((-(CAST(s.srow AS HUGEINT) * x.xm[j])) // xx.xx)
+                          END) AS BIGINT)) AS cm
+              FROM cmt c JOIN sd s USING (rid), x3 x, xx),
+      bx0 AS (SELECT list_transform(range(1, 65),
+                j -> CAST(CASE WHEN j = 1 THEN 1000000 ELSE 0 END AS BIGINT)) AS xm),
+      ${graft.text.Similarity.powerIterSql(1, 64, "cm2", "b")},
+      ${graft.text.Similarity.powerIterSql(2, 64, "cm2", "b")},
+      ${graft.text.Similarity.powerIterSql(3, 64, "cm2", "b")}
+      SELECT comp, j, pc_m, pc_r FROM (
+        SELECT CAST(1 AS BIGINT) AS comp, r.j AS j, x.xm[r.j] AS pc_m,
+               x.xm[r.j] / 1000000.0 AS pc_r FROM x3 x, range(1, 65) r(j)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), r.j, y.xm[r.j],
+               y.xm[r.j] / 1000000.0 FROM bx3 y, range(1, 65) r(j))
+      ORDER BY comp, j"""))
   )
 
   /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.

@@ -817,9 +817,47 @@ object Similarity {
     * eigendirection in integer micros, and its double rendering.
     */
   def topPrincipalComponent(embeddings: DataFrame, dim: Int, iters: Int = 3,
-                            vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
+                            vecCol: String = "embedding"): DataFrame =
+    renderPc(powerIterate(centeredMicros(embeddings, dim, vecCol), dim, iters))
+
+  /** Top TWO principal components via DEFLATION: after PC1 converges,
+    * each centered vector sheds its PC1 projection —
+    * `cm2_j = cm_j − (⟨cm, x⟩·x_j) div ⟨x, x⟩`, a truncate-toward-zero
+    * integer division mirrored exactly in the oracle — and the same
+    * power iteration runs on the deflated corpus. The integer floor
+    * leaves ≤ 1 micro of residual PC1 component per element, so the
+    * deflated iterate converges to PC2 whenever λ1/λ2 is not astronomical
+    * (any real embedding corpus); the oracle replays whatever the
+    * arithmetic produces either way. Output (comp, j, pc_m, pc_r).
+    */
+  def topTwoPrincipalComponents(embeddings: DataFrame, dim: Int, iters: Int = 3,
+                                vecCol: String = "embedding"): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cvm = centeredMicros(embeddings, dim, vecCol)
+    val x1 = powerIterate(cvm, dim, iters)
+    val xx = x1.select(aggregate(zip_with(col("xm"), col("xm"), (a, b) => a * b),
+      lit(0L), (acc, t) => acc + t).as("xx"))
+    def truncDiv(p: Column, q: Column): Column = {
+      val mag = call_function("div", abs(p), q)
+      when(p >= 0, mag).otherwise(-mag)
+    }
+    val cvm2 = graft.Stage.mat(cvm.crossJoin(broadcast(x1))
+      .select(col("cm"),
+        aggregate(zip_with(col("cm"), col("xm"), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t).as("srow"), col("xm"))
+      .crossJoin(broadcast(xx))
+      .select(zip_with(col("cm"), col("xm"),
+        (c, xj) => c - truncDiv(xj.cast(D) * col("srow"), col("xx")).cast("long"))
+        .as("cm")))
+    val x2 = powerIterate(cvm2, dim, iters)
+    renderPc(x1).select(lit(1L).as("comp"), col("j"), col("pc_m"), col("pc_r"))
+      .union(renderPc(x2).select(lit(2L).as("comp"), col("j"), col("pc_m"), col("pc_r")))
+  }
+
+  /** The centered integer-micros corpus (see [[topPrincipalComponent]]
+    * arithmetic notes): one Stage.mat'd pass, exact both engines.
+    */
+  private def centeredMicros(embeddings: DataFrame, dim: Int, vecCol: String): DataFrame = {
     val vm = graft.Stage.mat(embeddings
       .select(col(vecCol).cast("array<double>").as("v"))
       .select(transform(col("v"),
@@ -828,8 +866,17 @@ object Similarity {
         array((0 until dim).map(j => sum(element_at(col("vm"), j + 1))): _*).as("s"),
         count(lit(1)).as("n"))
       .select(transform(col("s"), s => halfUpDivMicros(s, col("n"))).as("mu"))
-    val cvm = graft.Stage.mat(vm.crossJoin(broadcast(mu))
+    graft.Stage.mat(vm.crossJoin(broadcast(mu))
       .select(zip_with(col("vm"), col("mu"), (a, b) => a - b).as("cm")))
+  }
+
+  /** `iters` L∞-normalized power-iteration rounds over a centered
+    * integer corpus (column `cm`), starting from e1. Returns the 1-row
+    * iterate (column `xm`, long micros array).
+    */
+  private def powerIterate(cvm: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = cvm.sparkSession
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
     var x = spark.range(1).select(
       array((0 until dim).map(j => lit(if (j == 0) 1000000L else 0L)): _*).as("xm"))
     for (_ <- 1 to iters) {
@@ -850,28 +897,32 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("j"), col("xj")))).as("p"))
         .select(transform(col("p"), e => e.getField("xj")).as("xm")))
     }
+    x
+  }
+
+  private def renderPc(x: DataFrame): DataFrame =
     x.select(posexplode(col("xm")).as(Seq("j0", "pc_m")))
       .select((col("j0") + 1).cast("long").as("j"), col("pc_m"),
         (col("pc_m").cast("double") / lit(1000000.0)).as("pc_r"))
-  }
 
   /** One unrolled power-iteration round for the DuckDB oracle —
     * token-for-token the [[topPrincipalComponent]] arithmetic (srow in
     * BIGINT, y in HUGEINT, L∞ half-free normalization with the same
-    * `//` floor on magnitudes).
+    * `//` floor on magnitudes). `src` is the centered-corpus CTE name,
+    * `pfx` namespaces the per-iteration CTEs (PC2 reuse).
     */
-  def powerIterSql(i: Int, dim: Int): String = {
-    val prev = s"x${i - 1}"
-    s"""s$i AS (SELECT c.rid, SUM(c.cm[r.j] * x.xm[r.j]) AS srow
-              FROM cmt c, range(1, ${dim + 1}) r(j), $prev x
+  def powerIterSql(i: Int, dim: Int, src: String = "cmt", pfx: String = ""): String = {
+    val prev = if (i == 1) s"${pfx}x0" else s"${pfx}x${i - 1}"
+    s"""${pfx}s$i AS (SELECT c.rid, SUM(c.cm[r.j] * x.xm[r.j]) AS srow
+              FROM $src c, range(1, ${dim + 1}) r(j), $prev x
               GROUP BY c.rid),
-      y$i AS (SELECT r.j AS j, SUM(CAST(c.cm[r.j] AS HUGEINT) * s.srow) AS yj
-              FROM cmt c JOIN s$i s USING (rid), range(1, ${dim + 1}) r(j)
+      ${pfx}y$i AS (SELECT r.j AS j, SUM(CAST(c.cm[r.j] AS HUGEINT) * s.srow) AS yj
+              FROM $src c JOIN ${pfx}s$i s USING (rid), range(1, ${dim + 1}) r(j)
               GROUP BY r.j),
-      m$i AS (SELECT GREATEST(MAX(ABS(yj)), 1) AS m FROM y$i),
-      x$i AS (SELECT list(CAST(CASE WHEN yj >= 0 THEN (ABS(yj) * 1000000) // m
+      ${pfx}m$i AS (SELECT GREATEST(MAX(ABS(yj)), 1) AS m FROM ${pfx}y$i),
+      ${pfx}x$i AS (SELECT list(CAST(CASE WHEN yj >= 0 THEN (ABS(yj) * 1000000) // m
                                ELSE -((ABS(yj) * 1000000) // m) END AS BIGINT)
                           ORDER BY j) AS xm
-              FROM y$i, m$i)"""
+              FROM ${pfx}y$i, ${pfx}m$i)"""
   }
 }

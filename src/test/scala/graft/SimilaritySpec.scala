@@ -289,4 +289,23 @@ class SimilaritySpec extends SparkSpec {
       s"iterate must rotate onto the diagonal: $pc")
     assert(byJ(1L).sign === byJ(2L).sign, s"same-sign diagonal: $pc")
   }
+
+  test("deflation recovers PC2: diagonal dominant, anti-diagonal second") {
+    // PC1 = (1,1) (points ±(10,10)), PC2 = (1,−1) (points ±(1,−1)).
+    // After shedding the PC1 projection, the second power iteration
+    // must land on the anti-diagonal: both components near L∞-unit
+    // with OPPOSITE signs, orthogonal to comp 1.
+    val docs = Seq(
+      (1L, Seq(10.0f, 10.0f)), (2L, Seq(-10.0f, -10.0f)),
+      (3L, Seq(1.0f, -1.0f)), (4L, Seq(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pcs = Similarity.topTwoPrincipalComponents(docs, dim = 2, iters = 3)
+      .orderBy("comp", "j").as[(Long, Long, Long, Double)].collect().toSeq
+    val c1 = pcs.filter(_._1 == 1L).map(p => p._2 -> p._3).toMap
+    val c2 = pcs.filter(_._1 == 2L).map(p => p._2 -> p._3).toMap
+    assert(c1(1L).sign === c1(2L).sign && math.abs(c1(1L)) > 999000L &&
+      math.abs(c1(2L)) > 999000L, s"comp1 must be the diagonal: $pcs")
+    assert(c2(1L).sign === -c2(2L).sign && math.abs(c2(1L)) > 995000L &&
+      math.abs(c2(2L)) > 995000L, s"comp2 must be the anti-diagonal: $pcs")
+  }
 }
