@@ -671,6 +671,34 @@ object CurationOps {
     //      corpus (the quality-deciles justification); Gini is
     //      invariant to rank order within tied counts, so the
     //      (count, source) tie-break is for determinism only.
+    // ---- interpolated Kneser-Ney bigram table (the production
+    //      quality-LM smoothing; q65's add-1 is the baseline): exact
+    //      integer-nanos probabilities — discount, continuation
+    //      back-off, and both floored divisions replayed verbatim by
+    //      the oracle on widened integers, no logs or doubles anywhere.
+    //      Top-50 by (count desc, bigram) for a deterministic cut.
+    ("q134_kneser_ney", (s: SparkSession, dir: String) => {
+      graft.text.LangModel.kneserNeyTop(Tables(s, dir).documents, topK = 50)
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '$ws+'), x -> x <> '') AS toks
+             FROM documents),
+      bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+               i -> [toks[i], toks[i + 1]])) AS pr
+             FROM t WHERE len(toks) >= 2),
+      c2 AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      ctx AS (SELECT w1, SUM(c2) AS ctx FROM c2 GROUP BY w1),
+      n1f AS (SELECT w1, count(*) AS n1f FROM c2 GROUP BY w1),
+      n1p AS (SELECT w2, count(*) AS n1p FROM c2 GROUP BY w2),
+      nbi AS (SELECT count(*) AS nb FROM c2)
+      SELECT c2.w1, c2.w2, CAST(c2.c2 AS BIGINT) AS c2,
+             CAST((GREATEST(CAST(c2.c2 AS HUGEINT) * 1000000 - 750000, 0) * 1000) // ctx.ctx
+                  + (((CAST(750000 AS HUGEINT) * n1f.n1f * 1000) // ctx.ctx)
+                     * n1p.n1p) // nbi.nb AS BIGINT) AS p_kn_nanos
+      FROM c2 JOIN ctx USING (w1) JOIN n1f USING (w1) JOIN n1p USING (w2)
+      CROSS JOIN nbi
+      ORDER BY c2 DESC, w1, w2 LIMIT 50""")),
+
     ("q131_source_concentration", (s: SparkSession, dir: String) => {
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val c = Tables(s, dir).documents

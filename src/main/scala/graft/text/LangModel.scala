@@ -58,4 +58,59 @@ object LangModel {
         round(col("s"), 6).as("logprob"),
         round(exp(col("s") * lit(-1.0) / col("n_bigrams").cast("double")), 6).as("ppl"))
   }
+
+  /** Interpolated Kneser-Ney bigram probabilities — the smoothing the
+    * production web-corpus quality LM actually uses (CCNet-style
+    * perplexity filters train KN models; [[bigramPerplexity]]'s add-1 is
+    * the teaching baseline). Absolute discount d, continuation
+    * back-off:
+    *
+    *   P(w|v) = max(c(vw)−d, 0)/c(v·) + (d·N1+(v·)/c(v·)) · N1+(·w)/N1+(··)
+    *
+    * EXACT INTEGER NANOS end-to-end: d is micros (default 750000 =
+    * 0.75), every quotient is a floored integer division on widened
+    * (DECIMAL(38,0) / HUGEINT) products, so the probability table is
+    * engine-exact — no logs, no doubles. Each emitted probability
+    * under-counts by < 2 nanos of floor loss (two divisions); the
+    * conditional distribution's total deficit is ≤ 2·fanout nanos —
+    * defined semantics, not drift (the PageRank argument).
+    *
+    * Shape at scale: one corpus pass to per-doc bigram instances, ONE
+    * materialized (vocab²-bounded, in practice ~vocab-sized) bigram
+    * count table feeding all four statistics (context totals,
+    * continuation fan-out/fan-in, distinct-bigram total) as
+    * map-side-combined aggregates, then key-joins back — never a
+    * second corpus pass. Returns the top-`topK` bigrams by (count
+    * desc, w1, w2): (w1, w2, c2, p_kn_nanos).
+    */
+  def kneserNeyTop(docs: DataFrame, topK: Int = 50, dMicros: Long = 750000L,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val t = docs.select(col(idCol).as("doc_id"),
+      filter(TextStats.tokens(lower(col(textCol))), x => x =!= lit("")).as("toks"))
+    val inst = t.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val c2 = graft.Stage.mat(
+      inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val ctx = c2.groupBy(col("w1")).agg(sum(col("c2")).as("ctx"))
+    val n1f = c2.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val n1p = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val nbi = c2.agg(count(lit(1)).as("nb"))
+    val lam = call_function("div",
+      lit(dMicros).cast(D38) * col("n1f") * 1000, col("ctx"))
+    c2.join(ctx, Seq("w1")).join(n1f, Seq("w1")).join(n1p, Seq("w2"))
+      .crossJoin(broadcast(nbi))
+      .select(col("w1"), col("w2"), col("c2"),
+        (call_function("div",
+          greatest(col("c2").cast(D38) * 1000000 - dMicros, lit(0).cast(D38)) * 1000,
+          col("ctx")) +
+          call_function("div", lam.cast(D38) * col("n1p"), col("nb")))
+          .cast("long").as("p_kn_nanos"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -441,6 +441,29 @@ class CurationSpec extends SparkSpec {
     assert(m === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("Kneser-Ney bigram table matches hand-computed integer nanos") {
+    // corpus "a b a b a c": bigrams (a,b)=2, (b,a)=2, (a,c)=1;
+    // ctx(a)=3, ctx(b)=2; N1+(a·)=2, N1+(b·)=1; N1+(·a)=1, N1+(·b)=1,
+    // N1+(·c)=1; N1+(··)=3; d=0.75.
+    //  P(b|a) = (2−.75)/3·1e9 → (1250000*1000) div 3 = 416666666
+    //           + λ(a)=(750000*2*1000) div 3 = 500000000 → ·(1/3):
+    //             (5e8*1) div 3 = 166666666          → 583333332
+    //  P(c|a) = (250000*1000) div 3 = 83333333 + 166666666 → 249999999
+    //  P(a|b) = (1250000*1000) div 2 = 625000000
+    //           + λ(b)=(750000*1000) div 2 = 375000000 → (3.75e8) div 3
+    //             = 125000000                          → 750000000
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val p = graft.text.LangModel.kneserNeyTop(docs, topK = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(p === Seq(("a", "b", 2L, 583333332L), ("b", "a", 2L, 750000000L),
+      ("a", "c", 1L, 249999999L)))
+    // per-context mass sanity: observed P(·|a) + the unseen-(a,a)
+    // continuation share (5e8 div 3) must land within the documented
+    // floor-loss envelope of 1e9
+    val total = 583333332L + 249999999L + 166666666L
+    assert(total <= 1000000000L && total >= 1000000000L - 10L)
+  }
+
   test("source concentration: hand-computed Gini/HHI micros on a 3-source corpus") {
     // counts [1,1,2]: n=3, T=4, A = Σi·c = 1+2+6 = 9,
     // gini = (2·9 − 4·4)·1e6 div 12 = 2e6 div 12 = 166666
