@@ -659,18 +659,6 @@ object CurationOps {
         .orderBy(col("merge_rank"))
     }, Some(graft.text.Vocab.bpeLearnSql(6))),
 
-    // ---- source-concentration report (Gini + HHI over the per-source
-    //      doc distribution): the diagnostic that catches a crawl
-    //      collapsing onto few domains before it skews training. Exact
-    //      integer arithmetic: Gini via the rank identity
-    //      Σ(2i−n−1)c_i = 2Σi·c_i − (n+1)T computed in DECIMAL(38,0)
-    //      (both Σ terms grow with corpus²), HHI as Σc²·1e6 div T²;
-    //      floor division on provably-nonneg numerators is identical in
-    //      both engines. The rank window is global but runs on the
-    //      SOURCE-count table — domain-cardinality-sized, never the
-    //      corpus (the quality-deciles justification); Gini is
-    //      invariant to rank order within tied counts, so the
-    //      (count, source) tie-break is for determinism only.
     // ---- interpolated Kneser-Ney bigram table (the production
     //      quality-LM smoothing; q65's add-1 is the baseline): exact
     //      integer-nanos probabilities — discount, continuation
@@ -699,6 +687,18 @@ object CurationOps {
       CROSS JOIN nbi
       ORDER BY c2 DESC, w1, w2 LIMIT 50""")),
 
+    // ---- source-concentration report (Gini + HHI over the per-source
+    //      doc distribution): the diagnostic that catches a crawl
+    //      collapsing onto few domains before it skews training. Exact
+    //      integer arithmetic: Gini via the rank identity
+    //      Σ(2i−n−1)c_i = 2Σi·c_i − (n+1)T computed in DECIMAL(38,0)
+    //      (both Σ terms grow with corpus²), HHI as Σc²·1e6 div T²;
+    //      floor division on provably-nonneg numerators is identical in
+    //      both engines. The rank window is global but runs on the
+    //      SOURCE-count table — domain-cardinality-sized, never the
+    //      corpus (the quality-deciles justification); Gini is
+    //      invariant to rank order within tied counts, so the
+    //      (count, source) tie-break is for determinism only.
     ("q131_source_concentration", (s: SparkSession, dir: String) => {
       val D = org.apache.spark.sql.types.DecimalType(38, 0)
       val c = Tables(s, dir).documents

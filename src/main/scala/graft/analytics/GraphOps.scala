@@ -98,38 +98,14 @@ object GraphOps {
     * State is node-count-sized, the connectedComponents regime.
     */
   def pageRankDirectedMicros(edges: DataFrame, iters: Int = 3, damp: Int = 85): DataFrame = {
+    // the uniform directed variant IS TrustRank with every node seeded:
+    // base = (100−damp)·1e6 div (100·N) to all, dangling div N to all,
+    // start 1e6 div N everywhere — term for term the seed-gated update
+    // with |S| = N (r7 review: one loop, one set of fixes).
     val e = edges.select(col("src"), col("dst"))
-    val nodes = graft.Stage.mat(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    // deg is mat'd (node-count-sized) because it feeds the ew build AND
-    // every iteration's dangling anti-join — lineage-chained, each of
-    // the `iters` dangling aggregates would re-derive the raw edge
-    // input from scratch (r7 review).
-    val deg = graft.Stage.mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val ew = graft.Stage.mat(e.join(deg, Seq("src")))
-    val n = nodes.count() // node count — driver scalar, index-sized
-    if (n == 0)
-      return e.select(col("src").as("node"), lit(0L).as("rank_m"), lit(0.0).as("rank_r"))
-        .limit(0)
-    val base = (100L - damp) * 1000000L / (100L * n)
-    val degNodes = deg.select(col("src").as("node"))
-    var ranks = nodes.select(col("node"), lit(1000000L / n).as("rank_m"))
-    for (_ <- 1 to iters) {
-      val r = graft.Stage.mat(ranks)
-      val contrib = ew.join(r, ew("src") === r("node"))
-        .select(col("dst"), expr("rank_m div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"), col("s"))
-      val dang = r.join(degNodes, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank_m")), lit(0L)).as("dang_m"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($damp * (coalesce(s, 0L) + dang_m div ${n}L)) div 100")).as("rank_m"))
-    }
-    ranks.select(col("node"), col("rank_m"),
-      (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
+    val nodes =
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
+    trustRankMicros(e, nodes, iters, damp)
   }
 
   /** TrustRank / personalized PageRank (Gyöngyi et al. 2004) — the

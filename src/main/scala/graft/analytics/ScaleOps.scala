@@ -1226,7 +1226,8 @@ object ScaleOps {
           Tables(s, dir).embeddings, dim = 64, iters = 3)
         .orderBy(col("j"))
     }, Some(s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE embedding IS NOT NULL),
       vmt AS (SELECT vec_id, list_transform(v,
                 x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS vm FROM e),
       mus AS (SELECT r.j AS j, SUM(vm[r.j]) AS sj, COUNT(*) AS n
@@ -1244,6 +1245,7 @@ object ScaleOps {
       ${graft.text.Similarity.powerIterSql(3, 64)}
       SELECT r.j AS j, x.xm[r.j] AS pc_m, x.xm[r.j] / 1000000.0 AS pc_r
       FROM x3 x, range(1, 65) r(j)
+      WHERE x.xm IS NOT NULL
       ORDER BY j""")),
 
     // ---- top-2 principal components via integer deflation (the q130
@@ -1257,7 +1259,8 @@ object ScaleOps {
           Tables(s, dir).embeddings, dim = 64, iters = 3)
         .orderBy(col("comp"), col("j"))
     }, Some(s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE embedding IS NOT NULL),
       vmt AS (SELECT vec_id, list_transform(v,
                 x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS vm FROM e),
       mus AS (SELECT r.j AS j, SUM(vm[r.j]) AS sj, COUNT(*) AS n
@@ -1273,7 +1276,7 @@ object ScaleOps {
       ${graft.text.Similarity.powerIterSql(1, 64)},
       ${graft.text.Similarity.powerIterSql(2, 64)},
       ${graft.text.Similarity.powerIterSql(3, 64)},
-      xx AS MATERIALIZED (SELECT SUM(x.xm[r.j] * x.xm[r.j]) AS xx
+      xx AS MATERIALIZED (SELECT GREATEST(SUM(x.xm[r.j] * x.xm[r.j]), 1) AS xx
              FROM x3 x, range(1, 65) r(j)),
       sd AS MATERIALIZED (SELECT c.rid, SUM(c.cm[r.j] * x.xm[r.j]) AS srow
              FROM cmt c, range(1, 65) r(j), x3 x GROUP BY c.rid),
@@ -1291,9 +1294,11 @@ object ScaleOps {
       SELECT comp, j, pc_m, pc_r FROM (
         SELECT CAST(1 AS BIGINT) AS comp, r.j AS j, x.xm[r.j] AS pc_m,
                x.xm[r.j] / 1000000.0 AS pc_r FROM x3 x, range(1, 65) r(j)
+        WHERE x.xm IS NOT NULL
         UNION ALL
         SELECT CAST(2 AS BIGINT), r.j, y.xm[r.j],
-               y.xm[r.j] / 1000000.0 FROM bx3 y, range(1, 65) r(j))
+               y.xm[r.j] / 1000000.0 FROM bx3 y, range(1, 65) r(j)
+        WHERE y.xm IS NOT NULL)
       ORDER BY comp, j"""))
   )
 

@@ -835,8 +835,12 @@ object Similarity {
     val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val cvm = centeredMicros(embeddings, dim, vecCol)
     val x1 = powerIterate(cvm, dim, iters)
-    val xx = x1.select(aggregate(zip_with(col("xm"), col("xm"), (a, b) => a * b),
-      lit(0L), (acc, t) => acc + t).as("xx"))
+    // greatest(.,1): a zero-variance corpus gives an all-zero iterate
+    // and xx = 0 — Spark's div-by-zero null and DuckDB's error would
+    // diverge (the m-divisor guard, applied here too — r7 review)
+    val xx = x1.select(greatest(
+      aggregate(zip_with(col("xm"), col("xm"), (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t), lit(1L)).as("xx"))
     def truncDiv(p: Column, q: Column): Column = {
       val mag = call_function("div", abs(p), q)
       when(p >= 0, mag).otherwise(-mag)
@@ -858,7 +862,11 @@ object Similarity {
     * arithmetic notes): one Stage.mat'd pass, exact both engines.
     */
   private def centeredMicros(embeddings: DataFrame, dim: Int, vecCol: String): DataFrame = {
+    // null vectors are excluded BEFORE the mean: sum() skips them but
+    // count(lit(1)) would not, silently deflating mu and biasing every
+    // downstream component toward the mean offset (r7 review)
     val vm = graft.Stage.mat(embeddings
+      .filter(col(vecCol).isNotNull)
       .select(col(vecCol).cast("array<double>").as("v"))
       .select(transform(col("v"),
         x => floor(x * lit(1.0e6) + lit(0.5)).cast("long")).as("vm")))

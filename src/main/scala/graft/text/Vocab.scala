@@ -60,12 +60,22 @@ object Vocab {
     * feeds both the pair statistics and the next rewrite — the
     * pageRankDirectedMicros two-consumer argument.
     *
-    * Merge application semantics: tokens live space-joined with
-    * sentinel padding (` l o w `), and fusing pair (a, b) is the
-    * literal replace of ` a b ` with ` ab ` — a left-to-right,
-    * non-overlapping scan in BOTH engines, which is exactly greedy BPE
-    * ("a a a" under merge (a,a) → "aa a"). The oracle
+    * Merge application semantics: tokens live DOUBLE-space-joined with
+    * single-space sentinel padding (` l  o  w `), and fusing pair
+    * (a, b) is the literal replace of ` a  b ` with ` ab ` — each match
+    * consumes ONE space of each flanking separator and the replacement
+    * restores it, so adjacent non-overlapping occurrences both fuse
+    * ("d o d o" → "do do", the case a single-space encoding under-fuses
+    * because consecutive matches share a delimiter — r7 review), while
+    * genuinely overlapping occurrences stay greedy left-to-right
+    * ("a a a" under merge (a,a) → "aa a", exactly reference BPE). The
+    * replace scan is identical in both engines and the oracle
     * ([[bpeLearnSql]]) replays every iteration token-for-token.
+    *
+    * Parity scope: the corpus is ASCII (the q71 collation note). The
+    * char-splitting regex `(.)` excludes line separators in Java but
+    * not RE2, so a word containing U+0085/U+2028/U+2029 (impossible
+    * after the whitespace split here) would tokenize differently.
     */
   def bpeLearnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -73,7 +83,8 @@ object Vocab {
     var wc = graft.Stage.mat(
       docs.select(explode(words(col(textCol))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"),
+        .select(concat(lit(" "),
+          rtrim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("w"),
           col("cnt")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -83,7 +94,7 @@ object Vocab {
       // bpePairCounts no-CSE-in-Generate lesson)
       val t = col("toks")
       val best = wc
-        .select(col("cnt"), split(trim(col("w")), " ").as("toks"))
+        .select(col("cnt"), split(trim(col("w")), "  ").as("toks"))
         .select(col("cnt"), explode(
           when(size(t) < 2, array().cast("array<struct<a:string,b:string>>"))
             .otherwise(transform(sequence(lit(1), size(t) - 1),
@@ -99,7 +110,7 @@ object Vocab {
         // literal (not regex) replace: merge tokens are corpus strings
         wc = graft.Stage.mat(wc.select(
           call_function("replace", col("w"),
-            lit(" " + a + " " + b + " "), lit(" " + a + b + " ")).as("w"),
+            lit(" " + a + "  " + b + " "), lit(" " + a + b + " ")).as("w"),
           col("cnt")))
         rank += 1
       }
@@ -118,10 +129,10 @@ object Vocab {
       s"""p$i AS (SELECT p.pr[1] AS a, p.pr[2] AS b, SUM(p.cnt) AS c FROM (
             SELECT unnest(list_transform(range(1, len(toks)),
                      i -> [toks[i], toks[i + 1]])) AS pr, cnt
-            FROM (SELECT string_split(trim(w), ' ') AS toks, cnt FROM $prev)
+            FROM (SELECT string_split(trim(w), '  ') AS toks, cnt FROM $prev)
           ) p GROUP BY 1, 2),
         b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-        w$i AS (SELECT replace(w, ' ' || b.a || ' ' || b.b || ' ',
+        w$i AS (SELECT replace(w, ' ' || b.a || '  ' || b.b || ' ',
                                ' ' || b.a || b.b || ' ') AS w, cnt
                 FROM $prev, b$i b)"""
     }.mkString(",\n      ")
@@ -134,7 +145,8 @@ object Vocab {
           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
                    x -> x <> '')) AS w
           FROM $src) GROUP BY 1),
-      w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w, cnt FROM hist),
+      w0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS w, cnt
+             FROM hist),
       $iters
       $sel
       ORDER BY merge_rank"""

@@ -435,10 +435,22 @@ class CurationSpec extends SparkSpec {
     val m = graft.text.Vocab.bpeLearnMerges(docs, nMerges = 5)
       .orderBy("merge_rank")
       .as[(Int, String, String, Long)].collect().toSeq
-    // start: ' a a a ' ×2 → (a,a)=4 → merge1 (a,a,4); then ' aa a ' ×2
-    // → (aa,a)=2 → merge2 (aa,a,2); then ' aaa ' has no pairs → the
+    // start: ' a  a  a ' ×2 → (a,a)=4 → merge1 (a,a,4); then ' aa  a '
+    // ×2 → (aa,a)=2 → merge2 (aa,a,2); then ' aaa ' has no pairs → the
     // loop exhausts at 2 merges despite nMerges=5
     assert(m === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
+  test("BPE fuses adjacent non-overlapping occurrences: 'dodo' -> [do, do] -> dodo") {
+    // the single-space encoding regression (r7 review): ' d o d o '
+    // under merge (d,o) used to yield ' do d o ' because the first
+    // match consumed the shared delimiter; the double-space encoding
+    // must fuse both occurrences so merge 2 can learn (do,do)
+    val docs = Seq((1L, "dodo")).toDF("doc_id", "text")
+    val m = graft.text.Vocab.bpeLearnMerges(docs, nMerges = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m === Seq((1, "d", "o", 2L), (2, "do", "do", 1L)))
   }
 
   test("Kneser-Ney bigram table matches hand-computed integer nanos") {
