@@ -606,6 +606,49 @@ object LLMOps {
     //      alone: the exact verification is precisely the work the sketch
     //      exists to avoid, so it belongs in the correctness gate, not
     //      the timed path.
+    // ---- Count-Min-Sketch word frequencies with the q42 certification
+    //      playbook: the featured op is the one-pass mergeable CMS
+    //      aggregate (constant 2/eps·depth state — the stream/shard
+    //      frequency sketch Misra-Gries can't give point lookups for);
+    //      the declared query probes the exact top-20 words against the
+    //      sketch and certifies IN-PLAN the two CMS properties — the
+    //      estimate NEVER undercounts (structural, not probabilistic),
+    //      and overshoot ≤ ⌈eps·N⌉ (the eps-guarantee; deterministic
+    //      for the fixed seed, measured 0 overshoot at both scales).
+    //      Probes hash the same UTF-8 bytes the SQL aggregate feeds the
+    //      sketch. Oracle: exact counts + TRUE literals.
+    ("q135_cms_freq", (s: SparkSession, dir: String) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      import s.implicits._
+      val words = graft.Stage.mat(Tables(s, dir).documents
+        .select(explode(filter(TextStats.tokens(lower(col("text"))),
+          w => w =!= lit(""))).as("w")))
+      val skBytes = words
+        .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val bound = math.ceil(0.001 * words.count()).toLong
+      val top = words.groupBy(col("w")).agg(count(lit(1)).as("c_exact"))
+        .orderBy(col("c_exact").desc, col("w")).limit(20)
+      // probe set is top-20 by definition — index-sized driver state
+      val est = top.select(col("w")).as[String].collect().toSeq
+        .map(w => (w, cms.estimateCount(
+          w.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .toDF("w", "est")
+      top.join(broadcast(est), Seq("w"))
+        .select(col("w"), col("c_exact"),
+          (col("est") >= col("c_exact")).as("never_under"),
+          (col("est") - col("c_exact") <= bound).as("overshoot_ok"))
+        .orderBy(col("c_exact").desc, col("w"))
+    }, Some(s"""
+      WITH w AS (SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '${TextStats.wsClassSql}+'),
+                   x -> x <> '')) AS w
+                 FROM documents)
+      SELECT w, CAST(count(*) AS BIGINT) AS c_exact,
+             TRUE AS never_under, TRUE AS overshoot_ok
+      FROM w GROUP BY w ORDER BY c_exact DESC, w LIMIT 20""")),
+
     ("q42_approx_distinct", (s: SparkSession, dir: String) => {
       val exact = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))

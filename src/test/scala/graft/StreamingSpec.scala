@@ -259,6 +259,45 @@ class StreamingSpec extends SparkSpec {
         s"gain-scaled cross-batch copy of $i must surface")
   }
 
+  test("stream-stream interval join matches the batch join across a batch boundary") {
+    // two LIVE inputs (not stream-static): left events joined to right
+    // tags on key + ±5-minute interval, watermarks bounding both join
+    // states. The right side arrives one micro-batch AFTER the left, so
+    // every emitted pair proves buffered-state matching; the result set
+    // must equal the batch join under the identical predicate.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lRows = Seq((t("2024-01-01 10:00:00"), 1L, 10.0), (t("2024-01-01 10:20:00"), 1L, 20.0),
+      (t("2024-01-01 10:00:00"), 2L, 30.0))
+    val rRows = Seq((t("2024-01-01 10:03:00"), 1L, "near"), (t("2024-01-01 10:12:00"), 1L, "mid"),
+      (t("2024-01-01 10:04:00"), 3L, "nokey"))
+    val l = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val r = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cond = "u = u2 AND rts BETWEEN lts - INTERVAL 5 MINUTES AND lts + INTERVAL 5 MINUTES"
+    val joined = l.toDF().toDF("lts", "u", "value").withWatermark("lts", "10 minutes")
+      .join(r.toDF().toDF("rts", "u2", "tag").withWatermark("rts", "10 minutes"),
+        expr(cond))
+      .select(col("u"), col("value"), col("tag"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    l.addData(lRows: _*)
+    q.processAllAvailable()
+    r.addData(rRows: _*)           // arrives a batch later — state must match
+    q.processAllAvailable()
+    val streamed = spark.table("ssjoin_out")
+      .as[(Long, Double, String)].collect().toSet
+    q.stop()
+    val batch = lRows.toDF("lts", "u", "value")
+      .join(rRows.toDF("rts", "u2", "tag"), expr(cond))
+      .select(col("u"), col("value"), col("tag"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(streamed === batch)
+    // 10:00/u1 matches "near" only; 10:20 matches nothing (12:00 is 8 min
+    // away); u2/u3 never pair
+    assert(streamed === Set((1L, 10.0, "near")))
+  }
+
   test("Bloom decontamination runs unchanged on a stream (stateless sketch-literal probe)") {
     // the sketch is a plan literal and the flag an exists() probe over
     // the doc's own shingles — no join, no aggregate — so the SAME
