@@ -201,6 +201,63 @@ object GraphOps {
               CROSS JOIN d$i CROSS JOIN p)"""
   }
 
+  /** Weighted directed PageRank — the [[pageRankDirectedMicros]] update
+    * with per-edge weights: the contribution src→dst is
+    * `rank_m·w div W(src)` where `W(src) = Σ_out w`, so a user's rank
+    * splits across targets in proportion to interaction INTENSITY
+    * rather than mere adjacency (w ≡ 1 recovers the uniform variant
+    * term for term). Same integer-micros discipline; dangling and
+    * teleport handling identical to the uniform form. `rank_m·w` runs
+    * in longs — exact to w ≲ 9·10¹² at micro ranks; swap the
+    * contribution product to DECIMAL(38,0) past that (the basketLift
+    * overflow note).
+    */
+  def pageRankWeightedMicros(edges: DataFrame, iters: Int = 3, damp: Int = 85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = graft.Stage.mat(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val deg = graft.Stage.mat(e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    val ew = graft.Stage.mat(e.join(deg, Seq("src")))
+    val n = nodes.count()
+    if (n == 0)
+      return e.select(col("src").as("node"), lit(0L).as("rank_m"), lit(0.0).as("rank_r"))
+        .limit(0)
+    val base = (100L - damp) * 1000000L / (100L * n)
+    val degNodes = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("node"), lit(1000000L / n).as("rank_m"))
+    for (_ <- 1 to iters) {
+      val r = graft.Stage.mat(ranks)
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(col("dst"), expr("(rank_m * w) div outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"), col("s"))
+      val dang = r.join(degNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank_m")), lit(0L)).as("dang_m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($damp * (coalesce(s, 0L) + dang_m div ${n}L)) div 100")).as("rank_m"))
+    }
+    ranks.select(col("node"), col("rank_m"),
+      (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
+  }
+
+  /** One unrolled weighted-PageRank iteration for the DuckDB oracle. */
+  private def prWIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""d$i AS (SELECT COALESCE(SUM(r.rank_m), 0) AS dang
+              FROM $prev r LEFT JOIN deg ON r.node = deg.src
+              WHERE deg.src IS NULL),
+      s$i AS (SELECT ew.dst AS node, SUM((r.rank_m * ew.w) // ew.outw) AS s
+              FROM ew JOIN $prev r ON ew.src = r.node GROUP BY ew.dst),
+      r$i AS (SELECT nodes.node,
+                CAST((15 * 1000000) // (100 * p.n)
+                     + (85 * (COALESCE(s$i.s, 0) + d$i.dang // p.n)) // 100 AS BIGINT) AS rank_m
+              FROM nodes LEFT JOIN s$i ON nodes.node = s$i.node
+              CROSS JOIN d$i CROSS JOIN p)"""
+  }
+
   /** One unrolled TrustRank iteration for the DuckDB oracle — the
     * [[trustRankMicros]] update with seed-gated base and dangling terms.
     */
@@ -301,6 +358,39 @@ object GraphOps {
       ${prDirIterSql(1)},
       ${prDirIterSql(2)},
       ${prDirIterSql(3)}
+      SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
+      FROM r3 ORDER BY node""")),
+
+    // ---- weighted directed PageRank over the user→item graph with
+    //      w = interaction multiplicity (events counted, not distinct):
+    //      rank splits by intensity, the model the reference's
+    //      vote-weight domain actually implies. Items stay sinks so the
+    //      dangling term is live; oracle unrolls all 3 weighted
+    //      iterations.
+    ("q136_pagerank_weighted", (s: SparkSession, dir: String) => {
+      val inter = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("i:"),
+            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+              .cast("string")).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      pageRankWeightedMicros(inter, iters = 3)
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT concat('u:', CAST(user_id AS VARCHAR)) AS src,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS dst,
+               count(*) AS w
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM inter UNION SELECT dst FROM inter),
+      deg AS (SELECT src, SUM(w) AS outw FROM inter GROUP BY src),
+      ew AS (SELECT inter.src, inter.dst, inter.w, deg.outw FROM inter JOIN deg USING (src)),
+      p AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS rank_m FROM nodes, p),
+      ${prWIterSql(1)},
+      ${prWIterSql(2)},
+      ${prWIterSql(3)}
       SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
       FROM r3 ORDER BY node""")),
 

@@ -86,6 +86,40 @@ class BloomSpec extends SparkSpec {
     assert(flagged === Set(0L, 7919L, 999L * 7919L))
   }
 
+  test("sketches are shard-mergeable: partials union to the whole (the 100 TB property)") {
+    // every sketch the engine exposes must give the SAME answer built
+    // shard-by-shard-then-merged as built in one pass — that is what
+    // makes them computable as partial aggregates across executors.
+    // CMS: counter arrays add, so estimates match exactly.
+    import org.apache.spark.util.sketch.CountMinSketch
+    val words = (1 to 500).map(i => s"w${i % 37}")
+    def cmsOf(xs: Seq[String]): CountMinSketch = {
+      val b = xs.toDF("w").agg(expr("count_min_sketch(w, 0.01d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    }
+    val (h1, h2) = words.splitAt(260)
+    val merged = cmsOf(h1)
+    merged.mergeInPlace(cmsOf(h2))
+    val global = cmsOf(words)
+    val probes = (0 until 37).map(i => s"w$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(probes.forall(p => merged.estimateCount(p) === global.estimateCount(p)))
+    // HLL: registers max-merge, so the unioned estimate equals single-pass.
+    val df = (1L to 2000L).toDF("v")
+    val unioned = df.withColumn("shard", col("v") % 4)
+      .groupBy("shard").agg(expr("hll_sketch_agg(v)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
+    val single = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(v))")).head().getLong(0)
+    assert(unioned === single)
+    // Bloom: bit-OR merge preserves the no-false-negative contract.
+    val b1 = Bloom.readBloom(Bloom.buildLongBloom(
+      (1L to 1000L).toDF("v"), "v", fpp = 0.01, expectedItems = Some(4096L)))
+    val b2 = Bloom.readBloom(Bloom.buildLongBloom(
+      (1001L to 2000L).toDF("v"), "v", fpp = 0.01, expectedItems = Some(4096L)))
+    b1.mergeInPlace(b2)
+    assert((1L to 2000L).forall(b1.mightContainLong))
+  }
+
   test("bloom probe is a pure filter: the sketch never joins, text never shuffles") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bsh = docs.filter(col("doc_id") % 50 === 0)

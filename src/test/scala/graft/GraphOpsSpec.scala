@@ -106,6 +106,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.trustRankMicros(chain, seeds.limit(0), iters = 2).count() === 0L)
   }
 
+  test("weighted PageRank splits rank by edge weight: hand-computed star") {
+    // a→b w=3, a→c w=1: W(a)=4; N=3, init=333333, base=50000;
+    // b,c dangling → dang=666666, div 3 = 222222.
+    //   a: 50000 + (85*222222) div 100                        = 238888
+    //   b: 333333*3 div 4 = 249999; 50000 + 85%*(249999+222222)
+    //      = 50000 + (85*472221) div 100 = 50000 + 401387     = 451387
+    //   c: 333333 div 4 = 83333;  50000 + (85*305555) div 100 = 309721
+    val wstar = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val r = GraphOps.pageRankWeightedMicros(wstar, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 238888L, "b" -> 451387L, "c" -> 309721L))
+  }
+
+  test("weighted PageRank with unit weights equals the uniform directed variant") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val u = GraphOps.pageRankDirectedMicros(chain, iters = 3).orderBy("node").collect().toSeq
+    val w = GraphOps.pageRankWeightedMicros(chain.withColumn("w", lit(1L)), iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(u === w)
+  }
+
   test("bidirected edge list: directed variant agrees with pageRankMicros (no dangling nodes)") {
     val r1 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
     val r2 = GraphOps.pageRankDirectedMicros(star, iters = 3).orderBy("node").collect().toSeq
