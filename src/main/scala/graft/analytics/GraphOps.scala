@@ -243,6 +243,56 @@ object GraphOps {
       (col("rank_m").cast("double") / lit(1000000.0)).as("rank_r"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) over a directed edge list, in
+    * integer micros: auth(i) = Σ_{u→i} hub(u), hub(u) = Σ_{u→i} auth(i),
+    * each side L∞-normalized per half-iteration (`score·1e6 div max` —
+    * the power-iteration no-sqrt discipline; HITS *is* power iteration
+    * on AᵀA / AAᵀ, so the L∞ scaling converges to the same principal
+    * directions). On the user→item bipartite graph hubs rank CURATOR
+    * users and authorities rank CONSENSUS items — a different signal
+    * than PageRank's mass flow. Scale shape: two join+agg pairs per
+    * iteration, each keyed on a graph-node column; scores are
+    * node-count-sized, Stage.mat'd per half-step because each feeds the
+    * next update AND the normalization max.
+    */
+  def hitsMicros(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = graft.Stage.mat(edges.select(col("src"), col("dst")).distinct())
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("h"))
+    var auths = e.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val hb = graft.Stage.mat(hubs)
+      val araw = e.join(hb, e("src") === hb("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val amax = araw.agg(greatest(max(col("ar")), lit(1L)).as("m"))
+      auths = graft.Stage.mat(araw.crossJoin(broadcast(amax))
+        .select(col("dst").as("node"), expr("(ar * 1000000) div m").as("a")))
+      val hraw = e.join(auths, e("dst") === auths("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hmax = hraw.agg(greatest(max(col("hr")), lit(1L)).as("m"))
+      hubs = graft.Stage.mat(hraw.crossJoin(broadcast(hmax))
+        .select(col("src").as("node"), expr("(hr * 1000000) div m").as("h")))
+    }
+    hubs.select(col("node"), lit("hub").as("kind"), col("h").as("score_m"))
+      .union(auths.select(col("node"), lit("auth").as("kind"), col("a").as("score_m")))
+      .select(col("node"), col("kind"), col("score_m"),
+        (col("score_m").cast("double") / lit(1000000.0)).as("score_r"))
+  }
+
+  /** One unrolled HITS iteration for the DuckDB oracle. */
+  private def hitsIterSql(i: Int): String = {
+    val ph = if (i == 1) "h0" else s"h${i - 1}"
+    s"""a${i}r AS (SELECT e.dst AS node, SUM(h.h) AS ar
+              FROM e JOIN $ph h ON e.src = h.node GROUP BY e.dst),
+      a${i}m AS (SELECT GREATEST(MAX(ar), 1) AS m FROM a${i}r),
+      a$i AS (SELECT node, CAST((ar * 1000000) // m AS BIGINT) AS a FROM a${i}r, a${i}m),
+      h${i}r AS (SELECT e.src AS node, SUM(a.a) AS hr
+              FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+      h${i}m AS (SELECT GREATEST(MAX(hr), 1) AS m FROM h${i}r),
+      h$i AS (SELECT node, CAST((hr * 1000000) // m AS BIGINT) AS h FROM h${i}r, h${i}m)"""
+  }
+
   /** One unrolled weighted-PageRank iteration for the DuckDB oracle. */
   private def prWIterSql(i: Int): String = {
     val prev = s"r${i - 1}"
@@ -360,6 +410,35 @@ object GraphOps {
       ${prDirIterSql(3)}
       SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
       FROM r3 ORDER BY node""")),
+
+    // ---- HITS hubs/authorities over the distinct user→item graph:
+    //      2 mutual-reinforcement iterations, each side L∞-normalized
+    //      in integer micros. Hubs rank curator users, authorities rank
+    //      consensus items. Oracle unrolls both iterations and both
+    //      normalizations.
+    ("q137_hits", (s: SparkSession, dir: String) => {
+      val inter = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("i:"),
+            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+              .cast("string")).as("dst"))
+        .distinct()
+      hitsMicros(inter, iters = 2)
+        .orderBy(col("kind"), col("node"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS src,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS dst
+        FROM events WHERE user_id IS NOT NULL),
+      h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+      ${hitsIterSql(1)},
+      ${hitsIterSql(2)}
+      SELECT node, kind, score_m, score_m / 1000000.0 AS score_r FROM (
+        SELECT node, 'hub' AS kind, h AS score_m FROM h2
+        UNION ALL
+        SELECT node, 'auth' AS kind, a AS score_m FROM a2)
+      ORDER BY kind, node""")),
 
     // ---- weighted directed PageRank over the user→item graph with
     //      w = interaction multiplicity (events counted, not distinct):

@@ -119,6 +119,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(r === Map("a" -> 238888L, "b" -> 451387L, "c" -> 309721L))
   }
 
+  test("HITS on a 2-user bipartite fixture matches hand-computed micros") {
+    // u1→{i1,i2}, u2→{i1}.
+    // iter1: a(i1)=2e6, a(i2)=1e6 → norm: i1=1e6, i2=500000
+    //        h(u1)=1.5e6, h(u2)=1e6 → norm: u1=1e6, u2=666666
+    // iter2: a(i1)=1666666, a(i2)=1e6 → i1=1e6, i2=(1e12)//1666666=600000
+    //        h(u1)=1.6e6, h(u2)=1e6 → u1=1e6, u2=(1e12)//1600000=625000
+    val bi = Seq(("u1", "i1"), ("u1", "i2"), ("u2", "i1")).toDF("src", "dst")
+    val r = GraphOps.hitsMicros(bi, iters = 2).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r === Map(("u1", "hub") -> 1000000L, ("u2", "hub") -> 625000L,
+      ("i1", "auth") -> 1000000L, ("i2", "auth") -> 600000L))
+  }
+
   test("weighted PageRank with unit weights equals the uniform directed variant") {
     val chain = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
     val u = GraphOps.pageRankDirectedMicros(chain, iters = 3).orderBy("node").collect().toSeq
