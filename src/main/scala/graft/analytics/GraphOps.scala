@@ -327,6 +327,110 @@ object GraphOps {
               CROSS JOIN d$i CROSS JOIN ns)"""
   }
 
+  /** Synchronous k-core peel: `rounds` fixed rounds of "drop every node
+    * whose degree among surviving nodes is < k" over a mirrored,
+    * deduplicated edge list. Fixed rounds (not run-to-fixpoint) keep
+    * the computation engine-portable — both engines execute exactly
+    * `rounds` peels and emit a convergence certificate
+    * (|alive| unchanged over the last round) alongside the membership,
+    * so the declared query proves on-fixture convergence instead of
+    * assuming it. Returns (members: (node, d) with d = degree inside
+    * the final surviving subgraph, converged: one-row boolean).
+    *
+    * Scale shape: each round is one map-side-combined degree aggregate
+    * plus two semi-joins of the edge list against the (node-count-
+    * sized) survivor set — all keyed on the node column, so the
+    * bucketing discipline makes every round shuffle-free at 100 TB.
+    * State is one edge list + one survivor set, materialized per round
+    * (each feeds two consumers — the pageRankDirectedMicros argument).
+    * Degrees only decrease, so the edge list shrinks monotonically.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 2, "need >= 2 rounds for the convergence certificate")
+    var e = graft.Stage.mat(edges.select(col("src"), col("dst")))
+    var alive: DataFrame = null
+    var prev: DataFrame = null
+    for (i <- 1 to rounds) {
+      alive = graft.Stage.mat(
+        e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("src").as("node")))
+      if (i == rounds - 1) prev = alive.agg(count(lit(1)).as("n_prev"))
+      e = graft.Stage.mat(
+        e.join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+    }
+    val d = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val conv = alive.agg(count(lit(1)).as("n_final")).crossJoin(broadcast(prev))
+      .select((col("n_final") === col("n_prev")).as("converged"))
+    val members = alive.join(d.select(col("src").as("node"), col("d")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(0L)).as("d"))
+    (members, conv)
+  }
+
+  /** One unrolled k-core chain for the DuckDB oracle: CTEs
+    * `{p}a1..{p}aR` (survivors), `{p}e1..{p}eR` (restricted edges),
+    * `{p}d` (final in-core degrees), `{p}c` (convergence boolean) —
+    * token-for-token the [[kCorePeel]] rounds over base edges `e0`.
+    */
+  private def kcoreSql(k: Int, rounds: Int, p: String): String = {
+    val chain = (1 to rounds).map { i =>
+      val pe = if (i == 1) "e0" else s"${p}e${i - 1}"
+      s"""${p}a$i AS (SELECT src AS node FROM $pe GROUP BY src HAVING count(*) >= $k),
+      ${p}e$i AS (SELECT e.src, e.dst FROM $pe e
+                  JOIN ${p}a$i x ON e.src = x.node
+                  JOIN ${p}a$i y ON e.dst = y.node)"""
+    }.mkString(",\n      ")
+    s"""$chain,
+      ${p}d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                FROM ${p}e$rounds GROUP BY src),
+      ${p}c AS (SELECT (SELECT count(*) FROM ${p}a$rounds)
+                     = (SELECT count(*) FROM ${p}a${rounds - 1}) AS conv)"""
+  }
+
+  /** Degree assortativity of a mirrored, deduplicated edge list, in
+    * exact integer micros (Newman 2002, the Pearson correlation of
+    * degrees across edge endpoints — positive: hubs link hubs;
+    * negative: hubs link leaves, the usual social/bipartite shape).
+    *
+    * No-sqrt discipline (the HITS/PageRank precedent): instead of
+    * r = cov/√(varx·vary) this emits sign(cov) plus
+    * r² = cov²·1e6 div (varx·vary), with every moment first floored to
+    * micros (`1e6·Σ div m` — divide-early keeps all magnitudes inside
+    * 128-bit products even at corpus edge counts; the quadratic terms
+    * run in DECIMAL(38,0)/HUGEINT). One defined floor per moment, so
+    * the oracle replays every intermediate to the micro.
+    *
+    * Scale shape: degree table is node-count-sized; the two joins that
+    * attach (j, k) to each edge are keyed on the node column (bucket
+    * discipline → shuffle-free); the sums are one map-side-combined
+    * one-row aggregate. The raw sums sxy/sxx stay in longs — exact to
+    * degree·√m ≲ 3e9 (far beyond any real interaction graph's
+    * per-partition load once bucketed).
+    */
+  def degreeAssortativityMicros(edges: DataFrame): DataFrame = {
+    val e = graft.Stage.mat(edges.select(col("src"), col("dst")))
+    val deg = graft.Stage.mat(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    e.join(deg.select(col("src"), col("d").as("j")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("k")), Seq("dst"))
+      .agg(count(lit(1)).as("m"), sum(col("j")).as("sx"), sum(col("k")).as("sy"),
+        sum(col("j") * col("k")).as("sxy"), sum(col("j") * col("j")).as("sxx"),
+        sum(col("k") * col("k")).as("syy"))
+      .selectExpr("m",
+        "(1000000 * sx) div greatest(m, 1) AS ex_m",
+        "(1000000 * sy) div greatest(m, 1) AS ey_m",
+        "(1000000 * sxy) div greatest(m, 1) AS exy_m",
+        "(1000000 * sxx) div greatest(m, 1) AS exx_m",
+        "(1000000 * syy) div greatest(m, 1) AS eyy_m")
+      .selectExpr("m",
+        "exy_m - (CAST(ex_m AS DECIMAL(38,0)) * ey_m) DIV 1000000 AS cov_m",
+        "exx_m - (CAST(ex_m AS DECIMAL(38,0)) * ex_m) DIV 1000000 AS varx_m",
+        "eyy_m - (CAST(ey_m AS DECIMAL(38,0)) * ey_m) DIV 1000000 AS vary_m")
+      .selectExpr("m AS n_edges", "cov_m", "varx_m", "vary_m",
+        "CAST(sign(cov_m) AS BIGINT) AS r_sign",
+        """CAST((CAST(cov_m AS DECIMAL(38,0)) * cov_m * 1000000)
+            DIV greatest(CAST(varx_m AS DECIMAL(38,0)) * vary_m, 1) AS BIGINT) AS r2_micros""")
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- TrustRank over the directed user→item action graph: seeds =
@@ -510,6 +614,87 @@ object GraphOps {
              FROM ew JOIN r2 r ON ew.src = r.node CROSS JOIN p
              GROUP BY ew.dst, p.n)
       SELECT node, rank_m, rank_m / 1000000.0 AS rank_r
-      FROM r3 ORDER BY node"""))
+      FROM r3 ORDER BY node""")),
+
+    // ---- k-core peel (k=2 and k=3, 6 synchronous rounds) over the
+    //      bidirected interaction graph: the standard dense-subgraph
+    //      screen (2-core strips pendant chains, 3-core keeps only
+    //      genuinely interlocked communities). Output is the 2-core
+    //      membership with in-core degrees, the 3-core flag/degree, and
+    //      per-k convergence certificates proving the fixed-round peel
+    //      reached its fixpoint on this graph. The oracle unrolls all
+    //      6 rounds for both k — pure integer counts, no division.
+    ("q138_kcore", (s: SparkSession, dir: String) => {
+      val e = graft.Stage.mat(interactionEdges(s, dir))
+      val (c2, conv2) = kCorePeel(e, k = 2, rounds = 6)
+      val (c3, conv3) = kCorePeel(e, k = 3, rounds = 6)
+      c2.select(col("node"), col("d").as("deg_core2"))
+        .join(c3.select(col("node"), lit(true).as("in3"), col("d").as("d3")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(conv2.select(col("converged").as("converged2"))))
+        .crossJoin(broadcast(conv3.select(col("converged").as("converged3"))))
+        .select(col("node"), col("deg_core2"),
+          coalesce(col("in3"), lit(false)).as("in_core3"),
+          coalesce(col("d3"), lit(0L)).as("deg_core3"),
+          col("converged2"), col("converged3"))
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      e0 AS (SELECT a AS src, b AS dst FROM inter
+             UNION ALL SELECT b AS src, a AS dst FROM inter),
+      ${kcoreSql(2, 6, "k2")},
+      ${kcoreSql(3, 6, "k3")}
+      SELECT a.node, COALESCE(d2.d, 0) AS deg_core2,
+             (a3.node IS NOT NULL) AS in_core3,
+             COALESCE(d3.d, 0) AS deg_core3,
+             c2.conv AS converged2, c3.conv AS converged3
+      FROM k2a6 a
+      LEFT JOIN k2d d2 ON a.node = d2.node
+      LEFT JOIN k3a6 a3 ON a.node = a3.node
+      LEFT JOIN k3d d3 ON a.node = d3.node
+      CROSS JOIN k2c c2 CROSS JOIN k3c c3
+      ORDER BY a.node""")),
+
+    // ---- degree assortativity of the bidirected interaction graph:
+    //      one row — edge count, degree covariance/variances in micros,
+    //      sign(r) and r² micros (no-sqrt discipline). Bipartite
+    //      user↔item graphs are structurally disassortative (hubs face
+    //      leaves), so r_sign = -1 is itself a semantic check. The
+    //      oracle replays every divide-early floor.
+    ("q142_assortativity", (s: SparkSession, dir: String) => {
+      degreeAssortativityMicros(interactionEdges(s, dir))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      e AS (SELECT a AS src, b AS dst FROM inter
+            UNION ALL SELECT b AS src, a AS dst FROM inter),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                   SUM(dj.d) AS sx, SUM(dk.d) AS sy, SUM(dj.d * dk.d) AS sxy,
+                   SUM(dj.d * dj.d) AS sxx, SUM(dk.d * dk.d) AS syy
+            FROM e JOIN deg dj ON e.src = dj.src JOIN deg dk ON e.dst = dk.src),
+      mic AS (SELECT m,
+                (1000000 * sx) // greatest(m, 1) AS ex_m,
+                (1000000 * sy) // greatest(m, 1) AS ey_m,
+                (1000000 * sxy) // greatest(m, 1) AS exy_m,
+                (1000000 * sxx) // greatest(m, 1) AS exx_m,
+                (1000000 * syy) // greatest(m, 1) AS eyy_m
+              FROM s),
+      cv AS (SELECT m,
+               exy_m - (CAST(ex_m AS HUGEINT) * ey_m) // 1000000 AS cov_m,
+               exx_m - (CAST(ex_m AS HUGEINT) * ex_m) // 1000000 AS varx_m,
+               eyy_m - (CAST(ey_m AS HUGEINT) * ey_m) // 1000000 AS vary_m
+             FROM mic)
+      SELECT CAST(m AS BIGINT) AS n_edges, CAST(cov_m AS BIGINT) AS cov_m,
+             CAST(varx_m AS BIGINT) AS varx_m, CAST(vary_m AS BIGINT) AS vary_m,
+             CAST(CASE WHEN cov_m < 0 THEN -1 WHEN cov_m > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
+             CAST((CAST(cov_m AS HUGEINT) * cov_m * 1000000)
+                  // greatest(CAST(varx_m AS HUGEINT) * vary_m, 1) AS BIGINT) AS r2_micros
+      FROM cv"""))
   )
 }

@@ -146,6 +146,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("k-core peel: triangle survives the 2-core, pendants and chains do not") {
+    // triangle a-b-c, pendant d on a, isolated pair e-f (mirrored edges)
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("e", "f"))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val (m2, conv2) = GraphOps.kCorePeel(e, k = 2, rounds = 6)
+    val got = m2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    assert(conv2.collect().head.getBoolean(0))
+    // k=3: node a starts at degree 3 but the candidate set collapses to
+    // {a} after one round and to empty the next — converged and empty
+    val (m3, conv3) = GraphOps.kCorePeel(e, k = 3, rounds = 6)
+    assert(m3.count() === 0L)
+    assert(conv3.collect().head.getBoolean(0))
+  }
+
+  test("degree assortativity of a star is exactly r = -1 in micros") {
+    // deg a=2, b=c=1 over the 4 mirrored edges: sx=sy=6, sxy=8, sxx=syy=10
+    // ex=1500000, exy=2000000, exx=2500000 -> cov=-250000, var=250000
+    val r = GraphOps.degreeAssortativityMicros(star).collect().head
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.getAs[Long]("cov_m") === -250000L)
+    assert(r.getAs[Long]("varx_m") === 250000L)
+    assert(r.getAs[Long]("vary_m") === 250000L)
+    assert(r.getAs[Long]("r_sign") === -1L)
+    assert(r.getAs[Long]("r2_micros") === 1000000L)
+  }
+
   test("hub outranks leaves and the result is deterministic") {
     val r1 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
     val r2 = GraphOps.pageRankMicros(star, iters = 3).orderBy("node").collect().toSeq
