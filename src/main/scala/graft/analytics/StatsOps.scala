@@ -1,0 +1,290 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.TextStats
+
+/** Round-8 exact-statistics operators: closed-form regression /
+  * correlation, chi-squared term–class association, and robust
+  * higher-moment profiles — the statistical QA layer a curation
+  * pipeline runs over its own feature columns (is this quality signal
+  * actually linear in that one? which terms are over-represented in a
+  * language split? is a source's length distribution skewed or
+  * heavy-tailed enough to need stratified caps?).
+  *
+  * Arithmetic discipline (the GraphOps precedent): every derived ratio
+  * is integer micros computed with DIV over exact integer sums; the
+  * quadratic/cubic/quartic products run in DECIMAL(38,0) (Spark) /
+  * HUGEINT (DuckDB). Negative numerators are safe: Spark's `div` and
+  * DuckDB's `//` both truncate toward zero (verified), so signed
+  * slopes/covariances replay exactly. No sqrt ever: correlations ship
+  * as sign + r² micros (the assortativity convention).
+  */
+object StatsOps {
+  import Relational.QFn
+
+  private val ws = TextStats.wsClassSql
+
+  /** Per-group closed-form OLS of y on x plus Pearson r² — computed
+    * from the five classic sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) in ONE map-side-combined aggregate pass; the normal-equation
+    * solution needs no iteration and no centering pass. Emits
+    *   slope_micros     = (n·Σxy − ΣxΣy)·1e6 div (n·Σx² − Σx²)
+    *   intercept_micros = (Σy·1e6 − slope_micros·Σx) div n
+    *   r_sign, r2_micros (no-sqrt convention)
+    * all exact integers. Inputs must be integer-valued columns.
+    *
+    * Scale shape: a single groupBy(group) aggregate — partial+final,
+    * one vocabulary-of-groups-sized shuffle, nothing else. The raw sums
+    * stay in longs (exact to |x|·√n ≲ 3e9 per group); the cross terms
+    * n·Σxy etc. run in DECIMAL(38,0), good to n·|x|·|y| ≲ 1e38 — far
+    * past any per-source corpus slice. Degenerate groups (zero x
+    * variance) floor to slope 0 via the greatest(·,1) guard rather
+    * than dividing by zero.
+    */
+  def olsMicros(df: DataFrame, group: String, x: String, y: String): DataFrame =
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(col(x)).as("sx"), sum(col(y)).as("sy"),
+        sum(col(x) * col(y)).as("sxy"),
+        sum(col(x) * col(x)).as("sxx"),
+        sum(col(y) * col(y)).as("syy"))
+      .selectExpr(group, "n", "sx", "sy",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS num",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS denx",
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS deny")
+      .selectExpr(group, "n", "num", "denx", "deny", "sx", "sy",
+        "CAST((num * 1000000) DIV greatest(denx, 1) AS BIGINT) AS slope_micros")
+      .selectExpr(group, "n", "slope_micros",
+        """CAST((CAST(sy AS DECIMAL(38,0)) * 1000000
+                 - CAST(slope_micros AS DECIMAL(38,0)) * sx)
+                DIV greatest(n, 1) AS BIGINT) AS intercept_micros""",
+        "CAST(sign(num) AS BIGINT) AS r_sign",
+        """CAST((num * num * 1000000) DIV greatest(denx * deny, 1) AS BIGINT)
+           AS r2_micros""")
+
+  /** Chi-squared term–class association over document-level term
+    * presence: for each (class, term) 2×2 contingency table
+    * (a = class docs containing the term, df = all docs containing it,
+    * n_cls = class size, n = corpus size),
+    *   chi2_micros = n·(ad − bc)²·1e6 div (n_cls·(n−n_cls)·df·(n−df))
+    * — the classic supervised feature-selection score (Yang & Pedersen
+    * 1997), here ranking each language's most over-represented
+    * vocabulary. Exact integers end to end; ties in the per-class
+    * top-k break on the term string.
+    *
+    * Scale shape: one distinct-tokens generator pass → two
+    * map-side-combined count aggregates ((class, term) and term) →
+    * a term-keyed join (bucketable) → a per-class top-k window over
+    * class-vocabulary-sized partitions (never the corpus). `minDf`
+    * prunes the long hapax tail before the join — at corpus scale that
+    * is the difference between a vocabulary-sized and a
+    * token-instance-sized shuffle.
+    */
+  def chi2Terms(docs: DataFrame, classCol: String, minDf: Long = 10,
+                topK: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col(classCol).as("cls"),
+        explode(array_distinct(
+          filter(TextStats.tokens(lower(col("text"))), x => x =!= lit("")))).as("w"))
+    val byCls = toks.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("a"))
+    val byW = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nCls = docs.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("n_cls"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = byCls
+      .join(byW, Seq("w"))
+      .join(broadcast(nCls), Seq("cls"))
+      .crossJoin(broadcast(n))
+      .selectExpr("cls", "w", "a", "df", "n_cls", "n",
+        """CAST(a AS DECIMAL(38,0)) * (n - n_cls - df + a)
+           - CAST(n_cls - a AS DECIMAL(38,0)) * (df - a) AS adbc""")
+      .selectExpr("cls", "w", "a", "df",
+        """CAST((CAST(n AS DECIMAL(38,0)) * adbc * adbc * 1000000)
+                DIV greatest(CAST(n_cls AS DECIMAL(38,0)) * (n - n_cls)
+                             * df * (n - df), 1) AS BIGINT) AS chi2_micros""")
+    val byChi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("chi2_micros").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(byChi).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
+  /** Per-group central-moment profile of an integer feature, two-pass
+    * exact: pass 1 floors the group mean to micros; pass 2 accumulates
+    * the signed deviations dev = x·1e6 − mean_micros and their powers.
+    * Emits the 2nd/3rd/4th central moments in micros plus the no-sqrt
+    * shape ratios
+    *   skew²_micros = m3²·1e6 div m2³   (with skew_sign = sign(m3))
+    *   kurt_micros  = m4·1e12 div m2²   (Pearson kurtosis; normal ≈ 3e6)
+    * — the Gopher-style distribution-health screen (a source whose
+    * length kurtosis explodes is boilerplate + outliers, not prose).
+    * sum_dev is emitted as the flooring certificate: |sum_dev| < n
+    * always, exactly the mass the mean floor discarded.
+    *
+    * Scale shape: two map-side-combined aggregates over one scan each,
+    * joined on the group key (group table broadcast — source-catalog-
+    * sized). dev³/dev⁴ products run in DECIMAL(38,0): exact to
+    * |dev| ≲ 3e8 micros (feature range ≲ 300 from its mean — token
+    * counts, ratios; for wider features divide the feature first).
+    */
+  def momentsMicros(df: DataFrame, group: String, x: String): DataFrame = {
+    val means = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(col(x)).as("sx"))
+      .selectExpr(group, "n", "(1000000 * sx) div n AS mean_micros")
+    df.join(broadcast(means), Seq(group))
+      .selectExpr(group, "n", "mean_micros",
+        s"CAST($x AS BIGINT) * 1000000 - mean_micros AS dev")
+      .groupBy(col(group), col("n"), col("mean_micros"))
+      .agg(sum(col("dev")).as("sum_dev"),
+        sum(expr("dev * dev")).as("s2"),
+        sum(expr("CAST(dev AS DECIMAL(38,0)) * dev * dev")).as("s3"),
+        sum(expr("CAST(dev AS DECIMAL(38,0)) * dev * dev * dev")).as("s4"))
+      .selectExpr(group, "n", "mean_micros", "sum_dev",
+        "s2 DIV (n * 1000000) AS m2_micros",
+        "CAST(s3 DIV (CAST(n AS DECIMAL(38,0)) * 1000000000000) AS BIGINT) AS m3_micros",
+        "CAST(s4 DIV (CAST(n AS DECIMAL(38,0)) * 1000000000000000000) AS BIGINT) AS m4_micros")
+      .selectExpr(group, "n", "mean_micros", "sum_dev",
+        "m2_micros", "m3_micros", "m4_micros",
+        "CAST(sign(m3_micros) AS BIGINT) AS skew_sign",
+        """CAST((CAST(m3_micros AS DECIMAL(38,0)) * m3_micros * 1000000)
+                DIV greatest(CAST(m2_micros AS DECIMAL(38,0)) * m2_micros * m2_micros, 1)
+                AS BIGINT) AS skew2_micros""",
+        """CAST((CAST(m4_micros AS DECIMAL(38,0)) * 1000000000000)
+                DIV greatest(CAST(m2_micros AS DECIMAL(38,0)) * m2_micros, 1)
+                AS BIGINT) AS kurt_micros""")
+  }
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- per-source OLS of n_chars on token count: the linearity
+    //      audit of the cheapest two length signals (a source whose
+    //      slope or r² drifts from the corpus norm has structurally
+    //      different tokenization — code, tables, CJK). Five sufficient
+    //      statistics in one aggregate pass; the oracle replays the
+    //      normal-equation integer arithmetic term for term.
+    ("q140_ols_chars_tokens", (s: SparkSession, dir: String) => {
+      olsMicros(
+        Tables(s, dir).documents.select(col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("x"),
+          col("n_chars").cast("long").as("y")),
+        group = "source", x = "x", y = "y")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents),
+      sums AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM f GROUP BY source),
+      t AS (
+        SELECT source, n, sx, sy,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        FROM sums),
+      sl AS (
+        SELECT source, n, num, denx, deny, sx, sy,
+               CAST((num * 1000000) // greatest(denx, 1) AS BIGINT) AS slope_micros
+        FROM t)
+      SELECT source, n, slope_micros,
+             CAST((CAST(sy AS HUGEINT) * 1000000
+                   - CAST(slope_micros AS HUGEINT) * sx)
+                  // greatest(n, 1) AS BIGINT) AS intercept_micros,
+             CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
+             CAST((num * num * 1000000) // greatest(denx * deny, 1) AS BIGINT) AS r2_micros
+      FROM sl ORDER BY source""")),
+
+    // ---- chi-squared over-represented terms per language: top-10
+    //      document-presence terms by the 2×2 chi² score (df >= 10).
+    //      The distinctive-vocabulary screen for language splits — the
+    //      supervised complement of q107's unsupervised log-odds. The
+    //      oracle replays the contingency construction and the integer
+    //      chi² exactly, including the (chi2 desc, term) tie-break.
+    ("q141_chi2_terms", (s: SparkSession, dir: String) => {
+      chi2Terms(Tables(s, dir).documents, classCol = "lang", minDf = 10, topK = 10)
+        .withColumnRenamed("cls", "lang")
+        .orderBy(col("lang"), col("rnk"))
+    }, Some(s"""
+      WITH dt AS (
+        SELECT lang AS cls,
+               unnest(list_distinct(list_filter(
+                 regexp_split_to_array(lower(text), '$ws+'), x -> x <> ''))) AS w
+        FROM documents),
+      bycls AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS a FROM dt GROUP BY cls, w),
+      byw AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY w
+              HAVING count(*) >= 10),
+      ncls AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_cls
+               FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      sc AS (
+        SELECT b.cls, b.w, b.a, byw.df,
+               CAST((CAST(t.n AS HUGEINT)
+                     * (CAST(b.a AS HUGEINT) * (t.n - nc.n_cls - byw.df + b.a)
+                        - CAST(nc.n_cls - b.a AS HUGEINT) * (byw.df - b.a))
+                     * (CAST(b.a AS HUGEINT) * (t.n - nc.n_cls - byw.df + b.a)
+                        - CAST(nc.n_cls - b.a AS HUGEINT) * (byw.df - b.a))
+                     * 1000000)
+                    // greatest(CAST(nc.n_cls AS HUGEINT) * (t.n - nc.n_cls)
+                               * byw.df * (t.n - byw.df), 1) AS BIGINT) AS chi2_micros
+        FROM bycls b JOIN byw USING (w) JOIN ncls nc USING (cls) CROSS JOIN tot t),
+      r AS (
+        SELECT cls AS lang, w, a, df, chi2_micros,
+               CAST(row_number() OVER (PARTITION BY cls
+                      ORDER BY chi2_micros DESC, w) AS BIGINT) AS rnk
+        FROM sc)
+      SELECT lang, w, a, df, chi2_micros, rnk FROM r WHERE rnk <= 10
+      ORDER BY lang, rnk""")),
+
+    // ---- per-source token-count moment profile: mean/m2/m3/m4 in
+    //      micros plus skew sign, skew² micros and Pearson kurtosis
+    //      micros, all exact integers (two-pass centered sums — the
+    //      flooring certificate sum_dev rides along). The oracle
+    //      replays both passes including every floor.
+    ("q143_length_moments", (s: SparkSession, dir: String) => {
+      momentsMicros(
+        Tables(s, dir).documents.select(col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("x")),
+        group = "source", x = "x")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT source, CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS x
+        FROM documents),
+      mn AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               (1000000 * SUM(x)) // count(*) AS mean_micros
+        FROM f GROUP BY source),
+      dv AS (
+        SELECT f.source, mn.n, mn.mean_micros, f.x * 1000000 - mn.mean_micros AS dev
+        FROM f JOIN mn ON f.source = mn.source),
+      agg AS (
+        SELECT source, n, mean_micros,
+               SUM(dev) AS sum_dev, SUM(dev * dev) AS s2,
+               SUM(CAST(dev AS HUGEINT) * dev * dev) AS s3,
+               SUM(CAST(dev AS HUGEINT) * dev * dev * dev) AS s4
+        FROM dv GROUP BY source, n, mean_micros),
+      m AS (
+        SELECT source, n, mean_micros, CAST(sum_dev AS BIGINT) AS sum_dev,
+               CAST(s2 // (n * 1000000) AS BIGINT) AS m2_micros,
+               CAST(s3 // (CAST(n AS HUGEINT) * 1000000000000) AS BIGINT) AS m3_micros,
+               CAST(s4 // (CAST(n AS HUGEINT) * 1000000000000000000) AS BIGINT) AS m4_micros
+        FROM agg)
+      SELECT source, n, CAST(mean_micros AS BIGINT) AS mean_micros, sum_dev,
+             m2_micros, m3_micros, m4_micros,
+             CAST(CASE WHEN m3_micros < 0 THEN -1 WHEN m3_micros > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS skew_sign,
+             CAST((CAST(m3_micros AS HUGEINT) * m3_micros * 1000000)
+                  // greatest(CAST(m2_micros AS HUGEINT) * m2_micros * m2_micros, 1)
+                  AS BIGINT) AS skew2_micros,
+             CAST((CAST(m4_micros AS HUGEINT) * 1000000000000)
+                  // greatest(CAST(m2_micros AS HUGEINT) * m2_micros, 1)
+                  AS BIGINT) AS kurt_micros
+      FROM m ORDER BY source"""))
+  )
+}

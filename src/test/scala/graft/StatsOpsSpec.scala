@@ -1,0 +1,83 @@
+package graft
+
+import graft.analytics.StatsOps
+
+/** Hand-computed fixtures for the exact-statistics operators: every
+  * expected value below is derived on paper from the documented
+  * integer-micros arithmetic, including the truncation-toward-zero
+  * division on NEGATIVE numerators (the slope/skew sign paths the
+  * declared queries don't exercise).
+  */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("OLS on an exact positive line: slope 2, intercept 0, r² = 1") {
+    val df = Seq(("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 6L)).toDF("g", "x", "y")
+    val r = StatsOps.olsMicros(df, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("slope_micros") === 2000000L)
+    assert(r.getAs[Long]("intercept_micros") === 0L)
+    assert(r.getAs[Long]("r_sign") === 1L)
+    assert(r.getAs[Long]("r2_micros") === 1000000L)
+  }
+
+  test("OLS on an exact negative line exercises signed truncating division") {
+    // (1,3),(2,2),(3,1): num = 3*10-6*6 = -6, denx = deny = 6
+    // slope = -1e6, intercept = (6e6 + 1e6*6)/3 = 4e6, r² = 1e6
+    val df = Seq(("g", 1L, 3L), ("g", 2L, 2L), ("g", 3L, 1L)).toDF("g", "x", "y")
+    val r = StatsOps.olsMicros(df, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("slope_micros") === -1000000L)
+    assert(r.getAs[Long]("intercept_micros") === 4000000L)
+    assert(r.getAs[Long]("r_sign") === -1L)
+    assert(r.getAs[Long]("r2_micros") === 1000000L)
+  }
+
+  test("OLS degenerate group (zero x variance) floors to slope 0, not ÷0") {
+    val df = Seq(("g", 2L, 1L), ("g", 2L, 5L)).toDF("g", "x", "y")
+    val r = StatsOps.olsMicros(df, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("slope_micros") === 0L)
+    assert(r.getAs[Long]("r2_micros") === 0L)
+  }
+
+  test("moments of {1,2,3}: symmetric, exact m2/m4 floors, kurtosis 1500001") {
+    // mean = 2e6, devs = {-1e6, 0, 1e6}: s2 = 2e12 -> m2 = 666666
+    // m3 = 0; s4 = 2e24 -> m4 = 666666
+    // kurt = 666666*1e12 div 666666² = 1500001 (exact truncation)
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("g", "x")
+    val r = StatsOps.momentsMicros(df, "g", "x").collect().head
+    assert(r.getAs[Long]("mean_micros") === 2000000L)
+    assert(r.getAs[Long]("sum_dev") === 0L)
+    assert(r.getAs[Long]("m2_micros") === 666666L)
+    assert(r.getAs[Long]("m3_micros") === 0L)
+    assert(r.getAs[Long]("m4_micros") === 666666L)
+    assert(r.getAs[Long]("skew_sign") === 0L)
+    assert(r.getAs[Long]("skew2_micros") === 0L)
+    assert(r.getAs[Long]("kurt_micros") === 1500001L)
+  }
+
+  test("moments flooring certificate: |sum_dev| < n and negative skew sign") {
+    // {1,1,4}: mean = 2e6, floor exact; devs {-1e6,-1e6,2e6} sum 0;
+    // {1,1,3}: mean_micros = 5e6 div 3 = 1666666, devs
+    //   {-666666,-666666,1333334} -> sum_dev = 2 (the floored mass)
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 3L)).toDF("g", "x")
+    val r = StatsOps.momentsMicros(df, "g", "x").collect().head
+    assert(r.getAs[Long]("mean_micros") === 1666666L)
+    assert(r.getAs[Long]("sum_dev") === 2L)
+    assert(math.abs(r.getAs[Long]("sum_dev")) < r.getAs[Long]("n"))
+    assert(r.getAs[Long]("skew_sign") === 1L) // long right tail
+  }
+
+  test("chi² isolates the class-exclusive term with the exact 2×2 score") {
+    // 4 docs: class A docs contain 'aa bb', class B docs just 'bb'.
+    // (A, aa): a=2, df=2, n_cls=2, N=4 -> ad-bc = 4,
+    //   chi2 = 4*16*1e6 / (2*2*2*2) = 4e6; 'bb' is uniform -> 0.
+    val docs = Seq(("A", "aa bb"), ("A", "aa bb"), ("B", "bb"), ("B", "bb"))
+      .toDF("lang", "text")
+    val r = StatsOps.chi2Terms(docs, classCol = "lang", minDf = 1, topK = 2)
+      .collect().map(x => (x.getAs[String]("cls"), x.getAs[String]("w")) ->
+        (x.getAs[Long]("chi2_micros"), x.getAs[Long]("rnk"))).toMap
+    assert(r(("A", "aa")) === ((4000000L, 1L)))
+    assert(r(("A", "bb")) === ((0L, 2L)))
+    assert(r(("B", "bb")) === ((0L, 1L)))
+    assert(!r.contains(("B", "aa"))) // absent-from-class terms are not scored
+  }
+}
