@@ -659,6 +659,31 @@ object CurationOps {
         .orderBy(col("merge_rank"))
     }, Some(graft.text.Vocab.bpeLearnSql(6))),
 
+    // ---- BPE ENCODE (the deployment half of q129): apply the 6
+    //      learned merges in rank order to the vocabulary, then count
+    //      sub-word tokens per document (word-keyed join + sum) and
+    //      emit the chars-per-token compression micros. Merges touch
+    //      only the vocab histogram — the corpus is never rewritten —
+    //      and the oracle replays learn AND encode token-for-token.
+    ("q139_bpe_encode", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      val enc = graft.text.Vocab.bpeEncodeWordTokens(docs, nMerges = 6)
+      val dw = docs.select(col("doc_id"),
+        explode(filter(TextStats.tokens(lower(col("text"))), x => x =!= lit(""))).as("word"))
+      val ag = dw.join(enc, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_tok")).as("n_bpe_tokens"), count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_word_chars"))
+      docs.select(col("doc_id")).join(ag, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_bpe_tokens, 0L) AS n_bpe_tokens",
+          "coalesce(n_words, 0L) AS n_words",
+          """CAST((coalesce(n_word_chars, 0L) * 1000000)
+              DIV greatest(coalesce(n_bpe_tokens, 0L), 1) AS BIGINT)
+             AS chars_per_token_micros""")
+        .orderBy(col("doc_id"))
+    }, Some(graft.text.Vocab.bpeEncodeSql(6))),
+
     // ---- interpolated Kneser-Ney bigram table (the production
     //      quality-LM smoothing; q65's add-1 is the baseline): exact
     //      integer-nanos probabilities — discount, continuation

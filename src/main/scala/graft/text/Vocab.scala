@@ -80,12 +80,30 @@ object Vocab {
   def bpeLearnMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var wc = graft.Stage.mat(
-      docs.select(explode(words(col(textCol))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(concat(lit(" "),
-          rtrim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("w"),
-          col("cnt")))
+    learnChain(wordHistSpaced(docs, textCol).select(col("w"), col("cnt")), nMerges)
+      ._2.toDF("merge_rank", "tok_a", "tok_b", "n")
+  }
+
+  /** The character-spaced word histogram (word, w, cnt) that seeds the
+    * BPE loop — `w` is the double-space sentinel form documented on
+    * [[bpeLearnMerges]].
+    */
+  private def wordHistSpaced(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), concat(lit(" "),
+        rtrim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("w"),
+        col("cnt"))
+
+  /** The shared merge-learning loop over a (…, w, cnt) histogram:
+    * `nMerges` rounds of weighted-pair argmax + sentinel-padded literal
+    * replace. Extra columns (e.g. the original `word` key, for the
+    * encode path) ride through the rewrites untouched. Returns the
+    * rewritten histogram and the learned merge table.
+    */
+  private def learnChain(wc0: DataFrame, nMerges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var wc = graft.Stage.mat(wc0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -108,14 +126,32 @@ object Vocab {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, a, b, c))
         // literal (not regex) replace: merge tokens are corpus strings
-        wc = graft.Stage.mat(wc.select(
+        wc = graft.Stage.mat(wc.withColumn("w",
           call_function("replace", col("w"),
-            lit(" " + a + "  " + b + " "), lit(" " + a + b + " ")).as("w"),
-          col("cnt")))
+            lit(" " + a + "  " + b + " "), lit(" " + a + b + " "))))
         rank += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "tok_a", "tok_b", "n")
+    (wc, merges.toSeq)
+  }
+
+  /** BPE ENCODE: learn `nMerges` merges ([[bpeLearnMerges]]) and apply
+    * them — in learned rank order, with the same sentinel-padded
+    * left-to-right replace — to every distinct word, returning the
+    * (word, n_tok) sub-word token counts. This is the deployment half
+    * of the tokenizer loop: learn → encode → count tokens per document.
+    *
+    * Scale shape — the reason encoding is cheap at 100 TB: the merges
+    * are applied to the VOCABULARY (the distinct-word histogram), never
+    * to document strings; per-document token counts then come from one
+    * word-keyed join + map-side-combined sum. The corpus is scanned
+    * twice total (histogram + the final explode), both narrow.
+    */
+  def bpeEncodeWordTokens(docs: DataFrame, nMerges: Int,
+                          textCol: String = "text"): DataFrame = {
+    val (wcN, _) = learnChain(wordHistSpaced(docs, textCol), nMerges)
+    wcN.select(col("word"),
+      size(split(trim(col("w")), "  ")).cast("long").as("n_tok"))
   }
 
   /** The mirrored DuckDB replay of [[bpeLearnMerges]]: the same word
@@ -150,6 +186,54 @@ object Vocab {
       $iters
       $sel
       ORDER BY merge_rank"""
+  }
+
+  /** The mirrored DuckDB replay of the ENCODE path: the learn chain of
+    * [[bpeLearnSql]] with the `word` key carried through every rewrite,
+    * followed by the per-word token count, the per-document explode +
+    * word-keyed join, and the chars-per-token micros — exactly the
+    * [[bpeEncodeWordTokens]]-based declared query.
+    */
+  def bpeEncodeSql(nMerges: Int, src: String = "documents"): String = {
+    val ws = TextStats.wsClassSql
+    val iters = (1 to nMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT p.pr[1] AS a, p.pr[2] AS b, SUM(p.cnt) AS c FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> [toks[i], toks[i + 1]])) AS pr, cnt
+            FROM (SELECT string_split(trim(w), '  ') AS toks, cnt FROM $prev)
+          ) p GROUP BY 1, 2),
+        b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+        w$i AS (SELECT word, replace(w, ' ' || b.a || '  ' || b.b || ' ',
+                               ' ' || b.a || b.b || ' ') AS w, cnt
+                FROM $prev, b$i b)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH hist AS (
+        SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                   x -> x <> '')) AS w
+          FROM $src) GROUP BY 1),
+      w0 AS (SELECT word,
+               ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS w, cnt
+             FROM hist),
+      $iters,
+      enc AS (SELECT word, CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS n_tok
+              FROM w$nMerges),
+      dw AS (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                 x -> x <> '')) AS word
+             FROM $src),
+      ag AS (SELECT doc_id, SUM(e.n_tok) AS n_bpe_tokens,
+               CAST(count(*) AS BIGINT) AS n_words, SUM(len(dw.word)) AS n_word_chars
+             FROM dw JOIN enc e USING (word) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(ag.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+             COALESCE(ag.n_words, 0) AS n_words,
+             CAST((COALESCE(ag.n_word_chars, 0) * 1000000)
+                  // greatest(COALESCE(ag.n_bpe_tokens, 0), 1) AS BIGINT)
+               AS chars_per_token_micros
+      FROM $src d LEFT JOIN ag USING (doc_id) ORDER BY doc_id"""
   }
 
   /** Top-`n` whitespace-token vocabulary by corpus frequency, with a

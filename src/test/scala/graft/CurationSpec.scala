@@ -453,6 +453,17 @@ class CurationSpec extends SparkSpec {
     assert(m === Seq((1, "d", "o", 2L), (2, "do", "do", 1L)))
   }
 
+  test("BPE encode applies the learned merges to the vocabulary in rank order") {
+    // same low/lower/newest fixture: merges (l,o),(lo,w),(e,r),(low,er)
+    // → 'low' fuses to 1 token, 'lower' to 1 ([low er] → lower),
+    // 'newest' never matches a merge and stays 6 characters
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val enc = graft.text.Vocab.bpeEncodeWordTokens(docs, nMerges = 4)
+      .as[(String, Long)].collect().toMap
+    assert(enc === Map("low" -> 1L, "lower" -> 1L, "newest" -> 6L))
+  }
+
   test("Kneser-Ney bigram table matches hand-computed integer nanos") {
     // corpus "a b a b a c": bigrams (a,b)=2, (b,a)=2, (a,c)=1;
     // ctx(a)=3, ctx(b)=2; N1+(a·)=2, N1+(b·)=1; N1+(·a)=1, N1+(·b)=1,
