@@ -174,6 +174,51 @@ object CurationOps {
       FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
       WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""")),
 
+    // ---- FUZZY decontamination (the paraphrase-level complement of
+    //      q55's exact shingle overlap and q92's Bloom membership):
+    //      banded-MinHash candidates between the training split and the
+    //      held-out benchmark split, exact-Jaccard verified at 0.8,
+    //      aggregated to a per-document keep verdict. The oracle
+    //      recomputes the exact all-pairs cross join on string shingles
+    //      (band-miss ≤ 7e-12, the q37 argument) — so the banded path's
+    //      survivor set is value-verified, match counts and all.
+    ("q144_fuzzy_decontam", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val pairs = Dedup.fuzzyDecontamination(corpus, bench, threshold = 0.8)
+      corpus.select(col("doc_id"))
+        .join(pairs.groupBy(col("id_c").as("doc_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            round(max(col("jaccard")), 9).as("mx")), Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_matches, 0L) AS n_matches",
+          "coalesce(mx, 0.0) AS max_jaccard_r",
+          "coalesce(n_matches, 0L) = 0 AS keep")
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(regexp_split_to_array(lower(text), '$ws+')) - 2, 1) + 1),
+          i -> array_to_string(regexp_split_to_array(lower(text), '$ws+')[i:i+2], ' '))) AS s
+        FROM documents),
+      b AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+      c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      p AS (
+        SELECT c.doc_id,
+               CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(c.s, b.s))), 1) AS j
+        FROM c, b),
+      m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   round(max(j), 9) AS mx
+            FROM p WHERE j >= 0.8 GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(m.n_matches, 0) AS n_matches,
+             COALESCE(m.mx, 0.0) AS max_jaccard_r,
+             COALESCE(m.n_matches, 0) = 0 AS keep
+      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+      WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""")),
+
     // ---- deterministic stratified sampling (domain mixing) ----
     ("q56_stratified_sample", (s: SparkSession, dir: String) => {
       Sampling.stratifiedSample(Tables(s, dir).documents,

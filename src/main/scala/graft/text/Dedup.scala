@@ -503,6 +503,51 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** FUZZY cross-corpus decontamination: near-duplicate matches between
+    * a training corpus and a benchmark/eval set — the paraphrase-level
+    * complement of [[contamination]] (exact shingle overlap) and
+    * [[graft.text.Bloom]] (exact membership sketch), catching the
+    * reworded-but-same-document leaks neither exact path can see.
+    *
+    * Mechanics are the [[minhashNearDups]] pipeline ACROSS two tables:
+    * band keys on both sides, a band-bucket join (never all-pairs —
+    * only bucket-mates meet), candidate dedup on the bare id pair, then
+    * exact-Jaccard verification over the shingle-hash sets. Returns the
+    * verified match pairs (id_c, id_b, jaccard); callers aggregate to a
+    * per-document verdict. At the default 1-row-per-band setting a
+    * true pair at Jaccard ≥ 0.8 misses all 16 bands with probability
+    * ≤ 0.2¹⁶ ≈ 7e-12 (the q37/q122 argument).
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands of
+    * docs), so its band keys behave like a dimension table; the corpus
+    * side streams through one explode + one band-keyed join with only
+    * (band, hash, id) in the shuffle. Shingle payloads re-attach by key
+    * join for the (rare) surviving candidates only.
+    */
+  def fuzzyDecontamination(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: Double = 0.8, k: Int = 3,
+                           numHashes: Int = 16, bands: Int = 16,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def prep(d: DataFrame) = graft.Stage.mat(
+      d.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh")))
+    def keys(base: DataFrame) = base
+      .withColumn("bk",
+        explode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cb = prep(corpus)
+    val bb = prep(benchmark)
+    val cand = keys(cb).select(col("band"), col("bh"), col("id").as("id_c"))
+      .join(keys(bb).select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .select(col("id_c"), col("id_b"))
+      .distinct()
+    cand
+      .join(cb.select(col("id").as("id_c"), col("sh").as("sh_c")), Seq("id_c"))
+      .join(bb.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardSortedHashes(col("sh_c"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_c"), col("id_b"), col("jaccard"))
+  }
+
   // ---- dedup cluster resolution ---------------------------------------
 
   /** Connected components over a near-dup pair set — the step that turns

@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("fuzzy decontamination flags the cross-corpus paraphrase only") {
+    // corpus: paraphrase of benchmark doc 100 + two clean docs;
+    // benchmark: the original + an unrelated probe
+    val corpus = Seq((0L, nearDup), (1L, unrelated),
+      (2L, "totally clean training text about gradient descent steps"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, base),
+      (101L, "benchmark probe question on astronomy and telescopes"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.fuzzyDecontamination(corpus, bench, threshold = 0.5)
+      .select("id_c", "id_b").as[(Long, Long)].collect().toSet
+    assert(hits === Set((0L, 100L)))
+  }
+
   test("ngramJaccardPairs banded default equals the exact all-pairs kernel") {
     // 30 docs: 10 planted near-dup pairs (1-word edits) + 10 unrelated.
     // The dispatch (threshold 0.8 >= 0.5) runs banded MinHash + exact
