@@ -1,0 +1,493 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.text.TextStats
+
+/** Round-7 evaluation / robust-statistics operators: classifier
+  * agreement beyond accuracy (Cohen's kappa, MCC), rank correlation,
+  * score calibration, winsorized location estimates, and the Benford
+  * first-digit audit — the measurement layer a curation pipeline runs
+  * over its OWN classifiers and features before trusting them to gate
+  * a 100 TB corpus (is the language-ID gate better than chance-level
+  * agreement? is the quality score calibrated against outcomes, or
+  * just correlated? is a numeric column's digit distribution natural
+  * or synthetic?).
+  *
+  * Arithmetic discipline (the StatsOps/GraphOps precedent): every
+  * derived ratio is integer micros/ppm computed with `DIV` over exact
+  * integer sums; quadratic products run in DECIMAL(38,0) (Spark) /
+  * HUGEINT (DuckDB); no sqrt ever — correlations ship as sign +
+  * squared micros. Spark's `div` and DuckDB's `//` both truncate
+  * toward zero, so signed numerators (kappa, MCC, Spearman) replay
+  * exactly.
+  */
+object EvalOps {
+  import Relational.QFn
+
+  private val ws = TextStats.wsClassSql
+
+  /** Full agreement report for a (act, pred) classification:
+    *   - accuracy_micros            exact 1e6·agree div n
+    *   - kappa_micros               Cohen's kappa (Cohen 1960):
+    *       (n·agree − Σ_c n_act_c·n_pred_c)·1e6 div (n² − Σ_c ·)
+    *     — chance-corrected agreement; the marginal product runs in
+    *     DECIMAL(38,0) so n up to ~1e16 is exact.
+    *   - bal_acc_micros             unweighted mean of per-actual-class
+    *     recall micros (each recall floored first — the floor order is
+    *     part of the contract the oracle replays).
+    *   - mcc_sign / mcc2_micros     binary Matthews correlation for the
+    *     `posClass`-vs-rest collapse, in the no-sqrt convention:
+    *     sign(tp·tn − fp·fn) and (tp·tn − fp·fn)²·1e6 div Πmarginals.
+    *
+    * Scale shape: ONE map-side-combined (act, pred) count aggregate —
+    * the confusion matrix is classes²-sized driver-safe state — and
+    * every metric derives from broadcast-joined slices of it. One
+    * shuffle total regardless of corpus size.
+    */
+  def agreementReport(p: DataFrame, posClass: String): DataFrame = {
+    val cells = p.groupBy(col("act"), col("pred")).agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      sum(when(col("act") === col("pred"), col("c")).otherwise(lit(0L))).as("agree"))
+    val na = cells.groupBy(col("act").as("cls")).agg(sum(col("c")).as("n_act"))
+    val np = cells.groupBy(col("pred").as("cls")).agg(sum(col("c")).as("n_pred"))
+    val pe = na.join(np, Seq("cls"), "full_outer")
+      .agg(sum(expr(
+        "CAST(coalesce(n_act, 0) AS DECIMAL(38,0)) * coalesce(n_pred, 0)")).as("pe_num"))
+    val diag = cells.filter(col("act") === col("pred"))
+      .select(col("act").as("cls"), col("c").as("tp"))
+    val rec = na.join(diag, Seq("cls"), "left")
+      .selectExpr("(1000000 * coalesce(tp, 0L)) DIV n_act AS rec")
+      .agg(sum(col("rec")).as("sum_rec"), count(lit(1)).as("n_cls"))
+    val bin = cells.agg(
+      sum(when(col("act") === posClass && col("pred") === posClass, col("c"))
+        .otherwise(lit(0L))).as("tp"),
+      sum(when(col("act") =!= posClass && col("pred") === posClass, col("c"))
+        .otherwise(lit(0L))).as("fp"),
+      sum(when(col("act") === posClass && col("pred") =!= posClass, col("c"))
+        .otherwise(lit(0L))).as("fn"),
+      sum(when(col("act") =!= posClass && col("pred") =!= posClass, col("c"))
+        .otherwise(lit(0L))).as("tn"))
+    // 1-row × 1-row composition: broadcast → BroadcastNestedLoopJoin,
+    // never CartesianProduct (the chi2Terms convention; PlanSpec-safe).
+    tot.crossJoin(broadcast(pe)).crossJoin(broadcast(rec)).crossJoin(broadcast(bin))
+      .selectExpr("n", "agree",
+        "(1000000 * agree) DIV n AS accuracy_micros",
+        """CAST(((CAST(n AS DECIMAL(38,0)) * agree - pe_num) * 1000000)
+                DIV greatest(CAST(n AS DECIMAL(38,0)) * n - pe_num, 1)
+                AS BIGINT) AS kappa_micros""",
+        "sum_rec DIV n_cls AS bal_acc_micros",
+        """CAST(sign(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn)
+                AS BIGINT) AS mcc_sign""",
+        """CAST(((CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn)
+                 * (CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn)
+                 * 1000000)
+                DIV greatest(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                             * (tn + fp) * (tn + fn), 1)
+                AS BIGINT) AS mcc2_micros""")
+  }
+
+  /** Per-group exact Spearman rank correlation of two integer features,
+    * computed as Pearson over CENTERED DOUBLED average ranks: the
+    * doubled average rank of a tied value is `2·minrank + ties − 1`
+    * (an exact integer — no .5 halves ever materialize), and centering
+    * by its known mean `n + 1` keeps every product within
+    * DECIMAL(38,0) for n ≲ 1e6 per group (pre-aggregate or sample
+    * beyond — the StatsOps moment-range note). Σcentered ≡ 0 rides
+    * along as `sum_ex`/`sum_ey` — the exactness certificate.
+    * Output: (g, n, rho_sign, rho2_micros) in the no-sqrt convention.
+    *
+    * Scale shape: two per-group sort windows assign the ranks (running
+    * rank is streaming state, never a buffered group), then ONE
+    * map-side-combined sufficient-statistics aggregate. The windows are
+    * the unavoidable cost of exact ranks; at corpus scale the same
+    * suffstat pass runs over bucketed approximate ranks instead.
+    */
+  def spearmanMicros(df: DataFrame, g: String, x: String, y: String): DataFrame = {
+    val wx = Window.partitionBy(col(g)).orderBy(col(x))
+    val wy = Window.partitionBy(col(g)).orderBy(col(y))
+    val cx = Window.partitionBy(col(g), col(x))
+    val cy = Window.partitionBy(col(g), col(y))
+    val cg = Window.partitionBy(col(g))
+    df.select(col(g), col(x), col(y))
+      .withColumn("nn", count(lit(1)).over(cg))
+      .withColumn("ex",
+        lit(2L) * rank().over(wx) + count(lit(1)).over(cx) - 1L - (col("nn") + 1L))
+      .withColumn("ey",
+        lit(2L) * rank().over(wy) + count(lit(1)).over(cy) - 1L - (col("nn") + 1L))
+      .groupBy(col(g))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ex")).as("sum_ex"), sum(col("ey")).as("sum_ey"),
+        sum(expr("CAST(ex AS DECIMAL(38,0)) * ey")).as("sxy"),
+        sum(expr("CAST(ex AS DECIMAL(38,0)) * ex")).as("sxx"),
+        sum(expr("CAST(ey AS DECIMAL(38,0)) * ey")).as("syy"))
+      .selectExpr(g, "n", "sum_ex", "sum_ey",
+        "CAST(sign(sxy) AS BIGINT) AS rho_sign",
+        """CAST((sxy * sxy * 1000000) DIV greatest(sxx * syy, 1) AS BIGINT)
+           AS rho2_micros""")
+  }
+
+  /** Reliability diagram + expected calibration error for an integer
+    * ppm score against a binary outcome: 10 equal-width score bins,
+    * each reporting its size, mean score and positive rate (both
+    * floored ppm), and the |mean − rate| gap; the zz total row (bin
+    * 999) carries the corpus-level rates and ECE = Σ_b n_b·gap_b div n
+    * — the Naeini/Guo-style calibration audit in exact integers (each
+    * per-bin floor is part of the contract).
+    *
+    * Scale shape: one projection computes (bin, score, outcome); one
+    * 10-group map-side-combined aggregate; the total row derives from
+    * the bin table (10 rows). One shuffle, constant state.
+    */
+  def calibrationReport(scored: DataFrame): DataFrame = {
+    val b = scored
+      .withColumn("bin", least(lit(9L), expr("(score_ppm * 10) DIV 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_ppm")).as("ssum"),
+        sum(col("pos").cast("long")).as("n_pos"))
+      .selectExpr("bin", "n_docs",
+        "ssum DIV n_docs AS mean_score_ppm",
+        "(1000000 * n_pos) DIV n_docs AS pos_ppm",
+        "ssum", "n_pos")
+      .withColumn("gap_ppm", abs(col("mean_score_ppm") - col("pos_ppm")))
+    val total = b.agg(sum(col("n_docs")).as("n"), sum(col("ssum")).as("ssum"),
+        sum(col("n_pos")).as("n_pos"),
+        sum(expr("n_docs * gap_ppm")).as("wgap"))
+      .selectExpr("CAST(999 AS BIGINT) AS bin", "n AS n_docs",
+        "ssum DIV n AS mean_score_ppm",
+        "(1000000 * n_pos) DIV n AS pos_ppm",
+        "wgap DIV n AS gap_ppm")
+    b.select(col("bin"), col("n_docs"), col("mean_score_ppm"), col("pos_ppm"),
+        col("gap_ppm"))
+      .unionAll(total)
+  }
+
+  /** Per-group winsorized and trimmed means of an integer feature at
+    * the [pLo, pHi] nearest-rank percentiles (k = ceil(p·n/100), the
+    * classic definition — exact integers end to end): `lo`/`hi` are the
+    * k-th order statistics, the winsorized mean clamps every value into
+    * [lo, hi], the trimmed mean keeps only values inside it. The robust
+    * location estimates a curation pipeline caps token budgets with
+    * (q114's MAD measures spread; this is the matching location pair).
+    *
+    * Scale shape: the q119 histogram discipline — ONE (g, x) value
+    * histogram aggregate (distinct-value-sized, never row-sized), a
+    * per-group cumulative window over distinct VALUES, threshold
+    * selection by `min(x | cum ≥ k)`, then one more histogram-sized
+    * aggregate for the clamped/trimmed sums. No row-level sort, no
+    * buffered group, no percentile() OOM hazard.
+    */
+  def winsorizedMeans(df: DataFrame, g: String, x: String,
+                      pLo: Int = 10, pHi: Int = 90): DataFrame = {
+    val hist = df.filter(col(x).isNotNull)
+      .groupBy(col(g), col(x)).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col(g)).orderBy(col(x))
+    val hc = hist.withColumn("cum", sum(col("c")).over(wcum))
+    val ns = hist.groupBy(col(g)).agg(sum(col("c")).as("n"))
+      .withColumn("klo", expr(s"(n * $pLo + 99) DIV 100"))
+      .withColumn("khi", expr(s"(n * $pHi + 99) DIV 100"))
+    val thr = hc.join(broadcast(ns), Seq(g))
+      .groupBy(col(g), col("n"))
+      .agg(min(when(col("cum") >= col("klo"), col(x))).as("lo"),
+        min(when(col("cum") >= col("khi"), col(x))).as("hi"))
+    hist.join(broadcast(thr), Seq(g))
+      .groupBy(col(g), col("n"), col("lo"), col("hi"))
+      .agg(
+        sum(col("c") * greatest(col("lo"), least(col("hi"), col(x)))).as("wsum"),
+        sum(when(col(x).between(col("lo"), col("hi")), col("c"))
+          .otherwise(lit(0L))).as("trim_n"),
+        sum(when(col(x).between(col("lo"), col("hi")), col("c") * col(x))
+          .otherwise(lit(0L))).as("trim_sum"))
+      .selectExpr(g, "n", "lo", "hi",
+        "(1000000 * wsum) DIV n AS wins_mean_micros",
+        "trim_n",
+        "(1000000 * trim_sum) DIV greatest(trim_n, 1) AS trim_mean_micros")
+  }
+
+  /** Benford's-law expected first-digit shares in ppm
+    * (round(log10(1 + 1/d)·1e6); the nine literals sum to exactly 1e6).
+    */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** First-significant-digit audit of a positive integer column against
+    * Benford's law: per digit 1–9 the observed count and ppm share, the
+    * expected Benford ppm (literal constants — no runtime log), and the
+    * absolute deviation; the zz total row carries n and the total
+    * variation distance Σ|obs − exp| div 2 — the classic synthetic-data
+    * / fabricated-metrics screen. Digits absent from the data still
+    * emit a row (left join from the digit frame) so the TVD is complete.
+    *
+    * Scale shape: first digit via substring of the decimal rendering
+    * (pure projection), one 9-group aggregate, literal digit frame
+    * broadcast. One shuffle, constant state.
+    */
+  def benfordAudit(df: DataFrame, x: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = benfordPpm.toDF("dd", "benford_ppm")
+      .select(col("dd").cast("string").as("d"), col("benford_ppm"))
+    val counts = df.filter(col(x).isNotNull && col(x) > 0)
+      .select(substring(col(x).cast("string"), 1, 1).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val n1 = counts.agg(sum(col("c")).as("n"))
+    // digit frame drives the left join; the build side is the 9-row
+    // counts aggregate (auto-broadcast — hinting the LEFT of a left
+    // outer join is unsupported and would only WARN).
+    val per = digits.join(counts, Seq("d"), "left")
+      .crossJoin(broadcast(n1))
+      .selectExpr("d", "coalesce(c, 0L) AS n_docs",
+        "(1000000 * coalesce(c, 0L)) DIV n AS obs_ppm", "benford_ppm")
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+    val total = per.agg(sum(col("n_docs")).as("n"), sum(col("dev_ppm")).as("sdev"))
+      .selectExpr("'zz' AS d", "n AS n_docs",
+        "CAST(1000000 AS BIGINT) AS obs_ppm", "CAST(1000000 AS BIGINT) AS benford_ppm",
+        "sdev DIV 2 AS dev_ppm")
+    per.unionAll(total)
+  }
+
+  // ------------------------------------------------------------------
+  // declared queries + oracles
+  // ------------------------------------------------------------------
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- language-ID agreement report: accuracy, Cohen's kappa,
+    //      balanced accuracy, and binary-en MCC (sign + squared micros)
+    //      in one row — the chance-corrected complement of q126's
+    //      per-class P/R/F1 (an unbalanced corpus can score 90%
+    //      accuracy at kappa ≈ 0). The oracle replays the prediction,
+    //      the confusion marginals, and every floor.
+    ("q145_agreement_kappa", (s: SparkSession, dir: String) => {
+      val p = Tables(s, dir).documents.select(col("lang").as("act"),
+        TextStats.langIdPredicted(col("text")).as("pred"))
+      agreementReport(p, posClass = "en")
+    }, Some {
+      def score(lang: String): String = {
+        val words = TextStats.langProfiles.toMap.apply(lang)
+        s"len(list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+      }
+      s"""
+      WITH scored AS (
+        SELECT lang AS act,
+               ${score("en")} AS s_en, ${score("de")} AS s_de,
+               ${score("es")} AS s_es, ${score("fr")} AS s_fr
+        FROM documents),
+      p AS (SELECT act,
+              CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                   WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                   WHEN s_en >= s_de THEN 'en'
+                   ELSE 'de' END AS pred
+            FROM scored),
+      cells AS (SELECT act, pred, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY act, pred),
+      tot AS (SELECT SUM(c) AS n,
+                     SUM(CASE WHEN act = pred THEN c ELSE 0 END) AS agree
+              FROM cells),
+      na AS (SELECT act AS cls, SUM(c) AS n_act FROM cells GROUP BY act),
+      np AS (SELECT pred AS cls, SUM(c) AS n_pred FROM cells GROUP BY pred),
+      pe AS (SELECT SUM(CAST(COALESCE(n_act, 0) AS HUGEINT) * COALESCE(n_pred, 0)) AS pe_num
+             FROM na FULL OUTER JOIN np USING (cls)),
+      diag AS (SELECT act AS cls, c AS tp FROM cells WHERE act = pred),
+      rec AS (SELECT SUM((1000000 * COALESCE(tp, 0)) // n_act) AS sum_rec,
+                     CAST(count(*) AS BIGINT) AS n_cls
+              FROM na LEFT JOIN diag USING (cls)),
+      bin AS (SELECT
+                SUM(CASE WHEN act = 'en' AND pred = 'en' THEN c ELSE 0 END) AS tp,
+                SUM(CASE WHEN act <> 'en' AND pred = 'en' THEN c ELSE 0 END) AS fp,
+                SUM(CASE WHEN act = 'en' AND pred <> 'en' THEN c ELSE 0 END) AS fn,
+                SUM(CASE WHEN act <> 'en' AND pred <> 'en' THEN c ELSE 0 END) AS tn
+              FROM cells)
+      SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+             CAST((1000000 * agree) // n AS BIGINT) AS accuracy_micros,
+             CAST(((CAST(n AS HUGEINT) * agree - pe_num) * 1000000)
+                  // greatest(CAST(n AS HUGEINT) * n - pe_num, 1) AS BIGINT) AS kappa_micros,
+             CAST(sum_rec // n_cls AS BIGINT) AS bal_acc_micros,
+             CAST(CASE WHEN CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn < 0 THEN -1
+                       WHEN CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn > 0 THEN 1
+                       ELSE 0 END AS BIGINT) AS mcc_sign,
+             CAST(((CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+                   * (CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+                   * 1000000)
+                  // greatest(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                             * (tn + fp) * (tn + fn), 1) AS BIGINT) AS mcc2_micros
+      FROM tot CROSS JOIN pe CROSS JOIN rec CROSS JOIN bin"""
+    }),
+
+    // ---- per-source Spearman of token count vs n_chars: the
+    //      monotonic-association audit of q140's linear fit (Spearman
+    //      far above Pearson r² flags a nonlinear but monotone length
+    //      relation — CJK, code). Centered doubled average ranks keep
+    //      the arithmetic exact; sum_ex/sum_ey ≡ 0 certify centering.
+    ("q146_spearman", (s: SparkSession, dir: String) => {
+      spearmanMicros(
+        Tables(s, dir).documents.select(col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("x"),
+          col("n_chars").cast("long").as("y")),
+        g = "source", x = "x", y = "y")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS x,
+               CAST(n_chars AS BIGINT) AS y
+        FROM documents),
+      rk AS (
+        SELECT source,
+               2 * rank() OVER (PARTITION BY source ORDER BY x)
+                 + count(*) OVER (PARTITION BY source, x) - 1
+                 - (count(*) OVER (PARTITION BY source) + 1) AS ex,
+               2 * rank() OVER (PARTITION BY source ORDER BY y)
+                 + count(*) OVER (PARTITION BY source, y) - 1
+                 - (count(*) OVER (PARTITION BY source) + 1) AS ey
+        FROM f),
+      st AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(ex) AS BIGINT) AS sum_ex, CAST(SUM(ey) AS BIGINT) AS sum_ey,
+               SUM(CAST(ex AS HUGEINT) * ey) AS sxy,
+               SUM(CAST(ex AS HUGEINT) * ex) AS sxx,
+               SUM(CAST(ey AS HUGEINT) * ey) AS syy
+        FROM rk GROUP BY source)
+      SELECT source, n, sum_ex, sum_ey,
+             CAST(CASE WHEN sxy < 0 THEN -1 WHEN sxy > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS rho_sign,
+             CAST((sxy * sxy * 1000000) // greatest(sxx * syy, 1) AS BIGINT)
+               AS rho2_micros
+      FROM st ORDER BY source""")),
+
+    // ---- stopword-score calibration vs the is-English outcome: 10
+    //      ppm-score bins, per-bin mean score / positive rate / gap,
+    //      zz row with the exact-integer ECE. The oracle replays the
+    //      binning and every per-bin floor.
+    ("q147_calibration", (s: SparkSession, dir: String) => {
+      val toks = TextStats.tokens(lower(col("text")))
+      val scored = Tables(s, dir).documents
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(
+          (lit(1000000L) * size(filter(toks, t => t.isin(TextStats.stopwords: _*)))
+            .cast("long")).as("hits_scaled"),
+          greatest(size(toks), lit(1)).cast("long").as("ntoks"),
+          (col("lang") === "en").as("pos"))
+        .selectExpr("hits_scaled DIV ntoks AS score_ppm", "pos")
+      calibrationReport(scored).orderBy(col("bin"))
+    }, Some {
+      val sw = TextStats.stopwords.map("'" + _ + "'").mkString(",")
+      s"""
+      WITH sc AS (
+        SELECT (1000000 * len(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                               t -> t IN ($sw))))
+                 // greatest(len(regexp_split_to_array(lower(text), '$ws+')), 1)
+                 AS score_ppm,
+               (lang = 'en') AS pos
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL),
+      b AS (
+        SELECT least(9, score_ppm * 10 // 1000000) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               SUM(score_ppm) AS ssum,
+               SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+        FROM sc GROUP BY 1),
+      bm AS (
+        SELECT bin, n_docs,
+               CAST(ssum // n_docs AS BIGINT) AS mean_score_ppm,
+               CAST((1000000 * n_pos) // n_docs AS BIGINT) AS pos_ppm,
+               ssum, n_pos
+        FROM b),
+      bg AS (SELECT bin, n_docs, mean_score_ppm, pos_ppm,
+                    abs(mean_score_ppm - pos_ppm) AS gap_ppm, ssum, n_pos
+             FROM bm),
+      tot AS (
+        SELECT CAST(999 AS BIGINT) AS bin,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(ssum) // SUM(n_docs) AS BIGINT) AS mean_score_ppm,
+               CAST((1000000 * SUM(n_pos)) // SUM(n_docs) AS BIGINT) AS pos_ppm,
+               CAST(SUM(n_docs * gap_ppm) // SUM(n_docs) AS BIGINT) AS gap_ppm
+        FROM bg)
+      SELECT bin, n_docs, mean_score_ppm, pos_ppm, gap_ppm FROM bg
+      UNION ALL
+      SELECT bin, n_docs, mean_score_ppm, pos_ppm, gap_ppm FROM tot
+      ORDER BY bin"""
+    }),
+
+    // ---- per-source winsorized/trimmed token-count means at the
+    //      nearest-rank p10/p90: the robust location pair to q143's
+    //      moment profile and q114's MAD spread. The oracle replays the
+    //      histogram cumulative, the order-statistic selection, and the
+    //      clamped/trimmed integer sums.
+    ("q148_winsorized", (s: SparkSession, dir: String) => {
+      winsorizedMeans(
+        Tables(s, dir).documents.select(col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("x")),
+        g = "source", x = "x", pLo = 10, pHi = 90)
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT source, CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS x
+        FROM documents),
+      hist AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c
+               FROM f WHERE x IS NOT NULL GROUP BY source, x),
+      hc AS (SELECT source, x, c,
+                    SUM(c) OVER (PARTITION BY source ORDER BY x) AS cum
+             FROM hist),
+      ns AS (SELECT source, SUM(c) AS n,
+                    (SUM(c) * 10 + 99) // 100 AS klo,
+                    (SUM(c) * 90 + 99) // 100 AS khi
+             FROM hist GROUP BY source),
+      thr AS (SELECT hc.source, ns.n,
+                     min(CASE WHEN hc.cum >= ns.klo THEN hc.x END) AS lo,
+                     min(CASE WHEN hc.cum >= ns.khi THEN hc.x END) AS hi
+              FROM hc JOIN ns USING (source) GROUP BY hc.source, ns.n),
+      out AS (
+        SELECT h.source, t.n, t.lo, t.hi,
+               SUM(h.c * greatest(t.lo, least(t.hi, h.x))) AS wsum,
+               SUM(CASE WHEN h.x BETWEEN t.lo AND t.hi THEN h.c ELSE 0 END) AS trim_n,
+               SUM(CASE WHEN h.x BETWEEN t.lo AND t.hi THEN h.c * h.x ELSE 0 END) AS trim_sum
+        FROM hist h JOIN thr t USING (source)
+        GROUP BY h.source, t.n, t.lo, t.hi)
+      SELECT source, CAST(n AS BIGINT) AS n, lo, hi,
+             CAST((1000000 * wsum) // n AS BIGINT) AS wins_mean_micros,
+             CAST(trim_n AS BIGINT) AS trim_n,
+             CAST((1000000 * trim_sum) // greatest(trim_n, 1) AS BIGINT) AS trim_mean_micros
+      FROM out ORDER BY source""")),
+
+    // ---- Benford first-digit audit of document lengths: per digit
+    //      observed vs expected ppm and the zz total-variation row —
+    //      the synthetic-data screen (fixture lengths are driver-
+    //      generated, so the TVD row QUANTIFIES how un-Benford they
+    //      are; on organic corpora the same query is the fabrication
+    //      alarm). Digits absent from the data still emit rows.
+    ("q149_benford", (s: SparkSession, dir: String) => {
+      benfordAudit(Tables(s, dir).documents, x = "n_chars")
+        .orderBy(col("d"))
+    }, Some {
+      val vals = benfordPpm.map { case (d, p) => s"('$d', ${p})" }.mkString(", ")
+      s"""
+      WITH digits(d, benford_ppm) AS (VALUES $vals),
+      counts AS (
+        SELECT substring(CAST(n_chars AS VARCHAR), 1, 1) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        GROUP BY 1),
+      n1 AS (SELECT SUM(c) AS n FROM counts),
+      per AS (
+        SELECT digits.d, COALESCE(c, 0) AS n_docs,
+               CAST((1000000 * COALESCE(c, 0)) // n AS BIGINT) AS obs_ppm,
+               CAST(benford_ppm AS BIGINT) AS benford_ppm,
+               CAST(abs((1000000 * COALESCE(c, 0)) // n - benford_ppm) AS BIGINT) AS dev_ppm
+        FROM digits LEFT JOIN counts ON digits.d = counts.d
+        CROSS JOIN n1),
+      tot AS (
+        SELECT 'zz' AS d, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(1000000 AS BIGINT) AS obs_ppm, CAST(1000000 AS BIGINT) AS benford_ppm,
+               CAST(SUM(dev_ppm) // 2 AS BIGINT) AS dev_ppm
+        FROM per)
+      SELECT d, n_docs, obs_ppm, benford_ppm, dev_ppm FROM per
+      UNION ALL
+      SELECT d, n_docs, obs_ppm, benford_ppm, dev_ppm FROM tot
+      ORDER BY d"""
+    })
+  )
+}
