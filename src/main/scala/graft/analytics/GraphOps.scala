@@ -407,6 +407,55 @@ object GraphOps {
     * degree·√m ≲ 3e9 (far beyond any real interaction graph's
     * per-partition load once bucketed).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * deterministic synchronous variant): every node starts labeled
+    * with itself; each iteration relabels every node with the MODE of
+    * its neighbors' labels, ties broken by the lexicographically
+    * smallest label. `iters` fixed synchronous rounds make the whole
+    * computation an exact unrollable recurrence (the PageRank oracle
+    * discipline) instead of the paper's randomized-order asynchrony —
+    * same communities on cleanly-separated graphs, replayable
+    * everywhere. Input must be mirrored (undirected); every node then
+    * appears as some edge's dst, so no node is ever left unlabeled.
+    * Returns (node, label) after the final round.
+    *
+    * Scale shape per iteration: one edges⋈labels hash join on the
+    * node key (bucketing ⇒ shuffle-free, as pageRankMicros) + one
+    * (node, label) map-side-combined count + a per-node top-1 window
+    * whose partitions are neighbor-LABEL-sized (≤ degree; celebrity
+    * skew → the q43 salted two-phase escape). State is one label per
+    * node — node-count-sized, never corpus-sized.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = graft.Stage.mat(edges) // feeds every iteration
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("cnt").desc, col("label"))
+      labels = contrib.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+    }
+    labels
+  }
+
+  /** One unrolled synchronous-LPA iteration for the DuckDB oracle —
+    * token-for-token the [[labelPropagation]] mode-with-min-tie update.
+    */
+  private def lpaIterSql(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+              FROM edges e JOIN $prev l ON e.src = l.node
+              GROUP BY e.dst, l.label),
+      l$i AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                        ORDER BY cnt DESC, label) AS rn
+               FROM c$i) WHERE rn = 1)"""
+  }
+
   def degreeAssortativityMicros(edges: DataFrame): DataFrame = {
     val e = graft.Stage.mat(edges.select(col("src"), col("dst")))
     val deg = graft.Stage.mat(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
@@ -695,6 +744,31 @@ object GraphOps {
              CAST(CASE WHEN cov_m < 0 THEN -1 WHEN cov_m > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
              CAST((CAST(cov_m AS HUGEINT) * cov_m * 1000000)
                   // greatest(CAST(varx_m AS HUGEINT) * vary_m, 1) AS BIGINT) AS r2_micros
-      FROM cv"""))
+      FROM cv""")),
+
+    // ---- label-propagation communities over the bidirected
+    //      interaction graph: 3 synchronous rounds, then the community
+    //      SIZE histogram (label = the surviving seed node). The
+    //      oracle unrolls all three mode-with-min-tie updates —
+    //      row_number over (cnt desc, label) is the entire tie
+    //      contract, so the replay is exact, not approximate.
+    ("q150_label_prop", (s: SparkSession, dir: String) => {
+      labelPropagation(interactionEdges(s, dir), iters = 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label"))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      edges AS (SELECT a AS src, b AS dst FROM inter
+                UNION ALL SELECT b AS src, a AS dst FROM inter),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      ${lpaIterSql(1)},
+      ${lpaIterSql(2)},
+      ${lpaIterSql(3)}
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      FROM l3 GROUP BY label
+      ORDER BY n_members DESC, label"""))
   )
 }

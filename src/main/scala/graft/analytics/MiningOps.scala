@@ -264,6 +264,35 @@ object MiningOps {
       .limit(topK)
   }
 
+  /** Frequent item TRIPLES with exact support: the 3-way extension of
+    * [[basketLift]]'s pair mining (the Apriori k=3 level, materialized
+    * directly — at bounded basket size the candidate-generation pass
+    * is unnecessary). Baskets are DISTINCT (order, item) pairs;
+    * triples are canonically ordered pa < pb < pc so each combination
+    * counts once.
+    *
+    * Scale shape: both self-joins co-partition on the basket key
+    * `l_orderkey` — one shuffle per side, never a fact broadcast —
+    * and the per-order work is C(k,3) for basket size k (bounded
+    * baskets: TPC-H ≤ 7 ⇒ ≤ 35 rows/order; cap or pre-filter hot
+    * baskets on corpora without that bound). Support counts are
+    * map-side-combined; the top-k is TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def basketTriples(lineitem: DataFrame, minSupport: Long = 2, topK: Int = 20): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(graft.Stage.mat) // feeds all three join legs
+    li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pc")), Seq("l_orderkey"))
+      .filter(col("pb") < col("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+      .limit(topK)
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- edit-distance-verified near-dup pairs: banded MinHash
@@ -448,6 +477,24 @@ object MiningOps {
                CAST(SUM(f1_micros) // count(*) AS BIGINT)
         FROM m2)
       ORDER BY lang"""
-    })
+    }),
+
+    // ---- frequent part triples: top-20 canonically-ordered 3-item
+    //      combinations by exact basket support (>= 2). The oracle
+    //      replays the distinct-basket projection, both canonical
+    //      joins, and the (support desc, pa, pb, pc) tie order.
+    ("q151_basket_triples", (s: SparkSession, dir: String) => {
+      basketTriples(Tables(s, dir).lineitem, minSupport = 2, topK = 20)
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      tri AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+               CAST(count(*) AS BIGINT) AS support
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      SELECT pa, pb, pc, support FROM tri
+      ORDER BY support DESC, pa, pb, pc LIMIT 20"""))
   )
 }

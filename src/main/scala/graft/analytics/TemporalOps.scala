@@ -50,6 +50,24 @@ object TemporalOps {
       .withColumnRenamed("user_id", userCol)
   }
 
+  /** Interval-interval overlap pairs within an equi-key: input rows
+    * (key, id, ivs, ive) — date-typed closed intervals — yield one row
+    * (key, id_a, id_b, overlap_days) per overlapping same-key pair,
+    * canonically id_a < id_b, with the exact inclusive overlap length.
+    * The both-sides-ranges companion to the q52 point-in-range join.
+    */
+  def intervalOverlapPairs(iv: DataFrame): DataFrame = {
+    val a = iv.select(col("key"), col("id").as("id_a"),
+      col("ivs").as("sa"), col("ive").as("ea"))
+    val b = iv.select(col("key"), col("id").as("id_b"),
+      col("ivs").as("sb"), col("ive").as("eb"))
+    a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b") && col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("key"), col("id_a"), col("id_b"),
+        (datediff(least(col("ea"), col("eb")), greatest(col("sa"), col("sb")))
+          + lit(1)).cast("long").as("overlap_days"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- as-of (backward) join: each purchase picks the latest view at
@@ -188,6 +206,52 @@ object TemporalOps {
                        ELSE 0 END AS INTEGER) AS steps
       FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
              LEFT JOIN s3 USING (user_id)
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // ---- interval-INTERVAL overlap self-join (q52 is point-in-range;
+    //      this is the both-sides-ranges variant): each order's
+    //      fulfillment interval is [orderdate, max shipdate]; pairs of
+    //      the SAME customer's orders whose intervals overlap are
+    //      counted with exact overlap lengths in days. The equi-key
+    //      (o_custkey) co-partitions the self-join — one shuffle per
+    //      side, per-customer pair work C(k,2) for bounded k; on
+    //      interval sets WITHOUT a natural equi-key the scale path is
+    //      time-bin replication + the count-once-in-the-bin-of-
+    //      max(start) responsibility rule (the q81 pigeonhole
+    //      discipline). Canonical a<b on the order key counts each
+    //      pair once.
+    ("q152_interval_overlap", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      val iv = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("ivs"),
+          to_date(max(col("l_shipdate"))).as("ive"))
+        .select(col("o_custkey").as("key"), col("o_orderkey").as("id"),
+          col("ivs"), col("ive"))
+      intervalOverlapPairs(iv)
+        .groupBy(col("key").as("custkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("overlap_days")).as("max_overlap_days"),
+          sum(col("overlap_days")).as("sum_overlap_days"))
+        .orderBy(col("custkey"))
+    }, Some("""
+      WITH iv AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(MIN(o.o_orderdate) AS DATE) AS ivs,
+               CAST(MAX(l.l_shipdate) AS DATE) AS ive
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_custkey),
+      pr AS (
+        SELECT a.o_custkey AS custkey,
+               CAST(date_diff('day', greatest(a.ivs, b.ivs),
+                              least(a.ive, b.ive)) + 1 AS BIGINT) AS overlap_days
+        FROM iv a JOIN iv b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+         AND a.ivs <= b.ive AND b.ivs <= a.ive)
+      SELECT custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+             MAX(overlap_days) AS max_overlap_days,
+             CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days
+      FROM pr GROUP BY custkey ORDER BY custkey"""))
   )
 }

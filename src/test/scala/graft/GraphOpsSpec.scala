@@ -180,4 +180,31 @@ class GraphOpsSpec extends SparkSpec {
     val m = r1.map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(m("a") > m("b") && m("a") > m("c"))
   }
+
+  test("label propagation resolves two disconnected triangles to their min seeds") {
+    // trace (hand-unrolled 3 rounds, mode + min-label ties): each
+    // complete triangle converges to its lexicographically-least node
+    def tri(ns: Seq[String]) = for {
+      a <- ns; b <- ns if a != b
+    } yield (a, b)
+    val edges = (tri(Seq("a", "b", "c")) ++ tri(Seq("x", "y", "z")))
+      .toDF("src", "dst")
+    val labels = GraphOps.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("label propagation on a 2-node bipartite pair oscillates (documented synchronous semantics)") {
+    // synchronous LPA's known bipartite oscillation: odd rounds swap
+    // labels, even rounds restore them — pinned as a contract so a
+    // future 'fix' is a deliberate semantic change, not drift
+    val e = Seq(("p", "q"), ("q", "p")).toDF("src", "dst")
+    val odd = GraphOps.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(odd === Map("p" -> "q", "q" -> "p"))
+    val even = GraphOps.labelPropagation(e, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(even === Map("p" -> "p", "q" -> "q"))
+  }
 }

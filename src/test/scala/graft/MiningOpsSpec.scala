@@ -154,4 +154,33 @@ class MiningOpsSpec extends SparkSpec {
     // (100, p1) row must not inflate c_a past 3
     assert(r.toSeq === Seq((1L, 2L, 3L, 1000000L)))
   }
+
+  test("basketTriples counts canonical triples with exact support") {
+    // baskets: {1,2,3} {1,2,3,4} {1,2,4} → support (1,2,3)=2 (1,2,4)=2,
+    // the four others 1; minSupport=2 keeps exactly the two, ordered
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (3L, 4L) // duplicate (order, part) row must not inflate support
+    ).toDF("l_orderkey", "l_partkey")
+    val r = MiningOps.basketTriples(li, minSupport = 2, topK = 20).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq((1L, 2L, 3L, 2L), (1L, 2L, 4L, 2L)))
+  }
+
+  test("interval overlap pairs: inclusive day arithmetic and the canonical order") {
+    import java.sql.Date
+    val iv = Seq(
+      ("c1", 1L, Date.valueOf("2024-01-01"), Date.valueOf("2024-01-10")),
+      ("c1", 2L, Date.valueOf("2024-01-10"), Date.valueOf("2024-01-20")), // touches 1 on one day
+      ("c1", 3L, Date.valueOf("2024-02-01"), Date.valueOf("2024-02-05")), // disjoint
+      ("c2", 4L, Date.valueOf("2024-01-05"), Date.valueOf("2024-01-08")) // other key
+    ).toDF("key", "id", "ivs", "ive")
+    val r = graft.analytics.TemporalOps.intervalOverlapPairs(iv)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // single-day touch counts as overlap_days = 1; disjoint and
+    // cross-key pairs never appear
+    assert(r.toSeq === Seq(("c1", 1L, 2L, 1L)))
+  }
 }
