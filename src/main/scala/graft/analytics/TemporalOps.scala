@@ -252,6 +252,39 @@ object TemporalOps {
       SELECT custkey, CAST(count(*) AS BIGINT) AS n_pairs,
              MAX(overlap_days) AS max_overlap_days,
              CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days
-      FROM pr GROUP BY custkey ORDER BY custkey"""))
+      FROM pr GROUP BY custkey ORDER BY custkey""")),
+
+    // ---- NATIVE session windows (q51's twin through Spark's built-in
+    //      session_window aggregate — the operator Structured Streaming
+    //      runs; here exercised in batch so the oracle can check it).
+    //      Boundary semantics pinned by probe + spec: two events spaced
+    //      EXACTLY one gap apart merge (new session iff diff > gap —
+    //      identical membership to q51), and end = last activity + gap.
+    //      The oracle replays q51's gap detector and shifts the end.
+    ("q153_session_window", (s: SparkSession, dir: String) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }, Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 600000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sidx
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, sidx
+      ORDER BY user_id, session_start"""))
   )
 }

@@ -330,4 +330,60 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "flagged").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(batch === streamed)
   }
+
+  test("streaming sessionization merges windows across micro-batches and matches batch q51 semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1's first session SPANS the batch boundary (10:09 arrives a
+    // batch after 10:05 but within the gap) — finding one merged
+    // session proves native session-window state survives micro-batches
+    val wave1 = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+      (2L, ts("2024-01-01 11:00:00")))
+    val wave2 = Seq((1L, ts("2024-01-01 10:09:00")), (1L, ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 11:20:00")))
+    val mem = MemoryStream[(Long, Timestamp)]
+    // the watermark is GLOBAL (max event time - delay): user 2's 11:00
+    // in wave 1 would otherwise mark user 1's 10:09 wave-2 arrival as
+    // late and drop it — the delay must cover cross-user event-time
+    // skew between batches, exactly as in production
+    val q = graft.stream.StreamingSessionize
+      .sessions(mem.toDS().toDF("user_id", "ts"), gap = "10 minutes",
+        watermarkDelay = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    mem.addData(wave1: _*); q.processAllAvailable()
+    mem.addData(wave2: _*); q.processAllAvailable()
+    // two sentinel batches walk the watermark past every real session's
+    // end (watermark advances from the PREVIOUS batch's max event time)
+    mem.addData((99L, ts("2024-01-02 00:00:00"))); q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-02 00:01:00"))); q.processAllAvailable()
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") =!= 99L)
+      .select(col("user_id"), col("session_start"),
+        // session_window end = last activity + gap: map onto q51's max(ts)
+        (unix_micros(col("session_end")) - 600L * 1000000L).as("last_us"),
+        col("n_events"))
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+    q.stop()
+    // batch q51 gap logic (lag + running counter) over the same events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val batch = (wave1 ++ wave2).toDF("user_id", "ts")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new", (col("prev_us").isNull ||
+        (unix_micros(col("ts")) - col("prev_us") > 600L * 1000000L)).cast("int"))
+      .withColumn("sidx", sum(col("is_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("sidx"))
+      .agg(min(col("ts")).as("session_start"), max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("last_us"), col("n_events"))
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4, "1:[10:00-10:09]x3, 1:[10:30]x1, 2:[11:00]x1, 2:[11:20]x1")
+    assert(streamed.exists(s => s._1 == 1L && s._4 == 3L),
+      "the cross-batch merged session must carry all 3 events")
+  }
 }
