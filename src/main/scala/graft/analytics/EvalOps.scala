@@ -254,6 +254,87 @@ object EvalOps {
   // declared queries + oracles
   // ------------------------------------------------------------------
 
+  /** 16-bit × 16-bit Morton (Z-order) interleave as ONE generated
+    * integer expression — identical SQL text on both engines (>> & <<
+    * | are plain bitwise ops in Spark SQL and DuckDB), so the oracle
+    * replays it verbatim. Inputs must already be masked to 16 bits.
+    *
+    * This is the multi-dimensional LAYOUT key: writing a table ordered
+    * by z gives every file/row-group a bounded min-max envelope on
+    * BOTH dimensions, so parquet zone-map skipping prunes scans for
+    * predicates on EITHER column — the standard locality technique a
+    * single-column sort cannot provide (one dim clustered, the other
+    * scattered corpus-wide).
+    */
+  /** Labels-as-relevance retrieval eval: queries are vec_ids in
+    * [qLo, qHi], the corpus is every vec_id > qHi, the system is exact
+    * cosine top-k, and a hit is a same-label retrieval. Per query:
+    * first-hit rank (0 = none), reciprocal rank, and precision@k in
+    * exact micros; the zz row (q_id −1) carries corpus MRR and mean
+    * P@k. One corpus pass (queries broadcast, per-query top-k window);
+    * the label join touches only the (nQueries·k)-row result.
+    */
+  def retrievalEval(emb: DataFrame, qLo: Long, qHi: Long, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id").between(qLo, qHi))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("label").cast("long").as("q_label"))
+    val corpus = emb.filter(col("vec_id") > qHi)
+    val ranked = graft.text.Similarity
+      .topKPerQuery(corpus, queries.select(col("q_id"), col("qvec")), k, qidCol = "q_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_label"))), Seq("q_id"))
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("c_label")),
+        Seq("vec_id"))
+      .withColumn("hit", (col("c_label") === col("q_label")).cast("long"))
+    val per = ranked.groupBy(col("q_id"), col("q_label"))
+      .agg(min(when(col("hit") === 1L, col("rn"))).cast("long").as("fr"),
+        sum(col("hit")).as("n_hits"))
+      .selectExpr("q_id", "q_label AS label",
+        "coalesce(fr, 0L) AS first_hit_rank",
+        "coalesce(1000000 DIV fr, 0L) AS rr_micros",
+        "n_hits", s"(1000000 * n_hits) DIV $k AS p10_micros")
+    val zz = per.agg(count(lit(1)).as("nq"), sum(col("rr_micros")).as("srr"),
+        sum(col("n_hits")).as("sh"), sum(col("p10_micros")).as("sp"))
+      .selectExpr("CAST(-1 AS BIGINT) AS q_id", "CAST(-1 AS BIGINT) AS label",
+        "CAST(0 AS BIGINT) AS first_hit_rank",
+        "srr DIV nq AS rr_micros", "sh AS n_hits", "sp DIV nq AS p10_micros")
+    per.unionAll(zz).orderBy(col("q_id"))
+  }
+
+  /** Shuffle-skew advisor for a join/agg key: one row with the key
+    * cardinality, exact nearest-rank p50/p90/p99 of per-key row counts
+    * (computed over the count-of-counts histogram — distinct-count-
+    * sized, never key-sized), the heaviest key with its ppm share, and
+    * the derived `salt_factor = ceil(max_c / ceil(n_rows / 32))` — how
+    * many salt splits bring the hottest key down to an even
+    * 32-partition share (the q43 salted-agg parameter, measured
+    * instead of guessed). Two map-side-combined aggregates and
+    * constant-size state after the first.
+    */
+  def skewReport(rows: DataFrame, key: String): DataFrame = {
+    val kc = rows.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val hist = kc.groupBy(col("c")).agg(count(lit(1)).as("f"))
+    val wc = Window.orderBy(col("c")) // count-of-counts-sized input
+    val hcum = hist.withColumn("cum", sum(col("f")).over(wc))
+    val tot = kc.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_c"))
+    val qs = hcum.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= expr("(n_keys * 50 + 99) DIV 100"), col("c"))).as("p50_c"),
+        min(when(col("cum") >= expr("(n_keys * 90 + 99) DIV 100"), col("c"))).as("p90_c"),
+        min(when(col("cum") >= expr("(n_keys * 99 + 99) DIV 100"), col("c"))).as("p99_c"))
+    val top = kc.orderBy(col("c").desc, col(key)).limit(1)
+      .select(col(key).as("top_key"), col("c").as("top_c"))
+    tot.crossJoin(broadcast(qs)).crossJoin(broadcast(top))
+      .selectExpr("n_rows", "n_keys", "max_c", "p50_c", "p90_c", "p99_c",
+        "top_key", "(1000000 * top_c) DIV n_rows AS top_share_ppm",
+        """(max_c + ((n_rows + 31) DIV 32) - 1) DIV ((n_rows + 31) DIV 32)
+           AS salt_factor""")
+  }
+
+  def zInterleave16Sql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- language-ID agreement report: accuracy, Cohen's kappa,
@@ -488,6 +569,136 @@ object EvalOps {
       UNION ALL
       SELECT d, n_docs, obs_ppm, benford_ppm, dev_ppm FROM tot
       ORDER BY d"""
-    })
+    }),
+
+    // ---- labels-as-relevance retrieval eval: queries are vecs 1–20,
+    //      the system is exact cosine top-10 over the rest, a hit is a
+    //      same-label retrieval. Per query: first-hit rank, reciprocal
+    //      rank, precision@10, all exact integers after the
+    //      (replayable) double-cosine ordering; the zz row (q_id −1)
+    //      carries corpus MRR and mean P@10 — the embedding-quality
+    //      scoreboard (q110 certifies the ANN index against this exact
+    //      ranking; this scores the EMBEDDING itself). One corpus pass:
+    //      queries broadcast, per-query top-k window, label join on the
+    //      200-row result.
+    ("q154_retrieval_mrr", (s: SparkSession, dir: String) => {
+      retrievalEval(Tables(s, dir).embeddings, qLo = 1L, qHi = 20L, k = 10)
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                        CAST(label AS BIGINT) AS q_label
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST(label AS BIGINT) AS c_label
+            FROM embeddings WHERE vec_id > 20),
+      r AS (SELECT q_id, q_label, vec_id, c_label,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rn
+            FROM c, q),
+      t AS (SELECT q_id, q_label, vec_id, c_label, rn,
+                   CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS hit
+            FROM r WHERE rn <= 10),
+      per AS (
+        SELECT q_id, q_label AS label,
+               CAST(COALESCE(MIN(CASE WHEN hit = 1 THEN rn END), 0) AS BIGINT)
+                 AS first_hit_rank,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rn END), 0)
+                 AS BIGINT) AS rr_micros,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST((1000000 * SUM(hit)) // 10 AS BIGINT) AS p10_micros
+        FROM t GROUP BY q_id, q_label),
+      zz AS (
+        SELECT CAST(-1 AS BIGINT) AS q_id, CAST(-1 AS BIGINT) AS label,
+               CAST(0 AS BIGINT) AS first_hit_rank,
+               CAST(SUM(rr_micros) // count(*) AS BIGINT) AS rr_micros,
+               CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+               CAST(SUM(p10_micros) // count(*) AS BIGINT) AS p10_micros
+        FROM per)
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY q_id""")),
+
+    // ---- Z-order layout audit: orders keyed by the Morton interleave
+    //      of (custkey, order-day), cut into 64 z-range "files"; each
+    //      bucket reports its row count and its min-max ENVELOPE on
+    //      both dimensions — the zone-map bounds a z-ordered write
+    //      would give every file, i.e. the data-skipping effectiveness
+    //      a 100 TB table gets for predicates on EITHER column. The
+    //      interleave is one shared generated expression (verbatim in
+    //      the oracle); everything else is one group-by.
+    ("q155_zorder_layout", (s: SparkSession, dir: String) => {
+      val z = zInterleave16Sql("x", "y")
+      val raw = Tables(s, dir).orders
+        .selectExpr("o_custkey AS xr",
+          // CAST up front: Spark's datediff is INT, DuckDB's date_diff
+          // is BIGINT — pin BIGINT so every derived column agrees
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS yr")
+      // normalize each dim onto the full 16-bit grid (exact integer
+      // min-max scaling) so the interleave exercises all 32 z bits at
+      // ANY scale factor — raw TPC-H key ranges fill only the low bits
+      // at small SF and every row would land in one z-range otherwise
+      val stats = raw.agg(min(col("xr")).as("x0"), max(col("xr")).as("x1"),
+        min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+      raw.crossJoin(broadcast(stats))
+        .selectExpr("((xr - x0) * 65535) DIV greatest(x1 - x0, 1) AS x",
+          "((yr - y0) * 65535) DIV greatest(y1 - y0, 1) AS y")
+        .selectExpr("x", "y", s"$z AS z")
+        .selectExpr("x", "y", "z >> 26 AS bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .selectExpr("bucket", "n_rows",
+          "x_min", "x_max", "x_max - x_min + 1 AS x_span",
+          "y_min", "y_max", "y_max - y_min + 1 AS y_span")
+        .orderBy(col("bucket"))
+    }, Some {
+      val z = zInterleave16Sql("x", "y")
+      s"""
+      WITH raw AS (
+        SELECT o_custkey AS xr,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS yr
+        FROM orders),
+      st AS (SELECT MIN(xr) AS x0, MAX(xr) AS x1, MIN(yr) AS y0, MAX(yr) AS y1
+             FROM raw),
+      f AS (SELECT ((xr - x0) * 65535) // greatest(x1 - x0, 1) AS x,
+                   ((yr - y0) * 65535) // greatest(y1 - y0, 1) AS y
+            FROM raw CROSS JOIN st),
+      zz AS (SELECT x, y, $z AS z FROM f),
+      b AS (SELECT x, y, z >> 26 AS bucket FROM zz)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             MIN(x) AS x_min, MAX(x) AS x_max, MAX(x) - MIN(x) + 1 AS x_span,
+             MIN(y) AS y_min, MAX(y) AS y_max, MAX(y) - MIN(y) + 1 AS y_span
+      FROM b GROUP BY bucket ORDER BY bucket"""
+    }),
+
+    // ---- shuffle-skew advisor for a join/agg key: one row with the
+    //      key cardinality, the exact nearest-rank p50/p90/p99 of
+    //      per-key row counts (computed over the count-of-counts
+    //      histogram — distinct-count-sized, never key-sized), the
+    //      heaviest key and its ppm share, and the derived salt factor
+    //      `ceil(max_c / ceil(n_rows / 32))` — how many salt splits
+    //      bring the hottest key down to an even 32-partition share
+    //      (the q43 salted-agg parameter, measured instead of guessed).
+    ("q156_skew_report", (s: SparkSession, dir: String) => {
+      skewReport(Tables(s, dir).events.filter(col("user_id").isNotNull), "user_id")
+    }, Some("""
+      WITH kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      hist AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM kc GROUP BY c),
+      hcum AS (SELECT c, f, SUM(f) OVER (ORDER BY c) AS cum FROM hist),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     MAX(c) AS max_c
+              FROM kc),
+      qs AS (SELECT
+               MIN(CASE WHEN cum >= (n_keys * 50 + 99) // 100 THEN c END) AS p50_c,
+               MIN(CASE WHEN cum >= (n_keys * 90 + 99) // 100 THEN c END) AS p90_c,
+               MIN(CASE WHEN cum >= (n_keys * 99 + 99) // 100 THEN c END) AS p99_c
+             FROM hcum CROSS JOIN tot),
+      top AS (SELECT user_id AS top_key, c AS top_c FROM kc
+              ORDER BY c DESC, user_id LIMIT 1)
+      SELECT n_rows, n_keys, max_c, p50_c, p90_c, p99_c, top_key,
+             CAST((1000000 * top_c) // n_rows AS BIGINT) AS top_share_ppm,
+             CAST((max_c + ((n_rows + 31) // 32) - 1) // ((n_rows + 31) // 32)
+               AS BIGINT) AS salt_factor
+      FROM tot CROSS JOIN qs CROSS JOIN top"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.analytics.EvalOps
 
 /** Hand-computed fixtures for the evaluation / robust-statistics
@@ -102,6 +103,64 @@ class EvalOpsSpec extends SparkSpec {
     assert(by("zz") === ((6L, 1000000L, 477121L)))
     // the nine Benford ppm literals partition 1e6 exactly
     assert(EvalOps.benfordPpm.map(_._2).sum === 1000000L)
+  }
+
+  test("retrieval eval: first-hit rank, reciprocal rank, and the zz MRR row") {
+    // query 1 (label 7, vec (1,0)); corpus: id 2 label 9 at cos 1.0
+    // (rank 1, miss), id 3 label 7 at cos≈0.994 (rank 2, hit)
+    val emb = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(2f, 0f), 9), (3L, Array(0.9f, 0.1f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val out = EvalOps.retrievalEval(emb, qLo = 1L, qHi = 1L, k = 10)
+      .orderBy("q_id").collect()
+    val per = out.find(_.getAs[Long]("q_id") == 1L).get
+    assert(per.getAs[Long]("first_hit_rank") === 2L)
+    assert(per.getAs[Long]("rr_micros") === 500000L)
+    assert(per.getAs[Long]("n_hits") === 1L)
+    assert(per.getAs[Long]("p10_micros") === 100000L)
+    val zz = out.find(_.getAs[Long]("q_id") == -1L).get
+    assert(zz.getAs[Long]("rr_micros") === 500000L) // single query: MRR = its RR
+  }
+
+  test("retrieval eval: query with no same-label doc floors to rank 0, rr 0") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(1f, 0f), 9), (3L, Array(0f, 1f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val per = EvalOps.retrievalEval(emb, 1L, 1L, 10)
+      .filter(col("q_id") === 1L).collect().head
+    assert(per.getAs[Long]("first_hit_rank") === 0L)
+    assert(per.getAs[Long]("rr_micros") === 0L)
+  }
+
+  test("z-interleave: hand-computed bit placements and 8x8 bijectivity") {
+    // z(3, 5): x bits {0,1} → z {0,2} = 5; y bits {0,2} → z {1,5} = 34
+    val df = Seq((3L, 5L), (1L, 0L), (0L, 1L)).toDF("x", "y")
+    val z = df.selectExpr(s"${EvalOps.zInterleave16Sql("x", "y")} AS z")
+      .collect().map(_.getLong(0)).toSeq
+    assert(z === Seq(39L, 1L, 2L))
+    // the interleave is a bijection on the 8x8 grid → 64 distinct
+    // values covering exactly 0..63
+    val grid = (for { x <- 0L to 7L; y <- 0L to 7L } yield (x, y)).toDF("x", "y")
+    val zs = grid.selectExpr(s"${EvalOps.zInterleave16Sql("x", "y")} AS z")
+      .collect().map(_.getLong(0)).toSet
+    assert(zs === (0L to 63L).toSet)
+  }
+
+  test("skew report: exact histogram percentiles and the salt factor") {
+    // counts: u1 x5, u2/u3/u4 x1 → n_rows 8, n_keys 4, max 5
+    // p50: k=2 → 1; p90: k=ceil(3.6)=4 → 5; p99: k=4 → 5
+    // ideal = ceil(8/32) = 1 → salt = 5; top share = 625000 ppm
+    val rows = (Seq.fill(5)(1L) ++ Seq(2L, 3L, 4L)).toDF("user_id")
+    val r = EvalOps.skewReport(rows, "user_id").collect().head
+    assert(r.getAs[Long]("n_rows") === 8L)
+    assert(r.getAs[Long]("n_keys") === 4L)
+    assert(r.getAs[Long]("max_c") === 5L)
+    assert(r.getAs[Long]("p50_c") === 1L)
+    assert(r.getAs[Long]("p90_c") === 5L)
+    assert(r.getAs[Long]("p99_c") === 5L)
+    assert(r.getAs[Long]("top_key") === 1L)
+    assert(r.getAs[Long]("top_share_ppm") === 625000L)
+    assert(r.getAs[Long]("salt_factor") === 5L)
   }
 
   test("eval operators tolerate null text/lang and empty inputs") {
