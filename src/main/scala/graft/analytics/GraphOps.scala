@@ -456,6 +456,34 @@ object GraphOps {
                FROM c$i) WHERE rn = 1)"""
   }
 
+  /** Per-node k-hop neighborhood sizes (k ≤ 2): `r1` = distinct direct
+    * neighbors, `r2` = distinct nodes within distance ≤ 2, self
+    * excluded — the local-influence profile (a user whose r2/r1 ratio
+    * explodes sits on a hub; an item whose r2 stalls is an isolated
+    * pocket). Frontier expansion with LEVEL-WISE dedup: the 2-hop
+    * frontier is `distinct` BEFORE counting, so the quadratic
+    * mid-node fan-in collapses once per (src, dst) — the standard
+    * BFS-level discipline that keeps k-hop from multiplying path
+    * counts. Two self-joins on the node key (bucketable ⇒ shuffle-
+    * free), distinct + count aggregates; nothing is ever path-sized.
+    */
+  def kHopReach(edges: DataFrame): DataFrame = {
+    val e = graft.Stage.mat(edges.select(col("src"), col("dst")).distinct())
+    val hop1 = e // (src, dst) distinct
+    val hop2 = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .select(col("src"), col("dst"))
+    val within2 = hop1.unionAll(hop2).distinct()
+      .filter(col("src") =!= col("dst"))
+    val r1 = hop1.filter(col("src") =!= col("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("r1"))
+    val r2 = within2.groupBy(col("src")).agg(count(lit(1)).as("r2"))
+    r1.join(r2, Seq("src"), "full_outer")
+      .select(col("src").as("node"),
+        coalesce(col("r1"), lit(0L)).as("r1"),
+        coalesce(col("r2"), lit(0L)).as("r2"))
+  }
+
   def degreeAssortativityMicros(edges: DataFrame): DataFrame = {
     val e = graft.Stage.mat(edges.select(col("src"), col("dst")))
     val deg = graft.Stage.mat(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
@@ -769,6 +797,34 @@ object GraphOps {
       ${lpaIterSql(3)}
       SELECT label, CAST(count(*) AS BIGINT) AS n_members
       FROM l3 GROUP BY label
-      ORDER BY n_members DESC, label"""))
+      ORDER BY n_members DESC, label""")),
+
+    // ---- per-node 1- and 2-hop reach over the bidirected interaction
+    //      graph: on a bipartite u↔i graph r2(user) counts the user's
+    //      items PLUS every co-interacting user — the collaborative-
+    //      filtering neighborhood size. The oracle replays the
+    //      level-wise dedup exactly.
+    ("q158_khop_reach", (s: SparkSession, dir: String) => {
+      kHopReach(interactionEdges(s, dir))
+        .orderBy(col("node"))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      e AS (SELECT a AS src, b AS dst FROM inter
+            UNION ALL SELECT b AS src, a AS dst FROM inter),
+      hop2 AS (SELECT e1.src, e2.dst
+               FROM e e1 JOIN e e2 ON e1.dst = e2.src),
+      w2 AS (SELECT DISTINCT src, dst FROM
+               (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM hop2)
+             WHERE src <> dst),
+      r1 AS (SELECT src, CAST(count(*) AS BIGINT) AS r1 FROM e
+             WHERE src <> dst GROUP BY src),
+      r2 AS (SELECT src, CAST(count(*) AS BIGINT) AS r2 FROM w2 GROUP BY src)
+      SELECT COALESCE(r1.src, r2.src) AS node,
+             COALESCE(r1.r1, 0) AS r1, COALESCE(r2.r2, 0) AS r2
+      FROM r1 FULL OUTER JOIN r2 ON r1.src = r2.src
+      ORDER BY node"""))
   )
 }

@@ -156,6 +156,65 @@ object StatsOps {
                 AS BIGINT) AS kurt_micros""")
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the symmetric, bounded (≤ ln 2) companion to
+    * q103's source-vs-corpus KL: a SOURCE SIMILARITY MATRIX (which
+    * feeds merge very similar sources / flag a source that drifted
+    * from its sibling mirror).
+    *
+    * The union-support sum is algebraically split so only the
+    * INTERSECTION vocabulary is ever joined: for a word one side lacks
+    * the JSD term is exactly `½·p·ln 2`, so the exclusive tails
+    * contribute `½·ln 2·((1−sa) + (1−sb))` where sa/sb are each side's
+    * SHARED-vocabulary mass — two integer sums that ride the same
+    * aggregate. No per-pair anti-joins, no zero-filled cross join.
+    *
+    * Float discipline (the q103 convention): each shared-word term is
+    * one mirrored IEEE chain snapped round-9, summed as DECIMAL(30,9)
+    * (order-independent ⇒ partial aggregation safe), final round-6.
+    *
+    * Scale shape: one tokenize pass → (source, w) counts → a
+    * vocabulary-keyed self-join whose per-word width is (#sources
+    * carrying w)² — source-count-bounded, never corpus-sized — then a
+    * pairs-sized aggregate. The hapax tail only widens the join by
+    * rows, not width; bucket by w at 100 TB.
+    */
+  def sourceJsdPairs(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(filter(TextStats.tokens(lower(col("text"))), x => x =!= lit("")))
+        .as("w"))
+    val bysrc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val srctot = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val bw = bysrc.join(broadcast(srctot), Seq("source"))
+    val a = bw.select(col("source").as("src_a"), col("w"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = bw.select(col("source").as("src_b"), col("w"),
+      col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      .selectExpr("src_a", "src_b", "ca", "na", "cb", "nb",
+        """round(
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+               * ln((2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)))
+                    / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+             + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               * ln((2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                    / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                       + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))),
+             9) AS term""")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("term").cast("decimal(30,9)")).as("s"),
+        sum(col("ca")).as("sa_num"), min(col("na")).as("na"),
+        sum(col("cb")).as("sb_num"), min(col("nb")).as("nb"))
+      .selectExpr("src_a", "src_b", "n_shared",
+        """round(0.5 * CAST(s AS DOUBLE)
+                 + 0.5 * ln(2.0)
+                   * ((1.0 - CAST(sa_num AS DOUBLE) / CAST(na AS DOUBLE))
+                      + (1.0 - CAST(sb_num AS DOUBLE) / CAST(nb AS DOUBLE))),
+                 6) AS jsd_r""")
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- per-source OLS of n_chars on token count: the linearity
@@ -285,6 +344,53 @@ object StatsOps {
              CAST((CAST(m4_micros AS HUGEINT) * 1000000000000)
                   // greatest(CAST(m2_micros AS HUGEINT) * m2_micros, 1)
                   AS BIGINT) AS kurt_micros
-      FROM m ORDER BY source"""))
+      FROM m ORDER BY source""")),
+
+    // ---- pairwise source JSD matrix (canonical a<b): the oracle
+    //      replays the tokenize, the intersection self-join, every
+    //      round-9 term, the DECIMAL sum, and the exclusive-tail
+    //      ln2 closed form.
+    ("q159_source_jsd", (s: SparkSession, dir: String) => {
+      sourceJsdPairs(Tables(s, dir).documents)
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      bysrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      srctot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      bw AS (SELECT b.source, b.w, b.c, t.n FROM bysrc b JOIN srctot t USING (source)),
+      pr AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.w,
+               a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+        FROM bw a JOIN bw b ON a.w = b.w AND a.source < b.source),
+      terms AS (
+        SELECT src_a, src_b, ca, na, cb, nb,
+               round(
+                 (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                   * ln((2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)))
+                        / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                           + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                 + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * ln((2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                        / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                           + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))),
+                 9) AS term
+        FROM pr),
+      agg AS (
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared,
+               SUM(CAST(term AS DECIMAL(30,9))) AS s,
+               SUM(ca) AS sa_num, MIN(na) AS na,
+               SUM(cb) AS sb_num, MIN(nb) AS nb
+        FROM terms GROUP BY src_a, src_b)
+      SELECT src_a, src_b, n_shared,
+             round(0.5 * CAST(s AS DOUBLE)
+                   + 0.5 * ln(2.0)
+                     * ((1.0 - CAST(sa_num AS DOUBLE) / CAST(na AS DOUBLE))
+                        + (1.0 - CAST(sb_num AS DOUBLE) / CAST(nb AS DOUBLE))),
+                   6) AS jsd_r
+      FROM agg ORDER BY src_a, src_b"""))
   )
 }

@@ -285,6 +285,49 @@ object TemporalOps {
              MAX(ts) + INTERVAL 10 MINUTE AS session_end,
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM sessions GROUP BY user_id, sidx
-      ORDER BY user_id, session_start"""))
+      ORDER BY user_id, session_start""")),
+
+    // ---- SCD2 history build (state-change compression): each user's
+    //      event-type stream collapses to one row per RUN of identical
+    //      consecutive states — version number, valid_from, valid_to =
+    //      next change (NULL while current), is_current — the
+    //      slowly-changing-dimension type-2 table a warehouse derives
+    //      from an event log. Two windows over the same (user, ts,
+    //      event_id) sort: the change filter (lag) runs on the full
+    //      stream, the interval stitch (lead) only on the surviving
+    //      change rows — both streaming frames, no buffered partition;
+    //      one shuffle total (the shared sort is reused).
+    ("q157_scd2_history", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .withColumn("prev_et", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_et").isNull || col("prev_et") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("version", row_number().over(w2).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }, Some("""
+      WITH ch AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER w AS prev_et
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      runs AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM ch WHERE prev_et IS NULL OR prev_et <> event_type)
+      SELECT user_id,
+             CAST(row_number() OVER w2 AS BIGINT) AS version,
+             event_type AS state,
+             ts AS valid_from,
+             LEAD(ts) OVER w2 AS valid_to,
+             (LEAD(ts) OVER w2 IS NULL) AS is_current
+      FROM runs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
   )
 }

@@ -195,6 +195,14 @@ class GraphOpsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x", "z" -> "x"))
   }
 
+  test("k-hop reach on a mirrored path a-b-c") {
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val m = GraphOps.kHopReach(e).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("r1"), r.getAs[Long]("r2"))).toMap
+    // a: 1-hop {b}, ≤2-hop {b,c}; b: {a,c} both; c symmetric to a
+    assert(m === Map("a" -> ((1L, 2L)), "b" -> ((2L, 2L)), "c" -> ((1L, 2L))))
+  }
+
   test("label propagation on a 2-node bipartite pair oscillates (documented synchronous semantics)") {
     // synchronous LPA's known bipartite oscillation: odd rounds swap
     // labels, even rounds restore them — pinned as a contract so a

@@ -31,6 +31,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("r2_micros") === 1000000L)
   }
 
+  test("source JSD: identical distributions give 0, partial overlap matches hand arithmetic") {
+    // A = [x x y], B = [x z z]: shared {x}, term_x = (2/3)ln(4/3) +
+    // (1/3)ln(2/3); sa = 2/3, sb = 1/3 →
+    // jsd = term/2 + ln2/2 ≈ 0.374890
+    val docs = Seq(("A", "x x y"), ("B", "x z z")).toDF("source", "text")
+    val r = graft.analytics.StatsOps.sourceJsdPairs(docs).collect().head
+    assert(r.getAs[String]("src_a") === "A")
+    assert(r.getAs[Long]("n_shared") === 1L)
+    assert(math.abs(r.getAs[Double]("jsd_r") - 0.374890) < 2e-6)
+    // identical corpora: every term is p·ln(1) = 0 and the exclusive
+    // tails are empty
+    val same = Seq(("A", "x x y"), ("B", "x x y")).toDF("source", "text")
+    val r0 = graft.analytics.StatsOps.sourceJsdPairs(same).collect().head
+    assert(r0.getAs[Double]("jsd_r") === 0.0)
+    assert(r0.getAs[Long]("n_shared") === 2L)
+    // fully disjoint vocabularies: the pair has no intersection row and
+    // is OMITTED (its JSD is exactly ln 2) — documented contract
+    val dis = Seq(("A", "x x"), ("B", "z z")).toDF("source", "text")
+    assert(graft.analytics.StatsOps.sourceJsdPairs(dis).count() === 0L)
+  }
+
   test("OLS degenerate group (zero x variance) floors to slope 0, not ÷0") {
     val df = Seq(("g", 2L, 1L), ("g", 2L, 5L)).toDF("g", "x", "y")
     val r = StatsOps.olsMicros(df, "g", "x", "y").collect().head

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-7 temporal operators (the rest
+  * of TemporalOps is pinned by the q50/q51/q52/q69 oracles and
+  * MiningOpsSpec's interval-overlap case).
+  */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SCD2 history compresses runs and stitches validity intervals") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 7: A A B A  → 3 versions: A[10:00,10:20) B[10:20,10:30) A[10:30,∞)
+    val dir = java.nio.file.Files.createTempDirectory("scd2_fix").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "A", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "A", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 7L, "B", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:30:00"), 7L, "A", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q157_scd2_history")(spark, dir).collect()
+    assert(out.length === 3)
+    val v = out.map(r => (r.getAs[Long]("version"), r.getAs[String]("state"),
+      r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+      r.getAs[Boolean]("is_current")))
+    assert(v(0) === ((1L, "A", ts("2024-01-01 10:00:00"),
+      Some(ts("2024-01-01 10:20:00")), false)))
+    assert(v(1) === ((2L, "B", ts("2024-01-01 10:20:00"),
+      Some(ts("2024-01-01 10:30:00")), false)))
+    assert(v(2) === ((3L, "A", ts("2024-01-01 10:30:00"), None, true)))
+  }
+}
