@@ -699,6 +699,125 @@ object EvalOps {
              CAST((1000000 * top_c) // n_rows AS BIGINT) AS top_share_ppm,
              CAST((max_c + ((n_rows + 31) // 32) - 1) // ((n_rows + 31) // 32)
                AS BIGINT) AS salt_factor
-      FROM tot CROSS JOIN qs CROSS JOIN top"""))
+      FROM tot CROSS JOIN qs CROSS JOIN top""")),
+
+    // ---- RFM feature engineering: per customer the classic recency /
+    //      frequency / monetary triple plus ntile-quintile scores and
+    //      the composed rfm_code — the canonical warehouse feature
+    //      block. Monetary runs in the q01 DECIMAL(25,6)-addend micros
+    //      discipline (never a raw double sum); the quintile windows
+    //      run over the CUSTOMER AGGREGATE (one row per customer —
+    //      the documented single-partition window regime: reduce
+    //      first, rank the reduction), with the customer key breaking
+    //      every tie so ntile assignment is total-order deterministic.
+    ("q160_rfm_features", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum((col("o_totalprice").cast("decimal(25,6)") * lit(1000000L))
+            .cast("long")).as("monetary_micros"))
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("d1"))
+      val base = per.crossJoin(broadcast(anchor))
+        .selectExpr("o_custkey", "CAST(datediff(d1, last_order) AS BIGINT) AS recency_days",
+          "frequency", "monetary_micros")
+      val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+      val wf = Window.orderBy(col("frequency"), col("o_custkey"))
+      val wm = Window.orderBy(col("monetary_micros"), col("o_custkey"))
+      base
+        .withColumn("r_score", ntile(5).over(wr).cast("long"))
+        .withColumn("f_score", ntile(5).over(wf).cast("long"))
+        .withColumn("m_score", ntile(5).over(wm).cast("long"))
+        .withColumn("rfm_code",
+          col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      WITH per AS (
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000
+                             AS BIGINT)) AS BIGINT) AS monetary_micros
+        FROM orders GROUP BY o_custkey),
+      anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      base AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_order, d1) AS BIGINT) AS recency_days,
+               frequency, monetary_micros
+        FROM per CROSS JOIN anchor),
+      scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_micros,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_micros, o_custkey) AS BIGINT) AS m_score
+        FROM base)
+      SELECT o_custkey, recency_days, frequency, monetary_micros,
+             r_score, f_score, m_score,
+             r_score * 100 + f_score * 10 + m_score AS rfm_code
+      FROM scored ORDER BY o_custkey""")),
+
+    // ---- quantile normalization across sources: each source's
+    //      token-count distribution is rank-mapped onto the CORPUS
+    //      distribution (doc at within-source rank r of ns maps to the
+    //      corpus order statistic at ceil(r·nc/ns)) — the batch-effect
+    //      correction that makes per-source length signals comparable
+    //      before corpus-wide thresholds. Everything runs at VALUE
+    //      granularity (source histogram → rank → target lookup), so
+    //      state is distinct-value-sized; the report certifies the
+    //      transform by the per-source mean before/after vs the corpus
+    //      mean, all exact micros.
+    ("q161_quantile_norm", (s: SparkSession, dir: String) => {
+      val f = Tables(s, dir).documents.select(col("source"),
+        TextStats.tokenCount(col("text")).cast("long").as("x"))
+      val sh = f.groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+      val ws = Window.partitionBy(col("source")).orderBy(col("x"))
+      val shc = sh.withColumn("r", sum(col("c")).over(ws)) // rank of last tie
+      val ns = sh.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val ch = f.groupBy(col("x")).agg(count(lit(1)).as("cc"))
+      val wc = Window.orderBy(col("x")) // corpus histogram — value-sized
+      val chc = ch.withColumn("cumc", sum(col("cc")).over(wc))
+        .select(col("x").as("cx"), col("cumc"))
+      val nc = f.agg(count(lit(1)).as("nc"))
+      val mapped = shc.join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(nc))
+        .withColumn("k", expr("(r * nc + ns - 1) DIV ns")) // ceil(r·nc/ns)
+        .join(broadcast(chc), col("cumc") >= col("k"))
+        .groupBy(col("source"), col("x"), col("c"), col("ns"))
+        .agg(min(col("cx")).as("mapped"))
+      val corpusMean = f.agg((sum(col("x")) * 1000000L).as("sx"), count(lit(1)).as("n"))
+        .selectExpr("sx DIV n AS corpus_mean_micros")
+      mapped.groupBy(col("source"), col("ns"))
+        .agg(sum(expr("c * x")).as("sb"), sum(expr("c * mapped")).as("sa"))
+        .crossJoin(broadcast(corpusMean))
+        .selectExpr("source", "ns AS n",
+          "(1000000 * sb) DIV ns AS mean_before_micros",
+          "(1000000 * sa) DIV ns AS mean_after_micros",
+          "corpus_mean_micros")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT source, CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS x
+        FROM documents),
+      sh AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c
+             FROM f GROUP BY source, x),
+      shc AS (SELECT source, x, c,
+                     SUM(c) OVER (PARTITION BY source ORDER BY x) AS r
+              FROM sh),
+      ns AS (SELECT source, SUM(c) AS ns FROM sh GROUP BY source),
+      chc AS (SELECT x, SUM(cc) OVER (ORDER BY x) AS cumc FROM
+               (SELECT x, CAST(count(*) AS BIGINT) AS cc FROM f GROUP BY x)),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM f),
+      mapped AS (
+        SELECT s.source, s.x, s.c, ns.ns, MIN(chc.x) AS mapped
+        FROM shc s JOIN ns USING (source) CROSS JOIN nc
+        JOIN chc ON chc.cumc >= (s.r * nc.nc + ns.ns - 1) // ns.ns
+        GROUP BY s.source, s.x, s.c, ns.ns),
+      cm AS (SELECT (1000000 * SUM(x)) // count(*) AS corpus_mean_micros FROM f)
+      SELECT source, CAST(ns AS BIGINT) AS n,
+             CAST((1000000 * SUM(c * x)) // ns AS BIGINT) AS mean_before_micros,
+             CAST((1000000 * SUM(c * mapped)) // ns AS BIGINT) AS mean_after_micros,
+             CAST(corpus_mean_micros AS BIGINT) AS corpus_mean_micros
+      FROM mapped CROSS JOIN cm
+      GROUP BY source, ns, corpus_mean_micros
+      ORDER BY source"""))
   )
 }

@@ -328,6 +328,45 @@ object TemporalOps {
              (LEAD(ts) OVER w2 IS NULL) AS is_current
       FROM runs
       WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, version"""))
+      ORDER BY user_id, version""")),
+
+    // ---- per-user EWMA of event values (α = 0.3): the inherently
+    //      SEQUENTIAL recurrence s_t = (α·x_t + (1−α)·s_{t−1}), run in
+    //      integer micros with a per-step floor so both engines replay
+    //      it bit-for-bit (floats would accumulate order-dependent
+    //      error; q109's half-boundary lesson). Values enter the
+    //      integer grid via floor(value·1e6) — floor, not CAST: Spark
+    //      truncates double→long while DuckDB ROUNDS, so the explicit
+    //      floor is the only portable quantizer. Batch replays the
+    //      recurrence as an ordered-list fold (collect per user, fold
+    //      in one higher-order expression — group-history-sized state,
+    //      the documented bound); unbounded keys belong to the
+    //      streaming form (flatMapGroupsWithState carrying s_t, the
+    //      StatefulDedup shape) where state is ONE long per key.
+    ("q162_ewma", (s: SparkSession, dir: String) => {
+      Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .selectExpr("user_id", "ts", "event_id",
+          "CAST(floor(value * 1000000) AS BIGINT) AS xm")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("xm"))))
+            .as("seq"))
+        .selectExpr("user_id", "n_events",
+          """aggregate(slice(transform(seq, e -> e.xm), 2, size(seq) - 1),
+                       element_at(transform(seq, e -> e.xm), 1),
+                       (acc, x) -> (300000 * x + 700000 * acc) DIV 1000000)
+             AS ewma_micros""")
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS xm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list_reduce(list(xm ORDER BY ts, event_id),
+                         (acc, x) -> (300000 * x + 700000 * acc) // 1000000)
+               AS ewma_micros
+      FROM f GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -163,6 +163,42 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("salt_factor") === 5L)
   }
 
+  test("RFM features: exact monetary micros and deterministic quintiles") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("rfm_fix").toString
+    Seq(
+      (1L, 10L, "O", 100.5, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 10L, "O", 200.25, Timestamp.valueOf("2024-01-11 00:00:00"), "1-URGENT"),
+      (3L, 20L, "O", 50.0, Timestamp.valueOf("2024-01-06 00:00:00"), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q160_rfm_features")(spark, dir)
+      .collect().map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary_micros"), r.getAs[Long]("rfm_code"))).toMap
+    // c10: recency 0, freq 2, monetary 300.75e6 → best on all → 222
+    // (2 rows over 5 tiles: tiles 1 and 2)
+    assert(out(10L) === ((0L, 2L, 300750000L, 222L)))
+    assert(out(20L) === ((5L, 1L, 50000000L, 111L)))
+  }
+
+  test("quantile normalization maps every source onto the corpus distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("qn_fix").toString
+    Seq(
+      (1L, "a", "en", "A", 1L), (2L, "a b", "en", "A", 3L),
+      (3L, "a b c", "en", "B", 5L), (4L, "a b c d", "en", "B", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q161_quantile_norm")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("mean_before_micros"), r.getAs[Long]("mean_after_micros"))).toMap
+    // A=[1,2] ranks 1,2 of 2 → corpus order stats at k=2,4 → [2,4];
+    // B=[3,4] → same ks → [2,4]: both sources land on mean 3e6
+    assert(out("A") === ((1500000L, 3000000L)))
+    assert(out("B") === ((3500000L, 3000000L)))
+  }
+
   test("eval operators tolerate null text/lang and empty inputs") {
     // null-feature rows: spearman/winsorize must not throw; benford
     // skips nulls and non-positives by contract

@@ -32,4 +32,21 @@ class TemporalOpsSpec extends SparkSpec {
       Some(ts("2024-01-01 10:30:00")), false)))
     assert(v(2) === ((3L, "A", ts("2024-01-01 10:30:00"), None, true)))
   }
+
+  test("EWMA replays the integer recurrence in event order") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // values 1, 2, 4 with α=0.3: s1=1e6; s2=(0.3·2+0.7·1)e6=1.3e6;
+    // s3=(0.3·4+0.7·1.3)e6=2.11e6 — every step floored
+    val dir = java.nio.file.Files.createTempDirectory("ewma_fix").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 7L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q162_ewma")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(r.getAs[Long]("ewma_micros") === 2110000L)
+  }
 }
