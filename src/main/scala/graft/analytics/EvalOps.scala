@@ -818,6 +818,166 @@ object EvalOps {
              CAST(corpus_mean_micros AS BIGINT) AS corpus_mean_micros
       FROM mapped CROSS JOIN cm
       GROUP BY source, ns, corpus_mean_micros
-      ORDER BY source"""))
+      ORDER BY source""")),
+
+    // ---- Matryoshka truncation eval: the q154 labels-as-relevance
+    //      scoreboard run at full dimension AND on the first-32-dim
+    //      prefix of every vector — the measured cost of storing /
+    //      searching half the embedding (MRL-style truncation). Two
+    //      corpus passes, each the one-scan q154 shape; only the two
+    //      zz summary rows ship.
+    ("q163_matryoshka_eval", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      def zzRow(e: DataFrame, dim: Int) =
+        retrievalEval(e, qLo = 1L, qHi = 20L, k = 10)
+          .filter(col("q_id") === -1L)
+          .selectExpr(s"CAST($dim AS BIGINT) AS dim",
+            "rr_micros AS mrr_micros", "n_hits", "p10_micros AS mean_p10_micros")
+      zzRow(emb, 64).unionAll(
+        zzRow(emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding"), col("label")), 32))
+        .orderBy(col("dim"))
+    }, Some("""
+      WITH em AS (
+        SELECT 64 AS dim, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(label AS BIGINT) AS lbl
+        FROM embeddings
+        UNION ALL
+        SELECT 32 AS dim, vec_id, CAST(embedding[1:32] AS DOUBLE[]) AS v,
+               CAST(label AS BIGINT) AS lbl
+        FROM embeddings),
+      q AS (SELECT dim, vec_id AS q_id, v AS qv, lbl AS q_label
+            FROM em WHERE vec_id BETWEEN 1 AND 20),
+      c AS (SELECT dim, vec_id, v, lbl AS c_label FROM em WHERE vec_id > 20),
+      r AS (SELECT q.dim, q_id, q_label, c.vec_id, c_label,
+                   row_number() OVER (PARTITION BY q.dim, q_id
+                     ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rn
+            FROM c JOIN q ON c.dim = q.dim),
+      t AS (SELECT dim, q_id,
+                   CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS hit, rn
+            FROM r WHERE rn <= 10),
+      per AS (
+        SELECT dim, q_id,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rn END), 0)
+                 AS BIGINT) AS rr_micros,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST((1000000 * SUM(hit)) // 10 AS BIGINT) AS p10_micros
+        FROM t GROUP BY dim, q_id)
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(SUM(rr_micros) // count(*) AS BIGINT) AS mrr_micros,
+             CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+             CAST(SUM(p10_micros) // count(*) AS BIGINT) AS mean_p10_micros
+      FROM per GROUP BY dim ORDER BY dim""")),
+
+    // ---- hubness audit: how often each corpus vector appears across
+    //      all query top-10 lists (its k-occurrence). A heavy-tailed
+    //      k-occurrence is the classic symptom of degenerate embedding
+    //      geometry (hub points polluting every neighbor list —
+    //      Radovanović et al. 2010). Top-10 hubs by occurrence; the zz
+    //      row counts how many distinct corpus vectors appear in ANY
+    //      list (coverage). Same one-scan ranking as q154.
+    ("q164_hubness", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id").between(1, 20))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") > 20)
+      val occ = graft.text.Similarity
+        .topKPerQuery(corpus, queries, 10, qidCol = "q_id")
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_occ"))
+      val top = occ.orderBy(col("n_occ").desc, col("vec_id")).limit(10)
+      val zz = occ.agg(count(lit(1)).as("n"))
+        .selectExpr("CAST(-1 AS BIGINT) AS vec_id", "n AS n_occ")
+      top.unionAll(zz).orderBy(col("vec_id"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id > 20),
+      r AS (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rn
+            FROM c, q),
+      occ AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_occ
+              FROM r WHERE rn <= 10 GROUP BY vec_id),
+      top AS (SELECT vec_id, n_occ FROM occ ORDER BY n_occ DESC, vec_id LIMIT 10),
+      zz AS (SELECT CAST(-1 AS BIGINT) AS vec_id,
+                    CAST(count(*) AS BIGINT) AS n_occ FROM occ)
+      SELECT vec_id, n_occ FROM top UNION ALL SELECT vec_id, n_occ FROM zz
+      ORDER BY vec_id""")),
+
+    // ---- population stability index of event values, first half of
+    //      the time range vs second (the deployment-monitoring drift
+    //      score): 10 equal-width bins over the observed range,
+    //      add-one smoothing so empty bins stay defined, per-bin
+    //      round-9 IEEE terms summed as DECIMAL(30,9) (the q103
+    //      discipline), zz row carries the PSI. Integer binning via
+    //      epoch-micros midpoint — no float boundary ambiguity.
+    ("q165_psi_drift", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .selectExpr("unix_micros(ts) AS tu",
+          "CAST(floor(value * 1000000) AS BIGINT) AS vm")
+      val rng = ev.agg(min(col("tu")).as("t0"), max(col("tu")).as("t1"),
+        min(col("vm")).as("v0"), max(col("vm")).as("v1"))
+      // densified 0..9 spine: an EMPTY bin must still smooth to +1 on
+      // both sides or the add-one denominators drift between corpora
+      val observed = ev.crossJoin(broadcast(rng))
+        .selectExpr(
+          "CASE WHEN tu < t0 + (t1 - t0) DIV 2 THEN 0 ELSE 1 END AS half",
+          "least(9L, ((vm - v0) * 10) DIV greatest(v1 - v0, 1)) AS bin")
+        .groupBy(col("bin"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+      val binned = s.range(0, 10).select(col("id").as("bin"))
+        .join(observed, Seq("bin"), "left")
+        .selectExpr("bin", "coalesce(ca, 0L) AS ca", "coalesce(cb, 0L) AS cb")
+      val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val terms = binned.crossJoin(broadcast(tot))
+        .selectExpr("bin", "ca", "cb",
+          """round((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+                    - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+                   * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+                        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))),
+                   9) AS term_r""")
+      val zz = terms.agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"),
+          sum(col("term_r").cast("decimal(30,9)")).as("s"))
+        .selectExpr("CAST(999 AS BIGINT) AS bin", "ca", "cb",
+          "round(CAST(s AS DOUBLE), 6) AS term_r")
+      terms.unionAll(zz).orderBy(col("bin"))
+    }, Some("""
+      WITH ev AS (
+        SELECT epoch_us(ts) AS tu, CAST(floor(value * 1000000) AS BIGINT) AS vm
+        FROM events WHERE value IS NOT NULL),
+      rng AS (SELECT MIN(tu) AS t0, MAX(tu) AS t1, MIN(vm) AS v0, MAX(vm) AS v1
+              FROM ev),
+      b AS (
+        SELECT CASE WHEN tu < t0 + (t1 - t0) // 2 THEN 0 ELSE 1 END AS half,
+               least(9, ((vm - v0) * 10) // greatest(v1 - v0, 1)) AS bin
+        FROM ev CROSS JOIN rng),
+      observed AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM b GROUP BY bin),
+      spine AS (SELECT unnest(range(0, 10)) AS bin),
+      binned AS (
+        SELECT spine.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM spine LEFT JOIN observed ON spine.bin = observed.bin),
+      tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned),
+      terms AS (
+        SELECT bin, ca, cb,
+               round((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+                      - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+                     * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+                          / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))),
+                     9) AS term_r
+        FROM binned CROSS JOIN tot),
+      zz AS (SELECT CAST(999 AS BIGINT) AS bin,
+                    CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb,
+                    round(CAST(SUM(CAST(term_r AS DECIMAL(30,9))) AS DOUBLE), 6) AS term_r
+             FROM terms)
+      SELECT bin, ca, cb, term_r FROM terms
+      UNION ALL SELECT bin, ca, cb, term_r FROM zz
+      ORDER BY bin"""))
   )
 }

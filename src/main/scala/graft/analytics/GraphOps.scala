@@ -825,6 +825,64 @@ object GraphOps {
       SELECT COALESCE(r1.src, r2.src) AS node,
              COALESCE(r1.r1, 0) AS r1, COALESCE(r2.r2, 0) AS r2
       FROM r1 FULL OUTER JOIN r2 ON r1.src = r2.src
-      ORDER BY node"""))
+      ORDER BY node""")),
+
+    // ---- link prediction by resource-allocation index (Zhou, Lü &
+    //      Zhang 2009) over the bipartite user–item graph: for every
+    //      user pair, RA = Σ over shared items of 1/deg(item) — shared
+    //      rare items are strong evidence of affinity, shared hub items
+    //      are nearly none. The exact-integer contract is per-term:
+    //      each shared item contributes floor(1e6 / deg(i)) and the
+    //      pair score is the SUM of those floored terms (documented;
+    //      both engines replay it term-for-term, no float ever).
+    //      common_items rides along as the plain common-neighbors
+    //      baseline. This is the candidate generator a collaborative
+    //      recommender or a user-correlation audit runs.
+    //
+    //      Scale shape: one wedge self-join keyed on the item — work is
+    //      Σ_i deg(i)², the same bound as the q123 triangle closure, so
+    //      hub items are the hazard; production corpora cap or drop
+    //      items above a degree threshold (the standard CF escape —
+    //      a hub's 1e6/deg term contributes ~0 anyway, so the cap
+    //      changes scores by < itemCap·ε). The declared query bounds
+    //      work structurally instead: a fixed seed cohort (user_id ≤
+    //      60) keeps deg(i) ≤ 60 at EVERY scale factor since the item
+    //      vocabulary is fixed — constant wedge work as the corpus
+    //      grows. Counts/terms are map-side combined; top-k is
+    //      TakeOrderedAndProject (no global sort materialization).
+    ("q168_link_ra", (s: SparkSession, dir: String) => {
+      val ui = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("user_id") <= 60)
+        .select(col("user_id").as("u"),
+          coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+            .as("i"))
+        .distinct()
+      val deg = ui.groupBy(col("i")).agg(count(lit(1)).as("ideg"))
+      val ew = ui.join(deg, Seq("i"))
+        .withColumn("ra_term", expr("CAST(1000000 DIV ideg AS BIGINT)"))
+      ew.select(col("i"), col("u").as("u_a"), col("ra_term"))
+        .join(ew.select(col("i"), col("u").as("u_b")), Seq("i"))
+        .filter(col("u_a") < col("u_b"))
+        .groupBy(col("u_a"), col("u_b"))
+        .agg(count(lit(1)).as("common_items"), sum(col("ra_term")).as("ra_micros"))
+        .orderBy(col("ra_micros").desc, col("u_a"), col("u_b"))
+        .limit(50)
+    }, Some("""
+      WITH ui AS (
+        SELECT DISTINCT user_id AS u,
+               COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS i
+        FROM events WHERE user_id IS NOT NULL AND user_id <= 60),
+      deg AS (SELECT i, CAST(count(*) AS BIGINT) AS ideg FROM ui GROUP BY i),
+      ew AS (SELECT ui.u, ui.i, CAST(1000000 // ideg AS BIGINT) AS ra_term
+             FROM ui JOIN deg USING (i)),
+      pairs AS (
+        SELECT a.u AS u_a, b.u AS u_b,
+               CAST(count(*) AS BIGINT) AS common_items,
+               CAST(SUM(a.ra_term) AS BIGINT) AS ra_micros
+        FROM ew a JOIN ew b ON a.i = b.i AND a.u < b.u
+        GROUP BY a.u, b.u)
+      SELECT u_a, u_b, common_items, ra_micros
+      FROM pairs
+      ORDER BY ra_micros DESC, u_a, u_b LIMIT 50"""))
   )
 }

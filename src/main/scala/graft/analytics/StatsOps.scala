@@ -391,6 +391,120 @@ object StatsOps {
                      * ((1.0 - CAST(sa_num AS DOUBLE) / CAST(na AS DOUBLE))
                         + (1.0 - CAST(sb_num AS DOUBLE) / CAST(nb AS DOUBLE))),
                    6) AS jsd_r
-      FROM agg ORDER BY src_a, src_b"""))
+      FROM agg ORDER BY src_a, src_b""")),
+
+    // ---- CUPED experiment readout (Deng et al., WSDM 2013): per-user
+    //      post-period purchase spend adjusted by the pre-period
+    //      covariate, y_adj = y − θ·(x − x̄), with θ the pooled OLS
+    //      slope of y on x. The variance-reduced A/B readout every
+    //      experimentation platform runs — here over a deterministic
+    //      arm split (user_id mod 2) so both engines replay the same
+    //      assignment. Exact-integer discipline throughout: per-user
+    //      x/y are sums of floor(value·1e6) addends; θ is the q140
+    //      normal-equation slope in micros (DECIMAL(38,0) cross terms,
+    //      truncating DIV); the adjustment re-scales through one more
+    //      DECIMAL product; per-arm means truncate; the variance ratio
+    //      ships as var_adj·1e6 DIV var_y on the n·Σv²−(Σv)² integer
+    //      identity. zz row (arm 999) pins θ and x̄ so the oracle
+    //      certifies the coefficients, not just the readout.
+    //
+    //      Scale shape: one user-keyed aggregate (map-side combined),
+    //      one 5-number pooled-stats broadcast, one arm-keyed
+    //      aggregate — two shuffles total, no per-user state beyond
+    //      the row. DECIMAL(38,0) exhausts near |Σxy|·1e6 ≈ 1e38:
+    //      micros-valued spend sums support ~1e9 users at ~1e9-micros
+    //      x·y cross terms before the bound matters (document, don't
+    //      guard: ANSI overflow errors loudly rather than corrupting).
+    ("q167_cuped", (s: SparkSession, dir: String) => {
+      val per = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .selectExpr("user_id", "day(ts) <= 15 AS pre",
+          "CAST(floor(value * 1000000) AS BIGINT) AS vm")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("pre"), col("vm")).otherwise(lit(0L))).as("x"),
+          sum(when(!col("pre"), col("vm")).otherwise(lit(0L))).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+      val pooled = per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .selectExpr("n", "sx",
+          """CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+                  DIV greatest(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx,
+                               CAST(1 AS DECIMAL(38,0)))
+              AS BIGINT) AS theta_micros""",
+          "sx DIV n AS xbar")
+      val adj = per.crossJoin(broadcast(pooled))
+        .selectExpr("arm", "y",
+          """y - CAST(CAST(theta_micros AS DECIMAL(38,0)) * (x - xbar)
+                      DIV 1000000 AS BIGINT) AS y_adj""")
+      val arms = adj.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("y")).as("ty"),
+          sum(col("y_adj")).as("ta"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(y_adj AS DECIMAL(38,0)) * y_adj")).as("saa"))
+        .selectExpr("arm", "n_users",
+          "ty DIV n_users AS mean_y_micros",
+          "ta DIV n_users AS mean_adj_micros",
+          """CAST((CAST(n_users AS DECIMAL(38,0)) * saa - CAST(ta AS DECIMAL(38,0)) * ta) * 1000000
+                  DIV greatest(CAST(n_users AS DECIMAL(38,0)) * syy - CAST(ty AS DECIMAL(38,0)) * ty,
+                               CAST(1 AS DECIMAL(38,0)))
+              AS BIGINT) AS varratio_micros""")
+      val zz = pooled.selectExpr("CAST(999 AS BIGINT) AS arm", "n AS n_users",
+        "theta_micros AS mean_y_micros", "xbar AS mean_adj_micros",
+        "CAST(0 AS BIGINT) AS varratio_micros")
+      arms.unionAll(zz).orderBy(col("arm"))
+    }, Some("""
+      WITH per AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN day(ts) <= 15
+                             THEN CAST(floor(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN day(ts) > 15
+                             THEN CAST(floor(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(user_id % 2 AS BIGINT) AS arm
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase'
+          AND value IS NOT NULL
+        GROUP BY user_id),
+      pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM per),
+      coef AS (
+        SELECT n, sx,
+               CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                    // greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx,
+                               CAST(1 AS HUGEINT))
+                 AS BIGINT) AS theta_micros,
+               sx // n AS xbar
+        FROM pooled),
+      adj AS (
+        SELECT arm, y,
+               y - CAST(CAST(theta_micros AS HUGEINT) * (x - xbar)
+                        // 1000000 AS BIGINT) AS y_adj
+        FROM per CROSS JOIN coef),
+      arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(SUM(y) AS BIGINT) AS ty, CAST(SUM(y_adj) AS BIGINT) AS ta,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(y_adj AS HUGEINT) * y_adj) AS saa
+        FROM adj GROUP BY arm)
+      SELECT arm, n_users,
+             ty // n_users AS mean_y_micros,
+             ta // n_users AS mean_adj_micros,
+             CAST((CAST(n_users AS HUGEINT) * saa - CAST(ta AS HUGEINT) * ta) * 1000000
+                  // greatest(CAST(n_users AS HUGEINT) * syy - CAST(ty AS HUGEINT) * ty,
+                             CAST(1 AS HUGEINT))
+               AS BIGINT) AS varratio_micros
+      FROM arms
+      UNION ALL
+      SELECT CAST(999 AS BIGINT), n, theta_micros, xbar, CAST(0 AS BIGINT)
+      FROM coef
+      ORDER BY arm"""))
   )
 }

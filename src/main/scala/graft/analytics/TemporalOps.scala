@@ -367,6 +367,78 @@ object TemporalOps {
              list_reduce(list(xm ORDER BY ts, event_id),
                          (acc, x) -> (300000 * x + 700000 * acc) // 1000000)
                AS ewma_micros
-      FROM f GROUP BY user_id ORDER BY user_id"""))
+      FROM f GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- gap-fill / resample: per-user daily 'view' activity on a
+    //      DENSE calendar grid (every day between that user's first and
+    //      last observation), missing days forward-filled from the last
+    //      observed day and flagged. This is the regularization step
+    //      every downstream window/EWMA/PSI consumer silently assumes —
+    //      without it, gaps make "previous row" mean "previous
+    //      observation", not "yesterday". Day sums enter the exact
+    //      integer grid as floor(value·1e6) addends (the q162 quantizer)
+    //      so fill values replay bit-for-bit.
+    //
+    //      Scale shape: the grid is sequence(d0, d1) exploded PER USER —
+    //      span-bounded (days, not events) and generated distributed, no
+    //      driver calendar. One shuffle on user_id shared by the daily
+    //      agg, the grid left-join, and the fill window (co-partitioned;
+    //      AQE coalesces). The fill itself is the last-non-null rows
+    //      window, the same one-pass technique as the q50 as-of join —
+    //      state is one value per user regardless of span. A 100 TB
+    //      corpus with multi-year spans bounds the blow-up at
+    //      users × span_days, and the span filter (d0/d1 per user, not
+    //      global min/max) keeps short-lived users from exploding to the
+    //      corpus time range.
+    ("q166_gapfill", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("event_type") === "view" &&
+          col("value").isNotNull)
+        .selectExpr("user_id", "CAST(ts AS DATE) AS day",
+          "CAST(floor(value * 1000000) AS BIGINT) AS vm")
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("vm")).as("day_sum_micros"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("is_filled", col("n_obs").isNull)
+        .withColumn("filled_sum_micros",
+          last(col("day_sum_micros"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("is_filled"), col("filled_sum_micros"))
+        .orderBy(col("user_id"), col("day"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'view' AND value IS NOT NULL),
+      daily AS (
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(SUM(vm) AS BIGINT) AS day_sum_micros
+        FROM ev GROUP BY user_id, day),
+      grid AS (
+        SELECT user_id,
+               CAST(unnest(range(CAST(d0 AS TIMESTAMP),
+                                 CAST(d1 AS TIMESTAMP) + INTERVAL 1 DAY,
+                                 INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY user_id)),
+      j AS (
+        SELECT g.user_id, g.day, d.n_obs, d.day_sum_micros
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day)
+      SELECT user_id, day, COALESCE(n_obs, 0) AS n_obs,
+             (n_obs IS NULL) AS is_filled,
+             last_value(day_sum_micros IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_sum_micros
+      FROM j ORDER BY user_id, day"""))
   )
 }

@@ -215,4 +215,26 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(even === Map("p" -> "p", "q" -> "q"))
   }
+
+  test("resource-allocation link prediction weights shared rare items above shared hubs") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // item 100 shared by {1,2} (deg 2 → 500000/term); item 200 by
+    // {1,2,3} (deg 3 → 333333); item 300 only user 3. Pair (1,2)
+    // scores 833333 over two common items; (1,3)/(2,3) tie at 333333.
+    val dir = java.nio.file.Files.createTempDirectory("linkra_fix").toString
+    Seq(
+      (1L, 1L, 100L), (2L, 2L, 100L), (3L, 1L, 200L), (4L, 2L, 200L),
+      (5L, 3L, 200L), (6L, 3L, 300L),
+      (7L, 1L, 100L) // duplicate interaction must not double-count
+    ).map { case (e, u, k) =>
+      (e, ts("2024-01-01 10:00:00"), u, "click", 0.0, s"""{"k": $k}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q168_link_ra")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("u_a"), r.getAs[Long]("u_b"),
+        r.getAs[Long]("common_items"), r.getAs[Long]("ra_micros")))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 833333L), (1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)))
+  }
 }

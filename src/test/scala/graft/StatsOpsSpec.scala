@@ -101,4 +101,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(r(("B", "bb")) === ((0L, 1L)))
     assert(!r.contains(("B", "aa"))) // absent-from-class terms are not scored
   }
+
+  test("CUPED recovers the exact slope and collapses a perfectly linear covariate to zero variance") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // four users with post = 2·pre exactly: θ must come out 2.0 in
+    // micros, every adjusted value lands on 50e6, both arm variances
+    // collapse to 0, and the zz row pins θ and x̄ = 25e6
+    val dir = java.nio.file.Files.createTempDirectory("cuped_fix").toString
+    val rows = Seq(
+      (1L, 10.0, 20.0), (2L, 20.0, 40.0), (3L, 30.0, 60.0), (4L, 40.0, 80.0))
+    rows.zipWithIndex.flatMap { case ((u, pre, post), i) => Seq(
+      (i * 2 + 1L, ts("2024-01-05 10:00:00"), u, "purchase", pre, "{}"),
+      (i * 2 + 2L, ts("2024-01-20 10:00:00"), u, "purchase", post, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q167_cuped")(spark, dir).collect()
+      .map(r => r.getAs[Long]("arm") -> (r.getAs[Long]("n_users"),
+        r.getAs[Long]("mean_y_micros"), r.getAs[Long]("mean_adj_micros"),
+        r.getAs[Long]("varratio_micros"))).toMap
+    assert(out(0L) === ((2L, 60000000L, 50000000L, 0L)))
+    assert(out(1L) === ((2L, 40000000L, 50000000L, 0L)))
+    assert(out(999L) === ((4L, 2000000L, 25000000L, 0L))) // θ, x̄
+  }
 }

@@ -49,4 +49,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_events") === 3L)
     assert(r.getAs[Long]("ewma_micros") === 2110000L)
   }
+
+  test("gap-fill densifies the per-user span and forward-fills from the last observed day") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 7 views Jan 1 (1.5) and Jan 3 (2.0 + 0.5): Jan 2 is absent
+    // from the data but must appear filled with Jan 1's sum; the
+    // purchase row must not leak into the view resample
+    val dir = java.nio.file.Files.createTempDirectory("gapfill_fix").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-03 09:00:00"), 7L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-03 11:00:00"), 7L, "view", 0.5, "{}"),
+      (4L, ts("2024-01-02 10:00:00"), 7L, "purchase", 99.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q166_gapfill")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_obs"), r.getAs[Boolean]("is_filled"),
+        r.getAs[Long]("filled_sum_micros")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 1L, false, 1500000L),
+      ("2024-01-02", 0L, true, 1500000L),
+      ("2024-01-03", 2L, false, 2500000L)))
+  }
 }
