@@ -15,7 +15,8 @@ object SparkEntry {
       analytics.LLMOps.defs ++ analytics.TemporalOps.defs ++
       analytics.CurationOps.defs ++ analytics.ScaleOps.defs ++
       analytics.GraphOps.defs ++ analytics.MiningOps.defs ++
-      analytics.StatsOps.defs ++ analytics.EvalOps.defs
+      analytics.StatsOps.defs ++ analytics.EvalOps.defs ++
+      analytics.AuditOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The pricing summary always yields the 6 (returnflag, linestatus)

@@ -1,0 +1,179 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Data-quality audit operators: the schema-wide column profile and the
+  * declarative constraint suite (the Deequ/Great-Expectations shape) a
+  * pipeline runs against every ingested table before trusting it — at
+  * 100 TB you validate the data you DIDN'T look at, and these two
+  * queries are how.
+  *
+  * Arithmetic discipline: numeric extrema ship as floor-micros BIGINTs
+  * and timestamps as epoch-micros — NEVER as rendered strings, because
+  * double→VARCHAR formatting is engine-specific ("1.0E7" vs
+  * "10000000.0") and would break oracle parity; string extrema ship as
+  * strings. One row per column / per rule, so the output is
+  * constant-size regardless of corpus scale.
+  */
+object AuditOps {
+  import Relational.QFn
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- per-column table profile of `orders`: row count, null count,
+    //      exact distinct count, and typed extrema for every column in
+    //      ONE aggregation pass. Spark plans the 6-way exact
+    //      count-distinct as a single Expand + two-stage aggregate —
+    //      one shuffle total, partial aggregation map-side; the Expand
+    //      multiplies rows by the distinct-column count, the documented
+    //      cost of exactness (the sketch alternative is q42's
+    //      approx_count_distinct when ±2% is acceptable). The profile
+    //      itself is 6 rows — driver-safe at any corpus size.
+    ("q169_profile", (s: SparkSession, dir: String) => {
+      val agg = Tables(s, dir).orders.selectExpr(
+        "count(1) AS n_rows",
+        // o_orderkey
+        "sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok",
+        "count(DISTINCT o_orderkey) AS nd_ok",
+        "CAST(min(o_orderkey) * 1000000 AS BIGINT) AS mn_ok",
+        "CAST(max(o_orderkey) * 1000000 AS BIGINT) AS mx_ok",
+        // o_custkey
+        "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck",
+        "count(DISTINCT o_custkey) AS nd_ck",
+        "CAST(min(o_custkey) * 1000000 AS BIGINT) AS mn_ck",
+        "CAST(max(o_custkey) * 1000000 AS BIGINT) AS mx_ck",
+        // o_orderstatus
+        "sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_os",
+        "count(DISTINCT o_orderstatus) AS nd_os",
+        "min(o_orderstatus) AS smn_os", "max(o_orderstatus) AS smx_os",
+        // o_totalprice
+        "sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_tp",
+        "count(DISTINCT o_totalprice) AS nd_tp",
+        "CAST(floor(min(o_totalprice) * 1000000) AS BIGINT) AS mn_tp",
+        "CAST(floor(max(o_totalprice) * 1000000) AS BIGINT) AS mx_tp",
+        // o_orderdate
+        "sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_od",
+        "count(DISTINCT o_orderdate) AS nd_od",
+        "unix_micros(CAST(min(o_orderdate) AS TIMESTAMP)) AS mn_od",
+        "unix_micros(CAST(max(o_orderdate) AS TIMESTAMP)) AS mx_od",
+        // o_orderpriority
+        "sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_op",
+        "count(DISTINCT o_orderpriority) AS nd_op",
+        "min(o_orderpriority) AS smn_op", "max(o_orderpriority) AS smx_op")
+      agg.selectExpr("""stack(6,
+          'o_orderkey',     n_rows, nn_ok, nd_ok, mn_ok, mx_ok,
+                            CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_custkey',      n_rows, nn_ck, nd_ck, mn_ck, mx_ck,
+                            CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_orderstatus',  n_rows, nn_os, nd_os, CAST(NULL AS BIGINT),
+                            CAST(NULL AS BIGINT), smn_os, smx_os,
+          'o_totalprice',   n_rows, nn_tp, nd_tp, mn_tp, mx_tp,
+                            CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_orderdate',    n_rows, nn_od, nd_od, mn_od, mx_od,
+                            CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_orderpriority', n_rows, nn_op, nd_op, CAST(NULL AS BIGINT),
+                            CAST(NULL AS BIGINT), smn_op, smx_op)
+          AS (col_name, n_rows, n_null, n_distinct,
+              min_num_micros, max_num_micros, min_str, max_str)""")
+        .orderBy(col("col_name"))
+    }, Some("""
+      WITH a AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+               CAST(min(o_orderkey) * 1000000 AS BIGINT) AS mn_ok,
+               CAST(max(o_orderkey) * 1000000 AS BIGINT) AS mx_ok,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+               CAST(min(o_custkey) * 1000000 AS BIGINT) AS mn_ck,
+               CAST(max(o_custkey) * 1000000 AS BIGINT) AS mx_ck,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_os,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_os,
+               min(o_orderstatus) AS smn_os, max(o_orderstatus) AS smx_os,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_tp,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+               CAST(floor(min(o_totalprice) * 1000000) AS BIGINT) AS mn_tp,
+               CAST(floor(max(o_totalprice) * 1000000) AS BIGINT) AS mx_tp,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_od,
+               CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_od,
+               epoch_us(min(o_orderdate)) AS mn_od,
+               epoch_us(max(o_orderdate)) AS mx_od,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_op,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+               min(o_orderpriority) AS smn_op, max(o_orderpriority) AS smx_op
+        FROM orders)
+      SELECT 'o_orderkey' AS col_name, n_rows, nn_ok AS n_null, nd_ok AS n_distinct,
+             mn_ok AS min_num_micros, mx_ok AS max_num_micros,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+      UNION ALL
+      SELECT 'o_custkey', n_rows, nn_ck, nd_ck, mn_ck, mx_ck,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_os, nd_os, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), smn_os, smx_os FROM a
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+      UNION ALL
+      SELECT 'o_orderdate', n_rows, nn_od, nd_od, mn_od, mx_od,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, nn_op, nd_op, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), smn_op, smx_op FROM a
+      ORDER BY col_name""")),
+
+    // ---- declarative constraint suite over `orders`: uniqueness,
+    //      completeness, referential integrity, a range rule, and a
+    //      domain rule — each one row (rule, n_checked, n_violations,
+    //      passed). The four scan rules fold into ONE aggregation pass
+    //      (conditional sums + a single exact distinct); referential
+    //      integrity is the q06 anti-join counted — broadcast when the
+    //      dimension fits, plain shuffled anti-join (still one shuffle
+    //      each side, null-safe) when it doesn't. A failed `passed`
+    //      gates the pipeline; n_violations sizes the quarantine.
+    ("q170_constraints", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders
+      val c = Tables(s, dir).customer
+      val scans = o.selectExpr(
+        "count(1) AS n",
+        "count(DISTINCT o_orderkey) AS nd",
+        "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null",
+        "sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_range",
+        "sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_domain")
+      val orphans = o.join(c.select(col("c_custkey")),
+          o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_ref"))
+      val rep = scans.crossJoin(broadcast(orphans))
+      rep.selectExpr("""stack(5,
+          'orderkey_unique',      n, n - nd,
+          'custkey_complete',     n, v_null,
+          'custkey_referential',  n, v_ref,
+          'totalprice_positive',  n, v_range,
+          'status_domain',        n, v_domain)
+          AS (rule, n_checked, n_violations)""")
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("rule"))
+    }, Some("""
+      WITH a AS (
+        SELECT CAST(count(1) AS BIGINT) AS n,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain
+        FROM orders),
+      r AS (
+        SELECT CAST(count(1) AS BIGINT) AS v_ref FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      rules AS (
+        SELECT 'orderkey_unique' AS rule, n AS n_checked, n - nd AS n_violations FROM a
+        UNION ALL SELECT 'custkey_complete', n, v_null FROM a
+        UNION ALL SELECT 'custkey_referential', a.n, r.v_ref FROM a, r
+        UNION ALL SELECT 'totalprice_positive', n, v_range FROM a
+        UNION ALL SELECT 'status_domain', n, v_domain FROM a)
+      SELECT rule, n_checked, n_violations, (n_violations = 0) AS passed
+      FROM rules ORDER BY rule"""))
+  )
+}

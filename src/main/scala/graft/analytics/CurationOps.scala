@@ -1354,6 +1354,56 @@ object CurationOps {
              CASE WHEN ${TextStats.portableHash64Sql(
                "concat('split:', CAST(cluster_id AS VARCHAR))")} % 100 < 80
                   THEN 'train' ELSE 'test' END AS split
-      FROM cl ORDER BY doc_id"""))
+      FROM cl ORDER BY doc_id""")),
+
+    // ---- stratified k-fold assignment (k = 5): within each language
+    //      stratum, docs are ordered by a salted portable hash (a
+    //      deterministic shuffle — no RNG state, identical in both
+    //      engines) and dealt round-robin into folds, so every fold
+    //      holds ⌊n/k⌋ or ⌈n/k⌉ docs of EVERY language — the
+    //      stratified guarantee plain hash-mod assignment (q121's
+    //      fold-free cousin) cannot give. The output is the per-
+    //      (lang, fold) census plus a balanced flag certifying
+    //      max−min ≤ 1 inside each stratum, so the oracle checks the
+    //      invariant itself, not just the counts.
+    //
+    //      Scale shape: one rank window per language stratum (the
+    //      hash order makes it a deterministic shuffle, not a sort on
+    //      data values — skew follows language skew; for corpus-scale
+    //      strata swap in the q119 two-phase range-bucket ranking,
+    //      same dealing rule) and one census aggregate. Census rows =
+    //      languages × k — driver-safe always.
+    ("q173_stratified_kfold", (s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      val folds = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"))
+        .withColumn("h", TextStats.portableHash64(
+          concat(lit("fold:"), col("doc_id").cast("string"))))
+        .withColumn("fold", pmod(row_number().over(w) - 1, lit(5)).cast("long"))
+      val census = folds.groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"))
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      census
+        .withColumn("balanced",
+          max(col("n_docs")).over(wl) - min(col("n_docs")).over(wl) <= 1L)
+        .orderBy(col("lang"), col("fold"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT doc_id, lang,
+               (row_number() OVER (PARTITION BY lang
+                  ORDER BY ${TextStats.portableHash64Sql(
+                    "concat('fold:', CAST(doc_id AS VARCHAR))")}, doc_id)
+                - 1) % 5 AS fold
+        FROM documents),
+      census AS (
+        SELECT lang, CAST(fold AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY lang, fold)
+      SELECT lang, fold, n_docs,
+             (max(n_docs) OVER (PARTITION BY lang)
+              - min(n_docs) OVER (PARTITION BY lang)) <= 1 AS balanced
+      FROM census ORDER BY lang, fold"""))
   )
 }

@@ -978,6 +978,82 @@ object EvalOps {
              FROM terms)
       SELECT bin, ca, cb, term_r FROM terms
       UNION ALL SELECT bin, ca, cb, term_r FROM zz
-      ORDER BY bin"""))
+      ORDER BY bin""")),
+
+    // ---- split conformal prediction (Vovk; Papadopoulos et al. 2002;
+    //      Lei et al. 2018) at 90%: the distribution-free interval
+    //      audit. Calibration half (even event_id) fits the trivial
+    //      per-type mean model and takes q̂ = the k-th smallest
+    //      absolute residual with k = ⌈0.9·(n_cal+1)⌉ — the
+    //      finite-sample-corrected split-conformal index; the test
+    //      half (odd event_id) reports empirical coverage of
+    //      mean ± q̂ in ppm. Everything is exact integers: values
+    //      floor-quantized to micros, the model mean a truncating DIV,
+    //      q̂ an order statistic selected by row_number (the k-th
+    //      VALUE is tie-order-invariant because rows are sorted by
+    //      score), coverage a counted DIV.
+    //
+    //      Scale shape: one pass builds per-type sums, one window
+    //      ranks calibration residuals within each type (partition =
+    //      stratum — for corpus-scale strata swap in the q119 two-
+    //      phase histogram rank selection, same contract), one counted
+    //      aggregate scores the test half. All three shuffles share
+    //      the event_type key.
+    ("q172_conformal", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .selectExpr("event_type AS et", "event_id",
+          "CAST(floor(value * 1000000) AS BIGINT) AS vm",
+          "event_id % 2 = 0 AS is_cal")
+      val model = ev.filter(col("is_cal"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n_cal"), sum(col("vm")).as("sv"))
+        .selectExpr("et", "n_cal", "sv DIV n_cal AS mean_cal_micros")
+      val scored = ev.join(model, Seq("et"))
+        .withColumn("score", abs(col("vm") - col("mean_cal_micros")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("et")).orderBy(col("score"), col("event_id"))
+      val qhat = scored.filter(col("is_cal"))
+        .withColumn("rn", row_number().over(w))
+        // ⌈9(n+1)/10⌉ under truncating DIV: (a + b − 1) DIV b
+        .filter(col("rn") === expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS INT)"))
+        .select(col("et"), col("score").as("qhat_micros"))
+      scored.filter(!col("is_cal"))
+        .join(qhat, Seq("et"))
+        .groupBy(col("et"), col("n_cal"), col("mean_cal_micros"), col("qhat_micros"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("qhat_micros"), 1L).otherwise(0L)).as("n_in"))
+        .selectExpr("et", "n_cal", "n_test", "mean_cal_micros", "qhat_micros",
+          "(n_in * 1000000) DIV n_test AS coverage_ppm")
+        .orderBy(col("et"))
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type AS et, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm,
+               event_id % 2 = 0 AS is_cal
+        FROM events WHERE value IS NOT NULL),
+      model AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n_cal,
+               CAST(SUM(vm) AS BIGINT) // count(*) AS mean_cal_micros
+        FROM ev WHERE is_cal GROUP BY et),
+      scored AS (
+        SELECT ev.et, ev.event_id, ev.is_cal, m.n_cal, m.mean_cal_micros,
+               abs(ev.vm - m.mean_cal_micros) AS score
+        FROM ev JOIN model m ON ev.et = m.et),
+      qh AS (
+        SELECT et, score AS qhat_micros
+        FROM (SELECT et, score, n_cal,
+                     row_number() OVER (PARTITION BY et
+                       ORDER BY score, event_id) AS rn
+              FROM scored WHERE is_cal)
+        WHERE rn = (9 * (n_cal + 1) + 9) // 10)
+      SELECT s.et, s.n_cal, CAST(count(*) AS BIGINT) AS n_test,
+             s.mean_cal_micros, q.qhat_micros,
+             (CAST(SUM(CASE WHEN s.score <= q.qhat_micros THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // count(*) AS coverage_ppm
+      FROM scored s JOIN qh q ON s.et = q.et
+      WHERE NOT s.is_cal
+      GROUP BY s.et, s.n_cal, s.mean_cal_micros, q.qhat_micros
+      ORDER BY s.et"""))
   )
 }

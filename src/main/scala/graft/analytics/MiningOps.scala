@@ -495,6 +495,66 @@ object MiningOps {
         JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
         GROUP BY 1, 2, 3 HAVING count(*) >= 2)
       SELECT pa, pb, pc, support FROM tri
-      ORDER BY support DESC, pa, pb, pc LIMIT 20"""))
+      ORDER BY support DESC, pa, pb, pc LIMIT 20""")),
+
+    // ---- entity-resolution blocking audit: candidate pairs are
+    //      generated ONLY within a (nation, segment) block — the
+    //      classic blocked record-linkage shape (Fellegi-Sunter
+    //      pipelines, Papadakis et al. survey) — then verified with a
+    //      BOUNDED edit distance (levenshtein(a, b, k) is O(k·n) per
+    //      pair, not O(n²), and returns the exact distance whenever it
+    //      is ≤ k, so bounded ≡ unbounded on every pair that can
+    //      match). The result is the per-block audit an ER pipeline
+    //      reads before trusting its blocking key: members, candidate
+    //      pairs (the quadratic cost actually paid), matches, and the
+    //      match rate in ppm — blocks with huge pair counts and tiny
+    //      match rates are where the key needs refining.
+    //
+    //      Scale shape: one equi-join shuffle on the block key; work is
+    //      Σ_b C(n_b, 2), governed entirely by block sizes — the 100 TB
+    //      discipline is a block-size cap (split oversized blocks on a
+    //      secondary key, or route them to the q91 prefix-filtered
+    //      similarity join) exactly as the Papadakis blocking survey
+    //      prescribes. Output is block-cardinality rows, never pairs.
+    ("q171_er_blocking", (s: SparkSession, dir: String) => {
+      val cu = Tables(s, dir).customer
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          col("c_custkey").as("k"), col("c_name").as("nm"))
+      val members = cu.groupBy(col("nk"), col("seg"))
+        .agg(count(lit(1)).as("n_members"))
+      val pairs = cu.select(col("nk"), col("seg"), col("k").as("ka"), col("nm").as("na"))
+        .join(cu.select(col("nk"), col("seg"), col("k").as("kb"), col("nm").as("nb")),
+          Seq("nk", "seg"))
+        .filter(col("ka") < col("kb"))
+        .groupBy(col("nk"), col("seg"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(levenshtein(col("na"), col("nb"), 2).between(0, 2), 1L)
+            .otherwise(0L)).as("n_matches"))
+      members.join(pairs, Seq("nk", "seg"), "left")
+        .selectExpr("CAST(nk AS BIGINT) AS nk", "seg", "n_members",
+          "coalesce(n_pairs, 0L) AS n_pairs",
+          "coalesce(n_matches, 0L) AS n_matches",
+          "CASE WHEN coalesce(n_pairs, 0L) = 0 THEN 0L ELSE (n_matches * 1000000) DIV n_pairs END AS match_rate_ppm")
+        .orderBy(col("nk"), col("seg"))
+    }, Some("""
+      WITH cu AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg, c_custkey AS k, c_name AS nm
+        FROM customer),
+      members AS (
+        SELECT nk, seg, CAST(count(*) AS BIGINT) AS n_members
+        FROM cu GROUP BY nk, seg),
+      pairs AS (
+        SELECT a.nk, a.seg, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        FROM cu a JOIN cu b
+          ON a.nk = b.nk AND a.seg = b.seg AND a.k < b.k
+        GROUP BY a.nk, a.seg)
+      SELECT CAST(m.nk AS BIGINT) AS nk, m.seg AS seg, m.n_members,
+             COALESCE(p.n_pairs, 0) AS n_pairs,
+             COALESCE(p.n_matches, 0) AS n_matches,
+             CASE WHEN COALESCE(p.n_pairs, 0) = 0 THEN 0
+                  ELSE (p.n_matches * 1000000) // p.n_pairs END AS match_rate_ppm
+      FROM members m LEFT JOIN pairs p ON m.nk = p.nk AND m.seg = p.seg
+      ORDER BY nk, seg"""))
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Hand-computed fixtures for the data-quality audit operators
+  * (q169 profile, q170 constraints).
+  */
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeOrders(dir: String,
+      rows: Seq[(Long, java.lang.Long, String, java.lang.Double, Timestamp, String)]): Unit =
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+  test("profile reports nulls, exact distincts, and typed extrema per column") {
+    val dir = java.nio.file.Files.createTempDirectory("profile_fix").toString
+    writeOrders(dir, Seq(
+      (1L, 10L, "O", 100.5, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, null, "F", 200.25, Timestamp.valueOf("2024-02-01 00:00:00"), "2-HIGH"),
+      (2L, 20L, "P", null, null, null)))
+    val out = SparkEntry.queries("q169_profile")(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+        Option(r.getAs[java.lang.Long]("min_num_micros")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("max_num_micros")).map(_.toLong),
+        Option(r.getAs[String]("min_str")), Option(r.getAs[String]("max_str"))))
+      .toMap
+    assert(out("o_orderkey") ===
+      ((3L, 0L, 2L, Some(1000000L), Some(2000000L), None, None)))
+    assert(out("o_custkey") ===
+      ((3L, 1L, 2L, Some(10000000L), Some(20000000L), None, None)))
+    assert(out("o_orderstatus") === ((3L, 0L, 3L, None, None, Some("F"), Some("P"))))
+    assert(out("o_totalprice") ===
+      ((3L, 1L, 2L, Some(100500000L), Some(200250000L), None, None)))
+    // epoch micros of 2024-01-01 / 2024-02-01 UTC
+    assert(out("o_orderdate") ===
+      ((3L, 1L, 2L, Some(1704067200000000L), Some(1706745600000000L), None, None)))
+    assert(out("o_orderpriority") ===
+      ((3L, 1L, 2L, None, None, Some("1-URGENT"), Some("2-HIGH"))))
+  }
+
+  test("constraint suite counts each violation class exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("constraints_fix").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    writeOrders(dir, Seq(
+      (1L, 10L, "O", 100.0, ts, "p"), // clean
+      (1L, 20L, "F", 50.0, ts, "p"),  // duplicate orderkey
+      (3L, null, "O", 5.0, ts, "p"),  // null custkey (also unreferenced)
+      (4L, 99L, "O", 5.0, ts, "p"),   // orphan custkey
+      (5L, 10L, "X", -2.0, ts, "p"))) // bad status + nonpositive price
+    Seq((10L, "Customer#10", 1, 0.0, "A"), (20L, "Customer#20", 1, 0.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q170_constraints")(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") -> (r.getAs[Long]("n_checked"),
+        r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(out("orderkey_unique") === ((5L, 1L, false)))
+    assert(out("custkey_complete") === ((5L, 1L, false)))
+    // a NULL custkey matches no customer, so it counts here too —
+    // incomplete AND unreferenced, the documented double-count
+    assert(out("custkey_referential") === ((5L, 2L, false)))
+    assert(out("totalprice_positive") === ((5L, 1L, false)))
+    assert(out("status_domain") === ((5L, 1L, false)))
+  }
+}

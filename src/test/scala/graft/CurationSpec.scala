@@ -523,4 +523,24 @@ class CurationSpec extends SparkSpec {
       .as[Long].head()
     assert(ru === 0L)
   }
+
+  test("stratified k-fold deals every stratum round-robin: fold sizes differ by at most one") {
+    val dir = java.nio.file.Files.createTempDirectory("kfold_fix").toString
+    // en has 7 docs → fold sizes (2,2,1,1,1) whatever the hash order;
+    // fr has 3 → one doc in each of three folds (empty folds absent)
+    ((1 to 7).map(i => (i.toLong, s"doc $i", "en", "A", 5L)) ++
+      (8 to 10).map(i => (i.toLong, s"doc $i", "fr", "A", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q173_stratified_kfold")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("fold"),
+        r.getAs[Long]("n_docs"), r.getAs[Boolean]("balanced")))
+    val en = out.filter(_._1 == "en")
+    assert(en.map(_._3).sorted.toSeq === Seq(1L, 1L, 1L, 2L, 2L))
+    assert(en.map(t => t._2 -> t._3).toMap === Map(0L -> 2L, 1L -> 2L,
+      2L -> 1L, 3L -> 1L, 4L -> 1L)) // round-robin pins sizes per fold
+    val fr = out.filter(_._1 == "fr")
+    assert(fr.length === 3 && fr.forall(_._3 == 1L))
+    assert(out.forall(_._4)) // balanced certificate holds everywhere
+  }
 }

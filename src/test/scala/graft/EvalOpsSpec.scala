@@ -211,4 +211,33 @@ class EvalOpsSpec extends SparkSpec {
       .filter("d = 'zz'").collect().head
     assert(b.getAs[Long]("n_docs") === 1L)
   }
+
+  test("split conformal picks the ⌈0.9(n+1)⌉-th residual and scores test coverage") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("conformal_fix").toString
+    // cal (even ids): values 1..9 → mean 5e6, sorted |v−5|e6 =
+    // [0,1,1,2,2,3,3,4,4]; k = ⌈0.9·10⌉ = 9 → q̂ = 4e6.
+    // test (odd ids): 0.5 (score 4.5e6, out), 5.5 (in), 9.0 (4e6, in)
+    // → coverage 2e6 DIV 3 = 666666.
+    val cal = (1 to 9).map(i => (i * 2L, ts, 1L, "view", i.toDouble, "{}"))
+    val tst = Seq((1L, ts, 1L, "view", 0.5, "{}"),
+      (3L, ts, 1L, "view", 5.5, "{}"), (5L, ts, 1L, "view", 9.0, "{}"))
+    // a type whose n_cal is too small for the 90% index (k > n_cal)
+    // has no finite q̂ and must drop from the report entirely
+    val tiny = Seq((100L, ts, 1L, "click", 1.0, "{}"),
+      (101L, ts, 1L, "click", 2.0, "{}"))
+    (cal ++ tst ++ tiny)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q172_conformal")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("et") === "view")
+    assert(r.getAs[Long]("n_cal") === 9L)
+    assert(r.getAs[Long]("n_test") === 3L)
+    assert(r.getAs[Long]("mean_cal_micros") === 5000000L)
+    assert(r.getAs[Long]("qhat_micros") === 4000000L)
+    assert(r.getAs[Long]("coverage_ppm") === 666666L)
+  }
 }

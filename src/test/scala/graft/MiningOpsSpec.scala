@@ -183,4 +183,21 @@ class MiningOpsSpec extends SparkSpec {
     // cross-key pairs never appear
     assert(r.toSeq === Seq(("c1", 1L, 2L, 1L)))
   }
+
+  test("ER blocking audit counts candidate pairs and bounded-lev matches per block") {
+    val dir = java.nio.file.Files.createTempDirectory("erblock_fix").toString
+    Seq(
+      (1L, "Customer#000000001", 1, 0.0, "A"),
+      (2L, "Customer#000000002", 1, 0.0, "A"), // lev 1 from #1 → match
+      (3L, "Totally#Different##", 1, 0.0, "A"), // far from both
+      (4L, "Customer#000000004", 2, 0.0, "A")   // singleton block: 0 pairs
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q171_er_blocking")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("nk"), r.getAs[String]("seg")) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_matches"), r.getAs[Long]("match_rate_ppm"))).toMap
+    assert(out((1L, "A")) === ((3L, 3L, 1L, 333333L)))
+    assert(out((2L, "A")) === ((1L, 0L, 0L, 0L)))
+  }
 }
