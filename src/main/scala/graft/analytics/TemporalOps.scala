@@ -439,6 +439,200 @@ object TemporalOps {
                PARTITION BY user_id ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS filled_sum_micros
-      FROM j ORDER BY user_id, day"""))
+      FROM j ORDER BY user_id, day""")),
+
+    // ---- event-transition matrix (first-order Markov paths): for every
+    //      consecutive pair of events in a user's stream, count the
+    //      (src → dst) transition and ship the row-normalized
+    //      probability in ppm — the "what do users do next" table
+    //      product analytics reads, and the transition model a
+    //      next-event predictor baselines against. One lag window per
+    //      user (state = one row), one map-side-combined count, one
+    //      constant-size (|types|²) matrix — nothing here grows with
+    //      the corpus except the embarrassingly-parallel window.
+    ("q174_event_transitions", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wsrc = Window.partitionBy(col("src_et"))
+      Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .withColumn("dst_et", lead(col("event_type"), 1).over(w))
+        .filter(col("dst_et").isNotNull)
+        .groupBy(col("event_type").as("src_et"), col("dst_et"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(wsrc))
+        .withColumn("p_ppm", expr("(n * 1000000) DIV row_total"))
+        .select(col("src_et"), col("dst_et"), col("n"), col("p_ppm"))
+        .orderBy(col("src_et"), col("dst_et"))
+    }, Some("""
+      WITH tr AS (
+        SELECT event_type AS src_et,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS dst_et
+        FROM events WHERE user_id IS NOT NULL),
+      m AS (
+        SELECT src_et, dst_et, CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE dst_et IS NOT NULL GROUP BY src_et, dst_et)
+      SELECT src_et, dst_et, n,
+             CAST((n * 1000000) // SUM(n) OVER (PARTITION BY src_et) AS BIGINT) AS p_ppm
+      FROM m ORDER BY src_et, dst_et""")),
+
+    // ---- Kaplan-Meier time-to-conversion curve (Kaplan & Meier 1958)
+    //      with right-censoring: per user, the "event" is the FIRST
+    //      purchase, measured in days from the user's first activity;
+    //      users who never purchase are censored at the observation
+    //      window's end — still unconverted when observation stopped,
+    //      so they leave the risk set without counting against
+    //      survival. S(t) steps only at event days:
+    //      S = Π (n_risk − d)/n_risk, replayed as a per-step floored
+    //      integer product (micros), so both engines walk the
+    //      identical lattice. The curve a conversion/churn analysis
+    //      plots, with censoring done correctly (naive curves treat
+    //      censored users as converted-never and bias the estimate).
+    //
+    //      Scale shape: the per-user endpoint is one max() aggregate;
+    //      everything after runs on the DAY-level table — rows bounded
+    //      by the time span, never the corpus — so the single-group
+    //      collect + O(days²) prefix fold is span-bounded driver-safe
+    //      state, the same argument as q129's vocab-sized merge loop.
+    ("q175_kaplan_meier", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+      val span = ev.agg(max(col("d")).as("d1"))
+      val entry = ev.groupBy(col("user_id")).agg(min(col("d")).as("ad"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("d")).as("pd"))
+      val users = entry.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(span))
+        .selectExpr(
+          "CASE WHEN pd IS NOT NULL THEN datediff(pd, ad) ELSE datediff(d1, ad) END AS e_off",
+          "CAST(pd IS NOT NULL AS INT) AS is_death")
+      val days = users.groupBy(col("e_off"))
+        .agg(count(lit(1)).as("n_end"),
+          sum(col("is_death")).cast("long").as("d"))
+      val tot = days.agg(sum(col("n_end")).as("n_total"))
+      val risk = days.crossJoin(broadcast(tot))
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_end")).over(
+            Window.orderBy(col("e_off"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .selectExpr("e_off", "n_total - cum_prev AS n", "d")
+      risk.agg(sort_array(collect_list(struct(col("e_off"), col("n"), col("d"))))
+          .as("arr"))
+        .selectExpr("""explode(transform(sequence(1, size(arr)), k ->
+            named_struct(
+              'day_off', CAST(element_at(arr, k).e_off AS BIGINT),
+              'n_risk', element_at(arr, k).n,
+              'n_deaths', element_at(arr, k).d,
+              's_micros', aggregate(slice(arr, 1, k), CAST(1000000 AS BIGINT),
+                (acc, x) -> (acc * (x.n - x.d)) DIV x.n)))) AS e""")
+        .selectExpr("e.day_off", "e.n_risk", "e.n_deaths", "e.s_micros")
+        .filter(col("n_deaths") > 0)
+        .orderBy(col("day_off"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL),
+      span AS (SELECT MAX(d) AS d1 FROM ev),
+      entry AS (SELECT user_id, MIN(d) AS ad FROM ev GROUP BY user_id),
+      conv AS (SELECT user_id, MIN(d) AS pd FROM ev
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      users AS (
+        SELECT CASE WHEN pd IS NOT NULL THEN datediff('day', ad, pd)
+                    ELSE datediff('day', ad, d1) END AS e_off,
+               CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS is_death
+        FROM entry LEFT JOIN conv USING (user_id) CROSS JOIN span),
+      days AS (
+        SELECT e_off, CAST(count(*) AS BIGINT) AS n_end,
+               CAST(SUM(is_death) AS BIGINT) AS d
+        FROM users GROUP BY e_off),
+      risk AS (
+        SELECT e_off,
+               CAST((SELECT SUM(n_end) FROM days) AS BIGINT)
+                 - CAST(COALESCE(SUM(n_end) OVER (ORDER BY e_off
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n,
+               d
+        FROM days),
+      packed AS (
+        SELECT list_prepend({'e_off': 0::BIGINT, 'n': 1::BIGINT, 'd': 0::BIGINT,
+                             's': 1000000::BIGINT},
+                 list({'e_off': CAST(e_off AS BIGINT), 'n': n, 'd': d,
+                       's': 0::BIGINT} ORDER BY e_off)) AS arr
+        FROM risk),
+      steps AS (
+        -- struct accumulator is safe HERE (unlike q176): DuckDB
+        -- mutates fields in declaration order, and 's' — the only
+        -- field reading the accumulator — is declared last and reads
+        -- only acc.s, which nothing before it overwrites
+        SELECT unnest(list_transform(range(1, len(arr)), k ->
+          list_reduce(list_slice(arr, 1, k + 1),
+            (acc, x) -> {'e_off': x.e_off, 'n': x.n, 'd': x.d,
+                         's': (acc.s * (x.n - x.d)) // x.n}))) AS e
+        FROM packed)
+      SELECT e.e_off AS day_off, e.n AS n_risk, e.d AS n_deaths,
+             e.s AS s_micros
+      FROM steps WHERE e.d > 0
+      ORDER BY day_off""")),
+
+    // ---- Holt linear-trend smoothing (Holt 1957): the two coupled
+    //      recurrences l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    //      b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} with α=0.5, β=0.3, run
+    //      per user in integer micros with a floor after EVERY
+    //      multiplication — the q162 EWMA discipline extended to a
+    //      two-value state, which is exactly what the streaming form
+    //      carries per key. Initialization l₁=x₁, b₁=0 (documented;
+    //      the x₂−x₁ variant changes only the seed element). Output:
+    //      final level, trend, and the one-step forecast l+b —
+    //      the "where is this metric heading" per-entity readout.
+    //
+    //      Scale shape: identical to q162 — group-history-sized fold
+    //      state per user (the documented bound), one shuffle; the
+    //      unbounded-stream form belongs to flatMapGroupsWithState
+    //      with TWO longs of state per key.
+    ("q176_holt_trend", (s: SparkSession, dir: String) => {
+      Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .selectExpr("user_id", "ts", "event_id",
+          "CAST(floor(value * 1000000) AS BIGINT) AS xm")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("xm"))))
+            .as("seq"))
+        .selectExpr("user_id", "n_events",
+          """aggregate(slice(transform(seq, e -> e.xm), 2, size(seq) - 1),
+               named_struct('l', element_at(transform(seq, e -> e.xm), 1),
+                            'b', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'l', (500000 * x + 500000 * (acc.l + acc.b)) DIV 1000000,
+                 'b', (300000 * (((500000 * x + 500000 * (acc.l + acc.b))
+                                  DIV 1000000) - acc.l)
+                       + 700000 * acc.b) DIV 1000000)) AS st""")
+        .selectExpr("user_id", "n_events", "st.l AS level_micros",
+          "st.b AS trend_micros", "st.l + st.b AS forecast_micros")
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS xm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      folded AS (
+        -- state is a 2-list [l, b], NOT a struct: DuckDB's list_reduce
+        -- mutates a struct accumulator field-by-field during
+        -- construction (the 'b' formula would see the NEW 'l'),
+        -- while list construction evaluates all elements against the
+        -- old accumulator — matching Spark's functional semantics
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               list_reduce(
+                 list_transform(list(xm ORDER BY ts, event_id),
+                   v -> [v, 0::BIGINT]),
+                 (acc, x) -> [
+                   (500000 * x[1] + 500000 * (acc[1] + acc[2])) // 1000000,
+                   (300000 * (((500000 * x[1] + 500000 * (acc[1] + acc[2]))
+                               // 1000000) - acc[1])
+                    + 700000 * acc[2]) // 1000000]) AS st
+        FROM f GROUP BY user_id)
+      SELECT user_id, n_events, st[1] AS level_micros, st[2] AS trend_micros,
+             st[1] + st[2] AS forecast_micros
+      FROM folded ORDER BY user_id"""))
   )
 }

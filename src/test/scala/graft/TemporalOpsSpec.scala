@@ -73,4 +73,70 @@ class TemporalOpsSpec extends SparkSpec {
       ("2024-01-02", 0L, true, 1500000L),
       ("2024-01-03", 2L, false, 2500000L)))
   }
+
+  test("event-transition matrix counts consecutive pairs and row-normalizes in ppm") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("trans_fix").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 7L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 7L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 8L, "view", 0.0, "{}") // lone event: no pair
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q174_event_transitions")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_et"), r.getAs[String]("dst_et"),
+        r.getAs[Long]("n"), r.getAs[Long]("p_ppm")))
+    assert(out.toSeq === Seq(
+      ("click", "view", 1L, 1000000L), ("view", "click", 2L, 1000000L)))
+  }
+
+  test("Kaplan-Meier steps at conversion days with censored users leaving the risk set") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("km_fix").toString
+    Seq(
+      // u1, u2: enter Jan 1, purchase Jan 3 → death at offset 2
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-03 11:00:00"), 2L, "purchase", 1.0, "{}"),
+      // u3: enters Jan 1, never purchases; last global day Jan 5 →
+      // censored at offset 4 (leaves risk set, no survival step)
+      (5L, ts("2024-01-01 10:00:00"), 3L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-05 10:00:00"), 3L, "view", 0.0, "{}"),
+      // u4: enters and purchases Jan 2 → death at offset 0
+      (7L, ts("2024-01-02 09:00:00"), 4L, "view", 0.0, "{}"),
+      (8L, ts("2024-01-02 10:00:00"), 4L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q175_kaplan_meier")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day_off"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_deaths"), r.getAs[Long]("s_micros")))
+    // day 0: 4 at risk, 1 death → S = 750000
+    // day 2: 3 at risk, 2 deaths → S = floor(750000/3) = 250000
+    // day 4: censor only → no row
+    assert(out.toSeq === Seq((0L, 4L, 1L, 750000L), (2L, 3L, 2L, 250000L)))
+  }
+
+  test("Holt trend replays both floored recurrences in order") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("holt_fix").toString
+    // values 1, 2, 4 (α=.5, β=.3): l₁=1e6,b₁=0 → l₂=1.5e6, b₂=150000
+    // → l₃=(.5·4e6+.5·1.65e6)=2825000, b₃=(.3·1325000+.7·150000)=502500
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 7L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q176_holt_trend")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(r.getAs[Long]("level_micros") === 2825000L)
+    assert(r.getAs[Long]("trend_micros") === 502500L)
+    assert(r.getAs[Long]("forecast_micros") === 3327500L)
+  }
 }
