@@ -465,7 +465,11 @@ object GraphOps {
     * mid-node fan-in collapses once per (src, dst) — the standard
     * BFS-level discipline that keeps k-hop from multiplying path
     * counts. Two self-joins on the node key (bucketable ⇒ shuffle-
-    * free), distinct + count aggregates; nothing is ever path-sized.
+    * free), distinct + count aggregates. The wedge join itself is
+    * still Σ deg² rows BEFORE the distinct — on hub-dense graphs the
+    * caller must bound it (hub cap, neighbor sampling, or a bounded
+    * subgraph; see the q158 scaladoc) because no downstream dedup can
+    * un-pay an exploded shuffle.
     */
   def kHopReach(edges: DataFrame): DataFrame = {
     val e = graft.Stage.mat(edges.select(col("src"), col("dst")).distinct())
@@ -804,14 +808,36 @@ object GraphOps {
     //      items PLUS every co-interacting user — the collaborative-
     //      filtering neighborhood size. The oracle replays the
     //      level-wise dedup exactly.
+    //
+    //      The declared query runs on the FIXED SEED COHORT (user_id ≤
+    //      60, the q168 bounding strategy): exact distinct-2-hop is
+    //      Σ deg² wedge work before the level dedup can collapse it,
+    //      and on a hub-dense bipartite graph (fixed item vocabulary,
+    //      growing users) that is quadratic in the corpus — the
+    //      unbounded form measured 59 s at sf0.1 vs ~0.2 s bounded,
+    //      and would be a cluster-killer at 100 TB. Production k-hop
+    //      on hub graphs bounds the expansion structurally: hub
+    //      caps / per-node neighbor sampling (the GraphSAGE
+    //      discipline) or sketched frontiers (HLL per node) when
+    //      approximate reach suffices; the cohort keeps this query's
+    //      wedge work constant at every scale factor.
     ("q158_khop_reach", (s: SparkSession, dir: String) => {
-      kHopReach(interactionEdges(s, dir))
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("user_id") <= 60)
+      val inter = ev
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
+          concat(lit("i:"),
+            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+              .cast("string")).as("b"))
+        .distinct()
+      kHopReach(inter.select(col("a").as("src"), col("b").as("dst"))
+          .union(inter.select(col("b").as("src"), col("a").as("dst"))))
         .orderBy(col("node"))
     }, Some(s"""
       WITH inter AS (
         SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
                concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
-        FROM events WHERE user_id IS NOT NULL),
+        FROM events WHERE user_id IS NOT NULL AND user_id <= 60),
       e AS (SELECT a AS src, b AS dst FROM inter
             UNION ALL SELECT b AS src, a AS dst FROM inter),
       hop2 AS (SELECT e1.src, e2.dst

@@ -386,4 +386,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(s => s._1 == 1L && s._4 == 3L),
       "the cross-batch merged session must carry all 3 events")
   }
+
+  test("streaming Holt trend equals the batch fold across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = graft.stream.StreamingTrend.holt(mem.toDS())
+    val q = out.toDF("key", "n", "level", "trend").writeStream
+      .outputMode("append").format("memory").queryName("trend_out").start()
+    // the q176 hand fixture (values 1, 2, 4 in micros) split so the
+    // recurrence must survive a batch boundary mid-sequence
+    mem.addData((7L, 1L, 1000000L), (7L, 2L, 2000000L)) // batch 1
+    q.processAllAvailable()
+    mem.addData((7L, 3L, 4000000L))                     // batch 2
+    q.processAllAvailable()
+    val rows = spark.table("trend_out")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.toSeq === Seq(
+      (7L, 2L, 1500000L, 150000L),  // after batch 1 = batch fold of [1,2]
+      (7L, 3L, 2825000L, 502500L))) // drained = q176's batch result
+  }
 }
