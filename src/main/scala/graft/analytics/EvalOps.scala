@@ -1055,5 +1055,98 @@ object EvalOps {
       WHERE NOT s.is_cal
       GROUP BY s.et, s.n_cal, s.mean_cal_micros, q.qhat_micros
       ORDER BY s.et"""))
+  ,
+
+    // ---- NDCG@10 (Järvelin & Kekäläinen 2002) over the q154/q164
+    //      labels-as-relevance ranking: per query, DCG = Σ rel/log2(i+1)
+    //      with each rank's discount pre-rounded to integer NANOS
+    //      (round(1e9/log2(i+1)) — one float op per rank constant,
+    //      identical IEEE in both engines), IDCG from the same constants
+    //      over min(R, 10) ideal ranks (R = relevant corpus docs for the
+    //      query's label), ndcg_ppm = DCG·1e6 DIV IDCG — all integers
+    //      after the per-rank constants. zz row (-1) carries the mean.
+    //      Completes the retrieval-eval suite: MRR says where the FIRST
+    //      hit lands, P@k how MANY hit, NDCG how WELL-ORDERED they are.
+    //
+    //      Scale shape: the q154 one-scan broadcast ranking + two
+    //      query-keyed aggregates; IDCG's sequence fold is ≤ 10
+    //      elements per query.
+    ("q180_ndcg", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val queries = emb.filter(col("vec_id").between(1, 20))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          col("label").as("q_label"))
+      val corpus = emb.filter(col("vec_id") > 20)
+      val dcg = graft.text.Similarity
+        .topKPerQuery(corpus, queries.select(col("q_id"), col("qvec")), 10,
+          qidCol = "q_id")
+        .join(corpus.select(col("vec_id"), col("label").as("c_label")),
+          Seq("vec_id"))
+        .join(broadcast(queries.select(col("q_id"), col("q_label"))), Seq("q_id"))
+        .withColumn("gain", when(col("c_label") === col("q_label"),
+          expr("CAST(round(1000000000 / log2(rn + 1)) AS BIGINT)"))
+          .otherwise(0L))
+        .groupBy(col("q_id")).agg(sum(col("gain")).as("dcg_nanos"))
+      val rel = queries.select(col("q_id"), col("q_label"))
+        .join(corpus.groupBy(col("label")).agg(count(lit(1)).as("r")),
+          col("q_label") === col("label"), "left")
+        .selectExpr("q_id", "coalesce(r, 0L) AS r")
+      val per = dcg.join(rel, Seq("q_id"))
+        .selectExpr("q_id", "dcg_nanos", "least(r, 10L) AS m")
+        .selectExpr("q_id", "dcg_nanos",
+          """CASE WHEN m >= 1 THEN
+               aggregate(sequence(1L, m), CAST(0 AS BIGINT),
+                 (acc, i) -> acc + CAST(round(1000000000 / log2(i + 1)) AS BIGINT))
+             ELSE CAST(0 AS BIGINT) END AS idcg_nanos""")
+        .selectExpr("q_id", "dcg_nanos", "idcg_nanos",
+          """CASE WHEN idcg_nanos > 0 THEN (dcg_nanos * 1000000) DIV idcg_nanos
+             ELSE 0L END AS ndcg_ppm""")
+      val zz = per.agg(count(lit(1)).as("nq"), sum(col("ndcg_ppm")).as("sn"))
+        .selectExpr("CAST(-1 AS BIGINT) AS q_id", "CAST(0 AS BIGINT) AS dcg_nanos",
+          "CAST(0 AS BIGINT) AS idcg_nanos", "sn DIV nq AS ndcg_ppm")
+      per.unionAll(zz).orderBy(col("q_id"))
+    }, Some("""
+      WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+               CAST(label AS BIGINT) AS q_label
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+      c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(label AS BIGINT) AS c_label
+        FROM embeddings WHERE vec_id > 20),
+      r AS (
+        SELECT q_id, q_label, c_label,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rn
+        FROM c JOIN q ON TRUE),
+      dcg AS (
+        SELECT q_id,
+               CAST(SUM(CASE WHEN c_label = q_label
+                 THEN CAST(round(1000000000 / log2(rn + 1)) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS dcg_nanos
+        FROM r WHERE rn <= 10 GROUP BY q_id),
+      rel AS (
+        SELECT q.q_id,
+               CAST(COALESCE((SELECT count(*) FROM c
+                              WHERE c.c_label = q.q_label), 0) AS BIGINT) AS rr
+        FROM q),
+      per AS (
+        SELECT d.q_id, d.dcg_nanos,
+               CASE WHEN least(rr, 10) >= 1 THEN
+                 CAST((SELECT SUM(CAST(round(1000000000 / log2(i + 1)) AS BIGINT))
+                       FROM unnest(range(1, least(rr, 10) + 1)) AS t(i)) AS BIGINT)
+               ELSE 0 END AS idcg_nanos
+        FROM dcg d JOIN rel ON d.q_id = rel.q_id),
+      scored AS (
+        SELECT q_id, dcg_nanos, idcg_nanos,
+               CASE WHEN idcg_nanos > 0 THEN (dcg_nanos * 1000000) // idcg_nanos
+                    ELSE 0 END AS ndcg_ppm
+        FROM per)
+      SELECT q_id, dcg_nanos, idcg_nanos, ndcg_ppm FROM scored
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(SUM(ndcg_ppm) // count(*) AS BIGINT)
+      FROM scored
+      ORDER BY q_id"""))
   )
 }

@@ -700,7 +700,62 @@ object LLMOps {
         round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
         TRUE AS p50_within_rank_tol,
         TRUE AS p95_within_rank_tol
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- readability profile (Flesch 1948 / Kincaid 1975) per source:
+    //      reading-ease and grade-level from the three classic counts —
+    //      words (the corpus \s-token convention), sentences
+    //      ([.!?]+ runs, floor 1), syllables (vowel-group runs
+    //      [aeiouy]+ over the lowercased text, floored at one per word
+    //      — the standard heuristic; hyphenation dictionaries are a
+    //      quality upgrade, not a semantic change). Both formulas ship
+    //      in exact integer micros with truncating DIV at each ratio,
+    //      per doc, then truncating per-source means — token-for-token
+    //      replayable. The quality gate a curation pipeline adds when
+    //      "too hard/too easy to read" is a routing signal.
+    //
+    //      Scale shape: pure per-row projection (three regexp passes)
+    //      + one map-side-combined aggregate. Nothing stateful.
+    ("q178_readability", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("w"),
+          greatest(size(regexp_extract_all(col("text"),
+            lit("[.!?]+"), lit(0))), lit(1)).cast("long").as("sn"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))).cast("long").as("vg"))
+        .filter(col("w") >= 1)
+        .selectExpr("source", "w", "sn", "greatest(vg, w) AS syl")
+        .selectExpr("source",
+          "206835000 - (1015000 * w) DIV sn - (84600000 * syl) DIV w AS fre",
+          "(390000 * w) DIV sn + (11800000 * syl) DIV w - 15590000 AS fkg")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("fre")).as("sfre"), sum(col("fkg")).as("sfkg"))
+        .selectExpr("source", "n_docs",
+          "sfre DIV n_docs AS mean_fre_micros",
+          "sfkg DIV n_docs AS mean_fkg_micros")
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH c AS (
+        SELECT source,
+               CAST(len(list_filter(regexp_split_to_array(text, '$ws+'),
+                 t -> t <> '')) AS BIGINT) AS w,
+               greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                 1) AS sn,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+        FROM documents),
+      f AS (
+        SELECT source,
+               206835000 - (1015000 * w) // sn
+                 - (84600000 * greatest(vg, w)) // w AS fre,
+               (390000 * w) // sn + (11800000 * greatest(vg, w)) // w
+                 - 15590000 AS fkg
+        FROM c WHERE w >= 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(fre) // count(*) AS BIGINT) AS mean_fre_micros,
+             CAST(SUM(fkg) // count(*) AS BIGINT) AS mean_fkg_micros
+      FROM f GROUP BY source ORDER BY source"""))
   )
 
   /** The featured approximate-quantile operator alone: one partial+final

@@ -555,6 +555,55 @@ object MiningOps {
              CASE WHEN COALESCE(p.n_pairs, 0) = 0 THEN 0
                   ELSE (p.n_matches * 1000000) // p.n_pairs END AS match_rate_ppm
       FROM members m LEFT JOIN pairs p ON m.nk = p.nk AND m.seg = p.seg
+      ORDER BY nk, seg""")),
+
+    // ---- transposition-aware ER verify: the q171 blocked pair join
+    //      re-scored with the native full Damerau-Levenshtein
+    //      expression (`catalyst/DamerauLevenshtein.scala` — Spark
+    //      ships only plain levenshtein, and "recieve"/"receive" or a
+    //      digit swap in an identifier is ONE typo under DL, two under
+    //      Levenshtein). Per block: pairs at dl ≤ 1 vs lev ≤ 1, and
+    //      the transposition gain — the matches a lev-threshold-1
+    //      matcher silently loses. Both engines run the same full-DL
+    //      lattice (DuckDB's is byte-level; the name fixture is ASCII,
+    //      where byte ≡ codepoint — divergence documented in the
+    //      expression scaladoc). Same Σ C(n_b,2) block-bounded cost
+    //      and escapes as q171.
+    ("q177_er_damerau", (s: SparkSession, dir: String) => {
+      val cu = Tables(s, dir).customer
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          col("c_custkey").as("k"), col("c_name").as("nm"))
+      cu.select(col("nk"), col("seg"), col("k").as("ka"), col("nm").as("na"))
+        .join(cu.select(col("nk"), col("seg"), col("k").as("kb"), col("nm").as("nb")),
+          Seq("nk", "seg"))
+        .filter(col("ka") < col("kb"))
+        .groupBy(col("nk"), col("seg"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(graft.catalyst.GraftFunctions
+            .damerauLevenshtein(col("na"), col("nb")) <= 1, 1L)
+            .otherwise(0L)).as("n_dl1"),
+          sum(when(levenshtein(col("na"), col("nb"), 1).between(0, 1), 1L)
+            .otherwise(0L)).as("n_lev1"))
+        .selectExpr("CAST(nk AS BIGINT) AS nk", "seg", "n_pairs", "n_dl1",
+          "n_lev1", "n_dl1 - n_lev1 AS transpose_gain")
+        .orderBy(col("nk"), col("seg"))
+    }, Some("""
+      WITH cu AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg, c_custkey AS k, c_name AS nm
+        FROM customer)
+      SELECT CAST(a.nk AS BIGINT) AS nk, a.seg AS seg,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN damerau_levenshtein(a.nm, b.nm) <= 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dl1,
+             CAST(SUM(CASE WHEN levenshtein(a.nm, b.nm) <= 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_lev1,
+             CAST(SUM(CASE WHEN damerau_levenshtein(a.nm, b.nm) <= 1
+                           THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN levenshtein(a.nm, b.nm) <= 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS transpose_gain
+      FROM cu a JOIN cu b
+        ON a.nk = b.nk AND a.seg = b.seg AND a.k < b.k
+      GROUP BY a.nk, a.seg
       ORDER BY nk, seg"""))
   )
 }

@@ -505,6 +505,101 @@ object StatsOps {
       UNION ALL
       SELECT CAST(999 AS BIGINT), n, theta_micros, xbar, CAST(0 AS BIGINT)
       FROM coef
-      ORDER BY arm"""))
+      ORDER BY arm""")),
+
+    // ---- information-gain feature ranking (Quinlan 1986; Yang &
+    //      Pedersen 1997 for text): IG(f) = H(lang) − H(lang|f) for
+    //      two candidate routing features (has-digit, long-doc) against
+    //      the language label — the decision-stump score that says
+    //      which cheap predicate is worth a routing split. Entropy
+    //      terms follow the q103/q159 float discipline: every term is
+    //      computed from exact integer counts with one ln and one
+    //      round(·, 9) — bit-identical IEEE in both engines — then
+    //      summed as DECIMAL(30,9) (order-free), final round(·, 6).
+    //      H(lang|f) is taken directly from the joint counts,
+    //      −Σ_{v,l} (c/n)·ln(c/n_v), avoiding any nested float product.
+    //
+    //      Scale shape: one stack projection + one (feature, v, lang)
+    //      aggregate; everything downstream runs on the
+    //      |features|·2·|langs| count table — constant-size at any
+    //      corpus scale.
+    ("q179_infogain", (s: SparkSession, dir: String) => {
+      val joint = Tables(s, dir).documents
+        .selectExpr("lang",
+          "CASE WHEN text RLIKE '[0-9]' THEN 1 ELSE 0 END AS fd",
+          "CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS fl")
+        .selectExpr("lang",
+          "stack(2, 'has_digit', fd, 'long_doc', fl) AS (feature, v)")
+        .groupBy(col("feature"), col("v"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val nv = joint.groupBy(col("feature"), col("v"))
+        .agg(sum(col("c")).as("n_v"))
+      val n = joint.groupBy(col("feature")).agg(sum(col("c")).as("n"))
+      val cond = joint.join(nv, Seq("feature", "v")).join(n, Seq("feature"))
+        .selectExpr("feature",
+          """round(-(CAST(c AS DOUBLE) / n)
+                   * ln(CAST(c AS DOUBLE) / n_v), 9) AS term""")
+        .groupBy(col("feature"))
+        .agg(sum(col("term").cast("decimal(30,9)")).as("h_cond"))
+      val prior = joint.groupBy(col("feature"), col("lang"))
+        .agg(sum(col("c")).as("cl"))
+        .join(n, Seq("feature"))
+        .selectExpr("feature",
+          """round(-(CAST(cl AS DOUBLE) / n)
+                   * ln(CAST(cl AS DOUBLE) / n), 9) AS term""")
+        .groupBy(col("feature"))
+        .agg(sum(col("term").cast("decimal(30,9)")).as("h_prior"))
+      val ptrue = nv.filter(col("v") === 1)
+        .join(n, Seq("feature"))
+        .selectExpr("feature", "(n_v * 1000000) DIV n AS p_true_ppm")
+      prior.join(cond, Seq("feature")).join(n, Seq("feature"))
+        .join(ptrue, Seq("feature"), "left")
+        .selectExpr("feature", "n AS n_docs",
+          "coalesce(p_true_ppm, 0L) AS p_true_ppm",
+          "round(CAST(h_prior - h_cond AS DOUBLE), 6) AS ig_r")
+        .orderBy(col("feature"))
+    }, Some("""
+      WITH f AS (
+        SELECT lang,
+               CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS fd,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS fl
+        FROM documents),
+      unp AS (
+        SELECT lang, 'has_digit' AS feature, fd AS v FROM f
+        UNION ALL SELECT lang, 'long_doc', fl FROM f),
+      joint AS (
+        SELECT feature, v, lang, CAST(count(*) AS BIGINT) AS c
+        FROM unp GROUP BY feature, v, lang),
+      nv AS (SELECT feature, v, CAST(SUM(c) AS BIGINT) AS n_v
+             FROM joint GROUP BY feature, v),
+      n AS (SELECT feature, CAST(SUM(c) AS BIGINT) AS n
+            FROM joint GROUP BY feature),
+      cond AS (
+        SELECT j.feature,
+               SUM(CAST(round(-(CAST(c AS DOUBLE) / n.n)
+                              * ln(CAST(c AS DOUBLE) / nv.n_v), 9)
+                   AS DECIMAL(30,9))) AS h_cond
+        FROM joint j JOIN nv ON j.feature = nv.feature AND j.v = nv.v
+        JOIN n ON j.feature = n.feature
+        GROUP BY j.feature),
+      prior AS (
+        SELECT p.feature,
+               SUM(CAST(round(-(CAST(cl AS DOUBLE) / n.n)
+                              * ln(CAST(cl AS DOUBLE) / n.n), 9)
+                   AS DECIMAL(30,9))) AS h_prior
+        FROM (SELECT feature, lang, CAST(SUM(c) AS BIGINT) AS cl
+              FROM joint GROUP BY feature, lang) p
+        JOIN n ON p.feature = n.feature
+        GROUP BY p.feature),
+      ptrue AS (
+        SELECT nv.feature, CAST((n_v * 1000000) // n AS BIGINT) AS p_true_ppm
+        FROM nv JOIN n ON nv.feature = n.feature WHERE v = 1)
+      SELECT prior.feature AS feature, n.n AS n_docs,
+             COALESCE(ptrue.p_true_ppm, 0) AS p_true_ppm,
+             round(CAST(h_prior - h_cond AS DOUBLE), 6) AS ig_r
+      FROM prior JOIN cond ON prior.feature = cond.feature
+      JOIN n ON prior.feature = n.feature
+      LEFT JOIN ptrue ON prior.feature = ptrue.feature
+      ORDER BY feature"""))
   )
 }

@@ -48,6 +48,12 @@ object GraftFunctions {
   def portableWinnow(c: Column, k: Int, w: Int): Column =
     col(PortableWinnow(expr(c), k, w))
 
+  /** Full (unrestricted) Damerau-Levenshtein distance of two string
+    * columns — see [[DamerauLevenshtein]].
+    */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    col(DamerauLevenshtein(expr(a), expr(b)))
+
   /** Position-ordered engine-portable k-gram hashes (md5-derived 60-bit
     * keys; element i = gram at token i+1) — see [[PortableShingles]].
     */
@@ -122,6 +128,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSig(es(0), litInt(es, 1)), "built-in")
     reg.createOrReplaceTempFunction("portable_winnow",
       (es: Seq[Expression]) => PortableWinnow(es(0), litInt(es, 1), litInt(es, 2)), "built-in")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1)), "built-in")
   }
 
   private def litInt(es: Seq[Expression], pos: Int): Int = es(pos) match {

@@ -221,4 +221,37 @@ class CatalystExprSpec extends SparkSpec {
       assert(sketch.contains(tok), s"frequent token $tok (> $bound) missing from sketch")
     }
   }
+
+  test("damerau_levenshtein: full (unrestricted) DL semantics, codepoint-level") {
+    val cases = Seq(
+      ("ca", "abc", 2L),        // full DL; the restricted OSA variant says 3
+      ("ab", "ba", 1L),         // adjacent transposition
+      ("abc", "acb", 1L),
+      ("recieve", "receive", 1L), // the canonical typo: one transposition
+      ("kitten", "sitting", 3L),  // no transpositions → plain levenshtein
+      ("", "abc", 3L), ("abc", "", 3L), ("", "", 0L),
+      ("same", "same", 0L),
+      ("açé", "aéç", 1L))       // codepoint-level transposition (bytes would say 2+)
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .withColumn("d", GraftFunctions.damerauLevenshtein(col("a"), col("b")))
+    val got = df.select("d").as[Long].collect()
+    assert(got.toSeq === cases.map(_._3))
+    // null propagation + never exceeds levenshtein, never undershoots |len diff|
+    val n = Seq((Option("x"), Option.empty[String]))
+      .toDF("a", "b")
+      .select(GraftFunctions.damerauLevenshtein(col("a"), col("b")))
+      .collect().head
+    assert(n.isNullAt(0))
+    val rnd = new scala.util.Random(7)
+    val fuzz = Seq.fill(200)((rnd.alphanumeric.take(rnd.nextInt(8)).mkString,
+      rnd.alphanumeric.take(rnd.nextInt(8)).mkString)).toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.damerauLevenshtein(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .as[(String, String, Long, Long)].collect()
+    fuzz.foreach { case (a, b, dl, lev) =>
+      assert(dl <= lev, s"dl > lev for ($a, $b)")
+      assert(dl >= math.abs(a.length - b.length), s"dl under length bound for ($a, $b)")
+    }
+  }
 }

@@ -240,4 +240,25 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("qhat_micros") === 4000000L)
     assert(r.getAs[Long]("coverage_ppm") === 666666L)
   }
+
+  test("NDCG@10: nano discounts, ideal normalization, and the mean row") {
+    val dir = java.nio.file.Files.createTempDirectory("ndcg_fix").toString
+    // query 1 = (1,0) label 1; ranking: 21 (rel, rank 1), 22 (rank 2),
+    // 23 (rel, rank 3), 24. R = 2 →
+    // DCG = 1e9 + 5e8; IDCG = 1e9 + round(1e9/log2(3)) = 1630929754
+    // → ndcg_ppm = 15e14 // 1630929754 = 919720
+    Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (21L, Array(1.0f, 0.0f), 1),
+      (22L, Array(0.9f, 0.1f), 0),
+      (23L, Array(0.5f, 0.5f), 1),
+      (24L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q180_ndcg")(spark, dir).collect()
+      .map(r => r.getAs[Long]("q_id") -> (r.getAs[Long]("dcg_nanos"),
+        r.getAs[Long]("idcg_nanos"), r.getAs[Long]("ndcg_ppm"))).toMap
+    assert(out(1L) === ((1500000000L, 1630929754L, 919720L)))
+    assert(out(-1L)._3 === 919720L) // mean over the single query
+  }
 }

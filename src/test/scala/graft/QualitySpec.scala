@@ -83,4 +83,19 @@ class QualitySpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"quality filters must not shuffle:\n$p")
     }
   }
+
+  test("readability replays Flesch/FK integer micros from the three counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("read_fix").toString
+    // "The cat sat. It ran!": 5 words, 2 sentence runs, 5 vowel groups
+    // → FRE = 206835000 − (1015000·5)÷2 − (84600000·5)÷5 = 119697500
+    //   FKG = (390000·5)÷2 + (11800000·5)÷5 − 15590000 = −2815000
+    Seq((1L, "The cat sat. It ran!", "en", "A", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q178_readability")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") === 1L)
+    assert(r.getAs[Long]("mean_fre_micros") === 119697500L)
+    assert(r.getAs[Long]("mean_fkg_micros") === -2815000L)
+  }
 }

@@ -124,4 +124,19 @@ class StatsOpsSpec extends SparkSpec {
     assert(out(1L) === ((2L, 40000000L, 50000000L, 0L)))
     assert(out(999L) === ((4L, 2000000L, 25000000L, 0L))) // θ, x̄
   }
+
+  test("information gain scores a perfect splitter ln2 and a constant feature 0") {
+    val dir = java.nio.file.Files.createTempDirectory("ig_fix").toString
+    // has_digit ⟺ lang: IG = H(lang) = 2·round(−½·ln½, 9) → 0.693147;
+    // long_doc is constant-true: H(lang|f) = H(lang) → IG = 0
+    Seq((1L, "a 1", "en", "A", 300L), (2L, "b 2", "en", "A", 300L),
+      (3L, "c", "fr", "A", 300L), (4L, "d", "fr", "A", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q179_infogain")(spark, dir).collect()
+      .map(r => r.getAs[String]("feature") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("p_true_ppm"), r.getAs[Double]("ig_r"))).toMap
+    assert(out("has_digit") === ((4L, 500000L, 0.693147)))
+    assert(out("long_doc") === ((4L, 1000000L, 0.0)))
+  }
 }
