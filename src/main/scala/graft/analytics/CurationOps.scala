@@ -1405,5 +1405,91 @@ object CurationOps {
              (max(n_docs) OVER (PARTITION BY lang)
               - min(n_docs) OVER (PARTITION BY lang)) <= 1 AS balanced
       FROM census ORDER BY lang, fold"""))
+  ,
+
+    // ---- k-fold cross-validation readout over the q173 folds: for
+    //      every fold, train the per-language mean-length model on the
+    //      OTHER four folds and score MAE on the held-out fold — the
+    //      stability report that says whether a corpus statistic is a
+    //      property of the data or of one lucky split. The key scale
+    //      move: out-of-fold means come from TOTALS MINUS FOLD SUMS
+    //      ((Σ_lang − Σ_{lang,fold}) DIV (n_lang − n_{lang,fold})),
+    //      so the whole 5-fold CV costs ONE doc-level pass + joins on
+    //      the langs×folds count table — never k re-scans of the
+    //      corpus. zz rows: 999 = pooled MAE over all folds, 998 =
+    //      max−min fold spread (the instability signal itself).
+    //      Exact integers throughout (micros sums, truncating DIV).
+    ("q181_kfold_cv", (s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      val folds = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("h", TextStats.portableHash64(
+          concat(lit("fold:"), col("doc_id").cast("string"))))
+        .withColumn("fold", pmod(row_number().over(w) - 1, lit(5)).cast("long"))
+        .transform(graft.Stage.mat) // feeds the fold sums AND the error join
+      val lf = folds.groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_lf"), sum(col("n_chars")).as("s_lf"))
+      val lt = lf.groupBy(col("lang"))
+        .agg(sum(col("n_lf")).as("n_l"), sum(col("s_lf")).as("s_l"))
+      val loo = lf.join(lt, Seq("lang"))
+        .selectExpr("lang", "fold",
+          """CASE WHEN n_l - n_lf > 0
+               THEN ((s_l - s_lf) * 1000000) DIV (n_l - n_lf)
+               ELSE 0 END AS mean_micros""")
+      val errs = folds.join(broadcast(loo), Seq("lang", "fold"))
+        .selectExpr("fold", "abs(n_chars * 1000000 - mean_micros) AS err")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_eval"), sum(col("err")).as("serr"))
+        .selectExpr("fold", "n_eval", "serr DIV n_eval AS mae_micros")
+      val zz = errs.agg(sum(col("n_eval")).as("nt"),
+          sum(expr("mae_micros * n_eval")).as("wsum"))
+        .selectExpr(
+          "CAST(999 AS BIGINT) AS fold", "nt AS n_eval",
+          "wsum DIV nt AS mae_micros")
+      val spread = errs.agg(max(col("mae_micros")).as("mx"),
+          min(col("mae_micros")).as("mn"))
+        .selectExpr("CAST(998 AS BIGINT) AS fold", "CAST(0 AS BIGINT) AS n_eval",
+          "mx - mn AS mae_micros")
+      errs.unionAll(zz).unionAll(spread).orderBy(col("fold"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT doc_id, lang, n_chars,
+               (row_number() OVER (PARTITION BY lang
+                  ORDER BY ${TextStats.portableHash64Sql(
+                    "concat('fold:', CAST(doc_id AS VARCHAR))")}, doc_id)
+                - 1) % 5 AS fold
+        FROM documents),
+      lf AS (
+        SELECT lang, CAST(fold AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_lf,
+               CAST(SUM(n_chars) AS BIGINT) AS s_lf
+        FROM f GROUP BY lang, fold),
+      lt AS (SELECT lang, CAST(SUM(n_lf) AS BIGINT) AS n_l,
+                    CAST(SUM(s_lf) AS BIGINT) AS s_l
+             FROM lf GROUP BY lang),
+      loo AS (
+        SELECT lf.lang, lf.fold,
+               CASE WHEN n_l - n_lf > 0
+                 THEN ((s_l - s_lf) * 1000000) // (n_l - n_lf)
+                 ELSE 0 END AS mean_micros
+        FROM lf JOIN lt ON lf.lang = lt.lang),
+      errs AS (
+        SELECT loo.fold, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(SUM(abs(f.n_chars * 1000000 - mean_micros)) AS BIGINT) AS serr
+        FROM f JOIN loo ON f.lang = loo.lang AND f.fold = loo.fold
+        GROUP BY loo.fold),
+      per AS (SELECT fold, n_eval, serr // n_eval AS mae_micros FROM errs)
+      SELECT fold, n_eval, CAST(mae_micros AS BIGINT) AS mae_micros FROM per
+      UNION ALL
+      SELECT CAST(999 AS BIGINT), CAST(SUM(n_eval) AS BIGINT),
+             CAST(SUM(mae_micros * n_eval) // SUM(n_eval) AS BIGINT)
+      FROM per
+      UNION ALL
+      SELECT CAST(998 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(MAX(mae_micros) - MIN(mae_micros) AS BIGINT)
+      FROM per
+      ORDER BY fold"""))
   )
 }

@@ -543,4 +543,25 @@ class CurationSpec extends SparkSpec {
     assert(fr.length === 3 && fr.forall(_._3 == 1L))
     assert(out.forall(_._4)) // balanced certificate holds everywhere
   }
+
+  test("k-fold CV: leave-fold-out means from totals, pooled MAE and spread rows") {
+    val dir = java.nio.file.Files.createTempDirectory("kfoldcv_fix").toString
+    // 5 docs, one per fold: each doc's LOO mean is (150−x)/4 chars →
+    // errors {25, 12.5, 0, 12.5, 25}e6 as a multiset (which fold gets
+    // which error depends on the hash deal); pooled = 15e6, spread 25e6
+    Seq((1L, "a", "en", "A", 10L), (2L, "b", "en", "A", 20L),
+      (3L, "c", "en", "A", 30L), (4L, "d", "en", "A", 40L),
+      (5L, "e", "en", "A", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q181_kfold_cv")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_eval"),
+        r.getAs[Long]("mae_micros")))
+    val folds = out.filter(_._1 < 5)
+    assert(folds.length === 5 && folds.forall(_._2 == 1L))
+    assert(folds.map(_._3).sorted.toSeq ===
+      Seq(0L, 12500000L, 12500000L, 25000000L, 25000000L))
+    assert(out.find(_._1 == 999L).get === ((999L, 5L, 15000000L)))
+    assert(out.find(_._1 == 998L).get === ((998L, 0L, 25000000L)))
+  }
 }
