@@ -1005,12 +1005,14 @@ object EvalOps {
         .selectExpr("event_type AS et", "event_id",
           "CAST(floor(value * 1000000) AS BIGINT) AS vm",
           "event_id % 2 = 0 AS is_cal")
+        .transform(graft.Stage.mat) // feeds the model agg AND the score join
       val model = ev.filter(col("is_cal"))
         .groupBy(col("et"))
         .agg(count(lit(1)).as("n_cal"), sum(col("vm")).as("sv"))
         .selectExpr("et", "n_cal", "sv DIV n_cal AS mean_cal_micros")
       val scored = ev.join(model, Seq("et"))
         .withColumn("score", abs(col("vm") - col("mean_cal_micros")))
+        .transform(graft.Stage.mat) // feeds the q̂ window AND the coverage agg
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("et")).orderBy(col("score"), col("event_id"))
       val qhat = scored.filter(col("is_cal"))

@@ -167,18 +167,30 @@ object GraphOps {
     * stream (item = the `props.k` entity, the q21 extraction), distinct
     * then mirrored.
     */
-  private def interactionEdges(s: SparkSession, dir: String): DataFrame = {
-    // user_id IS NOT NULL on both sides: Spark's concat null-propagates
-    // while DuckDB's skips nulls ('u:'), so a null row must never reach
-    // either concat. The $.k cast is lenient in Spark (null on non-
-    // numeric) — TRY_CAST is the DuckDB mirror.
-    val inter = Tables(s, dir).events
-      .filter(col("user_id").isNotNull)
-      .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
-        concat(lit("i:"),
-          coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
-            .cast("string")).as("b"))
+  /** Distinct (user, item) interaction pairs as raw longs. user_id IS
+    * NOT NULL: Spark's concat null-propagates while DuckDB's skips
+    * nulls ('u:'), so a null row must never reach the edge concat
+    * downstream. The $.k cast is lenient in Spark (null on non-
+    * numeric) — TRY_CAST is the DuckDB mirror. `maxUser` is the
+    * fixed-cohort bound shared by q158/q168 (constant wedge work at
+    * every scale factor); ONE definition so every declared query that
+    * says "the interaction graph" means the same graph.
+    */
+  private[analytics] def userItemPairs(s: SparkSession, dir: String,
+      maxUser: Option[Long] = None): DataFrame = {
+    val base = Tables(s, dir).events.filter(col("user_id").isNotNull)
+    maxUser.fold(base)(m => base.filter(col("user_id") <= m))
+      .select(col("user_id").as("u"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("i"))
       .distinct()
+  }
+
+  private def interactionEdges(s: SparkSession, dir: String,
+      maxUser: Option[Long] = None): DataFrame = {
+    val inter = userItemPairs(s, dir, maxUser)
+      .select(concat(lit("u:"), col("u").cast("string")).as("a"),
+        concat(lit("i:"), col("i").cast("string")).as("b"))
     inter.select(col("a").as("src"), col("b").as("dst"))
       .union(inter.select(col("b").as("src"), col("a").as("dst")))
   }
@@ -822,16 +834,7 @@ object GraphOps {
     //      approximate reach suffices; the cohort keeps this query's
     //      wedge work constant at every scale factor.
     ("q158_khop_reach", (s: SparkSession, dir: String) => {
-      val ev = Tables(s, dir).events
-        .filter(col("user_id").isNotNull && col("user_id") <= 60)
-      val inter = ev
-        .select(concat(lit("u:"), col("user_id").cast("string")).as("a"),
-          concat(lit("i:"),
-            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
-              .cast("string")).as("b"))
-        .distinct()
-      kHopReach(inter.select(col("a").as("src"), col("b").as("dst"))
-          .union(inter.select(col("b").as("src"), col("a").as("dst"))))
+      kHopReach(interactionEdges(s, dir, maxUser = Some(60L)))
         .orderBy(col("node"))
     }, Some(s"""
       WITH inter AS (
@@ -877,12 +880,7 @@ object GraphOps {
     //      grows. Counts/terms are map-side combined; top-k is
     //      TakeOrderedAndProject (no global sort materialization).
     ("q168_link_ra", (s: SparkSession, dir: String) => {
-      val ui = Tables(s, dir).events
-        .filter(col("user_id").isNotNull && col("user_id") <= 60)
-        .select(col("user_id").as("u"),
-          coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
-            .as("i"))
-        .distinct()
+      val ui = userItemPairs(s, dir, maxUser = Some(60L))
       val deg = ui.groupBy(col("i")).agg(count(lit(1)).as("ideg"))
       val ew = ui.join(deg, Seq("i"))
         .withColumn("ra_term", expr("CAST(1000000 DIV ideg AS BIGINT)"))

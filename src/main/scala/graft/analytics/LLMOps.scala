@@ -739,8 +739,11 @@ object LLMOps {
     }, Some(s"""
       WITH c AS (
         SELECT source,
-               CAST(len(list_filter(regexp_split_to_array(text, '$ws+'),
-                 t -> t <> '')) AS BIGINT) AS w,
+               -- UNFILTERED len mirrors TextStats.tokenCount (Java
+               -- split keeps a leading empty token) — the q31/q140
+               -- pairing convention; a filtered len would diverge on
+               -- leading-whitespace text
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS w,
                greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
                  1) AS sn,
                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg

@@ -26,6 +26,26 @@ object MiningOps {
     * DedupSpec argument, so banded candidates == exact pairs on the
     * fixture). Carries the raw text for the edit-distance verify.
     */
+  /** Normalized customer block projection shared by the q171/q177 ER
+    * audits — ONE definition of the blocking key so both audits score
+    * the same candidate-pair set (their comparison depends on it).
+    */
+  private def customerBlocks(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).customer
+      .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        col("c_custkey").as("k"), col("c_name").as("nm"))
+
+  /** Canonical (ka < kb) within-block candidate pairs over
+    * [[customerBlocks]]: one equi-join shuffle on the block key,
+    * Σ_b C(n_b, 2) work — the blocked record-linkage generator both ER
+    * audits verify against.
+    */
+  private def blockedNamePairs(cu: DataFrame): DataFrame =
+    cu.select(col("nk"), col("seg"), col("k").as("ka"), col("nm").as("na"))
+      .join(cu.select(col("nk"), col("seg"), col("k").as("kb"), col("nm").as("nb")),
+        Seq("nk", "seg"))
+      .filter(col("ka") < col("kb"))
+
   private def pairsSql(extra: String = ""): String = s"""
       sh AS (
         SELECT doc_id AS id, pt,
@@ -517,15 +537,10 @@ object MiningOps {
     //      similarity join) exactly as the Papadakis blocking survey
     //      prescribes. Output is block-cardinality rows, never pairs.
     ("q171_er_blocking", (s: SparkSession, dir: String) => {
-      val cu = Tables(s, dir).customer
-        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-          col("c_custkey").as("k"), col("c_name").as("nm"))
+      val cu = customerBlocks(s, dir)
       val members = cu.groupBy(col("nk"), col("seg"))
         .agg(count(lit(1)).as("n_members"))
-      val pairs = cu.select(col("nk"), col("seg"), col("k").as("ka"), col("nm").as("na"))
-        .join(cu.select(col("nk"), col("seg"), col("k").as("kb"), col("nm").as("nb")),
-          Seq("nk", "seg"))
-        .filter(col("ka") < col("kb"))
+      val pairs = blockedNamePairs(cu)
         .groupBy(col("nk"), col("seg"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(levenshtein(col("na"), col("nb"), 2).between(0, 2), 1L)
@@ -570,13 +585,7 @@ object MiningOps {
     //      expression scaladoc). Same Σ C(n_b,2) block-bounded cost
     //      and escapes as q171.
     ("q177_er_damerau", (s: SparkSession, dir: String) => {
-      val cu = Tables(s, dir).customer
-        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-          col("c_custkey").as("k"), col("c_name").as("nm"))
-      cu.select(col("nk"), col("seg"), col("k").as("ka"), col("nm").as("na"))
-        .join(cu.select(col("nk"), col("seg"), col("k").as("kb"), col("nm").as("nb")),
-          Seq("nk", "seg"))
-        .filter(col("ka") < col("kb"))
+      blockedNamePairs(customerBlocks(s, dir))
         .groupBy(col("nk"), col("seg"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(graft.catalyst.GraftFunctions

@@ -425,6 +425,7 @@ object StatsOps {
         .agg(sum(when(col("pre"), col("vm")).otherwise(lit(0L))).as("x"),
           sum(when(!col("pre"), col("vm")).otherwise(lit(0L))).as("y"))
         .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+        .transform(graft.Stage.mat) // feeds the pooled stats AND the adjust join
       val pooled = per.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),

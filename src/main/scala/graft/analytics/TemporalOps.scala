@@ -498,6 +498,7 @@ object TemporalOps {
       val ev = Tables(s, dir).events
         .filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .transform(graft.Stage.mat) // feeds span, entry, AND conv — one scan
       val span = ev.agg(max(col("d")).as("d1"))
       val entry = ev.groupBy(col("user_id")).agg(min(col("d")).as("ad"))
       val conv = ev.filter(col("event_type") === "purchase")
