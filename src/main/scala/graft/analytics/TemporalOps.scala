@@ -634,6 +634,121 @@ object TemporalOps {
         FROM f GROUP BY user_id)
       SELECT user_id, n_events, st[1] AS level_micros, st[2] AS trend_micros,
              st[1] + st[2] AS forecast_micros
-      FROM folded ORDER BY user_id"""))
+      FROM folded ORDER BY user_id""")),
+
+    // ---- CUSUM change-point monitor (Page 1954) over the daily event
+    //      volume: S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k) accumulates
+    //      upward drift, S⁻ the mirror — the sequential detector that
+    //      fires on a sustained small shift long before any per-day
+    //      threshold does. μ = the series' truncated mean count in
+    //      micros; slack k = μ/20 and alarm threshold h = μ/2 (both
+    //      documented parameter choices, derived from μ by truncating
+    //      DIV so the oracle replays them). Per-day statistics via the
+    //      q175 prefix-fold (day-count-bounded O(days²)); the fold
+    //      state is the [s_hi, s_lo] 2-list — the q176 list-accumulator
+    //      discipline, since both fields read both old values.
+    //
+    //      Scale shape: one count aggregate to the day table (span-
+    //      bounded, never corpus-bounded), everything after runs on
+    //      days. The streaming form carries two longs per key.
+    ("q182_cusum", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(ts AS DATE) AS day")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("c"))
+        .selectExpr("day", "c * 1000000 AS xm")
+      val mu = daily.agg(sum(col("xm")).as("sx"), count(lit(1)).as("n"))
+        .selectExpr("sx DIV n AS mu")
+      daily.crossJoin(broadcast(mu))
+        .agg(max(col("mu")).as("mu"),
+          sort_array(collect_list(struct(col("day"), col("xm")))).as("arr"))
+        .selectExpr("mu", """explode(transform(sequence(1, size(arr)), j ->
+            named_struct(
+              'day', element_at(arr, j).day,
+              'x_micros', element_at(arr, j).xm,
+              'st', aggregate(slice(arr, 1, j),
+                array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                (acc, e) -> array(
+                  greatest(CAST(0 AS BIGINT),
+                    acc[0] + e.xm - mu - mu DIV 20),
+                  greatest(CAST(0 AS BIGINT),
+                    acc[1] - e.xm + mu - mu DIV 20)))))) AS e""")
+        .selectExpr("e.day", "e.x_micros", "e.st[0] AS s_hi", "e.st[1] AS s_lo",
+          "e.st[0] > mu DIV 2 OR e.st[1] > mu DIV 2 AS alarm")
+        .orderBy(col("day"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) * 1000000 AS xm
+        FROM events GROUP BY day),
+      mu AS (SELECT CAST(SUM(xm) AS BIGINT) // count(*) AS mu FROM daily),
+      packed AS (
+        SELECT mu.mu, list({'day': day, 'xm': xm} ORDER BY day) AS arr
+        FROM daily, mu GROUP BY mu.mu),
+      steps AS (
+        SELECT mu, unnest(list_transform(range(1, len(arr) + 1), j -> {
+          'day': arr[j].day, 'xm': arr[j].xm,
+          'st': list_reduce(
+            list_prepend([0::BIGINT, 0::BIGINT],
+              list_transform(list_slice(arr, 1, j), e -> [e.xm, 0::BIGINT])),
+            (acc, x) -> [
+              greatest(0, acc[1] + x[1] - mu - mu // 20),
+              greatest(0, acc[2] - x[1] + mu - mu // 20)])})) AS e
+        FROM packed)
+      SELECT e.day AS day, e.xm AS x_micros,
+             e.st[1] AS s_hi, e.st[2] AS s_lo,
+             (e.st[1] > mu // 2 OR e.st[2] > mu // 2) AS alarm
+      FROM steps ORDER BY day""")),
+
+    // ---- autocorrelation function of the daily event volume at lags
+    //      1..7 (the weekly-seasonality audit): with the exact-integer
+    //      centering trick (c_t = n·x_t − Σx, integers scaled by n),
+    //      r_L = Σ c_t·c_{t+L} · 1e6 DIV Σ c_t² — one DECIMAL(38,0)
+    //      cross-product sum per lag over the day table, no sqrt, no
+    //      float. An r₇ spike says weekly cycle; all-lags-near-zero
+    //      says the volume is white — the check that q182's μ-shift
+    //      alarm and q111's spike detector assume.
+    //
+    //      Scale shape: day-table self-join on day+L — 7·days rows.
+    ("q183_autocorr", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(ts AS DATE) AS day")
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        .transform(graft.Stage.mat) // feeds totals, the pair join, and den
+      val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val c = daily.crossJoin(broadcast(tot))
+        .selectExpr("day", "n * x - sx AS c", "n")
+      val den = c.agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("den"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      c.select(col("day"), col("c"))
+        .crossJoin(broadcast(lags))
+        .join(c.selectExpr("day AS day2", "c AS c2"),
+          expr("date_add(day, CAST(lag AS INT)) = day2"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("num"))
+        .crossJoin(broadcast(den))
+        .selectExpr("lag", "n_pairs",
+          "CAST((num * 1000000) DIV greatest(den, CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS r_micros")
+        .orderBy(col("lag"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY day),
+      tot AS (SELECT CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(count(*) AS BIGINT) AS n FROM daily),
+      c AS (SELECT day, n * x - sx AS c FROM daily, tot),
+      den AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS den FROM c),
+      lags AS (SELECT unnest(range(1, 8)) AS lag),
+      num AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(a.c AS HUGEINT) * b.c) AS num
+        FROM c a JOIN lags ON TRUE
+        JOIN c b ON a.day + CAST(lag AS INTEGER) = b.day
+        GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             CAST((num * 1000000) // greatest(den, 1) AS BIGINT) AS r_micros
+      FROM num CROSS JOIN den
+      ORDER BY lag"""))
   )
 }

@@ -139,4 +139,45 @@ class TemporalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("trend_micros") === 502500L)
     assert(r.getAs[Long]("forecast_micros") === 3327500L)
   }
+
+  test("CUSUM accumulates drift on both sides and alarms past mu/2") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("cusum_fix").toString
+    // daily counts 1, 1, 4 → μ=2e6, k=1e5, h=1e6:
+    // d1: s_lo=0.9e6 (no alarm); d2: s_lo=1.8e6 (alarm);
+    // d3: s_hi=1.9e6 (alarm), s_lo resets to 0
+    (Seq((1L, "2024-01-01"), (2L, "2024-01-02")) ++
+      (3 to 6).map(i => (i.toLong, "2024-01-03")))
+      .map { case (e, d) => (e, ts(s"$d 10:00:00"), 1L, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q182_cusum")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("x_micros"), r.getAs[Long]("s_hi"),
+        r.getAs[Long]("s_lo"), r.getAs[Boolean]("alarm")))
+    assert(out.toSeq === Seq(
+      (1000000L, 0L, 900000L, false),
+      (1000000L, 0L, 1800000L, true),
+      (4000000L, 1900000L, 0L, true)))
+  }
+
+  test("autocorrelation replays the integer-centered cross products per lag") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("acf_fix").toString
+    // daily counts 1,2,1,2: c = 4x−6 = [−2,2,−2,2], den = 16 →
+    // r₁ = −12e6÷16 = −750000, r₂ = 500000, r₃ = −250000; lags 4..7
+    // have no pairs and emit no row
+    val days = Seq(("2024-01-01", 1), ("2024-01-02", 2),
+      ("2024-01-03", 1), ("2024-01-04", 2))
+    days.zipWithIndex.flatMap { case ((d, n), i) =>
+      (1 to n).map(j => (i * 10L + j, ts(s"$d 10:00:00"), 1L, "view", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q183_autocorr")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("r_micros")))
+    assert(out.toSeq === Seq((1L, 3L, -750000L), (2L, 2L, 500000L),
+      (3L, 1L, -250000L)))
+  }
 }
