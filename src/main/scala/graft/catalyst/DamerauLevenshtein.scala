@@ -54,9 +54,21 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 object DamerauLevenshtein {
 
   def compute(ua: UTF8String, ub: UTF8String): Long = {
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
-    compute(a, b)
+    // ASCII fast path (numBytes == numChars ⟺ no multibyte sequences):
+    // read bytes directly, skipping the String + codePoints() stream
+    // allocation that dominates on short identifier-like inputs
+    val na = ua.numBytes(); val nb = ub.numBytes()
+    if (na == ua.numChars() && nb == ub.numChars()) {
+      val a = new Array[Int](na)
+      var i = 0
+      while (i < na) { a(i) = ua.getByte(i) & 0xff; i += 1 }
+      val b = new Array[Int](nb)
+      i = 0
+      while (i < nb) { b(i) = ub.getByte(i) & 0xff; i += 1 }
+      compute(a, b)
+    } else {
+      compute(ua.toString.codePoints().toArray, ub.toString.codePoints().toArray)
+    }
   }
 
   private[catalyst] def compute(a: Array[Int], b: Array[Int]): Long = {
