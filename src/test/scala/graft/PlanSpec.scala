@@ -239,4 +239,30 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.forall(!_.contains("text")),
       s"text must be projected away before any shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("q169 profile is ONE pass: a single Expand feeding partial+final aggregation") {
+    val p = plan("q169_profile")
+    val headers = p.linesIterator.map(_.trim).toSeq
+    assert(headers.count(_.matches("""\(\d+\) Expand\s*""")) == 1,
+      s"expected exactly one Expand (the 6-way exact-distinct pass) in:\n$p")
+    assert(headers.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      s"the profile must scan orders exactly once:\n$p")
+  }
+
+  test("q168 cohort bound is pushed into the events scan (q158 shares the helper)") {
+    // q158's own plan starts from the kHopReach localCheckpoint, so the
+    // pushdown is only visible on q168 — both build their graph through
+    // the ONE userItemPairs definition, so this pin covers both
+    val p = plan("q168_link_ra")
+    assert(p.contains("LessThanOrEqual(user_id,60)"),
+      s"expected the user_id <= 60 cohort filter in PushedFilters:\n$p")
+  }
+
+  test("ER blocked pair joins are equi-joins on the block key, never nested-loop") {
+    for (q <- Seq("q171_er_blocking", "q177_er_damerau")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must join on the (nk, seg) block key:\n$p")
+    }
+  }
 }

@@ -407,4 +407,25 @@ class StreamingSpec extends SparkSpec {
       (7L, 2L, 1500000L, 150000L),  // after batch 1 = batch fold of [1,2]
       (7L, 3L, 2825000L, 502500L))) // drained = q176's batch result
   }
+
+  test("streaming CUSUM equals the batch recurrence across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    // the q182 hand fixture: counts 1,1,4 in micros with trained μ=2e6
+    val out = graft.stream.StreamingCusum.monitor(mem.toDS(), muMicros = 2000000L)
+    val q = out.toDF("key", "seq", "s_hi", "s_lo", "alarm").writeStream
+      .outputMode("append").format("memory").queryName("cusum_out").start()
+    mem.addData((7L, 1L, 1000000L), (7L, 2L, 1000000L)) // batch 1
+    q.processAllAvailable()
+    mem.addData((7L, 3L, 4000000L))                     // batch 2
+    q.processAllAvailable()
+    val rows = spark.table("cusum_out")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.toSeq === Seq(
+      (7L, 1L, 0L, 900000L, false),
+      (7L, 2L, 0L, 1800000L, true),   // crosses h = μ/2 across the boundary...
+      (7L, 3L, 1900000L, 0L, true))) // ...and matches q182's batch rows
+  }
 }
