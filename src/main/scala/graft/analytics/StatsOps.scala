@@ -601,6 +601,73 @@ object StatsOps {
       FROM prior JOIN cond ON prior.feature = cond.feature
       JOIN n ON prior.feature = n.feature
       LEFT JOIN ptrue ON prior.feature = ptrue.feature
-      ORDER BY feature"""))
+      ORDER BY feature""")),
+
+    // ---- delete-one-group jackknife (Quenouille/Tukey; the
+    //      grouped-data variance estimator production A/B systems use
+    //      when rows within a source are correlated): for each source,
+    //      the corpus mean doc length recomputed WITHOUT that source —
+    //      from totals minus group sums, one pass, the q181 trick —
+    //      plus the jackknife variance
+    //      SE² = (g−1)/g · Σ (θ̂₍ᵢ₎ − θ̄)² over the g leave-one-out
+    //      estimates. No RNG (the bootstrap alternative needs one),
+    //      exact integers end to end: θ values in micros, squared
+    //      deviations in DECIMAL(38,0) micros², truncating DIVs.
+    //      A source whose θ̂₍ᵢ₎ sits far from θ̄ is single-handedly
+    //      dragging the corpus statistic — the influence audit.
+    //
+    //      Scale shape: one doc-level aggregate to the per-source sums
+    //      (map-side combined), everything after on the g-row table.
+    ("q185_jackknife", (s: SparkSession, dir: String) => {
+      val per = Tables(s, dir).documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_i"), sum(col("n_chars")).as("s_i"))
+      val tot = per.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s"),
+        count(lit(1)).as("g"))
+      val loo = per.crossJoin(broadcast(tot))
+        .selectExpr("source", "n_i", "g", "n", "s",
+          "((s - s_i) * 1000000) DIV greatest(n - n_i, 1) AS theta_loo_micros")
+        .transform(graft.Stage.mat) // feeds the mean AND the deviation pass
+      val jm = loo.agg(sum(col("theta_loo_micros")).as("st"),
+        max(col("g")).as("g"))
+        .selectExpr("st DIV g AS theta_bar")
+      val rows = loo.select(col("source"), col("n_i"), col("theta_loo_micros"))
+      val zz = loo
+        .agg(max(col("n")).as("n"), max(col("s")).as("s"))
+        .selectExpr(
+          "'zz_theta' AS source", "n AS n_i", "(s * 1000000) DIV n AS theta_loo_micros")
+      val zz2 = loo.crossJoin(broadcast(jm))
+        .agg(max(col("g")).as("g"),
+          sum(expr("""CAST(theta_loo_micros - theta_bar AS DECIMAL(38,0))
+                      * (theta_loo_micros - theta_bar)""")).as("ssq"))
+        .selectExpr("'zz_se2' AS source", "g AS n_i",
+          "CAST(((g - 1) * ssq) DIV (CAST(g AS DECIMAL(38,0)) * g) AS BIGINT) AS theta_loo_micros")
+      rows.unionAll(zz).unionAll(zz2).orderBy(col("source"))
+    }, Some("""
+      WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_i,
+               CAST(SUM(n_chars) AS BIGINT) AS s_i
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(s_i) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS g FROM per),
+      loo AS (
+        SELECT source, n_i, g, n, s,
+               ((s - s_i) * 1000000) // greatest(n - n_i, 1) AS theta_loo_micros
+        FROM per CROSS JOIN tot),
+      jm AS (SELECT CAST(SUM(theta_loo_micros) AS BIGINT) // MAX(g) AS theta_bar
+             FROM loo)
+      SELECT source, n_i, CAST(theta_loo_micros AS BIGINT) AS theta_loo_micros
+      FROM loo
+      UNION ALL
+      SELECT 'zz_theta', MAX(n), CAST((MAX(s) * 1000000) // MAX(n) AS BIGINT)
+      FROM loo
+      UNION ALL
+      SELECT 'zz_se2', MAX(g),
+             CAST(((MAX(g) - 1)
+                   * SUM(CAST(theta_loo_micros - theta_bar AS HUGEINT)
+                         * (theta_loo_micros - theta_bar)))
+                  // (CAST(MAX(g) AS HUGEINT) * MAX(g)) AS BIGINT)
+      FROM loo CROSS JOIN jm
+      ORDER BY source"""))
   )
 }

@@ -749,6 +749,47 @@ object TemporalOps {
       SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
              CAST((num * 1000000) // greatest(den, 1) AS BIGINT) AS r_micros
       FROM num CROSS JOIN den
-      ORDER BY lag"""))
+      ORDER BY lag""")),
+
+    // ---- rolling 7-day window statistics of the daily event volume —
+    //      the RANGE-frame capability (value-based bounds, not row
+    //      counts): each day aggregates the days whose OFFSET lies in
+    //      [d−6, d], so calendar gaps shrink the window instead of
+    //      silently pulling in older rows the way a ROWS frame would.
+    //      Implemented on integer days-since-epoch so the frame bound
+    //      arithmetic is identical in both engines (Spark's
+    //      rangeBetween and DuckDB's RANGE both take plain integer
+    //      offsets); mean in micros by truncating DIV.
+    //
+    //      Scale shape: one span-bounded day aggregate, then a single
+    //      ordered window over days — days, never events, flow
+    //      through the sort.
+    ("q184_rolling_window", (s: SparkSession, dir: String) => {
+      val w = Window.orderBy(col("od")).rangeBetween(-6, 0)
+      Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+        .groupBy(col("od")).agg(count(lit(1)).as("c"))
+        .withColumn("n_days_in_window", count(lit(1)).over(w))
+        .withColumn("roll_sum", sum(col("c")).over(w))
+        .withColumn("roll_mean_micros",
+          expr("(roll_sum * 1000000) DIV n_days_in_window"))
+        .withColumn("roll_max", max(col("c")).over(w))
+        .select(col("od"), col("c"), col("n_days_in_window"),
+          col("roll_sum"), col("roll_mean_micros"), col("roll_max"))
+        .orderBy(col("od"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY od)
+      SELECT od, c,
+             CAST(count(*) OVER w AS BIGINT) AS n_days_in_window,
+             CAST(SUM(c) OVER w AS BIGINT) AS roll_sum,
+             CAST((CAST(SUM(c) OVER w AS BIGINT) * 1000000)
+                  // CAST(count(*) OVER w AS BIGINT) AS BIGINT) AS roll_mean_micros,
+             CAST(MAX(c) OVER w AS BIGINT) AS roll_max
+      FROM daily
+      WINDOW w AS (ORDER BY od RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY od"""))
   )
 }

@@ -139,4 +139,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(out("has_digit") === ((4L, 500000L, 0.693147)))
     assert(out("long_doc") === ((4L, 1000000L, 0.0)))
   }
+
+  test("jackknife: leave-one-source estimates from totals, variance over the g estimates") {
+    val dir = java.nio.file.Files.createTempDirectory("jack_fix").toString
+    // sources A{10,20} B{60} C{10}: θ̂=25e6; θ₍A₎=35e6, θ₍B₎=13333333,
+    // θ₍C₎=30e6 → θ̄=26111111, SE² = 2·Σdev²÷9 = 57201647983539 μ²
+    Seq((1L, "a", "en", "A", 10L), (2L, "b", "en", "A", 20L),
+      (3L, "c", "en", "B", 60L), (4L, "d", "en", "C", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q185_jackknife")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_i"),
+        r.getAs[Long]("theta_loo_micros"))).toMap
+    assert(out("A") === ((2L, 35000000L)))
+    assert(out("B") === ((1L, 13333333L)))
+    assert(out("C") === ((1L, 30000000L)))
+    assert(out("zz_theta") === ((4L, 25000000L)))
+    assert(out("zz_se2") === ((3L, 57201647983539L)))
+  }
 }

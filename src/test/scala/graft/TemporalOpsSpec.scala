@@ -180,4 +180,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 3L, -750000L), (2L, 2L, 500000L),
       (3L, 1L, -250000L)))
   }
+
+  test("rolling RANGE window shrinks over calendar gaps instead of spanning them") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("roll_fix").toString
+    // counts: Jan 1 → 2, Jan 2 → 3, Jan 9 → 5 (six-day gap): the Jan 9
+    // frame [Jan 3, Jan 9] must contain ONLY Jan 9 — a ROWS frame
+    // would wrongly pull in the two older days
+    (Seq.fill(2)("2024-01-01") ++ Seq.fill(3)("2024-01-02") ++
+      Seq.fill(5)("2024-01-09")).zipWithIndex
+      .map { case (d, i) => (i.toLong, ts(s"$d 10:00:00"), 1L, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q184_rolling_window")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("c"), r.getAs[Long]("n_days_in_window"),
+        r.getAs[Long]("roll_sum"), r.getAs[Long]("roll_mean_micros"),
+        r.getAs[Long]("roll_max")))
+    assert(out.toSeq === Seq(
+      (2L, 1L, 2L, 2000000L, 2L),
+      (3L, 2L, 5L, 2500000L, 3L),
+      (5L, 1L, 5L, 5000000L, 5L)))
+  }
 }
