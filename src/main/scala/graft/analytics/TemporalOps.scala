@@ -790,6 +790,72 @@ object TemporalOps {
              CAST(MAX(c) OVER w AS BIGINT) AS roll_max
       FROM daily
       WINDOW w AS (ORDER BY od RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-      ORDER BY od"""))
+      ORDER BY od""")),
+
+    // ---- growth accounting: per day, active users (DAU), first-time
+    //      users, returning users, the cumulative user count, and the
+    //      7-day active count (WAU) — the new/retained/resurrected
+    //      decomposition every growth dashboard opens with. Built
+    //      entirely on the (user, day) DISTINCT activity table: new =
+    //      first-seen-day match, cumulative = running sum of new (the
+    //      identity that makes cumulative-distinct a one-pass
+    //      aggregate, never a giant distinct-over-window), WAU = the
+    //      user-day table joined to the day spine on a 7-day offset
+    //      range then counted distinct per day.
+    //
+    //      Scale shape: one distinct shuffle to user-days (map-side
+    //      combined), one user-keyed min for first-seen; the WAU join
+    //      replicates each user-day ≤ 7× against the span-bounded day
+    //      spine — linear in user-days, and the spine side broadcasts.
+    ("q186_growth", (s: SparkSession, dir: String) => {
+      val ud = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .selectExpr("user_id",
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+        .distinct()
+        .transform(graft.Stage.mat) // feeds dau, first-seen, AND the wau join
+      val firstSeen = ud.groupBy(col("user_id")).agg(min(col("od")).as("fs"))
+      val dau = ud.groupBy(col("od")).agg(count(lit(1)).as("dau"))
+      val newu = firstSeen.groupBy(col("fs").as("od")).agg(count(lit(1)).as("n_new"))
+      val spine = dau.select(col("od")).distinct()
+      val wau = ud.join(broadcast(spine.select(col("od").as("d0"))),
+          col("od").between(col("d0") - 6, col("d0")))
+        .groupBy(col("d0")).agg(countDistinct(col("user_id")).as("wau"))
+        .withColumnRenamed("d0", "od")
+      val w = Window.orderBy(col("od"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(newu, Seq("od"), "left")
+        .join(wau, Seq("od"), "left")
+        .selectExpr("od", "dau", "coalesce(n_new, 0L) AS n_new",
+          "coalesce(wau, 0L) AS wau")
+        .withColumn("n_returning", col("dau") - col("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+        .select(col("od"), col("dau"), col("n_new"), col("n_returning"),
+          col("cum_users"), col("wau"))
+        .orderBy(col("od"))
+    }, Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od
+        FROM events WHERE user_id IS NOT NULL),
+      fs AS (SELECT user_id, MIN(od) AS fs FROM ud GROUP BY user_id),
+      dau AS (SELECT od, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY od),
+      newu AS (SELECT fs AS od, CAST(count(*) AS BIGINT) AS n_new
+               FROM fs GROUP BY fs),
+      wau AS (
+        SELECT d.od, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM (SELECT od FROM dau) d
+        JOIN ud ON ud.od BETWEEN d.od - 6 AND d.od
+        GROUP BY d.od)
+      SELECT dau.od, dau.dau,
+             COALESCE(newu.n_new, 0) AS n_new,
+             dau.dau - COALESCE(newu.n_new, 0) AS n_returning,
+             CAST(SUM(COALESCE(newu.n_new, 0)) OVER (ORDER BY dau.od
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users,
+             COALESCE(wau.wau, 0) AS wau
+      FROM dau LEFT JOIN newu ON dau.od = newu.od
+      LEFT JOIN wau ON dau.od = wau.od
+      ORDER BY dau.od"""))
   )
 }

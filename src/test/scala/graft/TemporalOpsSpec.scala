@@ -202,4 +202,29 @@ class TemporalOpsSpec extends SparkSpec {
       (3L, 2L, 5L, 2500000L, 3L),
       (5L, 1L, 5L, 5000000L, 5L)))
   }
+
+  test("growth accounting decomposes DAU into new/returning with cumulative and WAU") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("growth_fix").toString
+    // day1: users {1,2} (both new); day2: {1,3} (3 new, 1 returning);
+    // day9: {2} (returning; day2 falls outside the 7-day WAU window,
+    // so WAU(day9) counts only {2})
+    Seq(
+      (1L, "2024-01-01", 1L), (2L, "2024-01-01", 2L),
+      (3L, "2024-01-01", 1L), // same user+day dup must not inflate DAU
+      (4L, "2024-01-02", 1L), (5L, "2024-01-02", 3L),
+      (6L, "2024-01-09", 2L)
+    ).map { case (e, d, u) => (e, ts(s"$d 10:00:00"), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q186_growth")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dau"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_returning"), r.getAs[Long]("cum_users"),
+        r.getAs[Long]("wau")))
+    assert(out.toSeq === Seq(
+      (2L, 2L, 0L, 2L, 2L),
+      (2L, 1L, 1L, 3L, 3L),
+      (1L, 0L, 1L, 3L, 1L)))
+  }
 }
