@@ -233,6 +233,66 @@ object ScaleOps {
       FROM tb JOIN lr USING (b)
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- effective sample size of the q95 DSIR importance weights
+    //      (Kong 1992): ESS = (Σw)²/Σw² with w = exp(logw). THE audit
+    //      that must accompany any importance-weighted statistic — an
+    //      ESS collapsing toward 1 says a handful of documents carry
+    //      the whole reweighted corpus and every downstream estimate is
+    //      noise. Float discipline: each doc's w and w² are one exp /
+    //      one product from the hash-verified q95 logw, rounded to 9
+    //      places (identical IEEE in both engines), summed as
+    //      DECIMAL(30,9); the final ratio and the ESS/n fraction are
+    //      single double ops on those identical sums. One extra
+    //      aggregate over the q95 output — nothing new shuffles.
+    ("q187_ess", (s: SparkSession, dir: String) => {
+      Sampling.dsirLogWeights(Tables(s, dir).documents,
+          isTarget = col("lang") === "en", buckets = 512)
+        .selectExpr("round(exp(logw_r), 9) AS w")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w").cast("decimal(30,9)")).as("sw"),
+          sum(expr("CAST(round(w * w, 9) AS DECIMAL(30,9))")).as("sw2"))
+        .selectExpr("n_docs",
+          "round(CAST(sw AS DOUBLE), 6) AS sum_w_r",
+          """round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE), 6) AS ess_r""",
+          """round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE) / n_docs, 6) AS ess_frac_r""")
+    }, Some(s"""
+      WITH tb AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               ${TextStats.portableHash64Sql("w")} % 512 AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                        x -> x <> '')) AS w
+              FROM documents)),
+      raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+      tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE is_target GROUP BY b),
+      tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS nr,
+                     (SELECT CAST(count(*) AS BIGINT) FROM tb WHERE is_target) AS nt),
+      lr AS (
+        SELECT raw.b,
+               round(ln(((CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0)
+                           * (CAST(tot.nr AS DOUBLE) + 512.0))
+                        / ((CAST(raw.cr AS DOUBLE) + 1.0)
+                           * (CAST(tot.nt AS DOUBLE) + 512.0))), 6) AS lr
+        FROM raw LEFT JOIN tgt USING (b), tot),
+      docw AS (
+        SELECT doc_id,
+               round(exp(round(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE), 6)), 9) AS w
+        FROM tb JOIN lr USING (b) GROUP BY doc_id),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               SUM(CAST(w AS DECIMAL(30,9))) AS sw,
+               SUM(CAST(round(w * w, 9) AS DECIMAL(30,9))) AS sw2
+        FROM docw)
+      SELECT n_docs,
+             round(CAST(sw AS DOUBLE), 6) AS sum_w_r,
+             round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE), 6) AS ess_r,
+             round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE) / n_docs, 6) AS ess_frac_r
+      FROM sums""")),
+
     // ---- training-shard manifest: documents walk the deterministic
     //      q86 permutation, shards cut at a 2048-token budget, and each
     //      shard's manifest row carries counts, the position range, and

@@ -856,6 +856,79 @@ object TemporalOps {
              COALESCE(wau.wau, 0) AS wau
       FROM dau LEFT JOIN newu ON dau.od = newu.od
       LEFT JOIN wau ON dau.od = wau.od
-      ORDER BY dau.od"""))
+      ORDER BY dau.od""")),
+
+    // ---- conversion attribution (first-touch vs last-touch): each
+    //      purchase looks back over the user's non-purchase events in
+    //      the preceding 3 days and credits the earliest and the
+    //      latest touch's event type — the two bookend models every
+    //      attribution report starts from (the gap between them is the
+    //      upper/lower envelope any fancier position-based model must
+    //      land inside). Per type: first-touch credits, last-touch
+    //      credits; zz row = conversions with NO touch in window (the
+    //      unattributable base both models must agree on).
+    //
+    //      Scale shape: the lookback join is user-keyed (one shuffle
+    //      per side, co-partitioned) and time-bounded — each purchase
+    //      pulls only its 3-day window; both bookends come from ONE
+    //      sort per conversion (rn ascending + the partition count),
+    //      then two constant-size credit aggregates.
+    ("q188_attribution", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .transform(graft.Stage.mat) // feeds conversions AND touches
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("pts"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("et"))
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
+      val wc = Window.partitionBy(col("conv_id"))
+      val j = conv.join(touch, Seq("user_id"))
+        .filter(col("ts") < col("pts") &&
+          col("ts") >= expr("pts - INTERVAL 3 DAYS"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nt", count(lit(1)).over(wc))
+      val first = j.filter(col("rn") === 1)
+        .groupBy(col("et")).agg(count(lit(1)).as("n_first"))
+      val last = j.filter(col("rn") === col("nt"))
+        .groupBy(col("et")).agg(count(lit(1)).as("n_last"))
+      val touched = j.select(col("conv_id")).distinct()
+      val zz = conv.join(touched, Seq("conv_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("'zz_untouched' AS et", "n AS n_first", "n AS n_last")
+      first.join(last, Seq("et"), "full_outer")
+        .selectExpr("et", "coalesce(n_first, 0L) AS n_first",
+          "coalesce(n_last, 0L) AS n_last")
+        .unionAll(zz)
+        .orderBy(col("et"))
+    }, Some("""
+      WITH conv AS (
+        SELECT user_id, event_id AS conv_id, ts AS pts
+        FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, ts, event_id, event_type AS et
+        FROM events WHERE user_id IS NOT NULL AND event_type <> 'purchase'),
+      j AS (
+        SELECT c.conv_id, t.et,
+               row_number() OVER (PARTITION BY c.conv_id
+                 ORDER BY t.ts, t.event_id) AS rn,
+               count(*) OVER (PARTITION BY c.conv_id) AS nt
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.ts < c.pts AND t.ts >= c.pts - INTERVAL 3 DAY),
+      first AS (SELECT et, CAST(count(*) AS BIGINT) AS n_first
+                FROM j WHERE rn = 1 GROUP BY et),
+      last AS (SELECT et, CAST(count(*) AS BIGINT) AS n_last
+               FROM j WHERE rn = nt GROUP BY et),
+      zz AS (
+        SELECT 'zz_untouched' AS et,
+               CAST(count(*) AS BIGINT) AS n_first,
+               CAST(count(*) AS BIGINT) AS n_last
+        FROM conv WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM j))
+      SELECT COALESCE(first.et, last.et) AS et,
+             COALESCE(n_first, 0) AS n_first,
+             COALESCE(n_last, 0) AS n_last
+      FROM first FULL OUTER JOIN last ON first.et = last.et
+      UNION ALL SELECT et, n_first, n_last FROM zz
+      ORDER BY et"""))
   )
 }

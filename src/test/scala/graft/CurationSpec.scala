@@ -564,4 +564,16 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == 999L).get === ((999L, 5L, 15000000L)))
     assert(out.find(_._1 == 998L).get === ((998L, 0L, 25000000L)))
   }
+
+  test("ESS of uniform importance weights equals the corpus size") {
+    val dir = java.nio.file.Files.createTempDirectory("ess_fix").toString
+    // identical docs → identical DSIR weights → ESS = (nw)²/(nw²) = n
+    (1 to 8).map(i => (i.toLong, "same text here", "en", "A", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q187_ess")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") === 8L)
+    assert(r.getAs[Double]("ess_r") === 8.0)
+    assert(r.getAs[Double]("ess_frac_r") === 1.0)
+  }
 }

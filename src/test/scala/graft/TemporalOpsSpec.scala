@@ -227,4 +227,30 @@ class TemporalOpsSpec extends SparkSpec {
       (2L, 1L, 1L, 3L, 3L),
       (1L, 0L, 1L, 3L, 1L)))
   }
+
+  test("attribution credits the window bookends and counts untouched conversions") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("attr_fix").toString
+    Seq(
+      // u1: click → view → purchase (both touches in window):
+      // first-touch = click, last-touch = view
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      // u2: bare purchase → unattributable
+      (4L, ts("2024-01-03 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      // u3: only touch is 5 days before the purchase → outside the
+      // 3-day lookback → also unattributable
+      (5L, ts("2024-01-01 10:00:00"), 3L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-06 10:00:00"), 3L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q188_attribution")(spark, dir).collect()
+      .map(r => r.getAs[String]("et") ->
+        (r.getAs[Long]("n_first"), r.getAs[Long]("n_last"))).toMap
+    assert(out("click") === ((1L, 0L)))
+    assert(out("view") === ((0L, 1L)))
+    assert(out("zz_untouched") === ((2L, 2L)))
+  }
 }
