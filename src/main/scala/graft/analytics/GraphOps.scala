@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.text.TextStats
 
 /** Graph analytics over the chain's interaction graph.
   *
@@ -907,6 +908,89 @@ object GraphOps {
         GROUP BY a.u, b.u)
       SELECT u_a, u_b, common_items, ra_micros
       FROM pairs
-      ORDER BY ra_micros DESC, u_a, u_b LIMIT 50"""))
+      ORDER BY ra_micros DESC, u_a, u_b LIMIT 50""")),
+
+    // ---- hash-deterministic random walks (the DeepWalk/node2vec
+    //      sampling primitive, RNG-free): every node starts 2 walks of
+    //      3 steps over the cohort interaction graph; at each step the
+    //      walker moves to the neighbor MINIMIZING the portable hash of
+    //      (walk, step, current, neighbor) — per-step uniform-ish
+    //      choice that both engines replay exactly, the same
+    //      derandomization trick as the q121 split and q173 deal. The
+    //      output is what an embedding trainer consumes: skip-gram
+    //      co-occurrence counts of (node, context) pairs within the
+    //      walk window (≤ 2 positions apart), top-40. An engine that
+    //      can't sample walks can't feed DeepWalk; an engine that
+    //      samples them nondeterministically can't certify them.
+    //
+    //      Scale shape: 3 iterations of a frontier-edge equi-join on
+    //      the current node (co-partitioned, frontier size = nodes ×
+    //      walks, constant here via the cohort bound); the per-step
+    //      argmin is a window over each walker's neighbor set —
+    //      deg-bounded. Co-occurrence is one map-side-combined count.
+    ("q189_det_walks", (s: SparkSession, dir: String) => {
+      val edges = interactionEdges(s, dir, maxUser = Some(60L))
+        .transform(graft.Stage.mat) // reused every step
+      val h = (c: org.apache.spark.sql.Column) => TextStats.portableHash64(c)
+      val nodes = edges.select(col("src").as("n")).distinct()
+      var frontier = nodes
+        .crossJoin(broadcast(s.range(0, 2).select(col("id").as("w"))))
+        .select(col("n").as("start"), col("w"), col("n").as("p0"))
+      for (t <- 1 to 3) {
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("start"), col("w"))
+          .orderBy(col("hh"), col("dst"))
+        frontier = frontier
+          .join(edges, frontier(s"p${t - 1}") === edges("src"))
+          .withColumn("hh", h(concat_ws(":", lit("walk"), col("w"),
+            lit(t), col(s"p${t - 1}"), col("dst"))))
+          .withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1)
+          .drop("src", "hh", "rn")
+          .withColumnRenamed("dst", s"p$t")
+      }
+      val pos = frontier.selectExpr("start", "w",
+        "stack(4, 0, p0, 1, p1, 2, p2, 3, p3) AS (pos, node)")
+      val a = pos.select(col("start"), col("w"), col("pos").as("ia"), col("node").as("na"))
+      val b = pos.select(col("start"), col("w"), col("pos").as("ib"), col("node").as("nb"))
+      a.join(b, Seq("start", "w"))
+        .filter(col("ib") > col("ia") && col("ib") - col("ia") <= 2)
+        .groupBy(col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_cooc"))
+        .orderBy(col("n_cooc").desc, col("na"), col("nb"))
+        .limit(40)
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL AND user_id <= 60),
+      e AS (SELECT a AS src, b AS dst FROM inter
+            UNION ALL SELECT b AS src, a AS dst FROM inter),
+      f0 AS (
+        SELECT n.src AS start, w.w, n.src AS p0
+        FROM (SELECT DISTINCT src FROM e) n
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS w) w),
+      ${(1 to 3).map { t =>
+        s"""s$t AS (
+        SELECT start, w, ${(0 until t).map(i => s"p$i").mkString(", ")}, dst AS p$t
+        FROM (
+          SELECT f.*, e.dst,
+                 row_number() OVER (PARTITION BY f.start, f.w
+                   ORDER BY ${TextStats.portableHash64Sql(
+                     s"concat('walk', ':', CAST(f.w AS VARCHAR), ':', '$t', ':', f.p${t - 1}, ':', e.dst)")}, e.dst) AS rn
+          FROM ${if (t == 1) "f0" else s"s${t - 1}"} f JOIN e ON f.p${t - 1} = e.src)
+        WHERE rn = 1)"""
+      }.mkString(",\n      ")},
+      pos AS (
+        SELECT start, w, 0 AS pos, p0 AS node FROM s3
+        UNION ALL SELECT start, w, 1, p1 FROM s3
+        UNION ALL SELECT start, w, 2, p2 FROM s3
+        UNION ALL SELECT start, w, 3, p3 FROM s3)
+      SELECT a.node AS na, b.node AS nb, CAST(count(*) AS BIGINT) AS n_cooc
+      FROM pos a JOIN pos b
+        ON a.start = b.start AND a.w = b.w
+       AND b.pos > a.pos AND b.pos - a.pos <= 2
+      GROUP BY na, nb
+      ORDER BY n_cooc DESC, na, nb LIMIT 40"""))
   )
 }

@@ -237,4 +237,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 2L, 2L, 833333L), (1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)))
   }
+
+  test("deterministic walks: replayable, window-bounded, and conserving co-occurrence mass") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("walks_fix").toString
+    // path graph u:1 — i:100 — u:2 (3 nodes, bidirected)
+    Seq((1L, 1L, 100L), (2L, 2L, 100L)).map { case (e, u, k) =>
+      (e, ts("2024-01-01 10:00:00"), u, "click", 0.0, s"""{"k": $k}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def run() = SparkEntry.queries("q189_det_walks")(spark, dir).collect()
+      .map(r => (r.getAs[String]("na"), r.getAs[String]("nb"),
+        r.getAs[Long]("n_cooc")))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq, "walks must be hash-deterministic")
+    // 3 nodes × 2 walks × 5 window pairs per 4-position walk = 30
+    assert(a.map(_._3).sum === 30L)
+    // on a path graph every co-occurring pair is within 2 hops: u↔i
+    // always, u↔u only THROUGH the item — never an impossible pair
+    val nodes = Set("u:1", "u:2", "i:100")
+    assert(a.forall(p => nodes(p._1) && nodes(p._2)))
+  }
 }
