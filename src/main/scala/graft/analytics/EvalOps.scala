@@ -1056,8 +1056,106 @@ object EvalOps {
       FROM scored s JOIN qh q ON s.et = q.et
       WHERE NOT s.is_cal
       GROUP BY s.et, s.n_cal, s.mean_cal_micros, q.qhat_micros
-      ORDER BY s.et"""))
-  ,
+      ORDER BY s.et""")),
+
+    // ---- isotonic calibration of the q147 score-vs-label bins via the
+    //      MINIMAX identity: iso_i = max_{j≤i} min_{k≥i} wmean(y[j..k])
+    //      (Ayer et al. 1955 / Robertson-Wright-Dykstra) — equivalent
+    //      to pool-adjacent-violators but SET-EXPRESSIBLE: interval
+    //      means from prefix sums, then a min-per-(i,j) and a
+    //      max-per-i aggregate, no sequential merge loop either engine
+    //      would have to simulate. Monotonicity is guaranteed by the
+    //      index-set structure (growing j-set, shrinking k-set), which
+    //      holds even under truncated integer means — the in-data
+    //      monotone_ok column certifies it anyway. This is the
+    //      calibration MAP q147's ECE only diagnoses: the monotone
+    //      score→probability table a production scorer actually applies.
+    //
+    //      Scale shape: the corpus pass is the q147 bin aggregate; the
+    //      minimax runs on the ≤10-row bin table (≤ 55 intervals ×
+    //      ≤ 10 positions) — constant work at any corpus size.
+    ("q190_isotonic", (s: SparkSession, dir: String) => {
+      val toks = TextStats.tokens(lower(col("text")))
+      val sc = Tables(s, dir).documents
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(
+          (lit(1000000L) * size(filter(toks, t => t.isin(TextStats.stopwords: _*)))
+            .cast("long")).as("hits_scaled"),
+          greatest(size(toks), lit(1)).cast("long").as("ntoks"),
+          (col("lang") === "en").as("pos"))
+        .selectExpr("least(9L, (hits_scaled DIV ntoks) * 10 DIV 1000000) AS bin",
+          "pos")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val pre = sc.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+        .withColumn("ord", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bin")))
+          .cast("long"))
+        .withColumn("cw", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("np")).over(w))
+        .transform(graft.Stage.mat) // tiny; feeds j-rows, k-rows, and the spine
+      val jr = pre.select(col("ord").as("j"),
+        (col("cw") - col("n")).as("cwp"), (col("cp") - col("np")).as("cpp"))
+      val kr = pre.select(col("ord").as("k"), col("cw").as("cwk"), col("cp").as("cpk"))
+      val iv = jr.join(broadcast(kr), col("j") <= col("k"))
+        .selectExpr("j", "k", "((cpk - cpp) * 1000000) DIV (cwk - cwp) AS m")
+      val iso = pre.select(col("ord").as("i"), col("bin"), col("n"), col("np"))
+        .join(broadcast(iv), col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("bin"), col("n"), col("np"), col("j"))
+        .agg(min(col("m")).as("tmin"))
+        .groupBy(col("i"), col("bin"), col("n"), col("np"))
+        .agg(max(col("tmin")).as("iso_ppm"))
+      val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      iso.withColumn("rate_ppm", expr("(np * 1000000) DIV n"))
+        .withColumn("monotone_ok",
+          col("iso_ppm") >= coalesce(lag(col("iso_ppm"), 1).over(wb), col("iso_ppm")))
+        .select(col("bin"), col("n").as("n_docs"), col("rate_ppm"),
+          col("iso_ppm"), col("monotone_ok"))
+        .orderBy(col("bin"))
+    }, Some {
+      val sw = TextStats.stopwords.map("'" + _ + "'").mkString(",")
+      s"""
+      WITH sc AS (
+        SELECT least(9, ((1000000 * len(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                               t -> t IN ($sw))))
+                 // greatest(len(regexp_split_to_array(lower(text), '$ws+')), 1))
+                 * 10 // 1000000) AS bin,
+               (lang = 'en') AS pos
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL),
+      b AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM sc GROUP BY bin),
+      pre AS (
+        SELECT bin, n, np,
+               CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS ord,
+               CAST(SUM(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+               CAST(SUM(np) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        FROM b),
+      iv AS (
+        SELECT j.ord AS j, k.ord AS k,
+               ((k.cp - (j.cp - j.np)) * 1000000)
+                 // (k.cw - (j.cw - j.n)) AS m
+        FROM pre j JOIN pre k ON j.ord <= k.ord),
+      t1 AS (
+        SELECT i.ord AS i, i.bin, i.n, i.np, iv.j, MIN(iv.m) AS tmin
+        FROM pre i JOIN iv ON iv.j <= i.ord AND iv.k >= i.ord
+        GROUP BY i.ord, i.bin, i.n, i.np, iv.j),
+      iso AS (
+        SELECT i, bin, n, np, CAST(MAX(tmin) AS BIGINT) AS iso_ppm
+        FROM t1 GROUP BY i, bin, n, np)
+      SELECT bin, n AS n_docs,
+             (np * 1000000) // n AS rate_ppm,
+             iso_ppm,
+             iso_ppm >= COALESCE(lag(iso_ppm) OVER (ORDER BY bin), iso_ppm)
+               AS monotone_ok
+      FROM iso ORDER BY bin"""
+    }),
 
     // ---- NDCG@10 (Järvelin & Kekäläinen 2002) over the q154/q164
     //      labels-as-relevance ranking: per query, DCG = Σ rel/log2(i+1)

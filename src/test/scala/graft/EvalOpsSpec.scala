@@ -261,4 +261,23 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(1L) === ((1500000000L, 1630929754L, 919720L)))
     assert(out(-1L)._3 === 919720L) // mean over the single query
   }
+
+  test("isotonic minimax pools a decreasing rate sequence to the weighted mean") {
+    val dir = java.nio.file.Files.createTempDirectory("iso_fix").toString
+    // stopword-ratio bins: "xx yy"→bin 0 (2 docs, both en → rate 1e6),
+    // "the xx"→bin 5 (1 of 2 en → 500000), "the the xx"→bin 6 (0) —
+    // globally decreasing, so PAV pools ALL bins to 3/5 = 600000
+    Seq((1L, "xx yy", "en", "A", 5L), (2L, "xx yy", "en", "A", 5L),
+      (3L, "the xx", "en", "A", 6L), (4L, "the xx", "fr", "A", 6L),
+      (5L, "the the xx", "fr", "A", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q190_isotonic")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("rate_ppm"),
+        r.getAs[Long]("iso_ppm"), r.getAs[Boolean]("monotone_ok")))
+    assert(out.toSeq === Seq(
+      (0L, 1000000L, 600000L, true),
+      (5L, 500000L, 600000L, true),
+      (6L, 0L, 600000L, true)))
+  }
 }
