@@ -429,6 +429,65 @@ object Relational {
     }, Some("""
       SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names
       FROM customer WHERE c_custkey <= 50
-      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- Pareto / ABC inventory classification: parts ranked by
+    //      discounted revenue, classes cut at the cumulative-share
+    //      thresholds (A ≤ 80%, B ≤ 95%, C the tail) — the 80/20 table
+    //      the q131 Gini only summarizes. Revenue enters the integer
+    //      grid as floor(price·(1−disc)·1e6) per row (one double
+    //      product, identical IEEE both engines), so ranking, the
+    //      cumulative window, and the threshold comparisons
+    //      (cum·5 ≤ tot·4 for 80% — small multipliers so the products
+    //      stay far from Long range) are all exact. Per class:
+    //      part count, revenue, revenue share in ppm.
+    //
+    //      Scale shape: one map-side-combined revenue aggregate to the
+    //      part-cardinality table; the global rank window runs on that
+    //      dimension-sized table only (the q119 two-phase range-bucket
+    //      ranking is the swap-in once parts outgrow one task's sort).
+    ("q192_abc_pareto", (s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val rev = Tables(s, dir).lineitem
+        .selectExpr("l_partkey",
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS rm")
+        .groupBy(col("l_partkey")).agg(sum(col("rm")).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(w))
+        .withColumn("cls",
+          when(expr("cum * 5 <= tot * 4"), "A")
+            .when(expr("cum * 20 <= tot * 19"), "B").otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_micros"),
+          max(col("tot")).as("tot"))
+        .selectExpr("cls", "n_parts", "rev_micros",
+          // DECIMAL product: rev·1e6 exceeds Long once totals pass ~9e12
+          "CAST(CAST(rev_micros AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT) AS share_ppm")
+        .orderBy(col("cls"))
+    }, Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000)
+                 AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM rev),
+      ranked AS (
+        SELECT l_partkey, rev, tot,
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM rev CROSS JOIN tot),
+      cls AS (
+        SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS cls,
+               rev, tot
+        FROM ranked)
+      SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(SUM(rev) AS BIGINT) AS rev_micros,
+             CAST(CAST(SUM(rev) AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
+      FROM cls GROUP BY cls, tot ORDER BY cls"""))
   )
 }

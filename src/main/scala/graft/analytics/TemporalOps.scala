@@ -929,6 +929,78 @@ object TemporalOps {
              COALESCE(n_last, 0) AS n_last
       FROM first FULL OUTER JOIN last ON first.et = last.et
       UNION ALL SELECT et, n_first, n_last FROM zz
-      ORDER BY et"""))
+      ORDER BY et""")),
+
+    // ---- cross-correlation of the daily 'view' and 'purchase' volume
+    //      series at lags −3..+3 (does browsing LEAD buying?): the q183
+    //      integer-centering discipline per series (c = n·x − Σx over
+    //      the days both series span), r_L = Σ cv_t·cp_{t+L} · 1e6 DIV
+    //      √-free normalizer — shipped as the ratio against the
+    //      GEOMETRIC-MEAN-FREE bound Σcv²·Σcp² in the no-sqrt
+    //      convention: sign + squared micros (r² preserves ordering
+    //      and the lead/lag argmax, which is what the analysis reads).
+    //      A positive-lag peak says views precede purchases by that
+    //      many days — the planning signal a demand forecaster feeds.
+    //
+    //      Scale shape: two span-bounded day aggregates densified onto
+    //      the shared day spine (absent days = 0, exact), one 7-lag
+    //      self-join on the day table.
+    ("q191_crosscorr", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od",
+          "event_type")
+      val days = ev.groupBy(col("od"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        .transform(graft.Stage.mat) // feeds totals, both join sides, both dens
+      val tot = days.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("p")).as("sp"))
+      val c = days.crossJoin(broadcast(tot))
+        .selectExpr("od", "n * v - sv AS cv", "n * p - sp AS cp")
+        .transform(graft.Stage.mat)
+      val den = c.agg(sum(expr("CAST(cv AS DECIMAL(38,0)) * cv")).as("dv"),
+        sum(expr("CAST(cp AS DECIMAL(38,0)) * cp")).as("dp"))
+      val lags = s.range(-3, 4).select(col("id").as("lag"))
+      c.select(col("od"), col("cv"))
+        .crossJoin(broadcast(lags))
+        .join(c.selectExpr("od AS od2", "cp AS cp2"),
+          expr("od + lag = od2"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(cv AS DECIMAL(38,0)) * cp2")).as("num"))
+        .crossJoin(broadcast(den))
+        .selectExpr("lag", "n_pairs",
+          "CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign",
+          """CAST((num * num * 1000000)
+                  DIV greatest(dv * dp, CAST(1 AS DECIMAL(38,0))) AS BIGINT)
+             AS r2_micros""")
+        .orderBy(col("lag"))
+    }, Some("""
+      WITH ev AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               event_type
+        FROM events),
+      days AS (
+        SELECT od,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM ev GROUP BY od),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+                     CAST(SUM(p) AS BIGINT) AS sp FROM days),
+      c AS (SELECT od, n * v - sv AS cv, n * p - sp AS cp FROM days, tot),
+      den AS (SELECT SUM(CAST(cv AS HUGEINT) * cv) AS dv,
+                     SUM(CAST(cp AS HUGEINT) * cp) AS dp FROM c),
+      lags AS (SELECT unnest(range(-3, 4)) AS lag),
+      num AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(a.cv AS HUGEINT) * b.cp) AS num
+        FROM c a JOIN lags ON TRUE
+        JOIN c b ON a.od + lag = b.od
+        GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
+             CAST((num * num * 1000000) // greatest(dv * dp, 1) AS BIGINT) AS r2_micros
+      FROM num CROSS JOIN den
+      ORDER BY lag"""))
   )
 }

@@ -200,4 +200,19 @@ class MiningOpsSpec extends SparkSpec {
     assert(out((1L, "A")) === ((3L, 3L, 1L, 333333L)))
     assert(out((2L, "A")) === ((1L, 0L, 0L, 0L)))
   }
+
+  test("ABC classification cuts the ranked cumulative shares at 80/95") {
+    val dir = java.nio.file.Files.createTempDirectory("abc_fix").toString
+    // part revenues 80, 15, 4, 1 (discount 0) → cum shares 80/95/99/100:
+    // A = {80} (exactly at the 80% bound), B = {15}, C = {4, 1}
+    Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 4.0, 0.0), (4L, 1.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q192_abc_pareto")(spark, dir).collect()
+      .map(r => r.getAs[String]("cls") -> (r.getAs[Long]("n_parts"),
+        r.getAs[Long]("rev_micros"), r.getAs[Long]("share_ppm"))).toMap
+    assert(out("A") === ((1L, 80000000L, 800000L)))
+    assert(out("B") === ((1L, 15000000L, 150000L)))
+    assert(out("C") === ((2L, 5000000L, 50000L)))
+  }
 }

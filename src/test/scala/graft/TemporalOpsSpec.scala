@@ -253,4 +253,30 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out("view") === ((0L, 1L)))
     assert(out("zz_untouched") === ((2L, 2L)))
   }
+
+  test("cross-correlation finds the anti-phase at lag 0 and the shifted agreement at ±1") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("ccf_fix").toString
+    // daily (views, purchases): (3,1) (1,3) (3,1) (1,3) → cv = −cp:
+    // lag 0 r² = 1e6 sign −1; ±1: 48²/64² = 562500 sign +1;
+    // ±2: 250000 sign −1; ±3: 62500 sign +1
+    val days = Seq(("2024-01-01", 3, 1), ("2024-01-02", 1, 3),
+      ("2024-01-03", 3, 1), ("2024-01-04", 1, 3))
+    var id = 0L
+    days.flatMap { case (d, nv, np) =>
+      (1 to nv).map { _ => id += 1; (id, ts(s"$d 10:00:00"), 1L, "view", 0.0, "{}") } ++
+      (1 to np).map { _ => id += 1; (id, ts(s"$d 11:00:00"), 1L, "purchase", 0.0, "{}") }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q191_crosscorr")(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("r_sign"),
+          r.getAs[Long]("r2_micros"))).toMap
+    assert(out(0L) === ((4L, -1L, 1000000L)))
+    assert(out(1L) === ((3L, 1L, 562500L)))
+    assert(out(-1L) === ((3L, 1L, 562500L)))
+    assert(out(2L) === ((2L, -1L, 250000L)))
+    assert(out(3L) === ((1L, 1L, 62500L)))
+  }
 }
