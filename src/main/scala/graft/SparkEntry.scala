@@ -16,7 +16,7 @@ object SparkEntry {
       analytics.CurationOps.defs ++ analytics.ScaleOps.defs ++
       analytics.GraphOps.defs ++ analytics.MiningOps.defs ++
       analytics.StatsOps.defs ++ analytics.EvalOps.defs ++
-      analytics.AuditOps.defs
+      analytics.AuditOps.defs ++ analytics.InferOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The pricing summary always yields the 6 (returnflag, linestatus)

@@ -1,0 +1,383 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Round-8 inference / evaluation operators: the two-sample
+  * Kolmogorov–Smirnov distribution test, ordered sequential-pattern
+  * mining (the sequence counterpart of q125/q151's itemset mining),
+  * the Welch unequal-variance drift test, and ranked-retrieval average
+  * precision (the area-under-PR companion of q154's MRR / q180's
+  * NDCG).
+  *
+  * Arithmetic discipline (house convention): every emitted ratio is
+  * integer micros/ppm produced by truncating DIV over exact integer
+  * sums; wide products run in DECIMAL(38,0) (Spark) / HUGEINT
+  * (DuckDB); no sqrt ever (squared statistics ship instead, the
+  * assortativity convention), so every oracle replays bit-for-bit.
+  */
+object InferOps {
+  import Relational.QFn
+
+  /** Two-sample Kolmogorov–Smirnov D over an integer-valued column:
+    * D = sup_x |F_a(x) − F_b(x)|, computed exactly as
+    * max_v |cum_a(v)·n_b − cum_b(v)·n_a| over the merged distinct
+    * values, reported as `ks_ppm` = 1e6·D_num div (n_a·n_b) plus the
+    * location `v_at` (the smallest v attaining the sup — the point of
+    * largest distributional disagreement). No distributional
+    * assumption, no binning loss — the classic detector for "did this
+    * source/arm/period change shape, not just mean".
+    *
+    * Scale shape: per-distinct-value counts are one map-side-combined
+    * aggregate; the global cumulative sums use the q58/q86 two-phase
+    * bucket decomposition — linear value-range buckets (any monotone
+    * bucketing preserves bucket-order + in-bucket-order = global
+    * order), per-bucket window cumsums in parallel, bucket offsets
+    * from a window over the `buckets`-row bucket table. Nothing is
+    * ever globally sorted; the cross products run DECIMAL(38,0) so
+    * corpus-scale n_a·n_b cannot overflow.
+    */
+  def ksTest(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+             buckets: Int = 1024): DataFrame = {
+    val base = df.filter(isA || isB)
+      .select(valueCol.cast("long").as("v"), isA.cast("long").as("ga"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(col("ga")).as("c0"), sum(lit(1L) - col("ga")).as("c1"))
+    val stats = pv.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val bucketed = pv.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(expr(s"((v - mn) * $buckets) DIV greatest(mx - mn + 1, 1)"),
+          lit(buckets - 1L)))
+    val bAgg = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("c0")).as("b0"), sum(col("c1")).as("b1"))
+    val wOff = Window.orderBy(col("bucket")) // buckets-row table
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = bAgg.select(col("bucket"),
+      coalesce(sum(col("b0")).over(wOff), lit(0L)).as("o0"),
+      coalesce(sum(col("b1")).over(wOff), lit(0L)).as("o1"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.join(broadcast(bOff), Seq("bucket"))
+      .withColumn("cum0", col("o0") + sum(col("c0")).over(wIn))
+      .withColumn("cum1", col("o1") + sum(col("c1")).over(wIn))
+      .selectExpr("v", "n0", "n1",
+        """abs(CAST(cum0 AS DECIMAL(38,0)) * n1
+               - CAST(cum1 AS DECIMAL(38,0)) * n0) AS diff""")
+    // single pass: struct-max orders by (diff, -v) — largest diff,
+    // smallest v among ties — so the argmax needs no second scan
+    cum.groupBy(col("n0"), col("n1"))
+      .agg(max(struct(col("diff"), (-col("v")).as("nv"))).as("s"))
+      .selectExpr("n0 AS n_a", "n1 AS n_b",
+        """CAST((s.diff * 1000000)
+                DIV greatest(CAST(n0 AS DECIMAL(38,0)) * n1, 1) AS BIGINT)
+           AS ks_ppm""",
+        "-s.nv AS v_at")
+  }
+
+  /** Frequent ordered event-type triples (a then b then c, arbitrary
+    * gaps) with user-level support — sequential-pattern mining, the
+    * ORDER-aware complement of q151's frequent itemset triples and the
+    * higher-order complement of q174's one-step transition matrix.
+    *
+    * The naive form is a per-user 3-way self-join (C(k,3) per user —
+    * quadratic-plus in activity). This uses the first/last-occurrence
+    * witness instead: user supports (a,b,c) iff some b-event falls
+    * strictly between the user's FIRST a and LAST c (⇒ t1<t2<t3 with
+    * first_a as t1, last_c as t3; conversely any witness triple forces
+    * first_a < t2 < last_c). The same-type edge cases fall out for
+    * free: a=b needs a b after the first b, c=b one before the last.
+    *
+    * Scale shape: per-(user, type) min/max is one map-side-combined
+    * aggregate; `bounds` is |types|²-wide per user (constant); the
+    * witness probe joins events to bounds CO-PARTITIONED on user_id —
+    * |types|²-fold linear in the fact, never C(k,3). Support counting
+    * is a distinct + count on (user, triple); top-k is
+    * TakeOrderedAndProject.
+    */
+  def seqPatterns(events: DataFrame, topK: Int = 20): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+      .transform(graft.Stage.mat) // feeds first/last, the probe, and n_users
+    val fl = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("fts"), max(col("ts")).as("lts"))
+      .transform(graft.Stage.mat) // both sides of the bounds join
+    val nUsers = ev.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val bounds = fl.select(col("user_id"), col("event_type").as("step_a"), col("fts"))
+      .join(fl.select(col("user_id"), col("event_type").as("step_c"), col("lts")),
+        Seq("user_id"))
+    val hits = ev.select(col("user_id"), col("event_type").as("step_b"), col("ts"))
+      .join(bounds, Seq("user_id"))
+      .filter(col("ts") > col("fts") && col("ts") < col("lts"))
+      .select(col("user_id"), col("step_a"), col("step_b"), col("step_c"))
+      .distinct()
+    hits.groupBy(col("step_a"), col("step_b"), col("step_c"))
+      .agg(count(lit(1)).as("n_sup"))
+      .crossJoin(broadcast(nUsers))
+      .selectExpr("step_a", "step_b", "step_c", "n_sup",
+        "(1000000 * n_sup) DIV n_users AS support_ppm")
+      .orderBy(col("n_sup").desc, col("step_a"), col("step_b"), col("step_c"))
+      .limit(topK)
+  }
+
+  /** Welch unequal-variance drift test per group: value distribution
+    * of the EARLY calendar half vs the LATE half (split at the global
+    * day midpoint), emitting the squared Welch statistic `t2_ppm` and
+    * the Welch–Satterthwaite degrees of freedom `df_micros` — the
+    * mean-shift companion to q165's PSI (shape) and [[ksTest]]
+    * (whole-distribution). No p-value (that needs the t CDF); t² with
+    * df IS the scoreboard, monotone in evidence strength.
+    *
+    * All from per-(group, half) sufficient statistics (n, Σx, Σx²) in
+    * ONE map-side-combined aggregate: means in micros by DIV, sample
+    * variance (n·Σx² − (Σx)²) div (n·(n−1)) in micros², sem² = v_e/n_e
+    * + v_l/n_l, t² = Δmean²·1e6 div sem², df = (a+b)²·1e6 div
+    * (a²/(n_e−1) + b²/(n_l−1)). Inner DIVs truncate — deterministic
+    * and mirrored exactly in the oracle.
+    *
+    * Scale shape: one broadcast of the 1-row day-span stats, one
+    * groupBy(group) aggregate — partial+final, group-count-sized
+    * state; Σx² runs DECIMAL(38,0) so corpus-scale sums cannot
+    * overflow.
+    */
+  def welchDrift(events: DataFrame, grpCol: String, valueMicros: Column): DataFrame = {
+    val base = events.select(col(grpCol).as("grp"), valueMicros.as("x"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"))
+    val span = base.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val halves = base.crossJoin(broadcast(span))
+      .withColumn("early", (col("day") < expr("(mn + mx + 1) DIV 2")).cast("long"))
+    val stats = halves.groupBy(col("grp"))
+      .agg(sum(col("early")).as("ne"),
+        sum(lit(1L) - col("early")).as("nl"),
+        sum(when(col("early") === 1L, col("x")).otherwise(0L)).as("sxe"),
+        sum(when(col("early") === 1L, expr("CAST(x AS DECIMAL(38,0)) * x"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxxe"),
+        sum(when(col("early") === 0L, col("x")).otherwise(0L)).as("sxl"),
+        sum(when(col("early") === 0L, expr("CAST(x AS DECIMAL(38,0)) * x"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sxxl"))
+    stats
+      .selectExpr("grp", "ne", "nl",
+        "sxe DIV greatest(ne, 1) AS mean_early_micros",
+        "sxl DIV greatest(nl, 1) AS mean_late_micros",
+        """(CAST(ne AS DECIMAL(38,0)) * sxxe - CAST(sxe AS DECIMAL(38,0)) * sxe)
+           DIV greatest(CAST(ne AS DECIMAL(38,0)) * (ne - 1), 1) AS ve""",
+        """(CAST(nl AS DECIMAL(38,0)) * sxxl - CAST(sxl AS DECIMAL(38,0)) * sxl)
+           DIV greatest(CAST(nl AS DECIMAL(38,0)) * (nl - 1), 1) AS vl""")
+      .selectExpr("grp", "ne", "nl", "mean_early_micros", "mean_late_micros",
+        "ve DIV greatest(ne, 1) AS a", "vl DIV greatest(nl, 1) AS b")
+      // df is scale-invariant in (a, b), so the df term uses a/1000,
+      // b/1000: a² DIV (ne−1) would exceed BIGINT (Spark's DIV always
+      // returns BIGINT) at micros² magnitudes; the millis² squares fit
+      // with df error ≤ the mirrored truncation. t² keeps full micros².
+      .selectExpr("grp", "ne", "nl", "mean_early_micros", "mean_late_micros",
+        "a", "b", "a DIV 1000 AS am", "b DIV 1000 AS bm")
+      .selectExpr("grp AS event_type",
+        "ne AS n_early", "nl AS n_late",
+        "CAST(mean_early_micros AS BIGINT) AS mean_early_micros",
+        "CAST(mean_late_micros AS BIGINT) AS mean_late_micros",
+        """CAST(((CAST(mean_early_micros AS DECIMAL(38,0)) - mean_late_micros)
+                 * (CAST(mean_early_micros AS DECIMAL(38,0)) - mean_late_micros)
+                 * 1000000) DIV greatest(a + b, 1) AS BIGINT) AS t2_ppm""",
+        """CAST(((CAST(am AS DECIMAL(38,0)) + bm) * (CAST(am AS DECIMAL(38,0)) + bm)
+                 * 1000000)
+                DIV greatest(CAST(am AS DECIMAL(38,0)) * am DIV greatest(ne - 1, 1)
+                             + CAST(bm AS DECIMAL(38,0)) * bm DIV greatest(nl - 1, 1), 1)
+                AS BIGINT)
+           AS df_micros""")
+      .orderBy(col("event_type"))
+  }
+
+  /** Ranked-retrieval average precision @ k with labels-as-relevance
+    * (the q154 protocol): AP = (Σ_{hit ranks r} P@r) / min(R, k) where
+    * R is the query label's CORPUS relevant count — the area-under-PR
+    * summary that MRR (first hit only) and P@10 (unweighted) both
+    * miss; the zz row (q_id −1) is MAP. Exact integers after the
+    * replayable double-cosine ordering: P@r in micros by DIV, AP by a
+    * second DIV — truncation mirrored in the oracle.
+    *
+    * Scale shape: one corpus pass (queries broadcast, per-query top-k
+    * window); the cumulative-hit window is per-query over ≤ k rows;
+    * the relevant-count join is on the label dimension (broadcast).
+    */
+  def averagePrecision(emb: DataFrame, qLo: Long, qHi: Long, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id").between(qLo, qHi))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("label").cast("long").as("q_label"))
+    val corpus = emb.filter(col("vec_id") > qHi)
+    val relc = corpus.groupBy(col("label").cast("long").as("q_label"))
+      .agg(count(lit(1)).as("n_rel"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = graft.text.Similarity
+      .topKPerQuery(corpus, queries.select(col("q_id"), col("qvec")), k, qidCol = "q_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_label"))), Seq("q_id"))
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("c_label")),
+        Seq("vec_id"))
+      .withColumn("hit", (col("c_label") === col("q_label")).cast("long"))
+      .withColumn("ch", sum(col("hit")).over(wc))
+    val per = ranked.groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("hit") === 1L, expr("(1000000 * ch) DIV rn"))
+        .otherwise(0L)).as("sum_prec"), sum(col("hit")).as("n_hits"))
+      .join(broadcast(relc), Seq("q_label"))
+      .selectExpr("q_id", "q_label AS label",
+        s"least(n_rel, $k) AS n_rel_k", "n_hits",
+        s"sum_prec DIV least(n_rel, $k) AS ap_micros")
+    val zz = per.agg(count(lit(1)).as("nq"), sum(col("n_hits")).as("sh"),
+        sum(col("ap_micros")).as("sap"))
+      .selectExpr("CAST(-1 AS BIGINT) AS q_id", "CAST(-1 AS BIGINT) AS label",
+        "CAST(0 AS BIGINT) AS n_rel_k", "sh AS n_hits",
+        "sap DIV nq AS ap_micros")
+    per.unionByName(zz).orderBy(col("q_id"))
+  }
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- two-sample KS on the click-vs-purchase value distribution:
+    //      the whole-shape "are these two event populations priced the
+    //      same" test, exact sup-distance integers over floor-micros
+    //      values; the oracle replays the merged-CDF construction with
+    //      a plain window cumsum (equality proves the two-phase bucket
+    //      decomposition IS the global prefix sum — the q96 argument).
+    ("q193_ks_test", (s: SparkSession, dir: String) => {
+      ksTest(Tables(s, dir).events,
+        valueCol = expr("CAST(floor(value * 1000000) AS BIGINT)"),
+        isA = col("event_type") === "click",
+        isB = col("event_type") === "purchase")
+    }, Some("""
+      WITH base AS (
+        SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ga
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      pv AS (SELECT v, SUM(ga) AS c0, SUM(1 - ga) AS c1 FROM base GROUP BY v),
+      tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1 FROM pv),
+      cum AS (SELECT v, SUM(c0) OVER (ORDER BY v) AS cum0,
+                     SUM(c1) OVER (ORDER BY v) AS cum1 FROM pv),
+      d AS (SELECT v, abs(CAST(cum0 AS HUGEINT) * n1 - CAST(cum1 AS HUGEINT) * n0) AS diff
+            FROM cum CROSS JOIN tot)
+      SELECT n0 AS n_a, n1 AS n_b,
+             CAST(((SELECT max(diff) FROM d) * 1000000)
+                  // greatest(CAST(n0 AS HUGEINT) * n1, 1) AS BIGINT) AS ks_ppm,
+             (SELECT min(v) FROM d WHERE diff = (SELECT max(diff) FROM d)) AS v_at
+      FROM tot""")),
+
+    // ---- frequent ordered event-type triples: top-20 sequential
+    //      patterns by user support via the first/last-occurrence
+    //      witness (linear, never C(k,3)); the oracle replays witness
+    //      existence with the same bounds join.
+    ("q194_seq_patterns", (s: SparkSession, dir: String) => {
+      seqPatterns(Tables(s, dir).events, topK = 20)
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, ts FROM events),
+      fl AS (SELECT user_id, event_type, min(ts) AS fts, max(ts) AS lts
+             FROM ev GROUP BY user_id, event_type),
+      nb AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+      bounds AS (
+        SELECT a.user_id, a.event_type AS step_a, a.fts, c.event_type AS step_c, c.lts
+        FROM fl a JOIN fl c ON a.user_id = c.user_id),
+      hits AS (
+        SELECT DISTINCT b.user_id, b.step_a, e.event_type AS step_b, b.step_c
+        FROM bounds b JOIN ev e ON e.user_id = b.user_id
+        WHERE e.ts > b.fts AND e.ts < b.lts),
+      sup AS (SELECT step_a, step_b, step_c, CAST(count(*) AS BIGINT) AS n_sup
+              FROM hits GROUP BY step_a, step_b, step_c)
+      SELECT step_a, step_b, step_c, n_sup,
+             CAST((1000000 * n_sup) // n_users AS BIGINT) AS support_ppm
+      FROM sup CROSS JOIN nb
+      ORDER BY n_sup DESC, step_a, step_b, step_c LIMIT 20""")),
+
+    // ---- Welch drift test per event type, early vs late calendar
+    //      half: squared t in ppm + Welch–Satterthwaite df in micros,
+    //      all from one sufficient-statistics pass; the oracle replays
+    //      every truncating DIV in the same order.
+    ("q195_welch_drift", (s: SparkSession, dir: String) => {
+      welchDrift(Tables(s, dir).events, grpCol = "event_type",
+        valueMicros = expr("CAST(floor(value * 1000000) AS BIGINT)"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type AS grp, CAST(floor(value * 1000000) AS BIGINT) AS x,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events),
+      span AS (SELECT min(day) AS mn, max(day) AS mx FROM base),
+      halves AS (
+        SELECT grp, x,
+               CASE WHEN day < (mn + mx + 1) // 2 THEN 1 ELSE 0 END AS early
+        FROM base CROSS JOIN span),
+      stats AS (
+        SELECT grp,
+               CAST(SUM(early) AS BIGINT) AS ne,
+               CAST(SUM(1 - early) AS BIGINT) AS nl,
+               SUM(CASE WHEN early = 1 THEN x ELSE 0 END) AS sxe,
+               SUM(CASE WHEN early = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxe,
+               SUM(CASE WHEN early = 0 THEN x ELSE 0 END) AS sxl,
+               SUM(CASE WHEN early = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxl
+        FROM halves GROUP BY grp),
+      v AS (
+        SELECT grp, ne, nl,
+               sxe // greatest(ne, 1) AS mean_early_micros,
+               sxl // greatest(nl, 1) AS mean_late_micros,
+               (CAST(ne AS HUGEINT) * sxxe - CAST(sxe AS HUGEINT) * sxe)
+                 // greatest(CAST(ne AS HUGEINT) * (ne - 1), 1) AS ve,
+               (CAST(nl AS HUGEINT) * sxxl - CAST(sxl AS HUGEINT) * sxl)
+                 // greatest(CAST(nl AS HUGEINT) * (nl - 1), 1) AS vl
+        FROM stats),
+      ab AS (
+        SELECT grp, ne, nl, mean_early_micros, mean_late_micros,
+               ve // greatest(ne, 1) AS a, vl // greatest(nl, 1) AS b,
+               ve // greatest(ne, 1) // 1000 AS am,
+               vl // greatest(nl, 1) // 1000 AS bm
+        FROM v)
+      SELECT grp AS event_type, ne AS n_early, nl AS n_late,
+             CAST(mean_early_micros AS BIGINT) AS mean_early_micros,
+             CAST(mean_late_micros AS BIGINT) AS mean_late_micros,
+             CAST(((CAST(mean_early_micros AS HUGEINT) - mean_late_micros)
+                   * (CAST(mean_early_micros AS HUGEINT) - mean_late_micros)
+                   * 1000000) // greatest(a + b, 1) AS BIGINT) AS t2_ppm,
+             CAST(((am + bm) * (am + bm) * 1000000)
+                  // greatest(am * am // greatest(ne - 1, 1)
+                             + bm * bm // greatest(nl - 1, 1), 1) AS BIGINT) AS df_micros
+      FROM ab ORDER BY event_type""")),
+
+    // ---- average precision @10 + MAP over the q154 retrieval
+    //      protocol: per-query area-under-PR with corpus relevant
+    //      counts in the denominator; the oracle replays the cosine
+    //      ranking, the cumulative-hit precisions, and both DIVs.
+    ("q196_avg_precision", (s: SparkSession, dir: String) => {
+      averagePrecision(Tables(s, dir).embeddings, qLo = 1L, qHi = 20L, k = 10)
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                        CAST(label AS BIGINT) AS q_label
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST(label AS BIGINT) AS c_label
+            FROM embeddings WHERE vec_id > 20),
+      relc AS (SELECT c_label AS q_label, CAST(count(*) AS BIGINT) AS n_rel
+               FROM c GROUP BY c_label),
+      r AS (SELECT q_id, q_label, vec_id, c_label,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rn
+            FROM c, q),
+      t AS (SELECT q_id, q_label, rn,
+                   CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS hit
+            FROM r WHERE rn <= 10),
+      cum AS (SELECT q_id, q_label, rn, hit,
+                     SUM(hit) OVER (PARTITION BY q_id ORDER BY rn) AS ch
+              FROM t),
+      per AS (
+        SELECT cum.q_id, cum.q_label AS label,
+               CAST(least(relc.n_rel, 10) AS BIGINT) AS n_rel_k,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN hit = 1 THEN (1000000 * ch) // rn ELSE 0 END)
+                    // least(relc.n_rel, 10) AS BIGINT) AS ap_micros
+        FROM cum JOIN relc ON cum.q_label = relc.q_label
+        GROUP BY cum.q_id, cum.q_label, relc.n_rel),
+      zz AS (
+        SELECT CAST(-1 AS BIGINT) AS q_id, CAST(-1 AS BIGINT) AS label,
+               CAST(0 AS BIGINT) AS n_rel_k, CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+               CAST(SUM(ap_micros) // count(*) AS BIGINT) AS ap_micros
+        FROM per)
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY q_id"""))
+  )
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.InferOps
+
+/** Hand-computed fixtures for the round-8 inference operators: KS
+  * sup-distance arithmetic (including the min-v tie-break), the
+  * sequential-pattern first/last-occurrence witness (including the
+  * same-type and reversed-order edge cases), Welch sufficient-statistic
+  * arithmetic (including the exact equal-variance df identity), and
+  * average-precision rank arithmetic.
+  */
+class InferOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KS: fully separated samples give D = 1 at the last A value") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("v", "g")
+    val r = InferOps.ksTest(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("ks_ppm") === 1000000L)
+    assert(r.getAs[Long]("v_at") === 2L)
+  }
+
+  test("KS: interleaved samples, sup attained at several v — smallest wins") {
+    // A={1,3}, B={2,4}: diffs by v are 2,0,2,0 (in cum_a·n_b−cum_b·n_a
+    // units) → D = 2/4, first attained at v=1
+    val df = Seq((1L, "a"), (3L, "a"), (2L, "b"), (4L, "b")).toDF("v", "g")
+    val r = InferOps.ksTest(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(r.getAs[Long]("ks_ppm") === 500000L)
+    assert(r.getAs[Long]("v_at") === 1L)
+  }
+
+  test("KS: identical samples give D = 0") {
+    val df = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")).toDF("v", "g")
+    val r = InferOps.ksTest(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(r.getAs[Long]("ks_ppm") === 0L)
+  }
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("seq patterns: single a<b<c run supports exactly (a,b,c)") {
+    val e = ev((1L, "a", "2024-01-01 00:00:01"),
+      (1L, "b", "2024-01-01 00:00:02"),
+      (1L, "c", "2024-01-01 00:00:03"))
+    val rows = InferOps.seqPatterns(e, topK = 100).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getAs[String]("step_a"), r.getAs[String]("step_b"),
+      r.getAs[String]("step_c")) === (("a", "b", "c")))
+    assert(r.getAs[Long]("n_sup") === 1L)
+    assert(r.getAs[Long]("support_ppm") === 1000000L)
+  }
+
+  test("seq patterns: same-type triples need three occurrences") {
+    // two b's: no (b,b,b) — the witness probe excludes first and last
+    assert(InferOps.seqPatterns(
+      ev((1L, "b", "2024-01-01 00:00:01"),
+        (1L, "b", "2024-01-01 00:00:02")), topK = 100).collect().isEmpty)
+    // three b's: (b,b,b) supported via the middle occurrence
+    val rows = InferOps.seqPatterns(
+      ev((1L, "b", "2024-01-01 00:00:01"),
+        (1L, "b", "2024-01-01 00:00:02"),
+        (1L, "b", "2024-01-01 00:00:03")), topK = 100).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("step_a") === "b")
+    assert(rows.head.getAs[Long]("n_sup") === 1L)
+  }
+
+  test("seq patterns: order matters and support counts users") {
+    // user 1 runs a,b,c; user 2 runs c,b,a — (a,b,c) has support 1,
+    // (c,b,a) has support 1, and the ppm denominator is BOTH users
+    val e = ev((1L, "a", "2024-01-01 00:00:01"),
+      (1L, "b", "2024-01-01 00:00:02"),
+      (1L, "c", "2024-01-01 00:00:03"),
+      (2L, "c", "2024-01-01 00:00:01"),
+      (2L, "b", "2024-01-01 00:00:02"),
+      (2L, "a", "2024-01-01 00:00:03"))
+    val rows = InferOps.seqPatterns(e, topK = 100).collect()
+      .map(r => ((r.getAs[String]("step_a"), r.getAs[String]("step_b"),
+        r.getAs[String]("step_c")), r.getAs[Long]("n_sup"),
+        r.getAs[Long]("support_ppm"))).toSet
+    assert(rows === Set((("a", "b", "c"), 1L, 500000L),
+      (("c", "b", "a"), 1L, 500000L)))
+  }
+
+  private def wev(rows: (String, Long, String)*) =
+    rows.toDF("event_type", "v", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("Welch: no drift gives t² = 0; small variances floor df via the guard") {
+    // days 1..4 → mid = 3, early = days {1,2}; both halves {10, 20}
+    val e = wev(("t", 10L, "2024-01-01 00:00:00"), ("t", 20L, "2024-01-02 00:00:00"),
+      ("t", 10L, "2024-01-03 00:00:00"), ("t", 20L, "2024-01-04 00:00:00"))
+    val r = InferOps.welchDrift(e, "event_type", col("v")).collect().head
+    assert(r.getAs[Long]("n_early") === 2L)
+    assert(r.getAs[Long]("n_late") === 2L)
+    assert(r.getAs[Long]("mean_early_micros") === 15L)
+    assert(r.getAs[Long]("mean_late_micros") === 15L)
+    assert(r.getAs[Long]("t2_ppm") === 0L)
+    assert(r.getAs[Long]("df_micros") === 0L) // am = bm = 0 → guard path
+  }
+
+  test("Welch: equal variance and n recovers df = ne + nl − 2 exactly") {
+    // early {0, 2000}, late {1000000, 1002000}: Δmean = 1e6,
+    // ve = vl = 2e6 → a = b = 1e6, t² = (1e6)²·1e6/2e6 = 5e11 ppm,
+    // am = bm = 1000 → df = (2000)²·1e6 / (1e6 + 1e6) = 2e6 = 2.0
+    val e = wev(("t", 0L, "2024-01-01 00:00:00"), ("t", 2000L, "2024-01-02 00:00:00"),
+      ("t", 1000000L, "2024-01-03 00:00:00"),
+      ("t", 1002000L, "2024-01-04 00:00:00"))
+    val r = InferOps.welchDrift(e, "event_type", col("v")).collect().head
+    assert(r.getAs[Long]("mean_early_micros") === 1000L)
+    assert(r.getAs[Long]("mean_late_micros") === 1001000L)
+    assert(r.getAs[Long]("t2_ppm") === 500000000000L)
+    assert(r.getAs[Long]("df_micros") === 2000000L)
+  }
+
+  test("average precision: hit at rank 1 of 2 relevant gives AP = 1/2") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), // query
+      (2L, Array(1f, 0f), 0), // rank 1, hit
+      (3L, Array(0.9f, 0.1f), 1), // rank 2, miss
+      (4L, Array(0f, 1f), 0)) // rank 3, cut by k=2; still counts in R
+      .toDF("vec_id", "embedding", "label")
+    val rows = InferOps.averagePrecision(emb, qLo = 1L, qHi = 1L, k = 2)
+      .collect()
+    assert(rows.length === 2)
+    // orderBy(q_id) puts the zz row (−1) first
+    val per = rows.find(_.getAs[Long]("q_id") === 1L).get
+    assert(per.getAs[Long]("q_id") === 1L)
+    assert(per.getAs[Long]("n_rel_k") === 2L)
+    assert(per.getAs[Long]("n_hits") === 1L)
+    assert(per.getAs[Long]("ap_micros") === 500000L)
+    val zz = rows.find(_.getAs[Long]("q_id") === -1L).get
+    assert(zz.getAs[Long]("ap_micros") === 500000L)
+  }
+}
