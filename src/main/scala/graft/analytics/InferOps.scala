@@ -22,6 +22,228 @@ import graft.model.Tables
 object InferOps {
   import Relational.QFn
 
+  private val ws = graft.text.TextStats.wsClassSql
+
+  /** Multinomial Naive Bayes language classifier, trained and scored
+    * in one job — the "train a model over the corpus" primitive a
+    * curation pipeline uses to BOOTSTRAP labels (q34's rule-based
+    * language ID is the cold-start; this learns from whatever labels
+    * exist). Add-one smoothing; an 80/20 portable-hash split; output
+    * is the holdout confusion matrix with per-true-language row shares
+    * and a zz accuracy row.
+    *
+    * Exact-replay arithmetic: every log-probability is pre-rounded to
+    * integer NANOS (the q180 discount convention) — prior_l =
+    * round9ln(d_l/D), per-token denominator round9ln(n_l + V), and
+    * per-(lang, term) round9ln(c + 1) — so a document's score is a
+    * plain BIGINT sum both engines replay bit-for-bit. The add-one
+    * numerator means absent (lang, term) pairs contribute ln 1 = 0:
+    * scoring needs only an INNER join on observed model rows (the
+    * q159 exclusive-tail trick), with the dense part folded into
+    * T_doc·logden_l.
+    *
+    * Scale shape: the model is one tokenize + count pass (map-side
+    * combined); scoring joins test-token counts to the model on the
+    * term key (bucketable), ≤ |langs| rows per term; per-doc argmax is
+    * a |langs|-row window per doc; the lang-level constants ride as a
+    * broadcast. At corpus scale nothing holds more than (vocab ×
+    * langs) counts.
+    */
+  def nbLangId(docs: DataFrame, folds: Int = 5): DataFrame = {
+    import graft.text.TextStats
+    val sp = docs.select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .withColumn("h",
+        TextStats.portableHash64(concat(lit("nb:"), col("doc_id").cast("string"))) % folds)
+      .transform(graft.Stage.mat)
+    val tr = sp.filter(col("h") =!= 0)
+    val te = sp.filter(col("h") === 0)
+    val trtok = tr.select(col("lang"),
+      explode(filter(TextStats.tokens(col("t")), x => x =!= lit(""))).as("w"))
+    val model = trtok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c")).transform(graft.Stage.mat)
+    val consts = model.groupBy(col("lang")).agg(sum(col("c")).as("n_tok"))
+      .crossJoin(broadcast(model.agg(countDistinct(col("w")).as("v"))))
+      .join(tr.groupBy(col("lang")).agg(count(lit(1)).as("d_l")), Seq("lang"))
+      .crossJoin(broadcast(tr.agg(count(lit(1)).as("d_tot"))))
+      .selectExpr("lang",
+        "CAST(round(ln(CAST(d_l AS DOUBLE) / d_tot) * 1000000000, 0) AS BIGINT) AS prior_nanos",
+        "CAST(round(ln(CAST(n_tok + v AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS logden_nanos")
+    val tetok = te.select(col("doc_id"),
+      explode(filter(TextStats.tokens(col("t")), x => x =!= lit(""))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val matched = tetok.join(model, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(expr(
+        "cnt * CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1000000000, 0) AS BIGINT)"))
+        .as("s"))
+    val spine = te.select(col("doc_id"), col("lang").as("true_lang"),
+        size(filter(TextStats.tokens(col("t")), x => x =!= lit(""))).cast("long").as("t_doc"))
+      .crossJoin(broadcast(consts))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .withColumn("score",
+        col("prior_nanos") - col("t_doc") * col("logden_nanos")
+          + coalesce(col("s"), lit(0L)))
+    val wArg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val pred = spine.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("pred"))
+      .transform(graft.Stage.mat)
+    val conf = pred.groupBy(col("true_lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = conf.groupBy(col("true_lang")).agg(sum(col("n_docs")).as("nt"))
+    val per = conf.join(rowTot, Seq("true_lang"))
+      .selectExpr("true_lang AS lang", "pred", "n_docs",
+        "(1000000 * n_docs) DIV nt AS row_ppm")
+    val zz = pred.agg(count(lit(1)).as("n"),
+        sum(when(col("true_lang") === col("pred"), 1L).otherwise(0L)).as("ok"))
+      .selectExpr("'zz' AS lang", "'zz' AS pred", "n AS n_docs",
+        "(1000000 * ok) DIV greatest(n, 1) AS row_ppm")
+    per.unionByName(zz).orderBy(col("lang"), col("pred"))
+  }
+
+  /** Item-item collaborative filtering from order baskets: for every
+    * part, its top co-purchase neighbors by squared co-occurrence
+    * cosine, cos²(a,b) = c_ab² / (c_a·c_b) in ppm (no-sqrt convention
+    * — monotone in cosine, so rankings are identical). The
+    * recommendation-side reading of the same counts q125 ranks by
+    * lift: lift finds globally surprising pairs, this builds the
+    * per-item neighbor lists a recommender serves.
+    *
+    * Scale shape: the q125 discipline — pair generation self-joins
+    * DISTINCT (order, part) CO-PARTITIONED on the basket key (one
+    * shuffle per side, never a fact broadcast), Σ C(k,2) work linear
+    * for bounded baskets; the neighbor window is per-item over its
+    * co-purchase fan-out, not global; item counts re-attach by a
+    * part-dimension join.
+    */
+  def itemNeighbors(lineitem: DataFrame, minSupport: Long = 2,
+                    neighborsPerItem: Int = 3): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(graft.Stage.mat) // both join sides + the item counts
+    val itemC = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    // both orientations survive (pa != pb, not <): each item sees the
+    // pair from its own side, which IS the directed neighbor list
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+      .filter(col("pa") =!= col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val scored = pairs
+      .join(itemC.select(col("l_partkey").as("pa"), col("c").as("c_a")), Seq("pa"))
+      .join(itemC.select(col("l_partkey").as("pb"), col("c").as("c_b")), Seq("pb"))
+      .selectExpr("pa", "pb", "c_ab",
+        """(CAST(c_ab AS DECIMAL(38,0)) * c_ab * 1000000)
+           DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS cos2_ppm""")
+    val wN = Window.partitionBy(col("pa"))
+      .orderBy(col("cos2_ppm").desc, col("c_ab").desc, col("pb").asc)
+    scored.withColumn("rnk", row_number().over(wN))
+      .filter(col("rnk") <= neighborsPerItem)
+      .selectExpr("pa AS item", "CAST(rnk AS BIGINT) AS rnk", "pb AS neighbor", "c_ab",
+        "CAST(cos2_ppm AS BIGINT) AS cos2_ppm")
+      .orderBy(col("item"), col("rnk"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group, with its
+    * in-plan accuracy certificate: keep the k smallest portable 60-bit
+    * hashes of the values; the (k−1)·2⁶⁰ / h_k estimator (Bar-Yossef
+    * et al.) reads cardinality off the k-th order statistic. Unlike
+    * q42's opaque HLL buffer this sketch is ENGINE-PORTABLE — the
+    * oracle rebuilds the identical registers from md5, so the
+    * ESTIMATE itself hash-verifies, and two sketches merge by k-min
+    * union (mergeable across shards/days by construction). Groups with
+    * < k distinct values report exactly.
+    *
+    * Scale shape: one distinct pass, then a per-group k-smallest rank
+    * window (per-group sort of the distinct-value set — the declared,
+    * oracle-replayable form; at 100 TB swap in a bounded-buffer k-min
+    * TypedImperativeAggregate, the q93 Misra-Gries pattern, for
+    * constant-memory partial+final merge). The exact side is the
+    * certificate, not the operator.
+    */
+  def kmvDistinct(rows: DataFrame, grp: String, valueCol: Column,
+                  k: Int = 64): DataFrame = {
+    import graft.text.TextStats
+    val hv = rows.select(col(grp).as("g"), valueCol.as("val"))
+      .distinct()
+      .select(col("g"), TextStats.portableHash64(col("val").cast("string")).as("h"))
+      .transform(graft.Stage.mat) // feeds the rank window and the exact count
+    val exact = hv.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+    val wK = Window.partitionBy(col("g")).orderBy(col("h").asc)
+    val kth = hv.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .groupBy(col("g")).agg(max(col("h")).as("h_k"), count(lit(1)).as("n_in"))
+    exact.join(kth, Seq("g"))
+      .selectExpr("g", "n_exact",
+        s"""CASE WHEN n_in < $k THEN n_exact
+                 ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
+                           DIV h_k AS BIGINT) END AS est""")
+      .selectExpr(s"g AS $grp", "n_exact", "est",
+        """(CAST(1000000 AS DECIMAL(38,0)) * abs(est - n_exact))
+           DIV greatest(n_exact, 1) AS err_ppm""")
+      .orderBy(col(grp))
+  }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring over blocked
+    * candidate pairs: each field contributes log(m/u) when it agrees
+    * and log((1−m)/(1−u)) when it disagrees, with u (the chance-
+    * agreement rate) ESTIMATED FROM THE DATA as Σ c_v(c_v−1) /
+    * (N(N−1)) over the field's value counts and m fixed (0.95,
+    * documented). The probabilistic upgrade of q171's binary
+    * match/no-match: pairs rank by accumulated evidence, and a rare
+    * shared value outweighs a common one automatically.
+    *
+    * Exact replay: u is an exact integer ratio; the four weights per
+    * field are pre-rounded to integer nanos (ln parity, the q103
+    * convention), so every pair score is a BIGINT sum. Fields here:
+    * account-balance sign, 1000-bucket, and 100-bucket — nested
+    * granularities, so agreement at the fine level implies the coarse
+    * and the score grades smoothly.
+    *
+    * Scale shape: weights are three value-count aggregates folded to a
+    * 1-row broadcast; pairs are generated ONLY within (nation,
+    * segment) blocks (the q171 blocking argument — block-size-bounded,
+    * never all-pairs); scoring is a pure projection; top-k is
+    * TakeOrderedAndProject.
+    */
+  def fellegiSunter(customer: DataFrame, topK: Int = 50,
+                    mPpm: Long = 950000L): DataFrame = {
+    val c = customer.selectExpr("c_custkey", "c_nationkey", "c_mktsegment",
+      "CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS f_sign",
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) AS f_b1000",
+      "CAST(floor(c_acctbal / 100) AS BIGINT) AS f_b100")
+      .transform(graft.Stage.mat)
+    val n = c.agg(count(lit(1)).as("n"))
+    def uOf(f: String): DataFrame = c.groupBy(col(f)).agg(count(lit(1)).as("cv"))
+      .agg(sum(expr("CAST(cv AS DECIMAL(38,0)) * (cv - 1)")).as("num"))
+      .crossJoin(broadcast(n))
+      .selectExpr(
+        s"""CAST(round((ln($mPpm / 1e6) - ln(CAST(num AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000000, 0) AS BIGINT)
+            AS wa_$f""",
+        s"""CAST(round((ln(1.0 - $mPpm / 1e6) - ln(1.0 - CAST(num AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000000, 0) AS BIGINT)
+            AS wd_$f""")
+    val weights = uOf("f_sign").crossJoin(uOf("f_b1000")).crossJoin(uOf("f_b100"))
+    val a = c.selectExpr("c_custkey AS id_a", "c_nationkey", "c_mktsegment",
+      "f_sign AS sa", "f_b1000 AS ba1000", "f_b100 AS ba100")
+    val b = c.selectExpr("c_custkey AS id_b", "c_nationkey", "c_mktsegment",
+      "f_sign AS sb", "f_b1000 AS bb1000", "f_b100 AS bb100")
+    a.join(b, Seq("c_nationkey", "c_mktsegment"))
+      .filter(col("id_a") < col("id_b"))
+      .crossJoin(broadcast(weights))
+      .selectExpr("id_a", "id_b",
+        "CAST(sa = sb AS BIGINT) AS agree_sign",
+        "CAST(ba1000 = bb1000 AS BIGINT) AS agree_b1000",
+        "CAST(ba100 = bb100 AS BIGINT) AS agree_b100",
+        """(CASE WHEN sa = sb THEN wa_f_sign ELSE wd_f_sign END
+            + CASE WHEN ba1000 = bb1000 THEN wa_f_b1000 ELSE wd_f_b1000 END
+            + CASE WHEN ba100 = bb100 THEN wa_f_b100 ELSE wd_f_b100 END)
+           AS score_nanos""")
+      .orderBy(col("score_nanos").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
   /** Two-sample Kolmogorov–Smirnov D over an integer-valued column:
     * D = sup_x |F_a(x) − F_b(x)|, computed exactly as
     * max_v |cum_a(v)·n_b − cum_b(v)·n_a| over the merged distinct
@@ -378,6 +600,186 @@ object InferOps {
                CAST(0 AS BIGINT) AS n_rel_k, CAST(SUM(n_hits) AS BIGINT) AS n_hits,
                CAST(SUM(ap_micros) // count(*) AS BIGINT) AS ap_micros
         FROM per)
-      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY q_id"""))
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY q_id""")),
+
+    // ---- Naive Bayes language ID, trained on the 80% hash split and
+    //      scored on the holdout: confusion matrix + zz accuracy row.
+    //      The oracle retrains the identical model — same split, same
+    //      add-one counts, same integer-nanos log terms — and replays
+    //      every argmax including the lang-asc tie-break.
+    ("q197_nb_langid", (s: SparkSession, dir: String) => {
+      nbLangId(Tables(s, dir).documents, folds = 5)
+    }, Some {
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('nb:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH sp AS (
+        SELECT doc_id, lang, lower(text) AS t, $h % 5 AS hh
+        FROM documents),
+      tr AS (SELECT * FROM sp WHERE hh <> 0),
+      te AS (SELECT * FROM sp WHERE hh = 0),
+      trtok AS (SELECT lang, unnest(list_filter(
+                  regexp_split_to_array(t, '$ws+'), x -> x <> '')) AS w
+                FROM tr),
+      model AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+                FROM trtok GROUP BY lang, w),
+      consts AS (
+        SELECT m.lang,
+               CAST(round(ln(CAST(dl.d_l AS DOUBLE) / dd.d_tot)
+                          * 1000000000) AS BIGINT) AS prior_nanos,
+               CAST(round(ln(CAST(m.n_tok + vv.v AS DOUBLE))
+                          * 1000000000) AS BIGINT) AS logden_nanos
+        FROM (SELECT lang, SUM(c) AS n_tok FROM model GROUP BY lang) m
+        JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS d_l FROM tr GROUP BY lang) dl
+          ON m.lang = dl.lang
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS d_tot FROM tr) dd
+        CROSS JOIN (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM model) vv),
+      tetok AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(t, '$ws+'), x -> x <> '')) AS w
+              FROM te)
+        GROUP BY doc_id, w),
+      matched AS (
+        SELECT tt.doc_id, m.lang,
+               SUM(tt.cnt * CAST(round(ln(CAST(m.c + 1 AS DOUBLE))
+                                       * 1000000000) AS BIGINT)) AS s
+        FROM tetok tt JOIN model m ON tt.w = m.w
+        GROUP BY tt.doc_id, m.lang),
+      spine AS (
+        SELECT te.doc_id, te.lang AS true_lang, co.lang,
+               co.prior_nanos
+                 - CAST(len(list_filter(regexp_split_to_array(te.t, '$ws+'),
+                     x -> x <> '')) AS BIGINT) * co.logden_nanos
+                 + COALESCE(mt.s, 0) AS score
+        FROM te CROSS JOIN consts co
+        LEFT JOIN matched mt ON mt.doc_id = te.doc_id AND mt.lang = co.lang),
+      pred AS (
+        SELECT doc_id, true_lang, lang AS pred
+        FROM (SELECT doc_id, true_lang, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang) AS rn
+              FROM spine)
+        WHERE rn = 1),
+      conf AS (SELECT true_lang, pred, CAST(count(*) AS BIGINT) AS n_docs
+               FROM pred GROUP BY true_lang, pred),
+      per AS (
+        SELECT conf.true_lang AS lang, conf.pred, conf.n_docs,
+               CAST((1000000 * conf.n_docs) // rt.nt AS BIGINT) AS row_ppm
+        FROM conf JOIN (SELECT true_lang, SUM(n_docs) AS nt
+                        FROM conf GROUP BY true_lang) rt
+          ON conf.true_lang = rt.true_lang),
+      zz AS (
+        SELECT 'zz' AS lang, 'zz' AS pred, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((1000000 * SUM(CASE WHEN true_lang = pred THEN 1 ELSE 0 END))
+                    // greatest(count(*), 1) AS BIGINT) AS row_ppm
+        FROM pred)
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY lang, pred"""
+    }),
+
+    // ---- item-item CF neighbor lists: top-3 co-purchase neighbors
+    //      per part by squared cosine; the oracle replays the distinct-
+    //      basket pair counts, the integer cos², and the full
+    //      (cos2 desc, c_ab desc, pb) tie-break.
+    ("q198_item_cf", (s: SparkSession, dir: String) => {
+      itemNeighbors(Tables(s, dir).lineitem, minSupport = 2, neighborsPerItem = 3)
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      itemc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS c_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      scored AS (
+        SELECT pa, pb, c_ab,
+               (CAST(c_ab AS HUGEINT) * c_ab * 1000000)
+                 // (CAST(ca.c AS HUGEINT) * cb.c) AS cos2_ppm
+        FROM pairs JOIN itemc ca ON pairs.pa = ca.l_partkey
+                   JOIN itemc cb ON pairs.pb = cb.l_partkey),
+      rnkd AS (SELECT pa, pb, c_ab, cos2_ppm,
+                      row_number() OVER (PARTITION BY pa
+                        ORDER BY cos2_ppm DESC, c_ab DESC, pb) AS rnk
+               FROM scored)
+      SELECT pa AS item, rnk, pb AS neighbor, c_ab,
+             CAST(cos2_ppm AS BIGINT) AS cos2_ppm
+      FROM rnkd WHERE rnk <= 3 ORDER BY item, rnk""")),
+
+    // ---- KMV distinct-token sketch per source with the exact count
+    //      as in-plan certificate: the oracle rebuilds the identical
+    //      md5-hash registers, takes the same 64th order statistic,
+    //      and replays the estimator division — the ESTIMATE itself is
+    //      hash-verified, not just bounded.
+    ("q199_kmv_distinct", (s: SparkSession, dir: String) => {
+      import graft.text.TextStats
+      val tok = Tables(s, dir).documents.select(col("source"),
+        explode(filter(TextStats.tokens(lower(col("text"))), x => x =!= lit("")))
+          .as("w"))
+      kmvDistinct(tok, grp = "source", valueCol = col("w"), k = 64)
+    }, Some(s"""
+      WITH tokd AS (
+        SELECT DISTINCT source, w
+        FROM (SELECT source, unnest(list_filter(
+                regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS w
+              FROM documents)),
+      hv AS (SELECT source,
+                    ${graft.text.TextStats.portableHash64Sql("CAST(w AS VARCHAR)")} AS h
+             FROM tokd),
+      exact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM hv GROUP BY 1),
+      kth AS (SELECT source, max(h) AS h_k, CAST(count(*) AS BIGINT) AS n_in
+              FROM (SELECT source, h,
+                           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                    FROM hv)
+              WHERE rn <= 64 GROUP BY source),
+      est AS (
+        SELECT e.source, e.n_exact,
+               CASE WHEN k.n_in < 64 THEN e.n_exact
+                    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+                              // k.h_k AS BIGINT) END AS est
+        FROM exact e JOIN kth k ON e.source = k.source)
+      SELECT source, n_exact, est,
+             CAST((CAST(1000000 AS HUGEINT) * abs(est - n_exact))
+                  // greatest(n_exact, 1) AS BIGINT) AS err_ppm
+      FROM est ORDER BY source""")),
+
+    // ---- Fellegi–Sunter scored linkage: top-50 blocked customer
+    //      pairs by accumulated field evidence; the oracle re-derives
+    //      the u rates from the same value counts, re-rounds the same
+    //      four nanos weights, and replays every pair score.
+    ("q200_fellegi_sunter", (s: SparkSession, dir: String) => {
+      fellegiSunter(Tables(s, dir).customer, topK = 50)
+    }, Some {
+      def w(f: String, alias: String) = s"""
+        (SELECT CAST(round((ln(950000 / 1e6) - ln(CAST(num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000000) AS BIGINT) AS wa_$alias,
+                CAST(round((ln(1.0 - 950000 / 1e6) - ln(1.0 - CAST(num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000000) AS BIGINT) AS wd_$alias
+         FROM (SELECT SUM(CAST(cv AS HUGEINT) * (cv - 1)) AS num
+               FROM (SELECT count(*) AS cv FROM c GROUP BY $f)) CROSS JOIN n)"""
+      s"""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS f_sign,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS f_b1000,
+               CAST(floor(c_acctbal / 100) AS BIGINT) AS f_b100
+        FROM customer),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      w1 AS ${w("f_sign", "sign")},
+      w2 AS ${w("f_b1000", "b1000")},
+      w3 AS ${w("f_b100", "b100")}
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(a.f_sign = b.f_sign AS BIGINT) AS agree_sign,
+             CAST(a.f_b1000 = b.f_b1000 AS BIGINT) AS agree_b1000,
+             CAST(a.f_b100 = b.f_b100 AS BIGINT) AS agree_b100,
+             (CASE WHEN a.f_sign = b.f_sign THEN wa_sign ELSE wd_sign END
+              + CASE WHEN a.f_b1000 = b.f_b1000 THEN wa_b1000 ELSE wd_b1000 END
+              + CASE WHEN a.f_b100 = b.f_b100 THEN wa_b100 ELSE wd_b100 END)
+               AS score_nanos
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+      CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3
+      ORDER BY score_nanos DESC, id_a, id_b LIMIT 50"""
+    })
   )
 }

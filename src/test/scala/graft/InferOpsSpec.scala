@@ -140,4 +140,70 @@ class InferOpsSpec extends SparkSpec {
     val zz = rows.find(_.getAs[Long]("q_id") === -1L).get
     assert(zz.getAs[Long]("ap_micros") === 500000L)
   }
+
+  test("NB lang ID: disjoint vocabularies classify the holdout perfectly") {
+    val docs = ((1L to 20L).map(i => (i, "apple banana cherry", "aa"))
+      ++ (21L to 40L).map(i => (i, "zebra yak walrus", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val rows = InferOps.nbLangId(docs, folds = 5).collect()
+    val zz = rows.find(_.getAs[String]("lang") === "zz").get
+    assert(zz.getAs[Long]("n_docs") > 0L) // the hash split has a holdout
+    assert(zz.getAs[Long]("row_ppm") === 1000000L) // perfect accuracy
+    // confusion matrix is purely diagonal
+    assert(rows.filter(r => r.getAs[String]("lang") != "zz")
+      .forall(r => r.getAs[String]("lang") === r.getAs[String]("pred")))
+  }
+
+  test("item CF: co-purchase cosine and the minSupport floor") {
+    // baskets {p1,p2}, {p1,p2}, {p1,p3}: c1=3, c2=2, c3=1;
+    // (p1,p2) c_ab=2 → cos² = 4e6/6 = 666666; (p1,p3) dropped (< 2)
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val rows = InferOps.itemNeighbors(li, minSupport = 2, neighborsPerItem = 3)
+      .collect()
+    assert(rows.length === 2)
+    val m = rows.map(r => r.getAs[Long]("item") ->
+      ((r.getAs[Long]("neighbor"), r.getAs[Long]("c_ab"),
+        r.getAs[Long]("cos2_ppm")))).toMap
+    assert(m(1L) === ((2L, 2L, 666666L)))
+    assert(m(2L) === ((1L, 2L, 666666L)))
+  }
+
+  test("KMV sketch: below k the estimate is exact; at k it follows the k-th hash") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val small = (1L to 3L).map(i => ("g", s"v$i")).toDF("g", "v")
+    val r3 = InferOps.kmvDistinct(small, "g", fcol("v"), k = 4).collect().head
+    assert(r3.getAs[Long]("n_exact") === 3L)
+    assert(r3.getAs[Long]("est") === 3L)
+    assert(r3.getAs[Long]("err_ppm") === 0L)
+    // 10 distinct values, k=4: est = 3·2^60 / h_4, replayed independently
+    val big = (1L to 10L).map(i => ("g", s"v$i")).toDF("g", "v")
+    val h4 = big.select(
+        graft.text.TextStats.portableHash64(fcol("v")).as("h"))
+      .orderBy(fcol("h")).limit(4).orderBy(fcol("h").desc).limit(1)
+      .collect().head.getAs[Long]("h")
+    val rb = InferOps.kmvDistinct(big, "g", fcol("v"), k = 4).collect().head
+    assert(rb.getAs[Long]("n_exact") === 10L)
+    assert(rb.getAs[Long]("est") ===
+      (BigInt(3) * BigInt("1152921504606846976") / BigInt(h4)).toLong)
+  }
+
+  test("Fellegi-Sunter: full agreement outranks partial, flags are per-field") {
+    // one block, balances 100 / 150 / 5000: pair (1,2) agrees on all
+    // three fields, pairs with 3 disagree on both bucket fields
+    val cust = Seq((1L, 1, "SEG", 100.0), (2L, 1, "SEG", 150.0),
+      (3L, 1, "SEG", 5000.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val rows = InferOps.fellegiSunter(cust, topK = 10).collect()
+    assert(rows.length === 3)
+    val top = rows.head
+    assert((top.getAs[Long]("id_a"), top.getAs[Long]("id_b")) === ((1L, 2L)))
+    assert(top.getAs[Long]("agree_sign") === 1L)
+    assert(top.getAs[Long]("agree_b1000") === 1L)
+    assert(top.getAs[Long]("agree_b100") === 1L)
+    val p13 = rows.find(r => r.getAs[Long]("id_b") === 3L).get
+    assert(p13.getAs[Long]("agree_b1000") === 0L)
+    assert(p13.getAs[Long]("agree_b100") === 0L)
+    assert(top.getAs[Long]("score_nanos") > p13.getAs[Long]("score_nanos"))
+  }
 }
