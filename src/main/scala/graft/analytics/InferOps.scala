@@ -780,6 +780,275 @@ object InferOps {
            AND a.c_custkey < b.c_custkey
       CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3
       ORDER BY score_nanos DESC, id_a, id_b LIMIT 50"""
-    })
+    }),
+
+    // ---- Nelson–Aalen cumulative hazard over the q175 risk table:
+    //      H(t) = Σ_{t_i ≤ t} d_i/n_i in per-term floored micros — the
+    //      additive companion of Kaplan–Meier's product (more stable at
+    //      small risk sets, and the quantity hazard-ratio models fit).
+    //      Same right-censoring construction as q175; the cumulative
+    //      sum is a day-table window (span-bounded, never corpus-
+    //      bounded). Zero-death days contribute exactly 0, so
+    //      filtering them before the running sum is identity-safe and
+    //      both engines do it in the same order.
+    ("q201_nelson_aalen", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .transform(graft.Stage.mat)
+      val span = ev.agg(max(col("d")).as("d1"))
+      val entry = ev.groupBy(col("user_id")).agg(min(col("d")).as("ad"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("d")).as("pd"))
+      val users = entry.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(span))
+        .selectExpr(
+          "CASE WHEN pd IS NOT NULL THEN datediff(pd, ad) ELSE datediff(d1, ad) END AS e_off",
+          "CAST(pd IS NOT NULL AS INT) AS is_death")
+      val days = users.groupBy(col("e_off"))
+        .agg(count(lit(1)).as("n_end"), sum(col("is_death")).cast("long").as("d"))
+      val tot = days.agg(sum(col("n_end")).as("n_total"))
+      val wH = Window.orderBy(col("e_off")) // day-table sized
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.crossJoin(broadcast(tot))
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_end")).over(Window.orderBy(col("e_off"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .selectExpr("e_off", "n_total - cum_prev AS n", "d")
+        .filter(col("d") > 0)
+        .withColumn("h_term_micros", expr("(1000000 * d) DIV n"))
+        .withColumn("h_micros", sum(col("h_term_micros")).over(wH))
+        .selectExpr("CAST(e_off AS BIGINT) AS day_off", "n AS n_risk",
+          "d AS n_deaths", "h_term_micros", "h_micros")
+        .orderBy(col("day_off"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL),
+      span AS (SELECT MAX(d) AS d1 FROM ev),
+      entry AS (SELECT user_id, MIN(d) AS ad FROM ev GROUP BY user_id),
+      conv AS (SELECT user_id, MIN(d) AS pd FROM ev
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      users AS (
+        SELECT CASE WHEN pd IS NOT NULL THEN datediff('day', ad, pd)
+                    ELSE datediff('day', ad, d1) END AS e_off,
+               CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS is_death
+        FROM entry LEFT JOIN conv USING (user_id) CROSS JOIN span),
+      days AS (
+        SELECT e_off, CAST(count(*) AS BIGINT) AS n_end,
+               CAST(SUM(is_death) AS BIGINT) AS d
+        FROM users GROUP BY e_off),
+      risk AS (
+        SELECT e_off,
+               CAST((SELECT SUM(n_end) FROM days) AS BIGINT)
+                 - CAST(COALESCE(SUM(n_end) OVER (ORDER BY e_off
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n,
+               d
+        FROM days),
+      ev_days AS (
+        SELECT e_off, n, d, (1000000 * d) // n AS h_term_micros
+        FROM risk WHERE d > 0)
+      SELECT CAST(e_off AS BIGINT) AS day_off, n AS n_risk, d AS n_deaths,
+             CAST(h_term_micros AS BIGINT) AS h_term_micros,
+             CAST(SUM(h_term_micros) OVER (ORDER BY e_off) AS BIGINT) AS h_micros
+      FROM ev_days ORDER BY day_off""")),
+
+    // ---- U-shaped (position-based) multi-touch attribution: each
+    //      purchase splits 1e6 ppm of credit over its 3-day-lookback
+    //      touches — 40/20/40 first/middles/last (k=1 → all, k=2 →
+    //      half each), with the middle rounding remainder assigned to
+    //      the first touch so every conversion's credit sums to
+    //      EXACTLY 1e6. The zz row certifies conservation in-plan:
+    //      total credit = 1e6 × attributed conversions. The fractional
+    //      upgrade of q188's winner-takes-all bookends.
+    //
+    //      Scale shape: the lookback join is user-keyed and 3-day
+    //      bounded (the q188 argument); position ranks are per-
+    //      conversion windows over that bounded fan-out; channel
+    //      aggregation is map-side combined.
+    ("q202_position_attribution", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"), col("ts").as("pts"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts").as("tts"), col("event_id").as("tid"))
+      val j = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("pts")
+          && col("tts") >= col("pts") - expr("INTERVAL 3 DAYS"))
+      val wRank = Window.partitionBy(col("conv_id")).orderBy(col("tts"), col("tid"))
+      val wK = Window.partitionBy(col("conv_id"))
+      val credited = j
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("k", count(lit(1)).over(wK))
+        .selectExpr("conv_id", "channel",
+          """CASE WHEN k = 1 THEN 1000000
+                  WHEN k = 2 AND rn = 1 THEN 500000
+                  WHEN k = 2 THEN 500000
+                  WHEN rn = 1 THEN 400000 + 200000 % (k - 2)
+                  WHEN rn = k THEN 400000
+                  ELSE 200000 DIV (k - 2) END AS w""")
+        .transform(graft.Stage.mat) // feeds the channel agg and the zz cert
+      val per = credited.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("w")).as("credit_ppm"))
+      val zz = credited.agg(countDistinct(col("conv_id")).as("nc"),
+          sum(col("w")).as("credit_ppm"))
+        .selectExpr("'zz' AS channel", "nc AS n_touches", "credit_ppm")
+      per.unionByName(zz).orderBy(col("channel"))
+    }, Some("""
+      WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS pts
+        FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, event_type AS channel, ts AS tts, event_id AS tid
+        FROM events WHERE user_id IS NOT NULL AND event_type <> 'purchase'),
+      j AS (
+        SELECT conv.conv_id, touch.channel, touch.tts, touch.tid
+        FROM conv JOIN touch ON conv.user_id = touch.user_id
+        WHERE touch.tts < conv.pts AND touch.tts >= conv.pts - INTERVAL 3 DAY),
+      ranked AS (
+        SELECT conv_id, channel,
+               CAST(row_number() OVER (PARTITION BY conv_id
+                 ORDER BY tts, tid) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k
+        FROM j),
+      credited AS (
+        SELECT conv_id, channel,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN k = 2 THEN 500000
+                    WHEN rn = 1 THEN 400000 + 200000 % (k - 2)
+                    WHEN rn = k THEN 400000
+                    ELSE 200000 // (k - 2) END AS w
+        FROM ranked),
+      per AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(SUM(w) AS BIGINT) AS credit_ppm
+        FROM credited GROUP BY channel),
+      zz AS (
+        SELECT 'zz' AS channel,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_touches,
+               CAST(SUM(w) AS BIGINT) AS credit_ppm
+        FROM credited)
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY channel""")),
+
+    // ---- seasonally-adjusted volume anomalies: per (event type,
+    //      day-of-week) baseline mean in micros, then the top-10 days
+    //      by relative deviation from THEIR OWN weekday's baseline —
+    //      the detector that doesn't page on every weekend dip the way
+    //      a flat q111-style threshold does. Day-of-week is epoch-day
+    //      mod 7 (engine-portable; both DATE part functions disagree
+    //      on week start). Day-table-sized after one count aggregate.
+    ("q203_seasonal_anomaly", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow7",
+          expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT) % 7"))
+        .transform(graft.Stage.mat) // feeds the baseline and the scoring
+      val base = daily.groupBy(col("event_type"), col("dow7"))
+        .agg(expr("(1000000 * SUM(c)) DIV count(*)").as("mean_micros"))
+      daily.join(base, Seq("event_type", "dow7"))
+        .selectExpr("event_type", "day", "c AS n_events", "dow7", "mean_micros",
+          """(1000000 * abs(c * 1000000 - mean_micros))
+             DIV greatest(mean_micros, 1) AS dev_ppm""")
+        .orderBy(col("dev_ppm").desc, col("event_type"), col("day"))
+        .limit(10)
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      dd AS (
+        SELECT event_type, day, c,
+               CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) % 7 AS dow7
+        FROM daily),
+      base AS (
+        SELECT event_type, dow7,
+               CAST((1000000 * SUM(c)) // count(*) AS BIGINT) AS mean_micros
+        FROM dd GROUP BY event_type, dow7)
+      SELECT dd.event_type, dd.day, dd.c AS n_events, dd.dow7, base.mean_micros,
+             CAST((1000000 * abs(dd.c * 1000000 - base.mean_micros))
+                  // greatest(base.mean_micros, 1) AS BIGINT) AS dev_ppm
+      FROM dd JOIN base ON dd.event_type = base.event_type AND dd.dow7 = base.dow7
+      ORDER BY dev_ppm DESC, dd.event_type, dd.day LIMIT 10""")),
+
+    // ---- Holt one-step-ahead forecast backtest with MASE: replay the
+    //      q176 recurrence per user, scoring each step's forecast
+    //      l+b against the realized value and against the naive
+    //      last-value forecast — MASE = Σ|e_model| / Σ|e_naive| in ppm
+    //      (Hyndman & Koehler 2006), the scale-free "is the model
+    //      beating persistence" scoreboard, plus a pooled zz row. Same
+    //      fold-state discipline as q176 (the accumulator carries
+    //      l, b, prev, and both error sums; the oracle's LIST
+    //      accumulator avoids DuckDB's struct field-mutation order).
+    ("q204_forecast_backtest", (s: SparkSession, dir: String) => {
+      val per = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .selectExpr("user_id", "ts", "event_id",
+          "CAST(floor(value * 1000000) AS BIGINT) AS xm")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("xm"))))
+            .as("seq"))
+        .selectExpr("user_id", "n_events",
+          """aggregate(slice(transform(seq, e -> e.xm), 2, size(seq) - 1),
+               named_struct('l', element_at(transform(seq, e -> e.xm), 1),
+                            'b', CAST(0 AS BIGINT),
+                            'p', element_at(transform(seq, e -> e.xm), 1),
+                            'sm', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'l', (500000 * x + 500000 * (acc.l + acc.b)) DIV 1000000,
+                 'b', (300000 * (((500000 * x + 500000 * (acc.l + acc.b))
+                                  DIV 1000000) - acc.l)
+                       + 700000 * acc.b) DIV 1000000,
+                 'p', x,
+                 'sm', acc.sm + abs(x - (acc.l + acc.b)),
+                 'sn', acc.sn + abs(x - acc.p))) AS st""")
+        .selectExpr("user_id", "n_events", "st.sm AS sae_model",
+          "st.sn AS sae_naive",
+          "(1000000 * st.sm) DIV greatest(st.sn, 1) AS mase_ppm")
+        .transform(graft.Stage.mat) // feeds the output and the zz pool
+      val zz = per.agg(sum(col("n_events")).as("n_events"),
+          sum(col("sae_model")).as("sae_model"),
+          sum(col("sae_naive")).as("sae_naive"))
+        .selectExpr("CAST(-1 AS BIGINT) AS user_id", "n_events",
+          "sae_model", "sae_naive",
+          "(1000000 * sae_model) DIV greatest(sae_naive, 1) AS mase_ppm")
+      per.unionByName(zz).orderBy(col("user_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS xm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      folded AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               list_reduce(
+                 list_transform(list(xm ORDER BY ts, event_id),
+                   v -> [v, 0::BIGINT, v, 0::BIGINT, 0::BIGINT]),
+                 (acc, x) -> [
+                   (500000 * x[1] + 500000 * (acc[1] + acc[2])) // 1000000,
+                   (300000 * (((500000 * x[1] + 500000 * (acc[1] + acc[2]))
+                               // 1000000) - acc[1])
+                    + 700000 * acc[2]) // 1000000,
+                   x[1],
+                   acc[4] + abs(x[1] - (acc[1] + acc[2])),
+                   acc[5] + abs(x[1] - acc[3])]) AS st
+        FROM f GROUP BY user_id),
+      per AS (
+        SELECT user_id, n_events,
+               CAST(st[4] AS BIGINT) AS sae_model,
+               CAST(st[5] AS BIGINT) AS sae_naive,
+               CAST((1000000 * st[4]) // greatest(st[5], 1) AS BIGINT) AS mase_ppm
+        FROM folded),
+      zz AS (
+        SELECT CAST(-1 AS BIGINT) AS user_id,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(sae_model) AS BIGINT) AS sae_model,
+               CAST(SUM(sae_naive) AS BIGINT) AS sae_naive,
+               CAST((1000000 * SUM(sae_model))
+                    // greatest(SUM(sae_naive), 1) AS BIGINT) AS mase_ppm
+        FROM per)
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY user_id"""))
   )
 }

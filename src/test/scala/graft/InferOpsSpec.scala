@@ -206,4 +206,83 @@ class InferOpsSpec extends SparkSpec {
     assert(p13.getAs[Long]("agree_b100") === 0L)
     assert(top.getAs[Long]("score_nanos") > p13.getAs[Long]("score_nanos"))
   }
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("infer_fix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("Nelson-Aalen: hazard terms and the running sum match hand arithmetic") {
+    // u1 converts day 0, u2/u3 day 2, u4 censored at day 4:
+    // day 0: 4 at risk, 1 death → term 250000, H 250000
+    // day 2: 3 at risk, 2 deaths → term 666666, H 916666
+    val dir = writeEvents(Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 09:00:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 08:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-03 08:00:00"), 2L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-01 08:00:00"), 3L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-03 09:00:00"), 3L, "purchase", 1.0, "{}"),
+      (7L, ts("2024-01-01 08:00:00"), 4L, "view", 1.0, "{}"),
+      (8L, ts("2024-01-05 08:00:00"), 4L, "view", 1.0, "{}")))
+    val out = SparkEntry.queries("q201_nelson_aalen")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day_off"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_deaths"), r.getAs[Long]("h_term_micros"),
+        r.getAs[Long]("h_micros")))
+    assert(out.toSeq === Seq((0L, 4L, 1L, 250000L, 250000L),
+      (2L, 3L, 2L, 666666L, 916666L)))
+  }
+
+  test("position attribution: U-shape weights, k<=2 cases, and conservation") {
+    // u1: view,click,view then purchase → 400000/200000/400000;
+    // u2: click,error then purchase → 500000/500000
+    val dir = writeEvents(Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-02 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-02 12:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-02 13:00:00"), 1L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-02 10:00:00"), 2L, "click", 1.0, "{}"),
+      (6L, ts("2024-01-02 11:00:00"), 2L, "error", 1.0, "{}"),
+      (7L, ts("2024-01-02 12:00:00"), 2L, "purchase", 1.0, "{}")))
+    val out = SparkEntry.queries("q202_position_attribution")(spark, dir).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("n_touches"),
+        r.getAs[Long]("credit_ppm")))
+    assert(out.toSeq === Seq(("click", 2L, 700000L), ("error", 1L, 500000L),
+      ("view", 2L, 800000L), ("zz", 2L, 2000000L)))
+  }
+
+  test("seasonal anomaly: deviation is measured against the SAME weekday") {
+    // Mondays 10 vs 30 (mean 20 → dev 500000 each); Tuesdays 20 vs 20
+    def burst(idBase: Long, day: String, n: Int) =
+      (0 until n).map(i => (idBase + i, ts(s"$day 10:00:${"%02d".format(i)}"),
+        1L, "view", 1.0, "{}"))
+    val dir = writeEvents(
+      burst(100L, "2024-01-01", 10) ++ burst(200L, "2024-01-08", 30)
+        ++ burst(300L, "2024-01-02", 20) ++ burst(400L, "2024-01-09", 20))
+    val out = SparkEntry.queries("q203_seasonal_anomaly")(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_events"), r.getAs[Long]("mean_micros"),
+        r.getAs[Long]("dev_ppm")))
+    assert(out.take(2).toSeq === Seq(("2024-01-01", 10L, 20000000L, 500000L),
+      ("2024-01-08", 30L, 20000000L, 500000L)))
+    assert(out.drop(2).forall(_._4 === 0L))
+  }
+
+  test("forecast backtest: model and naive error sums replay the Holt fold") {
+    // values 1,2,4: e_model = 1e6 then 2.35e6 (forecast 1.65e6),
+    // e_naive = 1e6 then 2e6 → MASE = 1e6·3350000/3000000 = 1116666
+    val dir = writeEvents(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 7L, "view", 4.0, "{}")))
+    val out = SparkEntry.queries("q204_forecast_backtest")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("sae_model"), r.getAs[Long]("sae_naive"),
+        r.getAs[Long]("mase_ppm")))
+    assert(out.toSeq === Seq((-1L, 3L, 3350000L, 3000000L, 1116666L),
+      (7L, 3L, 3350000L, 3000000L, 1116666L)))
+  }
 }
