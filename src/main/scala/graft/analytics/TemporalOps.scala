@@ -1001,6 +1001,123 @@ object TemporalOps {
              CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
              CAST((num * num * 1000000) // greatest(dv * dp, 1) AS BIGINT) AS r2_micros
       FROM num CROSS JOIN den
-      ORDER BY lag"""))
+      ORDER BY lag""")),
+
+    // ---- Mann-Kendall trend test on the daily event volume — the
+    //      nonparametric "is this series drifting" answer q183's
+    //      autocorrelation and q182's CUSUM both presuppose. ENTIRELY
+    //      integer: S = Σ_{i<j} sign(x_j − x_i) over ordered day
+    //      pairs; the tie-corrected variance rides ×18
+    //      (var18 = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5), so no /18
+    //      ever happens); significance at 95% compares the
+    //      continuity-corrected z² as the exact integer inequality
+    //      10000·18·(|S|−1)² > 38416·var18 (1.96² = 3.8416). No sqrt,
+    //      no float — both engines replay the decision bit-for-bit.
+    //
+    //      Scale shape: day-pair join is span-bounded O(days²), the
+    //      tie table is value-bounded; the corpus contributes one
+    //      count-by-day aggregate and nothing else.
+    ("q206_mann_kendall", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+        .groupBy(col("od")).agg(count(lit(1)).as("x"))
+        .transform(graft.Stage.mat) // feeds the pair join, ties, and n
+      val sAgg = daily.select(col("od"), col("x"))
+        .join(daily.selectExpr("od AS od2", "x AS x2"), expr("od < od2"))
+        .agg(coalesce(sum(signum(col("x2") - col("x")).cast("long")), lit(0L)).as("s"))
+      val nTies = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t")).cast("long"), lit(0L)).as("n"),
+          coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie18"))
+      sAgg.crossJoin(broadcast(nTies))
+        .selectExpr("n AS n_days", "s",
+          "n * (n - 1) * (2 * n + 5) - tie18 AS var18")
+        .selectExpr("n_days", "s", "var18",
+          """CASE WHEN abs(s) > 0
+                   AND 10000 * 18 * (abs(s) - 1) * (abs(s) - 1) > 38416 * var18
+                  THEN (CASE WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END)
+                  ELSE 'no_trend' END AS trend""")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY od),
+      sv AS (
+        SELECT COALESCE(CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+        FROM daily a JOIN daily b ON a.od < b.od),
+      ties AS (
+        SELECT COALESCE(CAST(SUM(t) AS BIGINT), 0) AS n,
+               COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie18
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x))
+      SELECT n AS n_days, s,
+             n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+             CASE WHEN abs(s) > 0
+                   AND 10000 * 18 * (abs(s) - 1) * (abs(s) - 1) > 38416 * (n * (n - 1) * (2 * n + 5) - tie18)
+                  THEN (CASE WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END)
+                  ELSE 'no_trend' END AS trend
+      FROM sv CROSS JOIN ties""")),
+
+    // ---- Theil-Sen robust trend line of the daily event volume — the
+    //      estimator q206 says exists and q140's OLS can't protect
+    //      from outlier days (one traffic spike drags a least-squares
+    //      slope; the median of pairwise slopes shrugs it off).
+    //      Exact-integer convention: each pair contributes
+    //      slope_micros = (Δx · 1e6) DIV Δday (truncating DIV, both
+    //      engines truncate toward zero); the estimate is the LOWER
+    //      MEDIAN (rank ceil(n/2) of the ordered multiset) — a
+    //      deterministic element of the data, no averaging of middles,
+    //      no float. Intercept = lower median of x_i·1e6 − slope·od_i
+    //      over the days, the standard Theil-Sen companion.
+    //
+    //      Scale shape: O(days²) pairs + two bounded rank windows —
+    //      span-bounded throughout; corpus contributes one aggregate.
+    ("q207_theil_sen", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+        .groupBy(col("od")).agg(count(lit(1)).as("x"))
+        .transform(graft.Stage.mat) // feeds slopes and the intercept pass
+      val slopes = daily.select(col("od"), col("x"))
+        .join(daily.selectExpr("od AS od2", "x AS x2"), expr("od < od2"))
+        .selectExpr("((x2 - x) * 1000000) DIV (od2 - od) AS sl")
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("sl"))
+      val med = slopes
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(expr("rn = (n + 1) DIV 2"))
+        .select(col("sl").as("slope_micros"), col("n").as("n_pairs"))
+      val wDay = org.apache.spark.sql.expressions.Window.orderBy(col("ic"))
+      daily.crossJoin(broadcast(med))
+        .selectExpr("slope_micros", "n_pairs", "x * 1000000 - slope_micros * od AS ic")
+        .withColumn("rn", row_number().over(wDay))
+        .withColumn("nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(expr("rn = (nd + 1) DIV 2"))
+        .selectExpr("n_pairs", "CAST(nd AS BIGINT) AS n_days", "slope_micros",
+          "ic AS intercept_micros")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY od),
+      slopes AS (
+        SELECT ((b.x - a.x) * 1000000) // (b.od - a.od) AS sl
+        FROM daily a JOIN daily b ON a.od < b.od),
+      med AS (
+        SELECT sl AS slope_micros, n AS n_pairs
+        FROM (SELECT sl, row_number() OVER (ORDER BY sl) AS rn,
+                     CAST(count(*) OVER () AS BIGINT) AS n
+              FROM slopes)
+        WHERE rn = (n + 1) // 2),
+      ics AS (
+        SELECT m.slope_micros, m.n_pairs,
+               d.x * 1000000 - m.slope_micros * d.od AS ic
+        FROM daily d CROSS JOIN med m)
+      SELECT n_pairs, CAST(nd AS BIGINT) AS n_days, slope_micros,
+             ic AS intercept_micros
+      FROM (SELECT *, row_number() OVER (ORDER BY ic) AS rn,
+                   count(*) OVER () AS nd
+            FROM ics)
+      WHERE rn = (nd + 1) // 2"""))
   )
 }

@@ -54,6 +54,12 @@ object GraftFunctions {
   def damerauLevenshtein(a: Column, b: Column): Column =
     col(DamerauLevenshtein(expr(a), expr(b)))
 
+  /** Jaro-Winkler similarity as exact integer micros (round-half-up of
+    * the exact rational; no doubles) — see [[JaroWinklerMicros]].
+    */
+  def jaroWinklerMicros(a: Column, b: Column): Column =
+    col(JaroWinklerMicros(expr(a), expr(b)))
+
   /** Position-ordered engine-portable k-gram hashes (md5-derived 60-bit
     * keys; element i = gram at token i+1) — see [[PortableShingles]].
     */
@@ -130,6 +136,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => PortableWinnow(es(0), litInt(es, 1), litInt(es, 2)), "built-in")
     reg.createOrReplaceTempFunction("damerau_levenshtein",
       (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler_micros",
+      (es: Seq[Expression]) => JaroWinklerMicros(es(0), es(1)), "built-in")
   }
 
   private def litInt(es: Seq[Expression], pos: Int): Int = es(pos) match {

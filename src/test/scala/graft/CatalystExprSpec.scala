@@ -254,4 +254,57 @@ class CatalystExprSpec extends SparkSpec {
       assert(dl >= math.abs(a.length - b.length), s"dl under length bound for ($a, $b)")
     }
   }
+
+  test("jaro_winkler_micros: exact-rational micros, locked semantics") {
+    val cases = Seq(
+      // textbook values (round-half-up micros of the exact rational)
+      ("MARTHA", "MARHTA", 961111L),      // jaro 17/18, prefix 3
+      ("DIXON", "DICKSONX", 813333L),     // jaro 23/30, prefix 2
+      ("DWAYNE", "DUANE", 840000L),
+      ("JELLYFISH", "SMELLYFISH", 896296L), // no common prefix → jw = jaro
+      ("CRATE", "TRACE", 733333L),
+      ("abc", "abc", 1000000L),
+      ("", "abc", 0L), ("abc", "", 0L), ("", "", 0L),
+      ("a", "b", 0L),
+      ("ab", "ba", 0L),                   // window 0 → no matches
+      // boost threshold is jaro >= 0.7 (INCLUSIVE — the convention
+      // reference libraries use): jaro here is exactly 0.7, prefix 1
+      ("aadbc", "addbba", 730000L),
+      // below 0.7 → NO boost even with a 4-char common prefix
+      ("abcdxxxxxx", "abcdyyyyyy", 600000L),
+      // prefix capped at 4: jaro 17/24 -> + 4*0.1*(7/24)
+      ("ab", "abcdefghijklmnop", 766667L))
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .withColumn("jw", GraftFunctions.jaroWinklerMicros(col("a"), col("b")))
+      .select("jw").as[Long].collect()
+    assert(got.toSeq === cases.map(_._3))
+    // codepoint-level (NOT byte-level): against a reference byte-level
+    // engine this diverges on multibyte text — documented; ASCII agrees
+    val uni = Seq(("naïve", "naive"))
+      .toDF("a", "b")
+      .select(GraftFunctions.jaroWinklerMicros(col("a"), col("b")))
+      .as[Long].collect().head
+    // codepoints: la=lb=5, m=4, t=0, prefix "na" → jaro 13/15, jw 893333
+    assert(uni === 893333L)
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String]))
+      .toDF("a", "b")
+      .select(GraftFunctions.jaroWinklerMicros(col("a"), col("b")))
+      .collect().head
+    assert(n.isNullAt(0))
+    // range + symmetry + identity fuzz
+    val rnd = new scala.util.Random(13)
+    val fuzz = Seq.fill(300)((rnd.alphanumeric.take(rnd.nextInt(10)).mkString,
+      rnd.alphanumeric.take(rnd.nextInt(10)).mkString)).toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.jaroWinklerMicros(col("a"), col("b")).as("ab"),
+        GraftFunctions.jaroWinklerMicros(col("b"), col("a")).as("ba"),
+        GraftFunctions.jaroWinklerMicros(col("a"), col("a")).as("aa"))
+      .as[(String, String, Long, Long, Long)].collect()
+    fuzz.foreach { case (a, b, ab, ba, aa) =>
+      assert(ab >= 0L && ab <= 1000000L, s"out of range for ($a, $b)")
+      assert(ab === ba, s"asymmetric for ($a, $b)")
+      assert(a.isEmpty || aa === 1000000L, s"self-sim != 1 for $a")
+    }
+  }
 }

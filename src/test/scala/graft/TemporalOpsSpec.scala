@@ -181,6 +181,54 @@ class TemporalOpsSpec extends SparkSpec {
       (3L, 1L, -250000L)))
   }
 
+  test("Mann-Kendall flags a monotone series and zeroes out on constants") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(dir: String, counts: Seq[Int]): Unit =
+      counts.zipWithIndex.flatMap { case (n, i) =>
+        (1 to n).map(j => (i * 100L + j,
+          ts(f"2024-01-${i + 1}%02d 10:00:00"), 1L, "view", 0.0, "{}"))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // 1,2,3,4,5: S = C(5,2) = 10, no ties → var18 = 5·4·15 = 300;
+    // 10000·18·81 = 14,580,000 > 38416·300 = 11,524,800 → increasing
+    val d1 = java.nio.file.Files.createTempDirectory("mk_inc").toString
+    write(d1, Seq(1, 2, 3, 4, 5))
+    val r1 = SparkEntry.queries("q206_mann_kendall")(spark, d1).collect().head
+    assert((r1.getAs[Long]("n_days"), r1.getAs[Long]("s"),
+      r1.getAs[Long]("var18"), r1.getAs[String]("trend")) ===
+      ((5L, 10L, 300L, "increasing")))
+    // constant 2,2,2: S = 0 and the single tie group t=3 cancels the
+    // variance entirely (var18 = 66 − 66 = 0) → no_trend
+    val d2 = java.nio.file.Files.createTempDirectory("mk_const").toString
+    write(d2, Seq(2, 2, 2))
+    val r2 = SparkEntry.queries("q206_mann_kendall")(spark, d2).collect().head
+    assert((r2.getAs[Long]("n_days"), r2.getAs[Long]("s"),
+      r2.getAs[Long]("var18"), r2.getAs[String]("trend")) ===
+      ((3L, 0L, 0L, "no_trend")))
+  }
+
+  test("Theil-Sen shrugs off the outlier day that would drag an OLS slope") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("ts_fix").toString
+    // counts 1,3,5,100: pairwise slopes (micros)
+    // [2e6, 2e6, 33e6, 2e6, 48.5e6, 95e6] → lower median (rank 3 of 6)
+    // = 2e6, the true pre-outlier slope. Intercept is at the epoch
+    // origin (od = days since 1970, same x both engines use):
+    // x·1e6 − 2e6·od = −39445e6 for the three on-trend days, 60548e6
+    // for the outlier → lower median (rank 2 of 4) = −39445e6
+    Seq(1, 3, 5, 100).zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(j => (i * 1000L + j,
+        ts(f"2024-01-${i + 1}%02d 10:00:00"), 1L, "view", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q207_theil_sen")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_days"),
+      r.getAs[Long]("slope_micros"), r.getAs[Long]("intercept_micros")) ===
+      ((6L, 4L, 2000000L, -39445000000L)))
+  }
+
   test("rolling RANGE window shrinks over calendar gaps instead of spanning them") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
