@@ -174,6 +174,64 @@ object AuditOps {
         UNION ALL SELECT 'totalprice_positive', n, v_range FROM a
         UNION ALL SELECT 'status_domain', n, v_domain FROM a)
       SELECT rule, n_checked, n_violations, (n_violations = 0) AS passed
-      FROM rules ORDER BY rule"""))
+      FROM rules ORDER BY rule""")),
+
+    // ---- k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    //      et al. 2007) over the customer table: quasi-identifier =
+    //      (nation, market segment), sensitive attribute = account
+    //      balance bucketed to thousands. Emits the equivalence-class
+    //      SIZE histogram (kind='k_hist': how many QI groups of size k,
+    //      covering how many rows), the re-identification risk row
+    //      (kind='at_risk': rows in groups smaller than k=5 — the
+    //      release gate a privacy review reads first), and the
+    //      minimum-l row (kind='l_div_min': the least-diverse group's
+    //      distinct-sensitive count — l=1 means the QI reveals the
+    //      sensitive value outright). The whole audit is one groupBy
+    //      over the QI key (map-side combined, bucketable) + three
+    //      constant-size aggregates of the GROUP table — group-count
+    //      state only, never row state; at 100 TB the QI cardinality
+    //      (nations × segments) bounds everything downstream of the
+    //      first agg. The oracle replays the same three readouts.
+    ("q210_k_anonymity", (s: SparkSession, dir: String) => {
+      val groups = Tables(s, dir).customer
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")).as("l"))
+        .transform(graft.Stage.mat)
+      val hist = groups.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+        .select(lit("k_hist").as("kind"), col("k"), col("n_groups"), col("n_rows"))
+      val risk = groups.filter(col("k") < 5)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_groups"),
+          coalesce(sum(col("k")), lit(0L)).as("n_rows"))
+        .select(lit("at_risk").as("kind"), lit(5L).as("k"),
+          col("n_groups"), col("n_rows"))
+      val lmin = groups.groupBy(col("l"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+        .orderBy(col("l")).limit(1)
+        .select(lit("l_div_min").as("kind"), col("l").as("k"),
+          col("n_groups"), col("n_rows"))
+      hist.unionByName(risk).unionByName(lmin)
+        .orderBy(col("kind"), col("k"))
+    }, Some("""
+      WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+      hist AS (
+        SELECT 'k_hist' AS kind, k, CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(SUM(k) AS BIGINT) AS n_rows
+        FROM groups GROUP BY k),
+      risk AS (
+        SELECT 'at_risk' AS kind, CAST(5 AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(COALESCE(SUM(k), 0) AS BIGINT) AS n_rows
+        FROM groups WHERE k < 5),
+      lmin AS (
+        SELECT 'l_div_min' AS kind, l AS k, CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(SUM(k) AS BIGINT) AS n_rows
+        FROM groups GROUP BY l ORDER BY l LIMIT 1)
+      SELECT * FROM hist UNION ALL SELECT * FROM risk UNION ALL SELECT * FROM lmin
+      ORDER BY kind, k"""))
   )
 }

@@ -525,6 +525,108 @@ object GraphOps {
             DIV greatest(CAST(varx_m AS DECIMAL(38,0)) * vary_m, 1) AS BIGINT) AS r2_micros""")
   }
 
+  /** Newman modularity of a community partition, in integer ppm.
+    * Over a MIRRORED edge list (each undirected edge appears twice —
+    * the house graph convention), with m2 = |directed rows| = 2m:
+    *
+    *   Q = Σ_c [ e2_c/m2 − (d_c/m2)² ]
+    *
+    * where e2_c counts directed rows with BOTH endpoints in community
+    * c (= 2·intra-edges) and d_c = Σ_{v∈c} deg(v). Per community the
+    * two terms ship separately as NONNEGATIVE truncating quotients —
+    * `intra_ppm = (1e6·e2_c) div m2` and `expected_ppm =
+    * (1e6·d_c²) div m2²` (DECIMAL(38,0) product) — and the signed
+    * contribution/total are SUBTRACTIONS of those (exact), never a
+    * negative-operand DIV, because Spark `div` truncates toward zero
+    * while a floor-division engine would disagree on negatives.
+    *
+    * Scale shape: degree agg + two node-keyed label joins + a
+    * label-keyed agg — every key is a graph-node or community column
+    * (bucketable ⇒ shuffle-free under the q117 layout); state is one
+    * label per node and one row per community. The zz total row rides
+    * a single-row aggregate.
+    */
+  def modularityPpm(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = graft.Stage.mat(edges.select(col("src"), col("dst")))
+    val lab = graft.Stage.mat(communities.select(col("node"), col("label")))
+    val m2df = e.agg(count(lit(1)).as("m2"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("label"))
+      .agg(sum(col("d")).as("d_c"), count(lit(1)).as("n_members"))
+    val intra = e
+      .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e2_c"))
+    val per = dc.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m2df))
+      .selectExpr("label", "n_members", "coalesce(e2_c, 0L) AS e2_c", "d_c",
+        "(1000000 * coalesce(e2_c, 0L)) DIV greatest(m2, 1) AS intra_ppm",
+        """CAST((1000000 * CAST(d_c AS DECIMAL(38,0)) * d_c)
+            DIV greatest(CAST(m2 AS DECIMAL(38,0)) * m2, 1) AS BIGINT) AS expected_ppm""")
+      .withColumn("q_ppm", col("intra_ppm") - col("expected_ppm"))
+      .transform(graft.Stage.mat)
+    val zz = per.agg(count(lit(1)).as("nc"), sum(col("n_members")).as("nm"),
+        sum(col("e2_c")).as("se"), sum(col("d_c")).as("sd"),
+        sum(col("intra_ppm")).as("si"), sum(col("expected_ppm")).as("sx"))
+      .selectExpr("'zz_total' AS label", "nm AS n_members", "se AS e2_c",
+        "sd AS d_c", "si AS intra_ppm", "sx AS expected_ppm",
+        "si - sx AS q_ppm")
+    per.unionByName(zz)
+      .orderBy(col("n_members").desc, col("label"))
+  }
+
+  /** TextRank keywords (Mihalcea & Tarau 2004) as uniform PageRank
+    * over the graph of words: candidate tokens (lowercased,
+    * length ≥ `minLen` — a deterministic, list-free stand-in for the
+    * paper's POS filter) are linked when ADJACENT in the filtered
+    * token sequence, mirrored, deduplicated, then ranked by
+    * [[pageRankMicros]] (mirrored graph ⇒ no dangling mass, the q117
+    * precondition holds by construction). Top-`topK` words by rank.
+    *
+    * Scale shape: tokenize+filter is one projection pass; the pair
+    * explode is ≤ tokens-per-doc rows; edges collapse by DISTINCT to
+    * vocabulary-adjacency size (vocab², bounded far below corpus
+    * size); the PageRank joins then run on the word key — bucketable.
+    * No per-doc state survives the edge distinct.
+    */
+  def textRankKeywords(docs: DataFrame, iters: Int = 3, minLen: Int = 4,
+                       topK: Int = 30): DataFrame = {
+    val toks = docs.select(
+      filter(TextStats.tokens(lower(col("text"))),
+        x => length(x) >= minLen).as("w"))
+    val pairs = toks.select(explode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(1, size(w) - 1),
+                            i -> struct(w[i-1] AS a, w[i] AS b))
+             ELSE array() END""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    pageRankMicros(edges, iters)
+      .select(col("node").as("word"), col("rank_m"))
+      .orderBy(col("rank_m").desc, col("word"))
+      .limit(topK)
+  }
+
+  /** One unrolled uniform-PageRank iteration over the `edges`/`deg`/`p`
+    * CTEs for the DuckDB oracle — token-for-token [[pageRankMicros]]'s
+    * contribution/damping arithmetic (mirrored graph: no dangling
+    * term).
+    */
+  private def prUniformIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""r$i AS (SELECT e.dst AS node,
+                CAST((15 * 1000000) // (100 * p.n)
+                     + (85 * SUM(r.rank_m // d.outdeg)) // 100 AS BIGINT) AS rank_m
+              FROM edges e JOIN $prev r ON e.src = r.node
+              JOIN deg d ON e.src = d.src CROSS JOIN p
+              GROUP BY e.dst, p.n)"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- TrustRank over the directed user→item action graph: seeds =
@@ -991,6 +1093,82 @@ object GraphOps {
         ON a.start = b.start AND a.w = b.w
        AND b.pos > a.pos AND b.pos - a.pos <= 2
       GROUP BY na, nb
-      ORDER BY n_cooc DESC, na, nb LIMIT 40"""))
+      ORDER BY n_cooc DESC, na, nb LIMIT 40""")),
+
+    // ---- modularity audit of the q150 communities: per-community
+    //      intra-edge vs degree-expectation ppm + the zz_total Q row —
+    //      the "did label propagation find real structure" check (Q≈0
+    //      ⇒ no better than the degree-random null). The oracle
+    //      replays the three LPA rounds, both truncating quotients,
+    //      and the exact subtractions.
+    ("q208_modularity", (s: SparkSession, dir: String) => {
+      val e = interactionEdges(s, dir)
+      modularityPpm(e, labelPropagation(e, iters = 3))
+    }, Some(s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      edges AS (SELECT a AS src, b AS dst FROM inter
+                UNION ALL SELECT b AS src, a AS dst FROM inter),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      ${lpaIterSql(1)},
+      ${lpaIterSql(2)},
+      ${lpaIterSql(3)},
+      m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+      dc AS (SELECT l.label, SUM(deg.d) AS d_c, CAST(count(*) AS BIGINT) AS n_members
+             FROM deg JOIN l3 l ON deg.src = l.node GROUP BY l.label),
+      intra AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e2_c
+                FROM edges e JOIN l3 la ON e.src = la.node
+                JOIN l3 lb ON e.dst = lb.node
+                WHERE la.label = lb.label GROUP BY la.label),
+      per AS (
+        SELECT dc.label, dc.n_members, COALESCE(intra.e2_c, 0) AS e2_c,
+               CAST(dc.d_c AS BIGINT) AS d_c,
+               (1000000 * COALESCE(intra.e2_c, 0)) // greatest(m2, 1) AS intra_ppm,
+               CAST((1000000 * CAST(dc.d_c AS HUGEINT) * dc.d_c)
+                    // greatest(CAST(m2 AS HUGEINT) * m2, 1) AS BIGINT) AS expected_ppm
+        FROM dc LEFT JOIN intra ON dc.label = intra.label CROSS JOIN m2t)
+      SELECT label, n_members, e2_c, d_c, intra_ppm, expected_ppm,
+             intra_ppm - expected_ppm AS q_ppm
+      FROM per
+      UNION ALL
+      SELECT 'zz_total', CAST(SUM(n_members) AS BIGINT), CAST(SUM(e2_c) AS BIGINT),
+             CAST(SUM(d_c) AS BIGINT), CAST(SUM(intra_ppm) AS BIGINT),
+             CAST(SUM(expected_ppm) AS BIGINT),
+             CAST(SUM(intra_ppm) - SUM(expected_ppm) AS BIGINT)
+      FROM per
+      ORDER BY n_members DESC, label""")),
+
+    // ---- TextRank keywords over the documents corpus: graph-of-words
+    //      adjacency (length-≥4 candidates, mirrored, distinct) + 3
+    //      uniform PageRank rounds in integer micros, top-30. The
+    //      oracle rebuilds the same filtered-adjacency edge list and
+    //      unrolls all three iterations.
+    ("q209_textrank", (s: SparkSession, dir: String) => {
+      textRankKeywords(Tables(s, dir).documents, iters = 3, minLen = 4, topK = 30)
+    }, Some(s"""
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '${TextStats.wsClassSql}+'),
+                           x -> len(x) >= 4) AS w
+        FROM documents),
+      pr0 AS (
+        SELECT p['a'] AS a, p['b'] AS b FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+                   i -> {'a': w[i], 'b': w[i+1]})) AS p
+          FROM toks WHERE len(w) >= 2)
+        WHERE p['a'] <> p['b']),
+      edges AS (SELECT DISTINCT a AS src, b AS dst FROM pr0
+                UNION SELECT DISTINCT b AS src, a AS dst FROM pr0),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      r0 AS (SELECT src AS node, CAST(1000000 // n AS BIGINT) AS rank_m
+             FROM deg CROSS JOIN p),
+      ${prUniformIterSql(1)},
+      ${prUniformIterSql(2)},
+      ${prUniformIterSql(3)}
+      SELECT node AS word, rank_m FROM r3
+      ORDER BY rank_m DESC, word LIMIT 30"""))
   )
 }

@@ -24,6 +24,14 @@ object InferOps {
 
   private val ws = graft.text.TextStats.wsClassSql
 
+  /** SPRT integer-nanos constants — ln(11/9), ln(9/11), ln 19, each
+    * `math.round(·1e9)`, computed ONCE in Scala and embedded as
+    * literals in both engines' SQL (see [[sprtDaily]] for why an
+    * in-SQL ln is not portable). */
+  val sprtLPosNanos: Long = math.round(math.log(11.0 / 9.0) * 1e9)
+  val sprtLNegNanos: Long = math.round(math.log(9.0 / 11.0) * 1e9)
+  val sprtBoundNanos: Long = math.round(math.log(19.0) * 1e9)
+
   /** Multinomial Naive Bayes language classifier, trained and scored
     * in one job — the "train a model over the corpus" primitive a
     * curation pipeline uses to BOOTSTRAP labels (q34's rule-based
@@ -453,6 +461,163 @@ object InferOps {
         "CAST(0 AS BIGINT) AS n_rel_k", "sh AS n_hits",
         "sap DIV nq AS ap_micros")
     per.unionByName(zz).orderBy(col("q_id"))
+  }
+
+  /** Markov-chain removal-effect attribution (Anderl et al. 2016):
+    * per-user journeys (events ordered by (ts, event_id), truncated at
+    * the first conversion) become a first-order transition matrix over
+    * channel states plus START/CONV/NULL absorbers; each channel's
+    * credit is the REMOVAL EFFECT — how much the K-step absorption
+    * probability into CONV drops when every path through that channel
+    * is redirected to NULL — normalized to ppm shares. The ppm
+    * transition probabilities and the K unrolled value-iteration
+    * rounds (`Σ_b p(s→b)·v(b) div 1e6`, CONV pinned at 1e6) are all
+    * truncating-integer arithmetic, so the oracle replays bit-for-bit;
+    * K bounds path length explicitly rather than iterating "until
+    * convergence" (the q117 unroll discipline). Removal effects are
+    * clamped at 0 before normalizing — a removal can only lose
+    * conversion mass in the model; sub-micro truncation wiggle must
+    * not flip a sign the two engines would divide differently.
+    *
+    * Scale shape: journey construction is one per-user window pass
+    * (user-keyed, bucketable); everything after the (s, b) count agg
+    * lives on the CHANNEL-DOMAIN-sized transition table (≤ (|channels|
+    * + 2)² rows) crossed with |channels|+1 variants — broadcast-sized
+    * state, so the K iterations are driver-cheap tiny joins, never
+    * corpus passes.
+    */
+  def markovAttribution(events: DataFrame, channels: Seq[String],
+                        conv: String = "purchase", iters: Int = 6): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = events
+      .filter(col("user_id").isNotNull &&
+        (col("event_type").isin(channels: _*) || col("event_type") === conv))
+      .withColumn("rn", row_number().over(w))
+    val pfirst = ev.filter(col("event_type") === conv)
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val jj = ev.join(pfirst, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+      .withColumn("converted", col("prn").isNotNull)
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val j2 = jj.withColumn("rn2", row_number().over(w2))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .transform(graft.Stage.mat)
+    val tr = j2.filter(col("rn2") === 1)
+      .select(lit("START").as("s"), col("event_type").as("b"))
+      .unionByName(j2.filter(col("nxt").isNotNull)
+        .select(col("event_type").as("s"), col("nxt").as("b")))
+      .unionByName(j2.filter(col("nxt").isNull)
+        .select(col("event_type").as("s"),
+          when(col("converted"), lit("CONV")).otherwise(lit("NULL")).as("b")))
+      .unionByName(pfirst
+        .join(j2.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+        .select(lit("START").as("s"), lit("CONV").as("b")))
+    val cnts = tr.groupBy(col("s"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = cnts.groupBy(col("s")).agg(sum(col("c")).as("ct"))
+    val trans = cnts.join(tot, Seq("s"))
+      .select(col("s"), col("b"), expr("(1000000 * c) div ct").as("p_ppm"))
+    val variants = (("full", "") +: channels.map(c => (s"no_$c", c)))
+      .toDF("variant", "removed")
+    val tv = graft.Stage.mat(trans.crossJoin(broadcast(variants))
+      .filter(col("s") =!= col("removed") && col("b") =!= col("removed")))
+    val convRows = variants.select(col("variant"), lit("CONV").as("state"),
+      lit(1000000L).as("v"))
+    var v = convRows
+    for (_ <- 1 to iters) {
+      val prev = v.select(col("variant").as("pv"), col("state").as("pb"), col("v"))
+      v = tv.join(prev, tv("variant") === prev("pv") && tv("b") === prev("pb"))
+        .groupBy(tv("variant").as("variant"), col("s").as("state"))
+        .agg(sum(expr("(p_ppm * v) div 1000000")).as("v"))
+        .unionByName(convRows)
+    }
+    val cr = graft.Stage.mat(v.filter(col("state") === "START")
+      .select(col("variant"), col("v").as("conv_ppm")))
+    val full = cr.filter(col("variant") === "full")
+      .select(col("conv_ppm").as("full_ppm"))
+    val eff = cr.filter(col("variant") =!= "full")
+      .crossJoin(broadcast(full))
+      .select(expr("substring(variant, 4)").as("channel"), col("conv_ppm"),
+        greatest(col("full_ppm") - col("conv_ppm"), lit(0L)).as("removal_ppm"))
+      .transform(graft.Stage.mat)
+    val te = eff.agg(greatest(sum(col("removal_ppm")), lit(1L)).as("t"))
+    eff.crossJoin(broadcast(te))
+      .select(col("channel"), col("conv_ppm"), col("removal_ppm"),
+        expr("(1000000 * removal_ppm) div t").as("share_ppm"))
+      .unionByName(full.select(lit("zz_full").as("channel"),
+        col("full_ppm").as("conv_ppm"), lit(0L).as("removal_ppm"),
+        lit(0L).as("share_ppm")))
+      .orderBy(col("channel"))
+  }
+
+  /** Wald sequential probability ratio test (Wald 1945) on the daily
+    * high-value-event rate, per event type: H0 p=9/20 vs H1 p=11/20
+    * for P(value ≥ threshold), α = β = 0.05. Observations fold to
+    * DAILY sufficient statistics first (s hits, n−s misses), so the
+    * cumulative log-likelihood ratio is a day-granularity window sum —
+    * the q182 CUSUM discipline that keeps the sequential scan
+    * span-bounded, never corpus-bounded; a production deployment
+    * monitors the live stream, this is its batch replay. LLR
+    * increments and the ln 19 decision boundary are pre-rounded
+    * integer nanos (the q197 round9ln convention), so every cumsum
+    * and comparison replays bit-for-bit. Emits per type: the day
+    * count, total observations, the decision ('h1' / 'h0' /
+    * 'continue'), observations consumed at the FIRST boundary
+    * crossing (−1 if none), and the LLR at that crossing (final LLR
+    * when still continuing).
+    */
+  def sprtDaily(events: DataFrame, threshold: Double = 35.0): DataFrame = {
+    // Constants are Scala-computed integer-nanos literals embedded in
+    // BOTH engines' SQL — an in-SQL `ln(11.0/9.0)` is NOT portable:
+    // Spark parses 11.0/9.0 as DECIMAL division (scale-truncated ratio,
+    // ln off by ~1e-6) while DuckDB divides doubles.
+    val lpos = InferOps.sprtLPosNanos   //  ln(11/9)·1e9 = 200670695
+    val lneg = InferOps.sprtLNegNanos   //  ln(9/11)·1e9 = -200670695
+    val bound = InferOps.sprtBoundNanos //  ln(19)·1e9 = 2944438979
+    val daily = events
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+        s"CASE WHEN value >= $threshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit")
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("s"))
+      .withColumn("llr_day", expr(s"s * ${lpos}L + (n - s) * ${lneg}L"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("cum_llr", sum(col("llr_day")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("rn", row_number().over(w))
+      .transform(graft.Stage.mat)
+    val firstX = cum.filter(expr(s"cum_llr >= ${bound}L OR cum_llr <= -${bound}L"))
+      .withColumn("rx", row_number().over(w))
+      .filter(col("rx") === 1)
+      .selectExpr("event_type",
+        s"CASE WHEN cum_llr >= ${bound}L THEN 'h1' ELSE 'h0' END AS decision",
+        "cum_n AS n_at_decision", "cum_llr AS llr_cross")
+    val last = cum
+      .withColumn("rl", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day").desc)))
+      .filter(col("rl") === 1)
+      .selectExpr("event_type", "CAST(rn AS BIGINT) AS n_days",
+        "cum_n AS n_obs", "cum_llr AS llr_final")
+    last.join(firstX, Seq("event_type"), "left")
+      .selectExpr("event_type", "n_days", "n_obs",
+        "coalesce(decision, 'continue') AS decision",
+        "coalesce(n_at_decision, CAST(-1 AS BIGINT)) AS n_at_decision",
+        "coalesce(llr_cross, llr_final) AS llr_nanos")
+      .orderBy(col("event_type"))
+  }
+
+  /** One unrolled removal-variant value-iteration round for the DuckDB
+    * oracle — token-for-token the [[markovAttribution]] update. */
+  private def mkvIterSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""v$i AS (
+        SELECT tv.variant, tv.s AS state,
+               CAST(SUM((tv.p_ppm * p.v) // 1000000) AS BIGINT) AS v
+        FROM tv JOIN $prev p ON tv.variant = p.variant AND tv.b = p.state
+        GROUP BY tv.variant, tv.s
+        UNION ALL
+        SELECT variant, 'CONV', CAST(1000000 AS BIGINT) FROM variants)"""
   }
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -1049,6 +1214,115 @@ object InferOps {
                CAST((1000000 * SUM(sae_model))
                     // greatest(SUM(sae_naive), 1) AS BIGINT) AS mase_ppm
         FROM per)
-      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY user_id"""))
+      SELECT * FROM per UNION ALL SELECT * FROM zz ORDER BY user_id""")),
+
+    // ---- Markov removal-effect attribution over the four touchpoint
+    //      channels: journeys truncated at first purchase, 6 unrolled
+    //      K-step absorption rounds per removal variant, clamped
+    //      removal effects normalized to ppm shares + the zz_full
+    //      baseline row. The oracle replays the journey windows, the
+    //      ppm matrix, and all 6 rounds for all 5 variants.
+    ("q211_markov_attribution", (s: SparkSession, dir: String) => {
+      markovAttribution(Tables(s, dir).events,
+        channels = Seq("view", "click", "signup", "error"), iters = 6)
+    }, Some {
+      val channels = Seq("view", "click", "signup", "error")
+      val variantsSql = (Seq(("full", "")) ++ channels.map(c => (s"no_$c", c)))
+        .map { case (v, r) => s"SELECT '$v' AS variant, '$r' AS removed" }
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND event_type IN (${(channels :+ "purchase").map(c => s"'$c'").mkString(", ")})),
+      pf AS (SELECT user_id, min(rn) AS prn FROM ev
+             WHERE event_type = 'purchase' GROUP BY user_id),
+      jj AS (SELECT e.user_id, e.event_type, e.rn,
+                    (pf.prn IS NOT NULL) AS converted
+             FROM ev e LEFT JOIN pf ON e.user_id = pf.user_id
+             WHERE pf.prn IS NULL OR e.rn < pf.prn),
+      j2 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2,
+                    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+             FROM jj),
+      tr AS (SELECT 'START' AS s, event_type AS b FROM j2 WHERE rn2 = 1
+             UNION ALL SELECT event_type, nxt FROM j2 WHERE nxt IS NOT NULL
+             UNION ALL SELECT event_type,
+                              CASE WHEN converted THEN 'CONV' ELSE 'NULL' END
+                       FROM j2 WHERE nxt IS NULL
+             UNION ALL SELECT 'START', 'CONV' FROM pf
+                       WHERE user_id NOT IN (SELECT DISTINCT user_id FROM jj)),
+      cnts AS (SELECT s, b, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY s, b),
+      tot AS (SELECT s, SUM(c) AS ct FROM cnts GROUP BY s),
+      trans AS (SELECT cnts.s, cnts.b, (1000000 * c) // ct AS p_ppm
+                FROM cnts JOIN tot ON cnts.s = tot.s),
+      variants AS (
+        $variantsSql),
+      tv AS (SELECT t.s, t.b, t.p_ppm, v.variant, v.removed
+             FROM trans t CROSS JOIN variants v
+             WHERE t.s <> v.removed AND t.b <> v.removed),
+      v0 AS (SELECT variant, 'CONV' AS state, CAST(1000000 AS BIGINT) AS v
+             FROM variants),
+      ${(1 to 6).map(mkvIterSql).mkString(",\n      ")},
+      cr AS (SELECT variant, v AS conv_ppm FROM v6 WHERE state = 'START'),
+      fl AS (SELECT conv_ppm AS full_ppm FROM cr WHERE variant = 'full'),
+      eff AS (SELECT substring(variant, 4) AS channel, conv_ppm,
+                     greatest(full_ppm - conv_ppm, 0) AS removal_ppm
+              FROM cr CROSS JOIN fl WHERE variant <> 'full'),
+      te AS (SELECT greatest(SUM(removal_ppm), 1) AS t FROM eff)
+      SELECT channel, CAST(conv_ppm AS BIGINT) AS conv_ppm,
+             CAST(removal_ppm AS BIGINT) AS removal_ppm,
+             CAST((1000000 * removal_ppm) // t AS BIGINT) AS share_ppm
+      FROM eff CROSS JOIN te
+      UNION ALL
+      SELECT 'zz_full', full_ppm, 0, 0 FROM fl
+      ORDER BY channel"""
+    }),
+
+    // ---- Wald SPRT per event type on the daily ≥-35 value rate:
+    //      integer-nanos LLR cumsum over days, first ±ln 19 crossing.
+    //      The oracle replays the daily fold, both window sums, and
+    //      the crossing selection.
+    ("q212_sprt", (s: SparkSession, dir: String) => {
+      sprtDaily(Tables(s, dir).events, threshold = 35.0)
+    }, Some(s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value >= 35.0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      lc AS (
+        SELECT *, s * CAST($sprtLPosNanos AS BIGINT)
+                  + (n - s) * CAST($sprtLNegNanos AS BIGINT) AS llr_day
+        FROM daily),
+      cum AS (
+        SELECT event_type, day, n,
+               SUM(llr_day) OVER (PARTITION BY event_type ORDER BY day) AS cum_llr,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS cum_n,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM lc),
+      firstx AS (
+        SELECT event_type, decision, n_at_decision, llr_cross FROM (
+          SELECT event_type,
+                 CASE WHEN cum_llr >= CAST($sprtBoundNanos AS BIGINT)
+                      THEN 'h1' ELSE 'h0' END AS decision,
+                 cum_n AS n_at_decision, cum_llr AS llr_cross,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS rx
+          FROM cum
+          WHERE cum_llr >= CAST($sprtBoundNanos AS BIGINT)
+             OR cum_llr <= -CAST($sprtBoundNanos AS BIGINT))
+        WHERE rx = 1),
+      lastd AS (
+        SELECT event_type, CAST(rn AS BIGINT) AS n_days, cum_n AS n_obs,
+               cum_llr AS llr_final FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rl
+          FROM cum) WHERE rl = 1)
+      SELECT l.event_type, l.n_days, CAST(l.n_obs AS BIGINT) AS n_obs,
+             COALESCE(f.decision, 'continue') AS decision,
+             CAST(COALESCE(f.n_at_decision, -1) AS BIGINT) AS n_at_decision,
+             CAST(COALESCE(f.llr_cross, l.llr_final) AS BIGINT) AS llr_nanos
+      FROM lastd l LEFT JOIN firstx f ON l.event_type = f.event_type
+      ORDER BY l.event_type"""))
   )
 }

@@ -71,6 +71,87 @@ object LLMOps {
       Similarity.ivfTrain(Tables(s, dir).embeddings.filter(col("vec_id") =!= 0),
         nCentroids = 8))
 
+  /** Whitespace tokens, lowercased, empties dropped — the shared
+    * tokenization of the corpus-statistics family below (GT / Zipf /
+    * Heaps), matching the oracle's `list_filter(regexp_split_to_array
+    * (lower(text), ws+), x -> x <> '')`. */
+  private def loTokens(text: org.apache.spark.sql.Column) =
+    filter(TextStats.tokens(lower(text)), x => x =!= lit(""))
+
+  /** Good-Turing frequency-of-frequencies table over BIGRAMS — see the
+    * q214 def comment for semantics and the scale argument. Bigrams,
+    * not unigrams: GT is the smoothing layer of an n-gram LM, and the
+    * n ≥ 2 tail is where the low-r mass it models actually lives (the
+    * fixture's unigram vocabulary has no terms below r = 26 — a
+    * unigram GT table would be structurally empty). */
+  def goodTuring(docs: DataFrame, maxR: Long = 10): DataFrame = {
+    val tf = docs.select(loTokens(col("text")).as("w"))
+      .select(explode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(1, size(w) - 1),
+                            i -> concat(w[i-1], ' ', w[i]))
+             ELSE array() END""")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("r"))
+    val nr = graft.Stage.mat(
+      tf.groupBy(col("r")).agg(count(lit(1)).as("n_r")))
+    val nr1 = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    val rows = nr.filter(col("r") <= maxR)
+      .join(nr1, Seq("r"), "left")
+      .selectExpr("r", "n_r", "coalesce(n_r1, CAST(0 AS BIGINT)) AS n_r1",
+        "(1000000 * (r + 1) * coalesce(n_r1, CAST(0 AS BIGINT))) DIV n_r AS r_star_micros")
+    val zz = nr.agg(sum(col("n_r")).as("vocab"),
+        sum(col("r") * col("n_r")).as("ntok"),
+        sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+      .selectExpr("CAST(0 AS BIGINT) AS r", "vocab AS n_r", "ntok AS n_r1",
+        "(1000000 * n1) DIV greatest(ntok, 1) AS r_star_micros")
+    rows.unionByName(zz).orderBy(col("r"))
+  }
+
+  /** Zipf-fit OLS over the top-`topK` term frequencies — see the q215
+    * def comment. Integer-MICROS log grids (nanos would overflow Σx²). */
+  def zipfFit(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(loTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("w")).limit(topK)
+    val ranked = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .selectExpr("'zipf' AS fit",
+        "CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x",
+        "CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y")
+    StatsOps.olsMicros(ranked, "fit", "x", "y")
+  }
+
+  /** Heaps'-law growth curve over 10 doc-id-range deciles — see the
+    * q216 def comment for the first-occurrence identity. */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rng = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tokd = docs.select(col("doc_id"), loTokens(col("text")).as("ws_"))
+    val dagg = tokd.crossJoin(broadcast(rng))
+      .selectExpr("((doc_id - mn) * 10) DIV (mx - mn + 1) + 1 AS bkt",
+        "CAST(size(ws_) AS BIGINT) AS ntok")
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val fd = tokd
+      .select(col("doc_id"), explode(array_distinct(col("ws_"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fdoc"))
+      .crossJoin(broadcast(rng))
+      .selectExpr("((fdoc - mn) * 10) DIV (mx - mn + 1) + 1 AS bkt")
+      .groupBy(col("bkt")).agg(count(lit(1)).as("new_terms"))
+    val spine = rng.select(explode(expr("sequence(1, 10)")).as("bkt0"))
+      .select(col("bkt0").cast("long").as("bkt"))
+    spine.join(dagg, Seq("bkt"), "left").join(fd, Seq("bkt"), "left")
+      .selectExpr("bkt", "coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs",
+        "coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens",
+        "coalesce(new_terms, CAST(0 AS BIGINT)) AS new_terms")
+      .select(col("bkt").as("decile"),
+        sum(col("n_docs")).over(Window.orderBy(col("bkt"))).as("n_docs"),
+        sum(col("n_tokens")).over(Window.orderBy(col("bkt"))).as("n_tokens"),
+        sum(col("new_terms")).over(Window.orderBy(col("bkt"))).as("vocab"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- exact dedup: group by normalized content, keep lowest id ----
@@ -758,7 +839,137 @@ object LLMOps {
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(SUM(fre) // count(*) AS BIGINT) AS mean_fre_micros,
              CAST(SUM(fkg) // count(*) AS BIGINT) AS mean_fkg_micros
-      FROM f GROUP BY source ORDER BY source"""))
+      FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- Good-Turing frequency-of-frequencies (Gale & Sampson 1995
+    //      simple GT, unsmoothed adjusted counts) over BIGRAMS: N_r for
+    //      r ≤ 10 with r* = (r+1)·N_{r+1}·1e6 div N_r, plus the r=0 row
+    //      carrying bigram-vocabulary size, bigram total, and the
+    //      unseen-mass estimate P₀ = N₁/N in ppm — the LM-smoothing
+    //      diagnostic (and the "how much n-gram mass is this corpus
+    //      still missing" readout) a curation pipeline reads before
+    //      training. One tokenize+pair pass → bigram counts → a
+    //      COUNT-histogram whose size is the max bigram frequency,
+    //      never the vocabulary; the self-join for N_{r+1} runs on that
+    //      histogram. The oracle replays both aggregations and every
+    //      truncating quotient.
+    ("q214_good_turing", (s: SparkSession, dir: String) => {
+      goodTuring(Tables(s, dir).documents, maxR = 10)
+    }, Some(s"""
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS w
+        FROM documents),
+      bg AS (
+        SELECT p['a'] || ' ' || p['b'] AS g FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+                   i -> {'a': w[i], 'b': w[i+1]})) AS p
+          FROM toks WHERE len(w) >= 2)),
+      tf AS (SELECT g, CAST(count(*) AS BIGINT) AS r FROM bg GROUP BY g),
+      nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+      rows_r AS (
+        SELECT a.r, a.n_r, COALESCE(b.n_r, 0) AS n_r1,
+               (1000000 * (a.r + 1) * COALESCE(b.n_r, 0)) // a.n_r AS r_star_micros
+        FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        WHERE a.r <= 10),
+      zz AS (
+        SELECT CAST(0 AS BIGINT) AS r, CAST(SUM(n_r) AS BIGINT) AS n_r,
+               CAST(SUM(r * n_r) AS BIGINT) AS n_r1,
+               (1000000 * CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT))
+                 // greatest(SUM(r * n_r), 1) AS r_star_micros
+        FROM nr)
+      SELECT r, n_r, n_r1, CAST(r_star_micros AS BIGINT) AS r_star_micros
+      FROM rows_r
+      UNION ALL SELECT r, n_r, n_r1, CAST(r_star_micros AS BIGINT) FROM zz
+      ORDER BY r""")),
+
+    // ---- Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-100
+    //      terms, both logs pre-rounded to integer MICROS (nanos would
+    //      overflow the Σx² long at ln²-scale) — slope ≈ −1 is the
+    //      Zipfian signature; a flat slope flags templated/synthetic
+    //      text. Top-k is TakeOrdered; the rank window runs on the
+    //      100-row result, never the vocabulary. The oracle replays
+    //      ranking, both log grids, and the normal equations.
+    ("q215_zipf_fit", (s: SparkSession, dir: String) => {
+      zipfFit(Tables(s, dir).documents, topK = 100)
+    }, Some(s"""
+      WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      tf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      top AS (SELECT w, c FROM tf ORDER BY c DESC, w LIMIT 100),
+      ranked AS (
+        SELECT 'zipf' AS fit,
+               CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+        FROM top),
+      sums AS (
+        SELECT fit, CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM ranked GROUP BY fit),
+      t AS (
+        SELECT fit, n, sx, sy,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        FROM sums),
+      sl AS (SELECT fit, n, num, denx, deny, sx, sy,
+                    CAST((num * 1000000) // greatest(denx, 1) AS BIGINT) AS slope_micros
+             FROM t)
+      SELECT fit, n, slope_micros,
+             CAST((CAST(sy AS HUGEINT) * 1000000
+                   - CAST(slope_micros AS HUGEINT) * sx)
+                  // greatest(n, 1) AS BIGINT) AS intercept_micros,
+             CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
+             CAST((num * num * 1000000) // greatest(denx * deny, 1) AS BIGINT) AS r2_micros
+      FROM sl""")),
+
+    // ---- Heaps'-law vocabulary-growth curve: cumulative distinct
+    //      vocabulary vs corpus prefix across 10 doc-id-range deciles.
+    //      The key identity: vocab(prefix) = #terms whose FIRST
+    //      occurrence falls in the prefix — so one min-doc-per-term
+    //      aggregate + a 10-bucket histogram + a 10-row cumsum replace
+    //      any per-prefix distinct-count pass entirely (no corpus
+    //      window, no 10 scans). Sub-linear growth is the natural-text
+    //      signature; near-linear growth flags OCR noise / random
+    //      strings pumping unbounded vocabulary. The oracle replays
+    //      the value-range bucketing and the prefix sums.
+    ("q216_heaps_law", (s: SparkSession, dir: String) => {
+      heapsLaw(Tables(s, dir).documents)
+    }, Some(s"""
+      WITH rng AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+      tokd AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS ws_
+        FROM documents),
+      dagg AS (
+        SELECT ((doc_id - mn) * 10) // (mx - mn + 1) + 1 AS bkt,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(ws_)) AS BIGINT) AS n_tokens
+        FROM tokd CROSS JOIN rng GROUP BY 1),
+      fd AS (
+        SELECT w, min(doc_id) AS fdoc
+        FROM (SELECT doc_id, unnest(list_distinct(ws_)) AS w FROM tokd)
+        GROUP BY w),
+      nv AS (
+        SELECT ((fdoc - mn) * 10) // (mx - mn + 1) + 1 AS bkt,
+               CAST(count(*) AS BIGINT) AS new_terms
+        FROM fd CROSS JOIN rng GROUP BY 1),
+      spine AS (SELECT unnest(range(1, 11)) AS bkt),
+      tbl AS (
+        SELECT s.bkt, COALESCE(dagg.n_docs, 0) AS n_docs,
+               COALESCE(dagg.n_tokens, 0) AS n_tokens,
+               COALESCE(nv.new_terms, 0) AS new_terms
+        FROM spine s LEFT JOIN dagg ON s.bkt = dagg.bkt
+        LEFT JOIN nv ON s.bkt = nv.bkt)
+      SELECT CAST(bkt AS BIGINT) AS decile,
+             CAST(SUM(n_docs) OVER (ORDER BY bkt) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) OVER (ORDER BY bkt) AS BIGINT) AS n_tokens,
+             CAST(SUM(new_terms) OVER (ORDER BY bkt) AS BIGINT) AS vocab
+      FROM tbl ORDER BY decile"""))
   )
 
   /** The featured approximate-quantile operator alone: one partial+final

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -213,6 +213,57 @@ object StatsOps {
                    * ((1.0 - CAST(sa_num AS DOUBLE) / CAST(na AS DOUBLE))
                       + (1.0 - CAST(sb_num AS DOUBLE) / CAST(nb AS DOUBLE))),
                  6) AS jsd_r""")
+  }
+
+  /** Deterministic Poisson bootstrap confidence interval for a mean
+    * (Chamandy et al. 2012 — the resampling scheme built FOR
+    * distributed one-pass engines): resample `b` includes row `i` with
+    * multiplicity `m ~ Poisson(1)`, drawn here from the portable hash
+    * of (resample, row key) mapped through the floor-ppm Poisson
+    * inverse-CDF thresholds (367879 / 735758 / 919698 / 981011 /
+    * 996340 / 999405, capped at 6) — fully deterministic, so the
+    * oracle replays every multiplicity. Emits one row per resample
+    * (b, effective n, mean in micros) plus b = −1 (the full-sample
+    * mean), b = −2 / −3 (the CI endpoints: the ⌊0.05B⌋-th and
+    * (B−⌊0.05B⌋+1)-th order statistics of the resample means, ties on
+    * b — the documented percentile convention).
+    *
+    * Scale shape: the B-fold explode is map-side row expansion feeding
+    * ONE B-group aggregate (partial+final) — no shuffle grows with B
+    * beyond the B-row result; the order-statistic window runs on the
+    * B-row table. Σ m·x stays in longs — exact to B·n·|x| ≲ 9e18;
+    * swap the product to DECIMAL(38,0) past that.
+    */
+  def bootstrapCI(df: DataFrame, keyCol: String, valueMicros: Column,
+                  b: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).cast("string").as("k"), valueMicros.as("x"))
+    val rep = base.select(col("k"), col("x"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("rb"))
+      .withColumn("u", TextStats.portableHash64(
+        concat(lit("boot:"), col("rb").cast("string"), lit(":"), col("k"))) % 1000000L)
+      .withColumn("m", expr(
+        """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                ELSE 6 END"""))
+    val means = rep.groupBy(col("rb"))
+      .agg(sum(col("m")).as("n_eff"), sum(col("m") * col("x")).as("sx"))
+      .selectExpr("CAST(rb AS BIGINT) AS b", "n_eff",
+        "sx DIV greatest(n_eff, 1) AS mean_micros")
+      .transform(graft.Stage.mat)
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("mean_micros"), col("b"))))
+    val kLo = math.max(1, b / 20)
+    val kHi = b - math.max(1, b / 20) + 1
+    val lo = ranked.filter(col("rk") === kLo)
+      .selectExpr("CAST(-2 AS BIGINT) AS b", "n_eff", "mean_micros")
+    val hi = ranked.filter(col("rk") === kHi)
+      .selectExpr("CAST(-3 AS BIGINT) AS b", "n_eff", "mean_micros")
+    val full = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sxf"))
+      .selectExpr("CAST(-1 AS BIGINT) AS b", "n AS n_eff",
+        "sxf DIV greatest(n, 1) AS mean_micros")
+    means.unionByName(full).unionByName(lo).unionByName(hi).orderBy(col("b"))
   }
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -668,6 +719,49 @@ object StatsOps {
                          * (theta_loo_micros - theta_bar)))
                   // (CAST(MAX(g) AS HUGEINT) * MAX(g)) AS BIGINT)
       FROM loo CROSS JOIN jm
-      ORDER BY source"""))
+      ORDER BY source""")),
+
+    // ---- deterministic Poisson-bootstrap 90% CI for the mean order
+    //      total: 40 hash-seeded resamples + full mean + the rank-2 /
+    //      rank-39 order-statistic endpoints. The oracle replays every
+    //      hash multiplicity, each resample's truncating mean, and the
+    //      rank selection.
+    ("q213_bootstrap_ci", (s: SparkSession, dir: String) => {
+      bootstrapCI(Tables(s, dir).orders, keyCol = "o_orderkey",
+        valueMicros = expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)"),
+        b = 40)
+    }, Some {
+      s"""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS x
+        FROM orders),
+      rep AS (
+        SELECT k, x, rb, ${TextStats.portableHash64Sql(
+          "concat('boot:', CAST(rb AS VARCHAR), ':', k)")} % 1000000 AS u
+        FROM base CROSS JOIN (SELECT unnest(range(0, 40)) AS rb)),
+      m AS (
+        SELECT rb, x,
+               CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                    WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                    WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                    ELSE 6 END AS mm
+        FROM rep),
+      means AS (
+        SELECT CAST(rb AS BIGINT) AS b, CAST(SUM(mm) AS BIGINT) AS n_eff,
+               CAST(SUM(mm * x) // greatest(SUM(mm), 1) AS BIGINT) AS mean_micros
+        FROM m GROUP BY rb),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY mean_micros, b) AS rk FROM means),
+      full_m AS (
+        SELECT CAST(-1 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n_eff,
+               CAST(SUM(x) // greatest(count(*), 1) AS BIGINT) AS mean_micros
+        FROM base)
+      SELECT b, n_eff, mean_micros FROM means
+      UNION ALL SELECT b, n_eff, mean_micros FROM full_m
+      UNION ALL SELECT CAST(-2 AS BIGINT), n_eff, mean_micros FROM ranked WHERE rk = 2
+      UNION ALL SELECT CAST(-3 AS BIGINT), n_eff, mean_micros FROM ranked WHERE rk = 39
+      ORDER BY b"""
+    })
   )
 }

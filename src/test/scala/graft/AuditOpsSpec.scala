@@ -64,4 +64,24 @@ class AuditOpsSpec extends SparkSpec {
     assert(out("totalprice_positive") === ((5L, 1L, false)))
     assert(out("status_domain") === ((5L, 1L, false)))
   }
+
+  test("k-anonymity audit: histogram, risk gate, and min-l replay the fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("kanon_fix").toString
+    // QI (nation, segment): (1,A) k=6 l=3; (1,B) k=2 l=1; (2,A) k=1 l=1
+    val rows = Seq(
+      (1L, 1, 0.0, "A"), (2L, 1, 500.0, "A"), (3L, 1, 1500.0, "A"),
+      (4L, 1, 2500.0, "A"), (5L, 1, 500.0, "A"), (6L, 1, 700.0, "A"),
+      (7L, 1, 100.0, "B"), (8L, 1, 100.0, "B"),
+      (9L, 2, 0.0, "A"))
+    rows.map { case (k, n, b, s) => (k, s"Customer#$k", n, b, s) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q210_k_anonymity")(spark, dir).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("k"),
+        r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows")))
+    assert(out.toSeq === Seq(
+      ("at_risk", 5L, 2L, 3L),
+      ("k_hist", 1L, 1L, 1L), ("k_hist", 2L, 1L, 2L), ("k_hist", 6L, 1L, 6L),
+      ("l_div_min", 1L, 2L, 3L)))
+  }
 }

@@ -259,4 +259,54 @@ class GraphOpsSpec extends SparkSpec {
     val nodes = Set("u:1", "u:2", "i:100")
     assert(a.forall(p => nodes(p._1) && nodes(p._2)))
   }
+
+  test("modularity: two bridged triangles replay the hand arithmetic") {
+    // triangles {a,b,c} and {d,e,f} + bridge c–d, mirrored: m2 = 14.
+    // Each community: e2_c = 6, d_c = 7 → intra 6e6 div 14 = 428571,
+    // expected 49e6 div 196 = 250000, q = 178571; total Q = 357142.
+    val und = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val comm = Seq("a" -> "c1", "b" -> "c1", "c" -> "c1",
+      "d" -> "c2", "e" -> "c2", "f" -> "c2").toDF("node", "label")
+    val out = graft.analytics.GraphOps.modularityPpm(edges, comm).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("e2_c"), r.getAs[Long]("d_c"),
+        r.getAs[Long]("intra_ppm"), r.getAs[Long]("expected_ppm"),
+        r.getAs[Long]("q_ppm")))
+    assert(out.toSeq === Seq(
+      ("zz_total", 6L, 12L, 14L, 857142L, 500000L, 357142L),
+      ("c1", 3L, 6L, 7L, 428571L, 250000L, 178571L),
+      ("c2", 3L, 6L, 7L, 428571L, 250000L, 178571L)))
+  }
+
+  test("modularity: the all-in-one-community partition scores Q = 0-ish") {
+    // single community: intra = all edges → intra_ppm = 1e6, expected =
+    // (m2)²/(m2)² → 1e6, q = 0 exactly.
+    val und = Seq(("a", "b"), ("b", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val comm = Seq("a" -> "x", "b" -> "x", "c" -> "x").toDF("node", "label")
+    val zz = graft.analytics.GraphOps.modularityPpm(edges, comm).collect()
+      .find(_.getAs[String]("label") == "zz_total").get
+    assert(zz.getAs[Long]("q_ppm") === 0L)
+  }
+
+  test("textrank: star-of-words ranks the hub first, leaves tied") {
+    // "alpha beta alpha gamma" → edges alpha↔beta, alpha↔gamma.
+    // 3 uniform rounds in micros: alpha 580541, beta = gamma = 209728.
+    val docs = Seq("alpha beta alpha gamma").toDF("text")
+    val out = graft.analytics.GraphOps.textRankKeywords(docs).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("rank_m")))
+    assert(out.toSeq === Seq(
+      ("alpha", 580541L), ("beta", 209728L), ("gamma", 209728L)))
+  }
+
+  test("textrank: short tokens never enter the graph") {
+    // "of" and "the" fall below minLen=4; adjacency is over the
+    // FILTERED sequence, so "wolf" links to "sheep" across them.
+    val docs = Seq("wolf of the sheep").toDF("text")
+    val out = graft.analytics.GraphOps.textRankKeywords(docs).collect()
+      .map(_.getAs[String]("word")).toSet
+    assert(out === Set("wolf", "sheep"))
+  }
 }

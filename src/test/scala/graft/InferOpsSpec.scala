@@ -285,4 +285,77 @@ class InferOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((-1L, 3L, 3350000L, 3000000L, 1116666L),
       (7L, 3L, 3350000L, 3000000L, 1116666L)))
   }
+
+  test("markov attribution: removal effects replay the hand-built chain") {
+    // u1: view,click,purchase  u2: view (no conv)  u3: click,purchase
+    // u4: view,purchase
+    // trans: START→view 3/4, START→click 1/4; view→{click,NULL,CONV}
+    // 1/3 each; click→CONV 1.
+    // K-step values: full v(START)=749999; no_view 250000; no_click
+    // 249999 → removal view 499999 / click 500000, shares 499999 /
+    // 500000 of te=999999.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 3L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 10:01:00"), 3L, "purchase", 0.0, "{}"),
+      (7L, ts("2024-01-01 10:00:00"), 4L, "view", 0.0, "{}"),
+      (8L, ts("2024-01-01 10:01:00"), 4L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = InferOps.markovAttribution(df, channels = Seq("view", "click"))
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("conv_ppm"),
+        r.getAs[Long]("removal_ppm"), r.getAs[Long]("share_ppm")))
+    assert(out.toSeq === Seq(
+      ("click", 249999L, 500000L, 500000L),
+      ("view", 250000L, 499999L, 499999L),
+      ("zz_full", 749999L, 0L, 0L)))
+  }
+
+  test("markov attribution: converted-only journeys credit START→CONV directly") {
+    // u1's only event is the purchase itself → empty journey, the
+    // START→CONV edge; u2 views without converting. Chain: START→CONV
+    // 1/2, START→view 1/2, view→NULL 1 → full conv = 500000, removing
+    // view changes nothing (its paths never convert).
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = InferOps.markovAttribution(df, channels = Seq("view", "click"))
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("conv_ppm"),
+        r.getAs[Long]("removal_ppm"), r.getAs[Long]("share_ppm")))
+    // no_click drops nothing (click never occurs) → conv stays 500000;
+    // no_view also stays 500000 (view's subtree is all NULL); both
+    // removal effects 0, shares 0 of te=1 (the ÷0 guard).
+    assert(out.toSeq === Seq(
+      ("click", 500000L, 0L, 0L),
+      ("view", 500000L, 0L, 0L),
+      ("zz_full", 500000L, 0L, 0L)))
+  }
+
+  test("sprt: crossings fire at the 15th net observation in either direction") {
+    // per-hit LLR = 200670695 nanos, bound ln 19 = 2944438979 → 15
+    // same-direction observations cross (14·L = 2809389730 < bound).
+    // A: 5 hits/day ×4 days → h1 at day 3 (15 obs); B: mirror → h0;
+    // C: 5 misses only → continue at −5·L.
+    val L = InferOps.sprtLPosNanos
+    assert(L === 200670695L && InferOps.sprtBoundNanos === 2944438979L)
+    val rows = for {
+      (tpe, v) <- Seq(("A", 100.0), ("B", 1.0), ("C", 1.0))
+      day <- 1 to (if (tpe == "C") 1 else 4)
+      i <- 1 to 5
+    } yield (tpe, ts(f"2024-01-0$day 10:0$i:00"), v)
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = InferOps.sprtDaily(df, threshold = 35.0).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_obs"), r.getAs[String]("decision"),
+        r.getAs[Long]("n_at_decision"), r.getAs[Long]("llr_nanos")))
+    assert(out.toSeq === Seq(
+      ("A", 4L, 20L, "h1", 15L, 15L * L),
+      ("B", 4L, 20L, "h0", 15L, -15L * L),
+      ("C", 1L, 5L, "continue", -1L, -5L * L)))
+  }
 }

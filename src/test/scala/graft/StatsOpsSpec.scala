@@ -157,4 +157,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(out("zz_theta") === ((4L, 25000000L)))
     assert(out("zz_se2") === ((3L, 57201647983539L)))
   }
+
+  test("bootstrap CI: deterministic resamples bracket the exact full mean") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).map(i => (i, i * 1000L)).toDF("k", "xm")
+    def run() = graft.analytics.StatsOps
+      .bootstrapCI(df, keyCol = "k", valueMicros = col("xm"), b = 40)
+      .collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("n_eff"),
+        r.getAs[Long]("mean_micros")))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "hash-seeded resampling must be deterministic")
+    assert(a.length === 43) // 40 resamples + full + lo + hi
+    val byB = a.map(x => x._1 -> x).toMap
+    // exact full mean of 1000·(1..200): 1000·201/2 = 100500
+    assert(byB(-1L) === ((-1L, 200L, 100500L)))
+    // Poisson(1) multiplicities: every resample's effective n stays
+    // near 200 and its mean inside the support
+    val boots = a.filter(_._1 >= 0)
+    assert(boots.forall { case (_, n, m) =>
+      n > 100 && n < 300 && m >= 1000 && m <= 200000 })
+    // the rank-2 / rank-39 endpoints bracket the full mean and each other
+    assert(byB(-2L)._3 <= byB(-1L)._3 && byB(-1L)._3 <= byB(-3L)._3)
+  }
 }

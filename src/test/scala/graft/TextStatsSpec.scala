@@ -68,4 +68,47 @@ class TextStatsSpec extends SparkSpec {
     assert(bpeish === Seq("x", "!"))  // VT itself is not a bpeish token
     assert(TextStats.wsClassSql.contains("""\x0B"""))
   }
+
+  test("good-turing: bigram N_r table and unseen mass replay the fixture") {
+    // "aa bb aa bb" → bigrams (aa bb)×2, (bb aa)×1: N_1 = N_2 = 1,
+    // vocab 2, total 3 → r*(1) = 2·1e6·1 div 1 = 2e6, r*(2) = 0,
+    // P0 = 1e6·1 div 3 = 333333.
+    val docs = Seq("aa bb aa bb").toDF("text")
+    val out = graft.analytics.LLMOps.goodTuring(docs).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+        r.getAs[Long]("n_r1"), r.getAs[Long]("r_star_micros")))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 3L, 333333L),
+      (1L, 1L, 1L, 2000000L),
+      (2L, 1L, 0L, 0L)))
+  }
+
+  test("zipf fit: three-point log-log OLS replays the integer arithmetic") {
+    // counts 4/2/1 at ranks 1/2/3 on the micro-ln grid: slope −1233661
+    // (≈ −1.23, Zipf-ish), r² 977653. intercept_micros rides the
+    // micros·1e6 grid because y is already in micros (defined output,
+    // replayed identically by the oracle).
+    val docs = Seq("aaa aaa bbb", "aaa ccc", "aaa bbb").toDF("text")
+    val r = graft.analytics.LLMOps.zipfFit(docs, topK = 100).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("slope_micros") === -1233661L)
+    assert(r.getAs[Long]("intercept_micros") === 1429954733233L)
+    assert(r.getAs[Long]("r_sign") === -1L)
+    assert(r.getAs[Long]("r2_micros") === 977653L)
+  }
+
+  test("heaps law: cumulative vocabulary tracks first occurrences only") {
+    // doc_ids 1..3 → buckets 1/4/7; vocab grows 2 → 3 → 3 (doc 3
+    // introduces nothing new), tokens 2 → 4 → 5.
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.analytics.LLMOps.heapsLaw(docs).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab")))
+    val expect = Seq(
+      (1L, 1L, 2L, 2L), (2L, 1L, 2L, 2L), (3L, 1L, 2L, 2L),
+      (4L, 2L, 4L, 3L), (5L, 2L, 4L, 3L), (6L, 2L, 4L, 3L),
+      (7L, 3L, 5L, 3L), (8L, 3L, 5L, 3L), (9L, 3L, 5L, 3L),
+      (10L, 3L, 5L, 3L))
+    assert(out.toSeq === expect)
+  }
 }
