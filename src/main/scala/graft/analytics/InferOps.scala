@@ -607,6 +607,55 @@ object InferOps {
       .orderBy(col("event_type"))
   }
 
+  /** Difference-in-differences estimator over the event stream:
+    * `treat` is any per-row treatment predicate (a user cohort flag, a
+    * rollout ramp, an experiment assignment), outcome = the
+    * floor-micros value of `outcomeType` events, periods = the q195
+    * early/late calendar halves ((mn+mx+1) div 2 cutoff). Emits the
+    * four (treat, post) cell means plus the zz row carrying
+    * DiD = (T̄post − T̄pre) − (C̄post − C̄pre) — subtractions of
+    * truncating cell means, exact on both engines. The parallel-trends
+    * caveat is the reader's, not the query's; this is the standard
+    * first-cut causal readout over logged events. (The declared q220
+    * passes a hash-parity assignment — an A/A CALIBRATION run whose
+    * DiD should sit near 0; the fixture's users all fire every event
+    * type, so no behavioral cohort splits it.)
+    *
+    * Scale shape: one filtered outcome pass with a map-side treatment
+    * flag, a 4-group aggregate. Nothing holds more than 4 rows after
+    * the agg.
+    */
+  def diffInDiff(events: DataFrame, treat: Column,
+                 outcomeType: String = "purchase"): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+    val base = ev.filter(col("event_type") === outcomeType)
+      .select(when(treat, 1L).otherwise(0L).as("is_t"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("x"))
+    val span = base.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val cells = base
+      .crossJoin(broadcast(span))
+      .selectExpr("is_t AS t",
+        "CASE WHEN day >= (mn + mx + 1) DIV 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS post",
+        "x")
+      .groupBy(col("t"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .selectExpr("t", "post", "n", "sx DIV n AS mean_micros")
+      .transform(graft.Stage.mat)
+    val zz = cells.agg(sum(col("n")).as("nt"),
+        sum(when(col("t") === 1L && col("post") === 1L, col("mean_micros"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("t") === 1L && col("post") === 0L, col("mean_micros"))
+          .otherwise(0L)).as("tr"),
+        sum(when(col("t") === 0L && col("post") === 1L, col("mean_micros"))
+          .otherwise(0L)).as("cp"),
+        sum(when(col("t") === 0L && col("post") === 0L, col("mean_micros"))
+          .otherwise(0L)).as("cr"))
+      .selectExpr("CAST(-1 AS BIGINT) AS t", "CAST(-1 AS BIGINT) AS post",
+        "nt AS n", "(tp - tr) - (cp - cr) AS mean_micros")
+    cells.unionByName(zz).orderBy(col("t"), col("post"))
+  }
+
   /** One unrolled removal-variant value-iteration round for the DuckDB
     * oracle — token-for-token the [[markovAttribution]] update. */
   private def mkvIterSql(i: Int): String = {
@@ -1323,6 +1372,46 @@ object InferOps {
              CAST(COALESCE(f.n_at_decision, -1) AS BIGINT) AS n_at_decision,
              CAST(COALESCE(f.llr_cross, l.llr_final) AS BIGINT) AS llr_nanos
       FROM lastd l LEFT JOIN firstx f ON l.event_type = f.event_type
-      ORDER BY l.event_type"""))
+      ORDER BY l.event_type""")),
+
+    // ---- difference-in-differences on a hash-parity A/A assignment:
+    //      four cell means + the zz DiD row (expected ≈ 0 — the
+    //      calibration reading; see the method scaladoc for why the
+    //      fixture admits no behavioral cohort). The oracle replays
+    //      the hash assignment, the day cutoff, and every truncating
+    //      cell mean.
+    ("q220_diff_in_diff", (s: SparkSession, dir: String) => {
+      diffInDiff(Tables(s, dir).events,
+        treat = graft.text.TextStats.portableHash64(
+          concat(lit("did:"), col("user_id").cast("string"))) % 2 === 1)
+    }, Some(s"""
+      WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+      base AS (
+        SELECT CASE WHEN ${graft.text.TextStats.portableHash64Sql(
+          "concat('did:', CAST(e.user_id AS VARCHAR))")} % 2 = 1
+                    THEN 1 ELSE 0 END AS is_t,
+               date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) AS day,
+               CAST(floor(e.value * 1000000) AS BIGINT) AS x
+        FROM ev e WHERE e.event_type = 'purchase'),
+      span AS (SELECT min(day) AS mn, max(day) AS mx FROM base),
+      cells AS (
+        SELECT b.is_t AS t,
+               CASE WHEN b.day >= (mn + mx + 1) // 2 THEN 1 ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(b.x) // count(*) AS BIGINT) AS mean_micros
+        FROM base b
+        CROSS JOIN span
+        GROUP BY 1, 2)
+      SELECT CAST(t AS BIGINT) AS t, CAST(post AS BIGINT) AS post, n, mean_micros
+      FROM cells
+      UNION ALL
+      SELECT -1, -1, CAST(SUM(n) AS BIGINT),
+             CAST((SUM(CASE WHEN t = 1 AND post = 1 THEN mean_micros ELSE 0 END)
+                   - SUM(CASE WHEN t = 1 AND post = 0 THEN mean_micros ELSE 0 END))
+                  - (SUM(CASE WHEN t = 0 AND post = 1 THEN mean_micros ELSE 0 END)
+                     - SUM(CASE WHEN t = 0 AND post = 0 THEN mean_micros ELSE 0 END))
+                  AS BIGINT)
+      FROM cells
+      ORDER BY t, post"""))
   )
 }

@@ -122,6 +122,75 @@ object LLMOps {
     StatsOps.olsMicros(ranked, "fit", "x", "y")
   }
 
+  /** Term burstiness — the Fano factor (variance-to-mean ratio) of
+    * per-document term counts, zeros included: Poisson scatter scores
+    * ≈ 1e6 ppm (function words), content words clump far above, and a
+    * term whose burstiness EXPLODES relative to its frequency is the
+    * template/boilerplate signature (the same 50-copy block pasted
+    * into a handful of docs). Church & Gale 1995's adaptation signal
+    * as a corpus-QA readout. Exact integers: with S = Σc, Q = Σc²
+    * over all n docs (absent docs contribute 0 to both),
+    * fano_ppm = 1e6·(n·Q − S²) div (n·S) — one (term, doc) count pass
+    * + one term-keyed aggregate; the n·Q products ride DECIMAL(38,0).
+    * Top-`topK` by burstiness among terms with df ≥ `minDf` (the
+    * hapax tail is pure noise here). */
+  def termBurstiness(docs: DataFrame, minDf: Long = 20, topK: Int = 20): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), explode(loTokens(col("text"))).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("df") >= minDf)
+    stats.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .selectExpr("w", "df", "s AS n_occ",
+        "(1000000 * s) DIV n AS mean_ppm",
+        """CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * ss
+                            - CAST(s AS DECIMAL(38,0)) * s))
+                DIV (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT) AS fano_ppm""")
+      .orderBy(col("fano_ppm").desc, col("w")).limit(topK)
+  }
+
+  /** Normalized pointwise mutual information collocations (Bouma
+    * 2009): npmi(a,b) = pmi/−ln p(ab) over adjacent-token bigrams,
+    * marginals taken from the bigram table's own left/right positions.
+    * Every log is the pre-rounded integer-nanos grid (round9ln of a
+    * COUNT, the q197 convention), so
+    *   pmi_nanos  = L(c_ab) + L(N) − L(c_a·) − L(c_·b)
+    *   npmi_micros = pmi_nanos·1e6 div (L(N) − L(c_ab))
+    * replays exactly (+1e6 = perfect collocation, 0 = independence).
+    * The chi-squared ranking (q141) finds class-discriminative terms;
+    * this finds lexically FUSED pairs — the multiword expressions a
+    * tokenizer or phrase-mining pass should treat as units.
+    *
+    * Scale shape: one pair pass → bigram counts; marginals are two
+    * aggregates OF the bigram table (vocabulary-sized); the final join
+    * is bigram-keyed. minCount prunes the hapax tail before any join.
+    */
+  def npmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    def L(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+    val bg = docs.select(loTokens(col("text")).as("w"))
+      .select(explode(expr(
+        """CASE WHEN size(w) >= 2
+             THEN transform(sequence(1, size(w) - 1),
+                            i -> struct(w[i-1] AS a, w[i] AS b))
+             ELSE array() END""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = graft.Stage.mat(
+      bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
+    val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(ca, Seq("a")).join(cb, Seq("b"))
+      .crossJoin(broadcast(n))
+      .selectExpr("a", "b", "c_ab",
+        s"${L("c_ab")} + ${L("n")} - ${L("c_a")} - ${L("c_b")} AS pmi_nanos",
+        s"${L("n")} - ${L("c_ab")} AS denom_nanos")
+      .selectExpr("a", "b", "c_ab",
+        "(pmi_nanos * 1000000) DIV greatest(denom_nanos, 1) AS npmi_micros")
+      .orderBy(col("npmi_micros").desc, col("a"), col("b")).limit(topK)
+  }
+
   /** Heaps'-law growth curve over 10 doc-id-range deciles — see the
     * q216 def comment for the first-occurrence identity. */
   def heapsLaw(docs: DataFrame): DataFrame = {
@@ -969,7 +1038,69 @@ object LLMOps {
              CAST(SUM(n_docs) OVER (ORDER BY bkt) AS BIGINT) AS n_docs,
              CAST(SUM(n_tokens) OVER (ORDER BY bkt) AS BIGINT) AS n_tokens,
              CAST(SUM(new_terms) OVER (ORDER BY bkt) AS BIGINT) AS vocab
-      FROM tbl ORDER BY decile"""))
+      FROM tbl ORDER BY decile""")),
+
+    // ---- term burstiness (Fano factor over per-doc counts, zeros in):
+    //      top-20 clumpiest frequent terms — the template/boilerplate
+    //      detector. The oracle replays counts, both DECIMAL products,
+    //      and the truncating ratio.
+    ("q218_term_burstiness", (s: SparkSession, dir: String) => {
+      termBurstiness(Tables(s, dir).documents, minDf = 20, topK = 20)
+    }, Some(s"""
+      WITH perdoc AS (
+        SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                    x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY w, doc_id),
+      st AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM perdoc GROUP BY w HAVING count(*) >= 20),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+      SELECT w, df, s AS n_occ,
+             (1000000 * s) // n AS mean_ppm,
+             CAST((1000000 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s))
+                  // (CAST(n AS HUGEINT) * s) AS BIGINT) AS fano_ppm
+      FROM st CROSS JOIN nn
+      ORDER BY fano_ppm DESC, w LIMIT 20""")),
+
+    // ---- NPMI collocations: top-20 lexically fused adjacent pairs on
+    //      the integer-nanos log grid. The oracle replays the bigram
+    //      marginals, all four round9ln terms, and the signed
+    //      truncating normalization.
+    ("q219_npmi_collocations", (s: SparkSession, dir: String) => {
+      npmiCollocations(Tables(s, dir).documents, minCount = 5, topK = 20)
+    }, Some {
+      def l(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      s"""
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS w
+        FROM documents),
+      bg AS (
+        SELECT p['a'] AS a, p['b'] AS b FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+                   i -> {'a': w[i], 'b': w[i+1]})) AS p
+          FROM toks WHERE len(w) >= 2)),
+      cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+      ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+      cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+      nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cab),
+      sc AS (
+        SELECT cab.a, cab.b, cab.c_ab,
+               ${l("cab.c_ab")} + ${l("nn.n")} - ${l("ca.c_a")} - ${l("cb.c_b")}
+                 AS pmi_nanos,
+               ${l("nn.n")} - ${l("cab.c_ab")} AS denom_nanos
+        FROM cab JOIN ca ON cab.a = ca.a JOIN cb ON cab.b = cb.b
+        CROSS JOIN nn
+        WHERE cab.c_ab >= 5)
+      SELECT a, b, c_ab,
+             CAST((pmi_nanos * 1000000) // greatest(denom_nanos, 1) AS BIGINT)
+               AS npmi_micros
+      FROM sc ORDER BY npmi_micros DESC, a, b LIMIT 20"""
+    })
   )
 
   /** The featured approximate-quantile operator alone: one partial+final

@@ -313,6 +313,51 @@ object MiningOps {
       .limit(topK)
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998)
+    * over a near-dup pair graph: lcc(v) = 2·tri(v) div (deg(v)·
+    * (deg(v)−1)) in ppm, deg < 2 ⇒ 0 — the node-level companion of
+    * [[clusterDensity]]'s cluster transitivity (a node with high
+    * degree but near-zero lcc is a HUB STITCHING unrelated documents
+    * — the classic false-merge symptom a dedup audit looks for; a
+    * dense clique scores 1e6 everywhere). The zz row (doc_id = −1)
+    * carries the Watts–Strogatz average: Σ lcc div #(deg ≥ 2 nodes).
+    *
+    * Same defensive canonicalization and a<b<c oriented two-join
+    * closure as [[clusterDensity]]; per-node triangle counts come
+    * from exploding each closed triangle to its three corners —
+    * 3·#triangles rows, never a wedge blowup beyond the closure join
+    * itself (degree-orientation escape documented there applies
+    * unchanged).
+    */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
+      .transform(graft.Stage.mat)
+    val deg = e.select(col("id_a").as("id")).unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(e.as("e3"), col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"), col("e2.id_b").as("c"))
+    val tn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val per = deg.join(tn, Seq("id"), "left")
+      .selectExpr("id AS doc_id", "deg",
+        "coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri",
+        """CASE WHEN deg >= 2
+             THEN (2000000 * coalesce(n_tri, CAST(0 AS BIGINT))) DIV (deg * (deg - 1))
+             ELSE CAST(0 AS BIGINT) END AS lcc_ppm""")
+      .transform(graft.Stage.mat)
+    val zz = per.filter(col("deg") >= 2)
+      .agg(count(lit(1)).as("n2"), sum(col("n_tri")).as("st"),
+        sum(col("lcc_ppm")).as("sl"))
+      .selectExpr("CAST(-1 AS BIGINT) AS doc_id", "n2 AS deg", "st AS n_tri",
+        "sl DIV greatest(n2, 1) AS lcc_ppm")
+    per.unionByName(zz).orderBy(col("doc_id"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- edit-distance-verified near-dup pairs: banded MinHash
@@ -682,6 +727,43 @@ object MiningOps {
              CAST(COALESCE(MAX(CASE WHEN jw < 1000000 THEN jw END), 0) AS BIGINT)
                AS best_sub
       FROM pairs GROUP BY brand, sz
-      ORDER BY brand, sz"""))
+      ORDER BY brand, sz""")),
+
+    // ---- per-node local clustering coefficient over the q123 near-dup
+    //      graph + the zz Watts–Strogatz average: the hub-vs-clique
+    //      audit at node granularity. The oracle replays the oriented
+    //      closure, the corner explode, and both truncating quotients
+    //      on the exact-Jaccard pair list.
+    ("q217_local_clustering", (s: SparkSession, dir: String) => {
+      localClustering(Dedup.minhashNearDups(
+        Tables(s, dir).documents.filter(col("doc_id") < 500),
+        threshold = 0.8, numHashes = 16, bands = 16))
+    }, Some(s"""
+      WITH ${pairsSql()},
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT id_a AS id FROM pairs
+                UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+      tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+              FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+              JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+      tn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+               SELECT a AS id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY id),
+      per AS (
+        SELECT deg.id AS doc_id, deg.deg,
+               COALESCE(tn.n_tri, 0) AS n_tri,
+               CASE WHEN deg.deg >= 2
+                    THEN (2000000 * COALESCE(tn.n_tri, 0))
+                         // (deg.deg * (deg.deg - 1))
+                    ELSE 0 END AS lcc_ppm
+        FROM deg LEFT JOIN tn ON deg.id = tn.id)
+      SELECT doc_id, deg, n_tri, CAST(lcc_ppm AS BIGINT) AS lcc_ppm FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(SUM(n_tri) AS BIGINT),
+             CAST(SUM(lcc_ppm) // greatest(count(*), 1) AS BIGINT)
+      FROM per WHERE deg >= 2
+      ORDER BY doc_id"""))
   )
 }

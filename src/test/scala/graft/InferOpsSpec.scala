@@ -358,4 +358,22 @@ class InferOpsSpec extends SparkSpec {
       ("B", 4L, 20L, "h0", 15L, -15L * L),
       ("C", 1L, 5L, "continue", -1L, -5L * L)))
   }
+
+  test("diff-in-diff: four cells and the DiD row replay the hand means") {
+    // control u1: 10 pre / 12 post; treated u10: 20 pre / 30 post
+    // → DiD = (30−20)−(12−10) = 8e6 micros.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "purchase", 12.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 10L, "purchase", 20.0, "{}"),
+      (4L, ts("2024-01-09 10:00:00"), 10L, "purchase", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = InferOps.diffInDiff(df, treat = col("user_id") >= 10L).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("post"),
+        r.getAs[Long]("n"), r.getAs[Long]("mean_micros")))
+    assert(out.toSeq === Seq(
+      (-1L, -1L, 4L, 8000000L),
+      (0L, 0L, 1L, 10000000L), (0L, 1L, 1L, 12000000L),
+      (1L, 0L, 1L, 20000000L), (1L, 1L, 1L, 30000000L)))
+  }
 }

@@ -215,4 +215,20 @@ class MiningOpsSpec extends SparkSpec {
     assert(out("B") === ((1L, 15000000L, 150000L)))
     assert(out("C") === ((2L, 5000000L, 50000L)))
   }
+
+  test("local clustering: triangle + pendant replays the hand arithmetic") {
+    // triangle 1-2-3 plus pendant 3-4; a reversed duplicate (2,1)
+    // must be canonicalized away. lcc: 1,2 → 1e6; 3 → 2e6/(3·2) =
+    // 333333; 4 → deg<2 ⇒ 0. zz: 3 nodes with deg ≥ 2, Σtri = 3,
+    // avg = 2333333 div 3 = 777777.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val out = graft.analytics.MiningOps.localClustering(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("lcc_ppm")))
+    assert(out.toSeq === Seq(
+      (-1L, 3L, 3L, 777777L),
+      (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)))
+  }
 }

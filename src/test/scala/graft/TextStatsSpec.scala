@@ -97,6 +97,36 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("r2_micros") === 977653L)
   }
 
+  test("term burstiness: clumped terms outrank even spread at equal mass") {
+    // z: docs (4,1,absent) of n=3 → S=5, Q=17, fano = 1e6·(3·17−25)
+    // div (3·5) = 1733333; q: single hit → fano = 1e6·2 div 3 = 666666.
+    val docs = Seq((1L, "z z z z"), (2L, "z"), (3L, "q")).toDF("doc_id", "text")
+    val out = graft.analytics.LLMOps.termBurstiness(docs, minDf = 1, topK = 10)
+      .collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("df"),
+        r.getAs[Long]("n_occ"), r.getAs[Long]("mean_ppm"),
+        r.getAs[Long]("fano_ppm")))
+    assert(out.toSeq === Seq(
+      ("z", 2L, 5L, 1666666L, 1733333L),
+      ("q", 1L, 1L, 333333L, 666666L)))
+  }
+
+  test("npmi: perfect collocations score 1e6, independence scores 0-ish") {
+    // bigram table: (u,v)×4 (w,v)×2 (u,x)×2 (y,z)×2, N=10 — y z only
+    // ever co-occur → exactly 1e6; the rest replay the nanos-log grid.
+    val docs = (Seq.fill(4)("u v") ++ Seq.fill(2)("w v") ++
+      Seq.fill(2)("u x") ++ Seq.fill(2)("y z")).toDF("text")
+    val out = graft.analytics.LLMOps.npmiCollocations(docs, minCount = 2, topK = 10)
+      .collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("npmi_micros")))
+    assert(out.toSeq === Seq(
+      ("y", "z", 2L, 1000000L),
+      ("u", "x", 2L, 317393L),
+      ("w", "v", 2L, 317393L),
+      ("u", "v", 4L, 114985L)))
+  }
+
   test("heaps law: cumulative vocabulary tracks first occurrences only") {
     // doc_ids 1..3 → buckets 1/4/7; vocab grows 2 → 3 → 3 (doc 3
     // introduces nothing new), tokens 2 → 4 → 5.
