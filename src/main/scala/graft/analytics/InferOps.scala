@@ -656,6 +656,64 @@ object InferOps {
     cells.unionByName(zz).orderBy(col("t"), col("post"))
   }
 
+  /** Two-group log-rank test (Mantel 1966) on time-to-first-conversion:
+    * cohort g=1 = users whose FIRST event is a view, duration = days
+    * from first-seen to first `conv` (censored at the corpus's last
+    * day) — "do view-first users convert on a different clock?", the
+    * whole-curve sequel to the Kaplan–Meier estimate. Per event time:
+    * observed group-1 deaths d1, expected e1 = d·n1·1e6 div n, and the
+    * hypergeometric variance term, both truncating-integer with
+    * DECIMAL(38,0) products (n⁴-scale at large risk sets); the zz row
+    * (t = −1) carries O, E, V totals and chi2 = (O·1e6 − E)² div V in
+    * micros. At-risk counts come from a REVERSE cumsum over the
+    * duration-histogram table — span-bounded (days), never user-bounded
+    * — so the only per-user state is one (duration, event) row.
+    */
+  def logRank(events: DataFrame, conv: String = "purchase"): DataFrame = {
+    val ev = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val first = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"),
+        (col("event_type") === "view").cast("long").as("g"), col("day").as("t0"))
+    val convDay = ev.filter(col("event_type") === conv)
+      .groupBy(col("user_id")).agg(min(col("day")).as("tc"))
+    val lastDay = ev.agg(max(col("day")).as("ld"))
+    val dur = first.join(convDay, Seq("user_id"), "left")
+      .crossJoin(broadcast(lastDay))
+      .selectExpr("g",
+        "CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE ld - t0 END AS dur",
+        "CASE WHEN tc IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ev")
+    val dc = dur.groupBy(col("dur")).agg(
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("r1"),
+        count(lit(1)).as("rt"),
+        sum(when(col("g") === 1L && col("ev") === 1L, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("ev") === 1L, 1L).otherwise(0L)).as("d"))
+      .transform(graft.Stage.mat)
+    // global desc window over the duration histogram — span-bounded
+    val wd = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val et = dc.withColumn("n1", sum(col("r1")).over(wd))
+      .withColumn("n", sum(col("rt")).over(wd))
+      .filter(col("d") > 0)
+      .selectExpr("dur AS t", "d1", "d", "n1", "n",
+        "(d * n1 * 1000000) DIV n AS e1_micros",
+        """CAST((CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) * 1000000)
+              DIV greatest(CAST(n AS DECIMAL(38,0)) * n * greatest(n - 1, 1), 1)
+              AS BIGINT) AS v_micros""")
+      .withColumn("chi2_micros", lit(0L))
+      .transform(graft.Stage.mat)
+    val zz = et.agg(sum(col("d1")).as("o1"), sum(col("d")).as("od"),
+        sum(col("e1_micros")).as("e1"), sum(col("v_micros")).as("v"))
+      .selectExpr("CAST(-1 AS BIGINT) AS t", "o1 AS d1", "od AS d",
+        "CAST(0 AS BIGINT) AS n1", "CAST(0 AS BIGINT) AS n",
+        "e1 AS e1_micros", "v AS v_micros",
+        """CAST((CAST(o1 * 1000000 - e1 AS DECIMAL(38,0)) * (o1 * 1000000 - e1))
+            DIV greatest(v, 1) AS BIGINT) AS chi2_micros""")
+    et.unionByName(zz).orderBy(col("t"))
+  }
+
   /** One unrolled removal-variant value-iteration round for the DuckDB
     * oracle — token-for-token the [[markovAttribution]] update. */
   private def mkvIterSql(i: Int): String = {
@@ -1412,6 +1470,66 @@ object InferOps {
                      - SUM(CASE WHEN t = 0 AND post = 0 THEN mean_micros ELSE 0 END))
                   AS BIGINT)
       FROM cells
-      ORDER BY t, post"""))
+      ORDER BY t, post""")),
+
+    // ---- log-rank test: view-first vs rest on days-to-first-purchase,
+    //      per-event-time O/E/V rows + the zz chi² row. The oracle
+    //      replays the first-event cohort window, the duration
+    //      histogram, the reverse at-risk cumsum, and every truncating
+    //      quotient.
+    ("q222_log_rank", (s: SparkSession, dir: String) => {
+      logRank(Tables(s, dir).events)
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, ts, event_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events WHERE user_id IS NOT NULL),
+      fst AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g,
+               day AS t0 FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rn
+          FROM ev) WHERE rn = 1),
+      cd AS (SELECT user_id, min(day) AS tc FROM ev
+             WHERE event_type = 'purchase' GROUP BY user_id),
+      ld AS (SELECT max(day) AS ld FROM ev),
+      dur AS (
+        SELECT f.g,
+               CASE WHEN cd.tc IS NOT NULL THEN cd.tc - f.t0
+                    ELSE ld.ld - f.t0 END AS dur,
+               CASE WHEN cd.tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM fst f LEFT JOIN cd ON f.user_id = cd.user_id CROSS JOIN ld),
+      dc AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(count(*) AS BIGINT) AS rt,
+               CAST(SUM(CASE WHEN g = 1 AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM dur GROUP BY dur),
+      risk AS (
+        SELECT *, SUM(r1) OVER (ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+               SUM(rt) OVER (ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        FROM dc),
+      et AS (
+        SELECT dur AS t, d1, d, CAST(n1 AS BIGINT) AS n1, CAST(n AS BIGINT) AS n,
+               CAST((d * n1 * 1000000) // n AS BIGINT) AS e1_micros,
+               CAST((CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000)
+                    // greatest(CAST(n AS HUGEINT) * n * greatest(n - 1, 1), 1)
+                    AS BIGINT) AS v_micros,
+               CAST(0 AS BIGINT) AS chi2_micros
+        FROM risk WHERE d > 0)
+      SELECT * FROM et
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(d1) AS BIGINT), CAST(SUM(d) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(SUM(e1_micros) AS BIGINT), CAST(SUM(v_micros) AS BIGINT),
+             CAST((CAST(SUM(d1) * 1000000 - SUM(e1_micros) AS HUGEINT)
+                   * (SUM(d1) * 1000000 - SUM(e1_micros)))
+                  // greatest(SUM(v_micros), 1) AS BIGINT)
+      FROM et
+      ORDER BY t"""))
   )
 }

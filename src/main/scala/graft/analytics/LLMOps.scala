@@ -191,6 +191,94 @@ object LLMOps {
       .orderBy(col("npmi_micros").desc, col("a"), col("b")).limit(topK)
   }
 
+  /** Data-scaling curve — the loss-vs-data readout (the empirical side
+    * of Kaplan et al. 2020's data term): an add-one bigram LM is
+    * trained on growing PREFIXES of the training pool (doc-id-range
+    * quintiles, the q216 value-range bucketing) and evaluated as
+    * cross-entropy on one FIXED hash-fold holdout, so the only moving
+    * variable is training-set size. Emits per prefix k: training
+    * docs/tokens/vocabulary and total + per-bigram holdout
+    * cross-entropy in integer nanos. A curve that stops dropping says
+    * more data of THIS corpus buys nothing — the single most
+    * actionable number a data-curation team owns.
+    *
+    * Exact-replay arithmetic (the q197 discipline): every log is
+    * round9ln of an INTEGER (count or count+V), so
+    *   CE_k = Σ_hold hc·L(c_a + V_k) − Σ_hold hc·L(c_ab + 1)
+    * where the second sum INNER-joins observed model bigrams only
+    * (absent pairs contribute L(1) = 0 — the exclusive-tail trick)
+    * and the first LEFT-joins the left-marginal (absent a ⇒ c_a = 0
+    * ⇒ the 1/V_k OOV floor falls out of the same formula).
+    *
+    * Scale shape: one tokenize pass per split; per-bucket bigram
+    * counts expand ≤ `buckets`× via the prefix explode then collapse
+    * to (k, a, b) — model-sized, never corpus-sized; both CE sums are
+    * bigram-keyed joins (bucketable); the holdout marginal × prefix
+    * spine product is (holdout-left-vocab × buckets). Nothing holds
+    * row state after the first aggregates.
+    */
+  def scalingCurve(docs: DataFrame, folds: Int = 5, buckets: Int = 5): DataFrame = {
+    def L(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+    val bigrams =
+      """CASE WHEN size(w) >= 2
+           THEN transform(sequence(1, size(w) - 1),
+                          i -> struct(w[i-1] AS a, w[i] AS b))
+           ELSE array() END"""
+    val sp = docs.select(col("doc_id"), loTokens(col("text")).as("w"))
+      .withColumn("h", TextStats.portableHash64(
+        concat(lit("sc:"), col("doc_id").cast("string"))) % folds)
+      .transform(graft.Stage.mat)
+    val tr = sp.filter(col("h") =!= 0)
+    val te = sp.filter(col("h") === 0)
+    val rng = tr.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val trb = tr.crossJoin(broadcast(rng))
+      .withColumn("bkt", expr(s"((doc_id - mn) * $buckets) DIV (mx - mn + 1) + 1"))
+      .transform(graft.Stage.mat)
+    // per-prefix model: bigram counts, left marginals, vocabulary
+    val bgb = trb.select(col("bkt"), explode(expr(bigrams)).as("g"))
+      .select(col("bkt"), col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("bkt"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val model = graft.Stage.mat(bgb
+      .select(col("a"), col("b"), col("c"),
+        explode(expr(s"sequence(bkt, $buckets)")).as("k"))
+      .groupBy(col("k"), col("a"), col("b")).agg(sum(col("c")).as("c_ab")))
+    val ca = model.groupBy(col("k"), col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val vk = graft.Stage.mat(trb
+      .select(col("bkt"), explode(array_distinct(col("w"))).as("t"))
+      .groupBy(col("t")).agg(min(col("bkt")).as("fb"))
+      .select(explode(expr(s"sequence(fb, $buckets)")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("v")))
+    val sizes = trb
+      .select(col("bkt"), size(col("w")).cast("long").as("ntok"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("nd"), sum(col("ntok")).as("nt"))
+      .select(col("nd"), col("nt"), explode(expr(s"sequence(bkt, $buckets)")).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("nd")).as("n_train_docs"), sum(col("nt")).as("n_train_tokens"))
+    // holdout bigram table + left marginals
+    val hb = graft.Stage.mat(te.select(explode(expr(bigrams)).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hc")))
+    val ha = hb.groupBy(col("a")).agg(sum(col("hc")).as("hca"))
+    // CE part 1: Σ hc·L(c_a + V_k) over the (holdout-a × k) spine
+    val p1 = ha.crossJoin(broadcast(vk))
+      .join(ca, Seq("k", "a"), "left")
+      .selectExpr("k",
+        s"hca * ${L("coalesce(c_a, CAST(0 AS BIGINT)) + v")} AS t1")
+      .groupBy(col("k")).agg(sum(col("t1")).as("s1"))
+    // CE part 2: Σ hc·L(c_ab + 1) over observed model bigrams only
+    val p2 = model.join(hb, Seq("a", "b"))
+      .selectExpr("k", s"hc * ${L("c_ab + 1")} AS t2")
+      .groupBy(col("k")).agg(sum(col("t2")).as("s2"))
+    val nEval = hb.agg(sum(col("hc")).as("n_eval"))
+    sizes.join(vk, Seq("k")).join(p1, Seq("k")).join(p2, Seq("k"), "left")
+      .crossJoin(broadcast(nEval))
+      .selectExpr("CAST(k AS BIGINT) AS k", "n_train_docs", "n_train_tokens",
+        "v AS vocab", "n_eval",
+        "s1 - coalesce(s2, CAST(0 AS BIGINT)) AS ce_total_nanos",
+        "(s1 - coalesce(s2, CAST(0 AS BIGINT))) DIV greatest(n_eval, 1) AS ce_mean_nanos")
+      .orderBy(col("k"))
+  }
+
   /** Heaps'-law growth curve over 10 doc-id-range deciles — see the
     * q216 def comment for the first-occurrence identity. */
   def heapsLaw(docs: DataFrame): DataFrame = {
@@ -1100,6 +1188,78 @@ object LLMOps {
              CAST((pmi_nanos * 1000000) // greatest(denom_nanos, 1) AS BIGINT)
                AS npmi_micros
       FROM sc ORDER BY npmi_micros DESC, a, b LIMIT 20"""
+    }),
+
+    // ---- data-scaling curve: add-one bigram-LM cross-entropy on one
+    //      fixed hash holdout vs 5 growing training prefixes — the
+    //      loss-vs-data readout. The oracle retrains all 5 models
+    //      (same split, same prefix buckets, same nanos-log grid) and
+    //      replays both CE sums including the OOV floor.
+    ("q221_scaling_curve", (s: SparkSession, dir: String) => {
+      scalingCurve(Tables(s, dir).documents, folds = 5, buckets = 5)
+    }, Some {
+      def l(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('sc:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH sp AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS w,
+               $h % 5 AS h
+        FROM documents),
+      tr AS (SELECT * FROM sp WHERE h <> 0),
+      te AS (SELECT * FROM sp WHERE h = 0),
+      rng AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM tr),
+      trb AS (SELECT t.*, ((doc_id - mn) * 5) // (mx - mn + 1) + 1 AS bkt
+              FROM tr t CROSS JOIN rng),
+      bgb AS (
+        SELECT bkt, p['a'] AS a, p['b'] AS b, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT bkt, unnest(list_transform(range(1, len(w)),
+                       i -> {'a': w[i], 'b': w[i+1]})) AS p
+              FROM trb WHERE len(w) >= 2)
+        GROUP BY bkt, a, b),
+      model AS (
+        SELECT k, a, b, CAST(SUM(c) AS BIGINT) AS c_ab
+        FROM (SELECT a, b, c, unnest(range(bkt, 6)) AS k FROM bgb)
+        GROUP BY k, a, b),
+      ca AS (SELECT k, a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM model GROUP BY k, a),
+      vt AS (SELECT t, min(bkt) AS fb
+             FROM (SELECT bkt, unnest(list_distinct(w)) AS t FROM trb) GROUP BY t),
+      vk AS (SELECT k, CAST(count(*) AS BIGINT) AS v
+             FROM (SELECT unnest(range(fb, 6)) AS k FROM vt) GROUP BY k),
+      szb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS nd,
+                     CAST(SUM(len(w)) AS BIGINT) AS nt
+              FROM trb GROUP BY bkt),
+      sizes AS (
+        SELECT k, CAST(SUM(nd) AS BIGINT) AS n_train_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_train_tokens
+        FROM (SELECT nd, nt, unnest(range(bkt, 6)) AS k FROM szb) GROUP BY k),
+      hb AS (
+        SELECT p['a'] AS a, p['b'] AS b, CAST(count(*) AS BIGINT) AS hc
+        FROM (SELECT unnest(list_transform(range(1, len(w)),
+                       i -> {'a': w[i], 'b': w[i+1]})) AS p
+              FROM te WHERE len(w) >= 2)
+        GROUP BY a, b),
+      ha AS (SELECT a, CAST(SUM(hc) AS BIGINT) AS hca FROM hb GROUP BY a),
+      p1 AS (
+        SELECT vk.k,
+               CAST(SUM(ha.hca * ${l("COALESCE(ca.c_a, 0) + vk.v")}) AS BIGINT) AS s1
+        FROM ha CROSS JOIN vk
+        LEFT JOIN ca ON ca.k = vk.k AND ca.a = ha.a
+        GROUP BY vk.k),
+      p2 AS (
+        SELECT m.k, CAST(SUM(hb.hc * ${l("m.c_ab + 1")}) AS BIGINT) AS s2
+        FROM model m JOIN hb ON m.a = hb.a AND m.b = hb.b GROUP BY m.k),
+      ne AS (SELECT CAST(SUM(hc) AS BIGINT) AS n_eval FROM hb)
+      SELECT CAST(sizes.k AS BIGINT) AS k, n_train_docs, n_train_tokens,
+             vk.v AS vocab, ne.n_eval,
+             CAST(s1 - COALESCE(s2, 0) AS BIGINT) AS ce_total_nanos,
+             CAST((s1 - COALESCE(s2, 0)) // greatest(ne.n_eval, 1) AS BIGINT)
+               AS ce_mean_nanos
+      FROM sizes JOIN vk ON sizes.k = vk.k JOIN p1 ON sizes.k = p1.k
+      LEFT JOIN p2 ON sizes.k = p2.k CROSS JOIN ne
+      ORDER BY k"""
     })
   )
 

@@ -376,4 +376,30 @@ class InferOpsSpec extends SparkSpec {
       (0L, 0L, 1L, 10000000L), (0L, 1L, 1L, 12000000L),
       (1L, 0L, 1L, 20000000L), (1L, 1L, 1L, 30000000L)))
   }
+
+  test("log-rank: O/E/V per event time and chi2 replay the hand table") {
+    // view-first g=1: u1 dur 1 (event), u2 dur 3 (censored);
+    // click-first g=0: u3 dur 2, u4 dur 1 (events).
+    // t=1: d=2, d1=1, n=4, n1=2 → e1 = 1e6, v = 16e6 div 48 = 333333
+    // t=2: d=1, d1=0, n=2, n1=1 → e1 = 5e5, v = 1e6 div 4 = 250000
+    // zz: O=1, E=1.5e6, V=583333 → chi2 = (−5e5)² div 583333 = 428571.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "purchase", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-04 10:00:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 3L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-03 10:00:00"), 3L, "purchase", 0.0, "{}"),
+      (7L, ts("2024-01-01 10:00:00"), 4L, "click", 0.0, "{}"),
+      (8L, ts("2024-01-02 10:00:00"), 4L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = InferOps.logRank(df).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("d1"), r.getAs[Long]("d"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n"), r.getAs[Long]("e1_micros"),
+        r.getAs[Long]("v_micros"), r.getAs[Long]("chi2_micros")))
+    assert(out.toSeq === Seq(
+      (-1L, 1L, 3L, 0L, 0L, 1500000L, 583333L, 428571L),
+      (1L, 1L, 2L, 2L, 4L, 1000000L, 333333L, 0L),
+      (2L, 0L, 1L, 1L, 2L, 500000L, 250000L, 0L)))
+  }
 }

@@ -127,6 +127,29 @@ class TextStatsSpec extends SparkSpec {
       ("u", "v", 4L, 114985L)))
   }
 
+  test("scaling curve: cross-entropy falls monotonically as prefixes grow") {
+    // homogeneous corpus "a b": every added training doc raises c_ab,
+    // so holdout CE must be strictly decreasing in k wherever a prefix
+    // adds docs, and training sizes must be nondecreasing.
+    val docs = (1L to 60L).map(i => (i, "a b")).toDF("doc_id", "text")
+    def run() = graft.analytics.LLMOps.scalingCurve(docs).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_train_docs"),
+        r.getAs[Long]("n_train_tokens"), r.getAs[Long]("vocab"),
+        r.getAs[Long]("n_eval"), r.getAs[Long]("ce_total_nanos"),
+        r.getAs[Long]("ce_mean_nanos")))
+    val out = run()
+    assert(out.toSeq === run().toSeq, "hash split must be deterministic")
+    assert(out.length === 5)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val docsCum = out.map(_._2)
+    assert(docsCum.zip(docsCum.tail).forall { case (a, b) => a <= b })
+    assert(out.forall(_._4 === 2L)) // vocab is {a, b} at every prefix
+    val ce = out.map(_._6)
+    assert(ce.zip(ce.tail).zip(docsCum.zip(docsCum.tail)).forall {
+      case ((c1, c2), (d1, d2)) => if (d2 > d1) c2 < c1 else c2 === c1
+    }, s"CE must strictly drop when data is added: $out")
+  }
+
   test("heaps law: cumulative vocabulary tracks first occurrences only") {
     // doc_ids 1..3 → buckets 1/4/7; vocab grows 2 → 3 → 3 (doc 3
     // introduces nothing new), tokens 2 → 4 → 5.
