@@ -1490,6 +1490,194 @@ object CurationOps {
       SELECT CAST(998 AS BIGINT), CAST(0 AS BIGINT),
              CAST(MAX(mae_micros) - MIN(mae_micros) AS BIGINT)
       FROM per
-      ORDER BY fold"""))
+      ORDER BY fold""")),
+
+    // ---- tokenizer fertility per language: sub-word (bpeish) tokens
+    //      per whitespace word and chars per sub-word token — the
+    //      tokenizer-equity audit (a language whose fertility runs 2×
+    //      the corpus norm pays 2× the context budget for the same
+    //      content; the standard multilingual-tokenizer complaint made
+    //      measurable). One projection pass + a language-sized
+    //      aggregate; the oracle replays both token regexes (explicit
+    //      whitespace class — the VT parity rule) and both ratios.
+    ("q223_tokenizer_fertility", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select(col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("wt"),
+          size(TextStats.bpeishTokens(col("text"))).cast("long").as("bt"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("wt")).as("n_words"),
+          sum(col("bt")).as("n_bpeish"), sum(col("n_chars")).as("n_chars"))
+        .selectExpr("lang", "n_docs", "n_words", "n_bpeish", "n_chars",
+          "(1000000 * n_bpeish) DIV greatest(n_words, 1) AS fertility_ppm",
+          "(1000000 * n_chars) DIV greatest(n_bpeish, 1) AS chars_per_tok_ppm")
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT lang,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS wt,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${TextStats.wsCharsSql}]')) AS BIGINT) AS bt,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(wt) AS BIGINT) AS n_words,
+             CAST(SUM(bt) AS BIGINT) AS n_bpeish,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST((1000000 * SUM(bt)) // greatest(SUM(wt), 1) AS BIGINT)
+               AS fertility_ppm,
+             CAST((1000000 * SUM(n_chars)) // greatest(SUM(bt), 1) AS BIGINT)
+               AS chars_per_tok_ppm
+      FROM f GROUP BY lang ORDER BY lang""")),
+
+    // ---- domain-mixture rebalance: per-source hash acceptance rates
+    //      toward a UNIFORM source mix (the DoReMi-style reweighting
+    //      reduced to its deterministic sampling skeleton): rate_s =
+    //      min(1, target div n_s) with target = N div S, kept iff
+    //      hash('rb:'||doc_id) ppm < rate. Pure map-side filter — the
+    //      q100 sampling discipline, no rand(), no shuffle beyond the
+    //      source-sized aggregate; the oracle replays every
+    //      per-document accept decision.
+    ("q224_domain_rebalance", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+      val tot = bySrc.agg(sum(col("n_before")).as("n"),
+        count(lit(1)).as("s_cnt"))
+      val rates = graft.Stage.mat(bySrc.crossJoin(broadcast(tot))
+        .selectExpr("source", "n_before",
+          "least(CAST(1000000 AS BIGINT), (1000000 * (n DIV s_cnt)) DIV n_before) AS rate_ppm"))
+      val kept = docs.join(rates, Seq("source"))
+        .filter(TextStats.portableHash64(
+          concat(lit("rb:"), col("doc_id").cast("string"))) % 1000000L < col("rate_ppm"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      val per = rates.join(kept, Seq("source"), "left")
+        .selectExpr("source", "n_before", "rate_ppm",
+          "coalesce(n_after, CAST(0 AS BIGINT)) AS n_after")
+        .transform(graft.Stage.mat)
+      val zz = per.agg(sum(col("n_before")).as("nb"), sum(col("n_after")).as("na"))
+        .selectExpr("'zz_total' AS source", "nb AS n_before",
+          "CAST(0 AS BIGINT) AS rate_ppm", "na AS n_after")
+      per.unionByName(zz).orderBy(col("source"))
+    }, Some(s"""
+      WITH bysrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+                     FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS s_cnt FROM bysrc),
+      rates AS (
+        SELECT source, n_before,
+               least(1000000, (1000000 * (n // s_cnt)) // n_before) AS rate_ppm
+        FROM bysrc CROSS JOIN tot),
+      kept AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_after
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ${TextStats.portableHash64Sql(
+          "concat('rb:', CAST(d.doc_id AS VARCHAR))")} % 1000000 < r.rate_ppm
+        GROUP BY d.source),
+      per AS (
+        SELECT r.source, r.n_before, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+               COALESCE(k.n_after, 0) AS n_after
+        FROM rates r LEFT JOIN kept k ON r.source = k.source)
+      SELECT source, n_before, rate_ppm, CAST(n_after AS BIGINT) AS n_after FROM per
+      UNION ALL
+      SELECT 'zz_total', CAST(SUM(n_before) AS BIGINT), CAST(0 AS BIGINT),
+             CAST(SUM(n_after) AS BIGINT)
+      FROM per
+      ORDER BY source""")),
+
+    // ---- semantic dedup, SemDeDup-style (Abbas et al. 2023, reduced
+    //      to its deterministic skeleton): embeddings cluster via the
+    //      q64 k-means (2 fixed rounds, hash seeds), then near-dup
+    //      pairs are found ONLY within clusters (round-6 cosine ≥
+    //      0.35, the q46 operating point) and every pair's higher id
+    //      drops. Per-cluster dedup ledger + the zz totals row. The
+    //      within-cluster all-pairs is the published algorithm's shape
+    //      — cluster size, not corpus size, bounds the quadratic term,
+    //      so k (or a size cap per cell) is the scale knob; the
+    //      cross-cluster misses are the documented recall tradeoff.
+    //      The oracle replays both k-means rounds, every pair cosine,
+    //      and the drop-set distinct.
+    ("q225_semantic_dedup", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val asg = graft.text.Similarity.kmeansAssign(emb, k = 4, dim = 64)
+      val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+      val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      val pb = mem.select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+      val pairs = pa.join(pb, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_r",
+          round(graft.text.Similarity.cosine(col("va"), col("vb")), 6))
+        .filter(col("cos_r") >= 0.35)
+        .select(col("centroid_id"), col("id_a"), col("id_b"))
+        .transform(graft.Stage.mat)
+      val members = mem.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
+      val pcnt = pairs.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_dup_pairs"))
+      val drops = pairs.select(col("centroid_id"), col("id_b")).distinct()
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_dropped"))
+      val per = members.join(pcnt, Seq("centroid_id"), "left")
+        .join(drops, Seq("centroid_id"), "left")
+        .selectExpr("CAST(centroid_id AS BIGINT) AS centroid_id", "n_members",
+          "coalesce(n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs",
+          "coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_dropped",
+          "n_members - coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_kept")
+        .transform(graft.Stage.mat)
+      val zz = per.agg(sum(col("n_members")).as("m"), sum(col("n_dup_pairs")).as("p"),
+          sum(col("n_dropped")).as("d"), sum(col("n_kept")).as("k"))
+        .selectExpr("CAST(-1 AS BIGINT) AS centroid_id", "m AS n_members",
+          "p AS n_dup_pairs", "d AS n_dropped", "k AS n_kept")
+      per.unionByName(zz).orderBy(col("centroid_id"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sl AS (SELECT vec_id, v,
+               ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
+             FROM e ORDER BY h, vec_id LIMIT 4),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+                       v AS cv FROM sl),
+      a1 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, s.cid,
+                     round(list_cosine_similarity(e.v, s.cv), 6) AS cos_r
+                   FROM e CROSS JOIN seeds s)),
+      m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      d1 AS (SELECT cid, r.i AS i,
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
+             FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
+      c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
+      a2 AS (SELECT vec_id, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.v, c.cv), 6) AS cos_r
+                   FROM e CROSS JOIN c2 c)),
+      mem AS (SELECT a2.vec_id, a2.cid, e.v
+              FROM a2 JOIN e ON a2.vec_id = e.vec_id WHERE rn = 1),
+      pairs AS (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+      members AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+                  FROM mem GROUP BY cid),
+      pcnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs
+               FROM pairs GROUP BY cid),
+      drops AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped
+                FROM (SELECT DISTINCT cid, id_b FROM pairs) GROUP BY cid),
+      per AS (
+        SELECT CAST(m.cid AS BIGINT) AS centroid_id, m.n_members,
+               COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+               COALESCE(d.n_dropped, 0) AS n_dropped,
+               m.n_members - COALESCE(d.n_dropped, 0) AS n_kept
+        FROM members m LEFT JOIN pcnt p ON m.cid = p.cid
+        LEFT JOIN drops d ON m.cid = d.cid)
+      SELECT centroid_id, n_members, CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+             CAST(n_dropped AS BIGINT) AS n_dropped, CAST(n_kept AS BIGINT) AS n_kept
+      FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(n_members) AS BIGINT),
+             CAST(SUM(n_dup_pairs) AS BIGINT), CAST(SUM(n_dropped) AS BIGINT),
+             CAST(SUM(n_kept) AS BIGINT)
+      FROM per
+      ORDER BY centroid_id"""))
   )
 }

@@ -218,11 +218,12 @@ object StatsOps {
   /** Deterministic Poisson bootstrap confidence interval for a mean
     * (Chamandy et al. 2012 — the resampling scheme built FOR
     * distributed one-pass engines): resample `b` includes row `i` with
-    * multiplicity `m ~ Poisson(1)`, drawn here from the portable hash
-    * of (resample, row key) mapped through the floor-ppm Poisson
-    * inverse-CDF thresholds (367879 / 735758 / 919698 / 981011 /
-    * 996340 / 999405, capped at 6) — fully deterministic, so the
-    * oracle replays every multiplicity. Emits one row per resample
+    * multiplicity `m ~ Poisson(1)`, drawn from ONE portable row hash
+    * expanded to B multiplicative-congruential draws (see the inline
+    * note) mapped through the floor-ppm Poisson inverse-CDF thresholds
+    * (367879 / 735758 / 919698 / 981011 / 996340 / 999405, capped at
+    * 6) — fully deterministic, so the oracle replays every
+    * multiplicity. Emits one row per resample
     * (b, effective n, mean in micros) plus b = −1 (the full-sample
     * mean), b = −2 / −3 (the CI endpoints: the ⌊0.05B⌋-th and
     * (B−⌊0.05B⌋+1)-th order statistics of the resample means, ties on
@@ -237,11 +238,17 @@ object StatsOps {
   def bootstrapCI(df: DataFrame, keyCol: String, valueMicros: Column,
                   b: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE portable hash per row, then B multiplicative-congruential
+    // draws u_b = ((h mod p)·(2b+1)) mod p mod 1e6 over the Mersenne
+    // prime p = 2³¹−1 — products stay < 2⁶² (ANSI-overflow-safe), the
+    // oracle replays each draw, and the per-row md5 cost is paid once
+    // instead of B times (measured 5.3 s → sub-second at sf0.1).
     val base = df.select(col(keyCol).cast("string").as("k"), valueMicros.as("x"))
-    val rep = base.select(col("k"), col("x"),
+      .withColumn("h", TextStats.portableHash64(
+        concat(lit("boot:"), col("k"))) % 2147483647L)
+    val rep = base.select(col("h"), col("x"),
         explode(expr(s"sequence(0, ${b - 1})")).as("rb"))
-      .withColumn("u", TextStats.portableHash64(
-        concat(lit("boot:"), col("rb").cast("string"), lit(":"), col("k"))) % 1000000L)
+      .withColumn("u", expr("((h * (2 * rb + 1)) % 2147483647) % 1000000"))
       .withColumn("m", expr(
         """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
                 WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
@@ -733,12 +740,12 @@ object StatsOps {
     }, Some {
       s"""
       WITH base AS (
-        SELECT CAST(o_orderkey AS VARCHAR) AS k,
-               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS x
+        SELECT CAST(floor(o_totalprice * 1000000) AS BIGINT) AS x,
+               ${TextStats.portableHash64Sql(
+          "concat('boot:', CAST(o_orderkey AS VARCHAR))")} % 2147483647 AS h
         FROM orders),
       rep AS (
-        SELECT k, x, rb, ${TextStats.portableHash64Sql(
-          "concat('boot:', CAST(rb AS VARCHAR), ':', k)")} % 1000000 AS u
+        SELECT h, x, rb, ((h * (2 * rb + 1)) % 2147483647) % 1000000 AS u
         FROM base CROSS JOIN (SELECT unnest(range(0, 40)) AS rb)),
       m AS (
         SELECT rb, x,

@@ -68,6 +68,102 @@ object TemporalOps {
           + lit(1)).cast("long").as("overlap_days"))
   }
 
+  /** Additive Holt–Winters (triple exponential smoothing, Winters
+    * 1960) over the per-type daily volume series, season m = 7 (the
+    * weekly cycle): level/trend/seasonal recursions in integer micros
+    * with α/β/γ = 0.3/0.1/0.2 ppm, folded left-to-right exactly like
+    * the q176 Holt fold — state is (l, b, s[1..m], Σ|one-step error|,
+    * position), every update a truncating DIV, so the oracle's
+    * list_reduce replays bit-for-bit (list accumulator, q182's
+    * field-mutation-order note). Init: l₀ = mean of the first m days,
+    * b₀ = 0, s₀ⱼ = yⱼ − l₀ — the textbook warm start. Seasonal slots
+    * index the OBSERVED-day sequence; a gapped series should gap-fill
+    * first (q173's resample) or slots drift off the weekday they
+    * model.
+    *
+    * Scale shape: one daily count aggregate (span-bounded) then a
+    * per-type fold whose state is m+4 longs — the q182 discipline;
+    * nothing is ever corpus-sized. Emits per type the final level,
+    * trend, in-sample Σ|error| (model-fit readout), and all m
+    * seasonal components.
+    */
+  def holtWinters(events: DataFrame, m: Int = 7, alphaPpm: Long = 300000,
+                  betaPpm: Long = 100000, gammaPpm: Long = 200000): DataFrame = {
+    val slotS = s"element_at(acc.s, CAST((acc.p % $m) + 1 AS INT))"
+    val lnew = s"(($alphaPpm * (x - $slotS) + ${1000000 - alphaPpm} * (acc.l + acc.b)) DIV 1000000)"
+    val snew = s"(($gammaPpm * (x - $lnew) + ${1000000 - gammaPpm} * $slotS) DIV 1000000)"
+    val fold = s"""aggregate(slice(ys, ${m + 1}, size(ys) - $m),
+        named_struct('l', l0, 'b', CAST(0 AS BIGINT), 's', s0,
+                     'sae', CAST(0 AS BIGINT), 'p', CAST($m AS BIGINT)),
+        (acc, x) -> named_struct(
+          'l', $lnew,
+          'b', (($betaPpm * ($lnew - acc.l) + ${1000000 - betaPpm} * acc.b) DIV 1000000),
+          's', transform(sequence(1, $m),
+                 j -> CASE WHEN j = (acc.p % $m) + 1 THEN $snew
+                           ELSE element_at(acc.s, CAST(j AS INT)) END),
+          'sae', acc.sae + abs(x - (acc.l + acc.b + $slotS)),
+          'p', acc.p + 1)) AS st"""
+    events
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+      .groupBy(col("event_type"), col("day"))
+      .agg((count(lit(1)) * 1000000L).as("xm"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("xm")))).as("seq"))
+      .selectExpr("event_type", "transform(seq, e -> e.xm) AS ys")
+      .filter(expr(s"size(ys) >= ${m + 1}"))
+      .selectExpr("event_type", "CAST(size(ys) AS BIGINT) AS n_days", "ys",
+        s"aggregate(slice(ys, 1, $m), CAST(0 AS BIGINT), (a, x) -> a + x) DIV $m AS l0")
+      .selectExpr("event_type", "n_days", "ys", "l0",
+        s"transform(slice(ys, 1, $m), y -> y - l0) AS s0")
+      .selectExpr(Seq("event_type", "n_days", fold): _*)
+      .selectExpr(Seq("event_type", "n_days", "st.l AS level_micros",
+        "st.b AS trend_micros", "st.sae AS sae_micros") ++
+        (1 to m).map(j => s"element_at(st.s, $j) AS s${j}_micros"): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB list_reduce twin of [[holtWinters]]'s fold — same
+    * truncating updates over the [l, b, s1..sm, sae, p] list state. */
+  private def holtWintersSql(m: Int, alphaPpm: Long, betaPpm: Long,
+                             gammaPpm: Long): String = {
+    val slotS = s"acc[CAST((acc[${m + 4}] % $m) + 3 AS BIGINT)]"
+    val lnew = s"(($alphaPpm * (x[1] - $slotS) + ${1000000 - alphaPpm} * (acc[1] + acc[2])) // 1000000)"
+    val snew = s"(($gammaPpm * (x[1] - $lnew) + ${1000000 - gammaPpm} * $slotS) // 1000000)"
+    val sEntries = (1 to m).map(j =>
+      s"CASE WHEN (acc[${m + 4}] % $m) + 1 = $j THEN $snew ELSE acc[${j + 2}] END")
+      .mkString(",\n                   ")
+    val zeros = Seq.fill(m + 3)("0::BIGINT").mkString(", ")
+    val initSeason = (1 to m).map(j => s"ys[$j] - l0").mkString(", ")
+    s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) * 1000000 AS xm
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      packed AS (SELECT event_type, list(xm ORDER BY day) AS ys
+                 FROM daily GROUP BY event_type),
+      pre AS (SELECT event_type, len(ys) AS n_days, ys,
+                     CAST(list_sum(ys[1:$m]) // $m AS BIGINT) AS l0
+              FROM packed WHERE len(ys) >= ${m + 1}),
+      folded AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                 list_prepend(
+                   [l0, 0::BIGINT, $initSeason, 0::BIGINT, $m::BIGINT],
+                   list_transform(ys[${m + 1}:], v -> [v, $zeros])),
+                 (acc, x) -> [
+                   $lnew,
+                   (($betaPpm * ($lnew - acc[1]) + ${1000000 - betaPpm} * acc[2]) // 1000000),
+                   $sEntries,
+                   acc[${m + 3}] + abs(x[1] - (acc[1] + acc[2] + $slotS)),
+                   acc[${m + 4}] + 1]) AS st
+        FROM pre)
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+             st[1] AS level_micros, st[2] AS trend_micros,
+             st[${m + 3}] AS sae_micros,
+             ${(1 to m).map(j => s"st[${j + 2}] AS s${j}_micros").mkString(", ")}
+      FROM folded ORDER BY event_type"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- as-of (backward) join: each purchase picks the latest view at
@@ -1118,6 +1214,14 @@ object TemporalOps {
       FROM (SELECT *, row_number() OVER (ORDER BY ic) AS rn,
                    count(*) OVER () AS nd
             FROM ics)
-      WHERE rn = (nd + 1) // 2"""))
+      WHERE rn = (nd + 1) // 2""")),
+
+    // ---- additive Holt–Winters, weekly season, on daily volumes per
+    //      event type: final level/trend, the in-sample Σ|error| fit
+    //      readout, and all 7 seasonal components in integer micros.
+    //      The oracle's list_reduce replays the fold bit-for-bit.
+    ("q226_holt_winters", (s: SparkSession, dir: String) => {
+      holtWinters(Tables(s, dir).events)
+    }, Some(holtWintersSql(7, 300000, 100000, 200000)))
   )
 }

@@ -327,4 +327,27 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(2L) === ((2L, -1L, 250000L)))
     assert(out(3L) === ((1L, 1L, 62500L)))
   }
+
+  test("holt-winters: an exactly periodic series converges with zero error") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // daily counts 1,3,1,3,1 with season m=2: l₀ = 2e6, s₀ = [−1e6, 1e6];
+    // every fold step reproduces the state exactly → level 2e6, trend 0,
+    // Σ|error| 0, seasons unchanged.
+    val rows = Seq(
+      ("2024-01-01", 1), ("2024-01-02", 3), ("2024-01-03", 1),
+      ("2024-01-04", 3), ("2024-01-05", 1))
+    val df = rows.zipWithIndex.flatMap { case ((d, n), i) =>
+      (1 to n).map(j => (i * 10L + j, ts(s"$d 10:00:0$j"), 1L, "view", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.analytics.TemporalOps.holtWinters(df, m = 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("level_micros") === 2000000L)
+    assert(r.getAs[Long]("trend_micros") === 0L)
+    assert(r.getAs[Long]("sae_micros") === 0L)
+    assert(r.getAs[Long]("s1_micros") === -1000000L)
+    assert(r.getAs[Long]("s2_micros") === 1000000L)
+  }
 }
