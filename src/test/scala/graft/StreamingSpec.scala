@@ -428,4 +428,31 @@ class StreamingSpec extends SparkSpec {
       (7L, 2L, 0L, 1800000L, true),   // crosses h = μ/2 across the boundary...
       (7L, 3L, 1900000L, 0L, true))) // ...and matches q182's batch rows
   }
+
+  test("streaming SPRT matches the batch verdict across a batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val L = graft.analytics.InferOps.sprtLPosNanos
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val out = graft.stream.StreamingSprt.monitor(mem.toDS())
+    val q = out.toDF("key", "seq", "cum_llr", "cum_n", "decision").writeStream
+      .outputMode("append").format("memory").queryName("sprt_out").start()
+    // the q212 fixture shape: 5 hits/day; crossing lands on day 3
+    // (15·L ≥ ln 19), which arrives in the SECOND micro-batch; day 4
+    // must replay the frozen verdict, not keep accumulating.
+    mem.addData(("A", 1L, 5L, 5L), ("A", 2L, 5L, 5L))
+    q.processAllAvailable()
+    mem.addData(("A", 3L, 5L, 5L), ("A", 4L, 5L, 5L))
+    q.processAllAvailable()
+    val rows = spark.table("sprt_out")
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.toSeq === Seq(
+      ("A", 1L, 5L * L, 5L, "continue"),
+      ("A", 2L, 10L * L, 10L, "continue"),
+      ("A", 3L, 15L * L, 15L, "h1"),
+      ("A", 4L, 15L * L, 15L, "h1"))) // sticky: sampling stopped at the decision
+    // final row equals the batch q212 verdict on the same dailies:
+    // decision h1, n_at_decision 15, llr 15·L (InferOpsSpec's fixture)
+  }
 }
