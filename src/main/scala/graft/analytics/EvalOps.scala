@@ -1247,6 +1247,90 @@ object EvalOps {
       SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
              CAST(SUM(ndcg_ppm) // count(*) AS BIGINT)
       FROM scored
-      ORDER BY q_id"""))
+      ORDER BY q_id""")),
+
+    // ---- WOE / information value of order total vs the 'F' status
+    //      label across 10 value-range bins + the zz IV row. The
+    //      oracle replays the bucketing, the smoothed shares, all four
+    //      nanos logs, and the signed truncating IV products.
+    ("q227_woe_iv", (s: SparkSession, dir: String) => {
+      woeIv(Tables(s, dir).orders,
+        valueMicros = expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)"),
+        isBad = col("o_orderstatus") === "F", bins = 10)
+    }, Some {
+      def l(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      s"""
+      WITH base AS (
+        SELECT CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders),
+      rng AS (SELECT min(v) AS mnv, max(v) AS mxv FROM base),
+      perbin AS (
+        SELECT ((v - mnv) * 10) // (mxv - mnv + 1) + 1 AS bin,
+               CAST(SUM(1 - bad) AS BIGINT) AS g, CAST(SUM(bad) AS BIGINT) AS b
+        FROM base CROSS JOIN rng GROUP BY 1),
+      tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt
+              FROM perbin),
+      scored AS (
+        SELECT bin, g AS n_good, b AS n_bad,
+               (1000000 * (g + 1)) // (gt + 10) AS gs_ppm,
+               (1000000 * (b + 1)) // (bt + 10) AS bs_ppm,
+               ${l("g + 1")} - ${l("gt + 10")} - ${l("b + 1")} + ${l("bt + 10")}
+                 AS woe_nanos
+        FROM perbin CROSS JOIN tot),
+      s2 AS (
+        SELECT *, ((gs_ppm - bs_ppm) * woe_nanos) // 1000000000 AS iv_micros
+        FROM scored)
+      SELECT CAST(bin AS BIGINT) AS bin, n_good, n_bad,
+             CAST(gs_ppm AS BIGINT) AS gs_ppm, CAST(bs_ppm AS BIGINT) AS bs_ppm,
+             CAST(woe_nanos AS BIGINT) AS woe_nanos,
+             CAST(iv_micros AS BIGINT) AS iv_micros
+      FROM s2
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(n_good) AS BIGINT),
+             CAST(SUM(n_bad) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(SUM(iv_micros) AS BIGINT)
+      FROM s2
+      ORDER BY bin"""
+    })
   )
+
+  /** Weight-of-evidence / information-value binning (the credit-scoring
+    * feature readout, Siddiqi 2006): the feature is cut into 10
+    * VALUE-RANGE bins (the q216 bucketing — no global sort), each bin
+    * scored WOE = ln(good-share / bad-share) with add-one smoothing on
+    * the integer-nanos log grid:
+    *   woe_nanos = L(g_b+1) − L(G+10) − L(b_b+1) + L(B+10)
+    * (every L argument an integer — the q197 convention), and the IV
+    * contribution ((gs−bs)·woe) div 1e9 in micros; the zz row sums IV.
+    * IV < 0.02 ⇒ the feature is useless for this label; > 0.5 ⇒
+    * suspiciously strong (leakage check). One pass to the bin
+    * aggregate; everything after runs on 10 rows.
+    */
+  def woeIv(df: DataFrame, valueMicros: Column, isBad: Column,
+            bins: Int = 10): DataFrame = {
+    def L(e: String) = s"CAST(round(ln(CAST($e AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+    val base = df.select(valueMicros.as("v"), isBad.cast("long").as("bad"))
+    val rng = base.agg(min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+    val perBin = base.crossJoin(broadcast(rng))
+      .selectExpr(s"((v - mnv) * $bins) DIV (mxv - mnv + 1) + 1 AS bin", "bad")
+      .groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("bad")).as("g"), sum(col("bad")).as("b"))
+      .transform(graft.Stage.mat)
+    val tot = perBin.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+    val scored = perBin.crossJoin(broadcast(tot))
+      .selectExpr("bin", "g AS n_good", "b AS n_bad",
+        s"(1000000 * (g + 1)) DIV (gt + $bins) AS gs_ppm",
+        s"(1000000 * (b + 1)) DIV (bt + $bins) AS bs_ppm",
+        s"${L("g + 1")} - ${L(s"gt + $bins")} - ${L("b + 1")} + ${L(s"bt + $bins")} AS woe_nanos")
+      .withColumn("iv_micros",
+        expr("((gs_ppm - bs_ppm) * woe_nanos) DIV 1000000000"))
+      .transform(graft.Stage.mat)
+    val zz = scored.agg(sum(col("n_good")).as("sg"), sum(col("n_bad")).as("sb"),
+        sum(col("iv_micros")).as("iv"))
+      .selectExpr("CAST(-1 AS BIGINT) AS bin", "sg AS n_good", "sb AS n_bad",
+        "CAST(0 AS BIGINT) AS gs_ppm", "CAST(0 AS BIGINT) AS bs_ppm",
+        "CAST(0 AS BIGINT) AS woe_nanos", "iv AS iv_micros")
+    scored.unionByName(zz).orderBy(col("bin"))
+  }
 }

@@ -764,6 +764,54 @@ object MiningOps {
              CAST(SUM(n_tri) AS BIGINT),
              CAST(SUM(lcc_ppm) // greatest(count(*), 1) AS BIGINT)
       FROM per WHERE deg >= 2
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- quality-canonical representative per near-dup cluster: the
+    //      curation step AFTER clustering — q57/q113 keep the LOWEST id
+    //      (deterministic but arbitrary); a production pipeline keeps
+    //      the BEST copy. Representative = argmax(n_chars, tie lowest
+    //      doc_id) within each connected component of the q123 pair
+    //      graph — the longest surviving copy is the least-truncated
+    //      one, the standard reprint heuristic. Per-cluster ledger
+    //      (members, kept id and its length, dropped count). CC labels
+    //      come from the minhash pair list; the window partitions are
+    //      cluster-sized, never corpus-sized. The oracle replays the
+    //      recursive-CTE closure and the argmax tie contract.
+    ("q228_canonical_rep", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val labels = Dedup.connectedComponents(Dedup.minhashNearDups(
+        docs, threshold = 0.8, numHashes = 16, bands = 16))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("keep_chars"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE ${pairsSql()},
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(n, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.n = e.src),
+      labels AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+      ranked AS (
+        SELECT l.cluster_id, l.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY d.n_chars DESC, l.doc_id) AS rn
+        FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+      SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+             CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+             CAST(count(*) - 1 AS BIGINT) AS n_dropped
+      FROM ranked GROUP BY cluster_id
+      ORDER BY cluster_id"""))
   )
 }

@@ -1222,6 +1222,59 @@ object TemporalOps {
     //      The oracle's list_reduce replays the fold bit-for-bit.
     ("q226_holt_winters", (s: SparkSession, dir: String) => {
       holtWinters(Tables(s, dir).events)
-    }, Some(holtWintersSql(7, 300000, 100000, 200000)))
+    }, Some(holtWintersSql(7, 300000, 100000, 200000))),
+
+    // ---- Kendall tau-b between the daily click and purchase volumes:
+    //      concordant/discordant/tie counts over the span-bounded
+    //      day-pair join (the q206 idiom), tau shipped as sign +
+    //      squared ratio in micros (the assortativity no-sqrt
+    //      convention): tau2 = (C−D)²·1e6 div ((n0−n1)(n0−n2)). The
+    //      rank-based complement of q146's Spearman — robust to the
+    //      volume spikes that shred a Pearson r.
+    ("q229_kendall_tau", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type")
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .transform(graft.Stage.mat)
+      val b = daily.selectExpr("day AS day2", "x AS x2", "y AS y2")
+      val agg = daily.join(b, expr("day < day2"))
+        .selectExpr(
+          "CASE WHEN (x - x2) * (y - y2) > 0 THEN 1 ELSE 0 END AS c",
+          "CASE WHEN (x - x2) * (y - y2) < 0 THEN 1 ELSE 0 END AS d",
+          "CASE WHEN x = x2 THEN 1 ELSE 0 END AS tx",
+          "CASE WHEN y = y2 THEN 1 ELSE 0 END AS ty")
+        .agg(sum(col("c")).as("nc"), sum(col("d")).as("nd"),
+          sum(col("tx")).as("n1"), sum(col("ty")).as("n2"),
+          count(lit(1)).as("n0"))
+      agg.selectExpr("n0 AS n_pairs", "nc AS n_concordant", "nd AS n_discordant",
+        "n1 AS n_ties_x", "n2 AS n_ties_y",
+        "CAST(sign(nc - nd) AS BIGINT) AS tau_sign",
+        """CAST((CAST(nc - nd AS DECIMAL(38,0)) * (nc - nd) * 1000000)
+            DIV greatest(CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n2), 1)
+            AS BIGINT) AS tau2_micros""")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY CAST(ts AS DATE)),
+      ag AS (
+        SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(count(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b ON a.day < b.day)
+      SELECT n0 AS n_pairs, nc AS n_concordant, nd AS n_discordant,
+             n1 AS n_ties_x, n2 AS n_ties_y,
+             CAST(CASE WHEN nc > nd THEN 1 WHEN nc < nd THEN -1 ELSE 0 END AS BIGINT) AS tau_sign,
+             CAST((CAST(nc - nd AS HUGEINT) * (nc - nd) * 1000000)
+                  // greatest(CAST(n0 - n1 AS HUGEINT) * (n0 - n2), 1)
+                  AS BIGINT) AS tau2_micros
+      FROM ag"""))
   )
 }

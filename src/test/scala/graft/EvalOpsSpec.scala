@@ -280,4 +280,23 @@ class EvalOpsSpec extends SparkSpec {
       (5L, 500000L, 600000L, true),
       (6L, 0L, 600000L, true)))
   }
+
+  test("woe/iv: two mirrored bins replay the smoothed log arithmetic") {
+    // bin1 g=4 b=1, bin2 g=1 b=4 (values 0..4 / 5..9, 2 bins):
+    // gs/bs = (g+1)·1e6 div 7 → 714285/285714; woe = ±(L6−L2... ) =
+    // ±916290731 nanos; iv per bin = 392695 micros; IV total 785390.
+    val df = ((0 to 3).map(v => (v.toLong, false)) ++ Seq((4L, true)) ++
+      Seq((5L, false)) ++ (6 to 9).map(v => (v.toLong, true)))
+      .toDF("v", "bad")
+    val out = EvalOps.woeIv(df, valueMicros = col("v"), isBad = col("bad"),
+        bins = 2).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_good"),
+        r.getAs[Long]("n_bad"), r.getAs[Long]("gs_ppm"),
+        r.getAs[Long]("bs_ppm"), r.getAs[Long]("woe_nanos"),
+        r.getAs[Long]("iv_micros")))
+    assert(out.toSeq === Seq(
+      (-1L, 5L, 5L, 0L, 0L, 0L, 785390L),
+      (1L, 4L, 1L, 714285L, 285714L, 916290731L, 392695L),
+      (2L, 1L, 4L, 285714L, 714285L, -916290731L, 392695L)))
+  }
 }

@@ -231,4 +231,21 @@ class MiningOpsSpec extends SparkSpec {
       (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
       (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)))
   }
+
+  test("canonical rep keeps the longest cluster member, tie on lowest id") {
+    val dir = java.nio.file.Files.createTempDirectory("canon_fix").toString
+    // docs 1,2 identical (69 chars), doc 3 the 70-char edit — one
+    // near-dup cluster; the representative must be the LONGEST copy
+    // (doc 3), not the lowest id the q57 convention would keep.
+    Seq((1L, rev), (2L, rev), (3L, revEdited),
+      (4L, "completely unrelated text about spark physical plans and shuffles here"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q228_canonical_rep")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("keep_id"), r.getAs[Long]("keep_chars"),
+        r.getAs[Long]("n_dropped")))
+    assert(out.toSeq === Seq((1L, 3L, 3L, 70L, 2L)))
+  }
 }

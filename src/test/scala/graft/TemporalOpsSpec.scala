@@ -350,4 +350,24 @@ class TemporalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("s1_micros") === -1000000L)
     assert(r.getAs[Long]("s2_micros") === 1000000L)
   }
+
+  test("kendall tau-b: hand-counted concordances, discordances, and ties") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // daily (clicks, purchases): (1,1) (2,2) (3,3) (4,1) → C=3 D=2,
+    // one y-tie, n0=6 → tau_sign 1, tau2 = 1e6 div 30 = 33333.
+    val dir = java.nio.file.Files.createTempDirectory("kt_fix").toString
+    val rows = Seq(("2024-01-01", 1, 1), ("2024-01-02", 2, 2),
+      ("2024-01-03", 3, 3), ("2024-01-04", 4, 1))
+    rows.zipWithIndex.flatMap { case ((d, nc, np), i) =>
+      (1 to nc).map(j => (i * 100L + j, ts(s"$d 10:00:0$j"), 1L, "click", 0.0, "{}")) ++
+        (1 to np).map(j => (i * 100L + 50 + j, ts(s"$d 11:00:0$j"), 1L, "purchase", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q229_kendall_tau")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_concordant"),
+      r.getAs[Long]("n_discordant"), r.getAs[Long]("n_ties_x"),
+      r.getAs[Long]("n_ties_y"), r.getAs[Long]("tau_sign"),
+      r.getAs[Long]("tau2_micros")) === ((6L, 3L, 2L, 0L, 1L, 1L, 33333L)))
+  }
 }
