@@ -1190,6 +1190,73 @@ object LLMOps {
       FROM sc ORDER BY npmi_micros DESC, a, b LIMIT 20"""
     }),
 
+    // ---- label-noise audit via kNN disagreement (the confident-
+    //      learning / Cleanlab reading reduced to its deterministic
+    //      skeleton): for every vector, the fraction of its 5 nearest
+    //      neighbors (round-6 cosine, id tie-break) carrying a
+    //      DIFFERENT label; per label the mean disagreement ppm and
+    //      the count of points with ≥4/5 disagreeing neighbors — the
+    //      candidates a relabeling pass reviews first. Declared on the
+    //      FIXED vec_id < 1000 cohort (the q158 bounding strategy):
+    //      exact kNN is all-pairs; production swaps in the ADC
+    //      shortlist (q116/q128) behind the same disagreement readout.
+    //      The oracle replays every pair cosine and the top-5 window.
+    ("q230_label_noise", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.Stage.mat(Tables(s, dir).embeddings
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("l")))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("l").as("la"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("l").as("lb"))
+      val w = Window.partitionBy(col("ida")).orderBy(col("cos_r").desc, col("idb"))
+      val knn = a.join(b, col("ida") =!= col("idb"))
+        .withColumn("cos_r", round(Similarity.cosine(col("va"), col("vb")), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .groupBy(col("ida"), col("la"))
+        .agg(sum(when(col("lb") =!= col("la"), 1L).otherwise(0L)).as("dis"))
+      val per = knn.groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("n_points"), sum(col("dis")).as("sd"),
+          sum(when(col("dis") >= 4L, 1L).otherwise(0L)).as("n_noisy"))
+        .selectExpr("label", "n_points",
+          "(1000000 * sd) DIV (5 * n_points) AS mean_disagree_ppm", "n_noisy")
+        .transform(graft.Stage.mat)
+      val zz = per.agg(sum(col("n_points")).as("np"),
+          sum(expr("mean_disagree_ppm * n_points")).as("wsum"),
+          sum(col("n_noisy")).as("nn"))
+        .selectExpr("CAST(-1 AS BIGINT) AS label", "np AS n_points",
+          "wsum DIV greatest(np, 1) AS mean_disagree_ppm", "nn AS n_noisy")
+      per.unionByName(zz).orderBy(col("label"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        CAST(label AS BIGINT) AS l
+                 FROM embeddings WHERE vec_id < 1000),
+      pr AS (SELECT a.vec_id AS ida, a.l AS la, b.l AS lb,
+                    round(list_cosine_similarity(a.v, b.v), 6) AS cos_r,
+                    b.vec_id AS idb
+             FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT ida, la,
+               CAST(SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT) AS dis
+        FROM (SELECT *, row_number() OVER (PARTITION BY ida
+                          ORDER BY cos_r DESC, idb) AS rn FROM pr)
+        WHERE rn <= 5 GROUP BY ida, la),
+      per AS (
+        SELECT la AS label, CAST(count(*) AS BIGINT) AS n_points,
+               CAST((1000000 * SUM(dis)) // (5 * count(*)) AS BIGINT)
+                 AS mean_disagree_ppm,
+               CAST(SUM(CASE WHEN dis >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_noisy
+        FROM knn GROUP BY la)
+      SELECT * FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(n_points) AS BIGINT),
+             CAST(SUM(mean_disagree_ppm * n_points)
+                  // greatest(SUM(n_points), 1) AS BIGINT),
+             CAST(SUM(n_noisy) AS BIGINT)
+      FROM per
+      ORDER BY label""")),
+
     // ---- data-scaling curve: add-one bigram-LM cross-entropy on one
     //      fixed hash holdout vs 5 growing training prefixes — the
     //      loss-vs-data readout. The oracle retrains all 5 models

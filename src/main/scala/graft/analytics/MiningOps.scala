@@ -812,6 +812,95 @@ object MiningOps {
              CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
              CAST(count(*) - 1 AS BIGINT) AS n_dropped
       FROM ranked GROUP BY cluster_id
-      ORDER BY cluster_id"""))
+      ORDER BY cluster_id""")),
+
+    // ---- dedup threshold sensitivity sweep: the SAME banded-minhash →
+    //      exact-verify → connected-components pipeline at Jaccard 0.7
+    //      / 0.8 / 0.9, one summary row each (pair count, cluster
+    //      count, largest cluster, docs touched). THE release-decision
+    //      table for a dedup threshold: a max-cluster that explodes
+    //      between 0.8 and 0.7 says the corpus chains below 0.8 (the
+    //      false-merge cliff); flat rows say the choice is safe. The
+    //      oracle replays all three exact-pair closures.
+    ("q231_threshold_sweep", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      Seq(700000L, 800000L, 900000L).map { tPpm =>
+        val pairs = graft.Stage.mat(Dedup.minhashNearDups(
+          docs, threshold = tPpm / 1e6, numHashes = 16, bands = 16))
+        val byC = Dedup.connectedComponents(pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("cs"))
+        byC.agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+            coalesce(max(col("cs")), lit(0L)).as("max_cluster"),
+            coalesce(sum(col("cs")), lit(0L)).as("n_docs_clustered"))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .selectExpr(s"CAST($tPpm AS BIGINT) AS threshold_ppm", "n_pairs",
+            "n_clusters", "max_cluster", "n_docs_clustered")
+      }.reduce(_ unionByName _).orderBy(col("threshold_ppm"))
+    }, Some(s"""
+      WITH RECURSIVE ${pairsSql()},
+      ${Seq(("700000", "0.7", "a"), ("800000", "0.8", "b"),
+            ("900000", "0.9", "c")).map { case (ppm, t, x) =>
+        s"""p$x AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM sh a, sh b WHERE a.id < b.id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= $t),
+        e$x AS (SELECT id_a AS src, id_b AS dst FROM p$x
+                UNION SELECT id_b, id_a FROM p$x),
+        r$x(n, r) AS (
+          SELECT src, src FROM e$x
+          UNION
+          SELECT e.dst, r$x.r FROM r$x JOIN e$x e ON r$x.n = e.src),
+        l$x AS (SELECT n, min(r) AS cid FROM r$x GROUP BY n),
+        g$x AS (SELECT cid, CAST(count(*) AS BIGINT) AS cs FROM l$x GROUP BY cid),
+        st$x AS (
+          SELECT CAST($ppm AS BIGINT) AS threshold_ppm,
+                 (SELECT CAST(count(*) AS BIGINT) FROM p$x) AS n_pairs,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(COALESCE(MAX(cs), 0) AS BIGINT) AS max_cluster,
+                 CAST(COALESCE(SUM(cs), 0) AS BIGINT) AS n_docs_clustered
+          FROM g$x)"""
+      }.mkString(",\n      ")}
+      SELECT * FROM sta
+      UNION ALL SELECT * FROM stb
+      UNION ALL SELECT * FROM stc
+      ORDER BY threshold_ppm""")),
+
+    // ---- cross-source contamination matrix: near-dup pairs bucketed
+    //      by canonical (source, source) — which mirrors which. A
+    //      heavy off-diagonal cell is a SYNDICATION edge (drop one
+    //      side wholesale); a heavy diagonal is within-source reprint
+    //      noise. Shares in ppm of all near-dup pairs. The oracle
+    //      replays the exact pair list and both source joins.
+    ("q232_source_contamination", (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 500)
+      val src = docs.select(col("doc_id"), col("source"))
+      val per = Dedup.minhashNearDups(docs, threshold = 0.8,
+          numHashes = 16, bands = 16)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .selectExpr("least(sa, sb) AS src_a", "greatest(sa, sb) AS src_b")
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+        .transform(graft.Stage.mat)
+      val tot = per.agg(sum(col("n_pairs")).as("t"))
+      per.crossJoin(broadcast(tot))
+        .selectExpr("src_a", "src_b", "n_pairs",
+          "CAST(src_a = src_b AS BOOLEAN) AS within_source",
+          "(1000000 * n_pairs) DIV greatest(t, 1) AS share_ppm")
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some(s"""
+      WITH ${pairsSql()},
+      j AS (
+        SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b
+        FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id),
+      per AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM j GROUP BY src_a, src_b),
+      tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM per)
+      SELECT src_a, src_b, n_pairs, (src_a = src_b) AS within_source,
+             CAST((1000000 * n_pairs) // greatest(t, 1) AS BIGINT) AS share_ppm
+      FROM per CROSS JOIN tot
+      ORDER BY src_a, src_b"""))
   )
 }

@@ -299,4 +299,25 @@ class EvalOpsSpec extends SparkSpec {
       (1L, 4L, 1L, 714285L, 285714L, 916290731L, 392695L),
       (2L, 1L, 4L, 285714L, 714285L, -916290731L, 392695L)))
   }
+
+  test("label-noise audit flags the planted mislabel and only it") {
+    val dir = java.nio.file.Files.createTempDirectory("noise_fix").toString
+    // two clean 2-D clusters + vec 4: sits inside cluster 1's cone but
+    // carries label 0 → all 5 of its neighbors disagree; every other
+    // vector has ≥2 same-label vectors among its top 5.
+    Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 0),
+      (4L, Seq(0.0f, 1.0f), 0), // mislabeled
+      (5L, Seq(0.0f, 0.9f), 1), (6L, Seq(0.1f, 1.0f), 1),
+      (7L, Seq(0.05f, 0.95f), 1), (8L, Seq(0.15f, 0.85f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q230_label_noise")(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") -> (r.getAs[Long]("n_points"),
+        r.getAs[Long]("n_noisy"))).toMap
+    assert(out(0L) === ((4L, 1L)), "exactly the planted point is noisy")
+    assert(out(1L)._2 === 0L)
+    assert(out(-1L) === ((8L, 1L)))
+  }
 }
