@@ -1190,6 +1190,76 @@ object LLMOps {
       FROM sc ORDER BY npmi_micros DESC, a, b LIMIT 20"""
     }),
 
+    // ---- RAG chunking ledger: sliding 64-token windows at stride 32
+    //      (the standard retrieval-chunk shape), each chunk identified
+    //      by the portable hash of its joined tokens. Per doc: token
+    //      and chunk counts, summed chunk tokens (the ×2 overlap
+    //      inflation made visible), and within-doc distinct chunks;
+    //      the zz row adds CORPUS-distinct chunk hashes — the chunk-
+    //      level dedup opportunity a RAG index cares about (identical
+    //      boilerplate chunks collapse across documents). Chunk
+    //      generation is one generator expression per doc — map-side,
+    //      no shuffle until the per-doc aggregate; the corpus-distinct
+    //      count is one hash-keyed distinct. The oracle replays the
+    //      stride grid, the tail-clamped final chunk, and every hash.
+    ("q233_chunking", (s: SparkSession, dir: String) => {
+      val chunks = Tables(s, dir).documents
+        .select(col("doc_id"), loTokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          // the LAST start clamps to n−63 so the tail is always covered
+          // (a bare stride grid orphans up to 31 trailing tokens)
+          explode(expr(
+            """transform(sequence(0, (greatest(size(w) - 64, 0) + 31) DIV 32),
+                 i -> struct(
+                   greatest(least(i * 32 + 1, size(w) - 63), 1) AS st,
+                   size(slice(w, greatest(least(i * 32 + 1, size(w) - 63), 1), 64)) AS clen,
+                   array_join(slice(w, greatest(least(i * 32 + 1, size(w) - 63), 1), 64), ' ') AS ctext))""")).as("c"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("c.clen").cast("long").as("clen"),
+          TextStats.portableHash64(col("c.ctext")).as("ch"))
+        .transform(graft.Stage.mat)
+      val per = chunks.groupBy(col("doc_id"))
+        .agg(max(col("n_tokens")).as("n_tokens"), count(lit(1)).as("n_chunks"),
+          sum(col("clen")).as("chunk_tokens"),
+          countDistinct(col("ch")).as("n_distinct"))
+        .transform(graft.Stage.mat)
+      val zz = per.agg(sum(col("n_tokens")).as("t"), sum(col("n_chunks")).as("c"),
+          sum(col("chunk_tokens")).as("ct"))
+        .crossJoin(broadcast(chunks.agg(countDistinct(col("ch")).as("gd"))))
+        .selectExpr("CAST(-1 AS BIGINT) AS doc_id", "t AS n_tokens",
+          "c AS n_chunks", "ct AS chunk_tokens", "gd AS n_distinct")
+      per.unionByName(zz).orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                           x -> x <> '') AS w
+        FROM documents),
+      ch AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(w[st:st+63]) AS BIGINT) AS clen,
+               ${TextStats.portableHash64Sql("array_to_string(w[st:st+63], ' ')")} AS chash
+        FROM (SELECT doc_id, w,
+                     unnest(list_transform(
+                       range(0, (greatest(len(w) - 64, 0) + 31) // 32 + 1),
+                       i -> greatest(least(i * 32 + 1, len(w) - 63), 1))) AS st
+              FROM t WHERE len(w) >= 1)),
+      per AS (
+        SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(clen) AS BIGINT) AS chunk_tokens,
+               CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct
+        FROM ch GROUP BY doc_id)
+      SELECT * FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per),
+             (SELECT CAST(SUM(n_chunks) AS BIGINT) FROM per),
+             (SELECT CAST(SUM(chunk_tokens) AS BIGINT) FROM per),
+             CAST(count(DISTINCT chash) AS BIGINT)
+      FROM ch
+      ORDER BY doc_id""")),
+
     // ---- label-noise audit via kNN disagreement (the confident-
     //      learning / Cleanlab reading reduced to its deterministic
     //      skeleton): for every vector, the fraction of its 5 nearest
@@ -1256,6 +1326,72 @@ object LLMOps {
              CAST(SUM(n_noisy) AS BIGINT)
       FROM per
       ORDER BY label""")),
+
+    // ---- k-center coreset (greedy farthest-point traversal, the
+    //      2-approximation of Gonzalez 1985): 8 maximally-diverse
+    //      representatives of the embedding corpus — the diversity-
+    //      sampling counterpart of q225's redundancy removal (SemDeDup
+    //      drops what is too similar; this KEEPS what spans the
+    //      space). Seed = min portable hash (deterministic stand-in
+    //      for the paper's arbitrary start); each step picks the point
+    //      with the SMALLEST max-similarity to the selected set
+    //      (micro-grid cosine, vec_id tie-break) and emits that
+    //      similarity — the coverage radius curve a data-pruning run
+    //      reads to choose its budget. Greedy k-center is inherently k
+    //      corpus passes (each a broadcast-join map + one argmin);
+    //      driver state is one row per step — index-sized. The oracle
+    //      unrolls all 8 selections.
+    ("q234_kcenter_coreset", (s: SparkSession, dir: String) => {
+      val k = 8
+      val e = graft.Stage.mat(Tables(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").as("v"),
+          TextStats.portableHash64(
+            concat(lit("kc:"), col("vec_id").cast("string"))).as("h")))
+      val seed = e.orderBy(col("h"), col("vec_id")).limit(1)
+        .select(col("vec_id")).collect().head.getLong(0)
+      def cosMicros = round(Similarity.cosine(col("v"), col("cv")) * 1000000, 0)
+        .cast("long")
+      val sel = scala.collection.mutable.ListBuffer((1L, seed, 0L))
+      var best = graft.Stage.mat(e.crossJoin(broadcast(
+          e.filter(col("vec_id") === seed).select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"), cosMicros.as("bs")))
+      for (step <- 2 to k) {
+        val next = best.orderBy(col("bs"), col("vec_id")).limit(1)
+          .select(col("vec_id"), col("bs")).collect().head
+        sel += ((step.toLong, next.getLong(0), next.getLong(1)))
+        best = graft.Stage.mat(best.crossJoin(broadcast(
+            e.filter(col("vec_id") === next.getLong(0)).select(col("v").as("cv"))))
+          .select(col("vec_id"), col("v"),
+            greatest(col("bs"), cosMicros).as("bs")))
+      }
+      import s.implicits._
+      sel.toSeq.toDF("step", "center_id", "sel_sim_micros").orderBy(col("step"))
+    }, Some {
+      val steps = (2 to 8).map { i =>
+        s"""c$i AS (SELECT vec_id, v, bs FROM b${i - 1}
+                  ORDER BY bs, vec_id LIMIT 1),
+        b$i AS (SELECT b.vec_id, b.v,
+                  greatest(b.bs, CAST(round(list_cosine_similarity(b.v, c.v)
+                    * 1000000, 0) AS BIGINT)) AS bs
+                FROM b${i - 1} b CROSS JOIN c$i c)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ${TextStats.portableHash64Sql("concat('kc:', CAST(vec_id AS VARCHAR))")} AS h
+        FROM embeddings),
+      c1 AS (SELECT vec_id, v FROM e ORDER BY h, vec_id LIMIT 1),
+      b1 AS (SELECT e.vec_id, e.v,
+               CAST(round(list_cosine_similarity(e.v, c.v) * 1000000, 0) AS BIGINT) AS bs
+             FROM e CROSS JOIN c1 c),
+      $steps
+      SELECT CAST(1 AS BIGINT) AS step, vec_id AS center_id,
+             CAST(0 AS BIGINT) AS sel_sim_micros FROM c1
+      ${(2 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, CAST(bs AS BIGINT) FROM c$i")
+        .mkString("\n      ")}
+      ORDER BY step"""
+    }),
 
     // ---- data-scaling curve: add-one bigram-LM cross-entropy on one
     //      fixed hash holdout vs 5 growing training prefixes — the

@@ -150,6 +150,25 @@ class TextStatsSpec extends SparkSpec {
     }, s"CE must strictly drop when data is added: $out")
   }
 
+  test("chunking covers the tail: every token lands in some chunk") {
+    val dir = java.nio.file.Files.createTempDirectory("chunk_fix").toString
+    // 100 tokens → starts 1, 33, and the CLAMPED 37 (not 65): chunks
+    // 1..64, 33..96, 37..100 — the final token is covered. Also a
+    // 10-token doc → one 10-token chunk, and all 4 chunks distinct.
+    val t100 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    Seq((1L, t100, "en", "s", t100.length.toLong),
+      (2L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q233_chunking")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("chunk_tokens"),
+        r.getAs[Long]("n_distinct"))).toMap
+    assert(out(1L) === ((100L, 3L, 192L, 3L))) // 64 + 64 + 64
+    assert(out(2L) === ((10L, 1L, 10L, 1L)))
+    assert(out(-1L) === ((110L, 4L, 202L, 4L)))
+  }
+
   test("heaps law: cumulative vocabulary tracks first occurrences only") {
     // doc_ids 1..3 → buckets 1/4/7; vocab grows 2 → 3 → 3 (doc 3
     // introduces nothing new), tokens 2 → 4 → 5.
