@@ -1472,6 +1472,72 @@ object InferOps {
       FROM cells
       ORDER BY t, post""")),
 
+    // ---- two-proportion z-test per event type: the high-value-event
+    //      RATE (value ≥ 35), early vs late calendar half — the
+    //      proportion counterpart of q195's Welch mean test. The
+    //      pooled z² is an exact integer rational once cross-
+    //      multiplied:
+    //        z² = (s1·n2 − s2·n1)²·(n1+n2)
+    //             div (n1·n2·(s1+s2)·(n1+n2−s1−s2))
+    //      shipped ×1e6 in micros via DECIMAL(38,0) products
+    //      (exact to n ≈ 1e7 per type; rescale to daily means past
+    //      that — the q195 note), significant at 95% iff
+    //      z2_micros > 3841600. The oracle replays the halves and
+    //      every product.
+    ("q236_prop_test", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).events
+        .selectExpr("event_type AS grp",
+          "CASE WHEN value >= 35.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit",
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS day")
+      val span = base.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      base.crossJoin(broadcast(span))
+        .withColumn("early", (col("day") < expr("(mn + mx + 1) DIV 2")).cast("long"))
+        .groupBy(col("grp"))
+        .agg(sum(col("early")).as("n1"), sum(lit(1L) - col("early")).as("n2"),
+          sum(col("hit") * col("early")).as("s1"),
+          sum(col("hit") * (lit(1L) - col("early"))).as("s2"))
+        .selectExpr("grp AS event_type", "n1", "n2", "s1", "s2",
+          "(1000000 * s1) DIV greatest(n1, 1) AS p1_ppm",
+          "(1000000 * s2) DIV greatest(n2, 1) AS p2_ppm",
+          """CAST((CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
+                  * (CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
+                  * (n1 + n2) * 1000000
+                DIV greatest(CAST(n1 AS DECIMAL(38,0)) * n2 * (s1 + s2)
+                             * (n1 + n2 - s1 - s2), 1) AS BIGINT) AS z2_micros""")
+        .withColumn("significant", col("z2_micros") > 3841600L)
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type AS grp,
+               CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS hit,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events),
+      span AS (SELECT min(day) AS mn, max(day) AS mx FROM base),
+      h AS (SELECT grp, hit,
+                   CASE WHEN day < (mn + mx + 1) // 2 THEN 1 ELSE 0 END AS early
+            FROM base CROSS JOIN span),
+      ag AS (
+        SELECT grp, CAST(SUM(early) AS BIGINT) AS n1,
+               CAST(SUM(1 - early) AS BIGINT) AS n2,
+               CAST(SUM(hit * early) AS BIGINT) AS s1,
+               CAST(SUM(hit * (1 - early)) AS BIGINT) AS s2
+        FROM h GROUP BY grp)
+      SELECT grp AS event_type, n1, n2, s1, s2,
+             (1000000 * s1) // greatest(n1, 1) AS p1_ppm,
+             (1000000 * s2) // greatest(n2, 1) AS p2_ppm,
+             CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                  * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                  * (n1 + n2) * 1000000
+                  // greatest(CAST(n1 AS HUGEINT) * n2 * (s1 + s2)
+                              * (n1 + n2 - s1 - s2), 1) AS BIGINT) AS z2_micros,
+             (CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                  * (CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                  * (n1 + n2) * 1000000
+                  // greatest(CAST(n1 AS HUGEINT) * n2 * (s1 + s2)
+                              * (n1 + n2 - s1 - s2), 1) AS BIGINT) > 3841600)
+               AS significant
+      FROM ag ORDER BY event_type""")),
+
     // ---- log-rank test: view-first vs rest on days-to-first-purchase,
     //      per-event-time O/E/V rows + the zz chi² row. The oracle
     //      replays the first-event cohort window, the duration

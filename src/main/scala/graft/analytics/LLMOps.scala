@@ -1327,6 +1327,85 @@ object LLMOps {
       FROM per
       ORDER BY label""")),
 
+    // ---- MMR diversified rerank (Carbonell & Goldstein 1998): the
+    //      top-20 cosine shortlist for query vec 0 re-ordered by
+    //      maximal marginal relevance, λ = 0.7 —
+    //      score = (7e5·rel − 3e5·max-sim-to-selected) div 1e6 on the
+    //      micro grid, 5 greedy picks, vec_id tie-break. MMR is BY
+    //      CONSTRUCTION a shortlist-stage operator: the candidate set
+    //      is ANN output (20 rows — driver-sized state, the allowed
+    //      index-sized collect), and the greedy runs on its 20×20 sim
+    //      matrix; corpus scale lives in the shortlist stage (q40/q45/
+    //      q128), not here. The oracle unrolls all 5 selections over
+    //      the same matrix with the same truncating scores.
+    ("q235_mmr_rerank", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val q0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("embedding").as("v"),
+          round(Similarity.cosine(col("embedding"), col("qv")) * 1000000, 0)
+            .cast("long").as("rel_m"))
+        .orderBy(col("rel_m").desc, col("vec_id")).limit(20)
+        .transform(graft.Stage.mat)
+      val a = cand.select(col("vec_id").as("ida"), col("v").as("va"))
+      val b = cand.select(col("vec_id").as("idb"), col("v").as("vb"))
+      val sims = a.join(b, col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"),
+          round(Similarity.cosine(col("va"), col("vb")) * 1000000, 0)
+            .cast("long").as("sm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val rels = cand.select(col("vec_id"), col("rel_m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      var selected = List.empty[Long]
+      val picks = (1 to math.min(5, rels.size)).map { step =>
+        val scored = rels.filterNot(p => selected.contains(p._1)).map {
+          case (id, rel) =>
+            val mx = if (selected.isEmpty) 0L
+                     else selected.map(sid => sims((id, sid))).max
+            (id, rel, (700000L * rel - 300000L * mx) / 1000000L)
+        }
+        val best = scored.maxBy(p => (p._3, -p._1))
+        selected = best._1 :: selected
+        (step.toLong, best._1, best._2, best._3)
+      }
+      import s.implicits._
+      picks.toDF("step", "vec_id", "rel_micros", "mmr_score_micros")
+        .orderBy(col("step"))
+    }, Some {
+      val steps = (2 to 5).map { i =>
+        s"""ms$i AS (SELECT p.ida AS vid, max(p.sm) AS mx
+                 FROM sims p WHERE p.idb IN (SELECT vec_id FROM ss${i - 1})
+                 GROUP BY p.ida),
+        sel$i AS (SELECT c.vec_id, c.rel_m,
+                   (700000 * c.rel_m - 300000 * COALESCE(m.mx, 0)) // 1000000 AS score
+                 FROM cand c LEFT JOIN ms$i m ON c.vec_id = m.vid
+                 WHERE c.vec_id NOT IN (SELECT vec_id FROM ss${i - 1})
+                 ORDER BY score DESC, c.vec_id LIMIT 1),
+        ss$i AS (SELECT vec_id FROM ss${i - 1} UNION ALL SELECT vec_id FROM sel$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      cand AS (
+        SELECT vec_id, v,
+               CAST(round(list_cosine_similarity(v, qv) * 1000000, 0) AS BIGINT) AS rel_m
+        FROM e CROSS JOIN q0 WHERE vec_id <> 0
+        ORDER BY rel_m DESC, vec_id LIMIT 20),
+      sims AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST(round(list_cosine_similarity(a.v, b.v) * 1000000, 0) AS BIGINT) AS sm
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      sel1 AS (SELECT vec_id, rel_m, (700000 * rel_m) // 1000000 AS score
+               FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+      ss1 AS (SELECT vec_id FROM sel1),
+      $steps
+      ${(1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, vec_id, CAST(rel_m AS BIGINT) AS rel_micros, CAST(score AS BIGINT) AS mmr_score_micros FROM sel$i")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY step"""
+    }),
+
     // ---- k-center coreset (greedy farthest-point traversal, the
     //      2-approximation of Gonzalez 1985): 8 maximally-diverse
     //      representatives of the embedding corpus — the diversity-

@@ -320,4 +320,23 @@ class EvalOpsSpec extends SparkSpec {
     assert(out(1L)._2 === 0L)
     assert(out(-1L) === ((8L, 1L)))
   }
+
+  test("mmr rerank: duplicates are demoted by exactly the diversity penalty") {
+    val dir = java.nio.file.Files.createTempDirectory("mmr_fix").toString
+    // query (1,0); candidates 1,2 identical to it (rel 1e6), 3
+    // orthogonal (rel 0). Picks: 1 (λ·rel = 700000), then its
+    // duplicate 2 at 400000 (the −3e5·1e6 div 1e6 penalty), then 3 at
+    // 0 — and a 3-candidate pool must yield exactly 3 rows, not 5.
+    Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0), (3L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q235_mmr_rerank")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rel_micros"), r.getAs[Long]("mmr_score_micros")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1000000L, 700000L),
+      (2L, 2L, 1000000L, 400000L),
+      (3L, 3L, 0L, 0L)))
+  }
 }
