@@ -1538,6 +1538,67 @@ object InferOps {
                AS significant
       FROM ag ORDER BY event_type""")),
 
+    // ---- Cochran–Mantel–Haenszel stratified odds ratio: does the
+    //      BUILDING market segment carry different 'F'-status odds
+    //      once NATION is controlled for? Per-stratum 2×2 cells plus
+    //      the CMH pooled estimate OR = Σ(aᵢdᵢ/nᵢ) div Σ(bᵢcᵢ/nᵢ) —
+    //      each stratum term a truncating ppm quotient, the pool an
+    //      exact ratio of their sums (zz row). The confounder-proof
+    //      counterpart of a naive marginal odds ratio: Simpson
+    //      reversals show up as zz disagreeing with the pooled-table
+    //      answer. One customer⋈orders join (customer-keyed,
+    //      bucketable) + a nation-sized aggregate.
+    ("q237_cmh_odds", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir)
+      val cells = t.orders
+        .join(t.customer.select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"), col("c_mktsegment")), Seq("o_custkey"))
+        .selectExpr("CAST(c_nationkey AS BIGINT) AS nk",
+          "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ex",
+          "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad")
+        .groupBy(col("nk"))
+        .agg(sum(expr("ex * bad")).as("a"), sum(expr("ex * (1 - bad)")).as("b"),
+          sum(expr("(1 - ex) * bad")).as("c"),
+          sum(expr("(1 - ex) * (1 - bad)")).as("d"))
+        .selectExpr("nk", "a", "b", "c", "d",
+          "(1000000 * a * d) DIV greatest(a + b + c + d, 1) AS num_ppm",
+          "(1000000 * b * c) DIV greatest(a + b + c + d, 1) AS den_ppm")
+        .withColumn("or_micros", lit(0L))
+        .transform(graft.Stage.mat)
+      val zz = cells.agg(sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+          sum(col("num_ppm")).as("sn"), sum(col("den_ppm")).as("sdn"))
+        .selectExpr("CAST(-1 AS BIGINT) AS nk", "sa AS a", "sb AS b",
+          "sc AS c", "sd AS d", "sn AS num_ppm", "sdn AS den_ppm",
+          "(1000000 * sn) DIV greatest(sdn, 1) AS or_micros")
+      cells.unionByName(zz).orderBy(col("nk"))
+    }, Some("""
+      WITH j AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ex,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cells AS (
+        SELECT nk, CAST(SUM(ex * bad) AS BIGINT) AS a,
+               CAST(SUM(ex * (1 - bad)) AS BIGINT) AS b,
+               CAST(SUM((1 - ex) * bad) AS BIGINT) AS c,
+               CAST(SUM((1 - ex) * (1 - bad)) AS BIGINT) AS d
+        FROM j GROUP BY nk),
+      p AS (
+        SELECT nk, a, b, c, d,
+               (1000000 * a * d) // greatest(a + b + c + d, 1) AS num_ppm,
+               (1000000 * b * c) // greatest(a + b + c + d, 1) AS den_ppm,
+               CAST(0 AS BIGINT) AS or_micros
+        FROM cells)
+      SELECT * FROM p
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(a) AS BIGINT), CAST(SUM(b) AS BIGINT),
+             CAST(SUM(c) AS BIGINT), CAST(SUM(d) AS BIGINT),
+             CAST(SUM(num_ppm) AS BIGINT), CAST(SUM(den_ppm) AS BIGINT),
+             CAST((1000000 * SUM(num_ppm)) // greatest(SUM(den_ppm), 1) AS BIGINT)
+      FROM p
+      ORDER BY nk""")),
+
     // ---- log-rank test: view-first vs rest on days-to-first-purchase,
     //      per-event-time O/E/V rows + the zz chi² row. The oracle
     //      replays the first-event cohort window, the duration

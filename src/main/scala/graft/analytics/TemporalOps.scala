@@ -1275,6 +1275,65 @@ object TemporalOps {
              CAST((CAST(nc - nd AS HUGEINT) * (nc - nd) * 1000000)
                   // greatest(CAST(n0 - n1 AS HUGEINT) * (n0 - n2), 1)
                   AS BIGINT) AS tau2_micros
-      FROM ag"""))
+      FROM ag""")),
+
+    // ---- classical seasonal decomposition (the moving-average
+    //      decomposition STL descends from): daily volume y split into
+    //      trend (centered 7-day MA, full windows only), weekly
+    //      seasonal (per-cycle-slot mean of the detrended series,
+    //      re-centered so the 7 components sum ≈ 0), and remainder —
+    //      all truncating integer micros over the span-bounded daily
+    //      table, so the oracle replays every window mean. Cycle slot
+    //      is epoch-day mod 7 (a consistent 7-cycle; calendar DOW is a
+    //      fixed rotation of it). Rows-frame MA assumes a gap-free
+    //      daily series — gap-fill first (q173) on sparse data.
+    ("q238_classical_decomp", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+        .groupBy(col("od")).agg((count(lit(1)) * 1000000L).as("y"))
+        .transform(graft.Stage.mat)
+      val w = Window.orderBy(col("od")).rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .withColumn("s7", sum(col("y")).over(w))
+        .withColumn("trend", expr("s7 DIV 7"))
+        .filter(col("cnt7") === 7)
+        .withColumn("det", col("y") - col("trend"))
+        .withColumn("slot", expr("od % 7"))
+        .transform(graft.Stage.mat)
+      val sraw = tr.groupBy(col("slot"))
+        .agg(sum(col("det")).as("sd"), count(lit(1)).as("cc"))
+        .selectExpr("slot", "sd DIV cc AS sw")
+      val smean = sraw.agg(sum(col("sw")).as("ssw"), count(lit(1)).as("nsl"))
+        .selectExpr("ssw DIV nsl AS sm")
+      val sadj = sraw.crossJoin(broadcast(smean))
+        .select(col("slot"), (col("sw") - col("sm")).as("seasonal"))
+      tr.join(sadj, Seq("slot"))
+        .selectExpr("od AS day", "y AS y_micros", "trend AS trend_micros",
+          "seasonal AS seasonal_micros",
+          "det - seasonal AS remainder_micros")
+        .orderBy(col("day"))
+    }, Some("""
+      WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS od,
+               CAST(count(*) AS BIGINT) * 1000000 AS y
+        FROM events GROUP BY 1),
+      ma AS (
+        SELECT od, y,
+               count(*) OVER (ORDER BY od ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7,
+               CAST(SUM(y) OVER (ORDER BY od ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    // 7 AS BIGINT) AS trend
+        FROM daily),
+      tr AS (SELECT od, y, trend, y - trend AS det, od % 7 AS slot
+             FROM ma WHERE cnt7 = 7),
+      sraw AS (SELECT slot, CAST(SUM(det) // count(*) AS BIGINT) AS sw
+               FROM tr GROUP BY slot),
+      sm AS (SELECT CAST(SUM(sw) // count(*) AS BIGINT) AS m FROM sraw),
+      sadj AS (SELECT slot, sw - m AS seasonal FROM sraw CROSS JOIN sm)
+      SELECT tr.od AS day, tr.y AS y_micros, tr.trend AS trend_micros,
+             CAST(sadj.seasonal AS BIGINT) AS seasonal_micros,
+             CAST(tr.det - sadj.seasonal AS BIGINT) AS remainder_micros
+      FROM tr JOIN sadj ON tr.slot = sadj.slot
+      ORDER BY day"""))
   )
 }

@@ -402,4 +402,45 @@ class InferOpsSpec extends SparkSpec {
       (1L, 1L, 2L, 2L, 4L, 1000000L, 333333L, 0L),
       (2L, 0L, 1L, 1L, 2L, 500000L, 250000L, 0L)))
   }
+
+  test("cmh: stratified OR is 1 on a planted Simpson reversal") {
+    // each stratum has OR = 1 (a·d = b·c), but pooling the tables
+    // marginally gives OR = 2.25 — CMH must report 1e6, not 2.25e6.
+    val dir = java.nio.file.Files.createTempDirectory("cmh_fix").toString
+    import spark.implicits._
+    Seq((1L, "c1", 1, 0.0, "BUILDING"), (2L, "c2", 1, 0.0, "AUTOMOBILE"),
+      (3L, "c3", 2, 0.0, "BUILDING"), (4L, "c4", 2, 0.0, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val t0 = ts("2024-01-01 10:00:00")
+    def orders(ck: Long, nF: Int, nO: Int, base: Long) =
+      (1 to nF).map(i => (base + i, ck, "F", 1.0, t0, "p")) ++
+        (1 to nO).map(i => (base + 50 + i, ck, "O", 1.0, t0, "p"))
+    (orders(1L, 8, 2, 100) ++ orders(2L, 4, 1, 200) ++
+      orders(3L, 1, 4, 300) ++ orders(4L, 2, 8, 400))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q237_cmh_odds")(spark, dir).collect()
+      .map(r => r.getAs[Long]("nk") -> (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[Long]("d"), r.getAs[Long]("or_micros"))).toMap
+    assert(out(1L) === ((8L, 2L, 4L, 1L, 0L)))
+    assert(out(2L) === ((1L, 4L, 2L, 8L, 0L)))
+    assert(out(-1L) === ((9L, 6L, 6L, 9L, 1000000L)))
+  }
+
+  test("classical decomposition: a constant series is pure trend") {
+    // 9 days × 7 events → 3 full-window days, all with y = trend and
+    // zero seasonal/remainder.
+    val rows = for { d <- 1 to 9; j <- 1 to 7 } yield
+      (d * 10L + j, ts(s"2024-01-0$d 10:00:0$j"), 1L, "view", 0.0, "{}")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("dec_fix").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q238_classical_decomp")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("y_micros"), r.getAs[Long]("trend_micros"),
+        r.getAs[Long]("seasonal_micros"), r.getAs[Long]("remainder_micros")))
+    assert(out.length === 3)
+    assert(out.forall(_ === ((7000000L, 7000000L, 0L, 0L))))
+  }
 }
