@@ -273,7 +273,218 @@ object StatsOps {
     means.unionByName(full).unionByName(lo).unionByName(hi).orderBy(col("b"))
   }
 
+  /** Kruskal–Wallis H across k groups (Kruskal & Wallis 1952), with the
+    * standard tie correction — the nonparametric k-group extension of
+    * q124's Mann–Whitney rank sum: does at least one group's value
+    * distribution differ, without assuming normality? Run over integer
+    * scores so the rank arithmetic is exact.
+    *
+    * Rank discipline: no row ever gets a per-row global rank. Scores
+    * reduce to tie groups (score → min-rank mn, count cnt) via a
+    * cumulative count over the DISTINCT-SCORE table; each member's
+    * DOUBLED average rank is the exact integer 2·mn + cnt − 1, so the
+    * per-group doubled rank sum r2 = Σ pc·(2·mn + cnt − 1) carries no
+    * halves. H then follows the one-fraction form
+    *   s        = Σ_g [r2_g² DIV (4·n_g)]        (≈ Σ R_g²/n_g, ≤ N²)
+    *   H_micros = (12e6·s) DIV (N(N+1)) − 3e6·(N+1)
+    * — the 1e6 scale is applied AFTER the per-group division so each
+    * term stays ≤ N² ≈ 3.6e10 at 600k rows (the ×1e6-inside form
+    * overflows BIGINT once r2² ≳ 1e19); products run in DECIMAL(38,0)
+    * and every truncating DIV is mirrored by the oracle. Tie factor:
+    *   C_micros = 1e6 − (1e6·Σ(t³−t)) DIV (N³−N),
+    *   H_corr_micros = (H_micros·1e6) DIV C_micros.
+    *
+    * Output: one row per group (n_g, doubled rank sum, mean doubled
+    * rank) + a zz row (group = 'zz_h') carrying N, H_micros and the
+    * corrected H in the same columns (the q185 trailing-row convention).
+    *
+    * Scale shape: one (group, score) aggregate and one distinct-score
+    * aggregate — both map-side combined. The distinct-score table can
+    * approach corpus size for near-continuous scores, so the
+    * cumulative count that yields each tie group's min-rank runs the
+    * [[graft.text.Packing.scoreOrder]] two-phase decomposition: linear
+    * value-range buckets (monotone ⇒ order-preserving), per-bucket
+    * totals, one window over the 1024-row bucket table (the only
+    * serial step), within-bucket prefix sums PARTITIONed BY bucket —
+    * no unpartitioned window anywhere. Everything downstream is k-row
+    * arithmetic. DECIMAL(38,0) bounds: r2 ≲ 2N² ≤ 1e12 at 600k rows,
+    * r2² ≲ 1e24 — comfortably inside 1e38. The oracle computes mn with
+    * a plain single cumulative window, so hash equality doubles as the
+    * decomposition-exactness proof (the scoreOrder convention).
+    */
+  def kruskalWallis(df: DataFrame, group: String, score: Column,
+                    buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(group).as("grp"), score.cast("long").as("score"))
+    val ties = base.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .transform(graft.Stage.mat) // feeds the stats row AND the ranked pass
+    val stats = ties.agg(min(col("score")).as("smn"), max(col("score")).as("smx"))
+    val bucketed = ties.crossJoin(broadcast(stats))
+      .withColumn("rb", floor(
+        (col("score") - col("smn")).cast("double") * buckets /
+          (col("smx") - col("smn") + 1).cast("double")).cast("long"))
+    val offsets = bucketed.groupBy(col("rb")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("off", coalesce(
+        sum(col("bcnt")).over(Window.orderBy(col("rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rb"), col("off"))
+    val mn = bucketed.join(broadcast(offsets), Seq("rb"))
+      .withColumn("mn", col("off")
+        + sum(col("cnt")).over(Window.partitionBy(col("rb")).orderBy(col("score")))
+        - col("cnt") + 1)
+      .select(col("score"), col("cnt"), col("mn"))
+    val perGs = base.groupBy(col("grp"), col("score")).agg(count(lit(1)).as("pc"))
+    val perG = perGs.join(mn, Seq("score"))
+      .groupBy(col("grp"))
+      .agg(sum(col("pc")).as("n_g"),
+        sum(col("pc") * (lit(2L) * col("mn") + col("cnt") - 1)).as("r2"))
+      .transform(graft.Stage.mat) // feeds the group rows AND the H fold
+    val nTie = ties.agg(
+      sum(col("cnt")).as("n"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tsum"))
+    val h = perG.agg(
+      sum(expr("(CAST(r2 AS DECIMAL(38,0)) * r2) DIV (4 * n_g)")).as("s"))
+      .crossJoin(broadcast(nTie))
+      .selectExpr("n", "tsum", "s",
+        """CAST((12000000 * CAST(s AS DECIMAL(38,0)))
+                DIV (CAST(n AS DECIMAL(38,0)) * (n + 1))
+                - 3000000 * (n + 1) AS BIGINT) AS h_micros""")
+      .selectExpr("n", "h_micros",
+        """CAST(1000000 - (1000000 * tsum)
+                DIV greatest(CAST(n AS DECIMAL(38,0)) * n * n - n, 1)
+            AS BIGINT) AS c_micros""")
+      .selectExpr("'zz_h' AS grp", "n AS n_g", "h_micros AS r2",
+        "(h_micros * 1000000) DIV greatest(c_micros, 1) AS mean2_micros")
+    perG.selectExpr("grp", "n_g", "r2", "(r2 * 1000000) DIV n_g AS mean2_micros")
+      .unionAll(h).orderBy(col("grp"))
+  }
+
+  /** One-way ANOVA F statistic (Fisher) across k groups, exact
+    * integers: from the three sufficient statistics per group
+    * (n, Σx, Σx²) — one map-side-combined aggregate pass —
+    *   SSB_sc = Σ_g [(1e6·S_g²) DIV n_g] − (1e6·S²) DIV N
+    *   SST_sc = 1e6·Σx² − (1e6·S²) DIV N,  SSW_sc = SST_sc − SSB_sc
+    *   F_micros = (SSB_sc·(N−k)·1e6) DIV greatest(SSW_sc·(k−1), 1)
+    * (scaled sums of squares in micros; DECIMAL(38,0) products,
+    * truncating DIVs replayed term-for-term by the oracle — the
+    * olsMicros discipline).
+    *
+    * Output: per-group (n, mean_micros) rows + 'zz_f' row carrying
+    * (N, SSB_sc in the mean column? no —) n_g = N, mean_micros =
+    * F_micros, with ssb/ssw shipped in dedicated columns on all rows
+    * (null-free: group rows carry 0).
+    *
+    * Scale shape: one aggregate over the fact table, then k-row
+    * arithmetic. Σx² in DECIMAL stays exact for |x| ≤ 1e9 over 1e12
+    * rows — any per-doc length/score column qualifies.
+    */
+  def anovaF(df: DataFrame, group: String, x: Column): DataFrame = {
+    val base = df.select(col(group).as("grp"), x.cast("long").as("x"))
+    val perG = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q_g"))
+      .transform(graft.Stage.mat) // feeds the group rows AND the F fold
+    val f = perG.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"), count(lit(1)).as("k"),
+      sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) DIV n_g")).as("bsum"))
+      .selectExpr("n", "k",
+        "bsum - (CAST(s AS DECIMAL(38,0)) * s * 1000000) DIV n AS ssb_sc",
+        "q * 1000000 - (CAST(s AS DECIMAL(38,0)) * s * 1000000) DIV n AS sst_sc")
+      .selectExpr("n", "k", "ssb_sc", "sst_sc - ssb_sc AS ssw_sc")
+      .selectExpr("'zz_f' AS grp", "n AS n_g",
+        """CAST((CAST(ssb_sc AS DECIMAL(38,0)) * (n - k) * 1000000)
+                DIV greatest(CAST(ssw_sc AS DECIMAL(38,0)) * (k - 1), 1)
+            AS BIGINT) AS mean_micros""",
+        "CAST(ssb_sc DIV 1000000 AS BIGINT) AS ssb",
+        "CAST(ssw_sc DIV 1000000 AS BIGINT) AS ssw")
+    perG.selectExpr("grp", "n_g", "(s_g * 1000000) DIV n_g AS mean_micros",
+      "CAST(0 AS BIGINT) AS ssb", "CAST(0 AS BIGINT) AS ssw")
+      .unionAll(f).orderBy(col("grp"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- Kruskal–Wallis H: does order value distribution differ across
+    //      the 5 order priorities? Scores are exact cents; the oracle
+    //      replays the tie-group reduction, every truncating DIV, and
+    //      the tie-corrected H. The distribution-free complement of
+    //      q240's ANOVA on the same design question.
+    ("q239_kruskal_wallis", (s: SparkSession, dir: String) => {
+      kruskalWallis(Tables(s, dir).orders, group = "o_orderpriority",
+        score = expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS score
+        FROM orders),
+      ties AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt
+               FROM base GROUP BY score),
+      mr AS (SELECT score, cnt,
+                    SUM(cnt) OVER (ORDER BY score) - cnt + 1 AS mn
+             FROM ties),
+      pergs AS (SELECT grp, score, CAST(count(*) AS BIGINT) AS pc
+                FROM base GROUP BY grp, score),
+      perg AS (
+        SELECT grp, CAST(SUM(pc) AS BIGINT) AS n_g,
+               CAST(SUM(pc * (2 * mn + cnt - 1)) AS BIGINT) AS r2
+        FROM pergs JOIN mr USING (score) GROUP BY grp),
+      nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
+             FROM ties),
+      hh AS (SELECT n, tsum,
+                    SUM((CAST(r2 AS HUGEINT) * r2) // (4 * n_g)) AS s
+             FROM perg CROSS JOIN nt GROUP BY n, tsum),
+      h2 AS (
+        SELECT n,
+               CAST((12000000 * CAST(s AS HUGEINT))
+                    // (CAST(n AS HUGEINT) * (n + 1))
+                    - 3000000 * (n + 1) AS BIGINT) AS h_micros,
+               CAST(1000000 - (1000000 * tsum)
+                    // greatest(CAST(n AS HUGEINT) * n * n - n, 1)
+                 AS BIGINT) AS c_micros
+        FROM hh)
+      SELECT grp, n_g, r2, (r2 * 1000000) // n_g AS mean2_micros FROM perg
+      UNION ALL
+      SELECT 'zz_h', n, h_micros,
+             (h_micros * 1000000) // greatest(c_micros, 1)
+      FROM h2
+      ORDER BY grp""")),
+
+    // ---- one-way ANOVA F: does mean document length differ across
+    //      languages? Exact sums-of-squares identity from one
+    //      (n, Σx, Σx²) pass; the oracle replays SSB/SSW and the F
+    //      micros including every truncation.
+    ("q240_anova_f", (s: SparkSession, dir: String) => {
+      anovaF(Tables(s, dir).documents, group = "lang",
+        x = col("n_chars"))
+    }, Some("""
+      WITH perg AS (
+        SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(SUM(n_chars) AS BIGINT) AS s_g,
+               SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q_g
+        FROM documents GROUP BY lang),
+      f AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+               SUM(q_g) AS q, CAST(count(*) AS BIGINT) AS k,
+               SUM((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS bsum
+        FROM perg),
+      sc AS (
+        SELECT n, k,
+               bsum - (CAST(s AS HUGEINT) * s * 1000000) // n AS ssb_sc,
+               q * 1000000 - (CAST(s AS HUGEINT) * s * 1000000) // n AS sst_sc
+        FROM f),
+      sc2 AS (SELECT n, k, ssb_sc, sst_sc - ssb_sc AS ssw_sc FROM sc)
+      SELECT grp, n_g, (s_g * 1000000) // n_g AS mean_micros,
+             CAST(0 AS BIGINT) AS ssb, CAST(0 AS BIGINT) AS ssw
+      FROM perg
+      UNION ALL
+      SELECT 'zz_f', n,
+             CAST((ssb_sc * (n - k) * 1000000)
+                  // greatest(ssw_sc * (k - 1), 1) AS BIGINT),
+             CAST(ssb_sc // 1000000 AS BIGINT),
+             CAST(ssw_sc // 1000000 AS BIGINT)
+      FROM sc2
+      ORDER BY grp""")),
 
     // ---- per-source OLS of n_chars on token count: the linearity
     //      audit of the cheapest two length signals (a source whose
