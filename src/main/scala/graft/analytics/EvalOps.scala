@@ -335,7 +335,245 @@ object EvalOps {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
 
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    * between two top-k rankings at persistence p = 9/10:
+    *   RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d
+    * — the ranking-agreement measure that, unlike q146 Spearman /
+    * q229 Kendall over full permutations, is TOP-WEIGHTED and defined
+    * on non-conjoint lists: exactly what comparing two retrieval or
+    * quality orderings over a corpus needs (swaps at rank 2 matter,
+    * swaps at rank 200 don't).
+    *
+    * EXACT integer arithmetic — no floats and no libm pow anywhere:
+    * since p = 9/10, (1−p)·p^(d−1) = 9^(d−1)/10^d, so each depth's
+    * term is the rational (9^(d−1)·X_d·1e9) DIV (10^(d−1)·10·d) in
+    * nanos, with both power tables shipped as exact literals (9^19
+    * fits a BIGINT; 10^19 rides as DECIMAL(38,0) strings) and every
+    * truncating DIV mirrored by the oracle. This is the truncated
+    * RBO_min form (no p^k extrapolation tail) — documented, and the
+    * right form when both lists are materialized to the same depth.
+    *
+    * Output: one row per depth (d, x_d = overlap at d, term_nanos) +
+    * a trailing d = 99 row carrying |A_k ∩ B_k| and RBO@k in nanos.
+    *
+    * Scale shape: each ranking is TakeOrderedAndProject top-k (never a
+    * global window over the corpus); everything downstream runs on the
+    * ≤ 2k-row union — the k×k depth expansion is k² ≤ 400 rows.
+    */
+  def rboTruncated(rankA: DataFrame, rankB: DataFrame, k: Int = 20): DataFrame = {
+    require(k <= 20, "9^(d-1) literal table is built to depth 20")
+    val pw9 = (0 until k).map(BigInt(9).pow(_)).mkString(",")
+    val pw10 = (0 until k).map(e => s"CAST('${BigInt(10).pow(e)}' AS DECIMAL(38,0))")
+      .mkString(",")
+    val m = rankA.select(col("doc_id"), col("pos").as("pos_a"))
+      .join(rankB.select(col("doc_id"), col("pos").as("pos_b")), Seq("doc_id"), "full_outer")
+      .select(greatest(coalesce(col("pos_a"), lit(99L)),
+        coalesce(col("pos_b"), lit(99L))).as("m"))
+    val depths = m.sparkSession.range(1, k + 1).select(col("id").as("d"))
+    val xd = broadcast(depths).join(m, col("m") <= col("d"), "left")
+      .groupBy(col("d")).agg(count(col("m")).as("x_d"))
+      .selectExpr("d", "x_d",
+        s"""CAST((CAST(element_at(array($pw9), CAST(d AS INT)) AS DECIMAL(38,0))
+                  * x_d * 1000000000)
+                 DIV (element_at(array($pw10), CAST(d AS INT)) * 10 * d)
+             AS BIGINT) AS term_nanos""")
+      .transform(graft.Stage.mat) // feeds the depth rows AND the RBO fold
+    val zz = xd.agg(max(when(col("d") === k, col("x_d"))).as("xk"),
+      sum(col("term_nanos")).as("rbo_nanos"))
+      .selectExpr(s"CAST(99 AS BIGINT) AS d", "xk AS x_d", "rbo_nanos AS term_nanos")
+    xd.unionAll(zz).orderBy(col("d"))
+  }
+
+  /** Linear Centered Kernel Alignment (Kornblith et al., ICML 2019)
+    * between two d-dimensional representations of the same rows:
+    *   CKA = ‖Yc'Xc‖²_F / (‖Xc'Xc‖_F · ‖Yc'Yc‖_F)
+    * over column-centered matrices — the standard "how much structure
+    * survived" audit between an embedding table and any derived view
+    * of it (here: the q67 int8 quantize→dequantize round trip; the
+    * same operator compares two encoder versions or a Matryoshka
+    * truncation). CKA ≈ 1 ⇒ the views agree up to rotation+scale.
+    *
+    * Float discipline (q103/q159 convention): raw float32 values widen
+    * to double exactly; every per-row product is one mirrored IEEE
+    * chain snapped round(·,9) and summed as DECIMAL(30,9)
+    * (order-independent ⇒ partial aggregation safe); the three
+    * Frobenius folds re-snap round-9; the single final division and
+    * sqrt (IEEE-correctly-rounded in both engines) round to 6.
+    *
+    * Scale shape: one posexplode pass → d-row per-dim mean table
+    * (broadcast back) → ONE vec_id self-join producing the (i,j)
+    * gram triples gxx/gxy/gyy in a single map-side-combined aggregate
+    * with d² = 4096 groups (constant state per task; the n·d² expanded
+    * rows exist only map-side between the join and the partial
+    * aggregate) → d²-row Frobenius fold. Nothing downstream of the
+    * join scales with n.
+    */
+  def linearCka(xy: DataFrame, dim: Int = 64): DataFrame = {
+    // xy: (vec_id, i, x, y) — one row per vector per dimension,
+    // x/y the two views' raw doubles.
+    val n = xy.agg(countDistinct(col("vec_id")).as("n"))
+    val means = xy.groupBy(col("i"))
+      .agg(sum(expr("CAST(round(x, 9) AS DECIMAL(30,9))")).as("sx"),
+        sum(expr("CAST(round(y, 9) AS DECIMAL(30,9))")).as("sy"))
+      .crossJoin(broadcast(n))
+      .selectExpr("i", "n",
+        "round(CAST(sx AS DOUBLE) / n, 9) AS mx",
+        "round(CAST(sy AS DOUBLE) / n, 9) AS my")
+    val c = xy.join(broadcast(means), Seq("i"))
+      .selectExpr("vec_id", "i",
+        "round(x - mx, 9) AS xc", "round(y - my, 9) AS yc")
+    val l = c.select(col("vec_id"), col("i"), col("xc"), col("yc"))
+    val r = c.select(col("vec_id"), col("i").as("j"),
+      col("xc").as("xc2"), col("yc").as("yc2"))
+    val gram = l.join(r, Seq("vec_id"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(round(xc * xc2, 9) AS DECIMAL(30,9))")).as("gxx"),
+        sum(expr("CAST(round(xc * yc2, 9) AS DECIMAL(30,9))")).as("gxy"),
+        sum(expr("CAST(round(yc * yc2, 9) AS DECIMAL(30,9))")).as("gyy"))
+    val frob = gram.agg(
+      sum(expr("CAST(round(CAST(gxx AS DOUBLE) * CAST(gxx AS DOUBLE), 9) AS DECIMAL(30,9))")).as("fxx"),
+      sum(expr("CAST(round(CAST(gxy AS DOUBLE) * CAST(gxy AS DOUBLE), 9) AS DECIMAL(30,9))")).as("fxy"),
+      sum(expr("CAST(round(CAST(gyy AS DOUBLE) * CAST(gyy AS DOUBLE), 9) AS DECIMAL(30,9))")).as("fyy"))
+    frob.crossJoin(broadcast(n))
+      .selectExpr("n", s"CAST($dim AS BIGINT) AS d",
+        "round(CAST(fxy AS DOUBLE), 6) AS fxy_r",
+        "round(CAST(fxx AS DOUBLE), 6) AS fxx_r",
+        "round(CAST(fyy AS DOUBLE), 6) AS fyy_r",
+        """round(CAST(fxy AS DOUBLE)
+                 / greatest(sqrt(CAST(fxx AS DOUBLE)) * sqrt(CAST(fyy AS DOUBLE)),
+                            1e-12), 6) AS cka_r""")
+  }
+
+  private val rboPw9Sql: String =
+    (0 until 20).map(BigInt(9).pow(_)).mkString(",")
+  private val rboPw10Sql: String =
+    (0 until 20).map(BigInt(10).pow(_)).mkString(",")
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- truncated RBO@20 (p=0.9) between the by-chars and by-tokens
+    //      document rankings: the top-weighted agreement of the two
+    //      cheapest length orderings. Each ranking is
+    //      TakeOrderedAndProject top-20; the rational-power identity
+    //      makes every depth term an exact integer in nanos, and the
+    //      oracle replays the full table including the d=99 RBO fold.
+    ("q241_rbo", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir).documents.select(col("doc_id"),
+        col("n_chars"), TextStats.tokenCount(col("text")).cast("long").as("ntok"))
+      val a = t.orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      val b = t.orderBy(col("ntok").desc, col("doc_id")).limit(20)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(col("ntok").desc, col("doc_id"))).cast("long"))
+      rboTruncated(a, b, k = 20)
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS ntok
+        FROM documents),
+      a AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS pos_a
+            FROM t ORDER BY n_chars DESC, doc_id LIMIT 20),
+      b AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY ntok DESC, doc_id) AS BIGINT) AS pos_b
+            FROM t ORDER BY ntok DESC, doc_id LIMIT 20),
+      m AS (SELECT greatest(coalesce(pos_a, 99), coalesce(pos_b, 99)) AS m
+            FROM a FULL OUTER JOIN b USING (doc_id)),
+      ds AS (SELECT unnest(range(1, 21)) AS d),
+      xd AS (SELECT d, CAST(count(m.m) AS BIGINT) AS x_d
+             FROM ds LEFT JOIN m ON m.m <= ds.d GROUP BY d),
+      terms AS (
+        SELECT CAST(d AS BIGINT) AS d, x_d,
+               CAST((CAST(list_extract([$rboPw9Sql], d) AS HUGEINT)
+                     * x_d * 1000000000)
+                    // (CAST(list_extract([$rboPw10Sql], d) AS HUGEINT) * 10 * d)
+                 AS BIGINT) AS term_nanos
+        FROM xd)
+      SELECT d, x_d, term_nanos FROM terms
+      UNION ALL
+      SELECT CAST(99 AS BIGINT), (SELECT x_d FROM terms WHERE d = 20),
+             CAST(SUM(term_nanos) AS BIGINT)
+      FROM terms
+      ORDER BY d""")),
+
+    // ---- linear CKA between the raw embeddings and their q67
+    //      int8 quantize→dequantize reconstruction: the one-number
+    //      "how much representational structure did quantization
+    //      destroy" audit (≈1 ⇒ lossless up to rotation/scale). The
+    //      oracle replays the quantization chain, the per-dim means,
+    //      the one-pass gram triple, and the Frobenius folds.
+    ("q242_cka_quantization", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("amax",
+          expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+        .withColumn("quantizable", expr("amax > 0.0 AND NOT isnan(amax)"))
+        .withColumn("scale", expr("CASE WHEN quantizable THEN 127.0 / amax END"))
+      val xy = e.select(col("vec_id"), col("quantizable"), col("scale"),
+          posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .selectExpr("vec_id", "CAST(i0 + 1 AS BIGINT) AS i",
+          "CAST(xf AS DOUBLE) AS x", "quantizable", "scale")
+        .selectExpr("vec_id", "i", "x",
+          """CASE WHEN quantizable
+               THEN CAST(greatest(-127, least(127,
+                      CAST(round(x * scale, 0) AS INT))) AS DOUBLE) / scale
+               ELSE 0.0 END AS y""")
+      linearCka(xy, dim = 64)
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      a AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+      sc AS (SELECT vec_id, v,
+              amax > 0.0 AND NOT isnan(amax) AS quantizable,
+              CASE WHEN amax > 0.0 AND NOT isnan(amax)
+                   THEN 127.0 / amax END AS scale
+             FROM a),
+      ix AS (SELECT vec_id, v, quantizable, scale,
+                    unnest(range(1, len(v) + 1)) AS i
+             FROM sc),
+      xy AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+                    list_extract(v, i) AS x,
+                    CASE WHEN quantizable
+                      THEN CAST(greatest(-127, least(127,
+                             CAST(round(list_extract(v, i) * scale, 0) AS INTEGER)))
+                           AS DOUBLE) / scale
+                      ELSE 0.0 END AS y
+             FROM ix),
+      n AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM xy),
+      means AS (
+        SELECT i,
+               round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                     / (SELECT n FROM n), 9) AS mx,
+               round(CAST(SUM(CAST(round(y, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                     / (SELECT n FROM n), 9) AS my
+        FROM xy GROUP BY i),
+      c AS (SELECT xy.vec_id, xy.i,
+                   round(x - mx, 9) AS xc, round(y - my, 9) AS yc
+            FROM xy JOIN means ON xy.i = means.i),
+      gram AS (
+        SELECT l.i, r.i AS j,
+               SUM(CAST(round(l.xc * r.xc, 9) AS DECIMAL(30,9))) AS gxx,
+               SUM(CAST(round(l.xc * r.yc, 9) AS DECIMAL(30,9))) AS gxy,
+               SUM(CAST(round(l.yc * r.yc, 9) AS DECIMAL(30,9))) AS gyy
+        FROM c l JOIN c r ON l.vec_id = r.vec_id
+        GROUP BY l.i, r.i),
+      frob AS (
+        SELECT SUM(CAST(round(CAST(gxx AS DOUBLE) * CAST(gxx AS DOUBLE), 9)
+                   AS DECIMAL(30,9))) AS fxx,
+               SUM(CAST(round(CAST(gxy AS DOUBLE) * CAST(gxy AS DOUBLE), 9)
+                   AS DECIMAL(30,9))) AS fxy,
+               SUM(CAST(round(CAST(gyy AS DOUBLE) * CAST(gyy AS DOUBLE), 9)
+                   AS DECIMAL(30,9))) AS fyy
+        FROM gram)
+      SELECT (SELECT n FROM n) AS n, CAST(64 AS BIGINT) AS d,
+             round(CAST(fxy AS DOUBLE), 6) AS fxy_r,
+             round(CAST(fxx AS DOUBLE), 6) AS fxx_r,
+             round(CAST(fyy AS DOUBLE), 6) AS fyy_r,
+             round(CAST(fxy AS DOUBLE)
+                   / greatest(sqrt(CAST(fxx AS DOUBLE)) * sqrt(CAST(fyy AS DOUBLE)),
+                              1e-12), 6) AS cka_r
+      FROM frob""")),
 
     // ---- language-ID agreement report: accuracy, Cohen's kappa,
     //      balanced accuracy, and binary-en MCC (sign + squared micros)

@@ -339,4 +339,36 @@ class EvalOpsSpec extends SparkSpec {
       (2L, 2L, 1000000L, 400000L),
       (3L, 3L, 0L, 0L)))
   }
+
+  test("RBO: identical rankings score 1, disjoint rankings score 0") {
+    def ranked(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("doc_id", "pos")
+    val same = EvalOps.rboTruncated(ranked(1L to 5L), ranked(1L to 5L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toMap2
+    // identical lists: X_d = d at every depth, so term_d = (1-p)p^(d-1)
+    // and the truncated sum is 1 − p^k = 1 − 0.9^5 = 0.40951 exactly;
+    // per-term truncation can only lose nanos, hence the ±5 band.
+    val rboSame = same((99L))._2
+    assert(math.abs(rboSame - 409510000L) <= 5L)
+    val disj = EvalOps.rboTruncated(ranked(1L to 5L), ranked(11L to 15L), k = 5)
+      .collect().filter(_.getLong(0) == 99L).head
+    assert(disj.getLong(1) === 0L && disj.getLong(2) === 0L)
+  }
+
+  test("CKA: an exact linear rescale of the view scores 1") {
+    // y = 3x is a pure per-matrix scale → CKA must be exactly 1
+    // (the invariance the operator exists to measure).
+    val xy = (for (v <- 1 to 6; i <- 1 to 2) yield
+      (v.toLong, i.toLong, (v * i).toDouble / 7.0, 3.0 * (v * i).toDouble / 7.0))
+      .toDF("vec_id", "i", "x", "y")
+    val r = EvalOps.linearCka(xy, dim = 2).collect().head
+    assert(r.getAs[Long]("n") === 6L)
+    assert(math.abs(r.getAs[Double]("cka_r") - 1.0) < 1e-5)
+  }
+
+  private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map { case (d, x, t) => d -> (x, t) }.toMap
+  }
 }
