@@ -127,6 +127,60 @@ object CurationOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- purged k-fold with embargo (López de Prado 2018, the
+    //      leakage-safe CV for serially-correlated data): 5 contiguous
+    //      6-day test blocks over the fixture month; a fold's training
+    //      set excludes the test days AND a ±2-day embargo, so
+    //      autocorrelated leakage across the boundary is structurally
+    //      impossible. The q121 cluster-split discipline transplanted
+    //      to the TIME axis. Emits per fold: day range, test/train/
+    //      purged event counts, and min_train_gap — the in-plan
+    //      certification (≥ 3 by construction) that no training event
+    //      sits inside the embargo; the oracle replays counts and cert.
+    //      Scale shape: one broadcast of the 5-row fold table against
+    //      the events scan, one map-side-combined (fold) aggregate —
+    //      the k-fold expansion is map-side only; nothing shuffles
+    //      beyond 5 groups.
+    ("q244_purged_kfold", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events
+        .selectExpr("event_id", "CAST(day(ts) AS BIGINT) AS d")
+      val folds = s.range(0, 5).selectExpr("id AS f",
+        "id * 6 + 1 AS lo", "id * 6 + 6 AS hi")
+      broadcast(folds).join(ev,
+          expr("true"), "inner")
+        .groupBy(col("f"), col("lo"), col("hi"))
+        .agg(
+          sum(when(col("d").between(col("lo"), col("hi")), 1L).otherwise(0L))
+            .as("n_test"),
+          sum(when(col("d") < col("lo") - 2 || col("d") > col("hi") + 2, 1L)
+            .otherwise(0L)).as("n_train"),
+          sum(when(!col("d").between(col("lo"), col("hi"))
+            && col("d") >= col("lo") - 2 && col("d") <= col("hi") + 2, 1L)
+            .otherwise(0L)).as("n_purged"),
+          min(when(col("d") < col("lo") - 2, col("lo") - col("d"))
+            .when(col("d") > col("hi") + 2, col("d") - col("hi")))
+            .as("min_train_gap"))
+        .orderBy(col("f"))
+    }, Some("""
+      WITH ev AS (SELECT event_id, CAST(day(ts) AS BIGINT) AS d FROM events),
+      folds AS (SELECT CAST(f AS BIGINT) AS f, CAST(f * 6 + 1 AS BIGINT) AS lo,
+                       CAST(f * 6 + 6 AS BIGINT) AS hi
+                FROM (SELECT unnest(range(0, 5)) AS f)),
+      j AS (SELECT f, lo, hi, d FROM folds CROSS JOIN ev)
+      SELECT f, lo, hi,
+             CAST(SUM(CASE WHEN d BETWEEN lo AND hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN d < lo - 2 OR d > hi + 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN d NOT BETWEEN lo AND hi
+                            AND d >= lo - 2 AND d <= hi + 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+             CAST(MIN(CASE WHEN d < lo - 2 THEN lo - d
+                           WHEN d > hi + 2 THEN d - hi END) AS BIGINT)
+               AS min_train_gap
+      FROM j GROUP BY f, lo, hi
+      ORDER BY f""")),
+
     // ---- PII scrubbing (C4/Dolma-style redaction + audit counts) ----
     ("q54_pii_scrub", (s: SparkSession, dir: String) => {
       val (ne, np, ni) = Scrub.piiCounts(piiText)

@@ -727,7 +727,121 @@ object InferOps {
         SELECT variant, 'CONV', CAST(1000000 AS BIGINT) FROM variants)"""
   }
 
+  /** Coarsened Exact Matching ATT (Iacus, King & Porro 2012): coarsen
+    * the covariates into bins, keep only strata containing BOTH
+    * treated and control units, and estimate the average treatment
+    * effect on the treated as the treated-count-weighted mean of
+    * within-stratum outcome differences:
+    *   ATT_micros = Σ_s n_t_s·(ȳt_s − ȳc_s) DIV Σ_s n_t_s.
+    * No model, no propensity score, no RNG — the entire estimator is
+    * exact integer arithmetic over counts and sums, so the oracle
+    * replays it including every truncating per-stratum mean.
+    *
+    * Input: one row per unit with (stratum, treated 0/1, y_micros).
+    * Output: per-stratum rows (n_t, n_c, mean_t, mean_c, diff) for
+    * MATCHED strata + 'zz_att' (ATT over matched treated) +
+    * 'zz_unmatched' (dropped treated/control counts — the overlap
+    * diagnostic CEM makes explicit; a large dropped-treated count
+    * means the estimate covers a shrunken population).
+    *
+    * Scale shape: one unit-level aggregate to stratum sums (map-side
+    * combined, stratum cardinality = product of bin counts, bounded by
+    * construction), then strata-row arithmetic. Nothing downstream of
+    * the first groupBy scales with the unit count.
+    */
+  def cemAtt(units: DataFrame): DataFrame = {
+    val strata = units.groupBy(col("stratum"))
+      .agg(sum(col("treated")).as("n_t"),
+        sum(lit(1L) - col("treated")).as("n_c"),
+        sum(when(col("treated") === 1L, col("y_micros")).otherwise(lit(0L))).as("sy_t"),
+        sum(when(col("treated") === 0L, col("y_micros")).otherwise(lit(0L))).as("sy_c"))
+      .transform(graft.Stage.mat) // feeds matched rows, the ATT fold, AND the drop audit
+    val matched = strata.filter(col("n_t") > 0 && col("n_c") > 0)
+      .selectExpr("stratum", "n_t", "n_c",
+        "sy_t DIV n_t AS mean_t_micros", "sy_c DIV n_c AS mean_c_micros")
+      .withColumn("diff_micros", col("mean_t_micros") - col("mean_c_micros"))
+    val att = matched.agg(
+      sum(col("n_t")).as("nt"), sum(col("n_c")).as("nc"),
+      sum(expr("CAST(n_t AS DECIMAL(38,0)) * diff_micros")).as("wsum"))
+      .selectExpr("'zz_att' AS stratum", "nt AS n_t", "nc AS n_c",
+        "CAST(wsum DIV greatest(nt, 1) AS BIGINT) AS mean_t_micros",
+        "CAST(0 AS BIGINT) AS mean_c_micros", "CAST(0 AS BIGINT) AS diff_micros")
+    val dropped = strata.filter(col("n_t") === 0 || col("n_c") === 0)
+      .agg(coalesce(sum(col("n_t")), lit(0L)).as("dt"),
+        coalesce(sum(col("n_c")), lit(0L)).as("dc"))
+      .selectExpr("'zz_unmatched' AS stratum", "dt AS n_t", "dc AS n_c",
+        "CAST(0 AS BIGINT) AS mean_t_micros", "CAST(0 AS BIGINT) AS mean_c_micros",
+        "CAST(0 AS BIGINT) AS diff_micros")
+    matched.unionAll(att).unionAll(dropped).orderBy(col("stratum"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- CEM ATT: effect of being a high-error user (n_err >= 14,
+    //      the corpus-average cut) on total purchase spend, matched
+    //      exactly within coarsened (activity DIV 20, active-days
+    //      DIV 8) strata. The no-model causal readout + its overlap
+    //      diagnostic; the oracle replays the coarsening, the
+    //      both-arms stratum filter, every truncating mean, and the
+    //      weighted ATT fold.
+    ("q243_cem_att", (s: SparkSession, dir: String) => {
+      val per = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          countDistinct(expr("day(ts)")).as("n_days"),
+          sum(when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+            .as("n_err"),
+          sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+            expr("CAST(floor(value * 1000000) AS BIGINT)")).otherwise(lit(0L)))
+            .as("y_micros"))
+      cemAtt(per.selectExpr(
+        """concat('a', CAST(n_ev DIV 20 AS STRING),
+                  '_d', CAST(n_days DIV 8 AS STRING)) AS stratum""",
+        "CAST(CASE WHEN n_err >= 14 THEN 1 ELSE 0 END AS BIGINT) AS treated",
+        "y_micros"))
+    }, Some("""
+      WITH per AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(count(DISTINCT day(ts)) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_err,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                             THEN CAST(floor(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y_micros
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      units AS (
+        SELECT concat('a', CAST(n_ev // 20 AS VARCHAR),
+                      '_d', CAST(n_days // 8 AS VARCHAR)) AS stratum,
+               CAST(CASE WHEN n_err >= 14 THEN 1 ELSE 0 END AS BIGINT) AS treated,
+               y_micros
+        FROM per),
+      strata AS (
+        SELECT stratum, CAST(SUM(treated) AS BIGINT) AS n_t,
+               CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN treated = 1 THEN y_micros ELSE 0 END)
+                 AS BIGINT) AS sy_t,
+               CAST(SUM(CASE WHEN treated = 0 THEN y_micros ELSE 0 END)
+                 AS BIGINT) AS sy_c
+        FROM units GROUP BY stratum),
+      matched AS (
+        SELECT stratum, n_t, n_c,
+               sy_t // n_t AS mean_t_micros, sy_c // n_c AS mean_c_micros,
+               sy_t // n_t - sy_c // n_c AS diff_micros
+        FROM strata WHERE n_t > 0 AND n_c > 0)
+      SELECT stratum, n_t, n_c, mean_t_micros, mean_c_micros, diff_micros
+      FROM matched
+      UNION ALL
+      SELECT 'zz_att', CAST(SUM(n_t) AS BIGINT), CAST(SUM(n_c) AS BIGINT),
+             CAST(SUM(CAST(n_t AS HUGEINT) * diff_micros)
+                  // greatest(SUM(n_t), 1) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM matched
+      UNION ALL
+      SELECT 'zz_unmatched', CAST(coalesce(SUM(n_t), 0) AS BIGINT),
+             CAST(coalesce(SUM(n_c), 0) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM strata WHERE n_t = 0 OR n_c = 0
+      ORDER BY stratum""")),
 
     // ---- two-sample KS on the click-vs-purchase value distribution:
     //      the whole-shape "are these two event populations priced the

@@ -443,4 +443,24 @@ class InferOpsSpec extends SparkSpec {
     assert(out.length === 3)
     assert(out.forall(_ === ((7000000L, 7000000L, 0L, 0L))))
   }
+
+  test("CEM ATT replays the hand-matched strata and drops one-armed ones") {
+    // s1: treated {10, 20} mean 15, control {5} mean 5 → diff 10
+    // s2: treated {100}, control {40, 60} mean 50 → diff 50
+    // s3: treated only {999} → dropped (overlap audit)
+    // ATT = (2·10 + 1·50) DIV 3 = 23
+    val units = Seq(
+      ("s1", 1L, 10L), ("s1", 1L, 20L), ("s1", 0L, 5L),
+      ("s2", 1L, 100L), ("s2", 0L, 40L), ("s2", 0L, 60L),
+      ("s3", 1L, 999L))
+      .toDF("stratum", "treated", "y_micros")
+    val out = graft.analytics.InferOps.cemAtt(units).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("s1", 2L, 1L, 15L, 5L, 10L),
+      ("s2", 1L, 2L, 100L, 50L, 50L),
+      ("zz_att", 3L, 3L, 23L, 0L, 0L),
+      ("zz_unmatched", 1L, 0L, 0L, 0L, 0L)))
+  }
 }
