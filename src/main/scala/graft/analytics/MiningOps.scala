@@ -358,7 +358,97 @@ object MiningOps {
     per.unionByName(zz).orderBy(col("doc_id"))
   }
 
+  /** Sorted-Neighborhood candidate generation (Hernández & Stolfo
+    * 1995): sort the corpus by a fuzzy blocking key and pair each
+    * record only with its `w−1` successors in that order — the
+    * complement of q171's equality blocking for the near-miss regime
+    * where key EQUALITY fails (typo in the first token) but key
+    * PROXIMITY holds. Candidates then pass a bounded edit-distance
+    * verify, so the emitted pairs are certified near-duplicates.
+    *
+    * Portable sort discipline: the key's first 7 characters encode to
+    * one BIGINT (base-256 big-endian of the 255-clamped codepoints, a
+    * strictly order-preserving map for ASCII — 255·Σ256^i < 2^56), so
+    * BOTH engines sort by (score, doc_id) integers and no cross-engine
+    * collation semantics are ever consulted. The global rank rides
+    * [[graft.text.Packing.scoreOrder]]'s two-phase bucket
+    * decomposition (no corpus-wide window); the oracle ranks with a
+    * plain `row_number() OVER (ORDER BY score, doc_id)`, so hash
+    * equality again doubles as the decomposition-exactness proof.
+    *
+    * Scale shape: rank via scoreOrder (one bucket shuffle + one
+    * 1024-row serial window), neighbor pairs via an offsets-explode
+    * EQUI-join on rank+off (w−1 map-side replicas, never a range or
+    * theta join), then the O(k·n) banded levenshtein on the 64-char
+    * key prefixes only. Work is (w−1)·N pairs — linear in the corpus
+    * for fixed window, the property that separates SN from all-pairs.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
+                              maxLev: Int = 8): DataFrame = {
+    // Column-API regex, NOT selectExpr: a SQL string literal would eat
+    // the class's backslashes (Spark's literal parser turns \f into a
+    // plain 'f'), silently corrupting the key. Java \s here == the
+    // spelled-out wsClassSql class in the oracle (TextStats scaladoc).
+    val t = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("k"))
+      .selectExpr("doc_id", "substring(k, 1, 64) AS vkey",
+        "rpad(k, 7, ' ') AS k7")
+    val scored = t.withColumn("score",
+      (1 to 7).map(i =>
+        expr(s"CAST(least(ascii(substring(k7, $i, 1)), 255) AS BIGINT)")
+          * lit(math.pow(256, 7 - i).toLong)).reduce(_ + _))
+      .transform(graft.Stage.mat) // feeds the rank pass AND the verify join
+    val ranks = graft.text.Packing.scoreOrder(scored, col("score"))
+      .select(col("doc_id"), col("rank"))
+    val offs = docs.sparkSession.range(1, window).select(col("id").as("off"))
+    val cand = ranks.crossJoin(broadcast(offs))
+      .withColumn("rank_b", col("rank") + col("off"))
+      .select(col("doc_id").as("id_a"), col("rank_b"), col("off"))
+      .join(ranks.select(col("doc_id").as("id_b"), col("rank").as("rank_b")),
+        Seq("rank_b"))
+    cand
+      .join(scored.select(col("doc_id").as("id_a"), col("vkey").as("va")), Seq("id_a"))
+      .join(scored.select(col("doc_id").as("id_b"), col("vkey").as("vb")), Seq("id_b"))
+      .withColumn("lev", levenshtein(col("va"), col("vb"), maxLev).cast("long"))
+      .filter(col("lev").between(0, maxLev))
+      .select(col("id_a"), col("id_b"), col("off"), col("lev"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- sorted-neighborhood ER: window-4 neighbors in normalized-
+    //      prefix order, verified at banded lev <= 8 over the 64-char
+    //      keys. The oracle replays the integer sort encoding, a plain
+    //      global row_number (proving the two-phase rank exact), the
+    //      offset equi-join, and every edit distance.
+    ("q245_sorted_neighborhood", (s: SparkSession, dir: String) => {
+      sortedNeighborhoodPairs(Tables(s, dir).documents, window = 4, maxLev = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id, regexp_replace(lower(text), '$ws+', ' ', 'g') AS k
+        FROM documents),
+      sn AS (SELECT doc_id, substr(k, 1, 64) AS vkey, rpad(k, 7, ' ') AS k7
+             FROM t),
+      sc AS (SELECT doc_id, vkey,
+                    least(ascii(substr(k7, 1, 1)), 255) * 281474976710656
+                  + least(ascii(substr(k7, 2, 1)), 255) * 1099511627776
+                  + least(ascii(substr(k7, 3, 1)), 255) * 4294967296
+                  + least(ascii(substr(k7, 4, 1)), 255) * 16777216
+                  + least(ascii(substr(k7, 5, 1)), 255) * 65536
+                  + least(ascii(substr(k7, 6, 1)), 255) * 256
+                  + least(ascii(substr(k7, 7, 1)), 255) AS score
+             FROM sn),
+      r AS (SELECT doc_id, vkey,
+                   CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rnk
+            FROM sc),
+      o AS (SELECT unnest(range(1, 4)) AS off),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(o.off AS BIGINT) AS off, a.vkey AS va, b.vkey AS vb
+               FROM r a CROSS JOIN o JOIN r b ON b.rnk = a.rnk + o.off)
+      SELECT id_a, id_b, off, CAST(levenshtein(va, vb) AS BIGINT) AS lev
+      FROM cand WHERE levenshtein(va, vb) <= 8
+      ORDER BY id_a, id_b""")),
 
     // ---- edit-distance-verified near-dup pairs: banded MinHash
     //      candidates -> exact Jaccard >= 0.8 -> Levenshtein <= 20% of

@@ -402,6 +402,60 @@ object StatsOps {
       .unionAll(f).orderBy(col("grp"))
   }
 
+  /** Burrows' Delta stylometric distance between sources (Burrows
+    * 2002; the robust scaling follows the Evert et al. 2017 analysis
+    * of Delta variants): over the T most frequent corpus terms, each
+    * source's relative frequency is centered by the cross-source mean
+    * and scaled by the cross-source MEAN ABSOLUTE deviation (the
+    * no-sqrt house substitute for the z-score's σ — same ordering
+    * behavior, exact integers), and Delta(a,b) is the mean |z_a − z_b|
+    * over the T terms. The "which sources write alike" matrix — the
+    * authorship/register companion of q159's topical JSD.
+    *
+    * Exact integer discipline end to end: f in ppm by truncating DIV,
+    * μ and MAD by truncating DIV over the g-source column, z in micros
+    * DIV-scaled by greatest(MAD, 1), Delta by DIV T. Absent terms
+    * enter as genuine f = 0 rows via the g×T grid, not dropped — a
+    * source that never uses "the" must pull its z strongly negative.
+    *
+    * Scale shape: one tokenize pass → (source, term) counts (map-side
+    * combined) → top-T via TakeOrderedAndProject → everything after
+    * runs on the g×T grid (sources × 40 terms — catalog-sized). The
+    * pair join is (g·T) ⋈ (g·T) on term: per-term width g², bounded by
+    * the source catalog, never the corpus.
+    */
+  def burrowsDelta(docs: DataFrame, topT: Int = 40): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(filter(TextStats.tokens(lower(col("text"))), x => x =!= lit("")))
+        .as("w"))
+    val c = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .transform(graft.Stage.mat) // feeds top-T, totals, AND the grid join
+    val ns = c.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val top = c.groupBy(col("w")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("w")).limit(topT).select(col("w"))
+    val grid = ns.crossJoin(broadcast(top))
+      .join(c, Seq("source", "w"), "left")
+      .selectExpr("source", "w", "(1000000 * coalesce(c, 0L)) DIV n_s AS f")
+    val mu = grid.groupBy(col("w"))
+      .agg(sum(col("f")).as("sf"), count(lit(1)).as("gg"))
+      .selectExpr("w", "sf DIV gg AS mu")
+    val dev = grid.join(broadcast(mu), Seq("w"))
+      .withColumn("dev", col("f") - col("mu"))
+    val md = dev.groupBy(col("w"))
+      .agg(sum(abs(col("dev"))).as("sad"), count(lit(1)).as("gg"))
+      .selectExpr("w", "sad DIV gg AS md")
+    val z = dev.join(broadcast(md), Seq("w"))
+      .selectExpr("source", "w", "(dev * 1000000) DIV greatest(md, 1) AS z")
+    z.select(col("w"), col("source").as("src_a"), col("z").as("za"))
+      .join(z.select(col("w"), col("source").as("src_b"), col("z").as("zb")),
+        Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("za") - col("zb"))).as("sz"))
+      .selectExpr("src_a", "src_b", "n_terms", "sz DIV n_terms AS delta_micros")
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- Kruskal–Wallis H: does order value distribution differ across
@@ -449,6 +503,45 @@ object StatsOps {
              (h_micros * 1000000) // greatest(c_micros, 1)
       FROM h2
       ORDER BY grp""")),
+
+    // ---- Burrows' Delta between sources over the top-40 corpus
+    //      terms: the stylometric who-writes-alike matrix, exact
+    //      integers end to end (ppm frequencies, MAD scaling, micros
+    //      z). The oracle replays the grid zero-fill, every truncating
+    //      DIV, and the (tc desc, w) top-40 tie-break.
+    ("q246_burrows_delta", (s: SparkSession, dir: String) => {
+      burrowsDelta(Tables(s, dir).documents, topT = 40)
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, w),
+      ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM c GROUP BY source),
+      top AS (SELECT w FROM (SELECT w, SUM(c) AS tc FROM c GROUP BY w)
+              ORDER BY tc DESC, w LIMIT 40),
+      grid AS (
+        SELECT ns.source, top.w,
+               (1000000 * coalesce(c.c, 0)) // ns.n_s AS f
+        FROM ns CROSS JOIN top
+        LEFT JOIN c ON c.source = ns.source AND c.w = top.w),
+      mu AS (SELECT w, CAST(SUM(f) AS BIGINT) // count(*) AS mu
+             FROM grid GROUP BY w),
+      dv AS (SELECT grid.source, grid.w, f - mu AS dev
+             FROM grid JOIN mu ON grid.w = mu.w),
+      md AS (SELECT w, CAST(SUM(abs(dev)) AS BIGINT) // count(*) AS md
+             FROM dv GROUP BY w),
+      z AS (SELECT dv.source, dv.w, (dev * 1000000) // greatest(md, 1) AS z
+            FROM dv JOIN md ON dv.w = md.w)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(SUM(abs(a.z - b.z)) AS BIGINT) // count(*) AS delta_micros
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+      ORDER BY src_a, src_b""")),
 
     // ---- one-way ANOVA F: does mean document length differ across
     //      languages? Exact sums-of-squares identity from one
