@@ -181,6 +181,90 @@ object CurationOps {
       FROM j GROUP BY f, lo, hi
       ORDER BY f""")),
 
+    // ---- Cochran's Q (Cochran 1950) across three binary quality
+    //      gates on the same documents: do the Gopher rules, the C4
+    //      pass, and the length-200 floor REJECT AT THE SAME RATE, or
+    //      is one gate systematically stricter? The k-treatment
+    //      binary-outcome extension of q247's McNemar, all integers:
+    //        Q_micros = ((k−1)·(k·ΣC_j² − N²)·1e6)
+    //                   DIV greatest(k·N − ΣR_i², 1)
+    //      with C_j the per-gate pass totals, R_i the per-doc pass
+    //      counts, N = ΣC_j. Output: one row per gate (passes) + a
+    //      'zz_q' row (n_docs, Q micros). The oracle replays both
+    //      gate predicates (the q76/q77 CTEs verbatim) and the fold.
+    //      Scale shape: the gates are pure narrow Column expressions
+    //      (one codegen scan), then one doc-level 4-sum aggregate —
+    //      everything after is k-row arithmetic.
+    ("q249_cochran_q", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).documents
+      val g = graft.text.Quality.gopherQuality(
+          base.withColumn("text", ruleLinesText))
+        .select(col("doc_id"), col("keep").cast("long").as("x1"))
+      val c4 = graft.text.Quality.c4Clean(
+          base.withColumn("text", ruleLinesText))
+        .select(col("doc_id"), col("keep_doc").cast("long").as("x2"))
+      val len = base.select(col("doc_id"),
+        (col("n_chars") >= 200).cast("long").as("x3"))
+      val rows = g.join(c4, Seq("doc_id")).join(len, Seq("doc_id"))
+        .withColumn("r", col("x1") + col("x2") + col("x3"))
+      val agg = rows.agg(count(lit(1)).as("n_docs"),
+        sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+        sum(col("x3")).as("c3"), sum(col("r") * col("r")).as("sr2"))
+        .transform(graft.Stage.mat) // feeds the gate rows AND the Q fold
+      val gates = agg.selectExpr(
+        "stack(3, 'c4', c2, 'gopher', c1, 'len200', c3) AS (gate, passes)")
+        .selectExpr("gate", "passes", "CAST(0 AS BIGINT) AS stat_micros")
+      val q = agg.selectExpr("n_docs", "c1 + c2 + c3 AS nn",
+        "c1 * c1 + c2 * c2 + c3 * c3 AS sc2", "sr2")
+        .selectExpr("'zz_q' AS gate", "n_docs AS passes",
+          """CAST((2 * (3 * CAST(sc2 AS DECIMAL(38,0)) - CAST(nn AS DECIMAL(38,0)) * nn)
+                   * 1000000)
+                  DIV greatest(3 * CAST(nn AS DECIMAL(38,0)) - sr2, 1)
+              AS BIGINT) AS stat_micros""")
+      gates.unionAll(q).orderBy(col("gate"))
+    }, Some(s"""
+      WITH p AS (SELECT doc_id, $ruleLinesTextSql AS pt FROM documents),
+      t AS (SELECT doc_id, pt,
+              list_filter(regexp_split_to_array(lower(pt), '$ws+'), x -> x <> '') AS toks,
+              regexp_split_to_array(pt, '\n') AS ls
+            FROM p),
+      $gopherSgSql,
+      g AS (SELECT doc_id,
+                   CAST(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS BIGINT) AS x1
+            FROM sg),
+      kk AS (SELECT doc_id, pt, ls, $c4KeptSql AS kept FROM t),
+      c4 AS (SELECT doc_id,
+                    CAST(CASE WHEN len(kept) >= 3
+                               AND NOT contains(lower(pt), 'lorem ipsum')
+                               AND NOT contains(pt, '{')
+                              THEN 1 ELSE 0 END AS BIGINT) AS x2
+             FROM kk),
+      ln3 AS (SELECT doc_id,
+                     CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS x3
+              FROM documents),
+      rws AS (SELECT g.doc_id, x1, x2, x3, x1 + x2 + x3 AS r
+              FROM g JOIN c4 ON g.doc_id = c4.doc_id
+              JOIN ln3 ON g.doc_id = ln3.doc_id),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(x1) AS BIGINT) AS c1, CAST(SUM(x2) AS BIGINT) AS c2,
+                     CAST(SUM(x3) AS BIGINT) AS c3,
+                     CAST(SUM(r * r) AS BIGINT) AS sr2
+              FROM rws)
+      SELECT 'c4' AS gate, c2 AS passes, CAST(0 AS BIGINT) AS stat_micros FROM agg
+      UNION ALL
+      SELECT 'gopher', c1, CAST(0 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 'len200', c3, CAST(0 AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 'zz_q', n_docs,
+             CAST((2 * (3 * CAST(c1 * c1 + c2 * c2 + c3 * c3 AS HUGEINT)
+                        - CAST(c1 + c2 + c3 AS HUGEINT) * (c1 + c2 + c3))
+                   * 1000000)
+                  // greatest(3 * CAST(c1 + c2 + c3 AS HUGEINT) - sr2, 1)
+               AS BIGINT)
+      FROM agg
+      ORDER BY gate""")),
+
     // ---- PII scrubbing (C4/Dolma-style redaction + audit counts) ----
     ("q54_pii_scrub", (s: SparkSession, dir: String) => {
       val (ne, np, ni) = Scrub.piiCounts(piiText)

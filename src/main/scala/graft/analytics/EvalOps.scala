@@ -451,6 +451,79 @@ object EvalOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- McNemar's paired test (with Edwards' continuity correction):
+    //      is the q34 rule-based language-ID actually better than the
+    //      majority-class baseline ON THE SAME DOCUMENTS? Accuracy
+    //      deltas ignore pairing; McNemar uses only the DISCORDANT
+    //      counts b (rule right, baseline wrong) and c (rule wrong,
+    //      baseline right):
+    //        chi2_cc_micros = (|b−c|−1)²·1e6 DIV greatest(b+c, 1)
+    //      — exact integers; the majority class is COMPUTED (mode of
+    //      lang, ties on the label), not hard-coded, so the operator
+    //      generalizes to any pair of per-row classifiers. One row out;
+    //      the oracle replays the predictor, the mode, and the 2×2
+    //      discordant cells. Scale shape: one narrow classify scan →
+    //      one 4-cell aggregate; the mode is a TakeOrderedAndProject
+    //      over language-cardinality counts, broadcast back.
+    ("q247_mcnemar", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        TextStats.langIdPredicted(col("text")).as("pred"))
+      val mode = Tables(s, dir).documents.groupBy(col("lang").as("mlang"))
+        .agg(count(lit(1)).as("mc"))
+        .orderBy(col("mc").desc, col("mlang")).limit(1).select(col("mlang"))
+      d.crossJoin(broadcast(mode))
+        .selectExpr(
+          "CAST(CASE WHEN pred = lang THEN 1 ELSE 0 END AS BIGINT) AS r_ok",
+          "CAST(CASE WHEN mlang = lang THEN 1 ELSE 0 END AS BIGINT) AS b_ok")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN r_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END")).as("b"),
+          sum(expr("CASE WHEN r_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END")).as("c"),
+          sum(col("r_ok")).as("n_rule_ok"), sum(col("b_ok")).as("n_base_ok"))
+        .selectExpr("n", "b", "c",
+          "(1000000 * n_rule_ok) DIV n AS acc_rule_micros",
+          "(1000000 * n_base_ok) DIV n AS acc_base_micros",
+          """((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000)
+             DIV greatest(b + c, 1) AS chi2_cc_micros""")
+    }, Some {
+      def score(lang: String): String = {
+        val words = TextStats.langProfiles.toMap.apply(lang)
+        s"len(list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+      }
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${score("en")} AS s_en, ${score("de")} AS s_de,
+               ${score("es")} AS s_es, ${score("fr")} AS s_fr
+        FROM documents),
+      pred AS (
+        SELECT doc_id, lang,
+          CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de' END AS pred
+        FROM scored),
+      mode AS (SELECT lang AS mlang FROM documents GROUP BY lang
+               ORDER BY count(*) DESC, lang LIMIT 1),
+      cells AS (
+        SELECT CASE WHEN pred = lang THEN 1 ELSE 0 END AS r_ok,
+               CASE WHEN mlang = lang THEN 1 ELSE 0 END AS b_ok
+        FROM pred CROSS JOIN mode)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN r_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN r_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             (1000000 * CAST(SUM(r_ok) AS BIGINT)) // count(*) AS acc_rule_micros,
+             (1000000 * CAST(SUM(b_ok) AS BIGINT)) // count(*) AS acc_base_micros,
+             CAST(((abs(CAST(SUM(CASE WHEN r_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                        - SUM(CASE WHEN r_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)) - 1)
+                   * (abs(CAST(SUM(CASE WHEN r_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                          - SUM(CASE WHEN r_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)) - 1)
+                   * 1000000)
+                  // greatest(CAST(SUM(CASE WHEN r_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                             + SUM(CASE WHEN r_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END), 1)
+               AS BIGINT) AS chi2_cc_micros
+      FROM cells"""
+    }),
+
     // ---- truncated RBO@20 (p=0.9) between the by-chars and by-tokens
     //      document rankings: the top-weighted agreement of the two
     //      cheapest length orderings. Each ranking is

@@ -456,7 +456,97 @@ object StatsOps {
       .selectExpr("src_a", "src_b", "n_terms", "sz DIV n_terms AS delta_micros")
   }
 
+  /** Friedman rank test (Friedman 1937) over a complete block design:
+    * within each block, rank the k treatments by value (doubled
+    * average ranks — the [[kruskalWallis]] tie discipline), then
+    *   χ²_F(micros) = (12e6·Σ_j [R2_j² DIV 4]) DIV (b·k·(k+1))
+    *                  − 3e6·b·(k+1)
+    * where R2_j sums treatment j's doubled ranks over the b blocks.
+    * The repeated-measures companion of Kruskal–Wallis: blocks absorb
+    * the block-level nuisance (a heavy day lifts ALL event types), so
+    * only the within-block ORDERING drives the statistic. Untied-form
+    * statistic; within-block ties enter through the exact doubled
+    * average ranks (the standard mid-rank treatment).
+    *
+    * Input: a COMPLETE (block, treatment, value) grid — zero-fill
+    * absent cells upstream; missing cells would silently shift every
+    * rank in the block. Output: per-treatment rows (treatment,
+    * n_blocks, r2) + 'zz_f' (b, χ²_F micros).
+    *
+    * Scale shape: ranks come from a (block, value) tie-group aggregate
+    * plus a window PARTITIONED BY block (k rows per partition — never
+    * unpartitioned); the treatment fold is a k-row table. DECIMAL
+    * bound: R2 ≤ 2·k·b — squares stay tiny for any feasible design.
+    */
+  def friedman(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tg = grid.groupBy(col("b"), col("v")).agg(count(lit(1)).as("cnt"))
+    val mn = tg.withColumn("mn",
+      sum(col("cnt")).over(Window.partitionBy(col("b")).orderBy(col("v")))
+        - col("cnt") + 1)
+    val r2 = grid.join(mn, Seq("b", "v"))
+      .withColumn("r2", lit(2L) * col("mn") + col("cnt") - 1)
+    val perT = r2.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("r2")).as("rr2"))
+      .transform(graft.Stage.mat) // feeds the treatment rows AND the fold
+    val f = perT.agg(count(lit(1)).as("k"), max(col("n_blocks")).as("nb"),
+      sum(expr("(CAST(rr2 AS DECIMAL(38,0)) * rr2) DIV 4")).as("s"))
+      .selectExpr("'zz_f' AS t", "nb AS n_blocks",
+        """CAST((12000000 * CAST(s AS DECIMAL(38,0)))
+                DIV (CAST(nb AS DECIMAL(38,0)) * k * (k + 1))
+                - 3000000 * nb * (k + 1) AS BIGINT) AS rr2""")
+    perT.selectExpr("t", "n_blocks", "rr2").unionAll(f).orderBy(col("t"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- Friedman test: do the five event types keep the same
+    //      within-day volume ordering across the month? Blocks = days,
+    //      treatments = event types, value = daily count (complete
+    //      grid, zero-filled). The oracle replays the mid-rank
+    //      arithmetic and the χ²_F fold exactly.
+    ("q248_friedman", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .groupBy(expr("CAST(day(ts) AS BIGINT)").as("b"),
+          col("event_type").as("t"))
+        .agg(count(lit(1)).as("v0"))
+      val grid = daily.select(col("b")).distinct()
+        .crossJoin(broadcast(daily.select(col("t")).distinct()))
+        .join(daily, Seq("b", "t"), "left")
+        .select(col("b"), col("t"), coalesce(col("v0"), lit(0L)).as("v"))
+      friedman(grid)
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(day(ts) AS BIGINT) AS b, event_type AS t,
+               CAST(count(*) AS BIGINT) AS v0
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT bb.b, tt.t, coalesce(d.v0, 0) AS v
+        FROM (SELECT DISTINCT b FROM daily) bb
+        CROSS JOIN (SELECT DISTINCT t FROM daily) tt
+        LEFT JOIN daily d ON d.b = bb.b AND d.t = tt.t),
+      tg AS (SELECT b, v, CAST(count(*) AS BIGINT) AS cnt
+             FROM grid GROUP BY b, v),
+      mr AS (SELECT b, v, cnt,
+                    SUM(cnt) OVER (PARTITION BY b ORDER BY v) - cnt + 1 AS mn
+             FROM tg),
+      r2 AS (SELECT grid.b, grid.t, 2 * mn + cnt - 1 AS r2
+             FROM grid JOIN mr ON grid.b = mr.b AND grid.v = mr.v),
+      pert AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                      CAST(SUM(r2) AS BIGINT) AS rr2
+               FROM r2 GROUP BY t),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(MAX(n_blocks) AS BIGINT) AS nb,
+                   SUM((CAST(rr2 AS HUGEINT) * rr2) // 4) AS s
+            FROM pert)
+      SELECT t, n_blocks, rr2 FROM pert
+      UNION ALL
+      SELECT 'zz_f', nb,
+             CAST((12000000 * CAST(s AS HUGEINT))
+                  // (CAST(nb AS HUGEINT) * k * (k + 1))
+                  - 3000000 * nb * (k + 1) AS BIGINT)
+      FROM f
+      ORDER BY t""")),
 
     // ---- Kruskal–Wallis H: does order value distribution differ across
     //      the 5 order priorities? Scores are exact cents; the oracle

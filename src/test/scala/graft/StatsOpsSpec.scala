@@ -180,4 +180,31 @@ class StatsOpsSpec extends SparkSpec {
     // the rank-2 / rank-39 endpoints bracket the full mean and each other
     assert(byB(-2L)._3 <= byB(-1L)._3 && byB(-1L)._3 <= byB(-3L)._3)
   }
+
+  test("Friedman: a perfectly consistent ordering hits the textbook chi2") {
+    // b=2 blocks, k=3 treatments, same order both blocks:
+    // R_j = 2,4,6 → chi2 = 12·56/(2·3·4) − 3·2·4 = 4 → 4e6 micros
+    import spark.implicits._
+    val grid = Seq(
+      (1L, "t1", 10L), (1L, "t2", 20L), (1L, "t3", 30L),
+      (2L, "t1", 11L), (2L, "t2", 21L), (2L, "t3", 31L))
+      .toDF("b", "t", "v")
+    val out = graft.analytics.StatsOps.friedman(grid).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("t1", 2L, 4L), ("t2", 2L, 8L), ("t3", 2L, 12L), ("zz_f", 2L, 4000000L)))
+  }
+
+  test("Friedman: full within-block ties score exactly zero") {
+    import spark.implicits._
+    val grid = Seq(
+      (1L, "t1", 5L), (1L, "t2", 5L), (1L, "t3", 5L),
+      (2L, "t1", 7L), (2L, "t2", 7L), (2L, "t3", 7L))
+      .toDF("b", "t", "v")
+    val zz = graft.analytics.StatsOps.friedman(grid).collect()
+      .find(_.getString(0) == "zz_f").get
+    // every treatment's doubled mid-rank is 2·1+3−1 = 4 per block →
+    // R2 = 8 each; s = 3·16 = 48; (12e6·48) DIV 24 − 3e6·2·4 = 0
+    assert(zz.getLong(2) === 0L)
+  }
 }
