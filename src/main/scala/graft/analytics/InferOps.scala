@@ -777,6 +777,101 @@ object InferOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- exact Shapley channel attribution (Shapley 1953; the
+    //      coalition formulation marketing attribution uses, e.g.
+    //      Dalessandro et al. 2012): with k = 4 non-purchase channels,
+    //      a user's coalition is the bitmask of channels they touched,
+    //      v(S) = conversion rate (ppm) among users whose mask ⊆ S
+    //      (cumulative subset weighting), and each channel's Shapley
+    //      value is the exact 2^(k−1)-term marginal-contribution sum
+    //      with factorial weights shipped in 24ths:
+    //        φ_j = Σ_{S ∌ j} w24(|S|)·(v(S∪j) − v(S)) DIV 24,
+    //        w24 = [6, 2, 2, 6].
+    //      Unlike q211's Markov / q202's position attribution this is
+    //      the axiomatic credit split (efficiency: Σφ = v(K) − v(∅) up
+    //      to the k final floors — pinned in InferOpsSpec). All exact
+    //      integers; the oracle replays the mask build, the 16×16
+    //      subset-sum, and every weighted term.
+    //
+    //      Scale shape: ONE user-level aggregate builds the 16-row
+    //      mask table; everything after (subset-sum join, 4×8 marginal
+    //      table) is constant-size arithmetic independent of corpus
+    //      scale. k is fixed small by construction — the 2^k tables
+    //      are the POINT of exact Shapley; larger channel sets switch
+    //      to sampled permutations upstream.
+    ("q250_shapley_attribution", (s: SparkSession, dir: String) => {
+      val per = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("b_click"),
+          max(when(col("event_type") === "error", 2L).otherwise(0L)).as("b_error"),
+          max(when(col("event_type") === "signup", 4L).otherwise(0L)).as("b_signup"),
+          max(when(col("event_type") === "view", 8L).otherwise(0L)).as("b_view"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .selectExpr("b_click + b_error + b_signup + b_view AS mask", "conv")
+      val perMask = per.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_u"), sum(col("conv")).as("n_c"))
+      val masks = s.range(0, 16).select(col("id").as("s"))
+      val v = broadcast(masks).join(perMask,
+          expr("(mask & s) = mask"), "left")
+        .groupBy(col("s"))
+        .agg(coalesce(sum(col("n_u")), lit(0L)).as("users"),
+          coalesce(sum(col("n_c")), lit(0L)).as("conv"))
+        .withColumn("v_ppm", expr("(1000000 * conv) DIV greatest(users, 1)"))
+        .transform(graft.Stage.mat) // feeds the mask rows AND the phi join
+      val chans = s.range(0, 4).selectExpr("CAST(pow(2, id) AS BIGINT) AS bit",
+        "element_at(array('click','error','signup','view'), CAST(id + 1 AS INT)) AS ch")
+      val phi = broadcast(chans).join(v.select(col("s"), col("v_ppm")),
+          expr("(s & bit) = 0"), "inner")
+        .join(v.selectExpr("s AS s2", "v_ppm AS v2"), expr("s2 = s + bit"))
+        .withColumn("w24", expr(
+          """element_at(array(6L, 2L, 2L, 6L),
+               CAST(bit_count(s) + 1 AS INT))"""))
+        .groupBy(col("ch"))
+        .agg(sum(col("w24") * (col("v2") - col("v_ppm"))).as("wsum"))
+        .selectExpr("concat('phi_', ch) AS name", "CAST(0 AS BIGINT) AS users",
+          "CAST(0 AS BIGINT) AS conv", "wsum DIV 24 AS value_micros")
+      val maskRows = v.selectExpr("concat('m', lpad(CAST(s AS STRING), 2, '0')) AS name",
+        "users", "conv", "v_ppm AS value_micros")
+      maskRows.unionAll(phi).orderBy(col("name"))
+    }, Some("""
+      WITH per AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      pm AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_u,
+                    CAST(SUM(conv) AS BIGINT) AS n_c
+             FROM per GROUP BY mask),
+      ms AS (SELECT unnest(range(0, 16)) AS s),
+      v AS (
+        SELECT s, CAST(coalesce(SUM(n_u), 0) AS BIGINT) AS users,
+               CAST(coalesce(SUM(n_c), 0) AS BIGINT) AS conv,
+               (1000000 * CAST(coalesce(SUM(n_c), 0) AS BIGINT))
+                 // greatest(CAST(coalesce(SUM(n_u), 0) AS BIGINT), 1) AS v_ppm
+        FROM ms LEFT JOIN pm ON (pm.mask & ms.s) = pm.mask
+        GROUP BY s),
+      ch AS (SELECT unnest([1, 2, 4, 8]) AS bit,
+                    unnest(['click', 'error', 'signup', 'view']) AS ch),
+      phi AS (
+        SELECT ch.ch,
+               CAST(SUM(list_extract([6, 2, 2, 6], bit_count(CAST(a.s AS BIGINT)) + 1)
+                        * (b.v_ppm - a.v_ppm)) AS BIGINT) AS wsum
+        FROM ch JOIN v a ON (a.s & ch.bit) = 0
+        JOIN v b ON b.s = a.s + ch.bit
+        GROUP BY ch.ch)
+      SELECT concat('m', lpad(CAST(s AS VARCHAR), 2, '0')) AS name,
+             users, conv, CAST(v_ppm AS BIGINT) AS value_micros
+      FROM v
+      UNION ALL
+      SELECT concat('phi_', ch), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             wsum // 24
+      FROM phi
+      ORDER BY name""")),
+
     // ---- CEM ATT: effect of being a high-error user (n_err >= 14,
     //      the corpus-average cut) on total purchase spend, matched
     //      exactly within coarsened (activity DIV 20, active-days

@@ -444,6 +444,34 @@ class InferOpsSpec extends SparkSpec {
     assert(out.forall(_ === ((7000000L, 7000000L, 0L, 0L))))
   }
 
+  test("Shapley attribution: hand-computed phis and the efficiency band") {
+    // u1: click→purchase (m1, conv), u2: view (m8), u3: click+view→
+    // purchase (m9, conv), u4: error (m2). Hand Shapley (w24=[6,2,2,6],
+    // truncating DIV toward zero): phi_click=694444, phi_error=-138888,
+    // phi_signup=0, phi_view=-55555; v(15)-v(0)=500000 and the four
+    // final floors keep |sum(phi) - 500000| <= 4.
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "purchase", 5.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-03 10:00:00"), 3L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-03 11:00:00"), 3L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-03 12:00:00"), 3L, "purchase", 9.0, "{}"),
+      (7L, ts("2024-01-04 10:00:00"), 4L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("shap_fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q250_shapley_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("phi_click") === 694444L)
+    assert(out("phi_error") === -138888L)
+    assert(out("phi_signup") === 0L)
+    assert(out("phi_view") === -55555L)
+    val phiSum = out("phi_click") + out("phi_error") + out("phi_signup") +
+      out("phi_view")
+    assert(math.abs(phiSum - (out("m15") - out("m00"))) <= 4L)
+  }
+
   test("CEM ATT replays the hand-matched strata and drops one-armed ones") {
     // s1: treated {10, 20} mean 15, control {5} mean 5 → diff 10
     // s2: treated {100}, control {40, 60} mean 50 → diff 50
