@@ -309,7 +309,105 @@ object LLMOps {
       .orderBy(col("decile"))
   }
 
+  /** RAKE stopword list (fixed, shared verbatim by both engines): the
+    * Gopher stoplist plus the function words RAKE needs as phrase
+    * DELIMITERS — candidate phrases are maximal stopword-free token
+    * runs, so this list defines the segmentation. */
+  private[analytics] val rakeStops: Seq[String] =
+    graft.text.Quality.gopherStopwords ++
+      Seq("a", "an", "in", "on", "is", "it", "for", "as", "at", "by", "or")
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal runs of non-stopword tokens; each word scores
+    * deg/freq (deg = Σ length of every phrase the word instance sits
+    * in — co-occurrence degree; freq = instance count), and a phrase
+    * scores the sum of its member-word scores. Top-k corpus phrases by
+    * (score, phrase). Scores in exact integer micros (deg·1e6 DIV
+    * freq), so the oracle replays them term-for-term; identical phrase
+    * strings provably tie (global word scores + identical multiset).
+    *
+    * The run segmentation is the gaps-and-islands identity: among a
+    * document's non-stop tokens ordered by position, group key =
+    * position − within-doc rank (constant exactly on consecutive
+    * runs). Windows are PARTITIONed BY doc_id — per-document state
+    * only, never a corpus-global sort.
+    *
+    * Scale shape: one tokenize scan → per-doc windows → (doc, run)
+    * phrase aggregate → vocabulary-keyed word-stat join (map-side
+    * combined counts; bucket by word at 100 TB) → phrase-keyed top-k
+    * via TakeOrderedAndProject.
+    */
+  def rakeTopPhrases(docs: DataFrame, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(filter(TextStats.tokens(lower(col("text"))), w => w =!= lit("")))
+        .as(Seq("i0", "w")))
+      .selectExpr("doc_id", "CAST(i0 + 1 AS BIGINT) AS i", "w")
+    val ns = tok.filter(!col("w").isin(rakeStops: _*))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("i"))).cast("long"))
+      .withColumn("grp", col("i") - col("rn"))
+      .transform(graft.Stage.mat) // feeds the phrase agg AND the instance join
+    val phr = ns.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("plen"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, w))), x -> x.w), ' ')")
+          .as("phrase"))
+    val inst = ns.join(phr, Seq("doc_id", "grp"))
+    val wstats = inst.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("score", expr("(deg * 1000000) DIV freq"))
+    inst.join(wstats.select(col("w"), col("score")), Seq("w"))
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("score")).as("pscore"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pscore")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("phrase")).limit(topK)
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- RAKE top keyphrases: the classic degree/frequency keyword
+    //      extractor over the corpus, exact integer scores. The oracle
+    //      replays the stopword segmentation (same literal list), the
+    //      islands grouping, the word co-occurrence degrees, and the
+    //      (score desc, phrase) top-15.
+    ("q251_rake_phrases", (s: SparkSession, dir: String) => {
+      rakeTopPhrases(Tables(s, dir).documents, topK = 15)
+    }, Some {
+      val stops = rakeStops.map("'" + _ + "'").mkString(",")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(toks) AS w,
+               unnest(range(1, len(toks) + 1)) AS i
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                 x -> x <> '') AS toks
+              FROM documents)),
+      ns AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, w,
+               CAST(i AS BIGINT)
+                 - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM tok WHERE w NOT IN ($stops)),
+      phr AS (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+               string_agg(w, ' ' ORDER BY i) AS phrase
+        FROM ns GROUP BY doc_id, grp),
+      inst AS (
+        SELECT ns.doc_id, ns.grp, ns.w, phr.plen, phr.phrase
+        FROM ns JOIN phr ON ns.doc_id = phr.doc_id AND ns.grp = phr.grp),
+      wstats AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM inst GROUP BY w),
+      sc AS (SELECT w, (deg * 1000000) // freq AS score FROM wstats),
+      ps AS (
+        SELECT doc_id, grp, phrase, CAST(SUM(score) AS BIGINT) AS pscore
+        FROM inst JOIN sc USING (w) GROUP BY doc_id, grp, phrase)
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(MIN(pscore) AS BIGINT) AS score_micros
+      FROM ps GROUP BY phrase
+      ORDER BY score_micros DESC, phrase LIMIT 15"""
+    }),
 
     // ---- exact dedup: group by normalized content, keep lowest id ----
     ("q30_exact_dedup", (s: SparkSession, dir: String) => {

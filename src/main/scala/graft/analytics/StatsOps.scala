@@ -498,7 +498,82 @@ object StatsOps {
     perT.selectExpr("t", "n_blocks", "rr2").unionAll(f).orderBy(col("t"))
   }
 
+  /** Pairwise 1-D Wasserstein-1 (earth mover's) distance between
+    * per-group distributions of a bucketed integer feature, via the
+    * closed form W1 = Σ_support |CDF_a − CDF_b| · width. The
+    * METRIC-AWARE companion of q159's JSD: JSD saturates when supports
+    * barely overlap, W1 keeps growing with HOW FAR apart the mass
+    * sits — the right drift statistic for ordered features (lengths,
+    * scores, dates). Exact integers: per-bucket CDFs in ppm by
+    * truncating DIV, the |diff| sum scaled by the bucket width.
+    *
+    * Scale shape: one (group, bucket) aggregate (map-side combined,
+    * support is bucket-bounded by construction) → zero-filled
+    * group×bucket grid → cumulative sums PARTITIONed BY group (support-
+    * sized partitions) → bucket-keyed pair join (per-bucket width g²,
+    * group-catalog-bounded) → pair aggregate. Nothing scales with the
+    * row count past the first aggregate.
+    */
+  def wasserstein1Pairs(df: DataFrame, group: String, bucket: Column,
+                        width: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(group).as("g"), bucket.cast("long").as("bk"))
+      .groupBy(col("g"), col("bk")).agg(count(lit(1)).as("c"))
+      .transform(graft.Stage.mat) // feeds the grid AND the totals
+    val grid = h.select(col("g")).distinct()
+      .crossJoin(broadcast(h.select(col("bk")).distinct()))
+      .join(h, Seq("g", "bk"), "left")
+      .select(col("g"), col("bk"), coalesce(col("c"), lit(0L)).as("c"))
+    val cum = grid.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("bk"))))
+      .join(h.groupBy(col("g")).agg(sum(col("c")).as("n")), Seq("g"))
+      .selectExpr("g", "bk", "(1000000 * cum) DIV n AS cdf_ppm")
+    cum.select(col("bk"), col("g").as("src_a"), col("cdf_ppm").as("ca"))
+      .join(cum.select(col("bk"), col("g").as("src_b"), col("cdf_ppm").as("cb")),
+        Seq("bk"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("ca") - col("cb"))).as("sd"))
+      .selectExpr("src_a", "src_b", "n_buckets",
+        s"$width * sd AS w1_scaled_ppm")
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- pairwise W1 between source token-count distributions
+    //      (buckets of 20 tokens): the how-far-did-the-mass-move drift
+    //      matrix. The oracle replays the histogram, the zero-filled
+    //      CDF grid, and every truncating ppm.
+    ("q252_wasserstein_pairs", (s: SparkSession, dir: String) => {
+      wasserstein1Pairs(
+        Tables(s, dir).documents.select(col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("ntok")),
+        group = "source", bucket = expr("ntok DIV 20"), width = 20L)
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT source AS g,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) // 20 AS bk
+        FROM documents),
+      h AS (SELECT g, bk, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY g, bk),
+      grid AS (
+        SELECT gg.g, bb.bk, coalesce(h.c, 0) AS c
+        FROM (SELECT DISTINCT g FROM h) gg
+        CROSS JOIN (SELECT DISTINCT bk FROM h) bb
+        LEFT JOIN h ON h.g = gg.g AND h.bk = bb.bk),
+      n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY g),
+      cum AS (
+        SELECT grid.g, grid.bk,
+               (1000000 * SUM(grid.c) OVER (PARTITION BY grid.g ORDER BY grid.bk))
+                 // n.n AS cdf_ppm
+        FROM grid JOIN n ON grid.g = n.g)
+      SELECT a.g AS src_a, b.g AS src_b,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             20 * CAST(SUM(abs(a.cdf_ppm - b.cdf_ppm)) AS BIGINT) AS w1_scaled_ppm
+      FROM cum a JOIN cum b ON a.bk = b.bk AND a.g < b.g
+      GROUP BY a.g, b.g
+      ORDER BY src_a, src_b""")),
 
     // ---- Friedman test: do the five event types keep the same
     //      within-day volume ordering across the month? Blocks = days,
