@@ -541,6 +541,61 @@ object StatsOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- Simpson's-paradox slope audit: the pooled OLS slope of
+    //      discounted price on quantity vs the same slope within each
+    //      (returnflag, linestatus) stratum, with a per-stratum flip
+    //      flag (sign(stratum slope) ≠ sign(pooled slope)) and a
+    //      trailing 'zz~pooled' row. An aggregation-bias screen every
+    //      metrics pipeline should run before trusting a corpus-level
+    //      trend: confounded strata can reverse the pooled sign
+    //      (Simpson 1951). Pure reuse of the olsMicros sufficient-
+    //      statistics pass — one aggregate over the fact table per
+    //      grouping, exact integers; the oracle replays both
+    //      regressions and the flag.
+    ("q253_simpsons_audit", (s: SparkSession, dir: String) => {
+      val f = Tables(s, dir).lineitem.select(
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("g"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("y"))
+      val strata = olsMicros(f, group = "g", x = "x", y = "y")
+        .select(col("g"), col("n"), col("slope_micros"))
+      val pooled = olsMicros(f.withColumn("g", lit("zz~pooled")),
+          group = "g", x = "x", y = "y")
+        .select(col("g"), col("n"), col("slope_micros"))
+      strata.unionByName(pooled)
+        .crossJoin(broadcast(pooled.select(col("slope_micros").as("ps"))))
+        .selectExpr("g", "n", "slope_micros",
+          """CAST(CASE WHEN g <> 'zz~pooled'
+                        AND sign(slope_micros) <> sign(ps)
+                       THEN 1 ELSE 0 END AS BIGINT) AS flip""")
+        .orderBy(col("g"))
+    }, Some("""
+      WITH f AS (
+        SELECT concat(l_returnflag, '/', l_linestatus) AS g,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS y
+        FROM lineitem),
+      fp AS (SELECT 'zz~pooled' AS g, x, y FROM f),
+      u AS (SELECT * FROM f UNION ALL SELECT * FROM fp),
+      sums AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM u GROUP BY g),
+      sl AS (
+        SELECT g, n,
+               CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+                    // greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 1)
+                 AS BIGINT) AS slope_micros
+        FROM sums),
+      ps AS (SELECT slope_micros AS ps FROM sl WHERE g = 'zz~pooled')
+      SELECT g, n, slope_micros,
+             CAST(CASE WHEN g <> 'zz~pooled'
+                        AND sign(slope_micros) <> sign(ps)
+                       THEN 1 ELSE 0 END AS BIGINT) AS flip
+      FROM sl CROSS JOIN ps
+      ORDER BY g""")),
+
     // ---- pairwise W1 between source token-count distributions
     //      (buckets of 20 tokens): the how-far-did-the-mass-move drift
     //      matrix. The oracle replays the histogram, the zero-filled

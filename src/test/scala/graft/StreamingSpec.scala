@@ -429,6 +429,34 @@ class StreamingSpec extends SparkSpec {
       (7L, 3L, 1900000L, 0L, true))) // ...and matches q182's batch rows
   }
 
+  test("streaming W1 drift equals the batch operator after draining") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map(0L -> 2L, 1L -> 2L)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = graft.stream.StreamingDrift.monitor(mem.toDS(), ref, width = 10L)
+    val q = out.toDF("key", "seq", "n_obs", "w1").writeStream
+      .outputMode("append").format("memory").queryName("drift_out").start()
+    mem.addData((7L, 1L, 0L), (7L, 2L, 0L)) // batch 1: two bucket-0 obs
+    q.processAllAvailable()
+    mem.addData((7L, 3L, 2L), (7L, 4L, 2L)) // batch 2: drift to bucket 2
+    q.processAllAvailable()
+    val rows = spark.table("drift_out")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((2L, 2L, 5000000L), (4L, 4L, 5000000L)))
+    // drained stream == the batch q252 operator on the same data
+    val batchDf = (Seq((0L, "run"), (0L, "run"), (2L, "run"), (2L, "run")) ++
+      Seq((0L, "ref"), (0L, "ref"), (1L, "ref"), (1L, "ref")))
+      .toDF("bk", "g")
+    val batchW1 = graft.analytics.StatsOps.wasserstein1Pairs(
+        batchDf, group = "g", bucket = col("bk"), width = 10L)
+      .select("w1_scaled_ppm").as[Long].head()
+    assert(rows.last._4 === batchW1)
+  }
+
   test("streaming SPRT matches the batch verdict across a batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
