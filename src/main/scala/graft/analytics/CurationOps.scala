@@ -125,7 +125,104 @@ object CurationOps {
                         w -> w <> '')) >= 5
                 AND NOT contains(lower(trim(l)), 'javascript'))"""
 
+  /** Greedy maximum-coverage document selection (the classic (1−1/e)
+    * submodular greedy — Nemhauser, Wolsey & Fisher 1978; the
+    * facility-location/coverage objective data-curation pipelines use
+    * to pick a small, DIVERSE exemplar set): at each step, select the
+    * document covering the most 3-gram shingles not yet covered by the
+    * selection. The dual of dedup — instead of dropping redundancy,
+    * pick the subset that SPANS the corpus.
+    *
+    * Output: one row per step (step, doc_id, gain = newly covered
+    * shingles, covered_total = running union size). Ties break on
+    * doc_id; a fully-covered document leaves the candidate pool by
+    * construction (zero remaining shingles ⇒ no aggregate row).
+    *
+    * Scale shape: k driver-bounded rounds, each one anti-join of the
+    * (doc, shingle) table against the covered set (shingle-keyed
+    * equi-join, bucketable) + one map-side-combined per-doc count +
+    * one TakeOrderedAndProject top-1; only ONE ROW is ever collected
+    * per round (the k-means centroid precedent). The covered set is
+    * vocabulary-bounded and Stage.mat'd per round so round r never
+    * recomputes rounds 1..r−1.
+    */
+  def greedyMaxCoverage(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = filter(TextStats.tokens(lower(col("text"))), t => t =!= lit(""))
+    val sh = docs.select(col("doc_id"),
+      explode(when(size(toks) < 3, expr("CAST(array() AS ARRAY<STRING>)"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " "))))).as("sh"))
+      .transform(graft.Stage.mat) // k rounds re-probe this table
+    var covered = sh.filter(lit(false)).select(col("sh"))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    for (step <- 1 to k) {
+      val best = sh.join(covered, Seq("sh"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect() // exactly one row per round — bounded driver state
+      best.headOption.foreach { r =>
+        val (id, gain) = (r.getLong(0), r.getLong(1))
+        total += gain
+        picked += ((step.toLong, id, gain, total))
+        covered = covered
+          .unionAll(sh.filter(col("doc_id") === id).select(col("sh")))
+          .distinct()
+          .transform(graft.Stage.mat)
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("step", "doc_id", "gain", "covered_total")
+      .orderBy(col("step"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- greedy max-coverage exemplar selection: 5 rounds of the
+    //      submodular greedy over distinct 3-gram shingles. The oracle
+    //      unrolls the 5 rounds as CTEs (anti-join → argmax with the
+    //      (gain desc, doc_id) tie-break → union) and recovers
+    //      covered_total as the running gain sum.
+    ("q254_max_coverage", (s: SparkSession, dir: String) => {
+      greedyMaxCoverage(Tables(s, dir).documents, k = 5)
+    }, Some {
+      val steps = (2 to 5).map { i =>
+        val p = i - 1
+        s"""g$i AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+               FROM sh s LEFT JOIN c$p ON s.sh = c$p.sh
+               WHERE c$p.sh IS NULL GROUP BY s.doc_id),
+      b$i AS (SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
+      c$i AS (SELECT sh FROM c$p UNION
+              SELECT s.sh FROM sh s JOIN b$i USING (doc_id))"""
+      }.mkString(",\n      ")
+      val union = (2 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, doc_id, gain FROM b$i")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH t AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                    x -> x <> '') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct(
+                      CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                           ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' ')) END)) AS sh
+             FROM t),
+      g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+             FROM sh GROUP BY doc_id),
+      b1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+      c1 AS (SELECT DISTINCT s.sh FROM sh s JOIN b1 USING (doc_id)),
+      $steps,
+      allb AS (
+        SELECT CAST(1 AS BIGINT) AS step, doc_id, gain FROM b1
+      UNION ALL $union)
+      SELECT step, doc_id, gain,
+             CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+      FROM allb ORDER BY step"""
+    }),
 
     // ---- purged k-fold with embargo (López de Prado 2018, the
     //      leakage-safe CV for serially-correlated data): 5 contiguous

@@ -393,22 +393,32 @@ object EvalOps {
     * same operator compares two encoder versions or a Matryoshka
     * truncation). CKA ≈ 1 ⇒ the views agree up to rotation+scale.
     *
-    * Float discipline (q103/q159 convention): raw float32 values widen
-    * to double exactly; every per-row product is one mirrored IEEE
-    * chain snapped round(·,9) and summed as DECIMAL(30,9)
-    * (order-independent ⇒ partial aggregation safe); the three
-    * Frobenius folds re-snap round-9; the single final division and
-    * sqrt (IEEE-correctly-rounded in both engines) round to 6.
+    * Arithmetic discipline (micro-snapped integers): raw float32
+    * values widen to double exactly; the per-dim means snap round-9
+    * (q103/q159 float convention); each CENTERED VALUE then snaps ONCE
+    * to integer micros (`round((v − m)·1e6, 0)` — the q67 round-parity
+    * chain), after which the entire gram computation is EXACT Long
+    * multiply-add, order-independent by construction. The earlier
+    * per-term-rounding forms paid for it at the n·d² row scale:
+    * DECIMAL(30,9) terms measured 23 s at sf0.1, BIGINT nanos terms
+    * 5.9 s — the snap-the-inputs form makes the hot loop integer-only.
+    * The 4096-entry Frobenius folds keep the round-9/DECIMAL(30,9)
+    * form; the single final division and sqrt (IEEE-correctly-rounded
+    * in both engines) round to 6.
     *
     * Scale shape: one posexplode pass → d-row per-dim mean table
-    * (broadcast back) → ONE vec_id self-join producing the (i,j)
-    * gram triples gxx/gxy/gyy in a single map-side-combined aggregate
-    * with d² = 4096 groups (constant state per task; the n·d² expanded
-    * rows exist only map-side between the join and the partial
-    * aggregate) → d²-row Frobenius fold. Nothing downstream of the
-    * join scales with n.
+    * (broadcast back) → per-vector micro arrays → ONE
+    * [[graft.catalyst.GramSumsMicros]] native aggregate: constant
+    * 3·d²·8-byte state per partition, partial+final merge by array
+    * addition — the shuffle carries one 96 KiB buffer per partition
+    * regardless of corpus size (the join formulation it replaces
+    * shuffled n·d² rows). The oracle replays the join formulation over
+    * the SAME snapped integers, so hash equality doubles as the
+    * aggregate's correctness proof. Long bound: n·B² < 2⁶³ for
+    * |centered micros| ≤ B — see the GramSumsMicros scaladoc.
     */
   def linearCka(xy: DataFrame, dim: Int = 64): DataFrame = {
+    import graft.catalyst.GraftFunctions
     // xy: (vec_id, i, x, y) — one row per vector per dimension,
     // x/y the two views' raw doubles.
     val n = xy.agg(countDistinct(col("vec_id")).as("n"))
@@ -421,19 +431,23 @@ object EvalOps {
         "round(CAST(sy AS DOUBLE) / n, 9) AS my")
     val c = xy.join(broadcast(means), Seq("i"))
       .selectExpr("vec_id", "i",
-        "round(x - mx, 9) AS xc", "round(y - my, 9) AS yc")
-    val l = c.select(col("vec_id"), col("i"), col("xc"), col("yc"))
-    val r = c.select(col("vec_id"), col("i").as("j"),
-      col("xc").as("xc2"), col("yc").as("yc2"))
-    val gram = l.join(r, Seq("vec_id"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(expr("CAST(round(xc * xc2, 9) AS DECIMAL(30,9))")).as("gxx"),
-        sum(expr("CAST(round(xc * yc2, 9) AS DECIMAL(30,9))")).as("gxy"),
-        sum(expr("CAST(round(yc * yc2, 9) AS DECIMAL(30,9))")).as("gyy"))
-    val frob = gram.agg(
-      sum(expr("CAST(round(CAST(gxx AS DOUBLE) * CAST(gxx AS DOUBLE), 9) AS DECIMAL(30,9))")).as("fxx"),
-      sum(expr("CAST(round(CAST(gxy AS DOUBLE) * CAST(gxy AS DOUBLE), 9) AS DECIMAL(30,9))")).as("fxy"),
-      sum(expr("CAST(round(CAST(gyy AS DOUBLE) * CAST(gyy AS DOUBLE), 9) AS DECIMAL(30,9))")).as("fyy"))
+        "CAST(round((x - mx) * 1000000, 0) AS BIGINT) AS xcm",
+        "CAST(round((y - my) * 1000000, 0) AS BIGINT) AS ycm")
+    val arrs = c.groupBy(col("vec_id")).agg(
+      expr("transform(array_sort(collect_list(struct(i, xcm))), s -> s.xcm)").as("xa"),
+      expr("transform(array_sort(collect_list(struct(i, ycm))), s -> s.ycm)").as("ya"))
+    val g = arrs.agg(GraftFunctions.gramSumsMicros(col("xa"), col("ya"), dim).as("g"))
+    val d2 = dim * dim
+    val frob = g.select(posexplode(col("g")).as(Seq("pos", "v")))
+      .selectExpr(s"pos DIV $d2 AS blk", "v")
+      .groupBy()
+      .agg(
+        sum(when(col("blk") === 0,
+          expr("CAST(round((v / 1e12) * (v / 1e12), 9) AS DECIMAL(30,9))"))).as("fxx"),
+        sum(when(col("blk") === 1,
+          expr("CAST(round((v / 1e12) * (v / 1e12), 9) AS DECIMAL(30,9))"))).as("fxy"),
+        sum(when(col("blk") === 2,
+          expr("CAST(round((v / 1e12) * (v / 1e12), 9) AS DECIMAL(30,9))"))).as("fyy"))
     frob.crossJoin(broadcast(n))
       .selectExpr("n", s"CAST($dim AS BIGINT) AS d",
         "round(CAST(fxy AS DOUBLE), 6) AS fxy_r",
@@ -622,21 +636,22 @@ object EvalOps {
                      / (SELECT n FROM n), 9) AS my
         FROM xy GROUP BY i),
       c AS (SELECT xy.vec_id, xy.i,
-                   round(x - mx, 9) AS xc, round(y - my, 9) AS yc
+                   CAST(round((x - mx) * 1000000, 0) AS BIGINT) AS xcm,
+                   CAST(round((y - my) * 1000000, 0) AS BIGINT) AS ycm
             FROM xy JOIN means ON xy.i = means.i),
       gram AS (
         SELECT l.i, r.i AS j,
-               SUM(CAST(round(l.xc * r.xc, 9) AS DECIMAL(30,9))) AS gxx,
-               SUM(CAST(round(l.xc * r.yc, 9) AS DECIMAL(30,9))) AS gxy,
-               SUM(CAST(round(l.yc * r.yc, 9) AS DECIMAL(30,9))) AS gyy
+               CAST(SUM(l.xcm * r.xcm) AS BIGINT) AS gxx_pp,
+               CAST(SUM(l.xcm * r.ycm) AS BIGINT) AS gxy_pp,
+               CAST(SUM(l.ycm * r.ycm) AS BIGINT) AS gyy_pp
         FROM c l JOIN c r ON l.vec_id = r.vec_id
         GROUP BY l.i, r.i),
       frob AS (
-        SELECT SUM(CAST(round(CAST(gxx AS DOUBLE) * CAST(gxx AS DOUBLE), 9)
+        SELECT SUM(CAST(round((gxx_pp / 1e12) * (gxx_pp / 1e12), 9)
                    AS DECIMAL(30,9))) AS fxx,
-               SUM(CAST(round(CAST(gxy AS DOUBLE) * CAST(gxy AS DOUBLE), 9)
+               SUM(CAST(round((gxy_pp / 1e12) * (gxy_pp / 1e12), 9)
                    AS DECIMAL(30,9))) AS fxy,
-               SUM(CAST(round(CAST(gyy AS DOUBLE) * CAST(gyy AS DOUBLE), 9)
+               SUM(CAST(round((gyy_pp / 1e12) * (gyy_pp / 1e12), 9)
                    AS DECIMAL(30,9))) AS fyy
         FROM gram)
       SELECT (SELECT n FROM n) AS n, CAST(64 AS BIGINT) AS d,

@@ -93,6 +93,11 @@ object GraftFunctions {
   /** Mergeable Misra-Gries heavy-hitter summary of a string column —
     * map<token, lower-bound count>, see [[MisraGriesTopK]].
     */
+  /** One-pass 3·d² gram triple over integer vectors — see
+    * [[GramSumsMicros]]. Aggregate function: wrap in agg(). */
+  def gramSumsMicros(a: Column, b: Column, dim: Int): Column =
+    col(GramSumsMicros(expr(a), expr(b), dim).toAggregateExpression())
+
   def misraGriesTopK(c: Column, capacity: Int): Column =
     col(MisraGriesTopK(expr(c), capacity).toAggregateExpression())
 

@@ -307,4 +307,23 @@ class CatalystExprSpec extends SparkSpec {
       assert(a.isEmpty || aa === 1000000L, s"self-sim != 1 for $a")
     }
   }
+
+  test("gram_sums_micros: hand outer-product sums, layout [gxx|gxy|gyy]") {
+    import spark.implicits._
+    // vec1: x=(1,2) y=(3,4); vec2: x=(5,6) y=(7,8)
+    // gxx = [[26,32],[32,40]], gxy = [[38,44],[48,56]], gyy = [[58,68],[68,80]]
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L)), (Seq(5L, 6L), Seq(7L, 8L)))
+      .toDF("xa", "ya")
+    val g = df.agg(graft.catalyst.GraftFunctions
+        .gramSumsMicros(col("xa"), col("ya"), 2).as("g"))
+      .head().getSeq[Long](0)
+    assert(g.toSeq === Seq(26L, 32L, 32L, 40L, 38L, 44L, 48L, 56L,
+      58L, 68L, 68L, 80L))
+    // merge path: the same result must come out of a grouped/repartitioned
+    // plan (partial buffers merged across partitions)
+    val g2 = df.repartition(2).agg(graft.catalyst.GraftFunctions
+        .gramSumsMicros(col("xa"), col("ya"), 2).as("g"))
+      .head().getSeq[Long](0)
+    assert(g2.toSeq === g.toSeq)
+  }
 }
