@@ -23,6 +23,52 @@ object AuditOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- Chapman capture-recapture population estimate (Chapman 1951;
+    //      the mark-recapture estimator web-scale crawls use to answer
+    //      "how many unique documents exist out there, given two
+    //      overlapping crawls?"): two deterministic hash-defined crawls
+    //      of the corpus (≈70% and ≈60% inclusion, independent hashes),
+    //        N̂ = ((n1+1)·(n2+1)) DIV (m+1) − 1
+    //      with m the overlap. SELF-CERTIFYING: the fixture's true N is
+    //      the corpus size, emitted beside the estimate, so the oracle
+    //      run itself demonstrates the estimator recovers N within
+    //      sampling error. All exact integers; one scan, one aggregate
+    //      (the crawls are pure hash predicates — map-side flags, no
+    //      join). Scale shape: nothing beyond a 5-sum aggregate.
+    ("q255_capture_recapture", (s: SparkSession, dir: String) => {
+      import graft.text.TextStats
+      Tables(s, dir).documents
+        .select(
+          (pmod(TextStats.portableHash64(
+            concat(lit("crawl1:"), col("doc_id"))), lit(10L)) < 7L).as("in1"),
+          (pmod(TextStats.portableHash64(
+            concat(lit("crawl2:"), col("doc_id"))), lit(10L)) < 6L).as("in2"))
+        .agg(count(lit(1)).as("true_n"),
+          sum(when(col("in1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("in2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("in1") && col("in2"), 1L).otherwise(0L)).as("m"))
+        .selectExpr("true_n", "n1", "n2", "m",
+          "((n1 + 1) * (n2 + 1)) DIV (m + 1) - 1 AS chapman_est")
+    }, Some {
+      import graft.text.TextStats
+      val h1 = TextStats.portableHash64Sql("concat('crawl1:', CAST(doc_id AS VARCHAR))")
+      val h2 = TextStats.portableHash64Sql("concat('crawl2:', CAST(doc_id AS VARCHAR))")
+      s"""
+      WITH f AS (
+        SELECT (($h1 % 10 + 10) % 10) < 7 AS in1,
+               (($h2 % 10 + 10) % 10) < 6 AS in2
+        FROM documents),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS true_n,
+               CAST(SUM(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS m
+        FROM f)
+      SELECT true_n, n1, n2, m,
+             ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est
+      FROM a"""
+    }),
+
     // ---- per-column table profile of `orders`: row count, null count,
     //      exact distinct count, and typed extrema for every column in
     //      ONE aggregation pass. Spark plans the 6-way exact

@@ -166,6 +166,60 @@ object TemporalOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- inter-event gap dispersion (index of dispersion / CV² on
+    //      waiting times): per event type, mean gap and
+    //        cv2_micros = ((n·Σg² − (Σg)²)·1e6) DIV (Σg)²
+    //      over consecutive-event gaps in epoch micros. CV² ≈ 1e6 is
+    //      the Poisson/exponential baseline; ≫1e6 is bursty arrivals
+    //      (batched ingestion, retries), ≪1e6 is scheduled traffic —
+    //      the q218 token-burstiness audit transplanted to the TIME
+    //      axis. Exact integers (DECIMAL(38,0) squares); the gap
+    //      window is PARTITIONed BY event type with the (ts, event_id)
+    //      total order both engines replay. At unbounded per-key
+    //      volume the per-type sort takes the scoreOrder two-phase
+    //      range decomposition; the aggregate is one map-side-combined
+    //      pass either way.
+    ("q256_gap_dispersion", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("tm"))
+        .withColumn("g", col("tm") - lag(col("tm"), 1)
+          .over(Window.partitionBy(col("event_type"))
+            .orderBy(col("tm"), col("event_id"))))
+        .filter(col("g").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+          sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sg2"))
+        .selectExpr("event_type", "n_gaps",
+          "sg DIV n_gaps AS mean_gap_micros",
+          """CAST(((CAST(n_gaps AS DECIMAL(38,0)) * sg2
+                    - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000)
+                  DIV greatest(CAST(sg AS DECIMAL(38,0)) * sg, 1)
+              AS BIGINT) AS cv2_micros""")
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH t AS (
+        SELECT event_type, event_id, epoch_us(ts) AS tm FROM events),
+      g AS (
+        SELECT event_type,
+               tm - lag(tm) OVER (PARTITION BY event_type
+                                  ORDER BY tm, event_id) AS g
+        FROM t),
+      a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               SUM(CAST(g AS HUGEINT) * g) AS sg2
+        FROM g WHERE g IS NOT NULL GROUP BY event_type)
+      SELECT event_type, n_gaps, sg // n_gaps AS mean_gap_micros,
+             CAST(((CAST(n_gaps AS HUGEINT) * sg2
+                    - CAST(sg AS HUGEINT) * sg) * 1000000)
+                  // greatest(CAST(sg AS HUGEINT) * sg, 1)
+               AS BIGINT) AS cv2_micros
+      FROM a ORDER BY event_type""")),
+
     // ---- as-of (backward) join: each purchase picks the latest view at
     // or before its timestamp, per user. Implementation: tag both sides,
     // union, and carry the last non-null quote forward within the
