@@ -1031,11 +1031,21 @@ object EvalOps {
     //      frequency / monetary triple plus ntile-quintile scores and
     //      the composed rfm_code — the canonical warehouse feature
     //      block. Monetary runs in the q01 DECIMAL(25,6)-addend micros
-    //      discipline (never a raw double sum); the quintile windows
-    //      run over the CUSTOMER AGGREGATE (one row per customer —
-    //      the documented single-partition window regime: reduce
-    //      first, rank the reduction), with the customer key breaking
-    //      every tie so ntile assignment is total-order deterministic.
+    //      discipline (never a raw double sum). Quintile SCORING is the
+    //      scale-safe form (VERDICT r7 ask #1): customers are a
+    //      fact-scaled entity (~1e8–1e9 rows at 100 TB), so the three
+    //      ntile(5) windows this query semantically computes are NOT
+    //      planned as unpartitioned windows over the customer
+    //      aggregate. Instead the four ntile boundary ranks per
+    //      dimension — k_t = t·(n DIV 5) + least(t, n MOD 5), the exact
+    //      tile-edge row of the (value, custkey) total order — are
+    //      located by Quantiles.pairRankSelect (three-level range-
+    //      bucket rank selection: every window is either the ≤1024-row
+    //      bucket histogram or a per-bucket slice), and each customer's
+    //      tile is then a pure broadcast projection:
+    //      score = 1 + #{t : boundary_t < (value, custkey)}. Identical
+    //      integers to ntile — the oracle keeps the plain ntile SQL —
+    //      with no single-partition sort anywhere in the plan.
     ("q160_rfm_features", (s: SparkSession, dir: String) => {
       val o = Tables(s, dir).orders
       val per = o.groupBy(col("o_custkey"))
@@ -1044,18 +1054,47 @@ object EvalOps {
           sum((col("o_totalprice").cast("decimal(25,6)") * lit(1000000L))
             .cast("long")).as("monetary_micros"))
       val anchor = o.agg(max(to_date(col("o_orderdate"))).as("d1"))
-      val base = per.crossJoin(broadcast(anchor))
+      // consumed by 3 boundary selections + the final scoring pass:
+      // materialize the customer aggregate once (Stage.mat discipline)
+      val base = graft.Stage.mat(per.crossJoin(broadcast(anchor))
         .selectExpr("o_custkey", "CAST(datediff(d1, last_order) AS BIGINT) AS recency_days",
-          "frequency", "monetary_micros")
-      val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-      val wf = Window.orderBy(col("frequency"), col("o_custkey"))
-      val wm = Window.orderBy(col("monetary_micros"), col("o_custkey"))
+          "frequency", "monetary_micros"))
+      val ranks = base.agg(count(lit(1)).as("n"))
+        .select(explode(expr(
+          """transform(sequence(1, 4), i -> struct(
+               CAST(i AS BIGINT) AS t,
+               CAST(i AS BIGINT) * (n DIV 5) + least(CAST(i AS BIGINT), n % 5) AS k))"""))
+          .as("tk"))
+        .select(col("tk.t").as("t"), col("tk.k").as("k"))
+      // one broadcastable row (q1x,q1k,…,q4x,q4k) of boundary pairs per
+      // dimension; recency ranks DESC, so select on the negated value
+      def bounds(xc: Column, pfx: String): DataFrame =
+        Quantiles.pairRankSelect(
+            base.select(xc.as("x"), col("o_custkey").as("kk")), "x", "kk", ranks)
+          .agg(
+            min(when(col("t") === 1, col("bx"))).as(s"${pfx}1x"),
+            min(when(col("t") === 1, col("bk"))).as(s"${pfx}1k"),
+            min(when(col("t") === 2, col("bx"))).as(s"${pfx}2x"),
+            min(when(col("t") === 2, col("bk"))).as(s"${pfx}2k"),
+            min(when(col("t") === 3, col("bx"))).as(s"${pfx}3x"),
+            min(when(col("t") === 3, col("bk"))).as(s"${pfx}3k"),
+            min(when(col("t") === 4, col("bx"))).as(s"${pfx}4x"),
+            min(when(col("t") === 4, col("bk"))).as(s"${pfx}4k"))
+      def tile(x: Column, k: Column, pfx: String): Column =
+        lit(1L) + Seq(1, 2, 3, 4).map { t =>
+          when(col(s"$pfx${t}x") < x ||
+            (col(s"$pfx${t}x") === x && col(s"$pfx${t}k") < k), 1L).otherwise(0L)
+        }.reduce(_ + _)
       base
-        .withColumn("r_score", ntile(5).over(wr).cast("long"))
-        .withColumn("f_score", ntile(5).over(wf).cast("long"))
-        .withColumn("m_score", ntile(5).over(wm).cast("long"))
-        .withColumn("rfm_code",
-          col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .crossJoin(broadcast(bounds(-col("recency_days"), "qr")))
+        .crossJoin(broadcast(bounds(col("frequency"), "qf")))
+        .crossJoin(broadcast(bounds(col("monetary_micros"), "qm")))
+        .withColumn("r_score", tile(-col("recency_days"), col("o_custkey"), "qr"))
+        .withColumn("f_score", tile(col("frequency"), col("o_custkey"), "qf"))
+        .withColumn("m_score", tile(col("monetary_micros"), col("o_custkey"), "qm"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_micros"), col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm_code"))
         .orderBy(col("o_custkey"))
     }, Some("""
       WITH per AS (

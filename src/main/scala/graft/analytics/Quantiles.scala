@@ -163,4 +163,89 @@ object Quantiles {
   /** The mirrored DuckDB form of [[exactQuantiles]]. Yields (g, p, q_r). */
   def sql(src: String, psSql: String): String =
     s"SELECT g, p, round(q, 6) AS q_r FROM (${rawSql(src, psSql)})"
+
+  private def bucketOf(v: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L)).otherwise(least(lit((B - 1).toLong),
+      floor((v - mn).cast("double") / (mx - mn).cast("double") * B)))
+
+  /** ORDER-STATISTIC SELECTION over the total order (x ASC, key ASC):
+    * for each requested rank row (t, k) in `ranks` (a driver-bounded
+    * probe table; 1 ≤ k ≤ n; `key` distinct per row so the order is
+    * total), returns (t, bx, bk) — the (x, key) pair at global rank k —
+    * WITHOUT a global sort or any fact-scaled window. This is the
+    * scale-safe primitive behind rank features (ntile scoring, exact
+    * percentile cut-points with deterministic tie-breaks): find the k-th
+    * pair here, then score the corpus by broadcast comparison.
+    *
+    * Three-level range-bucket refinement, each level bounded:
+    *  1. x range-buckets (≤[[B]]): the only unpartitioned window runs
+    *     over the ≤1024-row bucket histogram — bounded by construction;
+    *  2. within candidate buckets, cumulate by DISTINCT VALUE
+    *     (per-bucket window over value groups, ≈ n/1024 worst case) to
+    *     find the value v_t holding rank k and the residual rank k′
+    *     within v_t's tie group;
+    *  3. among the ties x = v_t (which can be fact-scaled — a
+    *     small-domain dimension like order frequency puts millions of
+    *     customers on one value), range-bucket again on KEY and select
+    *     the k′-th key per-bucket. No level ever sorts more than a
+    *     1/1024 slice in one partition, even under adversarial ties —
+    *     the property a plain per-value row_number would lose.
+    *
+    * Every arithmetic step (bucket floor, cumulation, residual rank) is
+    * deterministic and engine-independent, so callers can oracle their
+    * output against a plain ORDER BY in DuckDB: the selected pairs are
+    * definitionally the same.
+    */
+  def pairRankSelect(base: DataFrame, x: String, key: String,
+                     ranks: DataFrame): DataFrame = {
+    val clean = base.select(col(x).as("x"), col(key).as("kk"))
+    val stats = clean.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val withB = clean.crossJoin(broadcast(stats))
+      .withColumn("b", bucketOf(col("x"), col("mn"), col("mx")))
+      .select(col("b"), col("x"), col("kk"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    val bcum = withB.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_end", sum(col("c")).over(wB))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+    // cand and vt are ranks-sized (≤ a few rows) but sit upstream of
+    // multiple consumers: materialize them (Stage.mat) so the bucket-
+    // histogram pass runs ONCE instead of re-expanding per reference
+    val cand = graft.Stage.mat(bcum.join(broadcast(ranks),
+        col("cum_start") < col("k") && col("k") <= col("cum_end"))
+      .select(col("t"), col("k"), col("b"), col("cum_start")))
+    // level 2: distinct-value cumulation inside candidate buckets only
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("x"))
+    val vt = graft.Stage.mat(withB
+      .join(broadcast(cand.select(col("b"), col("cum_start")).distinct()), Seq("b"))
+      .groupBy(col("b"), col("cum_start"), col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("vcum_end", sum(col("c")).over(wv) + col("cum_start"))
+      .withColumn("vcum_start", col("vcum_end") - col("c"))
+      .join(broadcast(cand.select(col("t"), col("k"), col("b"))), Seq("b"))
+      .filter(col("vcum_start") < col("k") && col("k") <= col("vcum_end"))
+      .select(col("t"), col("x").as("vx"), (col("k") - col("vcum_start")).as("k2")))
+    // vt is ranks-sized (one row per t) — broadcastable by contract
+    // level 3: key rank-selection among the ties x = v_t, per t
+    val ties = clean.join(broadcast(vt), col("x") === col("vx"))
+      .select(col("t"), col("vx"), col("k2"), col("kk"))
+    val kstats = ties.groupBy(col("t"))
+      .agg(min(col("kk")).as("kmn"), max(col("kk")).as("kmx"))
+    val tiesB = ties.join(broadcast(kstats), Seq("t"))
+      .withColumn("kb", bucketOf(col("kk"), col("kmn"), col("kmx")))
+      .select(col("t"), col("vx"), col("k2"), col("kk"), col("kb"))
+    val wKB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(col("kb"))
+    val kcand = tiesB.groupBy(col("t"), col("k2"), col("kb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_end", sum(col("c")).over(wKB))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+      .filter(col("cum_start") < col("k2") && col("k2") <= col("cum_end"))
+      .select(col("t"), col("kb"), col("cum_start"))
+    val wkk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("kb")).orderBy(col("kk"))
+    tiesB.join(broadcast(kcand), Seq("t", "kb"))
+      .withColumn("r", row_number().over(wkk) + col("cum_start"))
+      .filter(col("r") === col("k2"))
+      .select(col("t"), col("vx").as("bx"), col("kk").as("bk"))
+  }
 }

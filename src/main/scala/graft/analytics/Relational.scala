@@ -443,20 +443,41 @@ object Relational {
     //      part count, revenue, revenue share in ppm.
     //
     //      Scale shape: one map-side-combined revenue aggregate to the
-    //      part-cardinality table; the global rank window runs on that
-    //      dimension-sized table only (the q119 two-phase range-bucket
-    //      ranking is the swap-in once parts outgrow one task's sort).
+    //      part-cardinality table, then a DISTRIBUTED PREFIX SUM over
+    //      it (VERDICT r7 ask #2 discipline — parts are fact-scaled,
+    //      ~1e8 at 100 TB, so no global window may see them): rows
+    //      range-bucket on revenue (descending map so bucket order =
+    //      rank order), per-bucket revenue sums cumulate on the
+    //      ≤1024-row bucket table (the one unpartitioned window —
+    //      bounded by construction), and each row's global cum is its
+    //      within-bucket running sum (window PARTITIONED by bucket)
+    //      plus the broadcast bucket offset. Exactly the Packing
+    //      bucket-offset idiom; identical integers to the global
+    //      window it replaces. Revenue ties all land in one bucket, so
+    //      a degenerate all-equal-revenue corpus re-serializes — the
+    //      documented caveat shared with trainingOrder's key buckets.
     ("q192_abc_pareto", (s: SparkSession, dir: String) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val rev = Tables(s, dir).lineitem
         .selectExpr("l_partkey",
           "CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS rm")
         .groupBy(col("l_partkey")).agg(sum(col("rm")).as("rev"))
       val tot = rev.agg(sum(col("rev")).as("tot"))
-      rev.crossJoin(broadcast(tot))
-        .withColumn("cum", sum(col("rev")).over(w))
+      val stats = rev.agg(min(col("rev")).as("mn"), max(col("rev")).as("mx"))
+      val withB = rev.crossJoin(broadcast(stats))
+        .withColumn("b", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(1023L), floor((col("mx") - col("rev")).cast("double")
+            / (col("mx") - col("mn")).cast("double") * 1024))))
+        .select(col("l_partkey"), col("rev"), col("b"))
+      val wB = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      val boff = withB.groupBy(col("b")).agg(sum(col("rev")).as("bs"))
+        .withColumn("off", sum(col("bs")).over(wB) - col("bs"))
+        .select(col("b"), col("off"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b")).orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      withB.join(broadcast(boff), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(wIn) + col("off"))
         .withColumn("cls",
           when(expr("cum * 5 <= tot * 4"), "A")
             .when(expr("cum * 20 <= tot * 19"), "B").otherwise("C"))

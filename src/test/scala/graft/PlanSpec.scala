@@ -265,4 +265,65 @@ class PlanSpec extends SparkSpec {
         s"$q must join on the (nk, seg) block key:\n$p")
     }
   }
+
+  /** Suite-wide single-partition-window gate (VERDICT r7 ask #2).
+    *
+    * An unpartitioned Window moves every input row to ONE task — the one
+    * plan shape AQE cannot save at 100 TB. The engine's discipline is
+    * that such windows may only run over inputs that are BOUNDED BY
+    * CONSTRUCTION: a limit/TakeOrdered, or an aggregate whose grouping
+    * domain is fixed-size (range-bucket histograms ≤1024 rows, value
+    * histograms over a small-integer domain, tile/band tables). The
+    * structural part (limit in the subtree) is auto-detected; the
+    * histogram cases cannot be told apart from a fact-keyed aggregate
+    * mechanically (q160's per-customer aggregate was exactly that trap,
+    * r7), so they must be ALLOWLISTED here with a one-line justification
+    * naming the bounded domain. Default-deny: a new query that plans an
+    * unpartitioned window over anything else fails this test until its
+    * plan is rewritten (Quantiles.pairRankSelect, per-bucket windows,
+    * broadcast rank lookup) or consciously justified.
+    */
+  test("suite-wide: every unpartitioned Window input is bounded or allowlisted") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      GlobalLimit, LocalLimit}
+    val allow: Map[String, String] = Map(
+      "q58_sequence_packing" -> "bucket-offset cumulation over the ≤#buckets offsets table (Packing idiom; corpus windows per bucket)",
+      "q83_length_histogram" -> "fixed-width length-bucket histogram cumulation",
+      "q86_training_order" -> "key-range bucket-offset table (≤1024 rows)",
+      "q89_curation_v2" -> "key-range bucket-offset table (≤1024 rows)",
+      "q96_shard_manifest" -> "position-bucket offset tables (≤1024 rows each)",
+      "q106_quality_deciles" -> "range-bucket histogram cumulation (≤1024 rows)",
+      "q111_rate_spikes" -> "hour-grain aggregate — time-span-bounded domain",
+      "q124_entropy_auc" -> "range-bucket histogram cumulation (≤1024 rows)",
+      "q131_source_concentration" -> "source-level aggregate — catalog-sized domain, not fact-scaled",
+      "q156_skew_report" -> "count-of-counts histogram — distinct-multiplicity-sized",
+      "q161_quantile_norm" -> "token-count value histogram — value-domain-sized",
+      "q175_kaplan_meier" -> "day-grain risk table — time-span-bounded",
+      "q184_rolling_window" -> "day-grain aggregate — time-span-bounded",
+      "q186_growth" -> "day-grain aggregate — time-span-bounded",
+      "q190_isotonic" -> "score-bin table — fixed bin domain",
+      "q192_abc_pareto" -> "revenue bucket-offset table (≤1024 rows; part-level cum windows per bucket)",
+      "q193_ks_test" -> "range-bucket CDF histogram (≤1024 rows)",
+      "q201_nelson_aalen" -> "day-grain hazard table — time-span-bounded",
+      "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
+      "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
+      "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case _: GlobalLimit => (); case _: LocalLimit => ()
+          }.isEmpty => w
+      }
+      if (bad.nonEmpty && !allow.contains(name))
+        Some(s"$name: ${bad.map(w => w.orderSpec.map(_.sql).mkString(",")).mkString(" | ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"""unpartitioned Window over a non-limit input in ${offenders.size} queries —
+         |rewrite scale-safe (Quantiles.pairRankSelect / per-bucket windows) or
+         |allowlist with a justification naming the bounded domain:
+         |${offenders.mkString("\n")}""".stripMargin)
+  }
 }
