@@ -54,6 +54,32 @@ object ScaleSmoke {
       time("minhash_neardup_t0.8", n)(graft.text.Dedup.minhashNearDups(c, 0.8, numHashes = 16, bands = 16))
       time("dup_span_coverage", n)(graft.text.Dedup.dupSpanCoverage(c, 8))
     }
+
+    // Graph battery (VERDICT r7 ask #5): the suite's most expensive
+    // queries are graph-iterative, so their growth curve must be
+    // measured too. N disjoint copies of the declared interaction
+    // graph — every node id suffixed per replica — keep per-node degree
+    // CONSTANT while nodes and edges grow N×, so a scale-correct
+    // join+agg-per-iteration implementation grows ~linearly; any Σdeg²
+    // wedge term (the q158 failure mode) or label-skew blowup shows as
+    // super-linear immediately.
+    val g1 = graft.analytics.GraphOps.interactionGraph(spark, sfDir)
+      .select(col("src"), col("dst"))
+    def graphN(n: Int): DataFrame =
+      (0 until n).map { i =>
+        g1.select(concat(col("src"), lit(s"_r$i")).as("src"),
+          concat(col("dst"), lit(s"_r$i")).as("dst"))
+      }.reduce(_ unionByName _)
+
+    ns.foreach { n =>
+      val g = graphN(n)
+      time("pagerank_undirected_i3", n)(graft.analytics.GraphOps.pageRankMicros(g))
+      time("pagerank_directed_i3", n)(graft.analytics.GraphOps.pageRankDirectedMicros(g))
+      time("kcore_k2_r4", n)(graft.analytics.GraphOps.kCorePeel(g, 2, 4)._1)
+      time("label_prop_i3", n)(graft.analytics.GraphOps.labelPropagation(g))
+      time("modularity_lpa1", n)(graft.analytics.GraphOps.modularityPpm(g,
+        graft.analytics.GraphOps.labelPropagation(g, 1)))
+    }
     spark.stop()
   }
 }

@@ -1059,39 +1059,39 @@ object EvalOps {
       val base = graft.Stage.mat(per.crossJoin(broadcast(anchor))
         .selectExpr("o_custkey", "CAST(datediff(d1, last_order) AS BIGINT) AS recency_days",
           "frequency", "monetary_micros"))
+      // the 4 tile-boundary ranks, one probe row per (dimension g, t):
+      // all THREE dimensions rank-select in ONE grouped pass
       val ranks = base.agg(count(lit(1)).as("n"))
         .select(explode(expr(
           """transform(sequence(1, 4), i -> struct(
                CAST(i AS BIGINT) AS t,
                CAST(i AS BIGINT) * (n DIV 5) + least(CAST(i AS BIGINT), n % 5) AS k))"""))
           .as("tk"))
-        .select(col("tk.t").as("t"), col("tk.k").as("k"))
-      // one broadcastable row (q1x,q1k,…,q4x,q4k) of boundary pairs per
-      // dimension; recency ranks DESC, so select on the negated value
-      def bounds(xc: Column, pfx: String): DataFrame =
-        Quantiles.pairRankSelect(
-            base.select(xc.as("x"), col("o_custkey").as("kk")), "x", "kk", ranks)
-          .agg(
-            min(when(col("t") === 1, col("bx"))).as(s"${pfx}1x"),
-            min(when(col("t") === 1, col("bk"))).as(s"${pfx}1k"),
-            min(when(col("t") === 2, col("bx"))).as(s"${pfx}2x"),
-            min(when(col("t") === 2, col("bk"))).as(s"${pfx}2k"),
-            min(when(col("t") === 3, col("bx"))).as(s"${pfx}3x"),
-            min(when(col("t") === 3, col("bk"))).as(s"${pfx}3k"),
-            min(when(col("t") === 4, col("bx"))).as(s"${pfx}4x"),
-            min(when(col("t") === 4, col("bk"))).as(s"${pfx}4k"))
-      def tile(x: Column, k: Column, pfx: String): Column =
+        .select(explode(expr("sequence(1, 3)")).as("g0"), col("tk.t").as("t"),
+          col("tk.k").as("k"))
+        .selectExpr("CAST(g0 AS BIGINT) AS g", "t", "k")
+      // recency ranks DESC, so dimension 1 selects on the negated value
+      val dims = base.selectExpr("o_custkey AS kk",
+        """stack(3, CAST(1 AS BIGINT), -recency_days,
+                    CAST(2 AS BIGINT), frequency,
+                    CAST(3 AS BIGINT), monetary_micros) AS (g, x)""")
+      // one broadcastable row of all 12 boundary (value, custkey) pairs
+      val bCols = (for (g <- 1 to 3; t <- 1 to 4) yield Seq(
+        min(when(col("g") === g && col("t") === t, col("bx"))).as(s"q$g${t}x"),
+        min(when(col("g") === g && col("t") === t, col("bk"))).as(s"q$g${t}k")))
+        .flatten
+      val bRow = Quantiles.pairRankSelectBy(dims, "g", "x", "kk", ranks)
+        .agg(bCols.head, bCols.tail: _*)
+      def tile(x: Column, k: Column, g: Int): Column =
         lit(1L) + Seq(1, 2, 3, 4).map { t =>
-          when(col(s"$pfx${t}x") < x ||
-            (col(s"$pfx${t}x") === x && col(s"$pfx${t}k") < k), 1L).otherwise(0L)
+          when(col(s"q$g${t}x") < x ||
+            (col(s"q$g${t}x") === x && col(s"q$g${t}k") < k), 1L).otherwise(0L)
         }.reduce(_ + _)
       base
-        .crossJoin(broadcast(bounds(-col("recency_days"), "qr")))
-        .crossJoin(broadcast(bounds(col("frequency"), "qf")))
-        .crossJoin(broadcast(bounds(col("monetary_micros"), "qm")))
-        .withColumn("r_score", tile(-col("recency_days"), col("o_custkey"), "qr"))
-        .withColumn("f_score", tile(col("frequency"), col("o_custkey"), "qf"))
-        .withColumn("m_score", tile(col("monetary_micros"), col("o_custkey"), "qm"))
+        .crossJoin(broadcast(bRow))
+        .withColumn("r_score", tile(-col("recency_days"), col("o_custkey"), 1))
+        .withColumn("f_score", tile(col("frequency"), col("o_custkey"), 2))
+        .withColumn("m_score", tile(col("monetary_micros"), col("o_custkey"), 3))
         .select(col("o_custkey"), col("recency_days"), col("frequency"),
           col("monetary_micros"), col("r_score"), col("f_score"), col("m_score"),
           (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm_code"))

@@ -187,6 +187,13 @@ object GraphOps {
       .distinct()
   }
 
+  /** Public handle on the declared interaction graph — the ScaleSmoke
+    * replication harness times the graph battery over N disjoint copies
+    * of exactly this graph.
+    */
+  def interactionGraph(s: SparkSession, dir: String): DataFrame =
+    interactionEdges(s, dir)
+
   private def interactionEdges(s: SparkSession, dir: String,
       maxUser: Option[Long] = None): DataFrame = {
     val inter = userItemPairs(s, dir, maxUser)
@@ -1169,6 +1176,116 @@ object GraphOps {
       ${prUniformIterSql(2)},
       ${prUniformIterSql(3)}
       SELECT node AS word, rank_m FROM r3
-      ORDER BY rank_m DESC, word LIMIT 30"""))
+      ORDER BY rank_m DESC, word LIMIT 30""")),
+
+    // ---- triangle census + clustering coefficients of the part
+    //      co-purchase graph (edges = part pairs sharing ≥1 order):
+    //      global triangle count, global clustering coefficient
+    //      (3·triangles·1e6 DIV Σ_v C(d_v,2) ppm, the transitivity
+    //      ratio), and the top-10 local coefficients
+    //      (2·tri_v·1e6 DIV d_v(d_v−1)) — the cohesion audit the
+    //      modularity/community battery (q208) presupposes, and on a
+    //      near-dup pair graph the transitivity certificate for a
+    //      similarity threshold (low transitivity ⇒ the "clusters" are
+    //      chains, threshold too loose).
+    //
+    //      Scale shape (Schank–Wagner node-iterator-core / Suri–
+    //      Vassilvitskii MR triangles): every edge is ORIENTED from its
+    //      lower (degree, id) endpoint, so each triangle is found
+    //      exactly once at its minimum-degree vertex and the wedge
+    //      self-join's work is Σ_v outdeg(v)² with outdeg ≤ O(√m) —
+    //      O(m^1.5) total, never naive Σ deg² (the q158 lesson). The
+    //      closure probe is a plain two-column equi-join against the
+    //      oriented edge table. Pair generation is basket-bounded
+    //      (C(n,2) per order, ≤7 parts/order in TPC-H; the 100 TB
+    //      escape is a basket-size cap / hot-basket routing, the q171
+    //      block-size discipline). Edges and the oriented table are
+    //      Stage.mat'd — each feeds ≥2 consumers.
+    ("q257_triangle_census", (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = graft.Stage.mat(
+        li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .select(col("pa"), col("pb")).distinct())
+      val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val lower = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val ori = graft.Stage.mat(
+        e.join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+          .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+          .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+            when(lower, col("pb")).otherwise(col("pa")).as("w"),
+            when(lower, col("db")).otherwise(col("da")).as("dw")))
+      val wedges = ori.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+        .join(ori.select(col("u"), col("w").as("y"), col("dw").as("dy")), Seq("u"))
+        .filter(col("x") < col("y"))
+      val xLower = col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y"))
+      val tri = graft.Stage.mat(wedges
+        .select(col("u"), col("x"), col("y"),
+          when(xLower, col("x")).otherwise(col("y")).as("clo"),
+          when(xLower, col("y")).otherwise(col("x")).as("chi"))
+        .join(ori.select(col("u").as("clo"), col("w").as("chi")), Seq("clo", "chi"))
+        .select(col("u"), col("x"), col("y")))
+      val perV = tri.select(col("u").as("v"))
+        .unionByName(tri.select(col("x").as("v")))
+        .unionByName(tri.select(col("y").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      val totals = tri.agg(count(lit(1)).as("n_tri"))
+        .crossJoin(broadcast(
+          deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"),
+            count(lit(1)).as("n_nodes"))))
+      val globalRow = totals.selectExpr("CAST(-1 AS BIGINT) AS v",
+        "n_nodes AS d", "n_tri",
+        "CASE WHEN n_wedges = 0 THEN 0 ELSE (3 * n_tri * 1000000) DIV n_wedges END AS cc_ppm")
+      val localTop = deg.join(perV, Seq("v"))
+        .selectExpr("v", "d", "tri AS n_tri",
+          "(2 * tri * 1000000) DIV (d * (d - 1)) AS cc_ppm")
+        .orderBy(col("cc_ppm").desc, col("v")).limit(10)
+      globalRow.unionByName(localTop).orderBy(col("v"))
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+              GROUP BY v),
+      ori AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                          THEN e.pa ELSE e.pb END AS u,
+                     CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                          THEN e.pb ELSE e.pa END AS w,
+                     CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                          THEN db.d ELSE da.d END AS dw
+              FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v),
+      wedges AS (SELECT w1.u, w1.w AS x, w1.dw AS dx, w2.w AS y, w2.dw AS dy
+                 FROM ori w1 JOIN ori w2 ON w1.u = w2.u AND w1.w < w2.w),
+      tri AS (SELECT wd.u, wd.x, wd.y
+              FROM wedges wd JOIN ori o2
+                ON o2.u = CASE WHEN wd.dx < wd.dy OR (wd.dx = wd.dy AND wd.x < wd.y)
+                               THEN wd.x ELSE wd.y END
+               AND o2.w = CASE WHEN wd.dx < wd.dy OR (wd.dx = wd.dy AND wd.x < wd.y)
+                               THEN wd.y ELSE wd.x END),
+      perv AS (SELECT v, CAST(count(*) AS BIGINT) AS tri
+               FROM (SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
+                     UNION ALL SELECT y AS v FROM tri)
+               GROUP BY v),
+      tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_tri,
+                     CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+                     CAST(count(*) AS BIGINT) AS n_nodes
+              FROM deg),
+      gsum AS (SELECT CAST(-1 AS BIGINT) AS v, n_nodes AS d, n_tri,
+                      CASE WHEN n_wedges = 0 THEN 0
+                           ELSE (3 * n_tri * 1000000) // n_wedges END AS cc_ppm
+               FROM tot),
+      loc AS (SELECT deg.v, deg.d, perv.tri AS n_tri,
+                     (2 * perv.tri * 1000000) // (deg.d * (deg.d - 1)) AS cc_ppm
+              FROM deg JOIN perv ON deg.v = perv.v
+              ORDER BY cc_ppm DESC, deg.v LIMIT 10)
+      SELECT v, d, n_tri, cc_ppm FROM gsum
+      UNION ALL SELECT v, d, n_tri, cc_ppm FROM loc
+      ORDER BY v"""))
   )
 }

@@ -364,6 +364,102 @@ object LLMOps {
       .orderBy(col("score_micros").desc, col("phrase")).limit(topK)
   }
 
+  /** Driver-state ceilings for the greedy shortlist-stage operators
+    * below — the `...Exact`-primitive discipline (VERDICT r7 ask #8).
+    * [[mmrRerank]] collects an n×n shortlist similarity matrix and
+    * [[kCenterCoreset]] runs k sequential corpus passes collecting one
+    * row each: both are index-sized BY CONTRACT, and these bounds make
+    * the contract mechanical — a caller pointing them at a corpus-sized
+    * candidate set or an unbounded k fails fast with the scale-path
+    * pointer instead of OOMing the driver mid-job at 100 TB.
+    */
+  val MaxMmrCandidates = 512L
+  val MaxGreedySteps = 64
+
+  /** MMR diversified rerank (Carbonell & Goldstein 1998) of a SHORTLIST:
+    * `cand` must carry (vec_id, v, rel_m) and be ANN/top-k output —
+    * ≤ [[MaxMmrCandidates]] rows (require()d after a defensive count) —
+    * because the greedy reads the full pairwise sim matrix on the
+    * driver. Corpus scale belongs in the shortlist stage (q40/q45/q128),
+    * never here. Scores on the micro grid:
+    * (λ·rel − (1e6−λ)·max-sim-to-selected) div 1e6, vec_id tie-break.
+    */
+  def mmrRerank(cand: DataFrame, k: Int, lamPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && k <= MaxGreedySteps,
+      s"mmrRerank k=$k out of [1, $MaxGreedySteps]: the greedy holds one row of driver " +
+        "state per step; for larger selections use the distributed q254 max-coverage path")
+    require(lamPpm >= 0L && lamPpm <= 1000000L, s"lamPpm=$lamPpm outside [0, 1e6]")
+    val c = graft.Stage.mat(cand)
+    val n = c.count()
+    require(n <= MaxMmrCandidates,
+      s"mmrRerank candidate set has $n rows > $MaxMmrCandidates: MMR collects the n×n " +
+        "sim matrix driver-side by construction — shortlist first (q40 LSH / q45 IVF / " +
+        "q128 ADC top-k), then rerank the shortlist")
+    val a = c.select(col("vec_id").as("ida"), col("v").as("va"))
+    val b = c.select(col("vec_id").as("idb"), col("v").as("vb"))
+    val sims = a.join(b, col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        round(Similarity.cosine(col("va"), col("vb")) * 1000000, 0)
+          .cast("long").as("sm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rels = c.select(col("vec_id"), col("rel_m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    var selected = List.empty[Long]
+    val picks = (1 to math.min(k, rels.size)).map { step =>
+      val scored = rels.filterNot(p => selected.contains(p._1)).map {
+        case (id, rel) =>
+          val mx = if (selected.isEmpty) 0L
+                   else selected.map(sid => sims((id, sid))).max
+          (id, rel, (lamPpm * rel - (1000000L - lamPpm) * mx) / 1000000L)
+      }
+      val best = scored.maxBy(p => (p._3, -p._1))
+      selected = best._1 :: selected
+      (step.toLong, best._1, best._2, best._3)
+    }
+    val sp = cand.sparkSession
+    import sp.implicits._
+    picks.toDF("step", "vec_id", "rel_micros", "mmr_score_micros").orderBy(col("step"))
+  }
+
+  /** Greedy farthest-point k-center coreset (Gonzalez 1985) over `emb`
+    * (vec_id, v): k ≤ [[MaxGreedySteps]] maximally-diverse
+    * representatives. Each step is one distributed corpus pass
+    * (broadcast-center sim map + argmin) collecting EXACTLY ONE row;
+    * the require() bounds the number of sequential passes and the
+    * driver's selected-set state. Seed = min portable hash (vec_id
+    * tie-break) so the traversal is deterministic.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= MaxGreedySteps,
+      s"kCenterCoreset k=$k out of [1, $MaxGreedySteps]: greedy k-center is k sequential " +
+        "corpus passes — for larger coresets cluster first (q225 SemDeDup / IVF cells) " +
+        "and run the greedy per cell")
+    val e = graft.Stage.mat(emb
+      .select(col("vec_id"), col("v"),
+        TextStats.portableHash64(
+          concat(lit("kc:"), col("vec_id").cast("string"))).as("h")))
+    val seed = e.orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id")).collect().head.getLong(0)
+    def cosMicros = round(Similarity.cosine(col("v"), col("cv")) * 1000000, 0)
+      .cast("long")
+    val sel = scala.collection.mutable.ListBuffer((1L, seed, 0L))
+    var best = graft.Stage.mat(e.crossJoin(broadcast(
+        e.filter(col("vec_id") === seed).select(col("v").as("cv"))))
+      .select(col("vec_id"), col("v"), cosMicros.as("bs")))
+    for (step <- 2 to k) {
+      val next = best.orderBy(col("bs"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("bs")).collect().head
+      sel += ((step.toLong, next.getLong(0), next.getLong(1)))
+      best = graft.Stage.mat(best.crossJoin(broadcast(
+          e.filter(col("vec_id") === next.getLong(0)).select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"),
+          greatest(col("bs"), cosMicros).as("bs")))
+    }
+    val sp = emb.sparkSession
+    import sp.implicits._
+    sel.toSeq.toDF("step", "center_id", "sel_sim_micros").orderBy(col("step"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- RAKE top keyphrases: the classic degree/frequency keyword
@@ -1445,31 +1541,7 @@ object LLMOps {
           round(Similarity.cosine(col("embedding"), col("qv")) * 1000000, 0)
             .cast("long").as("rel_m"))
         .orderBy(col("rel_m").desc, col("vec_id")).limit(20)
-        .transform(graft.Stage.mat)
-      val a = cand.select(col("vec_id").as("ida"), col("v").as("va"))
-      val b = cand.select(col("vec_id").as("idb"), col("v").as("vb"))
-      val sims = a.join(b, col("ida") =!= col("idb"))
-        .select(col("ida"), col("idb"),
-          round(Similarity.cosine(col("va"), col("vb")) * 1000000, 0)
-            .cast("long").as("sm"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      val rels = cand.select(col("vec_id"), col("rel_m")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-      var selected = List.empty[Long]
-      val picks = (1 to math.min(5, rels.size)).map { step =>
-        val scored = rels.filterNot(p => selected.contains(p._1)).map {
-          case (id, rel) =>
-            val mx = if (selected.isEmpty) 0L
-                     else selected.map(sid => sims((id, sid))).max
-            (id, rel, (700000L * rel - 300000L * mx) / 1000000L)
-        }
-        val best = scored.maxBy(p => (p._3, -p._1))
-        selected = best._1 :: selected
-        (step.toLong, best._1, best._2, best._3)
-      }
-      import s.implicits._
-      picks.toDF("step", "vec_id", "rel_micros", "mmr_score_micros")
-        .orderBy(col("step"))
+      mmrRerank(cand, k = 5)
     }, Some {
       val steps = (2 to 5).map { i =>
         s"""ms$i AS (SELECT p.ida AS vid, max(p.sm) AS mx
@@ -1519,30 +1591,9 @@ object LLMOps {
     //      driver state is one row per step — index-sized. The oracle
     //      unrolls all 8 selections.
     ("q234_kcenter_coreset", (s: SparkSession, dir: String) => {
-      val k = 8
-      val e = graft.Stage.mat(Tables(s, dir).embeddings
-        .select(col("vec_id"), col("embedding").as("v"),
-          TextStats.portableHash64(
-            concat(lit("kc:"), col("vec_id").cast("string"))).as("h")))
-      val seed = e.orderBy(col("h"), col("vec_id")).limit(1)
-        .select(col("vec_id")).collect().head.getLong(0)
-      def cosMicros = round(Similarity.cosine(col("v"), col("cv")) * 1000000, 0)
-        .cast("long")
-      val sel = scala.collection.mutable.ListBuffer((1L, seed, 0L))
-      var best = graft.Stage.mat(e.crossJoin(broadcast(
-          e.filter(col("vec_id") === seed).select(col("v").as("cv"))))
-        .select(col("vec_id"), col("v"), cosMicros.as("bs")))
-      for (step <- 2 to k) {
-        val next = best.orderBy(col("bs"), col("vec_id")).limit(1)
-          .select(col("vec_id"), col("bs")).collect().head
-        sel += ((step.toLong, next.getLong(0), next.getLong(1)))
-        best = graft.Stage.mat(best.crossJoin(broadcast(
-            e.filter(col("vec_id") === next.getLong(0)).select(col("v").as("cv"))))
-          .select(col("vec_id"), col("v"),
-            greatest(col("bs"), cosMicros).as("bs")))
-      }
-      import s.implicits._
-      sel.toSeq.toDF("step", "center_id", "sel_sim_micros").orderBy(col("step"))
+      kCenterCoreset(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v")),
+        k = 8)
     }, Some {
       val steps = (2 to 8).map { i =>
         s"""c$i AS (SELECT vec_id, v, bs FROM b${i - 1}

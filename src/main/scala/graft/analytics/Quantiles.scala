@@ -197,55 +197,79 @@ object Quantiles {
     * definitionally the same.
     */
   def pairRankSelect(base: DataFrame, x: String, key: String,
-                     ranks: DataFrame): DataFrame = {
-    val clean = base.select(col(x).as("x"), col(key).as("kk"))
-    val stats = clean.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val withB = clean.crossJoin(broadcast(stats))
+                     ranks: DataFrame): DataFrame =
+    pairRankSelectBy(base.withColumn("_prs_g", lit(0L)), "_prs_g", x, key,
+      ranks.withColumn("_prs_g", lit(0L)))
+      .select(col("t"), col("bx"), col("bk"))
+
+  /** Grouped [[pairRankSelect]]: the (t, k) probes in `ranks` carry a
+    * GROUP column `g` matching `base`'s, and every selection runs for
+    * all groups in ONE distributed pass — a caller with several rank
+    * features over the same table (q160's three RFM dimensions) pays
+    * one shuffle schedule, not one per feature. Same three bounded
+    * levels as the ungrouped form, with every window additionally
+    * partitioned by g. Returns (g, t, bx, bk); `ranks` stays
+    * driver-bounded by contract (it is broadcast at every probe join).
+    */
+  def pairRankSelectBy(base: DataFrame, g: String, x: String, key: String,
+                       ranks: DataFrame): DataFrame = {
+    val clean = base.select(col(g).as("g"), col(x).as("x"), col(key).as("kk"))
+    val stats = clean.groupBy(col("g"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val withB = clean.join(broadcast(stats), Seq("g"))
       .withColumn("b", bucketOf(col("x"), col("mn"), col("mx")))
-      .select(col("b"), col("x"), col("kk"))
-    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
-    val bcum = withB.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .select(col("g"), col("b"), col("x"), col("kk"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("b"))
+    val bcum = withB.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
       .withColumn("cum_end", sum(col("c")).over(wB))
       .withColumn("cum_start", col("cum_end") - col("c"))
     // cand and vt are ranks-sized (≤ a few rows) but sit upstream of
     // multiple consumers: materialize them (Stage.mat) so the bucket-
     // histogram pass runs ONCE instead of re-expanding per reference
-    val cand = graft.Stage.mat(bcum.join(broadcast(ranks),
-        col("cum_start") < col("k") && col("k") <= col("cum_end"))
-      .select(col("t"), col("k"), col("b"), col("cum_start")))
+    val rks = ranks.select(col(g).as("g"), col("t"), col("k"))
+    val cand = graft.Stage.mat(bcum.join(broadcast(rks), Seq("g"))
+      .filter(col("cum_start") < col("k") && col("k") <= col("cum_end"))
+      .select(col("g"), col("t"), col("k"), col("b"), col("cum_start")))
     // level 2: distinct-value cumulation inside candidate buckets only
     val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("b")).orderBy(col("x"))
+      .partitionBy(col("g"), col("b")).orderBy(col("x"))
     val vt = graft.Stage.mat(withB
-      .join(broadcast(cand.select(col("b"), col("cum_start")).distinct()), Seq("b"))
-      .groupBy(col("b"), col("cum_start"), col("x")).agg(count(lit(1)).as("c"))
+      .join(broadcast(cand.select(col("g"), col("b"), col("cum_start")).distinct()),
+        Seq("g", "b"))
+      .groupBy(col("g"), col("b"), col("cum_start"), col("x"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("vcum_end", sum(col("c")).over(wv) + col("cum_start"))
       .withColumn("vcum_start", col("vcum_end") - col("c"))
-      .join(broadcast(cand.select(col("t"), col("k"), col("b"))), Seq("b"))
+      .join(broadcast(cand.select(col("g"), col("t"), col("k"), col("b"))),
+        Seq("g", "b"))
       .filter(col("vcum_start") < col("k") && col("k") <= col("vcum_end"))
-      .select(col("t"), col("x").as("vx"), (col("k") - col("vcum_start")).as("k2")))
-    // vt is ranks-sized (one row per t) — broadcastable by contract
-    // level 3: key rank-selection among the ties x = v_t, per t
-    val ties = clean.join(broadcast(vt), col("x") === col("vx"))
-      .select(col("t"), col("vx"), col("k2"), col("kk"))
-    val kstats = ties.groupBy(col("t"))
+      .select(col("g"), col("t"), col("x").as("vx"),
+        (col("k") - col("vcum_start")).as("k2")))
+    // vt is ranks-sized (one row per (g, t)) — broadcastable by contract
+    // level 3: key rank-selection among the ties x = v_t, per (g, t)
+    val vtr = vt.select(col("g").as("g2"), col("t"), col("vx"), col("k2"))
+    val ties = clean.join(broadcast(vtr),
+        col("g") === col("g2") && col("x") === col("vx"))
+      .select(col("g"), col("t"), col("vx"), col("k2"), col("kk"))
+    val kstats = ties.groupBy(col("g"), col("t"))
       .agg(min(col("kk")).as("kmn"), max(col("kk")).as("kmx"))
-    val tiesB = ties.join(broadcast(kstats), Seq("t"))
+    val tiesB = ties.join(broadcast(kstats), Seq("g", "t"))
       .withColumn("kb", bucketOf(col("kk"), col("kmn"), col("kmx")))
-      .select(col("t"), col("vx"), col("k2"), col("kk"), col("kb"))
+      .select(col("g"), col("t"), col("vx"), col("k2"), col("kk"), col("kb"))
     val wKB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t")).orderBy(col("kb"))
-    val kcand = tiesB.groupBy(col("t"), col("k2"), col("kb"))
+      .partitionBy(col("g"), col("t")).orderBy(col("kb"))
+    val kcand = tiesB.groupBy(col("g"), col("t"), col("k2"), col("kb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum_end", sum(col("c")).over(wKB))
       .withColumn("cum_start", col("cum_end") - col("c"))
       .filter(col("cum_start") < col("k2") && col("k2") <= col("cum_end"))
-      .select(col("t"), col("kb"), col("cum_start"))
+      .select(col("g"), col("t"), col("kb"), col("cum_start"))
     val wkk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t"), col("kb")).orderBy(col("kk"))
-    tiesB.join(broadcast(kcand), Seq("t", "kb"))
+      .partitionBy(col("g"), col("t"), col("kb")).orderBy(col("kk"))
+    tiesB.join(broadcast(kcand), Seq("g", "t", "kb"))
       .withColumn("r", row_number().over(wkk) + col("cum_start"))
       .filter(col("r") === col("k2"))
-      .select(col("t"), col("vx").as("bx"), col("kk").as("bk"))
+      .select(col("g"), col("t"), col("vx").as("bx"), col("kk").as("bk"))
   }
 }

@@ -309,4 +309,37 @@ class GraphOpsSpec extends SparkSpec {
       .map(_.getAs[String]("word")).toSet
     assert(out === Set("wolf", "sheep"))
   }
+
+  test("triangle census: hand-computed counts and clustering coefficients") {
+    // baskets {1,2,3}, {3,4}, {1,2} → edges 1-2, 1-3, 2-3, 3-4 (the
+    // duplicate 1-2 is distinct-ed). One triangle. Degrees 2,2,3,1 →
+    // Σ C(d,2) = 5 wedges; global cc = 3·1e6/5 = 600000 ppm. Locals:
+    // v1,v2 cc = 1e6 (their only wedge closes), v3 = 2e6/6 = 333333,
+    // v4 absent (no triangle).
+    val dir = java.nio.file.Files.createTempDirectory("tri_fix").toString
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L), (30L, 1L), (30L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q257_triangle_census")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("d"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("cc_ppm")))
+    assert(out.toSeq === Seq(
+      (-1L, 4L, 1L, 600000L),
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
+  test("triangle census: a triangle-free (bipartite-like) graph reports zero everywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("tri_fix0").toString
+    // path graph 1-2, 2-3: one wedge, never closed
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q257_triangle_census")(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("v") === -1L)
+    assert(out.head.getAs[Long]("n_tri") === 0L)
+    assert(out.head.getAs[Long]("cc_ppm") === 0L)
+  }
 }
