@@ -1913,6 +1913,128 @@ object CurationOps {
              CAST(SUM(n_dup_pairs) AS BIGINT), CAST(SUM(n_dropped) AS BIGINT),
              CAST(SUM(n_kept) AS BIGINT)
       FROM per
-      ORDER BY centroid_id"""))
+      ORDER BY centroid_id""")),
+
+    // ---- cell-bounded DBSCAN (Ester et al. 1996) over the embedding
+    //      corpus: density clusters the centroid methods can't express
+    //      (kmeans/SemDeDup force convex cells; DBSCAN grows clusters
+    //      through chains of dense neighbors and calls sparse points
+    //      NOISE — the "does this corpus have dense duplicate blobs or
+    //      a thin shell" question a curation run asks before choosing
+    //      its dedup strategy). Neighborhoods are cos_r ≥ 0.35 WITHIN
+    //      the q225 kmeans cell — the deliberate, documented deviation
+    //      from textbook DBSCAN, and exactly how it deploys at 100 TB:
+    //      the eps-graph is cell-bounded (IVF-cell pairwise only,
+    //      PlanSpec-style never all-pairs), so cross-cell density
+    //      chains are cut at cell borders, the same bounding SemDeDup
+    //      accepts. Core = ≥ minPts−1 = 2 in-cell neighbors; clusters =
+    //      connected components of the core-core graph (Dedup
+    //      .connectedComponents — min-label prop with star-contraction
+    //      escalation); border = non-core adjacent to a core, labeled
+    //      by its minimum core cluster; everything else is noise.
+    //      Output: (cluster_id = min core id, n_core, n_border,
+    //      n_points) per cluster + the (-1, 0, 0, n_noise) noise row.
+    //      The oracle replays the full chain — kmeans seeds/rounds,
+    //      pair graph, core set, a recursive-CTE min-reachable closure
+    //      in place of the iterated propagation (identical labels:
+    //      both compute min id per component), border argmin — so
+    //      every label is value-checked cross-engine.
+    ("q258_density_clusters", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val asg = graft.text.Similarity.kmeansAssign(emb, k = 4, dim = 64)
+      val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+      val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      val pb = mem.select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+      val pairs = graft.Stage.mat(pa.join(pb, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(graft.text.Similarity.cosine(col("va"), col("vb")), 6) >= 0.35)
+        .select(col("id_a"), col("id_b")))
+      val adj = pairs.select(col("id_a").as("v"), col("id_b").as("nbr"))
+        .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("nbr")))
+      val core = graft.Stage.mat(adj.groupBy(col("v")).agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= 2).select(col("v")))
+      val coreEdges = pairs
+        .join(core.select(col("v").as("id_a")), Seq("id_a"), "left_semi")
+        .join(core.select(col("v").as("id_b")), Seq("id_b"), "left_semi")
+      val comp = graft.text.Dedup.connectedComponents(coreEdges)
+      // isolated cores (no core neighbor) are their own singleton cluster
+      val coreLab = graft.Stage.mat(
+        comp.select(col("doc_id").as("v"), col("cluster_id"))
+          .unionByName(core
+            .join(comp.select(col("doc_id").as("v")), Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("cluster_id"))))
+      val borderLab = adj
+        .join(core, Seq("v"), "left_anti")
+        .join(coreLab.select(col("v").as("nbr"), col("cluster_id")), Seq("nbr"))
+        .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+      val allLab = coreLab.withColumn("is_core", lit(1L))
+        .unionByName(borderLab.withColumn("is_core", lit(0L)))
+      val per = allLab.groupBy(col("cluster_id"))
+        .agg(sum(col("is_core")).as("n_core"),
+          sum(lit(1L) - col("is_core")).as("n_border"))
+        .selectExpr("cluster_id", "n_core", "n_border",
+          "n_core + n_border AS n_points")
+      val noise = emb.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(allLab.agg(count(lit(1)).as("nl"))))
+        .selectExpr("CAST(-1 AS BIGINT) AS cluster_id", "CAST(0 AS BIGINT) AS n_core",
+          "CAST(0 AS BIGINT) AS n_border", "n - nl AS n_points")
+      per.unionByName(noise).orderBy(col("cluster_id"))
+    }, Some(s"""
+      WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sl AS (SELECT vec_id, v,
+               ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
+             FROM e ORDER BY h, vec_id LIMIT 4),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+                       v AS cv FROM sl),
+      a1 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, s.cid,
+                     round(list_cosine_similarity(e.v, s.cv), 6) AS cos_r
+                   FROM e CROSS JOIN seeds s)),
+      m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      d1 AS (SELECT cid, r.i AS i,
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
+             FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
+      c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
+      a2 AS (SELECT vec_id, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.v, c.cv), 6) AS cos_r
+                   FROM e CROSS JOIN c2 c)),
+      mem AS (SELECT a2.vec_id, a2.cid, e.v
+              FROM a2 JOIN e ON a2.vec_id = e.vec_id WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+      adj AS (SELECT id_a AS v, id_b AS nbr FROM pairs
+              UNION ALL SELECT id_b AS v, id_a AS nbr FROM pairs),
+      core AS (SELECT v FROM (SELECT v, count(*) AS nn FROM adj GROUP BY v)
+               WHERE nn >= 2),
+      cadj AS (SELECT a.v, a.nbr FROM adj a
+               WHERE a.v IN (SELECT v FROM core) AND a.nbr IN (SELECT v FROM core)),
+      reach AS (SELECT v, v AS r FROM core
+                UNION
+                SELECT c.v, reach.r FROM cadj c JOIN reach ON c.nbr = reach.v),
+      lab AS (SELECT v, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v),
+      blab AS (SELECT a.v, CAST(min(l.cluster_id) AS BIGINT) AS cluster_id
+               FROM adj a JOIN lab l ON a.nbr = l.v
+               WHERE a.v NOT IN (SELECT v FROM core)
+               GROUP BY a.v),
+      alllab AS (SELECT v, cluster_id, 1 AS is_core FROM lab
+                 UNION ALL SELECT v, cluster_id, 0 AS is_core FROM blab),
+      per AS (SELECT cluster_id, CAST(SUM(is_core) AS BIGINT) AS n_core,
+                     CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+              FROM alllab GROUP BY cluster_id)
+      SELECT cluster_id, n_core, n_border, n_core + n_border AS n_points
+      FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             (SELECT CAST(count(*) AS BIGINT) FROM e)
+               - (SELECT CAST(count(*) AS BIGINT) FROM alllab)
+      ORDER BY cluster_id"""))
   )
 }

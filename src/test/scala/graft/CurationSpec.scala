@@ -576,4 +576,21 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("ess_r") === 8.0)
     assert(r.getAs[Double]("ess_frac_r") === 1.0)
   }
+
+  test("density clusters: DBSCAN partition invariants hold on the fixture corpus") {
+    val rows = SparkEntry.queries("q258_density_clusters")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_core"),
+        r.getAs[Long]("n_border"), r.getAs[Long]("n_points")))
+    val (noise, clusters) = rows.partition(_._1 == -1L)
+    assert(noise.length === 1 && noise.head._2 === 0L && noise.head._3 === 0L)
+    // every real cluster has at least one core point and consistent totals
+    assert(clusters.nonEmpty)
+    assert(clusters.forall { case (_, c, b, p) => c >= 1L && c + b == p })
+    // core+border+noise partitions the corpus exactly
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(clusters.map(_._4).sum + noise.head._4 === n)
+    // cluster ids are core-point ids, so never collide with the noise label
+    assert(clusters.forall(_._1 >= 0L))
+  }
 }
