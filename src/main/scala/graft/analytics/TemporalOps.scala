@@ -1388,6 +1388,83 @@ object TemporalOps {
              CAST(sadj.seasonal AS BIGINT) AS seasonal_micros,
              CAST(tr.det - sadj.seasonal AS BIGINT) AS remainder_micros
       FROM tr JOIN sadj ON tr.slot = sadj.slot
-      ORDER BY day"""))
+      ORDER BY day""")),
+
+    // ---- exact single change-point of the daily event volume (binary
+    //      segmentation's first split, the two-segment special case of
+    //      PELT): the split i minimizing the two-segment SSE, i.e.
+    //      maximizing f(i) = SL²/nL + SR²/nR — both engines score every
+    //      candidate split on the FIXED MICRO GRID (BIGINT holds the
+    //      gridded score while S²·1e6/T < 9.2e18; beyond that corpus
+    //      size drop the multiplier — the integer part alone still
+    //      separates splits)
+    //      score = (SL²·nR + SR²·nL)·1e6 DIV (nL·nR)
+    //      (products in DECIMAL(38,0) — SL² alone can pass 2e11) and
+    //      take the gridded argmax with the earliest-day tie-break, so
+    //      the selected split is deterministic and engine-identical by
+    //      construction (the documented 1e-6-grid argmax, not an
+    //      infinite-precision one). Reports the split day, both segment
+    //      means in floored micros, and the gain over the unsplit
+    //      baseline S²/T on the same grid — the "did traffic actually
+    //      shift, and when" primitive the q182 CUSUM alarm only hints
+    //      at (CUSUM is sequential/online; this is the exact offline
+    //      locator). Scale shape: one corpus aggregate to the day
+    //      table; every window and the T−1 candidate rows are
+    //      span-bounded (the q184/q186 day-grain regime); argmax is a
+    //      TakeOrdered top-1.
+    ("q259_changepoint", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+        .groupBy(col("od")).agg(count(lit(1)).as("x"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("od"))
+      val tot = daily.agg(count(lit(1)).as("tn"), sum(col("x")).as("ts"))
+      daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("sl", sum(col("x")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("i") < col("tn")) // a split needs a non-empty right segment
+        .selectExpr("od AS split_od", "i AS n_left", "tn - i AS n_right",
+          "sl AS s_left", "ts - sl AS s_right", "tn", "ts")
+        .selectExpr("split_od", "n_left", "n_right",
+          "(s_left * 1000000) DIV n_left AS mean_left_micros",
+          "(s_right * 1000000) DIV n_right AS mean_right_micros",
+          """CAST((CAST(s_left AS DECIMAL(38,0)) * s_left * n_right
+                 + CAST(s_right AS DECIMAL(38,0)) * s_right * n_left)
+                * 1000000 DIV (CAST(n_left AS DECIMAL(38,0)) * n_right)
+             AS DECIMAL(38,0)) AS score_micro""",
+          """CAST(CAST(ts AS DECIMAL(38,0)) * ts * 1000000 DIV tn
+             AS DECIMAL(38,0)) AS base_micro""")
+        .selectExpr("split_od", "n_left", "n_right", "mean_left_micros",
+          "mean_right_micros", "CAST(score_micro AS BIGINT) AS score_micro",
+          "CAST(score_micro - base_micro AS BIGINT) AS gain_micro")
+        .orderBy(col("score_micro").desc, col("split_od")).limit(1)
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY od),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS tn, CAST(SUM(x) AS BIGINT) AS ts
+              FROM daily),
+      pre AS (SELECT od, CAST(row_number() OVER (ORDER BY od) AS BIGINT) AS i,
+                     CAST(SUM(x) OVER (ORDER BY od) AS BIGINT) AS sl
+              FROM daily),
+      cand AS (
+        SELECT od AS split_od, i AS n_left, tn - i AS n_right,
+               sl AS s_left, ts - sl AS s_right, tn, ts
+        FROM pre CROSS JOIN tot WHERE i < tn),
+      scored AS (
+        SELECT split_od, n_left, n_right,
+               (s_left * 1000000) // n_left AS mean_left_micros,
+               (s_right * 1000000) // n_right AS mean_right_micros,
+               (CAST(s_left AS HUGEINT) * s_left * n_right
+                  + CAST(s_right AS HUGEINT) * s_right * n_left)
+                 * 1000000 // (CAST(n_left AS HUGEINT) * n_right) AS score,
+               CAST(ts AS HUGEINT) * ts * 1000000 // tn AS base
+        FROM cand)
+      SELECT split_od, n_left, n_right, mean_left_micros, mean_right_micros,
+             CAST(score AS BIGINT) AS score_micro,
+             CAST(score - base AS BIGINT) AS gain_micro
+      FROM scored
+      ORDER BY score DESC, split_od LIMIT 1"""))
   )
 }

@@ -370,4 +370,24 @@ class TemporalOpsSpec extends SparkSpec {
       r.getAs[Long]("n_ties_y"), r.getAs[Long]("tau_sign"),
       r.getAs[Long]("tau2_micros")) === ((6L, 3L, 2L, 0L, 1L, 1L, 33333L)))
   }
+
+  test("changepoint locates the step in a hand series with exact gridded scores") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // daily volumes 1,1,5,5 → split after day 2:
+    // score = (2²·2 + 10²·2)·1e6 DIV 4 = 52e6; base = 12²·1e6 DIV 4 = 36e6
+    val dir = java.nio.file.Files.createTempDirectory("cp_fix").toString
+    val days = Seq("2024-01-01" -> 1, "2024-01-02" -> 1,
+      "2024-01-03" -> 5, "2024-01-04" -> 5)
+    days.zipWithIndex.flatMap { case ((d, n), i) =>
+      (1 to n).map(j => ((i * 10 + j).toLong, ts(s"$d 12:00:00"), 7L, "click", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q259_changepoint")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_left") === 2L && r.getAs[Long]("n_right") === 2L)
+    assert(r.getAs[Long]("mean_left_micros") === 1000000L)
+    assert(r.getAs[Long]("mean_right_micros") === 5000000L)
+    assert(r.getAs[Long]("score_micro") === 52000000L)
+    assert(r.getAs[Long]("gain_micro") === 16000000L)
+  }
 }
