@@ -224,13 +224,16 @@ object Quantiles {
     val bcum = withB.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
       .withColumn("cum_end", sum(col("c")).over(wB))
       .withColumn("cum_start", col("cum_end") - col("c"))
-    // cand and vt are ranks-sized (≤ a few rows) but sit upstream of
-    // multiple consumers: materialize them (Stage.mat) so the bucket-
-    // histogram pass runs ONCE instead of re-expanding per reference
+    // vt is ranks-sized (≤ a few rows) but sits upstream of multiple
+    // level-3 consumers: materialize it (Stage.mat) so levels 1–2 run
+    // ONCE instead of re-expanding per reference. cand stays lazy — its
+    // only consumer is vt's one job, and re-expanding the ≤1024-row
+    // bucket histogram twice inside that job is cheaper than an extra
+    // eager barrier.
     val rks = ranks.select(col(g).as("g"), col("t"), col("k"))
-    val cand = graft.Stage.mat(bcum.join(broadcast(rks), Seq("g"))
+    val cand = bcum.join(broadcast(rks), Seq("g"))
       .filter(col("cum_start") < col("k") && col("k") <= col("cum_end"))
-      .select(col("g"), col("t"), col("k"), col("b"), col("cum_start")))
+      .select(col("g"), col("t"), col("k"), col("b"), col("cum_start"))
     // level 2: distinct-value cumulation inside candidate buckets only
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g"), col("b")).orderBy(col("x"))

@@ -164,6 +164,44 @@ object TemporalOps {
       FROM folded ORDER BY event_type"""
   }
 
+  /** Day-grain event volumes — the shared series behind the
+    * change-point family (q259/q260).
+    */
+  private def dailyVolumes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+      .groupBy(col("od")).agg(count(lit(1)).as("x"))
+
+  /** The q259 two-segment SSE argmin over a (od, x) day table: one row
+    * (split_od, n_left, n_right, mean_left_micros, mean_right_micros,
+    * score_micro, gain_micro) — the 1e-6-grid argmax with earliest-day
+    * ties (see the q259 scaladoc for the exact arithmetic contract).
+    */
+  private def bestSplit(daily: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("od"))
+    val tot = daily.agg(count(lit(1)).as("tn"), sum(col("x")).as("ts"))
+    daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("sl", sum(col("x")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("i") < col("tn")) // a split needs a non-empty right segment
+      .selectExpr("od AS split_od", "i AS n_left", "tn - i AS n_right",
+        "sl AS s_left", "ts - sl AS s_right", "tn", "ts")
+      .selectExpr("split_od", "n_left", "n_right",
+        "(s_left * 1000000) DIV n_left AS mean_left_micros",
+        "(s_right * 1000000) DIV n_right AS mean_right_micros",
+        """CAST((CAST(s_left AS DECIMAL(38,0)) * s_left * n_right
+               + CAST(s_right AS DECIMAL(38,0)) * s_right * n_left)
+              * 1000000 DIV (CAST(n_left AS DECIMAL(38,0)) * n_right)
+           AS DECIMAL(38,0)) AS score_micro""",
+        """CAST(CAST(ts AS DECIMAL(38,0)) * ts * 1000000 DIV tn
+           AS DECIMAL(38,0)) AS base_micro""")
+      .selectExpr("split_od", "n_left", "n_right", "mean_left_micros",
+        "mean_right_micros", "CAST(score_micro AS BIGINT) AS score_micro",
+        "CAST(score_micro - base_micro AS BIGINT) AS gain_micro")
+      .orderBy(col("score_micro").desc, col("split_od")).limit(1)
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- inter-event gap dispersion (index of dispersion / CV² on
@@ -1413,31 +1451,7 @@ object TemporalOps {
     //      span-bounded (the q184/q186 day-grain regime); argmax is a
     //      TakeOrdered top-1.
     ("q259_changepoint", (s: SparkSession, dir: String) => {
-      val daily = Tables(s, dir).events
-        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
-        .groupBy(col("od")).agg(count(lit(1)).as("x"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("od"))
-      val tot = daily.agg(count(lit(1)).as("tn"), sum(col("x")).as("ts"))
-      daily
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("sl", sum(col("x")).over(w))
-        .crossJoin(broadcast(tot))
-        .filter(col("i") < col("tn")) // a split needs a non-empty right segment
-        .selectExpr("od AS split_od", "i AS n_left", "tn - i AS n_right",
-          "sl AS s_left", "ts - sl AS s_right", "tn", "ts")
-        .selectExpr("split_od", "n_left", "n_right",
-          "(s_left * 1000000) DIV n_left AS mean_left_micros",
-          "(s_right * 1000000) DIV n_right AS mean_right_micros",
-          """CAST((CAST(s_left AS DECIMAL(38,0)) * s_left * n_right
-                 + CAST(s_right AS DECIMAL(38,0)) * s_right * n_left)
-                * 1000000 DIV (CAST(n_left AS DECIMAL(38,0)) * n_right)
-             AS DECIMAL(38,0)) AS score_micro""",
-          """CAST(CAST(ts AS DECIMAL(38,0)) * ts * 1000000 DIV tn
-             AS DECIMAL(38,0)) AS base_micro""")
-        .selectExpr("split_od", "n_left", "n_right", "mean_left_micros",
-          "mean_right_micros", "CAST(score_micro AS BIGINT) AS score_micro",
-          "CAST(score_micro - base_micro AS BIGINT) AS gain_micro")
-        .orderBy(col("score_micro").desc, col("split_od")).limit(1)
+      bestSplit(dailyVolumes(s, dir))
     }, Some("""
       WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
@@ -1465,6 +1479,75 @@ object TemporalOps {
              CAST(score AS BIGINT) AS score_micro,
              CAST(score - base AS BIGINT) AS gain_micro
       FROM scored
-      ORDER BY score DESC, split_od LIMIT 1"""))
+      ORDER BY score DESC, split_od LIMIT 1""")),
+
+    // ---- segmented trend: per-segment OLS of daily volume on the day
+    //      index around the q259 split — quantifies WHAT changed at the
+    //      change-point (level vs slope): rows grp ∈ {all, left, right}
+    //      with the q140 normal-equation integers (slope/intercept
+    //      micros, signed r² micros). A split cutting a LEVEL shift
+    //      shows flat within-segment slopes with distant intercepts; a
+    //      trend break shows diverging slopes; an r² that collapses
+    //      from 'all' to the segments says one line was never the
+    //      right model. Same day-grain scale shape as q259 plus one
+    //      grouped sufficient-statistics aggregate.
+    ("q260_segmented_trend", (s: SparkSession, dir: String) => {
+      val daily = graft.Stage.mat(dailyVolumes(s, dir))
+      val split = bestSplit(daily).select(col("split_od"))
+      val seg = daily.crossJoin(broadcast(split))
+        .selectExpr("CASE WHEN od <= split_od THEN 'left' ELSE 'right' END AS grp",
+          "od", "x")
+        .unionByName(daily.selectExpr("'all' AS grp", "od", "x"))
+      StatsOps.olsMicros(seg, group = "grp", x = "od", y = "x")
+        .orderBy(col("grp"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY od),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS tn, CAST(SUM(x) AS BIGINT) AS ts
+              FROM daily),
+      pre AS (SELECT od, CAST(row_number() OVER (ORDER BY od) AS BIGINT) AS i,
+                     CAST(SUM(x) OVER (ORDER BY od) AS BIGINT) AS sl
+              FROM daily),
+      cand AS (
+        SELECT od AS split_od, i AS n_left, tn - i AS n_right,
+               sl AS s_left, ts - sl AS s_right, tn, ts
+        FROM pre CROSS JOIN tot WHERE i < tn),
+      best AS (
+        SELECT split_od
+        FROM (SELECT split_od,
+                     (CAST(s_left AS HUGEINT) * s_left * n_right
+                        + CAST(s_right AS HUGEINT) * s_right * n_left)
+                       * 1000000 // (CAST(n_left AS HUGEINT) * n_right) AS score
+              FROM cand)
+        ORDER BY score DESC, split_od LIMIT 1),
+      seg AS (
+        SELECT CASE WHEN d.od <= b.split_od THEN 'left' ELSE 'right' END AS grp,
+               d.od, d.x
+        FROM daily d CROSS JOIN best b
+        UNION ALL SELECT 'all' AS grp, od, x FROM daily),
+      sums AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               SUM(od) AS sx, SUM(x) AS sy, SUM(od * x) AS sxy,
+               SUM(od * od) AS sxx, SUM(x * x) AS syy
+        FROM seg GROUP BY grp),
+      t AS (
+        SELECT grp, n, sx, sy,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        FROM sums),
+      sl AS (
+        SELECT grp, n, num, denx, deny, sx, sy,
+               CAST((num * 1000000) // greatest(denx, 1) AS BIGINT) AS slope_micros
+        FROM t)
+      SELECT grp, n, slope_micros,
+             CAST((CAST(sy AS HUGEINT) * 1000000
+                   - CAST(slope_micros AS HUGEINT) * sx)
+                  // greatest(n, 1) AS BIGINT) AS intercept_micros,
+             CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
+             CAST((num * num * 1000000) // greatest(denx * deny, 1) AS BIGINT) AS r2_micros
+      FROM sl ORDER BY grp"""))
   )
 }

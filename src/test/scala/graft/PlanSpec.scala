@@ -306,6 +306,7 @@ class PlanSpec extends SparkSpec {
       "q193_ks_test" -> "range-bucket CDF histogram (≤1024 rows)",
       "q201_nelson_aalen" -> "day-grain hazard table — time-span-bounded",
       "q259_changepoint" -> "day-grain prefix sums — time-span-bounded",
+      "q260_segmented_trend" -> "day-grain prefix sums — time-span-bounded",
       "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
       "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
       "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")
