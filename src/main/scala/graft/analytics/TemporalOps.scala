@@ -1548,6 +1548,53 @@ object TemporalOps {
                   // greatest(n, 1) AS BIGINT) AS intercept_micros,
              CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) AS r_sign,
              CAST((num * num * 1000000) // greatest(denx * deny, 1) AS BIGINT) AS r2_micros
-      FROM sl ORDER BY grp"""))
+      FROM sl ORDER BY grp""")),
+
+    // ---- Hodges–Lehmann pseudo-median (1963) of the daily volume:
+    //      the lower median of the Walsh-average multiset
+    //      (x_i + x_j)/2 over i ≤ j — the location estimate behind the
+    //      Wilcoxon signed-rank test, with 29% breakdown and ~96%
+    //      efficiency at the normal: the robust-location family's
+    //      missing member beside the mean (q-OLS), median (q114), MAD
+    //      (q114) and winsorized mean (q148). Kept exact by carrying
+    //      DOUBLED sums (d = x_i + x_j — never a halved fraction) and
+    //      selecting the rank-⌈m/2⌉ order statistic of d (a VALUE, so
+    //      the arbitrary row_number order within ties cannot change
+    //      it — the q207 selection argument); hl_micros = d·5e5.
+    //      Scale shape: the q207 day-pair regime — O(days²) rows and
+    //      two span²-bounded rank windows, corpus contributes one
+    //      day aggregate.
+    ("q261_hodges_lehmann", (s: SparkSession, dir: String) => {
+      val daily = graft.Stage.mat(dailyVolumes(s, dir))
+      val walsh = daily.select(col("od"), col("x"))
+        .join(daily.selectExpr("od AS od2", "x AS x2"), expr("od <= od2"))
+        .selectExpr("x + x2 AS d")
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      walsh
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(expr("rn = (m + 1) DIV 2"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+        .selectExpr("n_days", "CAST(m AS BIGINT) AS n_pairs",
+          "d AS hl_doubled", "d * 500000 AS hl_micros")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY od),
+      walsh AS (
+        SELECT a.x + b.x AS d
+        FROM daily a JOIN daily b ON a.od <= b.od),
+      sel AS (
+        SELECT d FROM (
+          SELECT d, row_number() OVER (ORDER BY d) AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM walsh)
+        WHERE rn = (m + 1) // 2),
+      m2 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM walsh),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+      SELECT n_days, n_pairs, d AS hl_doubled, d * 500000 AS hl_micros
+      FROM sel CROSS JOIN m2 CROSS JOIN nd"""))
   )
 }

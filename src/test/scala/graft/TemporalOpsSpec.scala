@@ -389,5 +389,14 @@ class TemporalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_right_micros") === 5000000L)
     assert(r.getAs[Long]("score_micro") === 52000000L)
     assert(r.getAs[Long]("gain_micro") === 16000000L)
+
+    // same fixture, Hodges–Lehmann: Walsh multiset over volumes 1,1,5,5
+    // (i ≤ j, 10 pairs) = [2,2,2,6,6,6,6,10,10,10] → lower median at
+    // rank 5 is 6 → pseudo-median 3.0
+    val hl = SparkEntry.queries("q261_hodges_lehmann")(spark, dir).collect().head
+    assert(hl.getAs[Long]("n_days") === 4L)
+    assert(hl.getAs[Long]("n_pairs") === 10L)
+    assert(hl.getAs[Long]("hl_doubled") === 6L)
+    assert(hl.getAs[Long]("hl_micros") === 3000000L)
   }
 }
