@@ -461,6 +461,68 @@ object ScaleOps {
                    / CAST(n_tokens AS DOUBLE), 9) AS clock_r
       FROM t ORDER BY clock_r, doc_id LIMIT 100""")),
 
+    // ---- priority-sampling estimator (Duffield–Lund–Thorup 2007):
+    //      the q100 sampling loop CLOSED — a 100-item priority sample
+    //      (priorities q = w/u on the deterministic hash-uniform grid,
+    //      round-9 snapped; τ = the 101st priority) estimating the
+    //      population token total as Σ max(w_i, τ), the DLT unbiased
+    //      threshold estimator. Self-certifying: the estimate ships
+    //      beside the true total and the error in ppm, so the
+    //      correctness gate pins the whole chain (sample membership,
+    //      threshold, estimator arithmetic) and the row itself
+    //      demonstrates the estimator's accuracy at the fixture scale.
+    //      Doubles appear only in the snapped priority and the one
+    //      floor(max(w, τ)·1e6) per sampled row — identical IEEE ops
+    //      both engines (q100 discipline); sums are integer micros.
+    //      BIGINT holds true_total·1e6 below ~9.2e12 tokens; swap the
+    //      products to DECIMAL(38,0) beyond (the q259 note).
+    //
+    //      Scale shape: one corpus pass for priorities + a TakeOrdered
+    //      top-101; the estimator runs on the 100-row sample. At any
+    //      corpus size the only fact-scaled work is the scan.
+    ("q262_priority_estimator", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir).documents
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("w"))
+        .filter(col("doc_id").isNotNull && col("w") > 0)
+        .withColumn("q_r", round(col("w").cast("double") /
+          ((Sampling.hashBucketN(col("doc_id"), "prio", 1000000L).cast("double") + 0.5)
+            / 1000000.0), 9))
+        .transform(graft.Stage.mat) // feeds top-101 AND the true total
+      val top = graft.Stage.mat(
+        t.orderBy(col("q_r").desc, col("doc_id")).limit(101))
+      val tau = top.orderBy(col("q_r"), col("doc_id")).limit(1)
+        .selectExpr("q_r AS tau_r")
+      val est = top.orderBy(col("q_r").desc, col("doc_id")).limit(100)
+        .crossJoin(broadcast(tau))
+        .selectExpr(
+          "CAST(floor(greatest(CAST(w AS DOUBLE), tau_r) * 1000000) AS BIGINT) AS c_micros")
+        .agg(count(lit(1)).as("n_sample"), sum(col("c_micros")).as("est_total_micros"))
+      est.crossJoin(broadcast(t.agg(sum(col("w")).as("tt"))))
+        .selectExpr("n_sample", "est_total_micros",
+          "tt * 1000000 AS true_total_micros",
+          "abs(est_total_micros - tt * 1000000) * 1000000 DIV (tt * 1000000) AS abs_err_ppm")
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT) AS w,
+               round(CAST(len(regexp_split_to_array(text, '$ws+')) AS DOUBLE)
+                     / ((CAST(${Sampling.hashBucketNSql("doc_id", "prio", 1000000L)} AS DOUBLE) + 0.5)
+                        / 1000000.0), 9) AS q_r
+        FROM documents
+        WHERE doc_id IS NOT NULL
+          AND len(regexp_split_to_array(text, '$ws+')) > 0),
+      top AS (SELECT doc_id, w, q_r FROM t ORDER BY q_r DESC, doc_id LIMIT 101),
+      tau AS (SELECT q_r AS tau_r FROM top ORDER BY q_r, doc_id LIMIT 1),
+      samp AS (SELECT doc_id, w FROM top ORDER BY q_r DESC, doc_id LIMIT 100),
+      est AS (SELECT CAST(count(*) AS BIGINT) AS n_sample,
+                     CAST(SUM(CAST(floor(greatest(CAST(w AS DOUBLE), tau_r) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS est_total_micros
+              FROM samp CROSS JOIN tau),
+      tr AS (SELECT CAST(SUM(w) AS BIGINT) AS tt FROM t)
+      SELECT n_sample, est_total_micros, tt * 1000000 AS true_total_micros,
+             abs(est_total_micros - tt * 1000000) * 1000000 // (tt * 1000000) AS abs_err_ppm
+      FROM est CROSS JOIN tr""")),
+
     // ---- containment join (doc-in-doc): 25-token excerpts of every
     //      fixture doc are planted beside their sources; the asymmetric
     //      predicate |a∩b|/|a| >= 0.8 must recover every
