@@ -660,6 +660,36 @@ class StreamingSpec extends SparkSpec {
     assert(cnt <= 4L && 4L - cnt <= 3L && cnt >= 2L)
   }
 
+  test("streaming priority sample equals the batch draw across batches and a restart") {
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingPrioritySample.sample(
+      spark.readStream.schema("doc_id LONG, w LONG").json(src), n = 10, nBuckets = 4)
+      .toDF("bucket", "seen", "id", "w", "clock_r")
+    // the CurationSpec fixture: 500 light rows vs 100 heavy rows, split
+    // mid-stream so winning clocks arrive in BOTH queries
+    val all = (0 until 500).map(i => (i.toLong, 1L)) ++
+      (1000 until 1100).map(i => (i.toLong, 100L))
+    def line(r: (Long, Long)) = s"""{"doc_id":${r._1},"w":${r._2}}"""
+    writeOps(src, "w1.json", all.take(300).map(line))
+    drainOnce(mon, ckpt, dest)
+    writeOps(src, "w2.json", all.drop(300).map(line))
+    drainOnce(mon, ckpt, dest)
+    // current sample = each bucket's latest (max-seen) buffer, cut to the
+    // global top-10 by (clock, id) — the exactly-mergeable property
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val streamed = spark.read.parquet(dest)
+      .withColumn("mx", max(col("seen")).over(wB))
+      .filter(col("seen") === col("mx"))
+      .select(col("id"), col("clock_r"))
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, c) => (c, id) }.take(10).map(_._1).toSeq
+    val batch = graft.analytics.Sampling.prioritySample(
+        all.toDF("doc_id", "w"), weight = col("w"), n = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(streamed === batch,
+      "the live sample must equal the batch draw on the same rows")
+  }
+
   test("streaming media near-dup band buckets survive a checkpoint restart") {
     val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
     def mon = graft.stream.StreamingMediaNearDup.hammingPairs(
