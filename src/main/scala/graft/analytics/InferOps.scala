@@ -1866,6 +1866,82 @@ object InferOps {
                    * (SUM(d1) * 1000000 - SUM(e1_micros)))
                   // greatest(SUM(v_micros), 1) AS BIGINT)
       FROM et
-      ORDER BY t"""))
+      ORDER BY t""")),
+
+    // ---- split-conformal prediction interval (Papadopoulos et al.
+    //      2002; Vovk's inductive conformal form): hash-split orders
+    //      into train (h ≤ 5) / calibration (h ∈ {6,7}) / test
+    //      (h ≥ 8); model = per-priority truncating mean of the order
+    //      total on train; q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest
+    //      calibration residual |y − ŷ| — located by the scale-safe
+    //      Quantiles.pairRankSelect three-level range-bucket selection,
+    //      never a global sort — and the certified finite-sample
+    //      guarantee P(|y−ŷ| ≤ q̂) ≥ 0.9 is read back as the test-split
+    //      coverage in ppm (self-certifying: the one-row output carries
+    //      both the promise and the measurement). All arithmetic in
+    //      exact integer micros; the oracle replays the split, the
+    //      truncating means, the order statistic (plain ORDER BY — rank
+    //      selection is definitionally the same pair), and the coverage.
+    //
+    //      Scale shape: two broadcast joins of the 5-row model, one
+    //      rank selection whose windows are ≤1024-row bucket tables or
+    //      per-bucket slices, and two map-side-combined aggregates.
+    ("q266_conformal", (s: SparkSession, dir: String) => {
+      val base = graft.Stage.mat(Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_orderpriority").as("g"),
+        expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)").as("y"),
+        (graft.text.TextStats.portableHash64(
+          concat(lit("cp:"), col("o_orderkey").cast("string"))) % 10L).as("h")))
+      val model = base.filter(col("h") <= 5)
+        .groupBy(col("g")).agg(expr("SUM(y) DIV count(1)").as("yhat"))
+      val cal = graft.Stage.mat(base.filter(col("h").isin(6L, 7L))
+        .join(broadcast(model), Seq("g"))
+        .select(col("o_orderkey"), abs(col("y") - col("yhat")).as("r")))
+      val ranks = cal.agg(count(lit(1)).as("n_cal"))
+        .selectExpr("CAST(1 AS BIGINT) AS t",
+          "least(((n_cal + 1) * 9 + 9) DIV 10, n_cal) AS k", "n_cal")
+      val qh = Quantiles.pairRankSelect(cal, "r", "o_orderkey",
+        ranks.select(col("t"), col("k"))).selectExpr("bx AS qhat")
+      val cov = base.filter(col("h") >= 8).join(broadcast(model), Seq("g"))
+        .select(abs(col("y") - col("yhat")).as("r"))
+        .crossJoin(broadcast(qh))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_cov"))
+      base.filter(col("h") <= 5).agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(ranks.selectExpr("n_cal", "k AS k_rank")))
+        .crossJoin(broadcast(qh)).crossJoin(broadcast(cov))
+        .selectExpr("n_train", "n_cal", "n_test", "k_rank",
+          "qhat AS qhat_micros",
+          "(n_cov * 1000000) DIV greatest(n_test, 1) AS coverage_ppm")
+    }, Some {
+      val keyH = graft.text.TextStats.portableHash64Sql(
+        "concat('cp:', CAST(o_orderkey AS VARCHAR))")
+      s"""
+      WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS g,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS y,
+               $keyH % 10 AS h
+        FROM orders),
+      model AS (
+        SELECT g, CAST(SUM(y) // count(*) AS BIGINT) AS yhat
+        FROM base WHERE h <= 5 GROUP BY g),
+      cal AS (
+        SELECT abs(y - yhat) AS r
+        FROM base b JOIN model m ON b.g = m.g WHERE h IN (6, 7)),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+      kk AS (SELECT least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS k_rank, n_cal
+             FROM nc),
+      ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
+      qh AS (SELECT r AS qhat FROM ranked CROSS JOIN kk WHERE rn = k_rank),
+      cov AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(y - yhat) <= qhat THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cov
+        FROM base b JOIN model m ON b.g = m.g CROSS JOIN qh WHERE h >= 8),
+      tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM base WHERE h <= 5)
+      SELECT n_train, n_cal, n_test, k_rank, qhat AS qhat_micros,
+             (n_cov * 1000000) // greatest(n_test, 1) AS coverage_ppm
+      FROM tr CROSS JOIN kk CROSS JOIN qh CROSS JOIN cov"""
+    })
   )
 }

@@ -273,6 +273,41 @@ object StatsOps {
     means.unionByName(full).unionByName(lo).unionByName(hi).orderBy(col("b"))
   }
 
+  /** Paired sign-flip permutation core shared by q264/q265: from a
+    * per-group day-difference table (grp, od, d), the observed statistic
+    * S = Σd, B deterministic sign assignments per day from one portable
+    * hash expanded q213-style over p = 2³¹−1, and the add-one permutation
+    * p-value (1 + #{b: |S_b| ≥ |S|}) / (B+1), floored to ppm for display
+    * — callers needing exact comparisons (q265's BH step-up) use the
+    * returned integer (n_ge, n_perms) pair, never the floored ppm.
+    *
+    * Scale shape: the B-fold explode expands only the day-grain input
+    * (time-span-bounded) into ONE (grp, b)-group aggregate — map-side
+    * combined, no window, no sort. Σ|d| ≤ #days·max-day-volume keeps
+    * s_b in long range up to ~9e18 row-days.
+    */
+  def signFlipPermutation(dayDiffs: DataFrame, b: Int): DataFrame = {
+    require(b >= 1 && b <= 10000, s"permutation count must be in [1,10000], got $b")
+    val base = dayDiffs.withColumn("h",
+      TextStats.portableHash64(concat(lit("flip:"), col("grp"), lit(":"),
+        col("od").cast("string"))) % 2147483647L)
+    val obs = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"), sum(col("d")).as("s_obs"))
+    val perms = base.select(col("grp"), col("d"), col("h"),
+        explode(expr(s"sequence(1, $b)")).as("rb"))
+      .withColumn("sg", lit(1L) - lit(2L) *
+        expr("((h * (2 * rb + 1)) % 2147483647) % 2"))
+      .groupBy(col("grp"), col("rb"))
+      .agg(sum(col("sg") * col("d")).as("s_b"))
+    perms.join(broadcast(obs), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_days")).as("n_days"), max(col("s_obs")).as("s_obs"),
+        sum(when(abs(col("s_b")) >= abs(col("s_obs")), 1L).otherwise(0L)).as("n_ge"),
+        count(lit(1)).as("n_perms"))
+      .selectExpr("grp", "n_days", "s_obs", "n_perms", "n_ge",
+        "((1 + n_ge) * 1000000) DIV (n_perms + 1) AS p_ppm")
+  }
+
   /** Kruskal–Wallis H across k groups (Kruskal & Wallis 1952), with the
     * standard tie correction — the nonparametric k-group extension of
     * q124's Mann–Whitney rank sum: does at least one group's value
@@ -1293,6 +1328,142 @@ object StatsOps {
       UNION ALL SELECT CAST(-2 AS BIGINT), n_eff, mean_micros FROM ranked WHERE rk = 2
       UNION ALL SELECT CAST(-3 AS BIGINT), n_eff, mean_micros FROM ranked WHERE rk = 39
       ORDER BY b"""
+    }),
+
+    // ---- paired sign-flip permutation test (Fisher 1935's randomization
+    //      test in its exchangeable-pairs form), A/A-calibrated: users
+    //      hash-split into two cohorts, d_i = cohort-volume difference on
+    //      day i, observed statistic S = Σd_i, and B=200 deterministic
+    //      sign assignments s_{i,b} = 1−2·((h_i·(2b+1)) mod p mod 2) from
+    //      ONE portable day hash (the q213 multiplicative-congruential
+    //      expansion over p = 2³¹−1). p-value = (1 + #{b: |S_b| ≥ |S|})
+    //      / (B+1) — the standard add-one convention, an exact rational
+    //      the oracle replays bit-for-bit. Under the A/A split the test
+    //      is its own calibration: p should land well away from 0.
+    //
+    //      Scale shape: one map-side-combined day aggregate builds the
+    //      (day, d) table (time-span-bounded); the B-fold explode is
+    //      bounded-input row expansion feeding ONE B-group aggregate.
+    //      Nothing fact-scaled ever sorts or windows.
+    ("q264_signflip_permutation", (s: SparkSession, dir: String) => {
+      val dayDiffs = Tables(s, dir).events
+        .select(
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("od"),
+          (lit(1L) - lit(2L) * (TextStats.portableHash64(
+            concat(lit("pt:"), col("user_id").cast("string"))) % 2L)).as("w"))
+        .groupBy(col("od")).agg(sum(col("w")).as("d"))
+        .withColumn("grp", lit("all"))
+      signFlipPermutation(dayDiffs, b = 200).orderBy(col("grp"))
+    }, Some {
+      val userH = TextStats.portableHash64Sql(
+        "concat('pt:', CAST(user_id AS VARCHAR))")
+      val dayH = TextStats.portableHash64Sql(
+        "concat('flip:', grp, ':', CAST(od AS VARCHAR))")
+      s"""
+      WITH dd AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(SUM(1 - 2 * ($userH % 2)) AS BIGINT) AS d,
+               'all' AS grp
+        FROM events GROUP BY od),
+      base AS (SELECT grp, od, d, $dayH % 2147483647 AS h FROM dd),
+      obs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(SUM(d) AS BIGINT) AS s_obs
+              FROM base GROUP BY grp),
+      perms AS (
+        SELECT grp, rb,
+               CAST(SUM((1 - 2 * (((h * (2 * rb + 1)) % 2147483647) % 2)) * d)
+                 AS BIGINT) AS s_b
+        FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS rb)
+        GROUP BY grp, rb),
+      cnt AS (
+        SELECT p.grp,
+               CAST(count(*) FILTER (WHERE abs(s_b) >= abs(s_obs)) AS BIGINT) AS n_ge,
+               CAST(count(*) AS BIGINT) AS n_perms
+        FROM perms p JOIN obs o ON p.grp = o.grp GROUP BY p.grp)
+      SELECT o.grp, n_days, s_obs, n_perms, n_ge,
+             ((1 + n_ge) * 1000000) // (n_perms + 1) AS p_ppm
+      FROM obs o JOIN cnt c ON o.grp = c.grp
+      ORDER BY o.grp"""
+    }),
+
+    // ---- Benjamini-Hochberg FDR battery (Benjamini & Hochberg 1995):
+    //      one q264 sign-flip A/A test PER EVENT TYPE (independent day
+    //      hashes per group), then the BH step-up at q* = 0.05 over the
+    //      m per-type p-values. The step-up comparison runs on the EXACT
+    //      rational — (1+n_ge)·20·m ≤ rank·(B+1) ⟺ p ≤ rank·0.05/m —
+    //      never on the floored ppm display value, so the reject set is
+    //      bit-deterministic. Under A/A all m nulls are true, so the
+    //      expected reject count is ≤ q*·m — the battery certifies its
+    //      own false-discovery control.
+    //
+    //      Scale shape: everything per-type day-grain as in q264; the BH
+    //      rank window runs over the m-row p-value table (event-type
+    //      domain — catalog-sized, PlanSpec allowlist).
+    ("q265_fdr_bh", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayDiffs = Tables(s, dir).events
+        .select(col("event_type").as("grp"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("od"),
+          (lit(1L) - lit(2L) * (TextStats.portableHash64(
+            concat(lit("pt:"), col("user_id").cast("string"))) % 2L)).as("w"))
+        .groupBy(col("grp"), col("od")).agg(sum(col("w")).as("d"))
+      val res = graft.Stage.mat(signFlipPermutation(dayDiffs, b = 200))
+      val m = res.agg(count(lit(1)).as("m"))
+      val ranked = res.crossJoin(broadcast(m))
+        .withColumn("bh_rank", row_number().over(
+          Window.orderBy(col("n_ge"), col("grp"))).cast("long"))
+      val rmax = ranked.agg(max(when(
+        (lit(1L) + col("n_ge")) * 20L * col("m") <=
+          col("bh_rank") * (col("n_perms") + 1L), col("bh_rank"))).as("r_max"))
+      ranked.crossJoin(broadcast(rmax))
+        .selectExpr("grp", "n_days", "s_obs", "n_ge", "p_ppm", "m", "bh_rank",
+          """CAST(CASE WHEN r_max IS NOT NULL AND bh_rank <= r_max
+                  THEN 1 ELSE 0 END AS BIGINT) AS rejected""")
+        .orderBy(col("grp"))
+    }, Some {
+      val userH = TextStats.portableHash64Sql(
+        "concat('pt:', CAST(user_id AS VARCHAR))")
+      val dayH = TextStats.portableHash64Sql(
+        "concat('flip:', grp, ':', CAST(od AS VARCHAR))")
+      s"""
+      WITH dd AS (
+        SELECT event_type AS grp,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(SUM(1 - 2 * ($userH % 2)) AS BIGINT) AS d
+        FROM events GROUP BY grp, od),
+      base AS (SELECT grp, od, d, $dayH % 2147483647 AS h FROM dd),
+      obs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(SUM(d) AS BIGINT) AS s_obs
+              FROM base GROUP BY grp),
+      perms AS (
+        SELECT grp, rb,
+               CAST(SUM((1 - 2 * (((h * (2 * rb + 1)) % 2147483647) % 2)) * d)
+                 AS BIGINT) AS s_b
+        FROM base CROSS JOIN (SELECT unnest(range(1, 201)) AS rb)
+        GROUP BY grp, rb),
+      cnt AS (
+        SELECT p.grp,
+               CAST(count(*) FILTER (WHERE abs(s_b) >= abs(s_obs)) AS BIGINT) AS n_ge,
+               CAST(count(*) AS BIGINT) AS n_perms
+        FROM perms p JOIN obs o ON p.grp = o.grp GROUP BY p.grp),
+      pv AS (
+        SELECT o.grp, n_days, s_obs, n_ge, n_perms,
+               ((1 + n_ge) * 1000000) // (n_perms + 1) AS p_ppm
+        FROM obs o JOIN cnt c ON o.grp = c.grp),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+      ranked AS (
+        SELECT pv.*, m,
+               CAST(row_number() OVER (ORDER BY n_ge, grp) AS BIGINT) AS bh_rank
+        FROM pv CROSS JOIN mm),
+      rmax AS (
+        SELECT MAX(CASE WHEN (1 + n_ge) * 20 * m <= bh_rank * (n_perms + 1)
+                   THEN bh_rank END) AS r_max
+        FROM ranked)
+      SELECT grp, n_days, s_obs, n_ge, p_ppm, m, bh_rank,
+             CAST(CASE WHEN r_max IS NOT NULL AND bh_rank <= r_max
+                  THEN 1 ELSE 0 END AS BIGINT) AS rejected
+      FROM ranked CROSS JOIN rmax
+      ORDER BY grp"""
     })
   )
 }

@@ -202,6 +202,60 @@ object TemporalOps {
       .orderBy(col("score_micro").desc, col("split_od")).limit(1)
   }
 
+  /** Sample autocorrelation function + Ljung–Box portmanteau (Box &
+    * Pierce 1970, Ljung & Box 1978) over an ordered (od, x) day table —
+    * the serial-dependence audit every forecasting/monitoring pipeline
+    * runs before trusting an i.i.d. assumption (and the diagnostic
+    * behind the q226 Holt / q238 decomposition residual story).
+    *
+    * Exact arithmetic: with n = #days and T = Σx, the centered value
+    * scaled by n is c_t = n·x_t − T (exact integers — no rational mean),
+    * and because every ACF term carries the same n² factor it cancels:
+    *   rho_k = Σ_{t>k} c_t·c_{t−k} / Σ_t c_t²
+    * Emitted as sign(num)·((|num|·1e6) DIV den) — the engine's
+    * nonneg-numerator floor-division convention, identical in DuckDB.
+    * Ljung–Box through lag k, in the same micros discipline:
+    *   Q_k = n(n+2)·Σ_{j≤k} (rho_j_micros² DIV (n−j)) DIV 1e6.
+    *
+    * Scale shape: ONE map-side-combined day aggregate builds the series
+    * (time-span-bounded, never corpus-sized); the lag windows and the
+    * maxLag-row cumulation run on that bounded table (PlanSpec
+    * allowlist). DECIMAL(38,0) bounds: |c| ≤ n·max(x) ≲ 4e11 at 1e9
+    * rows/day over a decade of days, c² ≲ 1.6e23, den ≲ 6e26 — inside
+    * 38 digits; numerators ×1e6 still clear by five orders.
+    */
+  def acfLjungBox(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
+    val w = Window.orderBy(col("od"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val cent = daily.crossJoin(broadcast(tot))
+      .selectExpr("od", "n", "CAST(n * x - t AS DECIMAL(38,0)) AS c")
+    val lagged = cent.select(
+      Seq(col("n"), col("c")) ++
+        (1 to maxLag).map(k => lag(col("c"), k).over(w).as(s"c$k")): _*)
+    val aggs = Seq(max(col("n")).as("n"),
+      sum(expr("c * c")).cast("decimal(38,0)").as("den")) ++
+      (1 to maxLag).map(k =>
+        coalesce(sum(expr(s"c * c$k")), lit(0)).cast("decimal(38,0)").as(s"num$k"))
+    val sums = lagged.agg(aggs.head, aggs.tail: _*)
+    val stacked = sums.selectExpr("n", "den",
+      s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"CAST($k AS BIGINT), num$k").mkString(", ") +
+        ") AS (lag_k, num)")
+    val rho = stacked.selectExpr("lag_k", "n",
+      """CAST(CASE WHEN num < 0 THEN -((-num * 1000000) DIV greatest(den, 1))
+              ELSE (num * 1000000) DIV greatest(den, 1) END AS BIGINT)
+         AS rho_micros""")
+    rho
+      .withColumn("s2", sum(expr(
+        "(rho_micros * rho_micros) DIV greatest(n - lag_k, 1)"))
+        .over(Window.orderBy(col("lag_k"))))
+      .selectExpr("lag_k", "n", "rho_micros",
+        """CAST((CAST(n AS DECIMAL(38,0)) * (n + 2) * s2) DIV 1000000 AS BIGINT)
+           AS q_lb_micros""")
+      .orderBy(col("lag_k"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- inter-event gap dispersion (index of dispersion / CV² on
@@ -1595,6 +1649,62 @@ object TemporalOps {
       m2 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM walsh),
       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
       SELECT n_days, n_pairs, d AS hl_doubled, d * 500000 AS hl_micros
-      FROM sel CROSS JOIN m2 CROSS JOIN nd"""))
+      FROM sel CROSS JOIN m2 CROSS JOIN nd""")),
+
+    // ---- autocorrelation + Ljung-Box: rho_1..rho_7 of the daily
+    //      event-volume series in exact micros, plus the cumulative
+    //      Ljung-Box Q through each lag — the serial-dependence
+    //      diagnostic behind every i.i.d. assumption the monitoring
+    //      family (q111 spikes, q182 CUSUM, q226 Holt) quietly makes.
+    //      Arithmetic/scale contract in [[acfLjungBox]].
+    ("q263_acf_ljung_box", (s: SparkSession, dir: String) => {
+      acfLjungBox(graft.Stage.mat(dailyVolumes(s, dir)), maxLag = 7)
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY od),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+              FROM daily),
+      cent AS (SELECT od, n, CAST(n * x - t AS HUGEINT) AS c
+               FROM daily CROSS JOIN tot),
+      lagged AS (
+        SELECT n, c,
+               lag(c, 1) OVER (ORDER BY od) AS c1,
+               lag(c, 2) OVER (ORDER BY od) AS c2,
+               lag(c, 3) OVER (ORDER BY od) AS c3,
+               lag(c, 4) OVER (ORDER BY od) AS c4,
+               lag(c, 5) OVER (ORDER BY od) AS c5,
+               lag(c, 6) OVER (ORDER BY od) AS c6,
+               lag(c, 7) OVER (ORDER BY od) AS c7
+        FROM cent),
+      sums AS (
+        SELECT MAX(n) AS n, SUM(c * c) AS den,
+               coalesce(SUM(c * c1), 0) AS num1, coalesce(SUM(c * c2), 0) AS num2,
+               coalesce(SUM(c * c3), 0) AS num3, coalesce(SUM(c * c4), 0) AS num4,
+               coalesce(SUM(c * c5), 0) AS num5, coalesce(SUM(c * c6), 0) AS num6,
+               coalesce(SUM(c * c7), 0) AS num7
+        FROM lagged),
+      st AS (
+        SELECT n, den, CAST(k AS BIGINT) AS lag_k,
+               CASE k WHEN 1 THEN num1 WHEN 2 THEN num2 WHEN 3 THEN num3
+                      WHEN 4 THEN num4 WHEN 5 THEN num5 WHEN 6 THEN num6
+                      ELSE num7 END AS num
+        FROM sums CROSS JOIN (SELECT unnest(range(1, 8)) AS k)),
+      rho AS (
+        SELECT lag_k, n,
+               CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // greatest(den, 1))
+                    ELSE (num * 1000000) // greatest(den, 1) END AS BIGINT)
+                 AS rho_micros
+        FROM st),
+      q AS (
+        SELECT lag_k, n, rho_micros,
+               SUM((rho_micros * rho_micros) // greatest(n - lag_k, 1))
+                 OVER (ORDER BY lag_k) AS s2
+        FROM rho)
+      SELECT lag_k, n, rho_micros,
+             CAST((CAST(n AS HUGEINT) * (n + 2) * s2) // 1000000 AS BIGINT)
+               AS q_lb_micros
+      FROM q ORDER BY lag_k"""))
   )
 }

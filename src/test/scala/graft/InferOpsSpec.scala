@@ -491,4 +491,21 @@ class InferOpsSpec extends SparkSpec {
       ("zz_att", 3L, 3L, 23L, 0L, 0L),
       ("zz_unmatched", 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("split-conformal: the finite-sample coverage guarantee holds on the " +
+    "held-out split and the rank follows the ceil(0.9(n+1)) contract") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q266_conformal")(spark, dir).collect().head
+    val (nTrain, nCal, nTest) = (r.getAs[Long]("n_train"),
+      r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"))
+    assert(nTrain + nCal + nTest ===
+      spark.read.parquet(s"$dir/orders.parquet").count())
+    assert(r.getAs[Long]("k_rank") ===
+      math.min(((nCal + 1) * 9 + 9) / 10, nCal))
+    // the conformal guarantee is P(cover) ≥ 0.9 in expectation over
+    // splits; at n_test ≈ 300 the binomial noise band is ±5pp wide
+    val cov = r.getAs[Long]("coverage_ppm")
+    assert(cov >= 820000L && cov <= 1000000L, s"coverage_ppm=$cov")
+    assert(r.getAs[Long]("qhat_micros") > 0L)
+  }
 }

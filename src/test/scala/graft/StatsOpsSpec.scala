@@ -207,4 +207,37 @@ class StatsOpsSpec extends SparkSpec {
     // R2 = 8 each; s = 3·16 = 48; (12e6·48) DIV 24 − 3e6·2·4 = 0
     assert(zz.getLong(2) === 0L)
   }
+
+  test("sign-flip permutation: planted one-sided effect gets a small p, " +
+    "|S_b| never exceeds |S_obs| when every pair agrees") {
+    import spark.implicits._
+    // all day diffs strictly positive → S_obs = Σd is the maximum over
+    // every sign assignment, so n_ge counts exactly the all-+1 draws
+    // (prob 2^-10 per draw) and p lands near the 1/(B+1) floor
+    val dayDiffs = (1 to 10).map(i => ("all", i.toLong, 5L + i))
+      .toDF("grp", "od", "d")
+    val r = graft.analytics.StatsOps.signFlipPermutation(dayDiffs, b = 200)
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("s_obs") === (6L to 15L).sum)
+    assert(r.getAs[Long]("n_perms") === 200L)
+    assert(r.getAs[Long]("p_ppm") <= 100000L,
+      s"planted effect should reject: p_ppm=${r.getAs[Long]("p_ppm")}")
+    // determinism: the hash-seeded draws replay bit-for-bit
+    val r2 = graft.analytics.StatsOps.signFlipPermutation(dayDiffs, b = 200)
+      .collect().head
+    assert(r.getAs[Long]("n_ge") === r2.getAs[Long]("n_ge"))
+  }
+
+  test("BH step-up rejects a prefix of the p-ranked battery") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q265_fdr_bh")(spark, dir).collect()
+    val m = rows.length.toLong
+    assert(rows.map(_.getAs[Long]("m")).forall(_ === m))
+    assert(rows.map(_.getAs[Long]("bh_rank")).sorted === (1L to m).toArray)
+    // step-up property: the reject set is exactly ranks ≤ r_max
+    val rej = rows.filter(_.getAs[Long]("rejected") === 1L)
+      .map(_.getAs[Long]("bh_rank"))
+    if (rej.nonEmpty) assert(rej.sorted === (1L to rej.max).toArray)
+  }
 }

@@ -399,4 +399,34 @@ class TemporalOpsSpec extends SparkSpec {
     assert(hl.getAs[Long]("hl_doubled") === 6L)
     assert(hl.getAs[Long]("hl_micros") === 3000000L)
   }
+
+  test("acf matches the hand-computed alternating series, lags past n are zero") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // daily volumes 1,2,1,2,1,2: n=6, T=9, c_t = 6x−9 = ∓3 alternating,
+    // den = 6·9 = 54; num_k = (6−k)·(−9)^[k odd]·9^[k even] →
+    // rho = −45/54, 36/54, −27/54, 18/54, −9/54, then empty sums = 0
+    val dir = java.nio.file.Files.createTempDirectory("acf_fix").toString
+    val days = Seq("2024-02-01" -> 1, "2024-02-02" -> 2, "2024-02-03" -> 1,
+      "2024-02-04" -> 2, "2024-02-05" -> 1, "2024-02-06" -> 2)
+    days.zipWithIndex.flatMap { case ((d, n), i) =>
+      (1 to n).map(j => ((i * 10 + j).toLong, ts(s"$d 12:00:00"), 7L, "click", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q263_acf_ljung_box")(spark, dir)
+      .collect().map(r => r.getAs[Long]("lag_k") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("rho_micros"), r.getAs[Long]("q_lb_micros")))
+      .toMap
+    assert(rows.size === 7)
+    assert(rows(1L)._1 === 6L)
+    assert(rows.map { case (k, v) => k -> v._2 } ===
+      Map(1L -> -833333L, 2L -> 666666L, 3L -> -500000L, 4L -> 333333L,
+        5L -> -166666L, 6L -> 0L, 7L -> 0L))
+    // Ljung-Box is a cumulative sum of nonnegative terms: non-decreasing,
+    // and flat once the lagged sums go empty (the n−k=0 guard path)
+    val qs = (1 to 7).map(k => rows(k.toLong)._3)
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+    assert(qs(5) === qs(6))
+    assert(qs.head === 48L * (833333L * 833333L / 5L) / 1000000L)
+  }
 }
