@@ -416,6 +416,68 @@ object MiningOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- 2-D skyline (Pareto front; Börzsönyi et al. 2001's SKYLINE OF
+    //      operator): the parts no other part dominates under (price ↓,
+    //      size ↑) — dominated iff some part is no-worse on both axes
+    //      and strictly better on one. The sort-filter identity for two
+    //      dimensions: with msize(p) = max size at price p and
+    //      strictmax(p) = max size over strictly cheaper prices, a part
+    //      survives iff size = msize(price) AND size > strictmax(price)
+    //      (equal-price equal-size duplicates are mutually non-dominating
+    //      and all survive). The strict-prefix max runs the engine's
+    //      two-phase range decomposition — per-bucket maxima, one window
+    //      over the ≤1024-row bucket table, within-bucket prefix max
+    //      PARTITIONed BY bucket — never a global sort over the distinct-
+    //      price table (which for a continuous price domain is
+    //      corpus-sized). The oracle replays the identity with a plain
+    //      global ROWS-frame window, so hash equality doubles as the
+    //      decomposition-exactness proof (the scoreOrder convention).
+    ("q268_skyline", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables(s, dir).part.selectExpr("p_partkey",
+        "CAST(floor(p_retailprice * 1000000) AS BIGINT) AS price",
+        "CAST(p_size AS BIGINT) AS sz")
+      val mx = graft.Stage.mat(
+        p.groupBy(col("price")).agg(max(col("sz")).as("msize")))
+      val st = mx.agg(min(col("price")).as("mn"), max(col("price")).as("mx"))
+      val bucketed = mx.crossJoin(broadcast(st))
+        .withColumn("b", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(1023L),
+            floor((col("price") - col("mn")).cast("double") * 1024 /
+              (col("mx") - col("mn") + 1).cast("double")).cast("long"))))
+        .select(col("price"), col("msize"), col("b"))
+      val boff = bucketed.groupBy(col("b")).agg(max(col("msize")).as("bmax"))
+        .withColumn("pre", coalesce(
+          max(col("bmax")).over(Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+        .select(col("b"), col("pre"))
+      val wIn = Window.partitionBy(col("b")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pm = bucketed.join(broadcast(boff), Seq("b"))
+        .withColumn("strictmax",
+          greatest(coalesce(max(col("msize")).over(wIn), lit(-1L)), col("pre")))
+        .select(col("price"), col("msize"), col("strictmax"))
+      p.join(pm, Seq("price"))
+        .filter(col("sz") === col("msize") && col("sz") > col("strictmax"))
+        .selectExpr("p_partkey", "price AS price_micros", "sz AS p_size")
+        .orderBy(col("price_micros"), col("p_partkey"))
+    }, Some("""
+      WITH p AS (
+        SELECT p_partkey, CAST(floor(p_retailprice * 1000000) AS BIGINT) AS price,
+               CAST(p_size AS BIGINT) AS sz
+        FROM part),
+      mx AS (SELECT price, MAX(sz) AS msize FROM p GROUP BY price),
+      pm AS (
+        SELECT price, msize,
+               coalesce(MAX(msize) OVER (ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 AS strictmax
+        FROM mx)
+      SELECT p.p_partkey, p.price AS price_micros, p.sz AS p_size
+      FROM p JOIN pm ON p.price = pm.price
+      WHERE p.sz = pm.msize AND p.sz > pm.strictmax
+      ORDER BY price_micros, p_partkey""")),
+
     // ---- sorted-neighborhood ER: window-4 neighbors in normalized-
     //      prefix order, verified at banded lev <= 8 over the 64-char
     //      keys. The oracle replays the integer sort encoding, a plain

@@ -37,6 +37,108 @@ object ScaleOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- zone-map data-skipping advisor: the min/max-per-zone index a
+    //      parquet footer keeps, audited for BOTH the table's physical
+    //      layout (64 orderkey-range zones — insertion order) and the
+    //      counterfactual clustered layout (64 orderdate-range zones —
+    //      what a re-sort/Z-order would give). For the canonical
+    //      middle-third date-range predicate each zone reports
+    //      (n_rows, od_min, od_max, survives) and a CERTIFICATION
+    //      column n_match — matching rows physically inside the zone,
+    //      which the hash gate proves is 0 for every pruned zone (the
+    //      soundness of min/max skipping, checked not assumed). The zz
+    //      summary row per layout carries rows_total / rows_scanned /
+    //      zones_survived: at 100 TB this one table answers "is this
+    //      sort key worth maintaining?" — random insertion order scans
+    //      ~everything; the clustered layout scans ~⅓.
+    //
+    //      Scale shape: one stats broadcast + ONE map-side-combined
+    //      zone aggregate per layout over a shared materialized pass;
+    //      output is 2×64 zones + 2 summary rows. No window, no sort,
+    //      no fact-side shuffle beyond the 64-group aggregates.
+    ("q267_zonemap_advisor", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders.selectExpr("o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
+      val st = o.agg(min(col("od")).as("mn"), max(col("od")).as("mx"),
+        min(col("o_orderkey")).as("kmn"), max(col("o_orderkey")).as("kmx"))
+      val base = graft.Stage.mat(o.crossJoin(broadcast(st)).selectExpr(
+        "od",
+        "((o_orderkey - kmn) * 64) DIV (kmx - kmn + 1) AS z_phys",
+        "((od - mn) * 64) DIV (mx - mn + 1) AS z_clus",
+        "mn + (mx - mn) DIV 3 AS lo",
+        "mn + (2 * (mx - mn)) DIV 3 AS hi"))
+      def zones(zcol: String, layout: String) = base
+        .groupBy(col(zcol).as("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("od")).as("od_min"), max(col("od")).as("od_max"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(when(col("od").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_match"))
+        .selectExpr(s"'$layout' AS layout", "zone", "n_rows", "od_min",
+          "od_max",
+          """CAST(CASE WHEN od_max >= lo AND od_min <= hi
+                  THEN 1 ELSE 0 END AS BIGINT) AS survives""",
+          "n_match")
+      val per = graft.Stage.mat(
+        zones("z_phys", "physical").unionByName(zones("z_clus", "clustered")))
+      // zz summary per layout (q185 trailing-row convention): zone −1,
+      // n_rows = total rows, od_min = rows_scanned (Σ n_rows over
+      // surviving zones), od_max = zones survived, survives = −1,
+      // n_match = total matching rows
+      val zz = per.groupBy(col("layout")).agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("survives") === 1L, col("n_rows")).otherwise(0L)).as("od_min"),
+        sum(col("survives")).as("od_max"),
+        sum(col("n_match")).as("n_match"))
+        .selectExpr("layout", "CAST(-1 AS BIGINT) AS zone", "n_rows",
+          "od_min", "od_max", "CAST(-1 AS BIGINT) AS survives", "n_match")
+      per.unionByName(zz).orderBy(col("layout"), col("zone"))
+    }, Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS od
+        FROM orders),
+      st AS (SELECT MIN(od) AS mn, MAX(od) AS mx,
+                    MIN(o_orderkey) AS kmn, MAX(o_orderkey) AS kmx FROM o),
+      base AS (
+        SELECT od,
+               ((o_orderkey - kmn) * 64) // (kmx - kmn + 1) AS z_phys,
+               ((od - mn) * 64) // (mx - mn + 1) AS z_clus,
+               mn + (mx - mn) // 3 AS lo,
+               mn + (2 * (mx - mn)) // 3 AS hi
+        FROM o CROSS JOIN st),
+      zp AS (
+        SELECT 'physical' AS layout, z_phys AS zone,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               MIN(od) AS od_min, MAX(od) AS od_max,
+               MAX(lo) AS lo, MAX(hi) AS hi,
+               CAST(SUM(CASE WHEN od BETWEEN lo AND hi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_match
+        FROM base GROUP BY z_phys),
+      zc AS (
+        SELECT 'clustered' AS layout, z_clus AS zone,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               MIN(od) AS od_min, MAX(od) AS od_max,
+               MAX(lo) AS lo, MAX(hi) AS hi,
+               CAST(SUM(CASE WHEN od BETWEEN lo AND hi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_match
+        FROM base GROUP BY z_clus),
+      per AS (
+        SELECT layout, zone, n_rows, od_min, od_max,
+               CAST(CASE WHEN od_max >= lo AND od_min <= hi
+                    THEN 1 ELSE 0 END AS BIGINT) AS survives,
+               n_match
+        FROM (SELECT * FROM zp UNION ALL SELECT * FROM zc))
+      SELECT layout, zone, n_rows, od_min, od_max, survives, n_match FROM per
+      UNION ALL
+      SELECT layout, CAST(-1 AS BIGINT), CAST(SUM(n_rows) AS BIGINT),
+             CAST(SUM(CASE WHEN survives = 1 THEN n_rows ELSE 0 END) AS BIGINT),
+             CAST(SUM(survives) AS BIGINT), CAST(-1 AS BIGINT),
+             CAST(SUM(n_match) AS BIGINT)
+      FROM per GROUP BY layout
+      ORDER BY layout, zone""")),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

@@ -248,4 +248,39 @@ class MiningOpsSpec extends SparkSpec {
         r.getAs[Long]("n_dropped")))
     assert(out.toSeq === Seq((1L, 3L, 3L, 70L, 2L)))
   }
+
+  test("skyline keeps exactly the non-dominated parts, duplicates included") {
+    val dir = java.nio.file.Files.createTempDirectory("sky_fix").toString
+    // (price, size): 3 is the cheap small corner; 4 is dominated by 3
+    // (pricier, same size); 1 and 2 are equal-point duplicates (both
+    // survive — neither dominates the other); 5 is the big expensive
+    // corner; 6 shares 5's price with a smaller size (dominated).
+    Seq((1L, 10.0, 5), (2L, 10.0, 5), (3L, 5.0, 3),
+      (4L, 8.0, 3), (5L, 12.0, 7), (6L, 12.0, 6))
+      .map { case (k, pr, sz) => (k, s"part$k", "B", "T", sz, pr) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q268_skyline")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("p_size")))
+    assert(out.toSeq === Seq((3L, 3L), (1L, 5L), (2L, 5L), (5L, 7L)))
+  }
+
+  test("zone-map advisor: pruning is certified sound and clustering helps") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q267_zonemap_advisor")(spark, dir).collect()
+    val zones = rows.filter(_.getAs[Long]("zone") >= 0L)
+    // soundness: a pruned zone may contain NO matching rows
+    assert(zones.filter(_.getAs[Long]("survives") === 0L)
+      .forall(_.getAs[Long]("n_match") === 0L))
+    val zz = rows.filter(_.getAs[Long]("zone") === -1L)
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("od_min"), r.getAs[Long]("od_max"),
+          r.getAs[Long]("n_match"))).toMap
+    // both layouts index the same table: totals and match counts agree
+    assert(zz("physical")._1 === zz("clustered")._1)
+    assert(zz("physical")._4 === zz("clustered")._4)
+    // the clustered layout never scans more rows or keeps more zones
+    assert(zz("clustered")._2 <= zz("physical")._2)
+    assert(zz("clustered")._3 <= zz("physical")._3)
+  }
 }

@@ -325,6 +325,7 @@ class PlanSpec extends SparkSpec {
       "q261_hodges_lehmann" -> "day-pair Walsh multiset — span²-bounded at day grain (q207 regime)",
       "q263_acf_ljung_box" -> "day-grain lag windows + maxLag-row cumulation — time-span-bounded",
       "q265_fdr_bh" -> "BH rank over the m-row p-value table — event-type-domain-sized",
+      "q268_skyline" -> "price-range bucket-offset table (≤1024 rows; distinct-price prefix max per bucket)",
       "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
       "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
       "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")
