@@ -1657,7 +1657,65 @@ object EvalOps {
              CAST(0 AS BIGINT), CAST(SUM(iv_micros) AS BIGINT)
       FROM s2
       ORDER BY bin"""
-    })
+    }),
+
+    // ---- Krippendorff's alpha (nominal, 2 raters; Krippendorff 1970):
+    //      chance-corrected agreement with POOLED value marginals —
+    //      where q145's Cohen kappa corrects by each rater's OWN
+    //      marginal, alpha treats the 2N judgments as one value
+    //      population, which is the right correction when the "raters"
+    //      are interchangeable gates (here: the n_chars ≥ 300 length
+    //      gate vs the ≥ 55-whitespace-token gate judging the same
+    //      documents). Binary nominal closed form, all exact integers:
+    //        D_o = disagree / N
+    //        D_e = 2·n0·n1 / (M·(M−1)),  M = 2N pooled judgments
+    //        alpha_micros = 1e6 − (disagree·M·(M−1)·1e6)
+    //                             DIV (2·N·n0·n1)
+    //      (nonneg numerator/denominator — the floor-division
+    //      convention; alpha itself may go negative by exact
+    //      subtraction). DECIMAL(38,0) products hold to N ≈ 1e9.
+    //
+    //      Scale shape: ONE map-side-combined aggregate over a pure
+    //      two-gate projection; no join, no window.
+    ("q270_krippendorff", (s: SparkSession, dir: String) => {
+      Tables(s, dir).documents
+        .select((col("n_chars") >= 300L).cast("long").as("ra"),
+          (TextStats.tokenCount(col("text")).cast("long") >= 55L)
+            .cast("long").as("rb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra") =!= col("rb"), 1L).otherwise(0L)).as("n_disagree"),
+          sum(col("ra") + col("rb")).as("n1"))
+        .selectExpr("n AS n_units", "2 * n - n1 AS n0", "n1", "n_disagree",
+          "(n_disagree * 1000000) DIV n AS d_o_ppm",
+          """CAST((CAST(2 AS DECIMAL(38,0)) * (2 * n - n1) * n1 * 1000000)
+                DIV greatest(CAST(2 AS DECIMAL(38,0)) * n * (2 * n - 1), 1)
+              AS BIGINT) AS d_e_ppm""",
+          """1000000 - CAST((CAST(n_disagree AS DECIMAL(38,0)) * (2 * n)
+                             * (2 * n - 1) * 1000000)
+                DIV greatest(CAST(2 AS DECIMAL(38,0)) * n * (2 * n - n1) * n1, 1)
+              AS BIGINT) AS alpha_micros""")
+    }, Some(s"""
+      WITH g AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN len(regexp_split_to_array(text, '$ws+')) >= 55
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ra <> rb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_disagree,
+               CAST(SUM(ra + rb) AS BIGINT) AS n1
+        FROM g)
+      SELECT n AS n_units, 2 * n - n1 AS n0, n1, n_disagree,
+             (n_disagree * 1000000) // n AS d_o_ppm,
+             CAST((CAST(2 AS HUGEINT) * (2 * n - n1) * n1 * 1000000)
+                // greatest(CAST(2 AS HUGEINT) * n * (2 * n - 1), 1)
+                AS BIGINT) AS d_e_ppm,
+             1000000 - CAST((CAST(n_disagree AS HUGEINT) * (2 * n)
+                             * (2 * n - 1) * 1000000)
+                // greatest(CAST(2 AS HUGEINT) * n * (2 * n - n1) * n1, 1)
+                AS BIGINT) AS alpha_micros
+      FROM agg"""))
   )
 
   /** Weight-of-evidence / information-value binning (the credit-scoring

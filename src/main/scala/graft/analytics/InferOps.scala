@@ -1942,6 +1942,84 @@ object InferOps {
       SELECT n_train, n_cal, n_test, k_rank, qhat AS qhat_micros,
              (n_cov * 1000000) // greatest(n_test, 1) AS coverage_ppm
       FROM tr CROSS JOIN kk CROSS JOIN qh CROSS JOIN cov"""
+    }),
+
+    // ---- inverse-propensity off-policy evaluation (Horvitz & Thompson
+    //      1952; the bandit-replay form of Li et al. 2011): the logged
+    //      policy picks action a ∈ {0,1,2} per event from a hash draw
+    //      with KNOWN propensities (1/2, 1/3, 1/6) — so the importance
+    //      weights are the exact integers 2/3/6, no float division
+    //      anywhere — and the target policy is the deterministic rule
+    //      a* = user_id mod 3. Reward r(x,a) = v_micros·(a+1) is a known
+    //      function here, which makes the evaluation self-certifying:
+    //      the one-row output carries the IPS estimate, the
+    //      self-normalized SNIPS estimate, AND the true target value
+    //      (computable only because r is synthetic), with the IPS error
+    //      in ppm. Unbiasedness shows up as a small err_ips_ppm; SNIPS
+    //      trades a vanishing bias for variance (Swaminathan & Joachims
+    //      2015).
+    //
+    //      Scale shape: ONE map-side-combined aggregate over a pure
+    //      projection — no join, no window, no shuffle beyond the
+    //      single-row final combine.
+    ("q269_ips_offpolicy", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"),
+          (graft.text.TextStats.portableHash64(
+            concat(lit("act:"), col("event_id").cast("string"))) % 6L).as("u"))
+        .selectExpr("v", "user_id % 3 AS a_star",
+          """CASE WHEN u < 3 THEN CAST(0 AS BIGINT)
+                  WHEN u < 5 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(2 AS BIGINT) END AS a_log""",
+          """CASE WHEN u < 3 THEN CAST(2 AS BIGINT)
+                  WHEN u < 5 THEN CAST(3 AS BIGINT)
+                  ELSE CAST(6 AS BIGINT) END AS inv_p""")
+      base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a_log") === col("a_star"), 1L).otherwise(0L)).as("n_matched"),
+        sum(expr("v * (a_star + 1)")).as("s_true"),
+        sum(expr("CASE WHEN a_log = a_star THEN v * (a_log + 1) * inv_p ELSE 0 END"))
+          .as("s_ips"),
+        sum(expr("CASE WHEN a_log = a_star THEN inv_p ELSE 0 END")).as("w_ips"))
+        .selectExpr("n", "n_matched",
+          "s_true DIV n AS v_true_micros",
+          "s_ips DIV n AS v_ips_micros",
+          "s_ips DIV greatest(w_ips, 1) AS v_snips_micros",
+          """(abs(s_ips DIV n - s_true DIV n) * 1000000)
+             DIV greatest(s_true DIV n, 1) AS err_ips_ppm""")
+    }, Some {
+      val actH = graft.text.TextStats.portableHash64Sql(
+        "concat('act:', CAST(event_id AS VARCHAR))")
+      s"""
+      WITH base AS (
+        SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+               user_id % 3 AS a_star,
+               $actH % 6 AS u
+        FROM events WHERE user_id IS NOT NULL),
+      acts AS (
+        SELECT v, a_star,
+               CASE WHEN u < 3 THEN 0 WHEN u < 5 THEN 1 ELSE 2 END AS a_log,
+               CASE WHEN u < 3 THEN 2 WHEN u < 5 THEN 3 ELSE 6 END AS inv_p
+        FROM base),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a_log = a_star THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_matched,
+               CAST(SUM(v * (a_star + 1)) AS BIGINT) AS s_true,
+               CAST(SUM(CASE WHEN a_log = a_star
+                        THEN v * (a_log + 1) * inv_p ELSE 0 END) AS BIGINT)
+                 AS s_ips,
+               CAST(SUM(CASE WHEN a_log = a_star THEN inv_p ELSE 0 END)
+                 AS BIGINT) AS w_ips
+        FROM acts)
+      SELECT n, n_matched,
+             s_true // n AS v_true_micros,
+             s_ips // n AS v_ips_micros,
+             s_ips // greatest(w_ips, 1) AS v_snips_micros,
+             (abs(s_ips // n - s_true // n) * 1000000)
+               // greatest(s_true // n, 1) AS err_ips_ppm
+      FROM agg"""
     })
   )
 }

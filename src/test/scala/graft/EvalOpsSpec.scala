@@ -367,6 +367,25 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("cka_r") - 1.0) < 1e-5)
   }
 
+  test("Krippendorff alpha matches the hand-computed 2x2 gate table") {
+    import spark.implicits._
+    // (ra, rb) per doc: (1,1), (0,0), (1,0), (0,1) → N=4, disagree=2,
+    // n1=4, n0=4, M=8: D_o = 1/2, D_e = 32/56, alpha = 1 − (2·8·7·1e6)
+    // DIV (2·4·4·4)/1e6 = 1 − 0.875 = 0.125
+    val dir = java.nio.file.Files.createTempDirectory("kripp_fix").toString
+    def toks(k: Int) = Seq.fill(k)("w").mkString(" ")
+    Seq((1L, toks(60), 350L), (2L, toks(30), 200L),
+      (3L, toks(30), 350L), (4L, toks(60), 200L))
+      .map { case (id, t, nc) => (id, t, "en", "src", nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q270_krippendorff")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_units"), r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+      r.getAs[Long]("n_disagree"), r.getAs[Long]("d_o_ppm"),
+      r.getAs[Long]("d_e_ppm"), r.getAs[Long]("alpha_micros")) ===
+      ((4L, 4L, 4L, 2L, 500000L, 571428L, 125000L)))
+  }
+
   private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (d, x, t) => d -> (x, t) }.toMap

@@ -508,4 +508,17 @@ class InferOpsSpec extends SparkSpec {
     assert(cov >= 820000L && cov <= 1000000L, s"coverage_ppm=$cov")
     assert(r.getAs[Long]("qhat_micros") > 0L)
   }
+
+  test("IPS replay: the hash match rate sits at the mixture 1/3 and the " +
+    "estimate lands near the synthetic truth") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q269_ips_offpolicy")(spark, dir).collect().head
+    val (n, m) = (r.getAs[Long]("n"), r.getAs[Long]("n_matched"))
+    // P(a_log = a*) = (1/2 + 1/3 + 1/6)/3 = 1/3 when a* is ~uniform;
+    // at n = 1000 the binomial band is ±4.5pp at 3 sigma
+    assert(m * 1000 / n > 250 && m * 1000 / n < 420, s"match rate $m/$n")
+    assert(r.getAs[Long]("err_ips_ppm") < 300000L,
+      s"IPS should track truth: err=${r.getAs[Long]("err_ips_ppm")} ppm")
+    assert(r.getAs[Long]("v_snips_micros") > 0L)
+  }
 }
