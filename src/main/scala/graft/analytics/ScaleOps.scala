@@ -139,6 +139,163 @@ object ScaleOps {
       FROM per GROUP BY layout
       ORDER BY layout, zone""")),
 
+    // ---- Neyman-allocation stratified sample + Horvitz-Thompson total
+    //      (Neyman 1934): the optimal fixed-budget allocation
+    //      n_h ∝ N_h·σ_h, computed EXACTLY — the key identity is
+    //      N_h·σ_h = isqrt(N_h·Σv² − (Σv)²), so the allocation weight
+    //      needs one integer square root and no division. isqrt is the
+    //      double-sqrt-plus-adjust form: for V < 2⁵³ the double
+    //      represents V exactly and sqrt is correctly rounded, so the
+    //      ±1 CASE adjustment makes floor(√V) exact in BOTH engines
+    //      (values are price-thousandths to keep V = N·SS − S² inside
+    //      the 2⁵³ bound at any realistic stratum size; rescale again
+    //      past ~1e9 rows/stratum, the scaladoc'd escape). Budget 1000
+    //      splits by largest-remainder rounding (exact integer
+    //      remainders, stratum-name ties), capped at N_h. Selection is
+    //      the smallest-n_h rows of the (hash, orderkey) total order per
+    //      stratum, located by Quantiles.pairRankSelectBy — ONE
+    //      distributed pass for all strata, never a per-stratum corpus
+    //      sort (the oracle's plain partitioned row_number proves the
+    //      rank boundaries exact). The trailing rows certify the
+    //      estimator: zz_ht = Σ_h N_h·mean_h(sample) vs zz_true = Σx,
+    //      with the error in ppm carried on zz_ht.
+    ("q271_neyman_sample", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.Stage.mat(Tables(s, dir).orders.select(
+        col("o_orderpriority").as("g"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice / 1000) AS BIGINT)").as("vk"),
+        expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)").as("x"),
+        graft.text.TextStats.portableHash64(
+          concat(lit("ny:"), col("o_orderkey").cast("string"))).as("h")))
+      val per = base.groupBy(col("g")).agg(count(lit(1)).as("n_pop"),
+        sum(col("vk")).as("sv"), sum(col("vk") * col("vk")).as("ssv"))
+        .selectExpr("g", "n_pop", "n_pop * ssv - sv * sv AS vnum")
+        .selectExpr("g", "n_pop",
+          "CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT) AS s0", "vnum")
+        .selectExpr("g", "n_pop",
+          """CASE WHEN (s0 + 1) * (s0 + 1) <= vnum THEN s0 + 1
+                  WHEN s0 * s0 > vnum THEN s0 - 1 ELSE s0 END AS w_sigma""")
+      val tot = per.agg(sum(col("w_sigma")).as("ww"))
+      val alloc0 = per.crossJoin(broadcast(tot))
+        .selectExpr("g", "n_pop", "w_sigma",
+          "(1000 * w_sigma) DIV greatest(ww, 1) AS a0",
+          "(1000 * w_sigma) % greatest(ww, 1) AS rem")
+      val leftover = alloc0.agg((lit(1000L) - sum(col("a0"))).as("lv"))
+      val alloc = alloc0.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("g"))).cast("long"))
+        .selectExpr("g", "n_pop", "w_sigma",
+          "least(a0 + CASE WHEN rk <= lv THEN 1 ELSE 0 END, n_pop) AS n_alloc")
+        .transform(graft.Stage.mat)
+      val ranks = alloc.selectExpr("g", "CAST(1 AS BIGINT) AS t",
+        "n_alloc AS k")
+      val bounds = Quantiles.pairRankSelectBy(
+        base.select(col("g"), col("h"), col("o_orderkey")),
+        "g", "h", "o_orderkey", ranks)
+        .selectExpr("g", "bx", "bk")
+      val est = base.join(broadcast(bounds), Seq("g"))
+        .filter(col("h") < col("bx") ||
+          (col("h") === col("bx") && col("o_orderkey") <= col("bk")))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_got"), sum(col("x")).as("sx"))
+      val rows = alloc.join(est, Seq("g"), "left")
+        .selectExpr("g AS stratum", "n_pop", "w_sigma", "n_alloc",
+          "coalesce(n_got, 0) AS n_got",
+          """CAST(CAST(n_pop AS DECIMAL(38,0)) * coalesce(sx, 0)
+                DIV greatest(coalesce(n_got, 0), 1) AS BIGINT) AS ht_micros""")
+        .transform(graft.Stage.mat)
+      val truth = base.agg(sum(col("x")).as("t_true"),
+        count(lit(1)).as("n_all"))
+      val zz = rows.crossJoin(broadcast(truth)).agg(
+        max(col("t_true")).as("t_true"), max(col("n_all")).as("n_all"),
+        sum(col("n_pop")).as("np"), sum(col("n_alloc")).as("na"),
+        sum(col("n_got")).as("ng"), sum(col("ht_micros")).as("ht"))
+        .selectExpr(
+          "'zz_ht' AS stratum", "np AS n_pop",
+          """CAST((abs(CAST(ht AS DECIMAL(38,0)) - t_true) * 1000000)
+                DIV greatest(t_true, 1) AS BIGINT) AS w_sigma""",
+          "na AS n_alloc", "ng AS n_got", "ht AS ht_micros",
+          "t_true", "n_all")
+      val zz1 = zz.selectExpr("stratum", "n_pop", "w_sigma", "n_alloc",
+        "n_got", "ht_micros")
+      val zz2 = zz.selectExpr("'zz_true' AS stratum", "n_all AS n_pop",
+        "CAST(0 AS BIGINT) AS w_sigma", "CAST(0 AS BIGINT) AS n_alloc",
+        "CAST(0 AS BIGINT) AS n_got", "t_true AS ht_micros")
+      rows.unionByName(zz1).unionByName(zz2).orderBy(col("stratum"))
+    }, Some {
+      val keyH = graft.text.TextStats.portableHash64Sql(
+        "concat('ny:', CAST(o_orderkey AS VARCHAR))")
+      s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g, o_orderkey,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS vk,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS x,
+               $keyH AS h
+        FROM orders),
+      per AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(count(*) AS BIGINT) * SUM(vk * vk) - SUM(vk) * SUM(vk)
+                 AS vnum
+        FROM base GROUP BY g),
+      sq AS (
+        SELECT g, n_pop, vnum,
+               CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT) AS s0
+        FROM per),
+      ws AS (
+        SELECT g, n_pop,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= vnum THEN s0 + 1
+                    WHEN s0 * s0 > vnum THEN s0 - 1 ELSE s0 END AS w_sigma
+        FROM sq),
+      tot AS (SELECT CAST(SUM(w_sigma) AS BIGINT) AS ww FROM ws),
+      alloc0 AS (
+        SELECT g, n_pop, w_sigma,
+               (1000 * w_sigma) // greatest(ww, 1) AS a0,
+               (1000 * w_sigma) % greatest(ww, 1) AS rem
+        FROM ws CROSS JOIN tot),
+      lv AS (SELECT 1000 - CAST(SUM(a0) AS BIGINT) AS lv FROM alloc0),
+      alloc AS (
+        SELECT g, n_pop, w_sigma,
+               least(a0 + CASE WHEN row_number()
+                   OVER (ORDER BY rem DESC, g) <= lv THEN 1 ELSE 0 END,
+                 n_pop) AS n_alloc
+        FROM alloc0 CROSS JOIN lv),
+      sel AS (
+        SELECT b.g, b.x,
+               row_number() OVER (PARTITION BY b.g ORDER BY b.h, b.o_orderkey)
+                 AS rn, a.n_alloc
+        FROM base b JOIN alloc a ON b.g = a.g),
+      est AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_got,
+               CAST(SUM(x) AS BIGINT) AS sx
+        FROM sel WHERE rn <= n_alloc GROUP BY g),
+      rows_ AS (
+        SELECT a.g AS stratum, a.n_pop, a.w_sigma, a.n_alloc,
+               coalesce(e.n_got, 0) AS n_got,
+               CAST(CAST(a.n_pop AS HUGEINT) * coalesce(e.sx, 0)
+                    // greatest(coalesce(e.n_got, 0), 1) AS BIGINT)
+                 AS ht_micros
+        FROM alloc a LEFT JOIN est e ON a.g = e.g),
+      truth AS (SELECT CAST(SUM(x) AS BIGINT) AS t_true,
+                       CAST(count(*) AS BIGINT) AS n_all FROM base),
+      zz AS (
+        SELECT CAST(SUM(n_pop) AS BIGINT) AS np,
+               CAST(SUM(n_alloc) AS BIGINT) AS na,
+               CAST(SUM(n_got) AS BIGINT) AS ng,
+               CAST(SUM(ht_micros) AS BIGINT) AS ht,
+               MAX(t_true) AS t_true, MAX(n_all) AS n_all
+        FROM rows_ CROSS JOIN truth)
+      SELECT stratum, n_pop, w_sigma, n_alloc, n_got, ht_micros FROM rows_
+      UNION ALL
+      SELECT 'zz_ht', np,
+             CAST((abs(CAST(ht AS HUGEINT) - t_true) * 1000000)
+                  // greatest(t_true, 1) AS BIGINT),
+             na, ng, ht FROM zz
+      UNION ALL
+      SELECT 'zz_true', n_all, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), t_true FROM zz
+      ORDER BY stratum"""
+    }),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

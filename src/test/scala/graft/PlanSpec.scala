@@ -326,6 +326,7 @@ class PlanSpec extends SparkSpec {
       "q263_acf_ljung_box" -> "day-grain lag windows + maxLag-row cumulation — time-span-bounded",
       "q265_fdr_bh" -> "BH rank over the m-row p-value table — event-type-domain-sized",
       "q268_skyline" -> "price-range bucket-offset table (≤1024 rows; distinct-price prefix max per bucket)",
+      "q271_neyman_sample" -> "largest-remainder rank over the stratum-domain allocation table (5 rows)",
       "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
       "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
       "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")

@@ -64,4 +64,22 @@ class QuantilesSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(g#") || p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("Neyman sample: budget lands exactly, boundaries realize the " +
+    "allocation, the HT estimate tracks the truth") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q271_neyman_sample")(spark, dir).collect()
+    val strata = rows.filter(r => !r.getAs[String]("stratum").startsWith("zz_"))
+    // largest-remainder rounding exhausts the budget exactly, and the
+    // pairRankSelectBy boundary yields EXACTLY n_alloc rows per stratum
+    assert(strata.map(_.getAs[Long]("n_alloc")).sum === 1000L)
+    assert(strata.forall(r =>
+      r.getAs[Long]("n_got") === r.getAs[Long]("n_alloc")))
+    val zz = rows.find(_.getAs[String]("stratum") == "zz_ht").get
+    assert(zz.getAs[Long]("n_got") === 1000L)
+    // 1000 of 1500 rows sampled: the stratified HT total must sit very
+    // close to the truth (deterministic; generous 10% band)
+    assert(zz.getAs[Long]("w_sigma") < 100000L,
+      s"HT err ppm ${zz.getAs[Long]("w_sigma")}")
+  }
 }
