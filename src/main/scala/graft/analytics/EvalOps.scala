@@ -1715,7 +1715,63 @@ object EvalOps {
                              * (2 * n - 1) * 1000000)
                 // greatest(CAST(2 AS HUGEINT) * n * (2 * n - n1) * n1, 1)
                 AS BIGINT) AS alpha_micros
-      FROM agg"""))
+      FROM agg""")),
+
+    // ---- diagonal-Mahalanobis embedding outliers: per-dimension
+    //      standardized squared distance Σ_j (x_j − μ_j)²/σ_j², top-10
+    //      by score — the anisotropy-aware outlier audit (plain L2
+    //      treats every dimension as equally scaled; embedding dims are
+    //      not). Exact integers through the n-scaling identity:
+    //      (x − μ)²/σ² = (n·x − S)² / (n·SS − S²) — both n² factors
+    //      cancel, so each per-dim term is (n·x − S)²·1e6 DIV vn in
+    //      DECIMAL(38,0) (floored per term, summed after; |n·x| ≤ 1e15
+    //      at 1e9 vectors keeps the square inside 38 digits).
+    //
+    //      Scale shape: one posexplode pass → d-row dimension stats
+    //      (map-side combined, broadcast back) → per-vector sum →
+    //      TakeOrderedAndProject top-10. No window, no fact-side sort.
+    ("q272_mahalanobis_outliers", (s: SparkSession, dir: String) => {
+      val xq = graft.Stage.mat(Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .selectExpr("vec_id", "label", "CAST(i0 + 1 AS BIGINT) AS j",
+          "CAST(floor(CAST(xf AS DOUBLE) * 1000000) AS BIGINT) AS x"))
+      val stats = xq.groupBy(col("j")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ssx"))
+        .selectExpr("j", "n", "sx",
+          "CAST(n AS DECIMAL(38,0)) * ssx - CAST(sx AS DECIMAL(38,0)) * sx AS vn")
+      xq.join(broadcast(stats), Seq("j"))
+        .selectExpr("vec_id", "label",
+          """CAST((CAST(n AS DECIMAL(38,0)) * x - sx)
+                * (CAST(n AS DECIMAL(38,0)) * x - sx) * 1000000
+                DIV greatest(vn, 1) AS BIGINT) AS term_ppm""")
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("term_ppm")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("vec_id")).limit(10)
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      ix AS (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS j
+             FROM e),
+      xq AS (SELECT vec_id, label, CAST(j AS BIGINT) AS j,
+                    CAST(floor(list_extract(v, j) * 1000000) AS BIGINT) AS x
+             FROM ix),
+      st AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS BIGINT) AS sx,
+                    SUM(CAST(x AS HUGEINT) * x) AS ssx
+             FROM xq GROUP BY j),
+      vv AS (SELECT j, n, sx,
+                    CAST(n AS HUGEINT) * ssx - CAST(sx AS HUGEINT) * sx AS vn
+             FROM st),
+      sc AS (SELECT vec_id, label,
+                    CAST(SUM((CAST(n AS HUGEINT) * x - sx)
+                             * (CAST(n AS HUGEINT) * x - sx) * 1000000
+                             // greatest(vn, 1)) AS BIGINT) AS score_ppm
+             FROM xq JOIN vv ON xq.j = vv.j GROUP BY vec_id, label)
+      SELECT vec_id, label, score_ppm FROM sc
+      ORDER BY score_ppm DESC, vec_id LIMIT 10"""))
   )
 
   /** Weight-of-evidence / information-value binning (the credit-scoring

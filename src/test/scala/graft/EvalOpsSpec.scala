@@ -386,6 +386,19 @@ class EvalOpsSpec extends SparkSpec {
       ((4L, 4L, 4L, 2L, 500000L, 571428L, 125000L)))
   }
 
+  test("Mahalanobis outliers match the hand-standardized 2-D triangle") {
+    import spark.implicits._
+    // micros per dim: [0, 5e5, 0] and [0, 0, 5e5] → per dim vn = 5e11,
+    // terms (3x−S)²·1e6/vn: center 5e5, spike 2e6 → scores 1e6 / 2.5e6
+    val dir = java.nio.file.Files.createTempDirectory("maha_fix").toString
+    Seq((1L, Array(0f, 0f), 0), (2L, Array(0.5f, 0f), 0), (3L, Array(0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q272_mahalanobis_outliers")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_ppm")))
+    assert(out.toSeq === Seq((2L, 2500000L), (3L, 2500000L), (1L, 1000000L)))
+  }
+
   private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (d, x, t) => d -> (x, t) }.toMap
