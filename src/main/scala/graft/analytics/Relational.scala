@@ -509,6 +509,44 @@ object Relational {
       SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
              CAST(SUM(rev) AS BIGINT) AS rev_micros,
              CAST(CAST(SUM(rev) AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
-      FROM cls GROUP BY cls, tot ORDER BY cls"""))
+      FROM cls GROUP BY cls, tot ORDER BY cls""")),
+
+    // ---- PIVOT (cross-tab): day-of-week × event-type count matrix via
+    //      RelationalGroupedDataset.pivot with an EXPLICIT value list —
+    //      the two-job value-discovery pass Spark otherwise runs is the
+    //      thing to avoid at 100 TB, and a fixed column contract is what
+    //      a warehouse schema wants anyway. Day-of-week from pure epoch
+    //      arithmetic (((od + 3) % 7) + 1, 1 = Monday) — never the
+    //      engine dayofweek() whose week-start convention differs
+    //      between Spark and DuckDB. Plan: ONE partial+final hash
+    //      aggregate over (dow, type) — the pivot is a projection shape,
+    //      not extra shuffles.
+    ("q273_pivot_matrix", (s: SparkSession, dir: String) => {
+      Tables(s, dir).events
+        .selectExpr(
+          "((CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) + 3) % 7) + 1 AS dow",
+          "event_type")
+        .groupBy(col("dow"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumn("n_total", col("click") + col("error") + col("purchase") +
+          col("signup") + col("view"))
+        .orderBy(col("dow"))
+    }, Some("""
+      WITH base AS (
+        SELECT ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7) + 1
+                 AS dow,
+               event_type
+        FROM events)
+      SELECT CAST(dow AS BIGINT) AS dow,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+             CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+             CAST(count(*) FILTER (WHERE event_type IN
+               ('click', 'error', 'purchase', 'signup', 'view')) AS BIGINT) AS n_total
+      FROM base GROUP BY dow ORDER BY dow"""))
   )
 }

@@ -1706,5 +1706,58 @@ object TemporalOps {
              CAST((CAST(n AS HUGEINT) * (n + 2) * s2) // 1000000 AS BIGINT)
                AS q_lb_micros
       FROM q ORDER BY lag_k"""))
+  ,
+
+    // ---- rolling active users (DAU / WAU-7 / MAU-28): the product
+    //      engagement triple. Exact distributed form: dedup to the
+    //      user-day table once, then each user-day CONTRIBUTES to the w
+    //      window-end days [d, d+w−1] — a bounded explode (≤28×) feeding
+    //      one count-DISTINCT-user aggregate per window, which Spark
+    //      runs as the standard two-phase distinct (partial dedup
+    //      map-side). No window function, no per-day rescans, no
+    //      fact-side sort — the day-grain result joins on the bounded
+    //      day axis. The alternative — a distinct-count over a sliding
+    //      range frame — doesn't exist in either engine, and the naive
+    //      per-day semi-join rescans the corpus 30×.
+    ("q274_active_users", (s: SparkSession, dir: String) => {
+      val ud = graft.Stage.mat(Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .selectExpr(
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od",
+          "user_id")
+        .distinct())
+      val span = ud.agg(min(col("od")).as("mn"), max(col("od")).as("mx"))
+      def windowed(w: Int, name: String) = ud
+        .select(explode(expr(s"sequence(od, od + ${w - 1})")).as("e"),
+          col("user_id"))
+        .groupBy(col("e"))
+        .agg(countDistinct(col("user_id")).as(name))
+      windowed(1, "dau")
+        .join(windowed(7, "wau"), Seq("e"))
+        .join(windowed(28, "mau"), Seq("e"))
+        .crossJoin(broadcast(span))
+        .filter(col("e").between(col("mn"), col("mx")))
+        .selectExpr("e AS od", "dau", "wau", "mau")
+        .orderBy(col("od"))
+    }, Some("""
+      WITH ud AS (
+        SELECT DISTINCT
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                 AS od,
+               user_id
+        FROM events WHERE user_id IS NOT NULL),
+      span AS (SELECT MIN(od) AS mn, MAX(od) AS mx FROM ud),
+      dau AS (SELECT od AS e, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+              FROM ud GROUP BY od),
+      wau AS (SELECT e, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+              FROM (SELECT unnest(range(od, od + 7)) AS e, user_id FROM ud)
+              GROUP BY e),
+      mau AS (SELECT e, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+              FROM (SELECT unnest(range(od, od + 28)) AS e, user_id FROM ud)
+              GROUP BY e)
+      SELECT d.e AS od, d.dau, w.wau, m.mau
+      FROM dau d JOIN wau w ON d.e = w.e JOIN mau m ON d.e = m.e
+      CROSS JOIN span WHERE d.e BETWEEN mn AND mx
+      ORDER BY od"""))
   )
 }

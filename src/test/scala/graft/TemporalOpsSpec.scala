@@ -429,4 +429,44 @@ class TemporalOpsSpec extends SparkSpec {
     assert(qs(5) === qs(6))
     assert(qs.head === 48L * (833333L * 833333L / 5L) / 1000000L)
   }
+
+  test("pivot matrix buckets the epoch day-of-week and ignores unknown types") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("piv_fix").toString
+    // 2024-02-05 was a Monday (dow 1), 2024-02-06 a Tuesday (dow 2)
+    Seq((1L, ts("2024-02-05 09:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-02-05 10:00:00"), 2L, "click", 0.0, "{}"),
+      (3L, ts("2024-02-05 11:00:00"), 3L, "view", 0.0, "{}"),
+      (4L, ts("2024-02-06 11:00:00"), 1L, "purchase", 0.0, "{}"),
+      (5L, ts("2024-02-06 12:00:00"), 1L, "weird", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q273_pivot_matrix")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("click"),
+        r.getAs[Long]("view"), r.getAs[Long]("purchase"), r.getAs[Long]("n_total")))
+    assert(out.toSeq === Seq((1L, 2L, 1L, 0L, 3L), (2L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("active users: DAU ≤ WAU ≤ MAU and the window accumulates exactly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("au_fix").toString
+    // users {1,2} on day 1, {1} on day 2, {3} on day 9 (outside the
+    // 7-day window of day 2 but inside day 9's own)
+    Seq((1L, "2024-03-01", 1L), (2L, "2024-03-01", 2L),
+      (3L, "2024-03-02", 1L), (4L, "2024-03-09", 3L))
+      .map { case (id, d, u) => (id, ts(s"$d 12:00:00"), u, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q274_active_users")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("od"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Long]("mau")))
+    val byDay = out.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val d0 = out.map(_._1).min
+    assert(byDay(d0) === ((2L, 2L, 2L)))      // day 1
+    assert(byDay(d0 + 1) === ((1L, 2L, 2L)))  // day 2: window carries user 2
+    assert(byDay(d0 + 8) === ((1L, 1L, 3L)))  // day 9: WAU forgot days 1-2
+    assert(out.forall(t => t._2 <= t._3 && t._3 <= t._4))
+  }
 }
