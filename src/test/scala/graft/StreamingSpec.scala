@@ -704,4 +704,36 @@ class StreamingSpec extends SparkSpec {
     // from band-bucket state; 0xFF00 is ≥10 bits from both — no false pair
     assert(got === Set((1L, 2L, 1)))
   }
+
+  test("streaming zone map equals the batch index across batches and a restart") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingZoneMap.maintain(
+      spark.readStream.schema("zone LONG, v LONG").json(src),
+      col("zone"), col("v"))
+      .toDF("zone", "n_rows", "v_min", "v_max")
+    // zone 0 spans both waves (its min arrives in wave 1, its max in
+    // wave 2 — the live index must fold across the restart); zone 1 is
+    // wave-2-only
+    writeOps(src, "w1.json", Seq(
+      """{"zone":0,"v":100}""", """{"zone":0,"v":40}"""))
+    drainOnce(mon, ckpt, dest)
+    writeOps(src, "w2.json", Seq(
+      """{"zone":0,"v":250}""", """{"zone":1,"v":7}"""))
+    drainOnce(mon, ckpt, dest)
+    val wZ = org.apache.spark.sql.expressions.Window.partitionBy(col("zone"))
+    val live = spark.read.parquet(dest)
+      .withColumn("mx", max(col("n_rows")).over(wZ))
+      .filter(col("n_rows") === col("mx"))
+      .select(col("zone"), col("n_rows"), col("v_min"), col("v_max"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // exactly-mergeable state ⇒ the drained index EQUALS the batch
+    // aggregate over the same rows, arrival order and restart included
+    val batch = Seq((0L, 100L), (0L, 40L), (0L, 250L), (1L, 7L))
+      .toDF("zone", "v").groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(live === batch)
+  }
 }
