@@ -2020,6 +2020,100 @@ object InferOps {
              (abs(s_ips // n - s_true // n) * 1000000)
                // greatest(s_true // n, 1) AS err_ips_ppm
       FROM agg"""
+    }),
+
+    // ---- sharp regression discontinuity (Thistlethwaite & Campbell
+    //      1960; Imbens & Lemieux 2008's local-linear form): order value
+    //      regressed on order date in a ±(span DIV 6)-day bandwidth
+    //      around the midpoint cutoff, one OLS per side, jump = the
+    //      difference of the two boundary intercepts. The fixture's
+    //      order date is independent of price, so this is the A/A
+    //      calibration reading: jump ≈ 0 against a ~150k-micro price
+    //      scale IS the finding (the estimator doesn't hallucinate a
+    //      discontinuity). All sufficient statistics in exact integers;
+    //      slope and intercept use the toward-zero signed division both
+    //      engines replay (CASE on the sign, floor on the nonneg
+    //      magnitude — the house convention for signed numerators);
+    //      DECIMAL(38,0) cross products hold to 1e9 rows per side.
+    //
+    //      Scale shape: ONE map-side-combined aggregate per side over a
+    //      bandwidth-filtered projection. No join, no window.
+    ("q275_regression_discontinuity", (s: SparkSession, dir: String) => {
+      def sdiv(num: String, den: String) =
+        s"""CAST(CASE WHEN ($num) < 0
+               THEN -((-($num)) DIV greatest($den, 1))
+               ELSE ($num) DIV greatest($den, 1) END AS BIGINT)"""
+      val o = Tables(s, dir).orders.selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS od",
+        "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS y")
+      val span = o.agg(min(col("od")).as("mn"), max(col("od")).as("mx"))
+        .selectExpr("(mn + mx + 1) DIV 2 AS c", "(mx - mn) DIV 6 AS h")
+      val sides = o.crossJoin(broadcast(span))
+        .filter(col("od").between(col("c") - col("h"), col("c") + col("h") - 1))
+        .withColumn("side", when(col("od") < col("c"), lit("l")).otherwise(lit("r")))
+        .selectExpr("side", "c", "h", "od - c AS x", "y")
+        .groupBy(col("side"))
+        .agg(max(col("c")).as("c"), max(col("h")).as("h"),
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .selectExpr("side", "c", "h", "n", "sx", "sy",
+          s"""${sdiv("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy",
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")}
+             AS b_micros""")
+        .selectExpr("side", "c", "h", "n", "b_micros",
+          s"""${sdiv("CAST(sy AS DECIMAL(38,0)) - CAST(b_micros AS DECIMAL(38,0)) * sx",
+            "CAST(n AS DECIMAL(38,0))")} AS a_micros""")
+        .transform(graft.Stage.mat)
+      val l = sides.filter(col("side") === "l").selectExpr("c", "h",
+        "n AS n_left", "b_micros AS slope_left", "a_micros AS a_left")
+      val r = sides.filter(col("side") === "r").selectExpr(
+        "n AS n_right", "b_micros AS slope_right", "a_micros AS a_right")
+      l.crossJoin(broadcast(r))
+        .selectExpr("c AS cutoff_od", "h AS h_days", "n_left", "n_right",
+          "slope_left", "slope_right", "a_left", "a_right",
+          "a_right - a_left AS jump_micros")
+    }, Some {
+      def sdiv(num: String, den: String) =
+        s"""CAST(CASE WHEN ($num) < 0
+               THEN -((-($num)) // greatest($den, 1))
+               ELSE ($num) // greatest($den, 1) END AS BIGINT)"""
+      s"""
+      WITH o AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS od,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS y
+        FROM orders),
+      span AS (SELECT (MIN(od) + MAX(od) + 1) // 2 AS c,
+                      (MAX(od) - MIN(od)) // 6 AS h FROM o),
+      sides AS (
+        SELECT CASE WHEN od < c THEN 'l' ELSE 'r' END AS side,
+               MAX(c) AS c, MAX(h) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(od - c) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(od - c AS HUGEINT) * (od - c)) AS sxx,
+               SUM(CAST(od - c AS HUGEINT) * y) AS sxy
+        FROM o CROSS JOIN span
+        WHERE od BETWEEN c - h AND c + h - 1
+        GROUP BY 1),
+      bb AS (
+        SELECT side, c, h, n, sx, sy,
+               ${sdiv("CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy",
+          "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx")} AS b_micros
+        FROM sides),
+      aa AS (
+        SELECT side, c, h, n, b_micros,
+               ${sdiv("CAST(sy AS HUGEINT) - CAST(b_micros AS HUGEINT) * sx",
+          "CAST(n AS HUGEINT)")} AS a_micros
+        FROM bb)
+      SELECT l.c AS cutoff_od, l.h AS h_days,
+             l.n AS n_left, r.n AS n_right,
+             l.b_micros AS slope_left, r.b_micros AS slope_right,
+             l.a_micros AS a_left, r.a_micros AS a_right,
+             r.a_micros - l.a_micros AS jump_micros
+      FROM (SELECT * FROM aa WHERE side = 'l') l
+      CROSS JOIN (SELECT * FROM aa WHERE side = 'r') r"""
     })
   )
 }

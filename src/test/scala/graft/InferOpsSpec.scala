@@ -521,4 +521,27 @@ class InferOpsSpec extends SparkSpec {
       s"IPS should track truth: err=${r.getAs[Long]("err_ips_ppm")} ppm")
     assert(r.getAs[Long]("v_snips_micros") > 0L)
   }
+
+  test("regression discontinuity recovers a planted step at the cutoff") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // span 2024-01-01..01-12 → cutoff 01-07, bandwidth 1 day each side;
+    // flat 10.0 on the left-day, flat 30.0 on the right-day → slopes 0,
+    // boundary intercepts 1e7/3e7 micros, jump 2e7
+    val dir = java.nio.file.Files.createTempDirectory("rd_fix").toString
+    Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-12", 7.0),
+      (3L, "2024-01-06", 10.0), (4L, "2024-01-06", 10.0),
+      (5L, "2024-01-07", 30.0), (6L, "2024-01-07", 30.0))
+      .map { case (k, d, p) => (k, 1L, "O", p, ts(s"$d 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q275_regression_discontinuity")(spark, dir)
+      .collect().head
+    assert((r.getAs[Long]("h_days"), r.getAs[Long]("n_left"),
+      r.getAs[Long]("n_right"), r.getAs[Long]("slope_left"),
+      r.getAs[Long]("slope_right"), r.getAs[Long]("a_left"),
+      r.getAs[Long]("a_right"), r.getAs[Long]("jump_micros")) ===
+      ((1L, 2L, 2L, 0L, 0L, 10000000L, 30000000L, 20000000L)))
+  }
 }
