@@ -296,6 +296,79 @@ object ScaleOps {
       ORDER BY stratum"""
     }),
 
+    // ---- quantile-sketch certification: Spark's percentile_approx
+    //      (Greenwald-Khanna) at accuracy 1000 carries a rank-error
+    //      contract of ±n/1000; this query CHECKS it — per (priority,
+    //      p ∈ {50, 90, 99}) the sketch value must lie between the
+    //      EXACT order statistics at ranks k ∓ (2n/1000 + 1) (2×
+    //      headroom + ceil slack), located scale-safe by
+    //      Quantiles.pairRankSelectBy in one grouped pass. The
+    //      q41/q81/q84 certification-oracle pattern: the sketch value
+    //      itself is algorithm-specific (DuckDB can't replay GK), so the
+    //      hashed output carries the exact bounds and the BOOLEAN
+    //      verdict, which the oracle computes as the same bounds plus
+    //      literal TRUE — a hash match proves the sketch honored its
+    //      contract at this scale. The governance table for "when is the
+    //      ±ε sketch allowed instead of the exact q119 path".
+    ("q276_sketch_cert", (s: SparkSession, dir: String) => {
+      val base = graft.Stage.mat(Tables(s, dir).orders.select(
+        col("o_orderpriority").as("g"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)").as("y")))
+      val probes = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .select(col("g"), col("n"),
+          explode(expr("array(50L, 90L, 99L)")).as("p_pct"))
+        .selectExpr("g", "n", "p_pct",
+          "(n * p_pct + 99) DIV 100 AS kc", "(2 * n) DIV 1000 + 1 AS tol")
+        .selectExpr("g", "n", "p_pct", "kc",
+          "greatest(1, kc - tol) AS klo", "least(n, kc + tol) AS khi")
+        .transform(graft.Stage.mat)
+      val ranks = probes.selectExpr("g", "p_pct * 10 AS t", "klo AS k")
+        .unionByName(probes.selectExpr("g", "p_pct * 10 + 1 AS t", "khi AS k"))
+      val sel = Quantiles.pairRankSelectBy(base, "g", "y", "o_orderkey", ranks)
+        .groupBy(col("g")).pivot("t",
+          Seq(500, 501, 900, 901, 990, 991)).agg(max(col("bx")))
+      val sketch = base.groupBy(col("g"))
+        .agg(expr("percentile_approx(y, array(0.5D, 0.9D, 0.99D), 1000)")
+          .as("sk"))
+      probes.join(broadcast(sel), Seq("g")).join(broadcast(sketch), Seq("g"))
+        .selectExpr("g AS grp", "p_pct", "n", "kc AS k_rank",
+          """CASE p_pct WHEN 50 THEN `500` WHEN 90 THEN `900`
+             ELSE `990` END AS lo_micros""",
+          """CASE p_pct WHEN 50 THEN `501` WHEN 90 THEN `901`
+             ELSE `991` END AS hi_micros""",
+          """CASE p_pct WHEN 50 THEN sk[0] WHEN 90 THEN sk[1]
+             ELSE sk[2] END AS skv""")
+        .selectExpr("grp", "p_pct", "n", "k_rank", "lo_micros", "hi_micros",
+          "skv >= lo_micros AND skv <= hi_micros AS within_bounds")
+        .orderBy(col("grp"), col("p_pct"))
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS g, o_orderkey,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS y
+        FROM orders),
+      nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY g),
+      probes AS (
+        SELECT g, n, CAST(p_pct AS BIGINT) AS p_pct,
+               (n * p_pct + 99) // 100 AS kc,
+               (2 * n) // 1000 + 1 AS tol
+        FROM nn CROSS JOIN (SELECT unnest([50, 90, 99]) AS p_pct)),
+      pr AS (SELECT g, n, p_pct, kc,
+                    greatest(1, kc - tol) AS klo, least(n, kc + tol) AS khi
+             FROM probes),
+      ranked AS (
+        SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y, o_orderkey)
+                 AS rn
+        FROM base),
+      sel AS (
+        SELECT pr.g, pr.p_pct, pr.n, pr.kc,
+               MIN(CASE WHEN rn = klo THEN y END) AS lo_micros,
+               MIN(CASE WHEN rn = khi THEN y END) AS hi_micros
+        FROM pr JOIN ranked r ON pr.g = r.g AND (rn = klo OR rn = khi)
+        GROUP BY pr.g, pr.p_pct, pr.n, pr.kc)
+      SELECT g AS grp, p_pct, n, kc AS k_rank, lo_micros, hi_micros,
+             TRUE AS within_bounds
+      FROM sel ORDER BY grp, p_pct""")),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

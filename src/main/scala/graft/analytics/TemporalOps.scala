@@ -1758,6 +1758,118 @@ object TemporalOps {
       SELECT d.e AS od, d.dau, w.wau, m.mau
       FROM dau d JOIN wau w ON d.e = w.e JOIN mau m ON d.e = m.e
       CROSS JOIN span WHERE d.e BETWEEN mn AND mx
-      ORDER BY od"""))
+      ORDER BY od""")),
+
+    // ---- distributed-lag (lead-lag) regression between two event
+    //      series (Almon 1965's distributed-lag model in its
+    //      single-regressor exact form): beta_k = regression coefficient
+    //      of purchase volume at day t+k on click volume at day t, for
+    //      k ∈ [−7, +7] over the zero-filled day spine — the
+    //      "does clicking LEAD purchasing, and by how many days" readout
+    //      the q263 ACF can't answer (it's one series). The q263
+    //      n-scaling applies per series and the n² factor cancels in
+    //      beta = Σ cx·cy⁺ᵏ / Σ cx² — one denominator, so no sqrt and no
+    //      num² blowup (the reason beta, not the CCF rho, is the exact
+    //      integer form here; |num|·1e6 ≲ 6e31 stays inside
+    //      DECIMAL(38,0) at decade spans × 1e9 rows/day). Sign-safe
+    //      toward-zero division, micros output.
+    //
+    //      Scale shape: two day-grain aggregates + one bounded day-spine
+    //      window block (PlanSpec allowlist); the ±7 lead columns read
+    //      off ONE shared sort.
+    ("q277_leadlag_beta", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .selectExpr(
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od",
+          "event_type")
+        .groupBy(col("od"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val span = daily.agg(min(col("od")).as("mn"), max(col("od")).as("mx"))
+      val spine = span.select(explode(expr("sequence(mn, mx)")).as("od"))
+        .join(daily, Seq("od"), "left")
+        .selectExpr("od", "coalesce(x, 0) AS x", "coalesce(y, 0) AS y")
+        .transform(graft.Stage.mat)
+      val tot = spine.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("tx"), sum(col("y")).as("ty"))
+      val w = Window.orderBy(col("od"))
+      val cent = spine.crossJoin(broadcast(tot))
+        .selectExpr("od", "n", "CAST(n * x - tx AS DECIMAL(38,0)) AS cx",
+          "CAST(n * y - ty AS DECIMAL(38,0)) AS cy")
+      val shifted = cent.select(
+        Seq(col("n"), col("cx")) ++ (-7 to 7).map { k =>
+          val c = if (k >= 0) lead(col("cy"), k) else lag(col("cy"), -k)
+          c.over(w).as(s"cy_${if (k < 0) "m" + (-k) else "p" + k}")
+        }: _*)
+      val aggs = Seq(max(col("n")).as("n"),
+        sum(expr("cx * cx")).cast("decimal(38,0)").as("dx")) ++
+        (-7 to 7).map { k =>
+          val nm = if (k < 0) "m" + (-k) else "p" + k
+          coalesce(sum(expr(s"cx * cy_$nm")), lit(0))
+            .cast("decimal(38,0)").as(s"num_$nm")
+        }
+      val sums = shifted.agg(aggs.head, aggs.tail: _*)
+      sums.selectExpr("n", "dx",
+        s"stack(15, " + (-7 to 7).map { k =>
+          val nm = if (k < 0) "m" + (-k) else "p" + k
+          s"CAST($k AS BIGINT), num_$nm"
+        }.mkString(", ") + ") AS (lag_k, num)")
+        .selectExpr("lag_k", "n",
+          """CAST(CASE WHEN num < 0 THEN -((-num * 1000000) DIV greatest(dx, 1))
+                  ELSE (num * 1000000) DIV greatest(dx, 1) END AS BIGINT)
+             AS beta_micros""")
+        .orderBy(col("lag_k"))
+    }, Some {
+      val shifts = (-7 to 7).map { k =>
+        val nm = if (k < 0) "m" + (-k) else "p" + k
+        if (k >= 0) s"lead(cy, $k) OVER (ORDER BY od) AS cy_$nm"
+        else s"lag(cy, ${-k}) OVER (ORDER BY od) AS cy_$nm"
+      }.mkString(",\n               ")
+      val nums = (-7 to 7).map { k =>
+        val nm = if (k < 0) "m" + (-k) else "p" + k
+        s"coalesce(SUM(cx * cy_$nm), 0) AS num_$nm"
+      }.mkString(",\n               ")
+      val cases = (-7 to 7).map { k =>
+        val nm = if (k < 0) "m" + (-k) else "p" + k
+        s"WHEN $k THEN num_$nm"
+      }.mkString(" ")
+      s"""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                 AS od,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY od),
+      span AS (SELECT MIN(od) AS mn, MAX(od) AS mx FROM daily),
+      spine AS (
+        SELECT g.od, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+        FROM (SELECT unnest(range(mn, mx + 1)) AS od FROM span) g
+        LEFT JOIN daily d ON g.od = d.od),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tx,
+                     CAST(SUM(y) AS BIGINT) AS ty FROM spine),
+      cent AS (SELECT od, n, CAST(n * x - tx AS HUGEINT) AS cx,
+                      CAST(n * y - ty AS HUGEINT) AS cy
+               FROM spine CROSS JOIN tot),
+      shifted AS (
+        SELECT n, cx,
+               $shifts
+        FROM cent),
+      sums AS (
+        SELECT MAX(n) AS n, SUM(cx * cx) AS dx,
+               $nums
+        FROM shifted),
+      st AS (
+        SELECT n, dx, CAST(k AS BIGINT) AS lag_k,
+               CASE k $cases END AS num
+        FROM sums CROSS JOIN (SELECT unnest(range(-7, 8)) AS k))
+      SELECT lag_k, n,
+             CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // greatest(dx, 1))
+                  ELSE (num * 1000000) // greatest(dx, 1) END AS BIGINT)
+               AS beta_micros
+      FROM st ORDER BY lag_k"""
+    })
   )
 }

@@ -324,6 +324,7 @@ class PlanSpec extends SparkSpec {
       "q260_segmented_trend" -> "day-grain prefix sums — time-span-bounded",
       "q261_hodges_lehmann" -> "day-pair Walsh multiset — span²-bounded at day grain (q207 regime)",
       "q263_acf_ljung_box" -> "day-grain lag windows + maxLag-row cumulation — time-span-bounded",
+      "q277_leadlag_beta" -> "day-spine lead/lag windows — time-span-bounded",
       "q265_fdr_bh" -> "BH rank over the m-row p-value table — event-type-domain-sized",
       "q268_skyline" -> "price-range bucket-offset table (≤1024 rows; distinct-price prefix max per bucket)",
       "q271_neyman_sample" -> "largest-remainder rank over the stratum-domain allocation table (5 rows)",

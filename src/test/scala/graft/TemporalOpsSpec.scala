@@ -469,4 +469,25 @@ class TemporalOpsSpec extends SparkSpec {
     assert(byDay(d0 + 8) === ((1L, 1L, 3L)))  // day 9: WAU forgot days 1-2
     assert(out.forall(t => t._2 <= t._3 && t._3 <= t._4))
   }
+
+  test("lead-lag beta matches the hand series and zeroes past the overlap") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // clicks x = [1,0,0,1], purchases y = [0,1,0,1] over 4 spine days:
+    // cx = [2,−2,−2,2], cy = [−2,2,−2,2], dx = 16 →
+    // beta(0) = 0, beta(+1) = 4e6 DIV 16 = 250000, beta(−1) = −250000
+    val dir = java.nio.file.Files.createTempDirectory("ccf_fix").toString
+    Seq((1L, "2024-04-01", "click"), (2L, "2024-04-02", "purchase"),
+      (3L, "2024-04-04", "click"), (4L, "2024-04-04", "purchase"))
+      .map { case (id, d, t) => (id, ts(s"$d 12:00:00"), 1L, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q277_leadlag_beta")(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag_k") -> r.getAs[Long]("beta_micros")).toMap
+    assert(rows.size === 15)
+    assert(rows(0L) === 0L)
+    assert(rows(1L) === 250000L)
+    assert(rows(-1L) === -250000L)
+    assert((4 to 7).forall(k => rows(k.toLong) === 0L && rows(-k.toLong) === 0L))
+  }
 }
