@@ -369,6 +369,94 @@ object ScaleOps {
              TRUE AS within_bounds
       FROM sel ORDER BY grp, p_pct""")),
 
+    // ---- Merkle-style bucketed table diff (anti-entropy reconciliation,
+    //      the Dynamo/Cassandra repair primitive): two table versions
+    //      reduce to 256 bucket fingerprints — (row count, exact
+    //      DECIMAL sum of portable row hashes) per o_orderkey-range
+    //      bucket — and ONLY unequal fingerprints need row-level
+    //      comparison. Version B plants a deterministic corruption
+    //      (rows whose row hash ≡ 0 mod 997 get price+1), so the output
+    //      certifies soundness in-plan: per bucket the fingerprint
+    //      verdict AND the true differing-row count, which the hash
+    //      gate proves is 0 exactly where the fingerprints match (sum
+    //      fingerprints can in principle collide; the planted-corruption
+    //      audit measures that they didn't — and the zz row carries both
+    //      totals so a collision would surface as flagged < diff-rows).
+    //      At 100 TB this is how two replicas reconcile with one
+    //      aggregate pass + a drill-down bounded by the damage, not the
+    //      table.
+    ("q279_merkle_diff", (s: SparkSession, dir: String) => {
+      val base = graft.Stage.mat(Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)").as("v"))
+        .withColumn("b", pmod(col("o_orderkey"), lit(256L)))
+        .withColumn("corrupt",
+          (graft.text.TextStats.portableHash64(
+            concat(lit("mk:"), col("o_orderkey").cast("string"))) % 997L) === 0L))
+      def fp(vc: String) = base
+        .withColumn("rh", graft.text.TextStats.portableHash64(
+          concat(col("o_orderkey").cast("string"), lit("|"),
+            expr(vc).cast("string"))))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rh").cast("decimal(38,0)")).as("hsum"))
+      val fa = fp("v")
+      val fb = fp("CASE WHEN corrupt THEN v + 1 ELSE v END")
+      val diffRows = base.groupBy(col("b"))
+        .agg(sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_diff"))
+      val per = fa.selectExpr("b", "n AS n_a", "hsum AS h_a")
+        .join(fb.selectExpr("b", "n AS n_b", "hsum AS h_b"), Seq("b"))
+        .join(diffRows, Seq("b"))
+        .selectExpr("b AS bucket", "n_a", "n_b",
+          """CAST(CASE WHEN n_a = n_b AND h_a = h_b
+                  THEN 1 ELSE 0 END AS BIGINT) AS fp_equal""",
+          "n_diff")
+        .transform(graft.Stage.mat)
+      val zz = per.agg(count(lit(1)).as("nb"),
+        sum(lit(1L) - col("fp_equal")).as("flagged"),
+        sum(col("n_diff")).as("nd"), sum(col("n_a")).as("rows_a"))
+        .selectExpr("CAST(-1 AS BIGINT) AS bucket", "rows_a AS n_a",
+          "nb AS n_b", "flagged AS fp_equal", "nd AS n_diff")
+      per.unionByName(zz).orderBy(col("bucket"))
+    }, Some {
+      val mkH = graft.text.TextStats.portableHash64Sql(
+        "concat('mk:', CAST(o_orderkey AS VARCHAR))")
+      def rowH(vc: String) = graft.text.TextStats.portableHash64Sql(
+        s"concat(CAST(o_orderkey AS VARCHAR), '|', CAST($vc AS VARCHAR))")
+      s"""
+      WITH base AS (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v,
+               o_orderkey % 256 AS b,
+               ($mkH % 997) = 0 AS corrupt
+        FROM orders),
+      fa AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n_a,
+               SUM(CAST(${rowH("v")} AS HUGEINT)) AS h_a
+        FROM base GROUP BY b),
+      fb AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+               SUM(CAST(${rowH("CASE WHEN corrupt THEN v + 1 ELSE v END")}
+                   AS HUGEINT)) AS h_b
+        FROM base GROUP BY b),
+      dr AS (
+        SELECT b, CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_diff
+        FROM base GROUP BY b),
+      per AS (
+        SELECT fa.b AS bucket, n_a, n_b,
+               CAST(CASE WHEN n_a = n_b AND h_a = h_b
+                    THEN 1 ELSE 0 END AS BIGINT) AS fp_equal,
+               n_diff
+        FROM fa JOIN fb ON fa.b = fb.b JOIN dr ON fa.b = dr.b)
+      SELECT bucket, n_a, n_b, fp_equal, n_diff FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(SUM(n_a) AS BIGINT),
+             CAST(count(*) AS BIGINT), CAST(SUM(1 - fp_equal) AS BIGINT),
+             CAST(SUM(n_diff) AS BIGINT)
+      FROM per
+      ORDER BY bucket"""
+    }),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

@@ -1870,6 +1870,113 @@ object TemporalOps {
                   ELSE (num * 1000000) // greatest(dx, 1) END AS BIGINT)
                AS beta_micros
       FROM st ORDER BY lag_k"""
-    })
+    }),
+
+    // ---- cohort LTV curve: customers grouped by first-order month,
+    //      cumulative revenue per cohort at each month-age, divided by
+    //      cohort size — the lifetime-value triangle finance reads next
+    //      to q112's activity-retention triangle. Month index =
+    //      12·year + month − 1 from date parts (identical extraction
+    //      both engines); revenue in exact micros; the cumulation runs
+    //      per cohort over the month-grain (cohort, age) table —
+    //      PARTITIONed BY cohort and calendar-bounded, never
+    //      fact-scaled.
+    //
+    //      Scale shape: one customer-grain first-order aggregate, one
+    //      broadcast-joinable (customer → cohort) map folded back via a
+    //      fact-side equi-join co-keyed on o_custkey, one (cohort, age)
+    //      aggregate, one bounded window.
+    ("q278_cohort_ltv", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders.selectExpr("o_custkey",
+        "CAST(12 * year(o_orderdate) + month(o_orderdate) - 1 AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 1000000) AS BIGINT) AS rev")
+      val first = graft.Stage.mat(o.groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("m0")))
+      val csize = first.groupBy(col("m0")).agg(count(lit(1)).as("n_customers"))
+      val perAge = o.join(first, Seq("o_custkey"))
+        .selectExpr("m0 AS cohort_m", "m - m0 AS age_m", "rev")
+        .groupBy(col("cohort_m"), col("age_m"))
+        .agg(sum(col("rev")).as("rev_micros"))
+      val w = Window.partitionBy(col("cohort_m")).orderBy(col("age_m"))
+      perAge
+        .withColumn("cum_rev_micros", sum(col("rev_micros")).over(w))
+        .join(broadcast(csize.selectExpr("m0 AS cohort_m", "n_customers")),
+          Seq("cohort_m"))
+        .selectExpr("cohort_m", "age_m", "n_customers", "rev_micros",
+          "cum_rev_micros",
+          "cum_rev_micros DIV n_customers AS ltv_micros")
+        .orderBy(col("cohort_m"), col("age_m"))
+    }, Some("""
+      WITH o AS (
+        SELECT o_custkey,
+               12 * year(CAST(o_orderdate AS DATE))
+                 + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS rev
+        FROM orders),
+      first_o AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey),
+      csize AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_customers
+                FROM first_o GROUP BY m0),
+      per_age AS (
+        SELECT f.m0 AS cohort_m, o.m - f.m0 AS age_m,
+               CAST(SUM(rev) AS BIGINT) AS rev_micros
+        FROM o JOIN first_o f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cohort_m, age_m, rev_micros,
+               CAST(SUM(rev_micros) OVER (PARTITION BY cohort_m ORDER BY age_m)
+                 AS BIGINT) AS cum_rev_micros
+        FROM per_age)
+      SELECT CAST(c.cohort_m AS BIGINT) AS cohort_m,
+             CAST(c.age_m AS BIGINT) AS age_m,
+             s.n_customers, c.rev_micros, c.cum_rev_micros,
+             c.cum_rev_micros // s.n_customers AS ltv_micros
+      FROM cum c JOIN csize s ON c.cohort_m = s.m0
+      ORDER BY cohort_m, age_m""")),
+
+    // ---- time-weighted average (TWAP): per event type, each value
+    //      holds until the NEXT observation, so the average weights each
+    //      value by its holding duration — the right "average level"
+    //      when observations arrive irregularly (the plain mean
+    //      over-weights bursts; the output carries both so the bias is
+    //      visible). Exact integers: Σ v·Δt DIV Σ Δt with v in micros,
+    //      Δt in epoch micros, products in DECIMAL(38,0). The lead
+    //      window is PARTITIONed BY event type with the (ts, event_id)
+    //      total order (the q256 regime; at unbounded per-key volume
+    //      the per-type sort takes the scoreOrder two-phase
+    //      decomposition).
+    ("q280_twap", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tm"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("tm"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+        .withColumn("dt", lead(col("tm"), 1).over(w) - col("tm"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_held"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * dt")).as("svdt"),
+          sum(col("dt")).as("sdt"), sum(col("v")).as("sv"))
+        .selectExpr("event_type", "n_held",
+          "CAST(svdt DIV greatest(sdt, 1) AS BIGINT) AS twap_micros",
+          "sv DIV greatest(n_held, 1) AS mean_micros")
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH base AS (
+        SELECT event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tm,
+               CAST(floor(value * 1000000) AS BIGINT) AS v
+        FROM events),
+      held AS (
+        SELECT event_type, v,
+               lead(tm, 1) OVER (PARTITION BY event_type
+                                 ORDER BY tm, event_id) - tm AS dt
+        FROM base)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_held,
+             CAST(SUM(CAST(v AS HUGEINT) * dt) // greatest(SUM(dt), 1)
+               AS BIGINT) AS twap_micros,
+             CAST(SUM(v) // greatest(count(*), 1) AS BIGINT) AS mean_micros
+      FROM held WHERE dt IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -283,4 +283,17 @@ class MiningOpsSpec extends SparkSpec {
     assert(zz("clustered")._2 <= zz("physical")._2)
     assert(zz("clustered")._3 <= zz("physical")._3)
   }
+
+  test("Merkle diff flags exactly the buckets holding corrupted rows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q279_merkle_diff")(spark, dir).collect()
+    val per = rows.filter(_.getAs[Long]("bucket") >= 0L)
+    // soundness AND measured no-collision: fingerprints match iff the
+    // bucket truly carries zero differing rows
+    assert(per.forall(r =>
+      (r.getAs[Long]("fp_equal") == 1L) == (r.getAs[Long]("n_diff") == 0L)))
+    val zz = rows.find(_.getAs[Long]("bucket") == -1L).get
+    assert(zz.getAs[Long]("fp_equal") ===
+      per.count(_.getAs[Long]("n_diff") > 0L).toLong)
+  }
 }

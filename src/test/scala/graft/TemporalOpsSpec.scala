@@ -490,4 +490,43 @@ class TemporalOpsSpec extends SparkSpec {
     assert(rows(-1L) === -250000L)
     assert((4 to 7).forall(k => rows(k.toLong) === 0L && rows(-k.toLong) === 0L))
   }
+
+  test("cohort LTV accumulates revenue per cohort-age and divides by cohort size") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("ltv_fix").toString
+    // cohort Jan-2024: customers 1,2; cust 1 returns in Feb.
+    // cohort Feb-2024: customer 3.
+    Seq((1L, 1L, 100.0, "2024-01-05"), (2L, 2L, 30.0, "2024-01-20"),
+      (3L, 1L, 50.0, "2024-02-10"), (4L, 3L, 10.0, "2024-02-15"))
+      .map { case (k, c, p, d) => (k, c, "O", p, ts(s"$d 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q278_cohort_ltv")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_m"), r.getAs[Long]("age_m"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("cum_rev_micros"),
+        r.getAs[Long]("ltv_micros")))
+    val ja = 12L * 2024 + 0
+    assert(out.toSeq === Seq(
+      (ja, 0L, 2L, 130000000L, 65000000L),
+      (ja, 1L, 2L, 180000000L, 90000000L),
+      (ja + 1, 0L, 1L, 10000000L, 10000000L)))
+  }
+
+  test("TWAP weights by holding time where the plain mean does not") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("twap_fix").toString
+    // v=10 held 10 s, v=30 held 30 s, final v=50 unheld (dropped):
+    // twap = (10·10 + 30·30)/40 = 25.0; mean = 20.0
+    Seq((1L, "2024-05-01 10:00:00", 10.0), (2L, "2024-05-01 10:00:10", 30.0),
+      (3L, "2024-05-01 10:00:40", 50.0))
+      .map { case (id, t, v) => (id, ts(t), 1L, "tick", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q280_twap")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_held"), r.getAs[Long]("twap_micros"),
+      r.getAs[Long]("mean_micros")) === ((2L, 25000000L, 20000000L)))
+  }
 }
