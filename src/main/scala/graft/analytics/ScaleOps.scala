@@ -457,6 +457,141 @@ object ScaleOps {
       ORDER BY bucket"""
     }),
 
+    // ---- incremental-view-maintenance certification: the algebraic
+    //      fact the engine's whole incremental design stands on (SNK1's
+    //      foreachBatch merge, S5 sink-side state) is that count/sum/
+    //      min/max are mergeable — agg(base ⊎ delta) = merge(agg(base),
+    //      agg(delta)). This query CHECKS it per priority over a hash
+    //      split: both paths computed in one plan, per-group equality
+    //      flags hashed (the oracle emits the same aggregates and
+    //      literal-true flags). A refactor that breaks merge semantics
+    //      (e.g. a non-mergeable average folded naively) turns a column
+    //      false and fails the gate — the regression test for
+    //      incremental ETL, stated as data.
+    ("q281_ivm_cert", (s: SparkSession, dir: String) => {
+      val base = graft.Stage.mat(Tables(s, dir).orders.select(
+        col("o_orderpriority").as("g"),
+        expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)").as("v"),
+        (graft.text.TextStats.portableHash64(
+          concat(lit("ivm:"), col("o_orderkey").cast("string"))) % 10L < 8L)
+          .as("is_base")))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("g")).agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("v")).as(s"s_$tag"), min(col("v")).as(s"mn_$tag"),
+          max(col("v")).as(s"mx_$tag"))
+      val whole = agg(base, "w")
+      val merged = agg(base.filter(col("is_base")), "b")
+        .join(agg(base.filter(!col("is_base")), "d"), Seq("g"))
+        .selectExpr("g", "n_b + n_d AS n_m", "s_b + s_d AS s_m",
+          "least(mn_b, mn_d) AS mn_m", "greatest(mx_b, mx_d) AS mx_m")
+      whole.join(merged, Seq("g"))
+        .selectExpr("g AS grp", "n_w", "s_w", "mn_w", "mx_w",
+          "n_w = n_m AND s_w = s_m AND mn_w = mn_m AND mx_w = mx_m AS merge_ok")
+        .orderBy(col("grp"))
+    }, Some {
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('ivm:', CAST(o_orderkey AS VARCHAR))")
+      s"""
+      WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 1000000) AS BIGINT) AS v,
+               ($h % 10) < 8 AS is_base
+        FROM orders)
+      SELECT g AS grp, CAST(count(*) AS BIGINT) AS n_w,
+             CAST(SUM(v) AS BIGINT) AS s_w, MIN(v) AS mn_w, MAX(v) AS mx_w,
+             TRUE AS merge_ok
+      FROM base GROUP BY g ORDER BY grp"""
+    }),
+
+    // ---- correlated-sampling join-cardinality estimator (the optimizer
+    //      synopsis behind join reordering at 100 TB): sample BOTH sides
+    //      by the SAME hash of the JOIN KEY at rate 1/16 — key-correlated
+    //      sampling keeps entire key groups, so the sampled join count
+    //      scales by 1/16 (not 1/256 as independent row samples would)
+    //      and est = 16·|A_s ⋈ B_s| is unbiased (Vengerov et al. 2015).
+    //      Self-certifying: the one row carries the estimate, the true
+    //      |orders ⋈ lineitem| and the error in ppm. Everything is two
+    //      hash-filtered map-side-combined aggregates plus the keyed
+    //      join counts — the synopsis costs 1/16 of the join it prices.
+    ("q282_join_cardinality_est", (s: SparkSession, dir: String) => {
+      val kh = graft.text.TextStats.portableHash64(
+        concat(lit("jc:"), col("k").cast("string"))) % 16L
+      val o = Tables(s, dir).orders.select(col("o_orderkey").as("k"))
+        .withColumn("hs", kh)
+      val l = Tables(s, dir).lineitem.select(col("l_orderkey").as("k"))
+        .withColumn("hs", kh)
+      val cntTrue = o.join(l, Seq("k")).agg(count(lit(1)).as("n_true"))
+      val cntS = o.filter(col("hs") === 0L).join(l.filter(col("hs") === 0L),
+        Seq("k")).agg(count(lit(1)).as("n_sample"))
+      cntTrue.crossJoin(broadcast(cntS))
+        .selectExpr("n_true", "n_sample", "16 * n_sample AS n_est",
+          """(abs(16 * n_sample - n_true) * 1000000)
+             DIV greatest(n_true, 1) AS err_ppm""")
+    }, Some {
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('jc:', CAST(k AS VARCHAR))")
+      s"""
+      WITH o AS (SELECT o_orderkey AS k, $h % 16 AS hs FROM orders),
+      l AS (SELECT l_orderkey AS k, $h % 16 AS hs FROM lineitem),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+            FROM o JOIN l ON o.k = l.k),
+      sm AS (SELECT CAST(count(*) AS BIGINT) AS n_sample
+             FROM (SELECT k FROM o WHERE hs = 0) a
+             JOIN (SELECT k FROM l WHERE hs = 0) b ON a.k = b.k)
+      SELECT n_true, n_sample, 16 * n_sample AS n_est,
+             (abs(16 * n_sample - n_true) * 1000000)
+               // greatest(n_true, 1) AS err_ppm
+      FROM t CROSS JOIN sm"""
+    }),
+
+    // ---- functional-dependency discovery (the Metanome/data-profiling
+    //      primitive): candidate FD  lhs → rhs  holds iff
+    //      ndv(lhs) = ndv(lhs, rhs) — one exact distinct-count pair per
+    //      candidate over the orders table, including the violating-
+    //      group count (#lhs groups with >1 rhs value) so "how broken"
+    //      is quantified, not just boolean. Candidates cover the three
+    //      interesting regimes: a true key (orderkey → custkey), a
+    //      plausible-but-false dependency (custkey → orderpriority),
+    //      and a domain-level accident check (orderpriority →
+    //      orderstatus). Each candidate is one (lhs, rhs) dedup + one
+    //      lhs aggregate — map-side combined, never a sort.
+    ("q283_fd_discovery", (s: SparkSession, dir: String) => {
+      val o = graft.Stage.mat(Tables(s, dir).orders.selectExpr(
+        "CAST(o_orderkey AS STRING) AS orderkey",
+        "CAST(o_custkey AS STRING) AS custkey",
+        "o_orderpriority AS priority", "o_orderstatus AS status"))
+      def fd(lhs: String, rhs: String) = o
+        .select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+        .groupBy(col("l")).agg(count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("ndv_lhs"), sum(col("nr")).as("ndv_pair"),
+          sum(when(col("nr") > 1L, 1L).otherwise(0L)).as("n_violating"))
+        .selectExpr(s"'$lhs->$rhs' AS fd", "ndv_lhs", "ndv_pair",
+          "n_violating", "ndv_lhs = ndv_pair AS holds")
+      fd("orderkey", "custkey")
+        .unionByName(fd("custkey", "priority"))
+        .unionByName(fd("priority", "status"))
+        .orderBy(col("fd"))
+    }, Some("""
+      WITH o AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS orderkey,
+               CAST(o_custkey AS VARCHAR) AS custkey,
+               o_orderpriority AS priority, o_orderstatus AS status
+        FROM orders),
+      c1 AS (SELECT 'orderkey->custkey' AS fd, l, CAST(count(*) AS BIGINT) AS nr
+             FROM (SELECT DISTINCT orderkey AS l, custkey AS r FROM o) GROUP BY l),
+      c2 AS (SELECT 'custkey->priority' AS fd, l, CAST(count(*) AS BIGINT) AS nr
+             FROM (SELECT DISTINCT custkey AS l, priority AS r FROM o) GROUP BY l),
+      c3 AS (SELECT 'priority->status' AS fd, l, CAST(count(*) AS BIGINT) AS nr
+             FROM (SELECT DISTINCT priority AS l, status AS r FROM o) GROUP BY l),
+      allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL
+               SELECT * FROM c3)
+      SELECT fd, CAST(count(*) AS BIGINT) AS ndv_lhs,
+             CAST(SUM(nr) AS BIGINT) AS ndv_pair,
+             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             count(*) = SUM(nr) AS holds
+      FROM allc GROUP BY fd ORDER BY fd""")),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

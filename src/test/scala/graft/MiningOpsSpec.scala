@@ -296,4 +296,27 @@ class MiningOpsSpec extends SparkSpec {
     assert(zz.getAs[Long]("fp_equal") ===
       per.count(_.getAs[Long]("n_diff") > 0L).toLong)
   }
+
+  test("FD discovery separates the key, the violated, and the accidental") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("fd_fix").toString
+    // orderkey→custkey holds (key); custkey→priority violated by cust 1
+    // (two priorities); priority→status holds HERE by accident (each
+    // priority maps to one status)
+    Seq((1L, 1L, "O", "1-URGENT"), (2L, 1L, "F", "2-HIGH"),
+      (3L, 2L, "O", "1-URGENT"))
+      .map { case (k, c, st, pr) =>
+        (k, c, st, 10.0, Timestamp.valueOf("2024-01-01 00:00:00"), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q283_fd_discovery")(spark, dir).collect()
+      .map(r => (r.getAs[String]("fd"), r.getAs[Long]("ndv_lhs"),
+        r.getAs[Long]("ndv_pair"), r.getAs[Long]("n_violating"),
+        r.getAs[Boolean]("holds")))
+    assert(out.toSeq === Seq(
+      ("custkey->priority", 2L, 3L, 1L, false),
+      ("orderkey->custkey", 3L, 3L, 0L, true),
+      ("priority->status", 2L, 2L, 0L, true)))
+  }
 }
