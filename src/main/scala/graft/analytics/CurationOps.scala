@@ -2035,6 +2035,66 @@ object CurationOps {
       SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
              (SELECT CAST(count(*) AS BIGINT) FROM e)
                - (SELECT CAST(count(*) AS BIGINT) FROM alllab)
-      ORDER BY cluster_id"""))
+      ORDER BY cluster_id""")),
+
+    // ---- Good-Turing frequency smoothing (Good 1953) over the BIGRAM
+    //      table (the q134 Kneser-Ney unit — the fixture's unigram
+    //      vocabulary is a closed 31-token set with min count 26, so
+    //      only the bigram table has the low-frequency tail GT is FOR):
+    //      from the count-of-counts table N_r, the smoothed count
+    //      r* = (r+1)·N_{r+1}/N_r, and the unseen-mass estimate
+    //      p₀ = N_1/N on the zz row. Rows r = 1..20 — the regime where
+    //      GT is meaningful; beyond it N_r is sparse and practice
+    //      switches to raw counts (documented cutoff, not a silent cap:
+    //      zz carries the full N and N_1 regardless). Exact micros.
+    //
+    //      Scale shape: one bigram count (map-side combined), one
+    //      count-of-counts aggregate (distinct-multiplicity-sized), a
+    //      self-join on r+1 over that tiny table.
+    ("q284_good_turing", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir).documents
+        .select(filter(TextStats.tokens(lower(col("text"))),
+          x => x =!= lit("")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = t.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      val counts = bi.groupBy(col("g")).agg(count(lit(1)).as("r"))
+      val coc = graft.Stage.mat(
+        counts.groupBy(col("r")).agg(count(lit(1)).as("n_r")))
+      val tot = coc.agg(sum(expr("r * n_r")).as("n_tokens"),
+        sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("n1"))
+      val rows = coc.filter(col("r") <= 20L)
+        .join(coc.selectExpr("r - 1 AS r", "n_r AS n_r_next"), Seq("r"), "left")
+        .selectExpr("r", "n_r", "coalesce(n_r_next, 0) AS n_r_next",
+          "((r + 1) * coalesce(n_r_next, 0) * 1000000) DIV n_r AS r_star_micros")
+      val zz = tot.selectExpr("CAST(-1 AS BIGINT) AS r", "n_tokens AS n_r",
+        "n1 AS n_r_next", "(n1 * 1000000) DIV greatest(n_tokens, 1) AS r_star_micros")
+      rows.unionByName(zz).orderBy(col("r"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                 x -> x <> '') AS toks
+        FROM documents),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM t WHERE len(toks) >= 2),
+      counts AS (SELECT g, CAST(count(*) AS BIGINT) AS r FROM bi GROUP BY g),
+      coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r),
+      tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+              FROM coc),
+      rows_ AS (
+        SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_r_next,
+               ((a.r + 1) * coalesce(b.n_r, 0) * 1000000) // a.n_r AS r_star_micros
+        FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+        WHERE a.r <= 20)
+      SELECT r, n_r, n_r_next, r_star_micros FROM rows_
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), n_tokens, n1,
+             (n1 * 1000000) // greatest(n_tokens, 1) FROM tot
+      ORDER BY r"""))
   )
 }

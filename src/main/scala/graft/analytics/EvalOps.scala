@@ -1771,7 +1771,164 @@ object EvalOps {
                              // greatest(vn, 1)) AS BIGINT) AS score_ppm
              FROM xq JOIN vv ON xq.j = vv.j GROUP BY vec_id, label)
       SELECT vec_id, label, score_ppm FROM sc
-      ORDER BY score_ppm DESC, vec_id LIMIT 10"""))
+      ORDER BY score_ppm DESC, vec_id LIMIT 10""")),
+
+    // ---- leakage-safe label construction: the supervised-learning
+    //      prep step q244's purged CV presupposes — features from the
+    //      OBSERVATION window [t₀, cutoff), label = any activity in the
+    //      OUTCOME window [cutoff, t₁], cutoff = calendar midpoint. The
+    //      zz row CERTIFIES the temporal firewall in-plan: the maximum
+    //      feature timestamp must sit strictly before the cutoff
+    //      (leak_free = 1 hashed against the oracle's replay), so a
+    //      refactor that lets a post-cutoff event into a feature fails
+    //      the gate instead of silently inflating offline metrics.
+    //      Cold-start users (outcome-window-only) are excluded by
+    //      construction — features must exist to predict with.
+    //
+    //      Scale shape: one user-grain aggregate per window, one
+    //      user-co-keyed join, everything map-side combined.
+    ("q285_label_windows", (s: SparkSession, dir: String) => {
+      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .selectExpr("user_id",
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od",
+          "event_type")
+      val cut = ev.agg(expr("(min(od) + max(od) + 1) DIV 2").as("cutoff"))
+      val obs = ev.crossJoin(broadcast(cut)).filter(col("od") < col("cutoff"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events_obs"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase_obs"),
+          max(col("od")).as("last_od_obs"))
+      val out = ev.crossJoin(broadcast(cut)).filter(col("od") >= col("cutoff"))
+        .select(col("user_id")).distinct().withColumn("label", lit(1L))
+      val rows = obs.join(out, Seq("user_id"), "left")
+        .selectExpr("user_id", "n_events_obs", "n_purchase_obs",
+          "last_od_obs", "coalesce(label, 0) AS label")
+        .transform(graft.Stage.mat)
+      val zz = rows.crossJoin(broadcast(cut)).agg(
+        count(lit(1)).as("n_users"), max(col("cutoff")).as("cutoff"),
+        max(col("last_od_obs")).as("max_obs_od"))
+        .selectExpr("CAST(-1 AS BIGINT) AS user_id", "n_users AS n_events_obs",
+          "cutoff AS n_purchase_obs", "max_obs_od AS last_od_obs",
+          "CAST(CASE WHEN max_obs_od < cutoff THEN 1 ELSE 0 END AS BIGINT) AS label")
+      rows.unionByName(zz).orderBy(col("user_id"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                 AS od,
+               event_type
+        FROM events WHERE user_id IS NOT NULL),
+      cut AS (SELECT (MIN(od) + MAX(od) + 1) // 2 AS cutoff FROM ev),
+      obs AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events_obs,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_purchase_obs,
+               MAX(od) AS last_od_obs
+        FROM ev CROSS JOIN cut WHERE od < cutoff GROUP BY user_id),
+      outw AS (
+        SELECT DISTINCT user_id FROM ev CROSS JOIN cut WHERE od >= cutoff),
+      rows_ AS (
+        SELECT o.user_id, o.n_events_obs, o.n_purchase_obs, o.last_od_obs,
+               CAST(CASE WHEN w.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS label
+        FROM obs o LEFT JOIN outw w ON o.user_id = w.user_id)
+      SELECT user_id, n_events_obs, n_purchase_obs, last_od_obs, label
+      FROM rows_
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+             MAX(cutoff), MAX(last_od_obs),
+             CAST(CASE WHEN MAX(last_od_obs) < MAX(cutoff) THEN 1 ELSE 0 END
+               AS BIGINT)
+      FROM rows_ CROSS JOIN cut
+      ORDER BY user_id""")),
+
+    // ---- Brier score with the Murphy (1973) decomposition:
+    //      Brier = REL − RES + UNC over 10 deterministic hash-score
+    //      bins (forecast p̂ = (2b+1)/20, outcome = the q236 high-value
+    //      predicate) — reliability (calibration error), resolution
+    //      (discrimination) and base-rate uncertainty in one exact-
+    //      integer pass. Each term is floored ONCE to micros, so the
+    //      identity is certified in-plan up to ±3 floor slop
+    //      (murphy_ok) — both engines replay the identical floors, and
+    //      a real identity violation (wrong binning, wrong base rate)
+    //      lands far outside the slop. REL/RES use the cross-multiplied
+    //      exact forms (p·n_k − 1e6·s_k)²/n_k and (s_k·n − s·n_k)²/n_k
+    //      in DECIMAL(38,0) — valid to ~1e9 rows.
+    ("q286_brier_decomposition", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).events.select(
+        (graft.text.TextStats.portableHash64(
+          concat(lit("br:"), col("event_id").cast("string"))) % 10L).as("b"),
+        when(col("value") >= 35.0, 1L).otherwise(0L).as("y"))
+        .withColumn("p", (lit(2L) * col("b") + 1L) * 50000L)
+      val bins = base.groupBy(col("b"), col("p"))
+        .agg(count(lit(1)).as("n_k"), sum(col("y")).as("s_k"))
+      val tot = bins.agg(sum(col("n_k")).as("n"), sum(col("s_k")).as("s"))
+      val direct = base.crossJoin(broadcast(tot))
+        .selectExpr("CAST(p - 1000000 * y AS DECIMAL(38,0)) AS d", "n")
+        .agg(max(col("n")).as("n"), sum(expr("d * d")).as("sq"))
+        .selectExpr("CAST(sq DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS brier_micros")
+      bins.crossJoin(broadcast(tot)).agg(
+        max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(expr("""(CAST(p AS DECIMAL(38,0)) * n_k - 1000000 * s_k)
+                    * (CAST(p AS DECIMAL(38,0)) * n_k - 1000000 * s_k)
+                    DIV n_k""")).as("rel_num"),
+        sum(expr("""(CAST(s_k AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * n_k)
+                    * (CAST(s_k AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * n_k)
+                    DIV n_k""")).as("res_num"))
+        .selectExpr("n", "s", "(s * 1000000) DIV n AS ybar_ppm",
+          "CAST(rel_num DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS rel_micros",
+          """CAST(res_num * 1000000
+                DIV (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT) AS res_micros""",
+          """CAST((CAST(s AS DECIMAL(38,0)) * (n - s) * 1000000)
+                DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS unc_micros""")
+        .crossJoin(broadcast(direct))
+        .selectExpr("n", "ybar_ppm", "brier_micros", "rel_micros", "res_micros",
+          "unc_micros",
+          """CAST(CASE WHEN abs(brier_micros - (rel_micros - res_micros + unc_micros)) <= 3
+                  THEN 1 ELSE 0 END AS BIGINT) AS murphy_ok""")
+    }, Some {
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('br:', CAST(event_id AS VARCHAR))")
+      s"""
+      WITH base AS (
+        SELECT $h % 10 AS b,
+               CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS y
+        FROM events),
+      wp AS (SELECT b, (2 * b + 1) * 50000 AS p, y FROM base),
+      bins AS (SELECT b, p, CAST(count(*) AS BIGINT) AS n_k,
+                      CAST(SUM(y) AS BIGINT) AS s_k
+               FROM wp GROUP BY b, p),
+      tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(s_k) AS BIGINT) AS s
+              FROM bins),
+      direct AS (
+        SELECT CAST(SUM(CAST(p - 1000000 * y AS HUGEINT)
+                        * (p - 1000000 * y))
+                    // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS brier_micros
+        FROM wp CROSS JOIN tot GROUP BY n),
+      terms AS (
+        SELECT MAX(n) AS n, MAX(s) AS s,
+               SUM((CAST(p AS HUGEINT) * n_k - 1000000 * s_k)
+                   * (CAST(p AS HUGEINT) * n_k - 1000000 * s_k) // n_k) AS rel_num,
+               SUM((CAST(s_k AS HUGEINT) * n - CAST(s AS HUGEINT) * n_k)
+                   * (CAST(s_k AS HUGEINT) * n - CAST(s AS HUGEINT) * n_k) // n_k)
+                 AS res_num
+        FROM bins CROSS JOIN tot),
+      scored AS (
+        SELECT n, (s * 1000000) // n AS ybar_ppm,
+               CAST(rel_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+                 AS rel_micros,
+               CAST(res_num * 1000000 // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+                 AS res_micros,
+               CAST((CAST(s AS HUGEINT) * (n - s) * 1000000)
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_micros
+        FROM terms)
+      SELECT n, ybar_ppm, brier_micros, rel_micros, res_micros, unc_micros,
+             CAST(CASE WHEN abs(brier_micros
+                               - (rel_micros - res_micros + unc_micros)) <= 3
+                  THEN 1 ELSE 0 END AS BIGINT) AS murphy_ok
+      FROM scored CROSS JOIN direct"""
+    })
   )
 
   /** Weight-of-evidence / information-value binning (the credit-scoring

@@ -608,4 +608,19 @@ class CurationSpec extends SparkSpec {
     // cluster ids are core-point ids, so never collide with the noise label
     assert(clusters.forall(_._1 >= 0L))
   }
+
+  test("Good-Turing smooths the hand bigram table and prices the unseen mass") {
+    val dir = java.nio.file.Files.createTempDirectory("gt_fix").toString
+    // bigrams: "a b"×2, "b c"×1 → N_1=1, N_2=1; r*(1) = 2·N_2/N_1 = 2.0,
+    // r*(2) = 3·N_3/N_2 = 0; unseen mass p0 = N_1/N = 1/3
+    Seq((1L, "a b c"), (2L, "a b"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q284_good_turing")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+        r.getAs[Long]("n_r_next"), r.getAs[Long]("r_star_micros")))
+    assert(out.toSeq === Seq(
+      (-1L, 3L, 1L, 333333L), (1L, 1L, 1L, 2000000L), (2L, 1L, 0L, 0L)))
+  }
 }

@@ -399,6 +399,38 @@ class EvalOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 2500000L), (3L, 2500000L), (1L, 1000000L)))
   }
 
+  test("label windows: firewall certified, cold-start users excluded") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("lbl_fix").toString
+    // span day0..day3 → cutoff day2; u1 obs day0 + outcome day2 → label 1;
+    // u2 obs day1 only → label 0; u3 outcome-only day3 → excluded
+    Seq((1L, "2024-06-01", 1L, "click"), (2L, "2024-06-03", 1L, "purchase"),
+      (3L, "2024-06-02", 2L, "purchase"), (4L, "2024-06-04", 3L, "view"))
+      .map { case (id, d, u, t) => (id, ts(s"$d 12:00:00"), u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q285_label_windows")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events_obs"),
+        r.getAs[Long]("n_purchase_obs"), r.getAs[Long]("label")))
+    assert(rows.toSeq === Seq(
+      (-1L, 2L, 19877L, 1L),          // zz: 2 users, cutoff od, leak_free=1
+      (1L, 1L, 0L, 1L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("Brier decomposition: Murphy identity holds within the floor slop") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q286_brier_decomposition")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("murphy_ok") === 1L)
+    assert(r.getAs[Long]("rel_micros") >= 0L)
+    assert(r.getAs[Long]("res_micros") >= 0L)
+    val ybar = r.getAs[Long]("ybar_ppm")
+    // unc = ȳ(1−ȳ) ≤ 250000 micros always
+    assert(r.getAs[Long]("unc_micros") <= 250000L && ybar <= 1000000L)
+  }
+
   private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (d, x, t) => d -> (x, t) }.toMap
