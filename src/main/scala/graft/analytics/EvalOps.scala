@@ -1928,7 +1928,110 @@ object EvalOps {
                                - (rel_micros - res_micros + unc_micros)) <= 3
                   THEN 1 ELSE 0 END AS BIGINT) AS murphy_ok
       FROM scored CROSS JOIN direct"""
-    })
+    }),
+
+    // ---- simplified (centroid) silhouette for the q225/q258 k-means
+    //      partition (Rousseeuw 1987's silhouette with the per-point
+    //      neighbor distances replaced by centroid distances — the
+    //      standard O(n·k) form, since the exact pairwise silhouette is
+    //      quadratic by definition): per vector a = cosine distance to
+    //      its own final centroid, b = distance to the best OTHER
+    //      centroid, s = (b − a)/max(a, b); per cluster the member
+    //      count and mean s in micros + the zz overall row. ~1e6 is
+    //      well-separated, ~0 says the clusters touch — the "was k=4
+    //      reasonable" readout the SemDeDup/DBSCAN family assumes.
+    //      Centroids come from Similarity.kmeansFinalCentroids (the
+    //      IDENTICAL fit the oracle replays: hash seeds, round-6
+    //      means); scoring is a k-literal broadcast projection, one
+    //      map-side-combined aggregate, no window, no join.
+    ("q288_silhouette", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val cents = graft.text.Similarity.kmeansFinalCentroids(emb, k = 4, dim = 64)
+      val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      val cosCols = cents.map { case (i, c) =>
+        round(graft.text.Similarity.cosine(col("v"), typedlit(c)), 6).as(s"c$i") }
+      val own = greatest(cents.map { case (i, _) =>
+        struct(col(s"c$i").as("s"), lit(-i).as("nid")) }: _*)
+      val wc = e.select((col("vec_id") +: cosCols): _*)
+        .withColumn("m", own)
+        .withColumn("cid", (-col("m.nid")).cast("int"))
+      val second = greatest(cents.map { case (i, _) =>
+        struct(when(col("cid") === i, lit(-2.0d)).otherwise(col(s"c$i")).as("s"),
+          lit(-i).as("nid")) }: _*)
+      val scored = wc.withColumn("m2", second)
+        .selectExpr("vec_id", "CAST(cid AS BIGINT) AS cid",
+          "CAST(1000000 - round(`m`.s * 1000000, 0) AS BIGINT) AS a_m",
+          "CAST(1000000 - round(`m2`.s * 1000000, 0) AS BIGINT) AS b_m")
+        .selectExpr("cid",
+          """CAST(CASE WHEN b_m - a_m < 0
+                  THEN -(((a_m - b_m) * 1000000) DIV greatest(greatest(a_m, b_m), 1))
+                  ELSE ((b_m - a_m) * 1000000) DIV greatest(greatest(a_m, b_m), 1)
+                  END AS BIGINT) AS s_micros""")
+        .transform(graft.Stage.mat)
+      val meanSafe = """CAST(CASE WHEN ss < 0 THEN -((-ss) DIV n_members)
+                             ELSE ss DIV n_members END AS BIGINT)
+                        AS mean_sil_micros"""
+      val per = scored.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("s_micros")).as("ss"))
+        .selectExpr("cid", "n_members", meanSafe)
+      val zz = scored.agg(count(lit(1)).as("n_members"),
+        sum(col("s_micros")).as("ss"))
+        .selectExpr("CAST(-1 AS BIGINT) AS cid", "n_members", meanSafe)
+      per.unionByName(zz).orderBy(col("cid"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sl AS (SELECT vec_id, v,
+               ${graft.text.TextStats.portableHash64Sql(
+        "concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
+             FROM e ORDER BY h, vec_id LIMIT 4),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+                       v AS cv FROM sl),
+      a1 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, s.cid,
+                     round(list_cosine_similarity(e.v, s.cv), 6) AS cos_r
+                   FROM e CROSS JOIN seeds s)),
+      m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      d1 AS (SELECT cid, r.i AS i,
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
+             FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
+      c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
+      cos2 AS (SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(e.v, c.cv), 6) AS cs
+               FROM e CROSS JOIN c2 c),
+      own AS (SELECT vec_id, cid, cs,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+              FROM cos2),
+      aown AS (SELECT vec_id, cid AS own_cid,
+                 CAST(1000000 - round(cs * 1000000, 0) AS BIGINT) AS a_m
+               FROM own WHERE rn = 1),
+      bbest AS (SELECT c.vec_id,
+                  CAST(1000000 - round(MAX(c.cs) * 1000000, 0) AS BIGINT) AS b_m
+                FROM cos2 c JOIN aown o
+                  ON c.vec_id = o.vec_id AND c.cid <> o.own_cid
+                GROUP BY c.vec_id),
+      sil AS (
+        SELECT o.own_cid AS cid,
+               CAST(CASE WHEN b.b_m - o.a_m < 0
+                 THEN -(((o.a_m - b.b_m) * 1000000)
+                        // greatest(greatest(o.a_m, b.b_m), 1))
+                 ELSE ((b.b_m - o.a_m) * 1000000)
+                      // greatest(greatest(o.a_m, b.b_m), 1)
+                 END AS BIGINT) AS s_micros
+        FROM aown o JOIN bbest b ON o.vec_id = b.vec_id)
+      SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(CASE WHEN SUM(s_micros) < 0
+                  THEN -((-SUM(s_micros)) // count(*))
+                  ELSE SUM(s_micros) // count(*) END AS BIGINT)
+               AS mean_sil_micros
+      FROM sil GROUP BY cid
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(CASE WHEN SUM(s_micros) < 0
+                  THEN -((-SUM(s_micros)) // count(*))
+                  ELSE SUM(s_micros) // count(*) END AS BIGINT)
+      FROM sil
+      ORDER BY cid"""))
   )
 
   /** Weight-of-evidence / information-value binning (the credit-scoring

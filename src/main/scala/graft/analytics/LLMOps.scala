@@ -462,6 +462,93 @@ object LLMOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- deterministic negative sampling for contrastive training:
+    //      each anchor draws 5 pseudo-random different-label negatives —
+    //      WITHOUT an anchor×corpus pass. Candidate pool = 16 hash
+    //      buckets × top-32 by pool hash; the pool selection itself is
+    //      scale-safe via a hash-threshold pre-filter (survivor budget
+    //      4×32 per bucket from the exact count — uniform-hash bound;
+    //      the exact 32-row cut then windows over the ≤2048-row survivor
+    //      table, never a per-bucket corpus sort). Anchors broadcast-join
+    //      their probed bucket's ≤32-row pool, drop same-label/self, and
+    //      keep the top-5 by pair hash — ≤32 rows per anchor partition,
+    //      bounded by construction. Every hash replays in the oracle, so
+    //      the drawn negatives are value-checked, and the different-label
+    //      guarantee is carried as data (anchor_label vs neg_label in the
+    //      hashed output).
+    ("q287_negative_sampling", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val n = emb.agg(count(lit(1)).as("n"))
+      val surv = emb
+        .withColumn("bkt", pmod(graft.text.TextStats.portableHash64(
+          concat(lit("npb:"), col("vec_id").cast("string"))), lit(16L)))
+        .withColumn("hp", graft.text.TextStats.portableHash64(
+          concat(lit("npp:"), col("vec_id").cast("string"))))
+        .crossJoin(broadcast(n))
+        .filter(pmod(col("hp"), lit(1000000L)) <
+          least(lit(1000000L), expr("(16 * 32 * 4 * 1000000) DIV n")))
+      val wB = Window.partitionBy(col("bkt")).orderBy(col("hp"), col("vec_id"))
+      val pool = graft.Stage.mat(surv
+        .withColumn("rk", row_number().over(wB)).filter(col("rk") <= 32)
+        .select(col("bkt"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"),
+          col("hp").as("neg_hp")))
+      val anchors = emb.withColumn("bkt",
+        pmod(graft.text.TextStats.portableHash64(
+          concat(lit("npa:"), col("vec_id").cast("string"))), lit(16L)))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ph"), col("neg_id"))
+      anchors.join(broadcast(pool), Seq("bkt"))
+        .filter(col("neg_label") =!= col("label") &&
+          col("neg_id") =!= col("vec_id"))
+        .withColumn("ph", graft.text.TextStats.portableHash64(
+          concat(lit("np:"), col("vec_id").cast("string"), lit(":"),
+            col("neg_id").cast("string"))))
+        .withColumn("neg_rank", row_number().over(wA).cast("long"))
+        .filter(col("neg_rank") <= 5)
+        .select(col("vec_id"), col("neg_rank"), col("neg_id"),
+          col("label").as("anchor_label"), col("neg_label"))
+        .orderBy(col("vec_id"), col("neg_rank"))
+    }, Some {
+      def h(prefix: String, e: String) = graft.text.TextStats.portableHash64Sql(
+        s"concat('$prefix:', $e)")
+      s"""
+      WITH emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                   FROM embeddings),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+      surv AS (
+        SELECT vec_id, label,
+               ${h("npb", "CAST(vec_id AS VARCHAR)")} % 16 AS bkt,
+               ${h("npp", "CAST(vec_id AS VARCHAR)")} AS hp
+        FROM emb CROSS JOIN n
+        WHERE ${h("npp", "CAST(vec_id AS VARCHAR)")} % 1000000 <
+              least(1000000, (16 * 32 * 4 * 1000000) // n)),
+      pool AS (
+        SELECT bkt, vec_id AS neg_id, label AS neg_label FROM (
+          SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY hp, vec_id)
+                   AS rk
+          FROM surv) WHERE rk <= 32),
+      anch AS (
+        SELECT vec_id, label,
+               ${h("npa", "CAST(vec_id AS VARCHAR)")} % 16 AS bkt
+        FROM emb),
+      cand AS (
+        SELECT a.vec_id, a.label, p.neg_id, p.neg_label,
+               ${h("np", "CAST(a.vec_id AS VARCHAR) || ':' || CAST(p.neg_id AS VARCHAR)")}
+                 AS ph
+        FROM anch a JOIN pool p ON a.bkt = p.bkt
+        WHERE p.neg_label <> a.label AND p.neg_id <> a.vec_id),
+      ranked AS (
+        SELECT vec_id, neg_id, label, neg_label,
+               CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ph, neg_id)
+                 AS BIGINT) AS neg_rank
+        FROM cand)
+      SELECT vec_id, neg_rank, neg_id, label AS anchor_label, neg_label
+      FROM ranked WHERE neg_rank <= 5
+      ORDER BY vec_id, neg_rank"""
+    }),
+
     // ---- RAKE top keyphrases: the classic degree/frequency keyword
     //      extractor over the corpus, exact integer scores. The oracle
     //      replays the stopword segmentation (same literal list), the

@@ -416,6 +416,67 @@ object MiningOps {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- adversarial validation, A/A-calibrated: can a feature
+    //      separate two hash splits of the corpus? The q124 tie-aware
+    //      rank-sum AUC run per feature (n_chars, whitespace tokens)
+    //      with the SPLIT as the label — on a genuine A/A split both
+    //      AUCs must sit at ~0.5, and that reading is the test: when
+    //      train and eval come from different pipelines, this query
+    //      going >0.55 is the standard "your splits are distinguishable,
+    //      expect offline metrics to lie" alarm (the distribution-shift
+    //      screen run before q244's purged CV is trusted). Two bucketed
+    //      rank-sum passes, no window over the corpus (scoreOrder
+    //      two-phase), everything exact integers.
+    ("q289_adversarial_validation", (s: SparkSession, dir: String) => {
+      val d = graft.Stage.mat(Tables(s, dir).documents.select(col("doc_id"),
+        when(graft.text.TextStats.portableHash64(
+          concat(lit("av:"), col("doc_id").cast("string"))) % 2L === 0L,
+          "splitA").otherwise("splitB").as("split"),
+        col("n_chars"),
+        graft.text.TextStats.tokenCount(col("text")).cast("long").as("ntok")))
+      def auc(feature: String) = rankSumAuc(
+        d.select(col("doc_id"), col("split"), col(feature).as("score")),
+        labelCol = "split", scoreCol = "score")
+        .selectExpr(s"'$feature' AS feature", "label AS split", "n_pos",
+          "n_neg", "auc_micros")
+      auc("n_chars").unionByName(auc("ntok"))
+        .orderBy(col("feature"), col("split"))
+    }, Some {
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('av:', CAST(doc_id AS VARCHAR))")
+      def block(feature: String, scoreExpr: String, sfx: String) = s"""
+      sc$sfx AS (SELECT doc_id,
+                   CASE WHEN $h % 2 = 0 THEN 'splitA' ELSE 'splitB' END AS split,
+                   $scoreExpr AS score
+                 FROM documents),
+      grp$sfx AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt
+                  FROM sc$sfx GROUP BY score),
+      rk$sfx AS (SELECT score, cnt,
+                   COALESCE(SUM(cnt) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                 FROM grp$sfx),
+      pos$sfx AS (SELECT split, score, CAST(count(*) AS BIGINT) AS pc
+                  FROM sc$sfx GROUP BY split, score),
+      tot$sfx AS (SELECT split, CAST(count(*) AS BIGINT) AS n_pos
+                  FROM sc$sfx GROUP BY split),
+      nn$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM sc$sfx),
+      r$sfx AS (SELECT p.split, SUM(p.pc * (2 * k.cum + k.cnt + 1)) AS two_rpos
+                FROM pos$sfx p JOIN rk$sfx k USING (score) GROUP BY p.split),
+      out$sfx AS (
+        SELECT '$feature' AS feature, t.split, t.n_pos,
+               n_all - t.n_pos AS n_neg,
+               CAST(((r.two_rpos - t.n_pos * (t.n_pos + 1)) * 1000000)
+                    // greatest(2 * t.n_pos * (n_all - t.n_pos), 1) AS BIGINT)
+                 AS auc_micros
+        FROM r$sfx r JOIN tot$sfx t USING (split) CROSS JOIN nn$sfx)"""
+      s"""
+      WITH ${block("n_chars", "n_chars", "1")},
+      ${block("ntok",
+        s"CAST(len(regexp_split_to_array(text, '$ws+')) AS BIGINT)", "2")}
+      SELECT * FROM out1 UNION ALL SELECT * FROM out2
+      ORDER BY feature, split"""
+    }),
+
     // ---- 2-D skyline (Pareto front; Börzsönyi et al. 2001's SKYLINE OF
     //      operator): the parts no other part dominates under (price ↓,
     //      size ↑) — dominated iff some part is no-worse on both axes

@@ -513,19 +513,40 @@ object Similarity {
                    salt: String = "kmeans"): DataFrame =
     kmeansAssignFull(embeddings, k, dim, iters, idCol, vecCol, salt).drop("v")
 
+  /** The final (post-`iters`) centroid table of [[kmeansAssign]]'s
+    * Lloyd run — k×dim doubles, index-sized driver state, for consumers
+    * that score against the centroids themselves (q288 silhouette).
+    * Identical fit: same hash seeds, same round-6 means, so the
+    * centroids are the exact ones the oracle's replay derives.
+    */
+  def kmeansFinalCentroids(embeddings: DataFrame, k: Int, dim: Int,
+                           iters: Int = 2, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           salt: String = "kmeans"): Seq[(Int, Seq[Double])] =
+    kmeansFit(embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      k, dim, iters, salt)
+
   /** [[kmeansAssign]] with the vector column `v` carried through the
     * assignment projection — for consumers like [[semDedup]] that need
     * (assignment, vector) together: since the assignment is a pure
     * projection, keeping `v` is free, whereas re-attaching it afterwards
     * would cost a corpus-sized join on vec_id.
     */
-  private[text] def kmeansAssignFull(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 2,
-                                     idCol: String = "vec_id", vecCol: String = "embedding",
-                                     salt: String = "kmeans"): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+  /** nearest = max(struct(round-6 cosine, −cid)): the snap + smaller-cid
+    * tie-break keep the argmax engine-portable (oracle replays it).
+    */
+  private[text] def kmeansBest(cs: Seq[(Int, Seq[Double])]): Column =
+    greatest(cs.map { case (id, c) =>
+      struct(round(cosine(col("v"), typedlit(c)), 6).as("s"), lit(-id).as("nid"))
+    }: _*)
 
+  /** The Lloyd fit shared by [[kmeansAssignFull]] and
+    * [[kmeansFinalCentroids]]: `e` must carry (vec_id, v).
+    */
+  private def kmeansFit(e: DataFrame, k: Int, dim: Int, iters: Int,
+                        salt: String): Seq[(Int, Seq[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
     // Centroids live on the driver between iterations (k×dim doubles —
     // index-sized state, like ivfTrain's); assignment is then `greatest`
     // over literal centroids: a pure codegen'd projection, so the corpus
@@ -537,16 +558,8 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v").cast("array<double>")).as[Seq[Double]].collect()
       .toSeq.zipWithIndex.map(_.swap)
-
-    // nearest = max(struct(round-6 cosine, −cid)): the snap + smaller-cid
-    // tie-break keep the argmax engine-portable (oracle replays it).
-    def best(cs: Seq[(Int, Seq[Double])]): Column =
-      greatest(cs.map { case (id, c) =>
-        struct(round(cosine(col("v"), typedlit(c)), 6).as("s"), lit(-id).as("nid"))
-      }: _*)
-
     for (_ <- 1 until iters) {
-      cents = e.withColumn("m", best(cents))
+      cents = e.withColumn("m", kmeansBest(cents))
         .select((-col("m.nid")).cast("int").as("cid"), col("v"))
         .groupBy(col("cid"))
         .agg(microsSumArray(dim, col("v")).as("ms"), count(lit(1)).as("n"))
@@ -554,6 +567,15 @@ object Similarity {
         .orderBy(col("cid"))
         .as[(Int, Seq[Double])].collect().toSeq
     }
+    cents
+  }
+
+  private[text] def kmeansAssignFull(embeddings: DataFrame, k: Int, dim: Int, iters: Int = 2,
+                                     idCol: String = "vec_id", vecCol: String = "embedding",
+                                     salt: String = "kmeans"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cents = kmeansFit(e, k, dim, iters, salt)
+    def best(cs: Seq[(Int, Seq[Double])]): Column = kmeansBest(cs)
 
     e.withColumn("m", best(cents))
       .select(col("vec_id"), (-col("m.nid")).cast("int").as("centroid_id"),

@@ -431,6 +431,44 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("unc_micros") <= 250000L && ybar <= 1000000L)
   }
 
+  test("negative sampling: exactly 5 per anchor, labels always differ, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q287_negative_sampling")(spark, dir).collect()
+    val byAnchor = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byAnchor.size === 500 && byAnchor.values.forall(_.length == 5))
+    assert(rows.forall(r =>
+      r.getAs[Long]("anchor_label") != r.getAs[Long]("neg_label")))
+    assert(rows.forall(r => r.getAs[Long]("neg_id") != r.getAs[Long]("vec_id")))
+    val again = SparkEntry.queries("q287_negative_sampling")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neg_rank"),
+        r.getAs[Long]("neg_id")))
+    assert(again.toSet === rows.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("neg_rank"), r.getAs[Long]("neg_id"))).toSet)
+  }
+
+  test("silhouette: partition accounting closes and scores stay in [-1, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q288_silhouette")(spark, dir).collect()
+    val per = rows.filter(_.getAs[Long]("cid") >= 0L)
+    val zz = rows.find(_.getAs[Long]("cid") == -1L).get
+    assert(per.map(_.getAs[Long]("n_members")).sum === zz.getAs[Long]("n_members"))
+    assert(rows.forall(r => math.abs(r.getAs[Long]("mean_sil_micros")) <= 1000000L))
+  }
+
+  test("adversarial validation on an A/A split reads ~0.5 and is symmetric") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q289_adversarial_validation")(spark, dir)
+      .collect().map(r => (r.getAs[String]("feature"), r.getAs[String]("split"),
+        r.getAs[Long]("auc_micros")))
+    assert(rows.length === 4)
+    assert(rows.forall { case (_, _, a) => a > 400000L && a < 600000L })
+    // AUC(A as positive) + AUC(B as positive) = 1 up to the two floors
+    rows.groupBy(_._1).foreach { case (_, fr) =>
+      val s = fr.map(_._3).sum
+      assert(s >= 999998L && s <= 1000000L, s"asymmetric AUC pair: $fr")
+    }
+  }
+
   private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (d, x, t) => d -> (x, t) }.toMap
