@@ -634,7 +634,101 @@ object GraphOps {
               GROUP BY e.dst, p.n)"""
   }
 
+  /** Distinct undirected part co-purchase edges (pa < pb) from the
+    * lineitem baskets — the q257 basket-bounded HOF pair generation
+    * (one groupBy to the ≤7-part sorted basket array, per-basket C(k,2)
+    * pairs, global distinct; no self-join), shared by the triangle
+    * census and the rich-club audit.
+    */
+  private[analytics] def partCoPurchaseEdges(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"""))
+        .as("pr"))
+      .select(col("pr.pa"), col("pr.pb")).distinct()
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- rich-club coefficient (Colizza et al. 2006, unnormalized
+    //      form): among the nodes with degree > k, how dense is the
+    //      subgraph? φ(k) = 2·E_k / (N_k·(N_k−1)) — hub-interconnection
+    //      structure the degree distribution alone can't see (do the
+    //      high-degree parts co-purchase with EACH OTHER, or only with
+    //      the periphery?). Thresholds = the degree table's p50/p75/
+    //      p90/p95 nearest-rank order statistics (data-derived, not
+    //      magic constants). The normalized variant divides by a
+    //      degree-preserving random rewiring's φ — RNG-dependent, out
+    //      of the engine's determinism contract; documented, and the
+    //      raw φ(k) curve is what the comparison consumes anyway.
+    //
+    //      Scale shape: basket-bounded edge build (q257 helper), one
+    //      degree aggregate, per-threshold two broadcast semi-joins of
+    //      the rich-node set + one count — never a corpus sort; the
+    //      degree quantiles ride the count-of-counts histogram
+    //      (distinct-degree-sized cumulation, q156's regime).
+    ("q290_rich_club", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.Stage.mat(
+        partCoPurchaseEdges(Tables(s, dir).lineitem))
+      val deg = graft.Stage.mat(
+        e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d")))
+      // nearest-rank degree thresholds from the count-of-counts table
+      val coc = deg.groupBy(col("d")).agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window.orderBy(col("d"))))
+      val nAll = deg.agg(count(lit(1)).as("n"))
+      val ks = coc.crossJoin(broadcast(nAll))
+        .select(explode(expr("array(50L, 75L, 90L, 95L)")).as("pct"),
+          col("d"), col("cum"), col("n"))
+        .filter(col("cum") * 100L >= col("pct") * col("n"))
+        .groupBy(col("pct")).agg(min(col("d")).as("k_thresh"))
+        .transform(graft.Stage.mat)
+      val rich = deg.crossJoin(broadcast(ks))
+        .filter(col("d") > col("k_thresh"))
+        .select(col("pct"), col("k_thresh"), col("v"))
+      val nRich = rich.groupBy(col("pct"), col("k_thresh"))
+        .agg(count(lit(1)).as("n_rich"))
+      val eRich = e
+        .join(rich.select(col("pct"), col("v").as("pa")), Seq("pa"))
+        .join(rich.select(col("pct"), col("v").as("pb")), Seq("pct", "pb"))
+        .groupBy(col("pct")).agg(count(lit(1)).as("e_rich"))
+      nRich.join(eRich, Seq("pct"), "left")
+        .selectExpr("pct", "k_thresh", "n_rich",
+          "coalesce(e_rich, 0) AS e_rich",
+          """CAST((2 * coalesce(e_rich, 0) * 1000000)
+                DIV greatest(n_rich * (n_rich - 1), 1) AS BIGINT) AS phi_ppm""")
+        .orderBy(col("pct"))
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+              GROUP BY v),
+      coc AS (SELECT d, CAST(count(*) AS BIGINT) AS f FROM deg GROUP BY d),
+      cc AS (SELECT d, SUM(f) OVER (ORDER BY d) AS cum FROM coc),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+      ks AS (SELECT pct, MIN(d) AS k_thresh
+             FROM cc CROSS JOIN n
+             CROSS JOIN (SELECT unnest([50, 75, 90, 95]) AS pct)
+             WHERE cum * 100 >= pct * n GROUP BY pct),
+      rich AS (SELECT k.pct, k.k_thresh, deg.v
+               FROM deg JOIN ks k ON deg.d > k.k_thresh),
+      nr AS (SELECT pct, k_thresh, CAST(count(*) AS BIGINT) AS n_rich
+             FROM rich GROUP BY pct, k_thresh),
+      er AS (SELECT ra.pct, CAST(count(*) AS BIGINT) AS e_rich
+             FROM e JOIN rich ra ON e.pa = ra.v
+                    JOIN rich rb ON e.pb = rb.v AND ra.pct = rb.pct
+             GROUP BY ra.pct)
+      SELECT CAST(nr.pct AS BIGINT) AS pct, nr.k_thresh, nr.n_rich,
+             COALESCE(er.e_rich, 0) AS e_rich,
+             CAST((2 * COALESCE(er.e_rich, 0) * 1000000)
+                  // greatest(nr.n_rich * (nr.n_rich - 1), 1) AS BIGINT)
+               AS phi_ppm
+      FROM nr LEFT JOIN er ON nr.pct = er.pct
+      ORDER BY pct""")),
 
     // ---- TrustRank over the directed user→item action graph: seeds =
     //      the 5 most-active users (count desc, id — a deterministic,
@@ -1202,19 +1296,11 @@ object GraphOps {
     //      block-size discipline). Edges and the oriented table are
     //      Stage.mat'd — each feeds ≥2 consumers.
     ("q257_triangle_census", (s: SparkSession, dir: String) => {
-      // basket-bounded pair generation WITHOUT a self-join: one groupBy
-      // to the ≤7-part sorted basket array, per-basket C(k,2) pairs via
-      // array HOFs, then the global distinct — one shuffle and no 2×
-      // recompute of the (o, p) dedup (the self-join form rescans its
-      // input per side; measured 7.2 s → ~2 s at sf0.1)
-      val e = graft.Stage.mat(Tables(s, dir).lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"""))
-          .as("pr"))
-        .select(col("pr.pa"), col("pr.pb")).distinct())
+      // basket-bounded pair generation WITHOUT a self-join (shared
+      // helper; one shuffle and no 2× recompute of the (o, p) dedup —
+      // the self-join form rescanned its input per side, measured
+      // 7.2 s → ~2 s at sf0.1)
+      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
       val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val lower = col("da") < col("db") ||

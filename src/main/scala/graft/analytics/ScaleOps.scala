@@ -592,6 +592,100 @@ object ScaleOps {
              count(*) = SUM(nr) AS holds
       FROM allc GROUP BY fd ORDER BY fd""")),
 
+    // ---- consistent-hashing ring rebalance certification (Karger et
+    //      al. 1997; the Dynamo partitioning scheme): keys and 8 vnodes
+    //      per node live on a 2⁶⁰ ring (the portable hash's range);
+    //      owner = the vnode at minimal clockwise distance
+    //      (vpos − pos) mod 2⁶⁰, ties on node name. The query assigns
+    //      every order key under N = 4 nodes and again under N = 5, and
+    //      certifies THE property consistent hashing exists for: only
+    //      ~1/5 of keys move when a node joins (zz row carries the
+    //      measured moved_ppm next to the 200000 expectation), versus
+    //      mod-N hashing's ~4/5. Per-node shares document the 8-vnode
+    //      balance. Both ownership maps are one broadcast join of the
+    //      ≤40-row vnode table + a per-key min-struct aggregate —
+    //      map-side combined, no window, no sort.
+    ("q291_consistent_hashing", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ring = 1152921504606846976L // 2^60 = the 15-hex-digit hash range
+      val keys = Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        graft.text.TextStats.portableHash64(
+          concat(lit("ring:"), col("o_orderkey").cast("string"))).as("pos"))
+      def vnodes(n: Int) = (0 until n).flatMap { node =>
+        (0 until 8).map(j => (s"n$node", node * 8 + j))
+      }.toDF("node", "j").select(col("node"),
+        graft.text.TextStats.portableHash64(
+          concat(lit("vn:"), col("node"), lit(":"), col("j").cast("string")))
+          .as("vpos"))
+      def owners(n: Int, tag: String) = keys.crossJoin(broadcast(vnodes(n)))
+        .select(col("o_orderkey"),
+          struct(pmod(col("vpos") - col("pos"), lit(ring)).as("delta"),
+            col("node")).as("cand"))
+        .groupBy(col("o_orderkey"))
+        .agg(min(col("cand")).getField("node").as(s"owner_$tag"))
+      val both = graft.Stage.mat(
+        owners(4, "a").join(owners(5, "b"), Seq("o_orderkey")))
+      val per = both.groupBy(col("owner_b").as("node"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("owner_a") =!= col("owner_b"), 1L).otherwise(0L))
+            .as("n_moved"))
+      val tot = per.agg(sum(col("n_keys")).as("nk"), sum(col("n_moved")).as("nm"))
+      val rows = per.crossJoin(broadcast(tot))
+        .selectExpr("node", "n_keys", "(n_keys * 1000000) DIV nk AS share_ppm",
+          "n_moved")
+      val zz = tot.selectExpr("'zz_moved' AS node", "nm AS n_keys",
+        "(nm * 1000000) DIV nk AS share_ppm", "nm AS n_moved")
+      rows.unionByName(zz).orderBy(col("node"))
+    }, Some {
+      def h(e: String) = graft.text.TextStats.portableHash64Sql(e)
+      s"""
+      WITH keys AS (
+        SELECT o_orderkey,
+               ${h("concat('ring:', CAST(o_orderkey AS VARCHAR))")} AS pos
+        FROM orders),
+      vn AS (
+        SELECT 'n' || CAST(nd AS VARCHAR) AS node,
+               ${h("concat('vn:n', CAST(nd AS VARCHAR), ':', CAST(nd * 8 + j AS VARCHAR))")}
+                 AS vpos
+        FROM (SELECT unnest(range(0, 5)) AS nd)
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+      ca AS (
+        SELECT k.o_orderkey, v.node,
+               ((v.vpos - k.pos) % 1152921504606846976
+                + 1152921504606846976) % 1152921504606846976 AS delta
+        FROM keys k CROSS JOIN (SELECT * FROM vn WHERE node <> 'n4') v),
+      oa AS (
+        SELECT o_orderkey, node AS owner_a FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY delta, node) AS rn
+          FROM ca) WHERE rn = 1),
+      cb AS (
+        SELECT k.o_orderkey, v.node,
+               ((v.vpos - k.pos) % 1152921504606846976
+                + 1152921504606846976) % 1152921504606846976 AS delta
+        FROM keys k CROSS JOIN vn v),
+      ob AS (
+        SELECT o_orderkey, node AS owner_b FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY delta, node) AS rn
+          FROM cb) WHERE rn = 1),
+      bt AS (SELECT oa.o_orderkey, owner_a, owner_b
+             FROM oa JOIN ob ON oa.o_orderkey = ob.o_orderkey),
+      per AS (
+        SELECT owner_b AS node, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN owner_a <> owner_b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_moved
+        FROM bt GROUP BY owner_b),
+      tot AS (SELECT CAST(SUM(n_keys) AS BIGINT) AS nk,
+                     CAST(SUM(n_moved) AS BIGINT) AS nm FROM per)
+      SELECT node, n_keys, (n_keys * 1000000) // nk AS share_ppm, n_moved
+      FROM per CROSS JOIN tot
+      UNION ALL
+      SELECT 'zz_moved', nm, (nm * 1000000) // nk, nm FROM tot
+      ORDER BY node"""
+    }),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

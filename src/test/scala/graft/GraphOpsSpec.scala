@@ -342,4 +342,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_tri") === 0L)
     assert(out.head.getAs[Long]("cc_ppm") === 0L)
   }
+
+  test("rich club: tighter thresholds shrink the club and phi stays a density") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q290_rich_club")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pct"), r.getAs[Long]("k_thresh"),
+        r.getAs[Long]("n_rich"), r.getAs[Long]("e_rich"),
+        r.getAs[Long]("phi_ppm")))
+    assert(rows.map(_._1).toSeq === Seq(50L, 75L, 90L, 95L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 >= b._3 })
+    assert(rows.forall { case (_, _, n, e, phi) =>
+      e <= n * (n - 1) / 2 && phi >= 0L && phi <= 1000000L })
+  }
+
+  test("consistent hashing: only the joining node receives moved keys") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()
+    val per = rows.filter(_.getAs[String]("node") != "zz_moved")
+    assert(per.map(_.getAs[String]("node")).sorted.toSeq ===
+      Seq("n0", "n1", "n2", "n3", "n4"))
+    // the consistent-hashing contract: a join relocates keys ONLY onto
+    // the new node; incumbents keep everything they keep
+    assert(per.filter(_.getAs[String]("node") != "n4")
+      .forall(_.getAs[Long]("n_moved") === 0L))
+    val zz = rows.find(_.getAs[String]("node") == "zz_moved").get
+    assert(zz.getAs[Long]("share_ppm") < 450000L,
+      s"moved ${zz.getAs[Long]("share_ppm")} ppm — should be ~1/5, far under mod-N's ~4/5")
+  }
 }

@@ -328,6 +328,8 @@ class PlanSpec extends SparkSpec {
       "q265_fdr_bh" -> "BH rank over the m-row p-value table — event-type-domain-sized",
       "q268_skyline" -> "price-range bucket-offset table (≤1024 rows; distinct-price prefix max per bucket)",
       "q271_neyman_sample" -> "largest-remainder rank over the stratum-domain allocation table (5 rows)",
+      "q290_rich_club" -> "degree count-of-counts cumulation — distinct-multiplicity-sized (q156 regime)",
+      "q289_adversarial_validation" -> "range-bucket histogram cumulation (≤1024 rows; q124's scoreOrder regime, once per feature)",
       "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
       "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
       "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")
