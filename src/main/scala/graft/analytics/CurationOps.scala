@@ -2096,5 +2096,66 @@ object CurationOps {
       SELECT CAST(-1 AS BIGINT), n_tokens, n1,
              (n1 * 1000000) // greatest(n_tokens, 1) FROM tot
       ORDER BY r"""))
+  ,
+
+    // ---- Hill tail-index estimator (Hill 1975): over the k = 64
+    //      largest bigram frequencies, α̂ = 1 / mean(ln(x_i / x_ref))
+    //      with x_ref the (k+1)-th order statistic — the standard
+    //      heavy-tail exponent readout (α ≈ 1 says Zipf; α large says
+    //      thin tail), the quantitative companion to q216's Heaps curve
+    //      and the q131 concentration audits. ln enters through the
+    //      q227 round-nanos convention (round(ln·1e9) — the 1e-9 snap
+    //      absorbs the sub-ULP libm differences between engines);
+    //      everything after is integer arithmetic. Top-(k+1) selection
+    //      is TakeOrderedAndProject on (count desc, bigram) — bounded,
+    //      no window.
+    ("q292_hill_tail_index", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir).documents
+        .select(filter(TextStats.tokens(lower(col("text"))),
+          x => x =!= lit("")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = t.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      val ranked = bi.groupBy(col("g")).agg(count(lit(1)).as("r"))
+        .orderBy(col("r").desc, col("g")).limit(65)
+        .withColumn("lnr",
+          expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000000, 0) AS BIGINT)"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("r").desc, col("g"))).cast("long"))
+        .transform(graft.Stage.mat)
+      val ref = ranked.filter(col("rk") === 65L)
+        .selectExpr("r AS x_ref", "lnr AS ln_ref")
+      ranked.filter(col("rk") <= 64L).crossJoin(broadcast(ref))
+        .agg(count(lit(1)).as("k"), min(col("x_ref")).as("x_ref"),
+          sum(col("lnr") - col("ln_ref")).as("sln"))
+        .selectExpr("k", "x_ref", "sln DIV k AS mean_ln_ratio_nanos",
+          "CAST(1000000000000000 DIV greatest(sln DIV k, 1) AS BIGINT) AS alpha_micros")
+    }, Some(s"""
+      WITH t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                 x -> x <> '') AS toks
+        FROM documents),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM t WHERE len(toks) >= 2),
+      top AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS r,
+               CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000000, 0)
+                 AS BIGINT) AS lnr
+        FROM bi GROUP BY g ORDER BY r DESC, g LIMIT 65),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY r DESC, g) AS BIGINT) AS rk
+        FROM top),
+      ref AS (SELECT r AS x_ref, lnr AS ln_ref FROM ranked WHERE rk = 65)
+      SELECT CAST(count(*) AS BIGINT) AS k, MIN(x_ref) AS x_ref,
+             CAST(SUM(lnr - ln_ref) AS BIGINT) // count(*) AS mean_ln_ratio_nanos,
+             CAST(1000000000000000
+                  // greatest(CAST(SUM(lnr - ln_ref) AS BIGINT) // count(*), 1)
+                  AS BIGINT) AS alpha_micros
+      FROM ranked CROSS JOIN ref WHERE rk <= 64"""))
   )
 }

@@ -1977,6 +1977,104 @@ object TemporalOps {
                AS BIGINT) AS twap_micros,
              CAST(SUM(v) // greatest(count(*), 1) AS BIGINT) AS mean_micros
       FROM held WHERE dt IS NOT NULL
-      GROUP BY event_type ORDER BY event_type"""))
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- next-event prediction eval (Markov hit-rate): the q174
+    //      transition matrix turned into a MODEL and scored honestly —
+    //      train users (hash parity) build per-source argmax(count,
+    //      dst asc) predictions; held-out users' transitions score
+    //      hit@1 per source + the zz overall row, beside the
+    //      majority-baseline hit-rate (predicting the globally most
+    //      common destination) so the lift of conditioning on the
+    //      source is visible in the same table. All counts exact; the
+    //      per-user lag windows are the q174/q256 regime.
+    ("q293_markov_hitrate", (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = graft.Stage.mat(Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .withColumn("is_train",
+          graft.text.TextStats.portableHash64(
+            concat(lit("mk2:"), col("user_id").cast("string"))) % 2L === 0L)
+        .select(col("src"), col("dst"), col("is_train")))
+      val model = tr.filter(col("is_train"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(expr("struct(c, dst)")).as("mm"))
+        .selectExpr("src", "mm.dst AS pred")
+      val base = tr.filter(col("is_train"))
+        .groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("dst")).limit(1)
+        .selectExpr("dst AS base_pred")
+      val test = tr.filter(!col("is_train"))
+        .join(broadcast(model), Seq("src"))
+        .crossJoin(broadcast(base))
+      val per = test.groupBy(col("src"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("dst") === col("pred"), 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("dst") === col("base_pred"), 1L).otherwise(0L))
+            .as("n_base_hit"))
+        .selectExpr("src", "n_test", "n_hit",
+          "(n_hit * 1000000) DIV greatest(n_test, 1) AS hit_ppm",
+          "(n_base_hit * 1000000) DIV greatest(n_test, 1) AS base_ppm")
+        .transform(graft.Stage.mat)
+      val zz = per.agg(sum(col("n_test")).as("n_test"),
+        sum(col("n_hit")).as("n_hit"),
+        sum(expr("(base_ppm * n_test)")).as("bw"))
+        .selectExpr("'zz_all' AS src", "n_test", "n_hit",
+          "(n_hit * 1000000) DIV greatest(n_test, 1) AS hit_ppm",
+          "bw DIV greatest(n_test, 1) AS base_ppm")
+      per.unionByName(zz).orderBy(col("src"))
+    }, Some {
+      val h = graft.text.TextStats.portableHash64Sql(
+        "concat('mk2:', CAST(user_id AS VARCHAR))")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type AS dst,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS src,
+               $h % 2 = 0 AS is_train
+        FROM events WHERE user_id IS NOT NULL),
+      tr AS (SELECT src, dst, is_train FROM ev WHERE src IS NOT NULL),
+      mc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+             FROM tr WHERE is_train GROUP BY src, dst),
+      model AS (
+        SELECT src, dst AS pred FROM (
+          SELECT *, row_number() OVER (PARTITION BY src
+                                       ORDER BY c DESC, dst DESC) AS rn
+          FROM mc) WHERE rn = 1),
+      base AS (SELECT dst AS base_pred FROM (
+          SELECT dst, CAST(count(*) AS BIGINT) AS c FROM tr WHERE is_train
+          GROUP BY dst ORDER BY c DESC, dst LIMIT 1)),
+      test AS (
+        SELECT t.src, t.dst, m.pred, b.base_pred
+        FROM tr t JOIN model m ON t.src = m.src CROSS JOIN base b
+        WHERE NOT t.is_train),
+      per AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN dst = pred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hit,
+               CAST(SUM(CASE WHEN dst = base_pred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_base_hit
+        FROM test GROUP BY src),
+      scored AS (
+        SELECT src, n_test, n_hit,
+               (n_hit * 1000000) // greatest(n_test, 1) AS hit_ppm,
+               (n_base_hit * 1000000) // greatest(n_test, 1) AS base_ppm
+        FROM per)
+      SELECT src, n_test, n_hit, hit_ppm, base_ppm FROM scored
+      UNION ALL
+      SELECT 'zz_all', CAST(SUM(n_test) AS BIGINT), CAST(SUM(n_hit) AS BIGINT),
+             (CAST(SUM(n_hit) AS BIGINT) * 1000000)
+               // greatest(CAST(SUM(n_test) AS BIGINT), 1),
+             CAST(SUM(base_ppm * n_test) AS BIGINT)
+               // greatest(CAST(SUM(n_test) AS BIGINT), 1)
+      FROM scored
+      ORDER BY src"""
+    })
   )
 }

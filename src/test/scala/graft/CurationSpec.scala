@@ -623,4 +623,13 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (-1L, 3L, 1L, 333333L), (1L, 1L, 1L, 2000000L), (2L, 1L, 0L, 0L)))
   }
+
+  test("Hill estimator: k pins at 64 and the exponent is positive") {
+    val r = SparkEntry.queries("q292_hill_tail_index")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("k") === 64L)
+    assert(r.getAs[Long]("x_ref") >= 1L)
+    assert(r.getAs[Long]("mean_ln_ratio_nanos") >= 0L)
+    assert(r.getAs[Long]("alpha_micros") > 0L)
+  }
 }

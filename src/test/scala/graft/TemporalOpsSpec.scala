@@ -529,4 +529,24 @@ class TemporalOpsSpec extends SparkSpec {
     assert((r.getAs[Long]("n_held"), r.getAs[Long]("twap_micros"),
       r.getAs[Long]("mean_micros")) === ((2L, 25000000L, 20000000L)))
   }
+
+  test("Markov hit-rate is perfect on a deterministic alternating pattern") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("mkh_fix").toString
+    // every user alternates click→view→click: the trained argmax is
+    // exact, so held-out users score hit_ppm = 1e6 whatever the split
+    (1L to 8L).flatMap { u =>
+      Seq((u * 10 + 1, "10:00:00", "click"), (u * 10 + 2, "10:01:00", "view"),
+        (u * 10 + 3, "10:02:00", "click"))
+        .map { case (id, t, e) => (id, ts(s"2024-07-01 $t"), u, e, 0.0, "{}") }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q293_markov_hitrate")(spark, dir).collect()
+    val zz = rows.find(_.getAs[String]("src") == "zz_all").get
+    assert(zz.getAs[Long]("n_test") > 0L)
+    assert(zz.getAs[Long]("hit_ppm") === 1000000L)
+    assert(rows.filter(_.getAs[String]("src") != "zz_all")
+      .map(_.getAs[Long]("n_test")).sum === zz.getAs[Long]("n_test"))
+  }
 }
