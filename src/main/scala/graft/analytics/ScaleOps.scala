@@ -606,26 +606,33 @@ object ScaleOps {
     //      ≤40-row vnode table + a per-key min-struct aggregate —
     //      map-side combined, no window, no sort.
     ("q291_consistent_hashing", (s: SparkSession, dir: String) => {
-      import s.implicits._
       val ring = 1152921504606846976L // 2^60 = the 15-hex-digit hash range
-      val keys = Tables(s, dir).orders.select(
+      // vnode ring positions are md5-of-literal constants — computable
+      // at PLAN time (same bytes Spark's md5() and DuckDB's md5() hash),
+      // so ownership is a pure 40-term least(struct) PROJECTION: no
+      // join, no shuffle, one pass over the keys. This is also the
+      // deployment shape — a router holds the ring table in memory and
+      // maps keys without touching other partitions. (The first cut
+      // broadcast-joined a vnode DataFrame: BroadcastNestedLoopJoin,
+      // no codegen, 12 s of task CPU for what is a projection.)
+      def vlit(n: Int): Seq[(String, Long)] =
+        for (node <- 0 until n; j <- 0 until 8) yield {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"vn:n$node:${node * 8 + j}".getBytes("UTF-8"))
+          (s"n$node",
+            java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16))
+        }
+      def owner(vs: Seq[(String, Long)]): Column =
+        least(vs.map { case (nd, vp) =>
+          struct(pmod(lit(vp) - col("pos"), lit(ring)).as("delta"),
+            lit(nd).as("node"))
+        }: _*).getField("node")
+      val both = Tables(s, dir).orders.select(
         col("o_orderkey"),
         graft.text.TextStats.portableHash64(
           concat(lit("ring:"), col("o_orderkey").cast("string"))).as("pos"))
-      def vnodes(n: Int) = (0 until n).flatMap { node =>
-        (0 until 8).map(j => (s"n$node", node * 8 + j))
-      }.toDF("node", "j").select(col("node"),
-        graft.text.TextStats.portableHash64(
-          concat(lit("vn:"), col("node"), lit(":"), col("j").cast("string")))
-          .as("vpos"))
-      def owners(n: Int, tag: String) = keys.crossJoin(broadcast(vnodes(n)))
-        .select(col("o_orderkey"),
-          struct(pmod(col("vpos") - col("pos"), lit(ring)).as("delta"),
-            col("node")).as("cand"))
-        .groupBy(col("o_orderkey"))
-        .agg(min(col("cand")).getField("node").as(s"owner_$tag"))
-      val both = graft.Stage.mat(
-        owners(4, "a").join(owners(5, "b"), Seq("o_orderkey")))
+        .select(col("o_orderkey"), owner(vlit(4)).as("owner_a"),
+          owner(vlit(5)).as("owner_b"))
       val per = both.groupBy(col("owner_b").as("node"))
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("owner_a") =!= col("owner_b"), 1L).otherwise(0L))
