@@ -736,4 +736,27 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(live === batch)
   }
+
+  test("streaming TWAP credits the hold that spans a checkpoint restart") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingTwap.twap(
+      spark.readStream.schema("k STRING, tm LONG, seq LONG, v LONG").json(src)
+        .as[(String, Long, Long, Long)])
+      .toDF("k", "n_held", "twap_micros", "mean_micros")
+    // q280's hand fixture split so the 30 s hold of v=30 CROSSES the
+    // restart: v=10 held 10 s (wave 1), v=30 held 30 s (closes in
+    // wave 2) → twap (10·10 + 30·30)/40 = 25.0, mean 20.0 — reachable
+    // only if wave 1's open position survived the checkpoint
+    writeOps(src, "w1.json", Seq(
+      """{"k":"tick","tm":0,"seq":1,"v":10000000}""",
+      """{"k":"tick","tm":10000000,"seq":2,"v":30000000}"""))
+    drainOnce(mon, ckpt, dest)
+    writeOps(src, "w2.json", Seq(
+      """{"k":"tick","tm":40000000,"seq":3,"v":50000000}"""))
+    drainOnce(mon, ckpt, dest)
+    val last = spark.read.parquet(dest).as[(String, Long, Long, Long)]
+      .collect().maxBy(_._2)
+    assert(last === (("tick", 2L, 25000000L, 20000000L)))
+  }
 }
