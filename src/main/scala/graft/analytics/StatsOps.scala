@@ -1464,6 +1464,73 @@ object StatsOps {
                   THEN 1 ELSE 0 END AS BIGINT) AS rejected
       FROM ranked CROSS JOIN rmax
       ORDER BY grp"""
-    })
+    }),
+
+    // ---- r×c chi-square independence + Cramér's V (Cramér 1946): is
+    //      language independent of source? The general contingency
+    //      companion to q247's 2×2 McNemar and q237's stratified CMH.
+    //      Exact per-cell arithmetic via the n-scaling identity:
+    //      (O − E)²/E with E = r_i·c_j/n becomes
+    //      (n·n_ij − r_i·c_j)²·1e6 DIV (n·r_i·c_j) — and EMPTY cells
+    //      participate (the margin cross join materializes the full
+    //      r×c grid; a groupBy over observed cells alone would
+    //      silently drop their E-mass). V² = χ²/(n·min(r−1, c−1))
+    //      in micros — squared per the house no-sqrt convention.
+    //      DECIMAL(38,0): (n·n_ij)² ≤ 1e36 at 1e9 docs.
+    //
+    //      Scale shape: one (lang, source) cell aggregate + two
+    //      catalog-sized margin tables cross-joined and broadcast —
+    //      no window, no fact-side rescan.
+    ("q294_cramers_v", (s: SparkSession, dir: String) => {
+      val cells = graft.Stage.mat(Tables(s, dir).documents
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c")))
+      val rm = cells.groupBy(col("lang")).agg(sum(col("c")).as("r_i"))
+      val cm = cells.groupBy(col("source")).agg(sum(col("c")).as("c_j"))
+      val tot = cells.agg(sum(col("c")).as("n"),
+        countDistinct(col("lang")).as("nr"),
+        countDistinct(col("source")).as("nc"))
+      val grid = rm.crossJoin(cm)
+        .join(cells, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(tot))
+        .selectExpr("r_i", "c_j", "coalesce(c, 0) AS o", "n", "nr", "nc")
+      grid.agg(max(col("n")).as("n"), max(col("nr")).as("n_langs"),
+        max(col("nc")).as("n_sources"),
+        sum(expr("""(CAST(n AS DECIMAL(38,0)) * o - CAST(r_i AS DECIMAL(38,0)) * c_j)
+                    * (CAST(n AS DECIMAL(38,0)) * o - CAST(r_i AS DECIMAL(38,0)) * c_j)
+                    * 1000000
+                    DIV (CAST(n AS DECIMAL(38,0)) * r_i * c_j)"""))
+          .as("chi2"))
+        .selectExpr("n", "n_langs", "n_sources",
+          "CAST(chi2 AS BIGINT) AS chi2_micros",
+          "(n_langs - 1) * (n_sources - 1) AS dof",
+          """CAST(chi2 DIV (CAST(n AS DECIMAL(38,0))
+                * least(n_langs - 1, n_sources - 1)) AS BIGINT) AS v2_micros""")
+    }, Some("""
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source),
+      rm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS r_i FROM cells GROUP BY lang),
+      cm AS (SELECT source, CAST(SUM(c) AS BIGINT) AS c_j FROM cells GROUP BY source),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                     CAST(count(DISTINCT source) AS BIGINT) AS nc
+              FROM cells),
+      grid AS (
+        SELECT rm.r_i, cm.c_j, coalesce(ce.c, 0) AS o, n, nr, nc
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells ce ON rm.lang = ce.lang AND cm.source = ce.source
+        CROSS JOIN tot),
+      agg AS (
+        SELECT MAX(n) AS n, MAX(nr) AS n_langs, MAX(nc) AS n_sources,
+               SUM((CAST(n AS HUGEINT) * o - CAST(r_i AS HUGEINT) * c_j)
+                   * (CAST(n AS HUGEINT) * o - CAST(r_i AS HUGEINT) * c_j)
+                   * 1000000
+                   // (CAST(n AS HUGEINT) * r_i * c_j)) AS chi2
+        FROM grid)
+      SELECT n, n_langs, n_sources, CAST(chi2 AS BIGINT) AS chi2_micros,
+             (n_langs - 1) * (n_sources - 1) AS dof,
+             CAST(chi2 // (CAST(n AS HUGEINT)
+                  * least(n_langs - 1, n_sources - 1)) AS BIGINT) AS v2_micros
+      FROM agg"""))
   )
 }

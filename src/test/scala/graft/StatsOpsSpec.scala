@@ -240,4 +240,21 @@ class StatsOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("bh_rank"))
     if (rej.nonEmpty) assert(rej.sorted === (1L to rej.max).toArray)
   }
+
+  test("Cramér's V matches the hand 2x2 grid including its exact chi-square") {
+    import spark.implicits._
+    // counts [[3,1],[1,3]]: every E = 2, chi2 = 4·(1/2) = 2.0,
+    // V² = 2/(8·1) = 0.25
+    val dir = java.nio.file.Files.createTempDirectory("cv_fix").toString
+    (Seq.fill(3)(("en", "a")) ++ Seq(("en", "b")) ++ Seq(("fr", "a")) ++
+      Seq.fill(3)(("fr", "b"))).zipWithIndex
+      .map { case ((l, src), i) => (i.toLong, s"text $i", l, src, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q294_cramers_v")(spark, dir).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_langs"),
+      r.getAs[Long]("n_sources"), r.getAs[Long]("chi2_micros"),
+      r.getAs[Long]("dof"), r.getAs[Long]("v2_micros")) ===
+      ((8L, 2L, 2L, 2000000L, 1L, 250000L)))
+  }
 }
