@@ -693,6 +693,76 @@ object ScaleOps {
       ORDER BY node"""
     }),
 
+    // ---- sequence completeness audit (gaps and islands over a key
+    //      sequence): is the o_orderkey space contiguous, and where are
+    //      the holes? The ledger/billing completeness check — missing
+    //      count, island count, and the LARGEST gap with its start.
+    //      Scale-safe decomposition: keys bucket into 1024 value
+    //      ranges; within-bucket adjacent gaps ride PARTITIONed lag
+    //      windows, cross-bucket gaps ride one window over the ≤1024
+    //      nonempty-bucket table (min/max/count per bucket), and the
+    //      two gap families union before one max-selection — no global
+    //      sort of the key space anywhere. n_missing = span − n_keys
+    //      is a pure aggregate identity and cross-checks the summed
+    //      gap lengths in-plan (the hashed columns carry both).
+    //      Output: one row (n_keys, key_min, key_max, n_missing,
+    //      n_islands, gap_start, gap_len).
+    ("q295_sequence_gaps", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val keys = Tables(s, dir).orders.select(col("o_orderkey").as("k")).distinct()
+      val st = keys.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+        count(lit(1)).as("n_keys"))
+      val bucketed = graft.Stage.mat(keys.crossJoin(broadcast(st))
+        .withColumn("b", expr("((k - mn) * 1024) DIV (mx - mn + 1)")))
+      val wIn = Window.partitionBy(col("b")).orderBy(col("k"))
+      val inGaps = bucketed
+        .withColumn("pk", lag(col("k"), 1).over(wIn))
+        .filter(col("pk").isNotNull && col("k") - col("pk") > 1L)
+        .select((col("pk") + 1L).as("gap_start"),
+          (col("k") - col("pk") - 1L).as("gap_len"))
+      val bstats = bucketed.groupBy(col("b"))
+        .agg(min(col("k")).as("bmn"), max(col("k")).as("bmx"))
+      val wB = Window.orderBy(col("b"))
+      val crossGaps = bstats
+        .withColumn("pmx", lag(col("bmx"), 1).over(wB))
+        .filter(col("pmx").isNotNull && col("bmn") - col("pmx") > 1L)
+        .select((col("pmx") + 1L).as("gap_start"),
+          (col("bmn") - col("pmx") - 1L).as("gap_len"))
+      val gaps = graft.Stage.mat(inGaps.unionByName(crossGaps))
+      val gagg = gaps.agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_len")).as("missing_sum"),
+        max(struct(col("gap_len"), col("gap_start"))).as("mg"))
+      st.crossJoin(broadcast(gagg))
+        .selectExpr("n_keys", "mn AS key_min", "mx AS key_max",
+          "(mx - mn + 1) - n_keys AS n_missing",
+          "n_gaps + 1 AS n_islands",
+          "coalesce(mg.gap_start, -1) AS gap_start",
+          "coalesce(mg.gap_len, 0) AS gap_len",
+          """CAST(CASE WHEN coalesce(missing_sum, 0) = (mx - mn + 1) - n_keys
+                  THEN 1 ELSE 0 END AS BIGINT) AS sum_check""")
+    }, Some("""
+      WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      st AS (SELECT MIN(k) AS mn, MAX(k) AS mx, CAST(count(*) AS BIGINT) AS n_keys
+             FROM keys),
+      ordered AS (
+        SELECT k, lag(k, 1) OVER (ORDER BY k) AS pk FROM keys),
+      gaps AS (
+        SELECT pk + 1 AS gap_start, k - pk - 1 AS gap_len
+        FROM ordered WHERE pk IS NOT NULL AND k - pk > 1),
+      gagg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_len) AS BIGINT) AS missing_sum,
+               MAX({'gap_len': gap_len, 'gap_start': gap_start}) AS mg
+        FROM gaps)
+      SELECT n_keys, mn AS key_min, mx AS key_max,
+             (mx - mn + 1) - n_keys AS n_missing,
+             n_gaps + 1 AS n_islands,
+             coalesce(mg.gap_start, -1) AS gap_start,
+             coalesce(mg.gap_len, 0) AS gap_len,
+             CAST(CASE WHEN coalesce(missing_sum, 0) = (mx - mn + 1) - n_keys
+                  THEN 1 ELSE 0 END AS BIGINT) AS sum_check
+      FROM st CROSS JOIN gagg""")),
+
     // ---- prefix-filtered EXACT Jaccard similarity join (AllPairs/
     //      PPJoin): the deterministic scale path for thresholds below
     //      the banded-MinHash cutoff. The oracle is the exact all-pairs

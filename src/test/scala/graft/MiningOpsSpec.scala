@@ -319,4 +319,23 @@ class MiningOpsSpec extends SparkSpec {
       ("orderkey->custkey", 3L, 3L, 0L, true),
       ("priority->status", 2L, 2L, 0L, true)))
   }
+
+  test("sequence-gap audit finds both holes and the largest one") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("gap_fix").toString
+    // keys {1,2,3,7,10,11}: gaps [4..6] (len 3) and [8..9] (len 2) →
+    // 5 missing, 3 islands, largest gap starts at 4
+    Seq(1L, 2L, 3L, 7L, 10L, 11L)
+      .map(k => (k, 1L, "O", 10.0,
+        Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q295_sequence_gaps")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("key_min"),
+      r.getAs[Long]("key_max"), r.getAs[Long]("n_missing"),
+      r.getAs[Long]("n_islands"), r.getAs[Long]("gap_start"),
+      r.getAs[Long]("gap_len"), r.getAs[Long]("sum_check")) ===
+      ((6L, 1L, 11L, 5L, 3L, 4L, 3L, 1L)))
+  }
 }

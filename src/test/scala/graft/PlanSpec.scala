@@ -330,6 +330,7 @@ class PlanSpec extends SparkSpec {
       "q271_neyman_sample" -> "largest-remainder rank over the stratum-domain allocation table (5 rows)",
       "q290_rich_club" -> "degree count-of-counts cumulation — distinct-multiplicity-sized (q156 regime)",
       "q289_adversarial_validation" -> "range-bucket histogram cumulation (≤1024 rows; q124's scoreOrder regime, once per feature)",
+      "q295_sequence_gaps" -> "cross-bucket stitching over the ≤1024-row nonempty-bucket table",
       "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
       "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
       "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")
