@@ -178,6 +178,69 @@ object CurationOps {
       .orderBy(col("step"))
   }
 
+  /** q258's cell-bounded DBSCAN (Ester et al. 1996) over an embedding
+    * corpus — extracted so ScaleSmoke can measure its growth curve on
+    * replicated corpora (VERDICT r8 ask #2) and so the cell discipline
+    * lives in ONE place: the cell count is NOT a fixture literal but
+    * the shared k ∝ n contract [[graft.text.Similarity.cellCountFor]]
+    * (VERDICT r8 ask #1), with
+    * [[graft.text.Similarity.requireCellBounded]] refusing any call
+    * whose expected cell size blows the quadratic budget — the same
+    * helper pair q225/q75 SemDeDup ride. Neighborhoods are round-6
+    * cos ≥ 0.35 WITHIN the kmeans cell (the documented deviation from
+    * textbook DBSCAN: the eps-graph is IVF-cell-bounded, never
+    * all-pairs, so cross-cell density chains cut at cell borders);
+    * core = ≥ minPts−1 = 2 in-cell neighbors; clusters = connected
+    * components of the core-core graph; border joins its minimum core
+    * cluster; the rest is noise (the −1 row).
+    */
+  def densityClusters(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = emb.count()
+    val k = graft.text.Similarity.cellCountFor(n)
+    graft.text.Similarity.requireCellBounded(n, k)
+    val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+    val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+    val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val pb = mem.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val pairs = graft.Stage.mat(pa.join(pb, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.text.Similarity.cosine(col("va"), col("vb")), 6) >= 0.35)
+      .select(col("id_a"), col("id_b")))
+    val adj = pairs.select(col("id_a").as("v"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("nbr")))
+    val core = graft.Stage.mat(adj.groupBy(col("v")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 2).select(col("v")))
+    val coreEdges = pairs
+      .join(core.select(col("v").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("v").as("id_b")), Seq("id_b"), "left_semi")
+    val comp = graft.text.Dedup.connectedComponents(coreEdges)
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreLab = graft.Stage.mat(
+      comp.select(col("doc_id").as("v"), col("cluster_id"))
+        .unionByName(core
+          .join(comp.select(col("doc_id").as("v")), Seq("v"), "left_anti")
+          .select(col("v"), col("v").as("cluster_id"))))
+    val borderLab = adj
+      .join(core, Seq("v"), "left_anti")
+      .join(coreLab.select(col("v").as("nbr"), col("cluster_id")), Seq("nbr"))
+      .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+    val allLab = coreLab.withColumn("is_core", lit(1L))
+      .unionByName(borderLab.withColumn("is_core", lit(0L)))
+    val per = allLab.groupBy(col("cluster_id"))
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"))
+      .selectExpr("cluster_id", "n_core", "n_border",
+        "n_core + n_border AS n_points")
+    val noise = emb.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(allLab.agg(count(lit(1)).as("nl"))))
+      .selectExpr("CAST(-1 AS BIGINT) AS cluster_id", "CAST(0 AS BIGINT) AS n_core",
+        "CAST(0 AS BIGINT) AS n_border", "n - nl AS n_points")
+    per.unionByName(noise).orderBy(col("cluster_id"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- greedy max-coverage exemplar selection: 5 rounds of the
@@ -677,13 +740,25 @@ object CurationOps {
     //      clustering bit-for-bit (a value-level oracle for an operator
     //      that is usually "trust me").
     ("q64_kmeans", (s: SparkSession, dir: String) => {
-      graft.text.Similarity.kmeansAssign(Tables(s, dir).embeddings, k = 4, dim = 64)
+      val emb = Tables(s, dir).embeddings
+      // k from the shared cell-count contract (Similarity.cellCountFor,
+      // VERDICT r8 ask #1): the fixture resolves to the historical k = 4;
+      // a bigger corpus gets k ∝ n so downstream cell-bounded consumers
+      // keep constant expected cell size. The oracle's kp CTE derives the
+      // identical k via cellCountSql.
+      val k = graft.text.Similarity.cellCountFor(emb.count())
+      graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
         .orderBy(col("vec_id"))
     }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sl AS (SELECT vec_id, v,
+      hs AS (SELECT vec_id, v,
                ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
-             FROM e ORDER BY h, vec_id LIMIT 4),
+             FROM e),
+      kp AS (SELECT ${graft.text.Similarity.cellCountSql("count(*)")} AS k FROM e),
+      sl AS (SELECT vec_id, v, h FROM
+               (SELECT vec_id, v, h,
+                       row_number() OVER (ORDER BY h, vec_id) AS rnk FROM hs)
+             CROSS JOIN kp WHERE rnk <= k),
       seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
                        v AS cv FROM sl),
       a1 AS (SELECT vec_id, v, cid, cos_r,
@@ -1108,14 +1183,25 @@ object CurationOps {
     //      with the same round-6 snap before the tau comparison — the
     //      whole keep/drop decision is recomputed end-to-end by DuckDB.
     ("q75_semdedup", (s: SparkSession, dir: String) => {
-      graft.text.Similarity.semDedup(Tables(s, dir).embeddings,
-          k = 4, dim = 64, tau = 0.35)
+      val emb = Tables(s, dir).embeddings
+      // within-cluster pairwise pass ⇒ k rides the cell-count contract
+      // and the budget guard runs at the point the quadratic stage is
+      // declared (Similarity.cellCountFor/requireCellBounded, r8 ask #1)
+      val n = emb.count()
+      val k = graft.text.Similarity.cellCountFor(n)
+      graft.text.Similarity.requireCellBounded(n, k)
+      graft.text.Similarity.semDedup(emb, k = k, dim = 64, tau = 0.35)
         .orderBy(col("vec_id"))
     }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sl AS (SELECT vec_id, v,
+      hs AS (SELECT vec_id, v,
                ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
-             FROM e ORDER BY h, vec_id LIMIT 4),
+             FROM e),
+      kp AS (SELECT ${graft.text.Similarity.cellCountSql("count(*)")} AS k FROM e),
+      sl AS (SELECT vec_id, v, h FROM
+               (SELECT vec_id, v, h,
+                       row_number() OVER (ORDER BY h, vec_id) AS rnk FROM hs)
+             CROSS JOIN kp WHERE rnk <= k),
       seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
                        v AS cv FROM sl),
       a1 AS (SELECT vec_id, v, cid, cos_r,
@@ -1834,7 +1920,12 @@ object CurationOps {
     //      and the drop-set distinct.
     ("q225_semantic_dedup", (s: SparkSession, dir: String) => {
       val emb = Tables(s, dir).embeddings
-      val asg = graft.text.Similarity.kmeansAssign(emb, k = 4, dim = 64)
+      // k ∝ n cell contract + budget guard before the within-cell
+      // all-pairs (Similarity.cellCountFor/requireCellBounded, r8 ask #1)
+      val n = emb.count()
+      val k = graft.text.Similarity.cellCountFor(n)
+      graft.text.Similarity.requireCellBounded(n, k)
+      val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
       val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
       val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
@@ -1866,9 +1957,14 @@ object CurationOps {
       per.unionByName(zz).orderBy(col("centroid_id"))
     }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sl AS (SELECT vec_id, v,
+      hs AS (SELECT vec_id, v,
                ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
-             FROM e ORDER BY h, vec_id LIMIT 4),
+             FROM e),
+      kp AS (SELECT ${graft.text.Similarity.cellCountSql("count(*)")} AS k FROM e),
+      sl AS (SELECT vec_id, v, h FROM
+               (SELECT vec_id, v, h,
+                       row_number() OVER (ORDER BY h, vec_id) AS rnk FROM hs)
+             CROSS JOIN kp WHERE rnk <= k),
       seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
                        v AS cv FROM sl),
       a1 AS (SELECT vec_id, v, cid, cos_r,
@@ -1939,54 +2035,17 @@ object CurationOps {
     //      in place of the iterated propagation (identical labels:
     //      both compute min id per component), border argmin — so
     //      every label is value-checked cross-engine.
-    ("q258_density_clusters", (s: SparkSession, dir: String) => {
-      val emb = Tables(s, dir).embeddings
-      val asg = graft.text.Similarity.kmeansAssign(emb, k = 4, dim = 64)
-      val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
-      val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
-        col("embedding").as("va"))
-      val pb = mem.select(col("centroid_id"), col("vec_id").as("id_b"),
-        col("embedding").as("vb"))
-      val pairs = graft.Stage.mat(pa.join(pb, Seq("centroid_id"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(round(graft.text.Similarity.cosine(col("va"), col("vb")), 6) >= 0.35)
-        .select(col("id_a"), col("id_b")))
-      val adj = pairs.select(col("id_a").as("v"), col("id_b").as("nbr"))
-        .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("nbr")))
-      val core = graft.Stage.mat(adj.groupBy(col("v")).agg(count(lit(1)).as("nn"))
-        .filter(col("nn") >= 2).select(col("v")))
-      val coreEdges = pairs
-        .join(core.select(col("v").as("id_a")), Seq("id_a"), "left_semi")
-        .join(core.select(col("v").as("id_b")), Seq("id_b"), "left_semi")
-      val comp = graft.text.Dedup.connectedComponents(coreEdges)
-      // isolated cores (no core neighbor) are their own singleton cluster
-      val coreLab = graft.Stage.mat(
-        comp.select(col("doc_id").as("v"), col("cluster_id"))
-          .unionByName(core
-            .join(comp.select(col("doc_id").as("v")), Seq("v"), "left_anti")
-            .select(col("v"), col("v").as("cluster_id"))))
-      val borderLab = adj
-        .join(core, Seq("v"), "left_anti")
-        .join(coreLab.select(col("v").as("nbr"), col("cluster_id")), Seq("nbr"))
-        .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
-      val allLab = coreLab.withColumn("is_core", lit(1L))
-        .unionByName(borderLab.withColumn("is_core", lit(0L)))
-      val per = allLab.groupBy(col("cluster_id"))
-        .agg(sum(col("is_core")).as("n_core"),
-          sum(lit(1L) - col("is_core")).as("n_border"))
-        .selectExpr("cluster_id", "n_core", "n_border",
-          "n_core + n_border AS n_points")
-      val noise = emb.agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(allLab.agg(count(lit(1)).as("nl"))))
-        .selectExpr("CAST(-1 AS BIGINT) AS cluster_id", "CAST(0 AS BIGINT) AS n_core",
-          "CAST(0 AS BIGINT) AS n_border", "n - nl AS n_points")
-      per.unionByName(noise).orderBy(col("cluster_id"))
-    }, Some(s"""
+    ("q258_density_clusters", (s: SparkSession, dir: String) =>
+      densityClusters(Tables(s, dir).embeddings), Some(s"""
       WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sl AS (SELECT vec_id, v,
+      hs AS (SELECT vec_id, v,
                ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
-             FROM e ORDER BY h, vec_id LIMIT 4),
+             FROM e),
+      kp AS (SELECT ${graft.text.Similarity.cellCountSql("count(*)")} AS k FROM e),
+      sl AS (SELECT vec_id, v, h FROM
+               (SELECT vec_id, v, h,
+                       row_number() OVER (ORDER BY h, vec_id) AS rnk FROM hs)
+             CROSS JOIN kp WHERE rnk <= k),
       seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
                        v AS cv FROM sl),
       a1 AS (SELECT vec_id, v, cid, cos_r,

@@ -1946,7 +1946,10 @@ object EvalOps {
     //      map-side-combined aggregate, no window, no join.
     ("q288_silhouette", (s: SparkSession, dir: String) => {
       val emb = Tables(s, dir).embeddings
-      val cents = graft.text.Similarity.kmeansFinalCentroids(emb, k = 4, dim = 64)
+      // same fit the cell-bounded family scores against ⇒ same k
+      // contract (Similarity.cellCountFor, r8 ask #1); oracle kp CTE twin
+      val k = graft.text.Similarity.cellCountFor(emb.count())
+      val cents = graft.text.Similarity.kmeansFinalCentroids(emb, k = k, dim = 64)
       val e = emb.select(col("vec_id"), col("embedding").as("v"))
       val cosCols = cents.map { case (i, c) =>
         round(graft.text.Similarity.cosine(col("v"), typedlit(c)), 6).as(s"c$i") }
@@ -1980,10 +1983,15 @@ object EvalOps {
       per.unionByName(zz).orderBy(col("cid"))
     }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sl AS (SELECT vec_id, v,
+      hs AS (SELECT vec_id, v,
                ${graft.text.TextStats.portableHash64Sql(
         "concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
-             FROM e ORDER BY h, vec_id LIMIT 4),
+             FROM e),
+      kp AS (SELECT ${graft.text.Similarity.cellCountSql("count(*)")} AS k FROM e),
+      sl AS (SELECT vec_id, v, h FROM
+               (SELECT vec_id, v, h,
+                       row_number() OVER (ORDER BY h, vec_id) AS rnk FROM hs)
+             CROSS JOIN kp WHERE rnk <= k),
       seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
                        v AS cv FROM sl),
       a1 AS (SELECT vec_id, v, cid, cos_r,

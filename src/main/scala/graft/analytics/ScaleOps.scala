@@ -148,8 +148,12 @@ object ScaleOps {
     //      represents V exactly and sqrt is correctly rounded, so the
     //      ±1 CASE adjustment makes floor(√V) exact in BOTH engines
     //      (values are price-thousandths to keep V = N·SS − S² inside
-    //      the 2⁵³ bound at any realistic stratum size; rescale again
-    //      past ~1e9 rows/stratum, the scaladoc'd escape). Budget 1000
+    //      the 2⁵³ bound at fixture-to-production stratum sizes; with
+    //      vk ≲ 600, V = N·SS − S² crosses 2⁵³ near ~1e6 rows/stratum
+    //      and the Long product N·SS overflows near ~5e6 — past either
+    //      bound, widen vnum to DECIMAL(38,0) and extend the ±1 adjust,
+    //      or rescale vk. ADVICE r8 corrected the earlier ~1e9 claim,
+    //      which was off by three orders of magnitude). Budget 1000
     //      splits by largest-remainder rounding (exact integer
     //      remainders, stratum-name ties), capped at N_h. Selection is
     //      the smallest-n_h rows of the (hash, orderkey) total order per
@@ -480,10 +484,20 @@ object ScaleOps {
           sum(col("v")).as(s"s_$tag"), min(col("v")).as(s"mn_$tag"),
           max(col("v")).as(s"mx_$tag"))
       val whole = agg(base, "w")
+      // full outer + coalesce identities (ADVICE r8): a group whose rows
+      // all hash to ONE split must still merge — with an inner join it
+      // would vanish from the engine output while the oracle (which
+      // aggregates the unsplit table) still emits it, failing the gate
+      // spuriously. count/sum take 0 as the absent side; min/max take
+      // the present side (least/greatest over coalesced pairs), the
+      // identity-element form of the merge the certification certifies.
       val merged = agg(base.filter(col("is_base")), "b")
-        .join(agg(base.filter(!col("is_base")), "d"), Seq("g"))
-        .selectExpr("g", "n_b + n_d AS n_m", "s_b + s_d AS s_m",
-          "least(mn_b, mn_d) AS mn_m", "greatest(mx_b, mx_d) AS mx_m")
+        .join(agg(base.filter(!col("is_base")), "d"), Seq("g"), "full_outer")
+        .selectExpr("g",
+          "coalesce(n_b, CAST(0 AS BIGINT)) + coalesce(n_d, CAST(0 AS BIGINT)) AS n_m",
+          "coalesce(s_b, CAST(0 AS BIGINT)) + coalesce(s_d, CAST(0 AS BIGINT)) AS s_m",
+          "least(coalesce(mn_b, mn_d), coalesce(mn_d, mn_b)) AS mn_m",
+          "greatest(coalesce(mx_b, mx_d), coalesce(mx_d, mx_b)) AS mx_m")
       whole.join(merged, Seq("g"))
         .selectExpr("g AS grp", "n_w", "s_w", "mn_w", "mx_w",
           "n_w = n_m AND s_w = s_m AND mn_w = mn_m AND mx_w = mx_m AS merge_ok")

@@ -1719,6 +1719,15 @@ object TemporalOps {
     //      day axis. The alternative — a distinct-count over a sliding
     //      range frame — doesn't exist in either engine, and the naive
     //      per-day semi-join rescans the corpus 30×.
+    //
+    //      Semantics (documented choice, ADVICE r8): the readout joins
+    //      WAU/MAU onto the DAU table, so a calendar day with ZERO
+    //      same-day actives is absent from the output even when its
+    //      trailing 7/28-day windows are nonempty — the row exists only
+    //      where dau ≥ 1. Both engines drop identically (the oracle is
+    //      the same inner join), so this is a contract, not a parity
+    //      risk; a consumer needing dau=0 rows left-joins from a day
+    //      spine (sequence(mn, mx)) instead.
     ("q274_active_users", (s: SparkSession, dir: String) => {
       val ud = graft.Stage.mat(Tables(s, dir).events
         .filter(col("user_id").isNotNull)
@@ -1981,8 +1990,12 @@ object TemporalOps {
 
     // ---- next-event prediction eval (Markov hit-rate): the q174
     //      transition matrix turned into a MODEL and scored honestly —
-    //      train users (hash parity) build per-source argmax(count,
-    //      dst asc) predictions; held-out users' transitions score
+    //      train users (hash parity) build per-source argmax
+    //      predictions — count ties break on the LARGER dst, on both
+    //      sides: Spark's max(struct(c, dst)) and the oracle's ORDER BY
+    //      c DESC, dst DESC agree (ADVICE r8: an earlier comment said
+    //      'dst asc'; a one-sided "fix" toward it would break parity);
+    //      held-out users' transitions score
     //      hit@1 per source + the zz overall row, beside the
     //      majority-baseline hit-rate (predicting the globally most
     //      common destination) so the lift of conditioning on the

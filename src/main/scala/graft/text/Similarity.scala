@@ -513,6 +513,73 @@ object Similarity {
                    salt: String = "kmeans"): DataFrame =
     kmeansAssignFull(embeddings, k, dim, iters, idCol, vecCol, salt).drop("v")
 
+  /** Expected cell size the cell-bounded pairwise passes budget for:
+    * every within-cell all-pairs term is O(k · (n/k)²) = O(n²/k), so
+    * holding n/k at this constant makes the quadratic stage O(n) —
+    * the contract that lets SemDeDup/DBSCAN-style cell-pairwise
+    * operators ride to 100 TB. 512 keeps a cell's pair count ≤ ~131k.
+    */
+  val CellTargetSize: Long = 512L
+
+  /** Floor on the cell count — the fixture operating point (4 cells at
+    * ≤2048 vectors), below which splitting buys nothing.
+    */
+  val CellKMin: Int = 4
+
+  /** Hard ceiling on the EXPECTED cell size a cell-bounded pairwise
+    * pass will accept before [[requireCellBounded]] refuses to run it:
+    * [[CellTargetSize]] with 4× slack for callers that pin k for a
+    * documented reason. Past this, the within-cell quadratic term is
+    * no longer plausibly "bounded" and the pass must re-derive k from
+    * [[cellCountFor]].
+    */
+  val CellMaxExpectedSize: Long = CellTargetSize * 4
+
+  /** The k ∝ n cell-count contract (VERDICT r8 ask #1) shared by every
+    * cell-bounded pairwise operator (q225 SemDeDup, q226, q258 DBSCAN,
+    * q64/q288 k-means consumers): k = max(CellKMin, ⌈n / CellTargetSize⌉),
+    * so the expected cell size never exceeds [[CellTargetSize]] no
+    * matter the corpus — the fixture's 500–2048 vectors resolve to the
+    * historical k = 4, and a 100 TB corpus gets the k that keeps each
+    * cell's all-pairs term constant-sized. [[cellCountSql]] is the
+    * oracle's identical integer derivation; the two must only ever
+    * change together.
+    */
+  def cellCountFor(n: Long, targetCellSize: Long = CellTargetSize,
+                   kMin: Int = CellKMin): Int = {
+    require(n >= 0, s"corpus size must be nonnegative: $n")
+    require(targetCellSize > 0, s"target cell size must be positive: $targetCellSize")
+    require(kMin >= 1, s"minimum cell count must be >= 1: $kMin")
+    val k = math.max(kMin.toLong, (n + targetCellSize - 1) / targetCellSize)
+    require(k <= Int.MaxValue, s"cell count $k overflows Int — rescale targetCellSize")
+    k.toInt
+  }
+
+  /** DuckDB twin of [[cellCountFor]] at the default contract — exact
+    * integer arithmetic (`//` is floor division on the nonnegative
+    * operands here), so both engines derive the same k from the same
+    * corpus count.
+    */
+  def cellCountSql(nExpr: String): String =
+    s"GREATEST($CellKMin, ($nExpr + ${CellTargetSize - 1}) // $CellTargetSize)"
+
+  /** Dispatch guard for a cell-bounded pairwise pass (the
+    * [[graft.text.Dedup.ngramJaccardPairs]] refuse-don't-degrade
+    * pattern): a (n, k) combination whose EXPECTED cell size n/k
+    * exceeds [[CellMaxExpectedSize]] is refused outright — the caller
+    * either derives k from [[cellCountFor]] (which always passes) or
+    * consciously re-budgets. Failing fast here beats silently planning
+    * a cell-quadratic stage that a 100 TB run discovers as a hung task.
+    */
+  def requireCellBounded(n: Long, k: Int,
+                         maxExpectedCellSize: Long = CellMaxExpectedSize): Unit = {
+    require(k >= 1, s"cell count must be >= 1: $k")
+    require(n <= maxExpectedCellSize * k.toLong,
+      s"cell-bounded pairwise pass refused: n=$n over k=$k cells gives expected " +
+        s"cell size ${n / k} > $maxExpectedCellSize — derive k from " +
+        s"Similarity.cellCountFor(n) (k=${cellCountFor(n)} here) or re-budget explicitly")
+  }
+
   /** The final (post-`iters`) centroid table of [[kmeansAssign]]'s
     * Lloyd run — k×dim doubles, index-sized driver state, for consumers
     * that score against the centroids themselves (q288 silhouette).

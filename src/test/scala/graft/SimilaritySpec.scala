@@ -308,4 +308,50 @@ class SimilaritySpec extends SparkSpec {
     assert(c2(1L).sign === -c2(2L).sign && math.abs(c2(1L)) > 995000L &&
       math.abs(c2(2L)) > 995000L, s"comp2 must be the anti-diagonal: $pcs")
   }
+
+  test("cellCountFor: k ∝ n contract — fixture resolves to k=4, big corpora scale linearly") {
+    // both gate fixtures land on the historical operating point
+    assert(Similarity.cellCountFor(500L) === 4, "sf0.01 embeddings → kMin")
+    assert(Similarity.cellCountFor(2000L) === 4, "sf0.1 embeddings → exactly 4 cells of 500")
+    assert(Similarity.cellCountFor(2049L) === 5, "first count past 4·512 splits")
+    // linear growth: expected cell size never exceeds the target
+    for (n <- Seq(10000L, 1000000L, 12345678901L)) {
+      val k = Similarity.cellCountFor(n)
+      assert(n <= k.toLong * Similarity.CellTargetSize,
+        s"n=$n k=$k violates the ≤${Similarity.CellTargetSize} expected-cell-size contract")
+      assert(n > (k.toLong - 1) * Similarity.CellTargetSize || k === Similarity.CellKMin,
+        s"n=$n k=$k overshoots — k must be the minimal count meeting the target")
+    }
+    assertThrows[IllegalArgumentException](Similarity.cellCountFor(-1L))
+    assertThrows[IllegalArgumentException](Similarity.cellCountFor(10L, targetCellSize = 0L))
+  }
+
+  test("requireCellBounded: guard fires on an oversized cell, passes the contract") {
+    // a contract-derived k always passes
+    for (n <- Seq(0L, 500L, 2000L, 1000000L))
+      Similarity.requireCellBounded(n, Similarity.cellCountFor(n))
+    // a pinned fixture literal k=4 against a grown corpus is REFUSED —
+    // the r8 q258 scenario the guard exists for
+    val ex = intercept[IllegalArgumentException](
+      Similarity.requireCellBounded(1000000L, 4))
+    assert(ex.getMessage.contains("cell-bounded pairwise pass refused"),
+      s"refusal must name itself: ${ex.getMessage}")
+    assert(ex.getMessage.contains("cellCountFor"),
+      s"refusal must point at the contract: ${ex.getMessage}")
+    assertThrows[IllegalArgumentException](Similarity.requireCellBounded(10L, 0))
+  }
+
+  test("cellCountSql twins cellCountFor exactly (integer derivation)") {
+    // the SQL is GREATEST(kMin, (n + target−1) // target) — replay it in
+    // Scala over a hostile sweep including every boundary around the
+    // target multiples
+    val sql = Similarity.cellCountSql("n")
+    assert(sql === s"GREATEST(${Similarity.CellKMin}, " +
+      s"(n + ${Similarity.CellTargetSize - 1}) // ${Similarity.CellTargetSize})", sql)
+    def sqlK(n: Long): Long =
+      math.max(Similarity.CellKMin.toLong,
+        (n + (Similarity.CellTargetSize - 1)) / Similarity.CellTargetSize)
+    for (n <- (0L to 6000L by 1L) ++ Seq(1000000L, 987654321L))
+      assert(sqlK(n) === Similarity.cellCountFor(n).toLong, s"divergence at n=$n")
+  }
 }
