@@ -1,23 +1,21 @@
 package graft.stream
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the q182 CUSUM monitor
-  * (`analytics/TemporalOps.scala`): Page's two-sided S⁺/S⁻ per key via
-  * `flatMapGroupsWithState`, carrying exactly the TWO longs of state
+  * (`analytics/TemporalOps.scala`): Page's two-sided S⁺/S⁻ per key on
+  * the [[StatefulTwin]] frame, carrying exactly the TWO longs of state
   * per key the batch scaladoc promises. The batch form derives μ from
   * the whole series; a stream cannot see its future, so the caller
   * passes the trained μ (and the μ-derived slack/threshold use the
   * same truncating arithmetic) — the standard deploy split: fit the
   * baseline in batch, monitor in the stream.
   *
-  * Rows are (key, seq, xm) consumed in `seq` order (in-batch sort;
-  * cross-batch ordering is the ingestion contract, as in
-  * [[StreamingTrend]]). Every input row emits its post-update
-  * (seq, s_hi, s_lo, alarm) so the output stream IS the alarm stream —
-  * drained, it equals the batch query's per-day rows bit-for-bit
-  * (StreamingSpec parity test).
+  * Rows are (key, seq, xm) consumed in `seq` order (the
+  * [[StatefulTwin]] ordering contract). Every input row emits its
+  * post-update (seq, s_hi, s_lo, alarm) so the output stream IS the
+  * alarm stream — drained, it equals the batch query's per-day rows
+  * bit-for-bit (StreamingSpec parity test).
   */
 object StreamingCusum {
 
@@ -32,21 +30,12 @@ object StreamingCusum {
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     val slack = muMicros / 20L
     val h = muMicros / 2L
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState[CusumState, (Long, Long, Long, Long, Boolean)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long)],
-         state: GroupState[CusumState]) =>
-          val xs = rows.toArray.sortBy(_._2)
-          var st = state.getOption.getOrElse(CusumState(0L, 0L))
-          val out = xs.map { case (_, seq, x) =>
-            val hi = math.max(0L, st.hi + x - muMicros - slack)
-            val lo = math.max(0L, st.lo - x + muMicros - slack)
-            st = CusumState(hi, lo)
-            (key, seq, hi, lo, hi > h || lo > h)
-          }
-          state.update(st)
-          out.iterator
-      }
+    StatefulTwin.perRow(ds, (r: (Long, Long, Long)) => r._1,
+      (r: (Long, Long, Long)) => (r._2, 0L), CusumState(0L, 0L)) {
+      case (st, (key, seq, x)) =>
+        val hi = math.max(0L, st.hi + x - muMicros - slack)
+        val lo = math.max(0L, st.lo - x + muMicros - slack)
+        (CusumState(hi, lo), (key, seq, hi, lo, hi > h || lo > h))
+    }
   }
 }

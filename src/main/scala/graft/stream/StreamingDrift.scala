@@ -1,7 +1,6 @@
 package graft.stream
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the q252 Wasserstein-1 drift matrix
   * (`analytics/StatsOps.wasserstein1Pairs`): per key, maintain the
@@ -13,7 +12,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * corpus I curated against" alarm, with the SAME closed form and the
   * SAME truncating integer arithmetic as the batch operator, so a
   * drained stream equals the batch W1 bit-for-bit (StreamingSpec
-  * parity test).
+  * parity test). Runs on the [[StatefulTwin]] frame; rows fold in
+  * `seq` order so the state's lastSeq is the batch max.
   *
   * State per key = the bucket→count map, bounded by the bucket domain
   * (the batch operator's support argument), NOT by the stream length —
@@ -22,7 +22,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDrift {
 
-  final case class DriftState(counts: Map[Long, Long])
+  final case class DriftState(counts: Map[Long, Long], n: Long, lastSeq: Long)
 
   /** W1 between a histogram and the reference, in the q252 arithmetic:
     * union support, cumulative counts, cdf_ppm = (1e6·cum) DIV n,
@@ -54,20 +54,12 @@ object StreamingDrift {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong)
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState[DriftState, (Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long)],
-         state: GroupState[DriftState]) =>
-          val xs = rows.toArray
-          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
-          xs.foreach { case (_, _, bk) =>
-            counts = counts.updated(bk, counts.getOrElse(bk, 0L) + 1L)
-          }
-          state.update(DriftState(counts))
-          if (xs.isEmpty) Iterator.empty
-          else Iterator((key, xs.map(_._2).max, counts.values.sum,
-            w1(counts, ref, width)))
-      }
+    StatefulTwin.perBatch(ds, (r: (Long, Long, Long)) => r._1,
+      (r: (Long, Long, Long)) => (r._2, 0L),
+      DriftState(Map.empty, 0L, 0L)) {
+      case (st, (_, seq, bk)) =>
+        DriftState(st.counts.updated(bk, st.counts.getOrElse(bk, 0L) + 1L),
+          st.n + 1L, seq)
+    } { (key, st) => Iterator((key, st.lastSeq, st.n, w1(st.counts, ref, width))) }
   }
 }

@@ -1,11 +1,10 @@
 package graft.stream
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the q212 Wald SPRT monitor
   * (`analytics/InferOps.sprtDaily`): the cumulative integer-nanos LLR
-  * per key via `flatMapGroupsWithState`, carrying the three longs of
+  * per key on the [[StatefulTwin]] frame, carrying the three longs of
   * state the sequential test actually needs (cum LLR, cum n, and the
   * sticky decision). This is the deployment shape the batch scaladoc
   * names: SPRT is a SEQUENTIAL test — the batch query replays history,
@@ -13,15 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * crossed.
   *
   * Rows are (key, seq, n, s) daily sufficient statistics consumed in
-  * `seq` order (in-batch sort; cross-batch ordering is the ingestion
-  * contract, as in [[StreamingCusum]]). Every row emits its post-update
-  * (seq, cum_llr, cum_n, decision); once a boundary is crossed the
-  * decision is STICKY ('h1'/'h0' forever after) and the accumulators
-  * freeze — the Wald protocol stops sampling at the decision, so
-  * post-decision rows replay the decision point, and the drained
-  * stream's final row per key equals the batch query's
-  * (decision, n_at_decision, llr) verdict exactly (StreamingSpec
-  * parity test).
+  * `seq` order (the [[StatefulTwin]] ordering contract). Every row
+  * emits its post-update (seq, cum_llr, cum_n, decision); once a
+  * boundary is crossed the decision is STICKY ('h1'/'h0' forever
+  * after) and the accumulators freeze — the Wald protocol stops
+  * sampling at the decision, so post-decision rows replay the decision
+  * point, and the drained stream's final row per key equals the batch
+  * query's (decision, n_at_decision, llr) verdict exactly
+  * (StreamingSpec parity test).
   */
 object StreamingSprt {
 
@@ -38,27 +36,21 @@ object StreamingSprt {
     val lpos = graft.analytics.InferOps.sprtLPosNanos
     val lneg = graft.analytics.InferOps.sprtLNegNanos
     val bound = graft.analytics.InferOps.sprtBoundNanos
-    ds.groupByKey(_._1)
-      .flatMapGroupsWithState[SprtState, (String, Long, Long, Long, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long, Long, Long)],
-         state: GroupState[SprtState]) =>
-          val xs = rows.toArray.sortBy(_._2)
-          var st = state.getOption.getOrElse(SprtState(0L, 0L, "continue"))
-          val out = xs.map { case (_, seq, n, s) =>
-            if (st.decision == "continue") {
-              val llr = st.llr + s * lpos + (n - s) * lneg
-              val cn = st.n + n
-              val dec =
-                if (llr >= bound) "h1"
-                else if (llr <= -bound) "h0"
-                else "continue"
-              st = SprtState(llr, cn, dec)
-            }
-            (key, seq, st.llr, st.n, st.decision)
+    StatefulTwin.perRow(ds, (r: (String, Long, Long, Long)) => r._1,
+      (r: (String, Long, Long, Long)) => (r._2, 0L),
+      SprtState(0L, 0L, "continue")) {
+      case (st0, (key, seq, n, s)) =>
+        val st =
+          if (st0.decision != "continue") st0
+          else {
+            val llr = st0.llr + s * lpos + (n - s) * lneg
+            val dec =
+              if (llr >= bound) "h1"
+              else if (llr <= -bound) "h0"
+              else "continue"
+            SprtState(llr, st0.n + n, dec)
           }
-          state.update(st)
-          out.iterator
-      }
+        (st, (key, seq, st.llr, st.n, st.decision))
+    }
   }
 }

@@ -1,12 +1,10 @@
 package graft.stream
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of the q267 zone-map data-skipping index: per-zone
-  * (n_rows, v_min, v_max) maintained continuously via
-  * `flatMapGroupsWithState` — at 100 TB the footer-stat index a scan
+  * (n_rows, v_min, v_max) maintained continuously on the
+  * [[StatefulTwin]] frame — at 100 TB the footer-stat index a scan
   * planner prunes against updates INCREMENTALLY as data lands, instead
   * of rescanning the table to rebuild it.
   *
@@ -16,7 +14,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * arrival order, micro-batch boundaries, or checkpoint restarts — the
   * strongest batch-parity contract in the streaming battery, pinned by
   * the StreamingSpec restart test against the q267-shape batch
-  * aggregate.
+  * aggregate. (Order-freedom is why the harness gets a CONSTANT order
+  * key here.)
   *
   * Per-zone state is three longs — CONSTANT; the zone domain is bounded
   * by construction (the q267 layouts use 64 zones). Each batch emits the
@@ -35,19 +34,14 @@ object StreamingZoneMap {
     val spark = rows.sparkSession
     import spark.implicits._
     implicit val stEnc: Encoder[ZState] = Encoders.product[ZState]
-    rows.select(zoneCol.cast("long").as("zone"), vCol.cast("long").as("v"))
+    val keyed = rows
+      .select(zoneCol.cast("long").as("zone"), vCol.cast("long").as("v"))
       .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[ZState, (Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (zone: Long, it: Iterator[(Long, Long)], state: GroupState[ZState]) =>
-          var st = state.getOption.getOrElse(
-            ZState(0L, Long.MaxValue, Long.MinValue))
-          it.foreach { case (_, v) =>
-            st = ZState(st.n + 1L, math.min(st.mn, v), math.max(st.mx, v))
-          }
-          state.update(st)
-          Iterator((zone, st.n, st.mn, st.mx))
-      }
+    StatefulTwin.perBatch(keyed, (r: (Long, Long)) => r._1,
+      (_: (Long, Long)) => (0L, 0L),
+      ZState(0L, Long.MaxValue, Long.MinValue)) {
+      case (st, (_, v)) =>
+        ZState(st.n + 1L, math.min(st.mn, v), math.max(st.mx, v))
+    } { (zone, st) => Iterator((zone, st.n, st.mn, st.mx)) }
   }
 }
