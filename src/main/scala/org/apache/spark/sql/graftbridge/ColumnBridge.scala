@@ -23,4 +23,17 @@ object ColumnBridge {
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     exts.registerFunctions(reg)
+
+  /** Wrap an already-built logical plan as a DataFrame
+    * (`classic.Dataset.ofRows` is `private[sql]` in Spark 4). PlanSpec's
+    * window-bound gate uses this to EXECUTE the input subtree of an
+    * allowlisted unpartitioned window and count its rows against the
+    * entry's declared bound — turning the allowlist's prose
+    * justifications into live predicates.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -298,50 +298,65 @@ class PlanSpec extends SparkSpec {
     * plan is rewritten (Quantiles.pairRankSelect, per-bucket windows,
     * broadcast rank lookup) or consciously justified.
     */
-  test("suite-wide: every unpartitioned Window input is bounded or allowlisted") {
+  /** Allowlist entry for the window gate: the BOUND is a live predicate
+    * (VERDICT r8 ask #8) — `maxRows` is the most rows this query's
+    * unpartitioned-window input may ever hold at the sf0.01 gate
+    * fixture, derived from the named bounded domain (bucket table ≤1024,
+    * day grain ≤ span, count-of-counts ≤ distinct multiplicities, …).
+    * The gate EXECUTES each allowlisted window's input subtree and
+    * counts it, so an edit that unbounds the input (the q160 trap: a
+    * fact-keyed aggregate sliding under a prose justification) fails
+    * with the declared domain in the message instead of passing on
+    * faith.
+    */
+  private final case class WinBound(maxRows: Long, why: String)
+
+  test("suite-wide: every unpartitioned Window input is bounded, allowlisted + within its declared bound") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
       GlobalLimit, LocalLimit}
-    val allow: Map[String, String] = Map(
-      "q58_sequence_packing" -> "bucket-offset cumulation over the ≤#buckets offsets table (Packing idiom; corpus windows per bucket)",
-      "q83_length_histogram" -> "fixed-width length-bucket histogram cumulation",
-      "q86_training_order" -> "key-range bucket-offset table (≤1024 rows)",
-      "q89_curation_v2" -> "key-range bucket-offset table (≤1024 rows)",
-      "q96_shard_manifest" -> "position-bucket offset tables (≤1024 rows each)",
-      "q106_quality_deciles" -> "range-bucket histogram cumulation (≤1024 rows)",
-      "q111_rate_spikes" -> "hour-grain aggregate — time-span-bounded domain",
-      "q124_entropy_auc" -> "range-bucket histogram cumulation (≤1024 rows)",
-      "q131_source_concentration" -> "source-level aggregate — catalog-sized domain, not fact-scaled",
-      "q156_skew_report" -> "count-of-counts histogram — distinct-multiplicity-sized",
-      "q161_quantile_norm" -> "token-count value histogram — value-domain-sized",
-      "q175_kaplan_meier" -> "day-grain risk table — time-span-bounded",
-      "q184_rolling_window" -> "day-grain aggregate — time-span-bounded",
-      "q186_growth" -> "day-grain aggregate — time-span-bounded",
-      "q190_isotonic" -> "score-bin table — fixed bin domain",
-      "q192_abc_pareto" -> "revenue bucket-offset table (≤1024 rows; part-level cum windows per bucket)",
-      "q193_ks_test" -> "range-bucket CDF histogram (≤1024 rows)",
-      "q201_nelson_aalen" -> "day-grain hazard table — time-span-bounded",
-      "q259_changepoint" -> "day-grain prefix sums — time-span-bounded",
-      "q260_segmented_trend" -> "day-grain prefix sums — time-span-bounded",
-      "q261_hodges_lehmann" -> "day-pair Walsh multiset — span²-bounded at day grain (q207 regime)",
-      "q263_acf_ljung_box" -> "day-grain lag windows + maxLag-row cumulation — time-span-bounded",
-      "q277_leadlag_beta" -> "day-spine lead/lag windows — time-span-bounded",
-      "q265_fdr_bh" -> "BH rank over the m-row p-value table — event-type-domain-sized",
-      "q268_skyline" -> "price-range bucket-offset table (≤1024 rows; distinct-price prefix max per bucket)",
-      "q271_neyman_sample" -> "largest-remainder rank over the stratum-domain allocation table (5 rows)",
-      "q290_rich_club" -> "degree count-of-counts cumulation — distinct-multiplicity-sized (q156 regime)",
-      "q289_adversarial_validation" -> "range-bucket histogram cumulation (≤1024 rows; q124's scoreOrder regime, once per feature)",
-      "q295_sequence_gaps" -> "cross-bucket stitching over the ≤1024-row nonempty-bucket table",
-      "q207_theil_sen" -> "day-pair slope table — span²-bounded at day grain, never corpus",
-      "q216_heaps_law" -> "log-bucket vocabulary-growth table — bounded bucket domain",
-      "q245_sorted_neighborhood" -> "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
-      val bad = lp.collect {
+    val allow: Map[String, WinBound] = Map(
+      "q58_sequence_packing" -> WinBound(1100, "bucket-offset cumulation over the ≤#buckets offsets table (Packing idiom; corpus windows per bucket)"),
+      "q83_length_histogram" -> WinBound(1100, "fixed-width length-bucket histogram cumulation"),
+      "q86_training_order" -> WinBound(1100, "key-range bucket-offset table (≤1024 rows)"),
+      "q89_curation_v2" -> WinBound(1100, "key-range bucket-offset table (≤1024 rows)"),
+      "q96_shard_manifest" -> WinBound(1100, "position-bucket offset tables (≤1024 rows each)"),
+      "q106_quality_deciles" -> WinBound(1100, "range-bucket histogram cumulation (≤1024 rows)"),
+      "q111_rate_spikes" -> WinBound(65536, "hour-grain aggregate — time-span-bounded domain (≤24·span days)"),
+      "q124_entropy_auc" -> WinBound(1100, "range-bucket histogram cumulation (≤1024 rows)"),
+      "q131_source_concentration" -> WinBound(1024, "source-level aggregate — catalog-sized domain, not fact-scaled"),
+      "q156_skew_report" -> WinBound(4096, "count-of-counts histogram — distinct-multiplicity-sized (≤O(√2m))"),
+      "q161_quantile_norm" -> WinBound(8192, "token-count value histogram — value-domain-sized"),
+      "q175_kaplan_meier" -> WinBound(4096, "day-grain risk table — time-span-bounded"),
+      "q184_rolling_window" -> WinBound(4096, "day-grain aggregate — time-span-bounded"),
+      "q186_growth" -> WinBound(4096, "day-grain aggregate — time-span-bounded"),
+      "q190_isotonic" -> WinBound(1024, "score-bin table — fixed bin domain"),
+      "q192_abc_pareto" -> WinBound(1100, "revenue bucket-offset table (≤1024 rows; part-level cum windows per bucket)"),
+      "q193_ks_test" -> WinBound(1100, "range-bucket CDF histogram (≤1024 rows)"),
+      "q201_nelson_aalen" -> WinBound(4096, "day-grain hazard table — time-span-bounded"),
+      "q259_changepoint" -> WinBound(4096, "day-grain prefix sums — time-span-bounded"),
+      "q260_segmented_trend" -> WinBound(4096, "day-grain prefix sums — time-span-bounded"),
+      "q261_hodges_lehmann" -> WinBound(1 << 22, "day-pair Walsh multiset — span²-bounded at day grain (q207 regime)"),
+      "q263_acf_ljung_box" -> WinBound(4096, "day-grain lag windows + maxLag-row cumulation — time-span-bounded"),
+      "q277_leadlag_beta" -> WinBound(4096, "day-spine lead/lag windows — time-span-bounded"),
+      "q265_fdr_bh" -> WinBound(1024, "BH rank over the m-row p-value table — event-type-domain-sized"),
+      "q268_skyline" -> WinBound(1100, "price-range bucket-offset table (≤1024 rows; distinct-price prefix max per bucket)"),
+      "q271_neyman_sample" -> WinBound(64, "largest-remainder rank over the stratum-domain allocation table (5 rows)"),
+      "q290_rich_club" -> WinBound(4096, "degree count-of-counts cumulation — distinct-multiplicity-sized (q156 regime)"),
+      "q289_adversarial_validation" -> WinBound(1100, "range-bucket histogram cumulation (≤1024 rows; q124's scoreOrder regime, once per feature)"),
+      "q295_sequence_gaps" -> WinBound(1100, "cross-bucket stitching over the ≤1024-row nonempty-bucket table"),
+      "q207_theil_sen" -> WinBound(1 << 22, "day-pair slope table — span²-bounded at day grain, never corpus"),
+      "q216_heaps_law" -> WinBound(1024, "log-bucket vocabulary-growth table — bounded bucket domain"),
+      "q245_sorted_neighborhood" -> WinBound(1100, "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)"))
+    def unboundedWindows(name: String, dir: String): Seq[LWindow] =
+      SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
           w.child.collectFirst {
             case _: GlobalLimit => (); case _: LocalLimit => ()
           }.isEmpty => w
       }
+    // structural pass (default-deny) at the cheap fixture
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad = unboundedWindows(name, sf)
       if (bad.nonEmpty && !allow.contains(name))
         Some(s"$name: ${bad.map(w => w.orderSpec.map(_.sql).mkString(",")).mkString(" | ")}")
       else None
@@ -349,7 +364,31 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"""unpartitioned Window over a non-limit input in ${offenders.size} queries —
          |rewrite scale-safe (Quantiles.pairRankSelect / per-bucket windows) or
-         |allowlist with a justification naming the bounded domain:
+         |allowlist with a WinBound naming the bounded domain:
          |${offenders.mkString("\n")}""".stripMargin)
+    // bound pass: execute each allowlisted window INPUT at sf0.01 (the
+    // correctness-gate fixture, where a fact-keyed table already dwarfs
+    // every declared domain bound) and hold it to the entry's predicate
+    val sf01 = "/root/testdata/sf0.01"
+    var checked = 0
+    val broken = allow.toSeq.sortBy(_._1).flatMap { case (name, wb) =>
+      unboundedWindows(name, sf01).zipWithIndex.flatMap { case (w, i) =>
+        val n = org.apache.spark.sql.graftbridge.ColumnBridge
+          .ofRows(spark, w.child).count()
+        checked += 1
+        if (n > wb.maxRows)
+          Some(s"$name window#$i: input has $n rows > declared bound ${wb.maxRows} (${wb.why})")
+        else None
+      }
+    }
+    assert(checked >= allow.size,
+      s"bound pass went vacuous: only $checked unpartitioned windows counted across " +
+        s"${allow.size} allowlisted queries — the detection no longer sees the windows it gates")
+    assert(broken.isEmpty,
+      s"""allowlisted unpartitioned Window inputs exceed their declared bounds —
+         |the input is no longer the bounded domain the allowlist entry names;
+         |rewrite the plan (per-bucket windows / rank selection) or re-derive
+         |the bound WITH its domain justification:
+         |${broken.mkString("\n")}""".stripMargin)
   }
 }
