@@ -79,6 +79,63 @@ object ScaleSmoke {
       time("label_prop_i3", n)(graft.analytics.GraphOps.labelPropagation(g))
       time("modularity_lpa1", n)(graft.analytics.GraphOps.modularityPpm(g,
         graft.analytics.GraphOps.labelPropagation(g, 1)))
+      // triangle census (VERDICT r8 ask #2 — the suite's most expensive
+      // query): O(m^1.5) Schank–Wagner bound ⇒ disjoint replicas with
+      // constant per-node degree must grow ~linearly in N (each
+      // replica's wedge set is private; a super-linear term means the
+      // orientation or the closure probe regressed). String ids hash to
+      // longs first — the census unions a −1 sentinel row.
+      val eh = g.select(xxhash64(col("src")).as("ha"), xxhash64(col("dst")).as("hb"))
+        .select(least(col("ha"), col("hb")).as("pa"),
+          greatest(col("ha"), col("hb")).as("pb"))
+        .filter(col("pa") =!= col("pb")).distinct()
+      time("triangle_census", n)(graft.analytics.GraphOps.triangleCensus(eh))
+      time("triangle_census_adj", n)(graft.analytics.GraphOps.triangleCensusAdj(eh))
+    }
+
+    // Embedding battery (VERDICT r8 ask #2): q258's cell-bounded DBSCAN
+    // (and the q225 SemDeDup family it shares cells with) now derives
+    // its cell count from Similarity.cellCountFor — k ∝ n — so the
+    // within-cell quadratic term is budgeted CONSTANT per cell and the
+    // whole pass should grow ~linearly. Replicas must be disjoint in
+    // EMBEDDING SPACE, not just by id: each replica applies its own
+    // deterministic ±1 sign pattern per dimension — within-replica
+    // cosines are EXACTLY preserved ((s⊙a)·(s⊙b) = a·b, norms
+    // unchanged), so each replica carries the fixture's true near-dup
+    // structure, while cross-replica vectors land in different
+    // orthants and separate into different k-means cells. Replica 0
+    // is the identity pattern, so n = 1 measures the real fixture.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def signs(i: Int): Seq[Float] = {
+      var x = i.toLong * 6364136223846793005L + 1442695040888963407L
+      (0 until 64).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        if (i == 0 || ((x >>> 33) & 1L) == 0L) 1.0f else -1.0f
+      }
+    }
+    def embN(n: Int): DataFrame =
+      (0 until n).map { i =>
+        embBase.select((col("vec_id") + i * 1000000L).as("vec_id"),
+          zip_with(col("embedding"), typedlit(signs(i)),
+            (x, s) => x * s).as("embedding"))
+      }.reduce(_ unionByName _)
+
+    ns.foreach { n =>
+      val emb = embN(n)
+      time("dbscan_cell_bounded", n)(graft.analytics.CurationOps.densityClusters(emb))
+      time("semdedup_t0.35", n)(graft.text.Similarity.semDedup(emb,
+        k = graft.text.Similarity.cellCountFor(emb.count()), dim = 64, tau = 0.35))
+    }
+
+    // Greedy max coverage (VERDICT r8 ask #2, the #3 suite ceiling):
+    // k = 5 driver-bounded rounds, each an anti-join + count + top-1 —
+    // rounds are corpus-linear scans, so N× disjoint-token replicas
+    // must grow ~linearly (the covered set stays vocabulary-bounded;
+    // replica tokens are disjoint so coverage never collapses).
+    ns.foreach { n =>
+      time("greedy_max_coverage_k5", n)(
+        graft.analytics.CurationOps.greedyMaxCoverage(corpus(n), k = 5))
     }
     spark.stop()
   }

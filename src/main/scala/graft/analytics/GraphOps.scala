@@ -640,7 +640,7 @@ object GraphOps {
     * pairs, global distinct; no self-join), shared by the triangle
     * census and the rich-club audit.
     */
-  private[analytics] def partCoPurchaseEdges(li: DataFrame): DataFrame =
+  private[graft] def partCoPurchaseEdges(li: DataFrame): DataFrame =
     li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
       .select(explode(expr(
@@ -648,6 +648,120 @@ object GraphOps {
              transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"""))
         .as("pr"))
       .select(col("pr.pa"), col("pr.pb")).distinct()
+
+  /** q257's triangle census + clustering coefficients over a distinct
+    * undirected edge table (columns `pa`, `pb`, pa ≠ pb, one row per
+    * unordered pair) — extracted so ScaleSmoke can measure its growth
+    * curve on replicated graphs (VERDICT r8 ask #2).
+    *
+    * Scale shape (Schank–Wagner node-iterator-core / Suri–Vassilvitskii
+    * MR triangles): every edge is ORIENTED from its lower (degree, id)
+    * endpoint, so each triangle is found exactly once at its
+    * minimum-degree vertex and the wedge self-join's work is
+    * Σ_v outdeg(v)² with outdeg ≤ O(√m) — O(m^1.5) total, never naive
+    * Σ deg². The closure probe is a plain two-column equi-join against
+    * the oriented edge table. Both wedge-side joins hint SHUFFLE_HASH:
+    * the probe side is the Σ outdeg² wedge stream (41M rows at sf0.1)
+    * and sort-merge would SORT it; hashing the edge-sized build side
+    * streams the wedges unsorted (measured 9.3 s → ~3 s for the closure
+    * probe). At 100 TB the same argument holds — the build side is the
+    * edge-table partition, the probe side the strictly larger wedge set.
+    *
+    * Output: the global row (v = −1: n_nodes, triangle count,
+    * transitivity ppm) + the top-10 local clustering coefficients.
+    */
+  def triangleCensus(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Stage.mat(
+      e.join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("w"),
+          when(lower, col("db")).otherwise(col("da")).as("dw")))
+    val wedges = ori.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+      .join(ori.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+        .hint("shuffle_hash"), Seq("u"))
+      .filter(col("x") < col("y"))
+    val xLower = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val tri = graft.Stage.mat(wedges
+      .select(col("u"), col("x"), col("y"),
+        when(xLower, col("x")).otherwise(col("y")).as("clo"),
+        when(xLower, col("y")).otherwise(col("x")).as("chi"))
+      .join(ori.select(col("u").as("clo"), col("w").as("chi"))
+        .hint("shuffle_hash"), Seq("clo", "chi"))
+      .select(col("u"), col("x"), col("y")))
+    val perV = tri.select(col("u").as("v"))
+      .unionByName(tri.select(col("x").as("v")))
+      .unionByName(tri.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    val totals = tri.agg(count(lit(1)).as("n_tri"))
+      .crossJoin(broadcast(
+        deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"),
+          count(lit(1)).as("n_nodes"))))
+    val globalRow = totals.selectExpr("CAST(-1 AS BIGINT) AS v",
+      "n_nodes AS d", "n_tri",
+      "CASE WHEN n_wedges = 0 THEN 0 ELSE (3 * n_tri * 1000000) DIV n_wedges END AS cc_ppm")
+    val localTop = deg.join(perV, Seq("v"))
+      .selectExpr("v", "d", "tri AS n_tri",
+        "(2 * tri * 1000000) DIV (d * (d - 1)) AS cc_ppm")
+      .orderBy(col("cc_ppm").desc, col("v")).limit(10)
+    globalRow.unionByName(localTop).orderBy(col("v"))
+  }
+
+  /** [[triangleCensus]] with the wedge JOIN replaced by compact
+    * adjacency-array INTERSECTION (the "forward"/edge-iterator variant
+    * — Schank & Wagner 2005, Algorithm forward; VERDICT r8 ask #6):
+    * per oriented node, collect the sorted out-neighbor array (size ≤
+    * O(√m) by the (degree, id) orientation); per oriented edge (u, w),
+    * triangles at that edge are exactly array_intersect(adj⁺(u),
+    * adj⁺(w)) — each triangle {a<b<c} is found once, at edge (a, b).
+    * The Σ outdeg² wedge volume still moves through a shuffle, but as
+    * PACKED ARRAYS replicated per edge instead of a 41M-row wedge
+    * stream probing a join, and only true triangles are ever
+    * materialized as rows. Same output as [[triangleCensus]] by
+    * construction (the census depends only on the triangle set);
+    * GraphOpsSpec pins equality on hand graphs, PERF.md records which
+    * form the declared q257 ships with and the measured ratio.
+    */
+  def triangleCensusAdj(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Stage.mat(
+      e.join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("w")))
+    val adj = graft.Stage.mat(
+      ori.groupBy(col("u")).agg(sort_array(collect_list(col("w"))).as("nbrs")))
+    // inner joins: an edge whose w has no out-neighbors closes nothing
+    val tri = graft.Stage.mat(ori
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nbrs_w")), Seq("w"))
+      .select(col("u"), col("w"),
+        explode(array_intersect(col("nbrs"), col("nbrs_w"))).as("z")))
+    val perV = tri.select(col("u").as("v"))
+      .unionByName(tri.select(col("w").as("v")))
+      .unionByName(tri.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    val totals = tri.agg(count(lit(1)).as("n_tri"))
+      .crossJoin(broadcast(
+        deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"),
+          count(lit(1)).as("n_nodes"))))
+    val globalRow = totals.selectExpr("CAST(-1 AS BIGINT) AS v",
+      "n_nodes AS d", "n_tri",
+      "CASE WHEN n_wedges = 0 THEN 0 ELSE (3 * n_tri * 1000000) DIV n_wedges END AS cc_ppm")
+    val localTop = deg.join(perV, Seq("v"))
+      .selectExpr("v", "d", "tri AS n_tri",
+        "(2 * tri * 1000000) DIV (d * (d - 1)) AS cc_ppm")
+      .orderBy(col("cc_ppm").desc, col("v")).limit(10)
+    globalRow.unionByName(localTop).orderBy(col("v"))
+  }
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -1295,58 +1409,18 @@ object GraphOps {
     //      escape is a basket-size cap / hot-basket routing, the q171
     //      block-size discipline). Edges and the oriented table are
     //      Stage.mat'd — each feeds ≥2 consumers.
-    ("q257_triangle_census", (s: SparkSession, dir: String) => {
+    ("q257_triangle_census", (s: SparkSession, dir: String) =>
       // basket-bounded pair generation WITHOUT a self-join (shared
       // helper; one shuffle and no 2× recompute of the (o, p) dedup —
       // the self-join form rescanned its input per side, measured
-      // 7.2 s → ~2 s at sf0.1)
-      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
-      val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      val lower = col("da") < col("db") ||
-        (col("da") === col("db") && col("pa") < col("pb"))
-      val ori = graft.Stage.mat(
-        e.join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
-          .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
-          .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
-            when(lower, col("pb")).otherwise(col("pa")).as("w"),
-            when(lower, col("db")).otherwise(col("da")).as("dw")))
-      // both wedge-side joins hint SHUFFLE_HASH: the probe side is the
-      // Σ outdeg² wedge stream (41M rows at sf0.1) and sort-merge would
-      // SORT it; hashing the edge-sized build side streams the wedges
-      // unsorted (measured 9.3 s → ~3 s for the closure probe). At
-      // 100 TB the same argument holds — the build side is the edge
-      // table partition, the probe side the strictly larger wedge set.
-      val wedges = ori.select(col("u"), col("w").as("x"), col("dw").as("dx"))
-        .join(ori.select(col("u"), col("w").as("y"), col("dw").as("dy"))
-          .hint("shuffle_hash"), Seq("u"))
-        .filter(col("x") < col("y"))
-      val xLower = col("dx") < col("dy") ||
-        (col("dx") === col("dy") && col("x") < col("y"))
-      val tri = graft.Stage.mat(wedges
-        .select(col("u"), col("x"), col("y"),
-          when(xLower, col("x")).otherwise(col("y")).as("clo"),
-          when(xLower, col("y")).otherwise(col("x")).as("chi"))
-        .join(ori.select(col("u").as("clo"), col("w").as("chi"))
-          .hint("shuffle_hash"), Seq("clo", "chi"))
-        .select(col("u"), col("x"), col("y")))
-      val perV = tri.select(col("u").as("v"))
-        .unionByName(tri.select(col("x").as("v")))
-        .unionByName(tri.select(col("y").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
-      val totals = tri.agg(count(lit(1)).as("n_tri"))
-        .crossJoin(broadcast(
-          deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"),
-            count(lit(1)).as("n_nodes"))))
-      val globalRow = totals.selectExpr("CAST(-1 AS BIGINT) AS v",
-        "n_nodes AS d", "n_tri",
-        "CASE WHEN n_wedges = 0 THEN 0 ELSE (3 * n_tri * 1000000) DIV n_wedges END AS cc_ppm")
-      val localTop = deg.join(perV, Seq("v"))
-        .selectExpr("v", "d", "tri AS n_tri",
-          "(2 * tri * 1000000) DIV (d * (d - 1)) AS cc_ppm")
-        .orderBy(col("cc_ppm").desc, col("v")).limit(10)
-      globalRow.unionByName(localTop).orderBy(col("v"))
-    }, Some("""
+      // 7.2 s → ~2 s at sf0.1). Ships on the adjacency-intersection
+      // form (r8 ask #6): ProbeTri measured it 1.4–2.9× faster than
+      // the wedge join at sf0.1 (min 5.3 s vs 7.5 s; under host
+      // contention 12 s vs 36 s — the packed-array shuffle degrades
+      // far more gracefully than the 41M-row wedge stream). Output
+      // identical by construction; GraphOpsSpec pins equality.
+      triangleCensusAdj(graft.Stage.mat(
+        partCoPurchaseEdges(Tables(s, dir).lineitem))), Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
             FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),

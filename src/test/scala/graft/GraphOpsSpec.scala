@@ -330,6 +330,25 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 3L, 1L, 333333L)))
   }
 
+  test("triangle census: adjacency-intersection variant equals the wedge-join form") {
+    // the two algorithms must agree row-for-row on graphs that exercise
+    // every census branch: the hand triangle+pendant, a clique (every
+    // wedge closes), and a dense-ish random graph with degree ties
+    import graft.analytics.GraphOps
+    def edges(ps: Seq[(Long, Long)]) = ps.toDF("pa", "pb")
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val rng = new scala.util.Random(7)
+    val rand = (for (_ <- 1 to 120) yield {
+      val a = rng.nextInt(20).toLong; val b = rng.nextInt(20).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    for (g <- Seq(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), k5, rand)) {
+      val wedge = GraphOps.triangleCensus(edges(g)).collect().toSeq
+      val adjI = GraphOps.triangleCensusAdj(edges(g)).collect().toSeq
+      assert(adjI === wedge, s"variants diverge on ${g.take(6)}…")
+    }
+  }
+
   test("triangle census: a triangle-free (bipartite-like) graph reports zero everywhere") {
     val dir = java.nio.file.Files.createTempDirectory("tri_fix0").toString
     // path graph 1-2, 2-3: one wedge, never closed
