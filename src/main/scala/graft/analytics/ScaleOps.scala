@@ -2217,7 +2217,112 @@ object ScaleOps {
              CAST((abs(f2_est - f2x) * 1000000)
                   // greatest(f2x, 1) AS BIGINT) AS err_ppm
       FROM ex CROSS JOIN med"""
-    })
+    }),
+
+    // ---- V-optimal histogram (Jagadish et al., VLDB 1998): the
+    //      4-segment piecewise-constant partition of the 64-bucket
+    //      o_totalprice count vector minimizing the per-segment
+    //      truncated-SSE objective err = Σc²·1e6 − ((Σc)²·1e6 DIV len)
+    //      — the synopsis an optimizer keeps when equi-width buckets
+    //      misprice skewed ranges (segment boundaries land where the
+    //      distribution actually changes). One fact-scan groupBy builds
+    //      the 64 counts; the O(k·B²) dynamic program folds on the
+    //      driver over that index-sized vector (the kmeansFit
+    //      precedent), ties in the argmin breaking to the smallest
+    //      split. The oracle rebuilds the counts, prefix sums, the full
+    //      err(i,j) table, unrolls dp1..dp4 with the identical
+    //      (cost, split) tie order, and backtracks the same segments —
+    //      every boundary and error value cross-checked.
+    ("q301_voptimal_histogram", (s: SparkSession, dir: String) => {
+      val spark = s
+      import spark.implicits._
+      val bc = Tables(s, dir).orders.selectExpr(
+          "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+        .transform(graft.Stage.mat)
+      val mm = bc.agg(min(col("cents")).as("mnc"), max(col("cents")).as("mxc"))
+      val cnt = bc.crossJoin(broadcast(mm))
+        .selectExpr("((cents - mnc) * 64) DIV (mxc - mnc + 1) AS b")
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toMap
+      val c = Array.tabulate(64)(b => cnt.getOrElse(b.toLong, 0L))
+      val P = c.scanLeft(0L)(_ + _)
+      val Q = c.map(v => v * v).scanLeft(0L)(_ + _)
+      def errM(i: Int, j: Int): Long = {
+        val sd = P(j + 1) - P(i); val qd = Q(j + 1) - Q(i); val len = (j - i + 1).toLong
+        qd * 1000000L - (sd * sd * 1000000L) / len
+      }
+      // dp(k)(j) = (cost, split): best k-segment cover of buckets 0..j,
+      // split = first bucket of the LAST segment; ties → smallest split.
+      // States with no valid split (j < k−1) are INF — the oracle's dp
+      // CTEs simply have no row there, and the backtrack never visits
+      // either form on a 64-bucket vector.
+      val INF = Long.MaxValue / 4
+      val d1 = Array.tabulate(64)(j => (errM(0, j), 0))
+      def next(prev: Array[(Long, Int)]): Array[(Long, Int)] =
+        Array.tabulate(64) { j =>
+          val cands = (1 to j).iterator.filter(sp => prev(sp - 1)._1 < INF)
+            .map(sp => (prev(sp - 1)._1 + errM(sp, j), sp)).toSeq
+          if (cands.isEmpty) (INF, 0) else cands.minBy(identity)
+        }
+      val d2 = next(d1); val d3 = next(d2); val d4 = next(d3)
+      val s4 = d4(63)._2; val s3 = d3(s4 - 1)._2; val s2 = d2(s3 - 1)._2
+      val bounds = Seq((1L, 0, s2 - 1), (2L, s2, s3 - 1), (3L, s3, s4 - 1), (4L, s4, 63))
+      bounds.map { case (k, lo, hi) =>
+        (k, lo.toLong, hi.toLong, P(hi + 1) - P(lo), errM(lo, hi))
+      }.toDF("seg", "b_lo", "b_hi", "n_rows", "err_micros").orderBy(col("seg"))
+    }, Some("""
+      WITH cents AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                     FROM orders),
+      mm AS (SELECT MIN(cents) AS mnc, MAX(cents) AS mxc FROM cents),
+      bc AS (SELECT ((cents - mnc) * 64) // (mxc - mnc + 1) AS b,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM cents CROSS JOIN mm GROUP BY 1),
+      full_b AS (SELECT r.range AS b, COALESCE(bc.c, 0) AS c
+                 FROM range(0, 64) r LEFT JOIN bc ON bc.b = r.range),
+      pf AS (SELECT b, c,
+               SUM(c) OVER (ORDER BY b) AS pc,
+               SUM(c * c) OVER (ORDER BY b) AS qc
+             FROM full_b),
+      e AS (SELECT i.b AS i, j.b AS j,
+              (j.qc - COALESCE(ip.qc, 0)) * 1000000
+                - ((j.pc - COALESCE(ip.pc, 0)) * (j.pc - COALESCE(ip.pc, 0))
+                   * 1000000) // (j.b - i.b + 1) AS err
+            FROM pf i JOIN pf j ON i.b <= j.b
+            LEFT JOIN pf ip ON ip.b = i.b - 1),
+      d1 AS (SELECT j, err AS cost, 0 AS sp FROM e WHERE i = 0),
+      d2 AS (SELECT j, cost, sp FROM (
+               SELECT e.j, d1.cost + e.err AS cost, e.i AS sp,
+                      row_number() OVER (PARTITION BY e.j
+                        ORDER BY d1.cost + e.err, e.i) AS rn
+               FROM e JOIN d1 ON d1.j = e.i - 1 WHERE e.i >= 1) WHERE rn = 1),
+      d3 AS (SELECT j, cost, sp FROM (
+               SELECT e.j, d2.cost + e.err AS cost, e.i AS sp,
+                      row_number() OVER (PARTITION BY e.j
+                        ORDER BY d2.cost + e.err, e.i) AS rn
+               FROM e JOIN d2 ON d2.j = e.i - 1 WHERE e.i >= 1) WHERE rn = 1),
+      d4 AS (SELECT j, cost, sp FROM (
+               SELECT e.j, d3.cost + e.err AS cost, e.i AS sp,
+                      row_number() OVER (PARTITION BY e.j
+                        ORDER BY d3.cost + e.err, e.i) AS rn
+               FROM e JOIN d3 ON d3.j = e.i - 1 WHERE e.i >= 1) WHERE rn = 1),
+      s4 AS (SELECT sp FROM d4 WHERE j = 63),
+      s3 AS (SELECT d3.sp FROM d3, s4 WHERE d3.j = s4.sp - 1),
+      s2 AS (SELECT d2.sp FROM d2, s3 WHERE d2.j = s3.sp - 1),
+      segs AS (
+        SELECT 1 AS seg, 0 AS lo, s2.sp - 1 AS hi FROM s2
+        UNION ALL SELECT 2, s2.sp, s3.sp - 1 FROM s2, s3
+        UNION ALL SELECT 3, s3.sp, s4.sp - 1 FROM s3, s4
+        UNION ALL SELECT 4, s4.sp, 63 FROM s4)
+      SELECT CAST(seg AS BIGINT) AS seg, CAST(lo AS BIGINT) AS b_lo,
+             CAST(hi AS BIGINT) AS b_hi,
+             CAST(hj.pc - COALESCE(lp.pc, 0) AS BIGINT) AS n_rows,
+             CAST((hj.qc - COALESCE(lp.qc, 0)) * 1000000
+               - ((hj.pc - COALESCE(lp.pc, 0)) * (hj.pc - COALESCE(lp.pc, 0))
+                  * 1000000) // (hi - lo + 1) AS BIGINT) AS err_micros
+      FROM segs
+      JOIN pf hj ON hj.b = hi
+      LEFT JOIN pf lp ON lp.b = lo - 1
+      ORDER BY seg"""))
   )
 
   /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.

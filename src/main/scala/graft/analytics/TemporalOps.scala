@@ -2088,6 +2088,154 @@ object TemporalOps {
                // greatest(CAST(SUM(n_test) AS BIGINT), 1)
       FROM scored
       ORDER BY src"""
+    }),
+
+    // ---- SAX symbolic discretization (Lin, Keogh, Lonardi & Chiu
+    //      2003) of the daily revenue series: z-normalize, PAA into 16
+    //      equal day-range segments, map each segment mean to a 4-letter
+    //      alphabet at the Gaussian quartile breakpoints (±0.674490, 0)
+    //      — the time-series → token step that turns a metric stream
+    //      into matchable/indexable symbols (motif mining, anomaly
+    //      grep). Everything is exact integer arithmetic: daily revenue
+    //      floors to kilodollars (keeps n·Σx² inside the 2⁵³ isqrt
+    //      envelope at any plausible span), σ comes from the q271
+    //      isqrt(±1-adjust) on V = n·Σx² − (Σx)², z-scores are
+    //      znum·1e6 DIV isqrt(V) with znum = n·x − Σx (the n cancels —
+    //      no μ rounding anywhere), segment ids are pure od-range
+    //      projections (NO window, no rank), and PAA means divide
+    //      truncating-toward-zero on both engines. One day-grain
+    //      aggregate + one 16-group aggregate — nothing fact-scaled
+    //      past the first groupBy.
+    ("q299_sax_symbols", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).orders.selectExpr(
+          "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od",
+          "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+        .groupBy(col("od"))
+        .agg(expr("sum(cents) DIV 100000").as("x"))
+        .transform(graft.Stage.mat)
+      val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("x * x")).as("sxx"),
+          min(col("od")).as("odmn"), max(col("od")).as("odmx"))
+        .selectExpr("n", "sx", "odmn", "odmx", "n * sxx - sx * sx AS v")
+        .selectExpr("n", "sx", "odmn", "odmx", "v",
+          "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0")
+        .selectExpr("n", "sx", "odmn", "odmx",
+          """CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                  WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sig""")
+      val z = d.crossJoin(broadcast(st))
+        .selectExpr(
+          "((od - odmn) * 16) DIV (odmx - odmn + 1) AS seg",
+          "n * x - sx AS znum", "sig")
+        .selectExpr("seg",
+          """CASE WHEN znum < 0
+                  THEN -(((-znum) * 1000000) DIV greatest(sig, 1))
+                  ELSE (znum * 1000000) DIV greatest(sig, 1) END AS z_micros""")
+      z.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_days"), sum(col("z_micros")).as("sz"))
+        .selectExpr("seg", "n_days",
+          """CASE WHEN sz < 0 THEN -((-sz) DIV n_days)
+                  ELSE sz DIV n_days END AS paa_micros""")
+        .selectExpr("seg", "n_days", "paa_micros",
+          """CASE WHEN paa_micros < -674490 THEN 'a'
+                  WHEN paa_micros < 0 THEN 'b'
+                  WHEN paa_micros < 674490 THEN 'c'
+                  ELSE 'd' END AS symbol""")
+        .orderBy(col("seg"))
+    }, Some("""
+      WITH d AS (
+        SELECT od, SUM(cents) // 100000 AS x FROM (
+          SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        GROUP BY od),
+      st0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     MIN(od) AS odmn, MAX(od) AS odmx
+              FROM d),
+      st1 AS (SELECT n, sx, odmn, odmx, n * sxx - sx * sx AS v FROM st0),
+      st AS (SELECT n, sx, odmn, odmx,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                    WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sig
+             FROM (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+                   FROM st1)),
+      z AS (SELECT ((od - odmn) * 16) // (odmx - odmn + 1) AS seg,
+              CASE WHEN n * x - sx < 0
+                   THEN -(((sx - n * x) * 1000000) // GREATEST(sig, 1))
+                   ELSE ((n * x - sx) * 1000000) // GREATEST(sig, 1) END AS z_micros
+            FROM d CROSS JOIN st),
+      paa AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(CASE WHEN SUM(z_micros) < 0
+                     THEN -((-SUM(z_micros)) // count(*))
+                     ELSE SUM(z_micros) // count(*) END AS BIGINT) AS paa_micros
+              FROM z GROUP BY seg)
+      SELECT seg, n_days, paa_micros,
+             CASE WHEN paa_micros < -674490 THEN 'a'
+                  WHEN paa_micros < 0 THEN 'b'
+                  WHEN paa_micros < 674490 THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM paa ORDER BY seg"""))
+  ) ++ Seq(
+
+    // ---- unnormalized Haar wavelet synopsis (Matias, Vitter & Wang
+    //      1998 — wavelet histograms) of the daily order-count series:
+    //      12 exact integer (sum, difference) levels over the day index
+    //      grid (span < 4096 by require), keeping the 8
+    //      largest-|detail| coefficients + the level-0 scaling total —
+    //      the classic compressed series summary (top-k Haar
+    //      coefficients reconstruct the series with minimal L2 error).
+    //      Absent days are implicit zeros: a pair with one present
+    //      member aggregates as (v, ±v) and an all-absent pair simply
+    //      never emits a row — identically on both engines, so no
+    //      padding rows exist anywhere. Integer exactness is free
+    //      (sums/differences of counts); each level is one
+    //      map-side-combined groupBy on a table that HALVES per level,
+    //      so the whole pyramid costs ~2× the day-grain aggregate.
+    ("q300_haar_topk", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).orders.selectExpr(
+          "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od")
+        .groupBy(col("od")).agg(count(lit(1)).as("v"))
+        .transform(graft.Stage.mat)
+      val mn = d.agg(min(col("od")).as("odmn"), max(col("od")).as("odmx"))
+      val span = mn.selectExpr("odmx - odmn").first().getLong(0)
+      require(span < 4096,
+        s"Haar grid is 4096 days (12 levels); span $span exceeds it — widen the pyramid")
+      var lvl = d.crossJoin(broadcast(mn))
+        .selectExpr("od - odmn AS pos", "v")
+      val coeffs = (1 to 12).map { l =>
+        val nxt = lvl.groupBy(expr("pos DIV 2").as("pos"))
+          .agg(sum(col("v")).as("v"),
+            sum(expr("CASE WHEN pos % 2 = 0 THEN v ELSE -v END")).as("dc"))
+          .transform(graft.Stage.mat)
+        lvl = nxt.select(col("pos"), col("v"))
+        nxt.selectExpr(s"CAST($l AS BIGINT) AS level", "pos", "dc AS coeff")
+      }
+      val top = coeffs.reduce(_ unionByName _)
+        .orderBy(abs(col("coeff")).desc, col("level"), col("pos")).limit(8)
+      val scaling = lvl.selectExpr("CAST(0 AS BIGINT) AS level", "pos",
+        "v AS coeff")
+      top.unionByName(scaling).orderBy(col("level"), col("pos"))
+    }, Some {
+      def iter(l: Int) =
+        s"""l$l AS (SELECT pos // 2 AS pos, CAST(SUM(v) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN pos % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS dc
+             FROM l${l - 1} GROUP BY pos // 2)"""
+      s"""
+      WITH d AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od,
+               CAST(count(*) AS BIGINT) AS v
+        FROM orders GROUP BY 1),
+      mn AS (SELECT MIN(od) AS odmn FROM d),
+      l0 AS (SELECT od - odmn AS pos, v FROM d CROSS JOIN mn),
+      ${(1 to 12).map(iter).mkString(",\n      ")},
+      coeffs AS (${(1 to 12).map(l =>
+        s"SELECT CAST($l AS BIGINT) AS level, pos, dc AS coeff FROM l$l")
+        .mkString("\n        UNION ALL ")}),
+      top AS (SELECT level, pos, coeff FROM coeffs
+              ORDER BY abs(coeff) DESC, level, pos LIMIT 8)
+      SELECT level, pos, coeff FROM top
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), pos, v AS coeff FROM l12
+      ORDER BY level, pos"""
     })
   )
 }
