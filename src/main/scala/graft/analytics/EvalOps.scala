@@ -2155,7 +2155,148 @@ object EvalOps {
              CAST(COALESCE(nc.n_comp, 0) AS BIGINT) AS n_comp,
              r3.s AS strength_micros
       FROM wt LEFT JOIN nc ON nc.i = wt.i JOIN r3 ON r3.i = wt.i
-      ORDER BY p"""))
+      ORDER BY p""")),
+
+    // ---- deterministic ε-greedy bandit replay (Sutton & Barto's
+    //      textbook policy, made exactly replayable): arms = event
+    //      types, one decision per calendar day, reward = that day's
+    //      truncated-mean event value in micros (absent arm-day → 0).
+    //      Exploration fires when md5-hash('eg:'||day_rank) % 10 < 2
+    //      (ε = 0.2) and picks arm hash('ega:'||rank) % n_arms;
+    //      exploitation takes the best running truncated mean with
+    //      unpulled arms at +∞ (pull-each-arm-first) and ties to the
+    //      lowest arm index. This is the POLICY-SELECTION eval an
+    //      experimentation pipeline replays offline before deploying a
+    //      bandit — scored here against the hindsight-best fixed arm
+    //      (zz_best/zz_policy/zz_regret rows). The day×arm reward
+    //      matrix is index-sized (require-bounded), so the sequential
+    //      fold runs on the driver (kmeansFit precedent); the oracle
+    //      replays the ENTIRE episode in a recursive CTE that carries
+    //      the per-arm (n, s) state as a LIST column — scalar
+    //      list_transform/list_max/list_position only, no aggregate
+    //      ever touches the recursive reference — so every pull,
+    //      update, and tie-break is value-checked cross-engine.
+    ("q302_bandit_replay", (s: SparkSession, dir: String) => {
+      val spark = s
+      import spark.implicits._
+      val ev = Tables(s, dir).events
+        .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od",
+          "event_type AS arm", "CAST(floor(value * 1000000) AS BIGINT) AS vm")
+      val rw = ev.groupBy(col("od"), col("arm"))
+        .agg(expr("sum(vm) DIV count(1)").as("rm"))
+        .as[(Long, String, Long)].collect()
+      val arms = rw.map(_._2).distinct.sorted
+      val days = rw.map(_._1).distinct.sorted
+      require(arms.length <= 64 && days.length <= 4096,
+        s"bandit replay state is (arms=${arms.length}) × (days=${days.length}) — " +
+          "index-sized by contract; re-bucket the day grain past 4096")
+      val ai = arms.zipWithIndex.toMap
+      val rm = rw.map { case (od, a, r) => (days.indexOf(od) + 1, ai(a)) -> r }.toMap
+      def pHash(x: String): Long = {
+        val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.catalyst.PortableWinnow.portableHash(b, b.length)
+      }
+      val n = Array.fill(arms.length)(0L)
+      val sm = Array.fill(arms.length)(0L)
+      for (rd <- 1 to days.length) {
+        val cidx =
+          if (pHash(s"eg:$rd") % 10L < 2L) (pHash(s"ega:$rd") % arms.length).toInt
+          else {
+            val keys = Array.tabulate(arms.length)(i =>
+              if (n(i) == 0L) Long.MaxValue else sm(i) / n(i))
+            keys.indexOf(keys.max)
+          }
+        n(cidx) += 1L
+        sm(cidx) += rm.getOrElse((rd, cidx), 0L)
+      }
+      val t = days.length.toLong
+      val policyTotal = sm.sum
+      val bestTotal = arms.indices.map(i =>
+        (1 to days.length).map(rd => rm.getOrElse((rd, i), 0L)).sum).max
+      val perArm = arms.indices.map(i =>
+        (arms(i), n(i), sm(i), if (n(i) == 0L) 0L else sm(i) / n(i)))
+      // regret can be NEGATIVE (a day-switching policy may beat the best
+      // FIXED arm) — sign-safe truncation, the suite-wide negative-DIV
+      // discipline
+      val rg = bestTotal - policyTotal
+      val rgMean = if (rg < 0L) -((-rg) / t) else rg / t
+      val zz = Seq(
+        ("zz_best", t, bestTotal, bestTotal / t),
+        ("zz_policy", t, policyTotal, policyTotal / t),
+        ("zz_regret", t, rg, rgMean))
+      (perArm ++ zz).toDF("arm", "n_pulls", "sum_rm", "mean_rm")
+        .orderBy(col("arm"))
+    }, Some {
+      val hE = graft.text.TextStats.portableHash64Sql(
+        "concat('eg:', CAST(r.rd + 1 AS VARCHAR))")
+      val hA = graft.text.TextStats.portableHash64Sql(
+        "concat('ega:', CAST(r.rd + 1 AS VARCHAR))")
+      // chosen 0-based arm index for step rd+1 — spelled once here,
+      // interpolated twice below (condition + reward lookup)
+      val cidx =
+        s"""CASE WHEN $hE % 10 < 2 THEN $hA % na.n_arms
+                 ELSE list_position(
+                        list_transform(range(1, na.n_arms + 1), ii ->
+                          CASE WHEN r.st[ii]['n'] = 0 THEN 9223372036854775807
+                               ELSE r.st[ii]['s'] // r.st[ii]['n'] END),
+                        list_max(
+                          list_transform(range(1, na.n_arms + 1), ii ->
+                            CASE WHEN r.st[ii]['n'] = 0 THEN 9223372036854775807
+                                 ELSE r.st[ii]['s'] // r.st[ii]['n'] END))) - 1
+            END"""
+      s"""
+      WITH RECURSIVE
+      ev AS (SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS od,
+                    event_type AS arm, CAST(floor(value * 1000000) AS BIGINT) AS vm
+             FROM events),
+      arms AS (SELECT arm, CAST(row_number() OVER (ORDER BY arm) - 1 AS BIGINT) AS ai
+               FROM (SELECT DISTINCT arm FROM ev)),
+      na AS (SELECT CAST(count(*) AS BIGINT) AS n_arms FROM arms),
+      days AS (SELECT od, CAST(row_number() OVER (ORDER BY od) AS BIGINT) AS rd
+               FROM (SELECT DISTINCT od FROM ev)),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS t_max FROM days),
+      rmt AS (SELECT od, arm, CAST(SUM(vm) // count(*) AS BIGINT) AS rm
+              FROM ev GROUP BY od, arm),
+      rlist AS (SELECT d.rd, list(COALESCE(r.rm, 0) ORDER BY a.ai) AS rs
+                FROM days d CROSS JOIN arms a
+                LEFT JOIN rmt r ON r.od = d.od AND r.arm = a.arm
+                GROUP BY d.rd),
+      rec AS (
+        SELECT CAST(0 AS BIGINT) AS rd,
+               (SELECT list_transform(range(1, n_arms + 1),
+                  x -> struct_pack(n := CAST(0 AS BIGINT), s := CAST(0 AS BIGINT)))
+                FROM na) AS st
+        UNION ALL
+        SELECT r.rd + 1,
+               list_transform(range(1, na.n_arms + 1), x ->
+                 CASE WHEN x - 1 = ($cidx)
+                      THEN struct_pack(n := r.st[x]['n'] + 1,
+                                       s := r.st[x]['s'] + rl.rs[CAST(($cidx) AS BIGINT) + 1])
+                      ELSE r.st[x] END)
+        FROM rec r, na, nt, rlist rl
+        WHERE r.rd < nt.t_max AND rl.rd = r.rd + 1),
+      fin AS (SELECT st FROM rec, nt WHERE rd = nt.t_max),
+      per AS (SELECT a.arm, fin.st[a.ai + 1]['n'] AS n_pulls,
+                     fin.st[a.ai + 1]['s'] AS sum_rm
+              FROM arms a CROSS JOIN fin),
+      ptot AS (SELECT CAST(SUM(sum_rm) AS BIGINT) AS pt FROM per),
+      btot AS (SELECT MAX(tot) AS bt FROM (
+                 SELECT a.ai, CAST(SUM(COALESCE(r.rm, 0)) AS BIGINT) AS tot
+                 FROM arms a CROSS JOIN days d
+                 LEFT JOIN rmt r ON r.od = d.od AND r.arm = a.arm
+                 GROUP BY a.ai))
+      SELECT arm, CAST(n_pulls AS BIGINT) AS n_pulls,
+             CAST(sum_rm AS BIGINT) AS sum_rm,
+             CAST(CASE WHEN n_pulls = 0 THEN 0 ELSE sum_rm // n_pulls END AS BIGINT) AS mean_rm
+      FROM per
+      UNION ALL SELECT 'zz_best', t_max, bt, bt // t_max FROM btot, nt
+      UNION ALL SELECT 'zz_policy', t_max, pt, pt // t_max FROM ptot, nt
+      UNION ALL SELECT 'zz_regret', t_max, bt - pt,
+                       CASE WHEN bt - pt < 0 THEN -((pt - bt) // t_max)
+                            ELSE (bt - pt) // t_max END
+                FROM btot, ptot, nt
+      ORDER BY arm"""
+    })
   )
 
   /** Weight-of-evidence / information-value binning (the credit-scoring
