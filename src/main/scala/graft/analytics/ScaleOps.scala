@@ -2323,6 +2323,120 @@ object ScaleOps {
       JOIN pf hj ON hj.b = hi
       LEFT JOIN pf lp ON lp.b = lo - 1
       ORDER BY seg"""))
+  ) ++ Seq(
+
+    // ---- Z-order (Morton) multi-dimensional clustering advisor
+    //      (Morton 1966; the liquid-clustering/Z-ORDER BY layout
+    //      decision every 100 TB lakehouse table faces): q267 settles
+    //      1-D clustering; this query measures the 2-D case it cannot
+    //      cover — a predicate selective on BOTH order date and
+    //      customer key, against (a) a date-major row layout
+    //      (db·16 + cb) and (b) the bit-interleaved Morton layout,
+    //      both cut into 64 zones of 4 cells with per-zone min/max
+    //      (db, cb) footer stats. A zone survives when its bounding
+    //      box intersects the db ∈ [3,6] × cb ∈ [5,9] range; the zz
+    //      rows then show rows-scanned vs rows-matched per layout —
+    //      Z-order keeps both dimensions' locality, so its surviving
+    //      zones carry far less dead weight. Bit interleaving is
+    //      spelled in pure % / DIV arithmetic (no shift builtins), so
+    //      both engines derive identical codes; everything else is one
+    //      projection + one 128-group aggregate.
+    ("q303_zorder_advisor", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders.selectExpr("o_custkey",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od")
+      val st = o.agg(min(col("od")).as("mn"), max(col("od")).as("mx"),
+        min(col("o_custkey")).as("kmn"), max(col("o_custkey")).as("kmx"))
+      def bit(v: String, i: Int) = s"(($v DIV ${1 << i}) % 2)"
+      val morton = (0 to 3).map(i =>
+        s"${bit("db", i)} * ${1 << (2 * i)} + ${bit("cb", i)} * ${1 << (2 * i + 1)}")
+        .mkString(" + ")
+      val base = graft.Stage.mat(o.crossJoin(broadcast(st)).selectExpr(
+          "((od - mn) * 16) DIV (mx - mn + 1) AS db",
+          "((o_custkey - kmn) * 16) DIV (kmx - kmn + 1) AS cb")
+        .selectExpr("db", "cb", "(db * 16 + cb) DIV 4 AS z_lin",
+          s"($morton) DIV 4 AS z_mor",
+          "CAST(db BETWEEN 3 AND 6 AS BIGINT) AS hit_db",
+          "CAST(cb BETWEEN 5 AND 9 AS BIGINT) AS hit_cb",
+          """CAST(db BETWEEN 3 AND 6 AND cb BETWEEN 5 AND 9
+             AS BIGINT) AS hit_both"""))
+      def zones(zcol: String, layout: String) = base
+        .groupBy(col(zcol).as("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("db")).as("db_min"), max(col("db")).as("db_max"),
+          min(col("cb")).as("cb_min"), max(col("cb")).as("cb_max"),
+          sum(col("hit_db")).as("m_db"), sum(col("hit_cb")).as("m_cb"),
+          sum(col("hit_both")).as("m_both"))
+        .selectExpr(s"'$layout' AS layout", "zone", "n_rows",
+          "db_min", "db_max", "cb_min", "cb_max", "m_db", "m_cb", "m_both",
+          "CAST(db_max >= 3 AND db_min <= 6 AS BIGINT) AS s_db",
+          "CAST(cb_max >= 5 AND cb_min <= 9 AS BIGINT) AS s_cb",
+          """CAST(db_max >= 3 AND db_min <= 6
+              AND cb_max >= 5 AND cb_min <= 9 AS BIGINT) AS s_both""")
+      val per = graft.Stage.mat(
+        zones("z_lin", "linear").unionByName(zones("z_mor", "zorder")))
+      // one advisor row per (layout, predicate): how many zones the
+      // footer stats keep, how many rows those zones force through the
+      // scan, and the true match count they contain
+      def summary(p: String) = per.groupBy(col("layout")).agg(
+          count(lit(1)).as("n_zones"),
+          sum(col(s"s_$p")).as("zones_hit"),
+          sum(when(col(s"s_$p") === 1L, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col(s"m_$p")).as("rows_matched"),
+          sum(col("n_rows")).as("rows_total"))
+        .selectExpr("layout", s"'$p' AS pred", "n_zones", "zones_hit",
+          "rows_scanned", "rows_matched", "rows_total")
+      summary("db").unionByName(summary("cb")).unionByName(summary("both"))
+        .orderBy(col("layout"), col("pred"))
+    }, Some {
+      def bit(v: String, i: Int) = s"(($v // ${1 << i}) % 2)"
+      val morton = (0 to 3).map(i =>
+        s"${bit("db", i)} * ${1 << (2 * i)} + ${bit("cb", i)} * ${1 << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""
+      WITH o AS (SELECT o_custkey,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od
+             FROM orders),
+      st AS (SELECT MIN(od) AS mn, MAX(od) AS mx,
+                    MIN(o_custkey) AS kmn, MAX(o_custkey) AS kmx FROM o),
+      b0 AS (SELECT ((od - mn) * 16) // (mx - mn + 1) AS db,
+                    ((o_custkey - kmn) * 16) // (kmx - kmn + 1) AS cb
+             FROM o CROSS JOIN st),
+      base AS (SELECT db, cb, (db * 16 + cb) // 4 AS z_lin,
+                      ($morton) // 4 AS z_mor,
+                      CAST(db BETWEEN 3 AND 6 AS BIGINT) AS hit_db,
+                      CAST(cb BETWEEN 5 AND 9 AS BIGINT) AS hit_cb,
+                      CAST(db BETWEEN 3 AND 6 AND cb BETWEEN 5 AND 9
+                        AS BIGINT) AS hit_both
+               FROM b0),
+      per AS (
+        SELECT 'linear' AS layout, z_lin AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hit_db) AS BIGINT) AS m_db,
+               CAST(SUM(hit_cb) AS BIGINT) AS m_cb,
+               CAST(SUM(hit_both) AS BIGINT) AS m_both,
+               CAST(MAX(db) >= 3 AND MIN(db) <= 6 AS BIGINT) AS s_db,
+               CAST(MAX(cb) >= 5 AND MIN(cb) <= 9 AS BIGINT) AS s_cb,
+               CAST(MAX(db) >= 3 AND MIN(db) <= 6
+                 AND MAX(cb) >= 5 AND MIN(cb) <= 9 AS BIGINT) AS s_both
+        FROM base GROUP BY z_lin
+        UNION ALL
+        SELECT 'zorder', z_mor, CAST(count(*) AS BIGINT),
+               CAST(SUM(hit_db) AS BIGINT), CAST(SUM(hit_cb) AS BIGINT),
+               CAST(SUM(hit_both) AS BIGINT),
+               CAST(MAX(db) >= 3 AND MIN(db) <= 6 AS BIGINT),
+               CAST(MAX(cb) >= 5 AND MIN(cb) <= 9 AS BIGINT),
+               CAST(MAX(db) >= 3 AND MIN(db) <= 6
+                 AND MAX(cb) >= 5 AND MIN(cb) <= 9 AS BIGINT)
+        FROM base GROUP BY z_mor)
+      ${Seq("db", "cb", "both").map(p =>
+        s"""SELECT layout, '$p' AS pred, CAST(count(*) AS BIGINT) AS n_zones,
+             CAST(SUM(s_$p) AS BIGINT) AS zones_hit,
+             CAST(SUM(CASE WHEN s_$p = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(SUM(m_$p) AS BIGINT) AS rows_matched,
+             CAST(SUM(n_rows) AS BIGINT) AS rows_total
+           FROM per GROUP BY layout""").mkString("\n      UNION ALL\n      ")}
+      ORDER BY layout, pred"""
+    })
   )
 
   /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.
