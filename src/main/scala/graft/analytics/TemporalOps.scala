@@ -256,6 +256,76 @@ object TemporalOps {
       .orderBy(col("lag_k"))
   }
 
+  /** The q299 SAX chain (z-normalize → 16-segment PAA → 4-letter
+    * alphabet at the Gaussian quartile breakpoints ±0.674490), shared
+    * with q304's word alignment: input `d` must carry (od, x) with x
+    * already integer-scaled so n·Σx² stays inside the 2⁵³ isqrt
+    * envelope; output is (seg, n_days, paa_micros, symbol). All
+    * arithmetic exact-integer (q271 isqrt, sign-safe truncation);
+    * [[saxSql]] is the token-identical oracle chain.
+    */
+  private def saxSegments(d: DataFrame): DataFrame = {
+    val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        min(col("od")).as("odmn"), max(col("od")).as("odmx"))
+      .selectExpr("n", "sx", "odmn", "odmx", "n * sxx - sx * sx AS v")
+      .selectExpr("n", "sx", "odmn", "odmx", "v",
+        "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0")
+      .selectExpr("n", "sx", "odmn", "odmx",
+        """CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sig""")
+    val z = d.crossJoin(broadcast(st))
+      .selectExpr(
+        "((od - odmn) * 16) DIV (odmx - odmn + 1) AS seg",
+        "n * x - sx AS znum", "sig")
+      .selectExpr("seg",
+        """CASE WHEN znum < 0
+                THEN -(((-znum) * 1000000) DIV greatest(sig, 1))
+                ELSE (znum * 1000000) DIV greatest(sig, 1) END AS z_micros""")
+    z.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_days"), sum(col("z_micros")).as("sz"))
+      .selectExpr("seg", "n_days",
+        """CASE WHEN sz < 0 THEN -((-sz) DIV n_days)
+                ELSE sz DIV n_days END AS paa_micros""")
+      .selectExpr("seg", "n_days", "paa_micros",
+        """CASE WHEN paa_micros < -674490 THEN 'a'
+                WHEN paa_micros < 0 THEN 'b'
+                WHEN paa_micros < 674490 THEN 'c'
+                ELSE 'd' END AS symbol""")
+  }
+
+  /** DuckDB twin of [[saxSegments]]: `src` must yield (od, x); emits a
+    * CTE chain prefixed `p` ending in table `${p}sax` with columns
+    * (seg, n_days, paa_micros, symbol). Compose after `WITH `.
+    */
+  private def saxSql(src: String, p: String): String = s"""${p}d AS ($src),
+      ${p}st0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     MIN(od) AS odmn, MAX(od) AS odmx
+              FROM ${p}d),
+      ${p}st1 AS (SELECT n, sx, odmn, odmx, n * sxx - sx * sx AS v FROM ${p}st0),
+      ${p}st AS (SELECT n, sx, odmn, odmx,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                    WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sig
+             FROM (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+                   FROM ${p}st1)),
+      ${p}z AS (SELECT ((od - odmn) * 16) // (odmx - odmn + 1) AS seg,
+              CASE WHEN n * x - sx < 0
+                   THEN -(((sx - n * x) * 1000000) // GREATEST(sig, 1))
+                   ELSE ((n * x - sx) * 1000000) // GREATEST(sig, 1) END AS z_micros
+            FROM ${p}d CROSS JOIN ${p}st),
+      ${p}paa AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(CASE WHEN SUM(z_micros) < 0
+                     THEN -((-SUM(z_micros)) // count(*))
+                     ELSE SUM(z_micros) // count(*) END AS BIGINT) AS paa_micros
+              FROM ${p}z GROUP BY seg),
+      ${p}sax AS (SELECT seg, n_days, paa_micros,
+             CASE WHEN paa_micros < -674490 THEN 'a'
+                  WHEN paa_micros < 0 THEN 'b'
+                  WHEN paa_micros < 674490 THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM ${p}paa)"""
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- inter-event gap dispersion (index of dispersion / CV² on
@@ -2113,67 +2183,16 @@ object TemporalOps {
         .groupBy(col("od"))
         .agg(expr("sum(cents) DIV 100000").as("x"))
         .transform(graft.Stage.mat)
-      val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(expr("x * x")).as("sxx"),
-          min(col("od")).as("odmn"), max(col("od")).as("odmx"))
-        .selectExpr("n", "sx", "odmn", "odmx", "n * sxx - sx * sx AS v")
-        .selectExpr("n", "sx", "odmn", "odmx", "v",
-          "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0")
-        .selectExpr("n", "sx", "odmn", "odmx",
-          """CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
-                  WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sig""")
-      val z = d.crossJoin(broadcast(st))
-        .selectExpr(
-          "((od - odmn) * 16) DIV (odmx - odmn + 1) AS seg",
-          "n * x - sx AS znum", "sig")
-        .selectExpr("seg",
-          """CASE WHEN znum < 0
-                  THEN -(((-znum) * 1000000) DIV greatest(sig, 1))
-                  ELSE (znum * 1000000) DIV greatest(sig, 1) END AS z_micros""")
-      z.groupBy(col("seg"))
-        .agg(count(lit(1)).as("n_days"), sum(col("z_micros")).as("sz"))
-        .selectExpr("seg", "n_days",
-          """CASE WHEN sz < 0 THEN -((-sz) DIV n_days)
-                  ELSE sz DIV n_days END AS paa_micros""")
-        .selectExpr("seg", "n_days", "paa_micros",
-          """CASE WHEN paa_micros < -674490 THEN 'a'
-                  WHEN paa_micros < 0 THEN 'b'
-                  WHEN paa_micros < 674490 THEN 'c'
-                  ELSE 'd' END AS symbol""")
-        .orderBy(col("seg"))
-    }, Some("""
-      WITH d AS (
-        SELECT od, SUM(cents) // 100000 AS x FROM (
+      saxSegments(d).orderBy(col("seg"))
+    }, Some(s"""
+      WITH ${saxSql(
+        """SELECT od, SUM(cents) // 100000 AS x FROM (
           SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od,
                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
           FROM orders)
-        GROUP BY od),
-      st0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-                     CAST(SUM(x * x) AS BIGINT) AS sxx,
-                     MIN(od) AS odmn, MAX(od) AS odmx
-              FROM d),
-      st1 AS (SELECT n, sx, odmn, odmx, n * sxx - sx * sx AS v FROM st0),
-      st AS (SELECT n, sx, odmn, odmx,
-               CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
-                    WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sig
-             FROM (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
-                   FROM st1)),
-      z AS (SELECT ((od - odmn) * 16) // (odmx - odmn + 1) AS seg,
-              CASE WHEN n * x - sx < 0
-                   THEN -(((sx - n * x) * 1000000) // GREATEST(sig, 1))
-                   ELSE ((n * x - sx) * 1000000) // GREATEST(sig, 1) END AS z_micros
-            FROM d CROSS JOIN st),
-      paa AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_days,
-                CAST(CASE WHEN SUM(z_micros) < 0
-                     THEN -((-SUM(z_micros)) // count(*))
-                     ELSE SUM(z_micros) // count(*) END AS BIGINT) AS paa_micros
-              FROM z GROUP BY seg)
-      SELECT seg, n_days, paa_micros,
-             CASE WHEN paa_micros < -674490 THEN 'a'
-                  WHEN paa_micros < 0 THEN 'b'
-                  WHEN paa_micros < 674490 THEN 'c'
-                  ELSE 'd' END AS symbol
-      FROM paa ORDER BY seg"""))
+        GROUP BY od""", "r")}
+      SELECT seg, n_days, paa_micros, symbol
+      FROM rsax ORDER BY seg"""))
   ) ++ Seq(
 
     // ---- unnormalized Haar wavelet synopsis (Matias, Vitter & Wang
@@ -2236,6 +2255,61 @@ object TemporalOps {
       UNION ALL
       SELECT CAST(0 AS BIGINT), pos, v AS coeff FROM l12
       ORDER BY level, pos"""
-    })
+    }),
+
+    // ---- SAX word alignment: the q299 symbolization applied to TWO
+    //      series over the same day axis — daily revenue (kilodollar
+    //      floors) and daily order count — then compared as 16-letter
+    //      WORDS: Levenshtein edit distance (both engines' builtin is
+    //      the standard unit-cost DP) and per-segment Hamming
+    //      disagreements. This is what SAX exists FOR (Lin et al.
+    //      2003): once series are words, "do these two metrics move
+    //      together" is string matching, not numeric DTW — at 100 TB a
+    //      fleet of metric streams symbolizes once and pairwise
+    //      screening runs on 16-char strings. Words assemble by
+    //      ordered array aggregation (never a window); the day-grain
+    //      chains are the shared saxSegments/saxSql helpers.
+    ("q304_sax_alignment", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders.selectExpr(
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+      val rev = saxSegments(o.groupBy(col("od"))
+        .agg(expr("sum(cents) DIV 100000").as("x")).transform(graft.Stage.mat))
+      val cnt = saxSegments(o.groupBy(col("od"))
+        .agg(count(lit(1)).as("x")).transform(graft.Stage.mat))
+      def word(df: org.apache.spark.sql.DataFrame) = df
+        .agg(expr("""array_join(transform(
+               array_sort(collect_list(struct(seg, symbol))),
+               r -> r.symbol), '')""").as("w"))
+      val joined = rev.select(col("seg"), col("symbol").as("sa"))
+        .join(cnt.select(col("seg"), col("symbol").as("sb")), Seq("seg"))
+      val ham = joined.agg(count(lit(1)).as("n_segments"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("hamming_dist"))
+      word(rev).withColumnRenamed("w", "word_revenue")
+        .crossJoin(word(cnt).withColumnRenamed("w", "word_orders"))
+        .crossJoin(ham)
+        .selectExpr("word_revenue", "word_orders", "n_segments",
+          "hamming_dist",
+          "CAST(levenshtein(word_revenue, word_orders) AS BIGINT) AS edit_dist")
+    }, Some(s"""
+      WITH ${saxSql(
+        """SELECT od, SUM(cents) // 100000 AS x FROM (
+          SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        GROUP BY od""", "r")},
+      ${saxSql(
+        """SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1""", "c")},
+      wa AS (SELECT string_agg(symbol, '' ORDER BY seg) AS word_revenue FROM rsax),
+      wb AS (SELECT string_agg(symbol, '' ORDER BY seg) AS word_orders FROM csax),
+      hm AS (SELECT CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN a.symbol <> b.symbol THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hamming_dist
+             FROM rsax a JOIN csax b ON a.seg = b.seg)
+      SELECT word_revenue, word_orders, n_segments, hamming_dist,
+             CAST(levenshtein(word_revenue, word_orders) AS BIGINT) AS edit_dist
+      FROM wa CROSS JOIN wb CROSS JOIN hm"""))
   )
 }
