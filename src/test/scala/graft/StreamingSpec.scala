@@ -737,6 +737,45 @@ class StreamingSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("streaming SAX RLE equals the batch run-length encoding, runs span restarts") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    // batch-fitted constants for the series 10,10,30,30,30,10 under the
+    // q299 form: n=6, sx=120, pick sig so letters split around the mean
+    val (n, sx, sig) = (6L, 120L, 100L)
+    def mon = graft.stream.StreamingSax.symbolize(
+      spark.readStream.schema("_1 LONG, _2 LONG, _3 LONG").json(src)
+        .as[(Long, Long, Long)], n, sx, sig)
+      .toDF("key", "run_idx", "letter", "run_len")
+    // wave 1 ends INSIDE the 30-run; wave 2 continues it after a
+    // restart, then switches back — the open run must survive in state
+    val w1 = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 30L))
+    val w2 = Seq((5L, 30L), (6L, 10L))
+    def lines(xs: Seq[(Long, Long)]) =
+      xs.map { case (seq, x) => s"""{"_1":0,"_2":$seq,"_3":$x}""" }
+    writeOps(src, "w1.json", lines(w1))
+    drainOnce(mon, ckpt, dest)
+    writeOps(src, "w2.json", lines(w2))
+    drainOnce(mon, ckpt, dest)
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("run_idx"))
+    val rle = spark.read.parquet(dest)
+      .withColumn("mx", max(col("run_len")).over(wR))
+      .filter(col("run_len") === col("mx"))
+      .select(col("run_idx"), col("letter"), col("run_len"))
+      .distinct().as[(Long, String, Long)].collect().toSet
+    // batch RLE of the same series through the same letter rule
+    val letters = (w1 ++ w2).map { case (_, x) =>
+      graft.stream.StreamingSax.letterOf(x, n, sx, sig) }
+    val runs = letters.foldLeft(List.empty[(String, Long)]) {
+      case ((l, c) :: t, x) if l == x => (l, c + 1L) :: t
+      case (acc, x) => (x, 1L) :: acc
+    }.reverse.zipWithIndex.map { case ((l, c), i) => (i + 1L, l, c) }.toSet
+    assert(rle === runs, s"stream $rle vs batch $runs")
+    // the spanning run really grew across the restart: 30-run length 3
+    assert(rle.exists { case (_, l, c) => c == 3L && l > "b" })
+  }
+
   test("streaming AMS F2 sketch equals the batch sketch across batches and a restart") {
     import spark.implicits._
     val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
