@@ -2114,6 +2114,136 @@ object InferOps {
              r.a_micros - l.a_micros AS jump_micros
       FROM (SELECT * FROM aa WHERE side = 'l') l
       CROSS JOIN (SELECT * FROM aa WHERE side = 'r') r"""
-    })
+    }),
+
+    // ---- KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007: "On
+    //      synopses for distinct-value estimation under multiset
+    //      operations"): q199 builds per-source bottom-64 sketches;
+    //      this query answers the cross-source questions WITHOUT ever
+    //      joining token sets — for every source pair, the union
+    //      distinct estimate comes from the k-min MERGE of the two
+    //      sketches (bottom-64 of the union of bottom-64s — the KMV
+    //      closure property), and the intersection estimate is
+    //      ρ·est_union with ρ = the fraction of the merged sketch
+    //      present in BOTH sides. At 100 TB this is how vocabulary
+    //      overlap between shards/snapshots is priced: k·|pairs| hash
+    //      comparisons instead of a token-set join. Both estimates are
+    //      certified in-plan against the exact union/intersection
+    //      counts (which are precisely the joins the sketch avoids);
+    //      the md5-portable hashes make the ESTIMATES THEMSELVES
+    //      hash-verified by the oracle, not just the certificates.
+    //      Pair generation and union construction are pure equi-join
+    //      unions (no cartesian anywhere); every window partitions by
+    //      the pair.
+    ("q305_kmv_setops", (s: SparkSession, dir: String) => {
+      import graft.text.TextStats
+      val k = 64
+      val hv = graft.Stage.mat(Tables(s, dir).documents.select(col("source"),
+          explode(filter(TextStats.tokens(lower(col("text"))), x => x =!= lit("")))
+            .as("w"))
+        .select(col("source").as("g"), col("w")).distinct()
+        .select(col("g"), TextStats.portableHash64(col("w").cast("string")).as("h")))
+      val wG = Window.partitionBy(col("g")).orderBy(col("h").asc)
+      val sk = graft.Stage.mat(hv.withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= k).select(col("g"), col("h")))
+      val srcs = sk.select(col("g")).distinct()
+      val prs = graft.Stage.mat(srcs.select(col("g").as("a"))
+        .join(srcs.select(col("g").as("b")).hint("broadcast"), col("a") < col("b")))
+      // merged sketch rows per pair: equi-join unions, never cartesian
+      def tag(side: String) = prs.join(sk.withColumnRenamed("g", side), Seq(side))
+        .select(col("a"), col("b"), col("h"))
+      val merged = tag("a").unionByName(tag("b")).distinct()
+      val wP = Window.partitionBy(col("a"), col("b")).orderBy(col("h").asc)
+      val mk = graft.Stage.mat(merged.withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= k))
+      val kth = mk.groupBy(col("a"), col("b"))
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_in"))
+      val both = mk
+        .join(sk.select(col("g").as("a"), col("h")), Seq("a", "h"), "left_semi")
+        .join(sk.select(col("g").as("b"), col("h")), Seq("b", "h"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+      // exact certificates — the joins the sketch exists to avoid
+      def tagAll(side: String) = prs.join(hv.withColumnRenamed("g", side), Seq(side))
+        .select(col("a"), col("b"), col("h"))
+      val uEx = tagAll("a").unionByName(tagAll("b")).distinct()
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_union_exact"))
+      val iEx = hv.select(col("g").as("a"), col("h"))
+        .join(hv.select(col("g").as("b"), col("h")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter_exact"))
+      kth.join(both, Seq("a", "b"), "left").join(uEx, Seq("a", "b"))
+        .join(iEx, Seq("a", "b"), "left")
+        .selectExpr("a AS source_a", "b AS source_b",
+          "coalesce(n_both, CAST(0 AS BIGINT)) AS n_both",
+          "n_union_exact",
+          "coalesce(n_inter_exact, CAST(0 AS BIGINT)) AS n_inter_exact",
+          s"""CASE WHEN n_in < $k THEN n_union_exact
+                   ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
+                             DIV h_k AS BIGINT) END AS est_union""")
+        .selectExpr("source_a", "source_b", "n_both", "n_union_exact",
+          "n_inter_exact", "est_union",
+          "(n_both * est_union) DIV greatest(least(n_union_exact, 64), 1) AS est_inter",
+          """(CAST(1000000 AS DECIMAL(38,0)) * abs(est_union - n_union_exact))
+             DIV greatest(n_union_exact, 1) AS union_err_ppm""")
+        .selectExpr("source_a", "source_b", "n_both", "n_union_exact",
+          "n_inter_exact", "est_union", "est_inter",
+          "CAST(union_err_ppm AS BIGINT) AS union_err_ppm")
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH tokd AS (
+        SELECT DISTINCT source AS g, w
+        FROM (SELECT source, unnest(list_filter(
+                regexp_split_to_array(lower(text), '$ws+'), x -> x <> '')) AS w
+              FROM documents)),
+      hv AS (SELECT g,
+                    ${graft.text.TextStats.portableHash64Sql("CAST(w AS VARCHAR)")} AS h
+             FROM tokd),
+      sk AS (SELECT g, h FROM (
+               SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+               FROM hv) WHERE rn <= 64),
+      prs AS (SELECT a.g AS a, b.g AS b
+              FROM (SELECT DISTINCT g FROM sk) a
+              JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+      merged AS (
+        SELECT DISTINCT a, b, h FROM (
+          SELECT p.a, p.b, s.h FROM prs p JOIN sk s ON s.g = p.a
+          UNION ALL
+          SELECT p.a, p.b, s.h FROM prs p JOIN sk s ON s.g = p.b)),
+      mk AS (SELECT a, b, h FROM (
+               SELECT a, b, h,
+                      row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+               FROM merged) WHERE rn <= 64),
+      kth AS (SELECT a, b, MAX(h) AS h_k, CAST(count(*) AS BIGINT) AS n_in
+              FROM mk GROUP BY a, b),
+      bth AS (SELECT m.a, m.b, CAST(count(*) AS BIGINT) AS n_both
+               FROM mk m
+               WHERE EXISTS (SELECT 1 FROM sk s WHERE s.g = m.a AND s.h = m.h)
+                 AND EXISTS (SELECT 1 FROM sk s WHERE s.g = m.b AND s.h = m.h)
+               GROUP BY m.a, m.b),
+      uex AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_union_exact FROM (
+                SELECT DISTINCT a, b, h FROM (
+                  SELECT p.a, p.b, v.h FROM prs p JOIN hv v ON v.g = p.a
+                  UNION ALL
+                  SELECT p.a, p.b, v.h FROM prs p JOIN hv v ON v.g = p.b))
+              GROUP BY a, b),
+      iex AS (SELECT va.g AS a, vb.g AS b, CAST(count(*) AS BIGINT) AS n_inter_exact
+              FROM hv va JOIN hv vb ON va.h = vb.h AND va.g < vb.g
+              GROUP BY 1, 2),
+      est AS (
+        SELECT k.a AS source_a, k.b AS source_b,
+               COALESCE(bo.n_both, 0) AS n_both,
+               u.n_union_exact, COALESCE(i.n_inter_exact, 0) AS n_inter_exact,
+               CASE WHEN k.n_in < 64 THEN u.n_union_exact
+                    ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+                              // k.h_k AS BIGINT) END AS est_union
+        FROM kth k LEFT JOIN bth bo ON bo.a = k.a AND bo.b = k.b
+        JOIN uex u ON u.a = k.a AND u.b = k.b
+        LEFT JOIN iex i ON i.a = k.a AND i.b = k.b)
+      SELECT source_a, source_b, n_both, n_union_exact, n_inter_exact,
+             est_union,
+             (n_both * est_union) // GREATEST(LEAST(n_union_exact, 64), 1) AS est_inter,
+             CAST((CAST(1000000 AS HUGEINT) * abs(est_union - n_union_exact))
+                  // GREATEST(n_union_exact, 1) AS BIGINT) AS union_err_ppm
+      FROM est ORDER BY source_a, source_b"""))
   )
 }
