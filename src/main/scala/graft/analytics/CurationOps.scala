@@ -2235,6 +2235,86 @@ object CurationOps {
     //      the golden suite. At 100 TB the pass is one narrow
     //      projection — the UDF is the only non-codegen expression in
     //      the engine, which is exactly why its cost gets a bench line.
+    // ---- training-mixture allocation (the data-mixing step of a
+    //      pretraining pipeline, reduced to its deterministic greedy
+    //      skeleton): sources are scored by type-token ratio (micros —
+    //      the cheap lexical-diversity quality proxy), then a token
+    //      budget of HALF the corpus fills greedily in quality order
+    //      (ties: source asc) — each source contributes
+    //      min(its tokens, remaining budget). Output: the per-source
+    //      allocation ledger (+utilization) and the zz mix summary
+    //      with the allocation-weighted quality of the final mixture —
+    //      the number a mixing run reports. The cumulation window runs
+    //      over the SOURCE-CATALOG-sized table (PlanSpec-allowlisted
+    //      with a ≤1024 bound), never the corpus; everything upstream
+    //      is one map-side-combined per-source aggregate.
+    ("q306_mixture_alloc", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).documents
+      val toks = filter(TextStats.tokens(lower(col("text"))), t => t =!= lit(""))
+      val per = graft.Stage.mat(d
+        .select(col("source"), size(toks).as("nt"),
+          size(array_distinct(toks)).as("ndt"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt").cast("long")).as("n_tok"),
+          sum(col("ndt").cast("long")).as("n_dtok"))
+        .selectExpr("source", "n_tok",
+          "(n_dtok * 1000000) DIV greatest(n_tok, 1) AS quality_micros"))
+      val budget = per.agg((sum(col("n_tok")) / 2).cast("long").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_micros").desc, col("source"))
+      val alloc = per.crossJoin(broadcast(budget))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .selectExpr("source", "n_tok", "quality_micros",
+          "greatest(CAST(0 AS BIGINT), least(n_tok, b - cum_before)) AS alloc")
+        .selectExpr("source", "n_tok", "quality_micros", "alloc",
+          "(alloc * 1000000) DIV greatest(n_tok, 1) AS util_ppm")
+        .transform(graft.Stage.mat)
+      val zz = alloc.crossJoin(broadcast(budget))
+        .agg(max(col("b")).as("n_tok"), sum(col("alloc")).as("alloc"),
+          sum(expr("alloc * quality_micros")).as("wq"))
+        .selectExpr("'zz_mix' AS source", "n_tok",
+          "wq DIV greatest(alloc, 1) AS quality_micros", "alloc",
+          "(alloc * 1000000) DIV greatest(n_tok, 1) AS util_ppm")
+      alloc.unionByName(zz).orderBy(col("source"))
+    }, Some(s"""
+      WITH per AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tok,
+               (CAST(SUM(ndt) AS BIGINT) * 1000000)
+                 // GREATEST(CAST(SUM(nt) AS BIGINT), 1) AS quality_micros
+        FROM (SELECT source,
+                len(list_filter(regexp_split_to_array(lower(text),
+                  '${TextStats.wsClassSql}+'), x -> x <> '')) AS nt,
+                len(list_distinct(list_filter(regexp_split_to_array(lower(text),
+                  '${TextStats.wsClassSql}+'), x -> x <> ''))) AS ndt
+              FROM documents)
+        GROUP BY source),
+      bu AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS b FROM per),
+      al AS (
+        SELECT source, n_tok, quality_micros,
+               GREATEST(CAST(0 AS BIGINT),
+                 LEAST(n_tok, b - COALESCE(SUM(n_tok) OVER (
+                   ORDER BY quality_micros DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS alloc
+        FROM per CROSS JOIN bu),
+      led AS (SELECT source, n_tok, quality_micros, alloc,
+                     (alloc * 1000000) // GREATEST(n_tok, 1) AS util_ppm
+              FROM al)
+      SELECT source, n_tok, quality_micros, CAST(alloc AS BIGINT) AS alloc,
+             CAST(util_ppm AS BIGINT) AS util_ppm
+      FROM led
+      UNION ALL
+      SELECT 'zz_mix', (SELECT b FROM bu),
+             CAST(CAST(SUM(alloc * quality_micros) AS BIGINT)
+               // GREATEST(CAST(SUM(alloc) AS BIGINT), 1) AS BIGINT),
+             CAST(SUM(alloc) AS BIGINT),
+             CAST((CAST(SUM(alloc) AS BIGINT) * 1000000)
+               // GREATEST((SELECT b FROM bu), 1) AS BIGINT)
+      FROM led
+      ORDER BY source"""))
+  ) ++ Seq(
     ("q296_markdown_render", (s: SparkSession, dir: String) => {
       val d = Tables(s, dir).documents
       d.select(col("doc_id"),

@@ -324,6 +324,7 @@ class PlanSpec extends SparkSpec {
       "q111_rate_spikes" -> WinBound(65536, "hour-grain aggregate — time-span-bounded domain (≤24·span days)"),
       "q124_entropy_auc" -> WinBound(1100, "range-bucket histogram cumulation (≤1024 rows)"),
       "q131_source_concentration" -> WinBound(1024, "source-level aggregate — catalog-sized domain, not fact-scaled"),
+      "q306_mixture_alloc" -> WinBound(1024, "greedy budget fill over the source-catalog allocation table — catalog-sized, not fact-scaled"),
       "q156_skew_report" -> WinBound(4096, "count-of-counts histogram — distinct-multiplicity-sized (≤O(√2m))"),
       "q161_quantile_norm" -> WinBound(8192, "token-count value histogram — value-domain-sized"),
       "q175_kaplan_meier" -> WinBound(4096, "day-grain risk table — time-span-bounded"),
