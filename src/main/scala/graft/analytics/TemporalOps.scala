@@ -264,7 +264,7 @@ object TemporalOps {
     * arithmetic exact-integer (q271 isqrt, sign-safe truncation);
     * [[saxSql]] is the token-identical oracle chain.
     */
-  private def saxSegments(d: DataFrame): DataFrame = {
+  private[graft] def saxSegments(d: DataFrame): DataFrame = {
     val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(expr("x * x")).as("sxx"),
         min(col("od")).as("odmn"), max(col("od")).as("odmx"))

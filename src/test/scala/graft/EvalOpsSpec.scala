@@ -469,6 +469,38 @@ class EvalOpsSpec extends SparkSpec {
     }
   }
 
+  test("Bradley-Terry: transitive dominance orders the strengths") {
+    import spark.implicits._
+    // three parts sharing orders; part 1 always gets the largest
+    // quantity, part 2 the middle, part 3 the least — every duel is
+    // 1 > 2 > 3, so the MM fixed point must order s1 > s2 > s3
+    val li = (1 to 8).flatMap { o =>
+      Seq((o.toLong, 1L, 30.0), (o.toLong, 2L, 20.0), (o.toLong, 3L, 10.0))
+    }.toDF("l_orderkey", "l_partkey", "l_quantity")
+    val out = graft.analytics.EvalOps.bradleyTerry(li, topN = 24, iters = 3)
+      .collect().map(r => r.getAs[Long]("p") ->
+        (r.getAs[Long]("n_wins"), r.getAs[Long]("strength_micros"))).toMap
+    assert(out(1L)._1 === 16L && out(2L)._1 === 8L && out(3L)._1 === 0L,
+      s"win counts: $out")
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2,
+      s"dominance must order strengths: $out")
+    assert(out(3L)._2 === 0L, "a never-winning part sits at the MM zero fixed point")
+  }
+
+  test("SAX segments: constant series is all-'c', a step series splits the alphabet") {
+    import spark.implicits._
+    val flat = (0L until 32L).map(i => (i, 100L)).toDF("od", "x")
+    val fs = graft.analytics.TemporalOps.saxSegments(flat).collect()
+    assert(fs.forall(_.getAs[String]("symbol") == "c"),
+      "zero z-score must land in 'c' (the [0, 0.6745) letter)")
+    // low half then high half: first 8 segments below the mean, last 8 above
+    val step = (0L until 32L).map(i => (i, if (i < 16) 0L else 1000L)).toDF("od", "x")
+    val ss = graft.analytics.TemporalOps.saxSegments(step).collect()
+      .map(r => r.getAs[Long]("seg") -> r.getAs[String]("symbol")).toMap
+    assert((0L to 7L).forall(s => ss(s) == "a") && (8L to 15L).forall(s => ss(s) == "d"),
+      s"step series must use the outer letters: $ss")
+  }
+
   private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (d, x, t) => d -> (x, t) }.toMap
