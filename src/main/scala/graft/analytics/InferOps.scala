@@ -2244,6 +2244,82 @@ object InferOps {
              (n_both * est_union) // GREATEST(LEAST(n_union_exact, 64), 1) AS est_inter,
              CAST((CAST(1000000 AS HUGEINT) * abs(est_union - n_union_exact))
                   // GREATEST(n_union_exact, 1) AS BIGINT) AS union_err_ppm
-      FROM est ORDER BY source_a, source_b"""))
+      FROM est ORDER BY source_a, source_b""")),
+
+    // ---- Gumbel block-maxima return levels (extreme-value theory,
+    //      Gumbel 1958; method-of-moments fit): take each calendar
+    //      month's MAXIMUM daily revenue (kilodollar floors, the q299
+    //      scale discipline), fit the Gumbel location/scale by moments
+    //      (σ̂ = s·√6/π, μ̂ = x̄ − γ·σ̂), and report the T-block return
+    //      levels RL(T) = μ̂ − σ̂·ln(−ln(1 − 1/T)) for T = 12 (the
+    //      1-year event) and T = 60 (the 5-year event) — the capacity/
+    //      provisioning question ("what daily spike should this system
+    //      absorb") that a mean+stddev readout systematically
+    //      underestimates. Exact integer arithmetic end-to-end: block
+    //      maxima are exact, the moment fit rides the q271
+    //      isqrt(±1-adjust) on V = B·Σx² − (Σx)² (n-scaled forms, so no
+    //      mean rounding exists anywhere), and the four irrational
+    //      constants are fixed 1e6-scaled literals identical on both
+    //      engines (√6/π → 779697, γ → 577216, the T = 12/60 Gumbel
+    //      quantiles → 2441716 / 4085953). One day-grain aggregate →
+    //      one month-grain max → a one-row moment fold; nothing
+    //      fact-scaled past the first groupBy. Output in
+    //      micro-kilodollars beside the observed historical max.
+    ("q307_gumbel_return_levels", (s: SparkSession, dir: String) => {
+      val bm = Tables(s, dir).orders.selectExpr(
+          "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym",
+          "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od",
+          "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+        .groupBy(col("ym"), col("od"))
+        .agg(expr("sum(cents) DIV 100000").as("x"))
+        .groupBy(col("ym")).agg(max(col("x")).as("x"))
+      bm.agg(count(lit(1)).as("b"), sum(col("x")).as("sx"),
+          sum(expr("x * x")).as("sxx"), max(col("x")).as("x_max"))
+        .selectExpr("b", "sx", "x_max", "b * sxx - sx * sx AS v")
+        .selectExpr("b", "sx", "x_max", "v",
+          "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0")
+        .selectExpr("b", "sx", "x_max",
+          """CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                  WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sq""")
+        .selectExpr("b AS n_blocks", "x_max * 1000000 AS obs_max_mu",
+          "(sx * 1000000) DIV b AS mean_mu",
+          "(sq * 1000000) DIV b AS s_mu")
+        .selectExpr("n_blocks", "obs_max_mu", "mean_mu", "s_mu",
+          "(s_mu * 779697) DIV 1000000 AS sigma_mu")
+        .selectExpr("n_blocks", "obs_max_mu", "mean_mu", "s_mu", "sigma_mu",
+          "mean_mu - (sigma_mu * 577216) DIV 1000000 AS mu_mu")
+        .selectExpr("n_blocks", "obs_max_mu", "mean_mu", "sigma_mu", "mu_mu",
+          "mu_mu + (sigma_mu * 2441716) DIV 1000000 AS rl12_mu",
+          "mu_mu + (sigma_mu * 4085953) DIV 1000000 AS rl60_mu")
+    }, Some("""
+      WITH d AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od,
+               SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) // 100000 AS x
+        FROM orders GROUP BY 1, 2),
+      bm AS (SELECT ym, MAX(x) AS x FROM d GROUP BY ym),
+      m0 AS (SELECT CAST(count(*) AS BIGINT) AS b, CAST(SUM(x) AS BIGINT) AS sx,
+                    CAST(SUM(x * x) AS BIGINT) AS sxx, MAX(x) AS x_max
+             FROM bm),
+      m1 AS (SELECT b, sx, x_max, b * sxx - sx * sx AS v FROM m0),
+      m2 AS (SELECT b, sx, x_max,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1
+                    WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS sq
+             FROM (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+                   FROM m1)),
+      m3 AS (SELECT b AS n_blocks, CAST(x_max * 1000000 AS BIGINT) AS obs_max_mu,
+                    (sx * 1000000) // b AS mean_mu,
+                    (sq * 1000000) // b AS s_mu
+             FROM m2),
+      m4 AS (SELECT n_blocks, obs_max_mu, mean_mu, s_mu,
+                    (s_mu * 779697) // 1000000 AS sigma_mu
+             FROM m3),
+      m5 AS (SELECT n_blocks, obs_max_mu, mean_mu, sigma_mu,
+                    mean_mu - (sigma_mu * 577216) // 1000000 AS mu_mu
+             FROM m4)
+      SELECT n_blocks, obs_max_mu, mean_mu, sigma_mu, mu_mu,
+             mu_mu + (sigma_mu * 2441716) // 1000000 AS rl12_mu,
+             mu_mu + (sigma_mu * 4085953) // 1000000 AS rl60_mu
+      FROM m5"""))
   )
 }

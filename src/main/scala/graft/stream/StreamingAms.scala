@@ -23,10 +23,17 @@ object StreamingAms {
 
   final case class AmsState(n: Long, sk: Array[Long])
 
-  private[stream] def sign(t: Int, p: Long): Long = {
-    val b = s"ams$t:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    1L - 2L * (graft.catalyst.PortableWinnow.portableHash(b, b.length) % 2L)
+  /** Nine sign bits from ONE portable hash (bits 0..8) — the q298
+    * single-digest discipline, so stream and batch stay bit-identical
+    * AND neither pays nine md5s per row.
+    */
+  private[stream] def signs(p: Long): Long = {
+    val b = s"ams:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    graft.catalyst.PortableWinnow.portableHash(b, b.length)
   }
+
+  private[stream] def sign(t: Int, p: Long): Long =
+    1L - 2L * ((signs(p) >> t) & 1L)
 
   /** Rows (key, p); emits per batch (key, n_rows, f2_est). Twin-scale
     * squares stay in Long (sketch sums ≤ per-key row count; past ~3e9

@@ -799,9 +799,11 @@ class StreamingSpec extends SparkSpec {
     // batch twin: the q298 SQL-side sketch over the same rows — the
     // stream's scalar md5 sign must agree with the Column form
     val skCols = (0 until 9).map { t =>
-      sum(lit(1L) - lit(2L) * (graft.text.TextStats.portableHash64(
-        concat(lit(s"ams$t:"), col("p").cast("string"))) % 2L)).as(s"sk$t") }
-    val batch = (w1 ++ w2).toDF("key", "p").groupBy(col("key"))
+      sum(lit(1L) - lit(2L) * expr(s"(h DIV ${1L << t}) % 2")).as(s"sk$t") }
+    val batch = (w1 ++ w2).toDF("key", "p")
+      .withColumn("h", graft.text.TextStats.portableHash64(
+        concat(lit("ams:"), col("p").cast("string"))))
+      .groupBy(col("key"))
       .agg(count(lit(1)).as("n_rows"), skCols: _*)
       .selectExpr("key", "n_rows",
         s"""element_at(array_sort(array(${(0 until 9).map(t =>
