@@ -2324,6 +2324,116 @@ object CurationOps {
         .selectExpr("doc_id", "plain", "length(plain) AS plain_len",
           "CAST(size(imgs) AS BIGINT) AS n_imgs")
         .orderBy(col("doc_id"))
-    }, None)
+    }, None),
+
+    // ---- similarity-graph percolation sweep: the "where does the
+    //      near-dup graph COLLAPSE" audit a curation run does before
+    //      committing to a cosine threshold (Erdős–Rényi intuition:
+    //      below the percolation point components are small islands;
+    //      past it one giant blob eats the corpus and transitive dedup
+    //      over-drops). Three thresholds over the SAME cell-bounded
+    //      pair table (q258's discipline — cellCountFor k, within-cell
+    //      pairs only, computed once with cos_r kept): per threshold
+    //      the edge count, linked-node count, component count, largest
+    //      component, and isolated remainder, components via
+    //      Dedup.connectedComponents (min-label + star-contraction
+    //      escalation). The oracle replays the kmeans chain and three
+    //      recursive min-reach closures — every count value-checked.
+    ("q308_percolation_sweep", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      val n = emb.count()
+      val k = graft.text.Similarity.cellCountFor(n)
+      graft.text.Similarity.requireCellBounded(n, k)
+      val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+      val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+      val pairs = graft.Stage.mat(
+        mem.select(col("centroid_id"), col("vec_id").as("id_a"),
+            col("embedding").as("va"))
+          .join(mem.select(col("centroid_id"), col("vec_id").as("id_b"),
+            col("embedding").as("vb")), Seq("centroid_id"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos_r",
+            round(graft.text.Similarity.cosine(col("va"), col("vb")), 6))
+          .filter(col("cos_r") >= 0.35)
+          .select(col("id_a"), col("id_b"), col("cos_r")))
+      val sweeps = Seq(35, 50, 65).map { t =>
+        val et = pairs.filter(col("cos_r") >= t / 100.0)
+          .select(col("id_a"), col("id_b")).transform(graft.Stage.mat)
+        val per = graft.text.Dedup.connectedComponents(et)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        et.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(per.agg(
+            coalesce(sum(col("sz")), lit(0L)).as("n_linked"),
+            count(lit(1)).as("n_components"),
+            coalesce(max(col("sz")), lit(0L)).as("max_component"))))
+          .selectExpr(s"CAST($t AS BIGINT) AS threshold_pct", "n_edges",
+            "n_linked", "n_components", "max_component")
+      }
+      sweeps.reduce(_ unionByName _)
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_total"))))
+        .selectExpr("threshold_pct", "n_edges", "n_linked", "n_components",
+          "max_component", "n_total - n_linked AS n_isolated")
+        .orderBy(col("threshold_pct"))
+    }, Some {
+      def sweep(t: Int) = s"""
+      e$t AS (SELECT id_a, id_b FROM pairs WHERE cos_r >= 0.$t),
+      adj$t AS (SELECT id_a AS v, id_b AS nbr FROM e$t
+                UNION ALL SELECT id_b, id_a FROM e$t),
+      reach$t AS (SELECT v, v AS r FROM (SELECT DISTINCT v FROM adj$t)
+                  UNION
+                  SELECT a.v, reach$t.r FROM adj$t a
+                  JOIN reach$t ON a.nbr = reach$t.v),
+      lab$t AS (SELECT v, MIN(r) AS lbl FROM reach$t GROUP BY v),
+      per$t AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM lab$t GROUP BY lbl),
+      st$t AS (SELECT CAST($t AS BIGINT) AS threshold_pct,
+                 (SELECT CAST(count(*) AS BIGINT) FROM e$t) AS n_edges,
+                 (SELECT CAST(count(*) AS BIGINT) FROM lab$t) AS n_linked,
+                 (SELECT CAST(count(*) AS BIGINT) FROM per$t) AS n_components,
+                 COALESCE((SELECT MAX(sz) FROM per$t), 0) AS max_component)"""
+      s"""
+      WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      hs AS (SELECT vec_id, v,
+               ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
+             FROM e),
+      kp AS (SELECT ${graft.text.Similarity.cellCountSql("count(*)")} AS k FROM e),
+      sl AS (SELECT vec_id, v, h FROM
+               (SELECT vec_id, v, h,
+                       row_number() OVER (ORDER BY h, vec_id) AS rnk FROM hs)
+             CROSS JOIN kp WHERE rnk <= k),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+                       v AS cv FROM sl),
+      a1 AS (SELECT vec_id, v, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, s.cid,
+                     round(list_cosine_similarity(e.v, s.cv), 6) AS cos_r
+                   FROM e CROSS JOIN seeds s)),
+      m1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      d1 AS (SELECT cid, r.i AS i,
+               ${graft.text.Similarity.meanRound6Sql("list_extract(v, r.i)")} AS mu
+             FROM m1, range(1, 65) r(i) GROUP BY cid, r.i),
+      c2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM d1 GROUP BY cid),
+      a2 AS (SELECT vec_id, cid, cos_r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+             FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.v, c.cv), 6) AS cos_r
+                   FROM e CROSS JOIN c2 c)),
+      mem AS (SELECT a2.vec_id, a2.cid, e.v
+              FROM a2 JOIN e ON a2.vec_id = e.vec_id WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+        FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+      ${sweep(35)},
+      ${sweep(50)},
+      ${sweep(65)},
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+      SELECT threshold_pct, n_edges, n_linked, n_components, max_component,
+             n_total - n_linked AS n_isolated
+      FROM (SELECT * FROM st35 UNION ALL SELECT * FROM st50
+            UNION ALL SELECT * FROM st65) CROSS JOIN nt
+      ORDER BY threshold_pct"""
+    })
   )
 }
