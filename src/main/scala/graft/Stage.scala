@@ -26,7 +26,21 @@ import org.apache.spark.sql.DataFrame
   * once either way.
   */
 object Stage {
-  def mat(df: DataFrame): DataFrame =
+  /** Plan-audit hook (PlanSpec's suite-wide window gate). A barrier
+    * truncates lineage, which HIDES every upstream operator from a
+    * whole-plan audit of the final DataFrame — round 10's stale-
+    * allowlist trap: four allowlisted unpartitioned windows had slid
+    * inside mat'd stages and their bounds were silently unexercised.
+    * When set, every mat barrier first hands the recorder its input's
+    * optimized plan, so the gate audits staged subtrees too. Test-only;
+    * never set in production paths.
+    */
+  @volatile private[graft] var recorder:
+    Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit] = None
+
+  def mat(df: DataFrame): DataFrame = {
+    recorder.foreach(_(df.queryExecution.optimizedPlan))
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+  }
 }

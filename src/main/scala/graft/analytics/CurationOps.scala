@@ -2259,7 +2259,7 @@ object CurationOps {
           sum(col("ndt").cast("long")).as("n_dtok"))
         .selectExpr("source", "n_tok",
           "(n_dtok * 1000000) DIV greatest(n_tok, 1) AS quality_micros"))
-      val budget = per.agg((sum(col("n_tok")) / 2).cast("long").as("b"))
+      val budget = per.agg(expr("sum(n_tok) DIV 2").as("b"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("quality_micros").desc, col("source"))
       val alloc = per.crossJoin(broadcast(budget))
@@ -2325,6 +2325,64 @@ object CurationOps {
           "CAST(size(imgs) AS BIGINT) AS n_imgs")
         .orderBy(col("doc_id"))
     }, None),
+
+    // ---- markdown image-harvest certification (VERDICT r9 ask #5):
+    //      q296 is the surface's only rows-only query because the full
+    //      render uses backreference regexes RE2 cannot replay — but the
+    //      HARVEST regexes (handlers/comments.js:44-51) are backref-free,
+    //      so this companion query value-checks exactly that subset. The
+    //      fixture corpus contains no image markup (it would certify
+    //      nothing), so a markdown payload is constructed deterministically
+    //      from doc_id/source ON BOTH ENGINES (the piiText discipline):
+    //      one md image, one html <img src>, a conditional third md image
+    //      in TITLE form (exercising the `[^)\s]+` url/title split) that
+    //      is a DUPLICATE url on odd doc_ids (exercising the `includes`
+    //      dedup guard), plus a metadata-list entry (exercising the merge).
+    //      Output: per-doc distinct-image count and a portable md5
+    //      fingerprint of the SORTED url list — the harvest is
+    //      value-certified url-for-url, not just counted. Pure codegen'd
+    //      regexp projection, no shuffle; scale-free.
+    ("q309_markdown_imgs_cert", (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).documents
+      val body = concat(
+        lit("intro ![fig](https://img-"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example/a.png) body <img src=\"https://cdn."), col("source"),
+        lit("/d"), col("doc_id").cast("string"), lit(".jpg\"> more "),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("![t](https://img-"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example/"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("b")).otherwise(lit("a")),
+            lit(".png \"title text\")"))).otherwise(lit("")),
+        lit(" tail"))
+      val meta = array(concat(lit("meta://"), col("source")))
+      d.select(col("doc_id"),
+          graft.ops.TextFns.harvestImages(body, meta).as("imgs"))
+        .select(col("doc_id"),
+          size(col("imgs")).cast("long").as("n_imgs"),
+          TextStats.portableHash64(
+            array_join(array_sort(col("imgs")), "|")).as("imgs_fp"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH md AS (
+        SELECT doc_id,
+               'intro ![fig](https://img-' || (doc_id % 7) ||
+               '.example/a.png) body <img src="https://cdn.' || source ||
+               '/d' || doc_id || '.jpg"> more ' ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                 '![t](https://img-' || (doc_id % 7) || '.example/' ||
+                 CASE WHEN doc_id % 2 = 0 THEN 'b' ELSE 'a' END ||
+                 '.png "title text")' ELSE '' END || ' tail' AS body,
+               'meta://' || source AS meta0
+        FROM documents),
+      har AS (
+        SELECT doc_id, list_distinct(list_concat(list_concat([meta0],
+                 regexp_extract_all(body, '<img[^>]*src=["'']([^"'']+)["'']', 1)),
+                 regexp_extract_all(body,
+                   '!\\[[^\\]]*\\]\\(([^)${TextStats.wsCharsSql}]+)[^)]*\\)', 1))) AS imgs
+        FROM md)
+      SELECT doc_id, CAST(len(imgs) AS BIGINT) AS n_imgs,
+             ${TextStats.portableHash64Sql("array_to_string(list_sort(imgs), '|')")} AS imgs_fp
+      FROM har ORDER BY doc_id""")),
 
     // ---- similarity-graph percolation sweep: the "where does the
     //      near-dup graph COLLAPSE" audit a curation run does before

@@ -2171,18 +2171,22 @@ object InferOps {
         .join(hv.select(col("g").as("b"), col("h")), Seq("h"))
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter_exact"))
+      // estimator is SKETCH-ONLY: n_in (merged-sketch size) drives both the
+      // under-full branch and the est_inter denominator — n_union_exact
+      // appears only in the certification columns. (n_in = min(k, union)
+      // exactly, since the merged hashes are distinct.)
       kth.join(both, Seq("a", "b"), "left").join(uEx, Seq("a", "b"))
         .join(iEx, Seq("a", "b"), "left")
-        .selectExpr("a AS source_a", "b AS source_b",
+        .selectExpr("a AS source_a", "b AS source_b", "n_in",
           "coalesce(n_both, CAST(0 AS BIGINT)) AS n_both",
           "n_union_exact",
           "coalesce(n_inter_exact, CAST(0 AS BIGINT)) AS n_inter_exact",
-          s"""CASE WHEN n_in < $k THEN n_union_exact
+          s"""CASE WHEN n_in < $k THEN n_in
                    ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
                              DIV h_k AS BIGINT) END AS est_union""")
         .selectExpr("source_a", "source_b", "n_both", "n_union_exact",
           "n_inter_exact", "est_union",
-          "(n_both * est_union) DIV greatest(least(n_union_exact, 64), 1) AS est_inter",
+          "(n_both * est_union) DIV greatest(n_in, 1) AS est_inter",
           """(CAST(1000000 AS DECIMAL(38,0)) * abs(est_union - n_union_exact))
              DIV greatest(n_union_exact, 1) AS union_err_ppm""")
         .selectExpr("source_a", "source_b", "n_both", "n_union_exact",
@@ -2230,10 +2234,10 @@ object InferOps {
               FROM hv va JOIN hv vb ON va.h = vb.h AND va.g < vb.g
               GROUP BY 1, 2),
       est AS (
-        SELECT k.a AS source_a, k.b AS source_b,
+        SELECT k.a AS source_a, k.b AS source_b, k.n_in,
                COALESCE(bo.n_both, 0) AS n_both,
                u.n_union_exact, COALESCE(i.n_inter_exact, 0) AS n_inter_exact,
-               CASE WHEN k.n_in < 64 THEN u.n_union_exact
+               CASE WHEN k.n_in < 64 THEN k.n_in
                     ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
                               // k.h_k AS BIGINT) END AS est_union
         FROM kth k LEFT JOIN bth bo ON bo.a = k.a AND bo.b = k.b
@@ -2241,7 +2245,7 @@ object InferOps {
         LEFT JOIN iex i ON i.a = k.a AND i.b = k.b)
       SELECT source_a, source_b, n_both, n_union_exact, n_inter_exact,
              est_union,
-             (n_both * est_union) // GREATEST(LEAST(n_union_exact, 64), 1) AS est_inter,
+             (n_both * est_union) // GREATEST(n_in, 1) AS est_inter,
              CAST((CAST(1000000 AS HUGEINT) * abs(est_union - n_union_exact))
                   // GREATEST(n_union_exact, 1) AS BIGINT) AS union_err_ppm
       FROM est ORDER BY source_a, source_b""")),

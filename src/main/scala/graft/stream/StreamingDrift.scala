@@ -19,6 +19,15 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * (the batch operator's support argument), NOT by the stream length —
   * the property that makes indefinite monitoring safe. Output rows are
   * (key, last seq, n observed, w1_scaled_ppm).
+  *
+  * STATE-SCHEMA NOTE (ADVICE r9): [[DriftState]] gained the `n` and
+  * `lastSeq` fields in round 9. flatMapGroupsWithState state encoding
+  * is positional, so a checkpoint written by the earlier two-field-less
+  * shape does NOT restore under this class — upgrading a long-lived
+  * monitor across that boundary requires a FRESH checkpoint directory
+  * (re-seed the reference histogram; the running histogram rebuilds
+  * from the replayed source). Any future field change to DriftState
+  * carries the same break and must update this note.
   */
 object StreamingDrift {
 

@@ -334,6 +334,13 @@ class PlanSpec extends SparkSpec {
       "q192_abc_pareto" -> WinBound(1100, "revenue bucket-offset table (≤1024 rows; part-level cum windows per bucket)"),
       "q193_ks_test" -> WinBound(1100, "range-bucket CDF histogram (≤1024 rows)"),
       "q201_nelson_aalen" -> WinBound(4096, "day-grain hazard table — time-span-bounded"),
+      // the next four were found by the see-through gate (r10): their
+      // windows sit INSIDE Stage.mat'd stages, invisible to the pre-r10
+      // final-plan-only audit
+      "q222_log_rank" -> WinBound(4096, "day-grain duration histogram (at-risk cumsum) — time-span-bounded (q175 regime)"),
+      "q238_classical_decomp" -> WinBound(4096, "day-grain daily series (MA/seasonal windows) — time-span-bounded"),
+      "q239_kruskal_wallis" -> WinBound(1100, "midrank bucket-offset table (≤1024 rows; two-phase rank)"),
+      "q266_conformal" -> WinBound(1100, "pairRankSelect range-bucket offset tables (≤1024 rows each)"),
       "q259_changepoint" -> WinBound(4096, "day-grain prefix sums — time-span-bounded"),
       "q260_segmented_trend" -> WinBound(4096, "day-grain prefix sums — time-span-bounded"),
       "q261_hodges_lehmann" -> WinBound(1 << 22, "day-pair Walsh multiset — span²-bounded at day grain (q207 regime)"),
@@ -348,13 +355,25 @@ class PlanSpec extends SparkSpec {
       "q207_theil_sen" -> WinBound(1 << 22, "day-pair slope table — span²-bounded at day grain, never corpus"),
       "q216_heaps_law" -> WinBound(1024, "log-bucket vocabulary-growth table — bounded bucket domain"),
       "q245_sorted_neighborhood" -> WinBound(1100, "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)"))
-    def unboundedWindows(name: String, dir: String): Seq[LWindow] =
-      SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.collect {
+    // Audits the final optimized plan AND every Stage.mat'd subtree —
+    // a barrier truncates lineage, so without the recorder hook a window
+    // sliding inside a mat'd stage silently leaves the gate (this round's
+    // per-entry vacuity guard caught exactly four such occlusions:
+    // q271/q290/q295/q306).
+    def unboundedWindows(name: String, dir: String): Seq[LWindow] = {
+      val staged = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+      graft.Stage.recorder = Some(p => staged += p)
+      val top =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+        finally graft.Stage.recorder = None
+      (staged.toSeq :+ top).flatMap(_.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
           w.child.collectFirst {
             case _: GlobalLimit => (); case _: LocalLimit => ()
           }.isEmpty => w
-      }
+      })
+    }
     // structural pass (default-deny) at the cheap fixture
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val bad = unboundedWindows(name, sf)
@@ -371,20 +390,26 @@ class PlanSpec extends SparkSpec {
     // correctness-gate fixture, where a fact-keyed table already dwarfs
     // every declared domain bound) and hold it to the entry's predicate
     val sf01 = "/root/testdata/sf0.01"
-    var checked = 0
+    // per-entry vacuity guard (ADVICE r9): an allowlist entry whose query
+    // stops planning any detectable unpartitioned window is STALE — either
+    // the plan was rewritten scale-safe (drop the entry) or the optimizer
+    // hides the window from detection (fix the detection). Aggregate
+    // counting let a single multi-window query mask such a slip.
+    val checkedPer = scala.collection.mutable.Map.empty[String, Int]
     val broken = allow.toSeq.sortBy(_._1).flatMap { case (name, wb) =>
       unboundedWindows(name, sf01).zipWithIndex.flatMap { case (w, i) =>
         val n = org.apache.spark.sql.graftbridge.ColumnBridge
           .ofRows(spark, w.child).count()
-        checked += 1
+        checkedPer(name) = checkedPer.getOrElse(name, 0) + 1
         if (n > wb.maxRows)
           Some(s"$name window#$i: input has $n rows > declared bound ${wb.maxRows} (${wb.why})")
         else None
       }
     }
-    assert(checked >= allow.size,
-      s"bound pass went vacuous: only $checked unpartitioned windows counted across " +
-        s"${allow.size} allowlisted queries — the detection no longer sees the windows it gates")
+    val stale = allow.keys.toSeq.sorted.filter(checkedPer.getOrElse(_, 0) == 0)
+    assert(stale.isEmpty,
+      s"stale allowlist entries (no unpartitioned window detected — bound never " +
+        s"exercised; drop the entry or fix the detection): ${stale.mkString(", ")}")
     assert(broken.isEmpty,
       s"""allowlisted unpartitioned Window inputs exceed their declared bounds —
          |the input is no longer the bounded domain the allowlist entry names;

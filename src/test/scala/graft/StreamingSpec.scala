@@ -837,4 +837,48 @@ class StreamingSpec extends SparkSpec {
       .collect().maxBy(_._2)
     assert(last === (("tick", 2L, 25000000L, 20000000L)))
   }
+
+  test("contract: new stateful twins route through StatefulTwin unless in a documented exempt family") {
+    // VERDICT r9 ask #7. StatefulTwin's scaladoc names the two families
+    // that intentionally keep their own flatMapGroupsWithState frames:
+    //  - bucket/timeout family (state expiry + member-pair emission
+    //    don't fit a left-fold): StatefulDedup, StreamingNearDup,
+    //    StreamingMediaNearDup;
+    //  - buffer-merge family (decrement-all / top-n merge over a live
+    //    structure): StreamingHeavyHitters, StreamingPrioritySample.
+    // A 15th twin that hand-rolls the frame must either use StatefulTwin
+    // or add itself HERE with a one-line family justification — this
+    // test fails on any undocumented call site.
+    val exempt = Map(
+      "StatefulTwin.scala" -> "the shared frame itself",
+      "StatefulDedup.scala" -> "bucket/timeout family: key expiry via GroupStateTimeout",
+      "StreamingNearDup.scala" -> "bucket/timeout family: band-bucket expiry + pair emission",
+      "StreamingMediaNearDup.scala" -> "bucket/timeout family: band-bucket expiry + pair emission",
+      "StreamingHeavyHitters.scala" -> "buffer-merge family: Misra-Gries decrement-all over a live map",
+      "StreamingPrioritySample.scala" -> "buffer-merge family: per-bucket top-n buffer merge")
+    val dir = new java.io.File("src/main/scala/graft/stream")
+    assert(dir.isDirectory, s"stream source dir not found at ${dir.getAbsolutePath}")
+    val callSite = """\.\s*(flatMapGroupsWithState|mapGroupsWithState)\s*[\[(]""".r
+    val offenders = dir.listFiles().filter(_.getName.endsWith(".scala")).toSeq
+      .filterNot(f => exempt.contains(f.getName)).flatMap { f =>
+        // decode as UTF-8 explicitly — sources contain non-ASCII scaladoc
+        // and Source.fromFile's platform default charset can throw
+        val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
+        lines.zipWithIndex.collect {
+          case (l, i) if callSite.findFirstIn(l).isDefined &&
+            !l.trim.startsWith("*") && !l.trim.startsWith("//") =>
+            s"${f.getName}:${i + 1}: ${l.trim}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"""hand-rolled (flat)mapGroupsWithState outside the documented exempt
+         |families — route the twin through StatefulTwin.perRow/perBatch, or
+         |add the file to this test's exempt map with its family justification:
+         |${offenders.mkString("\n")}""".stripMargin)
+    // the exemptions themselves must stay live — a renamed/deleted file
+    // would leave a stale entry silently widening the allowlist
+    val stale = exempt.keys.filterNot(n => new java.io.File(dir, n).isFile)
+    assert(stale.isEmpty, s"stale exempt entries (file gone): ${stale.mkString(", ")}")
+  }
 }
