@@ -37,7 +37,13 @@ object ScaleSmoke {
           regexp_replace(col("text"), "(\\S+)", "$1_r" + i).as("text"))
       }.reduce(_ unionByName _)
 
+    // optional dev filter: SPARK_GRAFT_SMOKE_OPS=substr1,substr2 times
+    // only ops whose name contains a listed substring (full battery
+    // otherwise — the driver never sets this)
+    val opFilter = sys.env.get("SPARK_GRAFT_SMOKE_OPS").map(_.split(',').toSeq)
+
     def time(name: String, n: Int)(df: => DataFrame): Unit = {
+      if (!opFilter.forall(_.exists(name.contains))) return
       // min of two runs, noop-driven (the Bench discipline)
       val ts = (1 to 2).map { _ =>
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -126,6 +132,13 @@ object ScaleSmoke {
       time("dbscan_cell_bounded", n)(graft.analytics.CurationOps.densityClusters(emb))
       time("semdedup_t0.35", n)(graft.text.Similarity.semDedup(emb,
         k = graft.text.Similarity.cellCountFor(emb.count()), dim = 64, tau = 0.35))
+      // q308 growth curve (VERDICT r9 ask #2): same ±1-orthant replicas;
+      // pair table flat under the cell contract, CC rounds O(log).
+      // Shared vs independent CC measures the contraction's savings.
+      time("percolation_sweep_shared", n)(
+        graft.analytics.CurationOps.percolationSweep(emb, shareCC = true))
+      time("percolation_sweep_indep", n)(
+        graft.analytics.CurationOps.percolationSweep(emb))
     }
 
     // Greedy max coverage (VERDICT r8 ask #2, the #3 suite ceiling):

@@ -241,6 +241,101 @@ object CurationOps {
     per.unionByName(noise).orderBy(col("cluster_id"))
   }
 
+  /** Similarity-graph percolation sweep (q308): per cosine threshold,
+    * edge/linked/component/largest/isolated stats over ONE cell-bounded
+    * pair table (the q258 discipline — `cellCountFor` k, within-cell
+    * pairs only, computed once with cos_r kept).
+    *
+    * With `shareCC` (the default), the three connected-components runs
+    * SHARE work instead of starting cold: thresholds are processed
+    * DESCENDING, and since e(t_high) ⊆ e(t_low) moving down a threshold
+    * only ADDS edges — components can only merge, never split. Each
+    * lower level therefore maps the denser edge set's endpoints through
+    * the previous level's labels (nodes the higher level never linked
+    * map to themselves), drops the now-internal self-loop edges, and
+    * runs CC on the CONTRACTED supernode graph — the structure the
+    * higher threshold already resolved is never re-propagated. Because
+    * every supernode label is itself the min node id of its
+    * sub-component, the composed label is the min node id of the merged
+    * component — bit-identical to an independent CC per threshold
+    * (CurationSpec pins this; the q308 oracle replays independent CC),
+    * so sharing is purely a cost knob.
+    *
+    * MEASURED (r10 ScaleSmoke, ±1-orthant replicas at sf0.1): sharing
+    * LOSES on this workload — 10.3 s vs 8.7 s at 1×, 13.4 vs 12.7 at
+    * 5× — because a sweep that spans the percolation point (its whole
+    * purpose) resolves almost nothing ABOVE the collapse threshold
+    * (t=0.65: 0 edges; t=0.50: 5 edges vs t=0.35's 1742 at sf0.1), so
+    * the densest level's CC arrives essentially uncontracted while
+    * every level pays the contraction's three extra joins + barrier.
+    * Hence `shareCC` defaults to FALSE; flip it for sweeps whose
+    * thresholds all sit below the collapse (large components at every
+    * level), where contraction is the asymptotic win.
+    */
+  def percolationSweep(emb: org.apache.spark.sql.DataFrame,
+                       thresholds: Seq[Int] = Seq(35, 50, 65),
+                       shareCC: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(thresholds.nonEmpty && thresholds.min * 1.0 / 100 >= 0.35 - 1e-9,
+      "pair table is built at the lowest threshold; sweep floor is 0.35")
+    val n = emb.count()
+    val k = graft.text.Similarity.cellCountFor(n)
+    graft.text.Similarity.requireCellBounded(n, k)
+    val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+    val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+    val pairs = graft.Stage.mat(
+      mem.select(col("centroid_id"), col("vec_id").as("id_a"),
+          col("embedding").as("va"))
+        .join(mem.select(col("centroid_id"), col("vec_id").as("id_b"),
+          col("embedding").as("vb")), Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_r",
+          round(graft.text.Similarity.cosine(col("va"), col("vb")), 6))
+        .filter(col("cos_r") >= thresholds.min / 100.0)
+        .select(col("id_a"), col("id_b"), col("cos_r")))
+    var prevLabels: Option[org.apache.spark.sql.DataFrame] = None
+    val stats = thresholds.sorted.reverse.map { t =>
+      val et = graft.Stage.mat(pairs.filter(col("cos_r") >= t / 100.0)
+        .select(col("id_a"), col("id_b")))
+      val labels = prevLabels match {
+        case Some(pl) if shareCC =>
+          val contracted = et
+            .join(pl.select(col("v").as("id_a"), col("lbl").as("sa")), Seq("id_a"), "left")
+            .join(pl.select(col("v").as("id_b"), col("lbl").as("sb")), Seq("id_b"), "left")
+            .select(coalesce(col("sa"), col("id_a")).as("id_a"),
+              coalesce(col("sb"), col("id_b")).as("id_b"))
+            .filter(col("id_a") =!= col("id_b"))
+            .distinct()
+          val cc2 = graft.text.Dedup.connectedComponents(contracted)
+            .select(col("doc_id").as("s1"), col("cluster_id").as("slbl"))
+          val nodes = et.select(col("id_a").as("v"))
+            .unionByName(et.select(col("id_b").as("v"))).distinct()
+          nodes.join(pl, Seq("v"), "left")
+            .withColumn("s1", coalesce(col("lbl"), col("v")))
+            .join(cc2, Seq("s1"), "left")
+            .select(col("v"), coalesce(col("slbl"), col("s1")).as("lbl"))
+        case _ =>
+          graft.text.Dedup.connectedComponents(et)
+            .select(col("doc_id").as("v"), col("cluster_id").as("lbl"))
+      }
+      val labM = graft.Stage.mat(labels)
+      prevLabels = Some(labM)
+      val per = labM.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      et.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(per.agg(
+          coalesce(sum(col("sz")), lit(0L)).as("n_linked"),
+          count(lit(1)).as("n_components"),
+          coalesce(max(col("sz")), lit(0L)).as("max_component"))))
+        .selectExpr(s"CAST($t AS BIGINT) AS threshold_pct", "n_edges",
+          "n_linked", "n_components", "max_component")
+    }
+    stats.reduce(_ unionByName _)
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_total"))))
+      .selectExpr("threshold_pct", "n_edges", "n_linked", "n_components",
+        "max_component", "n_total - n_linked AS n_isolated")
+      .orderBy(col("threshold_pct"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- greedy max-coverage exemplar selection: 5 rounds of the
@@ -2398,41 +2493,13 @@ object CurationOps {
     //      escalation). The oracle replays the kmeans chain and three
     //      recursive min-reach closures — every count value-checked.
     ("q308_percolation_sweep", (s: SparkSession, dir: String) => {
-      val emb = Tables(s, dir).embeddings
-      val n = emb.count()
-      val k = graft.text.Similarity.cellCountFor(n)
-      graft.text.Similarity.requireCellBounded(n, k)
-      val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
-      val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
-      val pairs = graft.Stage.mat(
-        mem.select(col("centroid_id"), col("vec_id").as("id_a"),
-            col("embedding").as("va"))
-          .join(mem.select(col("centroid_id"), col("vec_id").as("id_b"),
-            col("embedding").as("vb")), Seq("centroid_id"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("cos_r",
-            round(graft.text.Similarity.cosine(col("va"), col("vb")), 6))
-          .filter(col("cos_r") >= 0.35)
-          .select(col("id_a"), col("id_b"), col("cos_r")))
-      val sweeps = Seq(35, 50, 65).map { t =>
-        val et = pairs.filter(col("cos_r") >= t / 100.0)
-          .select(col("id_a"), col("id_b")).transform(graft.Stage.mat)
-        val per = graft.text.Dedup.connectedComponents(et)
-          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-        et.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(broadcast(per.agg(
-            coalesce(sum(col("sz")), lit(0L)).as("n_linked"),
-            count(lit(1)).as("n_components"),
-            coalesce(max(col("sz")), lit(0L)).as("max_component"))))
-          .selectExpr(s"CAST($t AS BIGINT) AS threshold_pct", "n_edges",
-            "n_linked", "n_components", "max_component")
-      }
-      sweeps.reduce(_ unionByName _)
-        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_total"))))
-        .selectExpr("threshold_pct", "n_edges", "n_linked", "n_components",
-          "max_component", "n_total - n_linked AS n_isolated")
-        .orderBy(col("threshold_pct"))
+      // independent CC per threshold (percolationSweep's default): the
+      // shared-CC contraction is implemented, spec-pinned identical,
+      // and ScaleSmoke-measured SLOWER here — a sweep spanning the
+      // percolation point resolves ~nothing above the collapse, so
+      // there is no higher-threshold structure to reuse (see the
+      // percolationSweep scaladoc for the numbers).
+      percolationSweep(Tables(s, dir).embeddings)
     }, Some {
       def sweep(t: Int) = s"""
       e$t AS (SELECT id_a, id_b FROM pairs WHERE cos_r >= 0.$t),

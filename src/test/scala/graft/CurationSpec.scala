@@ -624,6 +624,23 @@ class CurationSpec extends SparkSpec {
       (-1L, 3L, 1L, 333333L), (1L, 1L, 1L, 2000000L), (2L, 1L, 0L, 0L)))
   }
 
+  test("percolation sweep: shared-CC contraction equals independent CC per threshold") {
+    // q308's cost path: descending thresholds, each denser level's CC run
+    // on the previous level's contracted supernode graph. Stats must be
+    // bit-identical to three cold CC runs — the oracle replays the
+    // independent form, so this agreement IS the shared path's license.
+    val emb = graft.model.Tables(spark, "/root/testdata/sf0.001").embeddings
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val shared = key(graft.analytics.CurationOps.percolationSweep(emb, shareCC = true))
+    val indep = key(graft.analytics.CurationOps.percolationSweep(emb))
+    assert(shared === indep)
+    assert(shared.map(_._1) === Seq(35L, 50L, 65L), "thresholds ascend in output")
+    // monotonicity sanity: lower threshold ⇒ ≥ edges, ≥ linked, ≥ max comp
+    assert(shared.sliding(2).forall { case Seq(lo, hi) =>
+      lo._2 >= hi._2 && lo._3 >= hi._3 && lo._5 >= hi._5 })
+  }
+
   test("Hill estimator: k pins at 64 and the exponent is positive") {
     val r = SparkEntry.queries("q292_hill_tail_index")(
       spark, "/root/testdata/sf0.001").collect().head
