@@ -387,6 +387,49 @@ object GraphOps {
     (members, conv)
   }
 
+  /** [[kCorePeel]] in DELTA form (the q257 lesson applied to the peel —
+    * VERDICT r9 ask #4, the "degree-bucket" variant): the edge list is
+    * materialized ONCE and never rewritten; per-node degrees are the
+    * evolving state, and each round only DECREMENTS them by the edges
+    * incident to that round's newly-dead nodes:
+    *
+    *   dead_i  = alive nodes with current degree < k
+    *   dec_i   = edges whose dst ∈ dead_i, counted per src
+    *   deg_i   = deg_{i-1} − dec_i   (over the surviving nodes)
+    *
+    * Per-round cost is |edges incident to dead_i| + a node-table join,
+    * instead of [[kCorePeel]]'s three full-edge-list passes (degree agg
+    * + two semi-joins) — after round 1 the dead set is typically tiny,
+    * so AQE broadcasts it and the edge list is never reshuffled.
+    * Round-for-round identical survivor sets by induction: the running
+    * degree equals |nbrs ∩ alive| exactly because the dead sets are
+    * disjoint and each neighbor's death decrements once. Same output
+    * contract as [[kCorePeel]] (GraphOpsSpec pins equality; PERF.md
+    * records which form q138 ships with and the measured ratio).
+    */
+  def kCorePeelDelta(edges: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 2, "need >= 2 rounds for the convergence certificate")
+    val e = graft.Stage.mat(edges.select(col("src"), col("dst")))
+    var cur = graft.Stage.mat(
+      e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .select(col("src").as("node"), col("d")))
+    var prev: DataFrame = null
+    for (i <- 1 to rounds) {
+      val dead = cur.filter(col("d") < k).select(col("node"))
+      val alive = cur.filter(col("d") >= k)
+      if (i == rounds - 1) prev = alive.agg(count(lit(1)).as("n_prev"))
+      val dec = e.join(dead.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("dec"))
+      cur = graft.Stage.mat(
+        alive.join(dec.select(col("src").as("node"), col("dec")), Seq("node"), "left")
+          .select(col("node"),
+            (col("d") - coalesce(col("dec"), lit(0L))).as("d")))
+    }
+    val conv = cur.agg(count(lit(1)).as("n_final")).crossJoin(broadcast(prev))
+      .select((col("n_final") === col("n_prev")).as("converged"))
+    (cur, conv)
+  }
+
   /** One unrolled k-core chain for the DuckDB oracle: CTEs
     * `{p}a1..{p}aR` (survivors), `{p}e1..{p}eR` (restricted edges),
     * `{p}d` (final in-core degrees), `{p}c` (convergence boolean) —
@@ -1037,8 +1080,11 @@ object GraphOps {
     //      6 rounds for both k — pure integer counts, no division.
     ("q138_kcore", (s: SparkSession, dir: String) => {
       val e = graft.Stage.mat(interactionEdges(s, dir))
-      val (c2, conv2) = kCorePeel(e, k = 2, rounds = 6)
-      val (c3, conv3) = kCorePeel(e, k = 3, rounds = 6)
+      // ships on the DELTA peel (r10: ProbeKCore measured 2.34 s vs the
+      // semi-join peel's 3.78 s min at sf0.1, 15.5 s vs 3.9 s cold);
+      // spec-pinned identical outputs, oracle unchanged
+      val (c2, conv2) = kCorePeelDelta(e, k = 2, rounds = 6)
+      val (c3, conv3) = kCorePeelDelta(e, k = 3, rounds = 6)
       c2.select(col("node"), col("d").as("deg_core2"))
         .join(c3.select(col("node"), lit(true).as("in3"), col("d").as("d3")),
           Seq("node"), "left")

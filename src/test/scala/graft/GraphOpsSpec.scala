@@ -161,6 +161,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(conv3.collect().head.getBoolean(0))
   }
 
+  test("k-core delta peel equals the semi-join peel round-for-round outputs") {
+    // same fixtures as above, plus a long chain (multi-round cascade:
+    // pendants die one ring at a time, exercising the decrement path
+    // across rounds) and a clique-with-tail where degrees DROP but stay
+    // >= k (decrement without death)
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("e", "f"),
+      ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"),
+      ("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+      ("k2", "k4"), ("k3", "k4"), ("k4", "t1"))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    for (k <- Seq(2, 3); rounds <- Seq(2, 6)) {
+      def key(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+        (p._1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          p._2.collect().head.getBoolean(0))
+      assert(key(GraphOps.kCorePeelDelta(e, k, rounds)) ===
+        key(GraphOps.kCorePeel(e, k, rounds)), s"k=$k rounds=$rounds")
+    }
+  }
+
   test("degree assortativity of a star is exactly r = -1 in micros") {
     // deg a=2, b=c=1 over the 4 mirrored edges: sx=sy=6, sxy=8, sxx=syy=10
     // ex=1500000, exy=2000000, exx=2500000 -> cov=-250000, var=250000
