@@ -430,16 +430,52 @@ object GraphOps {
     (cur, conv)
   }
 
+  /** Warm-started coreness ladder (q311's core): for each k in the
+    * ascending `ladder`, a fixed-`rounds` [[kCorePeelDelta]] over the
+    * PREVIOUS level's core subgraph (k-core ⊆ k'-core for k ≥ k', so
+    * each level's input shrinks monotonically and the expensive low-k
+    * levels never rerun). Output: (node, coreness = max ladder level
+    * containing the node, one converged_k<k> certificate column per
+    * level). GraphOpsSpec pins the shell separation on a hand graph.
+    */
+  def corenessLadder(edges: DataFrame, ladder: Seq[Int],
+                     rounds: Int): DataFrame = {
+    require(ladder == ladder.sorted && ladder.nonEmpty,
+      "ladder must ascend: each level warm-starts from the previous core")
+    var e = graft.Stage.mat(edges.select(col("src"), col("dst")))
+    val levels = ladder.map { k =>
+      val (m, conv) = kCorePeelDelta(e, k, rounds)
+      val mm = graft.Stage.mat(m.select(col("node")))
+      e = graft.Stage.mat(
+        e.join(mm.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(mm.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+      (k, mm, conv)
+    }
+    val coreness = levels.map { case (k, m, _) =>
+        m.select(col("node"), lit(k.toLong).as("k"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(max(col("k")).as("coreness"))
+    levels.foldLeft(coreness) { case (df, (k, _, conv)) =>
+      df.crossJoin(broadcast(conv.select(col("converged").as(s"converged_k$k"))))
+    }.orderBy(col("node"))
+  }
+
   /** One unrolled k-core chain for the DuckDB oracle: CTEs
     * `{p}a1..{p}aR` (survivors), `{p}e1..{p}eR` (restricted edges),
     * `{p}d` (final in-core degrees), `{p}c` (convergence boolean) —
     * token-for-token the [[kCorePeel]] rounds over base edges `e0`.
     */
-  private def kcoreSql(k: Int, rounds: Int, p: String): String = {
+  private def kcoreSql(k: Int, rounds: Int, p: String,
+                       base: String = "e0"): String = {
+    // AS MATERIALIZED: DuckDB inlines plain CTEs, so a chained peel
+    // would re-expand the whole upstream chain at every reference —
+    // exponential plan growth (q311's 4-level warm-started ladder hit
+    // the file-handle limit through repeated base re-scans). Each round
+    // is evaluated once instead; results are identical.
     val chain = (1 to rounds).map { i =>
-      val pe = if (i == 1) "e0" else s"${p}e${i - 1}"
-      s"""${p}a$i AS (SELECT src AS node FROM $pe GROUP BY src HAVING count(*) >= $k),
-      ${p}e$i AS (SELECT e.src, e.dst FROM $pe e
+      val pe = if (i == 1) base else s"${p}e${i - 1}"
+      s"""${p}a$i AS MATERIALIZED (SELECT src AS node FROM $pe GROUP BY src HAVING count(*) >= $k),
+      ${p}e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $pe e
                   JOIN ${p}a$i x ON e.src = x.node
                   JOIN ${p}a$i y ON e.dst = y.node)"""
     }.mkString(",\n      ")
@@ -1114,6 +1150,50 @@ object GraphOps {
       LEFT JOIN k3d d3 ON a.node = d3.node
       CROSS JOIN k2c c2 CROSS JOIN k3c c3
       ORDER BY a.node""")),
+
+    // ---- coreness decomposition (Seidman 1983's k-core ladder) on a
+    //      DYADIC k ladder {1,2,4,…,64}: every node's coreness level =
+    //      the largest ladder k whose (fixed-6-round) k-core still
+    //      contains it — the log-scaled shell structure q138's two
+    //      flags sample (dyadic, not fixture-tuned: the q258 lesson —
+    //      the ladder covers every degree order of magnitude, so it
+    //      stays informative as degrees grow with corpus scale).
+    //      Computed as WARM-STARTED delta peels (kCorePeelDelta, the
+    //      r10 form): each level peels the PREVIOUS level's core
+    //      subgraph, valid because k-core ⊆ k'-core for k ≥ k', so the
+    //      edge list shrinks monotonically up the ladder and the
+    //      expensive low-k levels run exactly once. Per-level
+    //      convergence certificates ride every row (broadcast one-row
+    //      crossJoins); the oracle unrolls the same warm-started chain
+    //      (each level's round-1 base = the previous level's final
+    //      restricted edge CTE), pinning the fixed-round semantics
+    //      identically on both engines.
+    ("q311_coreness", (s: SparkSession, dir: String) => {
+      corenessLadder(interactionEdges(s, dir), Seq(1, 2, 4, 8, 16, 32, 64),
+        rounds = 6)
+    }, Some {
+      val ladder = Seq(1, 2, 4, 8, 16, 32, 64)
+      val chains = ladder.zipWithIndex.map { case (k, i) =>
+        kcoreSql(k, 6, s"c$k", if (i == 0) "e0" else s"c${ladder(i - 1)}e6")
+      }.mkString(",\n      ")
+      val members = ladder.map(k => s"SELECT node, $k AS k FROM c${k}a6")
+        .mkString("\n                UNION ALL ")
+      val convCols = ladder.map(k => s"c$k.conv AS converged_k$k").mkString(", ")
+      val convJoins = ladder.map(k => s"CROSS JOIN c${k}c c$k").mkString(" ")
+      s"""
+      WITH inter AS (
+        SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
+               concat('i:', CAST(COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS VARCHAR)) AS b
+        FROM events WHERE user_id IS NOT NULL),
+      e0 AS (SELECT a AS src, b AS dst FROM inter
+             UNION ALL SELECT b AS src, a AS dst FROM inter),
+      $chains,
+      cor AS (SELECT node, CAST(MAX(k) AS BIGINT) AS coreness FROM (
+                $members) GROUP BY node)
+      SELECT node, coreness, $convCols
+      FROM cor $convJoins
+      ORDER BY node"""
+    }),
 
     // ---- degree assortativity of the bidirected interaction graph:
     //      one row — edge count, degree covariance/variances in micros,

@@ -347,12 +347,17 @@ object StatsOps {
     * a plain single cumulative window, so hash equality doubles as the
     * decomposition-exactness proof (the scoreOrder convention).
     */
-  def kruskalWallis(df: DataFrame, group: String, score: Column,
-                    buckets: Int = 1024): DataFrame = {
+  /** Two-phase distributed midrank over a tie-group table (score, cnt):
+    * range-bucket the distinct scores, cumulate bucket counts in ONE
+    * ≤`buckets`-row window (the PlanSpec-allowlisted bucket-offset
+    * idiom), then rank within each bucket by a PARTITIONED window.
+    * Returns (score, cnt, mn) with mn = the 1-based minimum rank of the
+    * tie group — midrank·2 = 2·mn + cnt − 1, the integer form every
+    * rank statistic here consumes. Shared by [[kruskalWallis]] (k
+    * groups) and [[mannWhitneyU]] (2 groups).
+    */
+  private def tieMidranks(ties: DataFrame, buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(group).as("grp"), score.cast("long").as("score"))
-    val ties = base.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
-      .transform(graft.Stage.mat) // feeds the stats row AND the ranked pass
     val stats = ties.agg(min(col("score")).as("smn"), max(col("score")).as("smx"))
     val bucketed = ties.crossJoin(broadcast(stats))
       .withColumn("rb", floor(
@@ -363,11 +368,19 @@ object StatsOps {
         sum(col("bcnt")).over(Window.orderBy(col("rb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("rb"), col("off"))
-    val mn = bucketed.join(broadcast(offsets), Seq("rb"))
+    bucketed.join(broadcast(offsets), Seq("rb"))
       .withColumn("mn", col("off")
         + sum(col("cnt")).over(Window.partitionBy(col("rb")).orderBy(col("score")))
         - col("cnt") + 1)
       .select(col("score"), col("cnt"), col("mn"))
+  }
+
+  def kruskalWallis(df: DataFrame, group: String, score: Column,
+                    buckets: Int = 1024): DataFrame = {
+    val base = df.select(col(group).as("grp"), score.cast("long").as("score"))
+    val ties = base.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .transform(graft.Stage.mat) // feeds the stats row AND the ranked pass
+    val mn = tieMidranks(ties, buckets)
     val perGs = base.groupBy(col("grp"), col("score")).agg(count(lit(1)).as("pc"))
     val perG = perGs.join(mn, Seq("score"))
       .groupBy(col("grp"))
@@ -392,6 +405,54 @@ object StatsOps {
         "(h_micros * 1000000) DIV greatest(c_micros, 1) AS mean2_micros")
     perG.selectExpr("grp", "n_g", "r2", "(r2 * 1000000) DIV n_g AS mean2_micros")
       .unionAll(h).orderBy(col("grp"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum, Mann & Whitney 1947) for a
+    * binary treatment — the 2-group special case beside
+    * [[kruskalWallis]], sharing its [[tieMidranks]] two-phase rank.
+    * Everything rides the doubled-rank integers (no halves ever):
+    *   R1·2 = Σ pc·(2·mn + cnt − 1)          (2× the tie-midrank sum)
+    *   U·2  = R1·2 − n1(n1+1)                 (2× the U statistic)
+    *   d·2  = U·2 − n1·n2                     (2× the deviation from μ)
+    *   z²_micros = 1e6·3n(n−1)·(d·2)² DIV (n1n2·[n(n²−1) − Σ(t³−t)])
+    * (the (d·2)² numerator and the 12 in σ² cancel to the single 3;
+    * tie-corrected normal approximation). DECIMAL(38,0) products: the
+    * numerator is ≲1e36 at sf0.1 (d·2 ≤ n1n2 ≈ 5e9) and crosses 1e38
+    * near n ≈ 4e5 rows — past that, pre-divide d·2² by n1n2's GCD scale
+    * or emit the three factors separately.
+    *
+    * Output: 'g0'/'g1' rows (n_g, doubled rank-sum r2x) + 'zz_u' row
+    * (n, U·2 in r2x, z²_micros) — the q239/q240 zz-row shape.
+    */
+  def mannWhitneyU(df: DataFrame, treat: Column, score: Column,
+                   buckets: Int = 1024): DataFrame = {
+    val base = df.select(treat.cast("long").as("grp"), score.cast("long").as("score"))
+    val ties = base.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .transform(graft.Stage.mat)
+    val mn = tieMidranks(ties, buckets)
+    val perGs = base.groupBy(col("grp"), col("score")).agg(count(lit(1)).as("pc"))
+    val perG = perGs.join(mn, Seq("score"))
+      .groupBy(col("grp"))
+      .agg(sum(col("pc")).as("n_g"),
+        sum(col("pc") * (lit(2L) * col("mn") + col("cnt") - 1)).as("r2x"))
+      .transform(graft.Stage.mat)
+    val nTie = ties.agg(sum(col("cnt")).as("n"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tsum"))
+    val zz = perG.agg(
+        sum(when(col("grp") === 1L, col("n_g")).otherwise(0L)).as("n1"),
+        sum(when(col("grp") =!= 1L, col("n_g")).otherwise(0L)).as("n2"),
+        sum(when(col("grp") === 1L, col("r2x")).otherwise(0L)).as("r2x1"))
+      .crossJoin(broadcast(nTie))
+      .selectExpr("n1", "n2", "n", "tsum", "r2x1 - n1 * (n1 + 1) AS u2x")
+      .selectExpr("'zz_u' AS grp", "n AS n_g", "u2x AS r2x",
+        """CAST((CAST(3 AS DECIMAL(38,0)) * n * (n - 1)
+                 * (u2x - n1 * n2) * (u2x - n1 * n2) * 1000000)
+            DIV greatest(CAST(n1 AS DECIMAL(38,0)) * n2
+                 * (CAST(n AS DECIMAL(38,0)) * (n * n - 1) - tsum), 1)
+            AS BIGINT) AS z2_micros""")
+    perG.selectExpr("concat('g', CAST(grp AS STRING)) AS grp", "n_g", "r2x",
+        "CAST(0 AS BIGINT) AS z2_micros")
+      .unionByName(zz).orderBy(col("grp"))
   }
 
   /** One-way ANOVA F statistic (Fisher) across k groups, exact
@@ -757,6 +818,53 @@ object StatsOps {
       SELECT 'zz_h', n, h_micros,
              (h_micros * 1000000) // greatest(c_micros, 1)
       FROM h2
+      ORDER BY grp""")),
+
+    // ---- Mann–Whitney U: do URGENT orders differ in value from the
+    //      rest? The 2-group rank-sum complement of q239's k-group H
+    //      (same tie table, same two-phase midrank, same exact-cents
+    //      scores); doubled-rank integers end to end, tie-corrected z²
+    //      in micros. The oracle replays the midrank reduction, the
+    //      doubled U, and the single truncating quotient.
+    ("q310_mann_whitney", (s: SparkSession, dir: String) => {
+      mannWhitneyU(Tables(s, dir).orders,
+        treat = (col("o_orderpriority") === "1-URGENT").cast("long"),
+        score = expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+    }, Some("""
+      WITH base AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS score
+        FROM orders),
+      ties AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt
+               FROM base GROUP BY score),
+      mr AS (SELECT score, cnt,
+                    SUM(cnt) OVER (ORDER BY score) - cnt + 1 AS mn
+             FROM ties),
+      pergs AS (SELECT grp, score, CAST(count(*) AS BIGINT) AS pc
+                FROM base GROUP BY grp, score),
+      perg AS (
+        SELECT grp, CAST(SUM(pc) AS BIGINT) AS n_g,
+               CAST(SUM(pc * (2 * mn + cnt - 1)) AS BIGINT) AS r2x
+        FROM pergs JOIN mr USING (score) GROUP BY grp),
+      nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
+             FROM ties),
+      zz AS (
+        SELECT n1, n2, n, tsum, r2x1 - n1 * (n1 + 1) AS u2x FROM (
+          SELECT CAST(SUM(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN grp <> 1 THEN n_g ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN grp = 1 THEN r2x ELSE 0 END) AS BIGINT) AS r2x1
+          FROM perg) CROSS JOIN nt)
+      SELECT concat('g', CAST(grp AS VARCHAR)) AS grp, n_g, r2x,
+             CAST(0 AS BIGINT) AS z2_micros
+      FROM perg
+      UNION ALL
+      SELECT 'zz_u', n, u2x,
+             CAST((CAST(3 AS HUGEINT) * n * (n - 1)
+                    * (u2x - n1 * n2) * (u2x - n1 * n2) * 1000000)
+                  // GREATEST(CAST(n1 AS HUGEINT) * n2
+                    * (CAST(n AS HUGEINT) * (n * n - 1) - tsum), 1) AS BIGINT)
+      FROM zz
       ORDER BY grp""")),
 
     // ---- Burrows' Delta between sources over the top-40 corpus

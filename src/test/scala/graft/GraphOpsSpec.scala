@@ -180,6 +180,24 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("coreness ladder separates clique, cycle, and pendant shells") {
+    // K5 clique (coreness 4 -> ladder level 4), a 4-cycle hanging off it
+    // (coreness 2), and a pendant chain (coreness 1); dyadic ladder 1,2,4
+    val k5 = for (i <- 0 until 5; j <- i + 1 until 5) yield (s"c$i", s"c$j")
+    val cyc = Seq(("c0", "y1"), ("y1", "y2"), ("y2", "y3"), ("y3", "c0"))
+    val pend = Seq(("y3", "p1"), ("p1", "p2"))
+    val und = k5 ++ cyc ++ pend
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.corenessLadder(e, Seq(1, 2, 4), rounds = 6)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((0 until 5).forall(i => got(s"c$i") === 4L), "clique nodes sit in the 4-shell")
+    assert(Seq("y1", "y2", "y3").forall(got(_) === 2L), "cycle nodes sit in the 2-shell")
+    assert(Seq("p1", "p2").forall(got(_) === 1L), "pendant chain is 1-shell")
+    val flags = out.collect().head
+    assert(Seq("converged_k1", "converged_k2", "converged_k4")
+      .forall(c => flags.getAs[Boolean](c)), "all levels reach their fixpoints")
+  }
+
   test("degree assortativity of a star is exactly r = -1 in micros") {
     // deg a=2, b=c=1 over the 4 mirrored edges: sx=sy=6, sxy=8, sxx=syy=10
     // ex=1500000, exy=2000000, exx=2500000 -> cov=-250000, var=250000
