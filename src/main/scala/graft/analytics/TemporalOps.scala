@@ -172,6 +172,24 @@ object TemporalOps {
       .selectExpr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS od")
       .groupBy(col("od")).agg(count(lit(1)).as("x"))
 
+  /** Zero-filled hourly event-count spine (q111's gap-fill idiom on an
+    * integer epoch-hour key): (hb, x, p) with p the 1-based hour
+    * position. The position rank is ONE unpartitioned window over the
+    * 24·span-day spine — the q111 PlanSpec regime; q312/q313 are
+    * allowlisted on it. Mat'd: both consumers fold it several ways.
+    */
+  private def hourlySpine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir).events
+      .select(expr("unix_micros(ts) DIV 3600000000").as("hb"))
+      .groupBy(col("hb")).agg(count(lit(1)).as("x"))
+    val spine = counts.agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hb"))
+    graft.Stage.mat(spine.join(counts, Seq("hb"), "left")
+      .select(col("hb"), coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("p", row_number().over(Window.orderBy(col("hb"))).cast("long")))
+  }
+
   /** The q259 two-segment SSE argmin over a (od, x) day table: one row
     * (split_od, n_left, n_right, mean_left_micros, mean_right_micros,
     * score_micro, gain_micro) — the 1e-6-grid argmax with earliest-day
@@ -2310,6 +2328,204 @@ object TemporalOps {
              FROM rsax a JOIN csax b ON a.seg = b.seg)
       SELECT word_revenue, word_orders, n_segments, hamming_dist,
              CAST(levenshtein(word_revenue, word_orders) AS BIGINT) AS edit_dist
-      FROM wa CROSS JOIN wb CROSS JOIN hm"""))
+      FROM wa CROSS JOIN wb CROSS JOIN hm""")),
+
+    // ---- Hurst exponent by rescaled-range analysis (Hurst 1951;
+    //      Mandelbrot & Wallis 1969): is hourly event volume
+    //      long-range-dependent (H > 0.5: bursts cluster across hours —
+    //      capacity must be provisioned for persistent storms, not iid
+    //      noise)? Series = the zero-filled hourly event-count spine
+    //      (q111's gap-fill idiom; the span is 24·days hours, so every
+    //      window is span-bounded). For each dyadic window w ∈
+    //      {16,32,64,128}: split the spine into full blocks of w hours;
+    //      per block the cumulative mean-adjusted deviation is kept
+    //      EXACT by w-scaling, Z'_t = w·prefix_t − t·Σ_w (integers), so
+    //      R' = max Z' − min Z' = w·R and w·S = isqrt(w·Σx² − (Σx)²)
+    //      (the q271 double-sqrt ±1-adjust — V ≲ w²·x̂² stays far inside
+    //      2⁵³), giving R/S = R' DIV isqrt(V) per block with no
+    //      fractional step. Per window: block count, truncating mean
+    //      rs_ppm, and round9ln(mean_rs_ppm) nanos (q292's
+    //      integer-argument ln convention — the ln(1e6) offset cancels
+    //      in the slope). The zz row carries H = the OLS slope of
+    //      ln(R/S) on ln(w) over the four equally-ln-spaced windows,
+    //      which collapses to (−3y₁−y₂+y₃+3y₄)·1e6 DIV (10·ln2·1e9)
+    //      with the pinned constant 6931471810 (the SPRT
+    //      constants-in-source discipline). Constant-blocks (S = 0) are
+    //      excluded by the vnum > 0 guard on both engines.
+    ("q312_hurst_rs", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = Seq(16L, 32L, 64L, 128L)
+      val hourly = hourlySpine(s, dir)
+      val perW = ws.map { w =>
+        val wb = Window.partitionBy(col("b"))
+        val per = hourly
+          .withColumn("b", expr(s"(p - 1) DIV $w"))
+          .withColumn("t", expr(s"p - ((p - 1) DIV $w) * $w"))
+          .withColumn("bn", count(lit(1)).over(wb))
+          .filter(col("bn") === w)
+          .withColumn("sw", sum(col("x")).over(wb))
+          .withColumn("ssw", sum(col("x") * col("x")).over(wb))
+          .withColumn("pref", sum(col("x")).over(wb.orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("z", lit(w) * col("pref") - col("t") * col("sw"))
+          .groupBy(col("b"), col("sw"), col("ssw"))
+          .agg((max(col("z")) - min(col("z"))).as("rng"))
+          .withColumn("vnum", lit(w) * col("ssw") - col("sw") * col("sw"))
+          .filter(col("vnum") > 0)
+          .withColumn("s0", expr("CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT)"))
+          .withColumn("ws", expr(
+            "CASE WHEN (s0 + 1) * (s0 + 1) <= vnum THEN s0 + 1 " +
+              "WHEN s0 * s0 > vnum THEN s0 - 1 ELSE s0 END"))
+          .selectExpr("b", "(rng * 1000000) DIV ws AS rs_ppm")
+        per.agg(count(lit(1)).as("n_blocks"), sum(col("rs_ppm")).as("srs"))
+          .selectExpr(s"CAST($w AS BIGINT) AS w", "n_blocks",
+            "srs DIV greatest(n_blocks, 1) AS mean_rs_ppm")
+          .selectExpr("w", "n_blocks", "mean_rs_ppm",
+            """CAST(round(ln(CAST(mean_rs_ppm AS DOUBLE)) * 1000000000, 0)
+               AS BIGINT) AS ln_rs_nanos""")
+      }
+      val rows = perW.reduce(_ unionByName _)
+        .withColumn("hurst_micros", lit(0L))
+      val zz = rows.agg(
+          sum(when(col("w") === 16L, col("ln_rs_nanos")).otherwise(0L)).as("y1"),
+          sum(when(col("w") === 32L, col("ln_rs_nanos")).otherwise(0L)).as("y2"),
+          sum(when(col("w") === 64L, col("ln_rs_nanos")).otherwise(0L)).as("y3"),
+          sum(when(col("w") === 128L, col("ln_rs_nanos")).otherwise(0L)).as("y4"),
+          sum(col("n_blocks")).as("nb"))
+        .selectExpr("CAST(-1 AS BIGINT) AS w", "nb AS n_blocks",
+          "CAST(0 AS BIGINT) AS mean_rs_ppm", "CAST(0 AS BIGINT) AS ln_rs_nanos",
+          "((-3 * y1 - y2 + y3 + 3 * y4) * 1000000) DIV 6931471810 AS hurst_micros")
+      rows.unionByName(zz).orderBy(col("w"))
+    }, Some("""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.x, 0) AS x,
+                        CAST(row_number() OVER (ORDER BY s.hb) AS BIGINT) AS p
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      wl AS (SELECT CAST(unnest([16, 32, 64, 128]) AS BIGINT) AS w),
+      blk AS (SELECT w, (p - 1) // w AS b, p - ((p - 1) // w) * w AS t, x
+              FROM hourly CROSS JOIN wl),
+      fullb AS (SELECT w, b, t, x,
+                       count(*) OVER (PARTITION BY w, b) AS bn,
+                       CAST(SUM(x) OVER (PARTITION BY w, b) AS BIGINT) AS sw,
+                       CAST(SUM(x * x) OVER (PARTITION BY w, b) AS BIGINT) AS ssw,
+                       CAST(SUM(x) OVER (PARTITION BY w, b ORDER BY t) AS BIGINT) AS pref
+                FROM blk),
+      per AS (SELECT w, b, sw, ssw,
+                     MAX(w * pref - t * sw) - MIN(w * pref - t * sw) AS rng
+              FROM fullb WHERE bn = w GROUP BY w, b, sw, ssw),
+      v AS (SELECT w, b, rng, w * ssw - sw * sw AS vnum FROM per
+            WHERE w * ssw - sw * sw > 0),
+      sq AS (SELECT w, rng, vnum,
+                    CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT) AS s0
+             FROM v),
+      rs AS (SELECT w, (rng * 1000000) //
+                       (CASE WHEN (s0 + 1) * (s0 + 1) <= vnum THEN s0 + 1
+                             WHEN s0 * s0 > vnum THEN s0 - 1 ELSE s0 END) AS rs_ppm
+             FROM sq),
+      pw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+                    CAST(SUM(rs_ppm) // GREATEST(count(*), 1) AS BIGINT) AS mean_rs_ppm
+             FROM rs GROUP BY w),
+      lw AS (SELECT w, n_blocks, mean_rs_ppm,
+                    CAST(round(ln(CAST(mean_rs_ppm AS DOUBLE)) * 1000000000, 0)
+                      AS BIGINT) AS ln_rs_nanos
+             FROM pw)
+      SELECT w, n_blocks, mean_rs_ppm, ln_rs_nanos,
+             CAST(0 AS BIGINT) AS hurst_micros
+      FROM lw
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), (SELECT CAST(SUM(n_blocks) AS BIGINT) FROM lw),
+             0, 0,
+             CAST(((-3 * y1 - y2 + y3 + 3 * y4) * 1000000) // 6931471810 AS BIGINT)
+      FROM (SELECT CAST(SUM(CASE WHEN w = 16 THEN ln_rs_nanos ELSE 0 END) AS BIGINT) AS y1,
+                   CAST(SUM(CASE WHEN w = 32 THEN ln_rs_nanos ELSE 0 END) AS BIGINT) AS y2,
+                   CAST(SUM(CASE WHEN w = 64 THEN ln_rs_nanos ELSE 0 END) AS BIGINT) AS y3,
+                   CAST(SUM(CASE WHEN w = 128 THEN ln_rs_nanos ELSE 0 END) AS BIGINT) AS y4
+            FROM lw)
+      ORDER BY w""")),
+
+    // ---- permutation entropy (Bandt & Pompe 2002, m = 3): the
+    //      complexity of the hourly event-volume series from the
+    //      distribution of its order-3 ORDINAL PATTERNS — the
+    //      regularity audit that is invariant to any monotone rescaling
+    //      of the counts (unlike spectral/variance measures) and so
+    //      survives load normalization. Stable tie rule (earlier hour
+    //      wins on equal counts): position i precedes j > i iff
+    //      x_i ≤ x_j — one 6-way CASE chain over (x≤x₂, x≤x₃, x₂≤x₃),
+    //      written identically on both engines. Entropy exactly as
+    //      H = ln N − (Σ c·round9ln(c)) DIV N in nanos (q292's
+    //      integer-argument ln convention), normalized by the pinned
+    //      ln(3!)·1e9 = 1791759469 (SPRT constants-in-source
+    //      discipline). Triples ride two lead() windows over the
+    //      span-bounded hourly spine; everything downstream is a 6-row
+    //      pattern table.
+    ("q313_permutation_entropy", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val wh = Window.orderBy(col("hb"))
+      val patternCase = """CASE
+        WHEN x <= x2 AND x2 <= x3 THEN '123'
+        WHEN x <= x3 AND NOT x2 <= x3 THEN '132'
+        WHEN NOT x <= x2 AND x <= x3 THEN '213'
+        WHEN NOT x <= x3 AND x2 <= x3 THEN '231'
+        WHEN x <= x2 AND NOT x <= x3 THEN '312'
+        ELSE '321' END AS pattern"""
+      val per = graft.Stage.mat(hourlySpine(s, dir)
+        .withColumn("x2", lead(col("x"), 1).over(wh))
+        .withColumn("x3", lead(col("x"), 2).over(wh))
+        .filter(col("x3").isNotNull)
+        .selectExpr(patternCase)
+        .groupBy(col("pattern")).agg(count(lit(1)).as("cnt")))
+      val zz = per.agg(sum(col("cnt")).as("n"),
+          sum(expr("cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000000, 0) AS BIGINT)"))
+            .as("slc"))
+        .selectExpr("n",
+          """CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+             - slc DIV n AS pe_nanos""")
+        .selectExpr("'zz' AS pattern", "n AS cnt", "CAST(0 AS BIGINT) AS share_ppm",
+          "pe_nanos", "(pe_nanos * 1000000) DIV 1791759469 AS pe_norm_ppm")
+      per.crossJoin(broadcast(per.agg(sum(col("cnt")).as("nt"))))
+        .selectExpr("pattern", "cnt", "(cnt * 1000000) DIV nt AS share_ppm",
+          "CAST(0 AS BIGINT) AS pe_nanos", "CAST(0 AS BIGINT) AS pe_norm_ppm")
+        .unionByName(zz).orderBy(col("pattern"))
+    }, Some("""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.x, 0) AS x
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      trip AS (SELECT x, lead(x, 1) OVER (ORDER BY hb) AS x2,
+                      lead(x, 2) OVER (ORDER BY hb) AS x3
+               FROM hourly),
+      pat AS (SELECT CASE
+                WHEN x <= x2 AND x2 <= x3 THEN '123'
+                WHEN x <= x3 AND NOT x2 <= x3 THEN '132'
+                WHEN NOT x <= x2 AND x <= x3 THEN '213'
+                WHEN NOT x <= x3 AND x2 <= x3 THEN '231'
+                WHEN x <= x2 AND NOT x <= x3 THEN '312'
+                ELSE '321' END AS pattern
+              FROM trip WHERE x3 IS NOT NULL),
+      per AS (SELECT pattern, CAST(count(*) AS BIGINT) AS cnt
+              FROM pat GROUP BY pattern),
+      zz AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                    CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE))
+                      * 1000000000, 0) AS BIGINT)) AS BIGINT) AS slc
+             FROM per)
+      SELECT pattern, cnt,
+             (cnt * 1000000) // (SELECT n FROM zz) AS share_ppm,
+             CAST(0 AS BIGINT) AS pe_nanos, CAST(0 AS BIGINT) AS pe_norm_ppm
+      FROM per
+      UNION ALL
+      SELECT 'zz', n, CAST(0 AS BIGINT), pe_nanos,
+             (pe_nanos * 1000000) // 1791759469
+      FROM (SELECT n,
+              CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+                - slc // n AS pe_nanos
+            FROM zz)
+      ORDER BY pattern"""))
   )
 }

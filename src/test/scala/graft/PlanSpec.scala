@@ -322,6 +322,8 @@ class PlanSpec extends SparkSpec {
       "q96_shard_manifest" -> WinBound(1100, "position-bucket offset tables (≤1024 rows each)"),
       "q106_quality_deciles" -> WinBound(1100, "range-bucket histogram cumulation (≤1024 rows)"),
       "q111_rate_spikes" -> WinBound(65536, "hour-grain aggregate — time-span-bounded domain (≤24·span days)"),
+      "q312_hurst_rs" -> WinBound(65536, "hour-grain zero-filled spine (position rank) — time-span-bounded (q111 regime)"),
+      "q313_permutation_entropy" -> WinBound(65536, "hour-grain zero-filled spine (lead windows) — time-span-bounded (q111 regime)"),
       "q124_entropy_auc" -> WinBound(1100, "range-bucket histogram cumulation (≤1024 rows)"),
       "q131_source_concentration" -> WinBound(1024, "source-level aggregate — catalog-sized domain, not fact-scaled"),
       "q306_mixture_alloc" -> WinBound(1024, "greedy budget fill over the source-catalog allocation table — catalog-sized, not fact-scaled"),
