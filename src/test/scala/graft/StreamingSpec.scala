@@ -838,6 +838,30 @@ class StreamingSpec extends SparkSpec {
     assert(last === (("tick", 2L, 25000000L, 20000000L)))
   }
 
+  test("streaming block maxima floors a day split across a restart exactly once") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingBlockMax.maintain(
+      spark.readStream.schema("_1 LONG, _2 LONG, _3 LONG").json(src)
+        .as[(Long, Long, Long)])
+      .toDF("ym", "n_days", "x")
+    // wave 1: month 1 has day 10 at 150000 cents (floors to 1) and
+    // day 11 at 80000 (floors to 0) -> block max 1
+    writeOps(src, "w1.json", Seq(
+      """{"_1":1,"_2":10,"_3":150000}""",
+      """{"_1":1,"_2":11,"_3":80000}"""))
+    drainOnce(mon, ckpt, dest)
+    // wave 2 (fresh query from the checkpoint): day 10 gains 60000 more
+    // -> running total 210000 floors to 2 ONLY IF wave 1's cent sum
+    // survived the restart unfloored; month 2 opens at 999999 -> 9
+    writeOps(src, "w2.json", Seq(
+      """{"_1":1,"_2":10,"_3":60000}""",
+      """{"_1":2,"_2":40,"_3":999999}"""))
+    drainOnce(mon, ckpt, dest)
+    val rows = spark.read.parquet(dest).as[(Long, Long, Long)].collect().toSet
+    assert(rows === Set((1L, 2L, 1L), (1L, 2L, 2L), (2L, 1L, 9L)))
+  }
+
   test("contract: new stateful twins route through StatefulTwin unless in a documented exempt family") {
     // VERDICT r9 ask #7. StatefulTwin's scaladoc names the two families
     // that intentionally keep their own flatMapGroupsWithState frames:
