@@ -2252,6 +2252,133 @@ object CurationOps {
       ORDER BY r"""))
   ,
 
+    // ---- Chao1 species-richness estimate (Chao 1984, bias-corrected
+    //      form) over the bigram vocabulary: "how many bigram types
+    //      does the SOURCE distribution have, counting the ones this
+    //      sample never saw" — the unseen-vocabulary companion of
+    //      q284's unseen-MASS (both read the same count-of-counts
+    //      table; Chao1 answers sizing questions — vocab tables, OOV
+    //      budgets — that p₀ doesn't). V̂ = V + f₁(f₁−1) DIV (2(f₂+1)),
+    //      exact integers (the +1 makes f₂ = 0 safe); zz also carries
+    //      Good's sample coverage Ĉ = 1e6 − (1e6·f₁) DIV N ppm. Head
+    //      rows r = 1..3 expose the singleton/doubleton/tripleton
+    //      counts the estimate is built from.
+    //
+    //      Scale shape: identical to q284 — one map-side-combined
+    //      bigram count, one distinct-multiplicity-sized
+    //      count-of-counts aggregate, constant-size folds after.
+    ("q316_chao1_richness", (s: SparkSession, dir: String) => {
+      val t = Tables(s, dir).documents
+        .select(filter(TextStats.tokens(lower(col("text"))),
+          x => x =!= lit("")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = t.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      val coc = graft.Stage.mat(bi.groupBy(col("g")).agg(count(lit(1)).as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_r")))
+      val head = coc.filter(col("r") <= 3L)
+        .selectExpr("r", "n_r", "CAST(0 AS BIGINT) AS v_obs",
+          "CAST(0 AS BIGINT) AS v_chao1", "CAST(0 AS BIGINT) AS coverage_ppm")
+      val zz = coc.agg(sum(expr("r * n_r")).as("n"),
+          sum(col("n_r")).as("v"),
+          sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("f1"),
+          sum(when(col("r") === 2L, col("n_r")).otherwise(0L)).as("f2"))
+        .selectExpr("CAST(-1 AS BIGINT) AS r", "n AS n_r", "v AS v_obs",
+          "v + (f1 * (f1 - 1)) DIV (2 * (f2 + 1)) AS v_chao1",
+          "1000000 - (1000000 * f1) DIV greatest(n, 1) AS coverage_ppm")
+      head.unionByName(zz).orderBy(col("r"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                 x -> x <> '') AS toks
+        FROM documents),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM t WHERE len(toks) >= 2),
+      coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM (
+                SELECT g, CAST(count(*) AS BIGINT) AS r FROM bi GROUP BY g)
+              GROUP BY r),
+      zz AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n,
+                    CAST(SUM(n_r) AS BIGINT) AS v,
+                    CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS f1,
+                    CAST(SUM(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT) AS f2
+             FROM coc)
+      SELECT r, n_r, CAST(0 AS BIGINT) AS v_obs, CAST(0 AS BIGINT) AS v_chao1,
+             CAST(0 AS BIGINT) AS coverage_ppm
+      FROM coc WHERE r <= 3
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), n, v,
+             v + (f1 * (f1 - 1)) // (2 * (f2 + 1)),
+             1000000 - (1000000 * f1) // greatest(n, 1)
+      FROM zz
+      ORDER BY r"""))
+  ,
+
+    // ---- leave-one-source-out ablation (the deterministic core of
+    //      data valuation — the question a Shapley/influence method
+    //      approximates, answered EXACTLY for the single-removal case
+    //      because the corpus metric is a ratio of sums and therefore
+    //      decomposes): for every source, the corpus type-token quality
+    //      (q306's TTR-micros proxy) recomputed WITHOUT that source,
+    //      and the delta against the full corpus — positive delta =
+    //      removing the source RAISES corpus quality = the source is
+    //      dragging the mixture down. One map-side-combined per-source
+    //      aggregate; every ablation is catalog-sized arithmetic on the
+    //      totals, so the corpus is read once no matter how many
+    //      sources are scored — the property that makes this the 100 TB
+    //      alternative to retrain-per-ablation.
+    ("q317_source_ablation", (s: SparkSession, dir: String) => {
+      val toks = filter(TextStats.tokens(lower(col("text"))), t => t =!= lit(""))
+      val per = graft.Stage.mat(Tables(s, dir).documents
+        .select(col("source"), size(toks).as("nt"),
+          size(array_distinct(toks)).as("ndt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("n_tok"),
+          sum(col("ndt").cast("long")).as("n_dtok")))
+      val tot = per.agg(sum(col("n_docs")).as("td"), sum(col("n_tok")).as("tt"),
+        sum(col("n_dtok")).as("tdt"))
+      val full = tot.selectExpr("'zz_full' AS source", "td AS n_docs", "tt AS n_tok",
+        "(tdt * 1000000) DIV greatest(tt, 1) AS q_without_micros",
+        "CAST(0 AS BIGINT) AS delta_micros")
+      per.crossJoin(broadcast(tot))
+        .selectExpr("source", "n_docs", "n_tok",
+          "((tdt - n_dtok) * 1000000) DIV greatest(tt - n_tok, 1) AS q_without_micros",
+          "(tdt * 1000000) DIV greatest(tt, 1) AS q_full_micros")
+        .selectExpr("source", "n_docs", "n_tok", "q_without_micros",
+          "q_without_micros - q_full_micros AS delta_micros")
+        .unionByName(full)
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tok,
+               CAST(SUM(ndt) AS BIGINT) AS n_dtok
+        FROM (SELECT source,
+                len(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                  x -> x <> '')) AS nt,
+                len(list_distinct(list_filter(regexp_split_to_array(lower(text),
+                  '$ws+'), x -> x <> ''))) AS ndt
+              FROM documents)
+        GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                     CAST(SUM(n_tok) AS BIGINT) AS tt,
+                     CAST(SUM(n_dtok) AS BIGINT) AS tdt FROM per)
+      SELECT source, n_docs, n_tok,
+             ((tdt - n_dtok) * 1000000) // GREATEST(tt - n_tok, 1) AS q_without_micros,
+             ((tdt - n_dtok) * 1000000) // GREATEST(tt - n_tok, 1)
+               - (tdt * 1000000) // GREATEST(tt, 1) AS delta_micros
+      FROM per CROSS JOIN tot
+      UNION ALL
+      SELECT 'zz_full', td, tt, (tdt * 1000000) // GREATEST(tt, 1),
+             CAST(0 AS BIGINT)
+      FROM tot
+      ORDER BY source"""))
+  ,
+
     // ---- Hill tail-index estimator (Hill 1975): over the k = 64
     //      largest bigram frequencies, α̂ = 1 / mean(ln(x_i / x_ref))
     //      with x_ref the (k+1)-th order statistic — the standard

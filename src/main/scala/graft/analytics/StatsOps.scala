@@ -942,6 +942,72 @@ object StatsOps {
       FROM sc2
       ORDER BY grp""")),
 
+    // ---- Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    //      1974; Levene's test with MEDIAN centers — robust to the
+    //      heavy-tailed order values that shred the mean-centered
+    //      form): do the five priorities differ in order-value SPREAD,
+    //      not location? The missing precondition check for q240's
+    //      ANOVA (which assumes homoscedasticity). Statistic = the
+    //      one-way F on z = |x − med_g| — computed by the SAME anovaF
+    //      arithmetic as q240, over 2×-scaled deviations
+    //      z2 = |2x − med2_g| so the group median (a .5 when n_g is
+    //      even) never introduces a fraction: med2 = vlo + vhi from the
+    //      exact rank pair is an integer, and the uniform 2× scale
+    //      cancels in F. Medians via Quantiles' two-phase rank
+    //      selection (never a per-group sort); the oracle replays the
+    //      rank selection (rawSql) and the F fold term for term.
+    ("q315_brown_forsythe", (s: SparkSession, dir: String) => {
+      val base = graft.Stage.mat(Tables(s, dir).orders.selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"))
+      val med = graft.analytics.Quantiles.quantilesRaw(
+          base.select(col("grp").as("g"), col("cents").as("x")), "g", "x", Seq(0.5))
+        .selectExpr("g AS grp", "CAST(2 * q AS BIGINT) AS med2")
+      // kilodollar-floored deviations (the q307 scale discipline):
+      // anovaF's DIV-based sums-of-squares are Long, and cent-scale
+      // z2 ~ 1e8 pushes s_g^2*1e6/n_g past 2^63; the uniform floor is
+      // replayed by the oracle before the F
+      val z = base.join(broadcast(med), Seq("grp"))
+        .selectExpr("grp", "abs(2 * cents - med2) DIV 100000 AS z2")
+      anovaF(z, group = "grp", x = col("z2"))
+    }, Some(s"""
+      WITH med AS (
+        SELECT g AS grp, CAST(2 * q AS BIGINT) AS med2 FROM (
+          ${graft.analytics.Quantiles.rawSql(
+            "SELECT o_orderpriority AS g, CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders",
+            "(VALUES (0.5)) ps(p)")})),
+      z AS (
+        SELECT o_orderpriority AS grp,
+               abs(2 * CAST(floor(o_totalprice * 100) AS BIGINT) - med2) // 100000 AS z2
+        FROM orders JOIN med ON o_orderpriority = med.grp),
+      perg AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(SUM(z2) AS BIGINT) AS s_g,
+               SUM(CAST(z2 AS HUGEINT) * z2) AS q_g
+        FROM z GROUP BY grp),
+      f AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+               SUM(q_g) AS q, CAST(count(*) AS BIGINT) AS k,
+               SUM((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS bsum
+        FROM perg),
+      sc AS (
+        SELECT n, k,
+               bsum - (CAST(s AS HUGEINT) * s * 1000000) // n AS ssb_sc,
+               q * 1000000 - (CAST(s AS HUGEINT) * s * 1000000) // n AS sst_sc
+        FROM f),
+      sc2 AS (SELECT n, k, ssb_sc, sst_sc - ssb_sc AS ssw_sc FROM sc)
+      SELECT grp, n_g, (s_g * 1000000) // n_g AS mean_micros,
+             CAST(0 AS BIGINT) AS ssb, CAST(0 AS BIGINT) AS ssw
+      FROM perg
+      UNION ALL
+      SELECT 'zz_f', n,
+             CAST((ssb_sc * (n - k) * 1000000)
+                  // greatest(ssw_sc * (k - 1), 1) AS BIGINT),
+             CAST(ssb_sc // 1000000 AS BIGINT),
+             CAST(ssw_sc // 1000000 AS BIGINT)
+      FROM sc2
+      ORDER BY grp""")),
+
     // ---- per-source OLS of n_chars on token count: the linearity
     //      audit of the cheapest two length signals (a source whose
     //      slope or r² drifts from the corpus norm has structurally
