@@ -517,6 +517,55 @@ object ScaleOps {
       FROM base GROUP BY g ORDER BY grp"""
     }),
 
+    // ---- JOIN-view incremental maintenance certificate — q281's
+    //      companion for the harder view class: V = O ⋈ L aggregated
+    //      per priority. Both inputs split base/delta by independent
+    //      portable hashes, and the maintained view is the DELTA-JOIN
+    //      identity (Blakeley et al. 1986):
+    //        (O_b ∪ ΔO) ⋈ (L_b ∪ ΔL)
+    //          = O_b⋈L_b ∪ O_b⋈ΔL ∪ ΔO⋈L_b ∪ ΔO⋈ΔL
+    //      executed as FOUR separate equi-joins whose aggregates merge
+    //      by re-aggregation (count/sum are identity-mergeable, so no
+    //      full-outer coalesce ladder is needed — union the four part
+    //      aggregates and fold). At 100 TB three of the four joins are
+    //      delta-sized — the reason IVM beats recompute; the engine row
+    //      carries merge_ok = (maintained ≡ recomputed) per group and
+    //      the oracle recomputes the whole view, so a broken identity
+    //      fails the gate as merge_ok=false vs TRUE.
+    ("q319_join_ivm_cert", (s: SparkSession, dir: String) => {
+      val o = graft.Stage.mat(Tables(s, dir).orders.select(
+        col("o_orderkey").as("ok"), col("o_orderpriority").as("g"),
+        (graft.text.TextStats.portableHash64(
+          concat(lit("ivo:"), col("o_orderkey").cast("string"))) % 10L < 8L)
+          .as("bo")))
+      val l = graft.Stage.mat(Tables(s, dir).lineitem.select(
+        col("l_orderkey").as("ok"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (graft.text.TextStats.portableHash64(
+          concat(lit("ivl:"), col("l_orderkey").cast("string"),
+            lit("-"), col("l_linenumber").cast("string"))) % 10L < 8L)
+          .as("bl")))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val whole = agg(o.join(l, Seq("ok")))
+        .selectExpr("g", "n AS n_w", "s AS s_w")
+      val parts = Seq(
+        (col("bo"), col("bl")), (col("bo"), !col("bl")),
+        (!col("bo"), col("bl")), (!col("bo"), !col("bl")))
+        .map { case (of, lf) => agg(o.filter(of).join(l.filter(lf), Seq("ok"))) }
+        .reduce(_ unionByName _)
+        .groupBy(col("g")).agg(sum(col("n")).as("n_m"), sum(col("s")).as("s_m"))
+      whole.join(parts, Seq("g"))
+        .selectExpr("g AS grp", "n_w", "s_w",
+          "n_w = n_m AND s_w = s_m AS merge_ok")
+        .orderBy(col("grp"))
+    }, Some("""
+      SELECT o.o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_w,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s_w,
+             TRUE AS merge_ok
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderpriority ORDER BY grp""")),
+
     // ---- correlated-sampling join-cardinality estimator (the optimizer
     //      synopsis behind join reordering at 100 TB): sample BOTH sides
     //      by the SAME hash of the JOIN KEY at rate 1/16 — key-correlated

@@ -942,6 +942,68 @@ object StatsOps {
       FROM sc2
       ORDER BY grp""")),
 
+    // ---- Cochran–Armitage trend test (Cochran 1954, Armitage 1955):
+    //      does the order-failure rate TREND with priority rank? The
+    //      ordered-alternative complement of a plain k-group
+    //      homogeneity χ² — a monotone dose-response that χ² dilutes
+    //      across k−1 df concentrates into one. Scores = the priority's
+    //      leading digit (the column's own encoded rank, not a magic
+    //      weight). All-integer form: with N = Σn, K = Σk,
+    //        T_N = Σ s_i·(k_i·N − n_i·K)        (N× the centered trend)
+    //        z²_micros = 1e6·N·T_N² DIV (K(N−K)·(N·Σn s² − (Σn s)²))
+    //      (the N scalings cancel exactly; DECIMAL(38,0) products —
+    //      numerator ≲ 1.5e33 at sf0.1, crossing 1e38 near N ≈ 6e6
+    //      orders, past which pre-divide T_N by its GCD with N).
+    //      Output: per-priority (score, n, k, fail-rate ppm) rows + the
+    //      'zz_trend' row carrying the statistic.
+    ("q318_cochran_armitage", (s: SparkSession, dir: String) => {
+      val per = graft.Stage.mat(Tables(s, dir).orders.selectExpr(
+          "o_orderpriority AS grp",
+          "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc",
+          "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y")
+        .groupBy(col("grp"), col("sc"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("k_g")))
+      val tot = per.agg(sum(col("n_g")).as("n"), sum(col("k_g")).as("k"),
+        sum(expr("n_g * sc")).as("ns"), sum(expr("n_g * sc * sc")).as("nss"))
+      val zz = per.crossJoin(broadcast(tot))
+        .agg(sum(expr("sc * (k_g * n - n_g * k)")).as("t"),
+          max(col("n")).as("n"), max(col("k")).as("k"),
+          max(col("ns")).as("ns"), max(col("nss")).as("nss"))
+        .selectExpr("'zz_trend' AS grp", "CAST(0 AS BIGINT) AS sc",
+          "n AS n_g", "k AS k_g", "(1000000 * k) DIV n AS rate_ppm",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * n * t * t)
+              DIV greatest(CAST(k AS DECIMAL(38,0)) * (n - k)
+                * (CAST(n AS DECIMAL(38,0)) * nss - CAST(ns AS DECIMAL(38,0)) * ns), 1)
+              AS BIGINT) AS z2_micros""")
+      per.selectExpr("grp", "sc", "n_g", "k_g",
+          "(1000000 * k_g) DIV n_g AS rate_ppm", "CAST(0 AS BIGINT) AS z2_micros")
+        .unionByName(zz).orderBy(col("grp"))
+    }, Some("""
+      WITH per AS (
+        SELECT o_orderpriority AS grp,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k_g
+        FROM orders GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(k_g) AS BIGINT) AS k,
+                     CAST(SUM(n_g * sc) AS BIGINT) AS ns,
+                     CAST(SUM(n_g * sc * sc) AS BIGINT) AS nss
+              FROM per),
+      zz AS (SELECT CAST(SUM(sc * (k_g * n - n_g * k)) AS BIGINT) AS t,
+                    MAX(n) AS n, MAX(k) AS k, MAX(ns) AS ns, MAX(nss) AS nss
+             FROM per CROSS JOIN tot)
+      SELECT grp, sc, n_g, k_g, (1000000 * k_g) // n_g AS rate_ppm,
+             CAST(0 AS BIGINT) AS z2_micros
+      FROM per
+      UNION ALL
+      SELECT 'zz_trend', CAST(0 AS BIGINT), n, k, (1000000 * k) // n,
+             CAST((CAST(1000000 AS HUGEINT) * n * t * t)
+                  // GREATEST(CAST(k AS HUGEINT) * (n - k)
+                    * (CAST(n AS HUGEINT) * nss - CAST(ns AS HUGEINT) * ns), 1)
+               AS BIGINT)
+      FROM zz
+      ORDER BY grp""")),
+
     // ---- Brown–Forsythe variance-homogeneity test (Brown & Forsythe
     //      1974; Levene's test with MEDIAN centers — robust to the
     //      heavy-tailed order values that shred the mean-centered
