@@ -942,6 +942,135 @@ object StatsOps {
       FROM sc2
       ORDER BY grp""")),
 
+    // ---- Mood's median test (Mood 1950): the distribution-free
+    //      LOCATION complement of q315's spread test — classify every
+    //      order as above / at-or-below the GLOBAL median and χ²-test
+    //      the 2×k table. Deliberately the blunt-but-assumption-free
+    //      member of the family (q239/q310 are more powerful when
+    //      shapes match; Mood's survives when they don't). The global
+    //      median is the exact doubled rank pair (2·med is an integer;
+    //      ties at the median land in the at-or-below cell — the
+    //      documented convention, identical on both engines). Per-group
+    //      χ² contribution uses the 2×k identity that both cells of a
+    //      group share one squared deviation D = O_above·N − n_g·C_above:
+    //        chi_g = D²·1e6 DIV (N·n_g·C_above) + D²·1e6 DIV (N·n_g·C_beloweq)
+    //      (one truncating DIV per cell, the q294 Cramér's-V
+    //      discipline). zz row carries Σ chi_g micros and df = k−1.
+    ("q320_mood_median", (s: SparkSession, dir: String) => {
+      val base = graft.Stage.mat(Tables(s, dir).orders.selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"))
+      val med = graft.analytics.Quantiles.quantilesRaw(
+          base.selectExpr("'all' AS g", "cents AS x"), "g", "x", Seq(0.5))
+        .selectExpr("CAST(2 * q AS BIGINT) AS med2")
+      val per = graft.Stage.mat(base.crossJoin(broadcast(med))
+        .selectExpr("grp", "CASE WHEN 2 * cents > med2 THEN 1 ELSE 0 END AS ab")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("ab")).as("n_above")))
+      val tot = per.agg(sum(col("n_g")).as("n"), sum(col("n_above")).as("ca"),
+        count(lit(1)).as("k"))
+      val chi = per.crossJoin(broadcast(tot))
+        .selectExpr("n", "k", "n_g", "ca", "n - ca AS cb",
+          "CAST(n_above AS DECIMAL(38,0)) * n - CAST(n_g AS DECIMAL(38,0)) * ca AS d")
+        .selectExpr("k",
+          """CAST((d * d * 1000000) DIV greatest(CAST(n AS DECIMAL(38,0)) * n_g * ca, 1)
+              + (d * d * 1000000) DIV greatest(CAST(n AS DECIMAL(38,0)) * n_g * cb, 1)
+              AS BIGINT) AS chi_g""")
+        .groupBy(col("k")).agg(sum(col("chi_g")).as("chi2"))
+      val zz = chi.crossJoin(broadcast(tot.select(col("n"), col("ca"))))
+        .selectExpr("'zz_chi2' AS grp", "n AS n_g", "ca AS n_above",
+          "n - ca AS n_beloweq", "(1000000 * ca) DIV n AS above_ppm",
+          "chi2 AS chi2_micros", "k - 1 AS df")
+      per.crossJoin(broadcast(tot.select(col("n"))))
+        .selectExpr("grp", "n_g", "n_above", "n_g - n_above AS n_beloweq",
+          "(1000000 * n_above) DIV n_g AS above_ppm",
+          "CAST(0 AS BIGINT) AS chi2_micros", "CAST(0 AS BIGINT) AS df")
+        .unionByName(zz).orderBy(col("grp"))
+    }, Some(s"""
+      WITH med AS (
+        SELECT CAST(2 * q AS BIGINT) AS med2 FROM (
+          ${graft.analytics.Quantiles.rawSql(
+            "SELECT 'all' AS g, CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders",
+            "(VALUES (0.5)) ps(p)")})),
+      per AS (
+        SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(SUM(CASE WHEN 2 * CAST(floor(o_totalprice * 100) AS BIGINT)
+                                  > med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM orders CROSS JOIN med GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                     CAST(SUM(n_above) AS BIGINT) AS ca,
+                     CAST(count(*) AS BIGINT) AS k FROM per),
+      chi AS (
+        SELECT MAX(k) AS k, CAST(SUM(
+                 (d * d * 1000000) // GREATEST(CAST(n AS HUGEINT) * n_g * ca, 1)
+               + (d * d * 1000000) // GREATEST(CAST(n AS HUGEINT) * n_g * (n - ca), 1))
+               AS BIGINT) AS chi2
+        FROM (SELECT n, k, n_g, ca,
+                     CAST(n_above AS HUGEINT) * n - CAST(n_g AS HUGEINT) * ca AS d
+              FROM per CROSS JOIN tot))
+      SELECT grp, n_g, n_above, n_g - n_above AS n_beloweq,
+             (1000000 * n_above) // n_g AS above_ppm,
+             CAST(0 AS BIGINT) AS chi2_micros, CAST(0 AS BIGINT) AS df
+      FROM per
+      UNION ALL
+      SELECT 'zz_chi2', n, ca, n - ca, (1000000 * ca) // n, chi2, chi.k - 1
+      FROM chi CROSS JOIN tot
+      ORDER BY grp""")),
+
+    // ---- G-test (log-likelihood-ratio χ², Sokal & Rohlf's G) on the
+    //      priority × status contingency: G = 2·Σ O·ln(O·N/(r·c)) — the
+    //      additive-decomposable counterpart of Pearson's χ² (q294's
+    //      Cramér's V reads the same table Pearson-style). ln enters
+    //      only through integer-argument round9ln (the q292/q197
+    //      convention): per cell O·(ln O + ln N − ln r − ln c) in
+    //      nanos, so both engines round the same doubles of the same
+    //      integers. Per-cell rows carry the expected count in
+    //      thousandths; zz carries G nanos and df = (k_r−1)(k_c−1).
+    ("q321_g_test", (s: SparkSession, dir: String) => {
+      def ln9(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      val per = graft.Stage.mat(Tables(s, dir).orders
+        .groupBy(col("o_orderpriority").as("grp"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o")))
+      val rows = per.groupBy(col("grp")).agg(sum(col("o")).as("r"))
+      val cols = per.groupBy(col("st")).agg(sum(col("o")).as("c"))
+      val tot = per.agg(sum(col("o")).as("n"),
+        countDistinct(col("grp")).as("kr"), countDistinct(col("st")).as("kc"))
+      val cells = graft.Stage.mat(per
+        .join(broadcast(rows), Seq("grp")).join(broadcast(cols), Seq("st"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("grp", "st", "o", "(r * c * 1000) DIV n AS e_milli",
+          s"o * (${ln9("o")} + ${ln9("n")} - ${ln9("r")} - ${ln9("c")}) AS gt"))
+      val zz = cells.agg(sum(col("gt")).as("sg"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("'zz_g' AS grp", "'' AS st", "n AS o",
+          "(kr - 1) * (kc - 1) AS e_milli", "2 * sg AS g_nanos")
+      cells.selectExpr("grp", "st", "o", "e_milli", "CAST(0 AS BIGINT) AS g_nanos")
+        .unionByName(zz).orderBy(col("grp"), col("st"))
+    }, Some("""
+      WITH per AS (
+        SELECT o_orderpriority AS grp, o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2),
+      r AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS r FROM per GROUP BY grp),
+      c AS (SELECT st, CAST(SUM(o) AS BIGINT) AS c FROM per GROUP BY st),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT grp) AS BIGINT) AS kr,
+                     CAST(count(DISTINCT st) AS BIGINT) AS kc FROM per),
+      cells AS (
+        SELECT grp, st, o, (r.r * c.c * 1000) // n AS e_milli,
+               o * (CAST(round(ln(CAST(o AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+                  + CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+                  - CAST(round(ln(CAST(r.r AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+                  - CAST(round(ln(CAST(c.c AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS gt
+        FROM per JOIN r USING (grp) JOIN c USING (st) CROSS JOIN tot)
+      SELECT grp, st, o, e_milli, CAST(0 AS BIGINT) AS g_nanos FROM cells
+      UNION ALL
+      SELECT 'zz_g', '', n, (kr - 1) * (kc - 1),
+             2 * (SELECT CAST(SUM(gt) AS BIGINT) FROM cells)
+      FROM tot
+      ORDER BY grp, st""")),
+
     // ---- Cochran–Armitage trend test (Cochran 1954, Armitage 1955):
     //      does the order-failure rate TREND with priority rank? The
     //      ordered-alternative complement of a plain k-group
