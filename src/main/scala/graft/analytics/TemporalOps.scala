@@ -2526,6 +2526,324 @@ object TemporalOps {
               CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000, 0) AS BIGINT)
                 - slc // n AS pe_nanos
             FROM zz)
-      ORDER BY pattern"""))
+      ORDER BY pattern""")),
+
+    // ---- Wald–Wolfowitz runs test (1940): is hourly event volume
+    //      RANDOMLY ordered around its median, or do high/low hours
+    //      cluster (too few runs) / alternate (too many)? The ordering
+    //      complement of q313's permutation entropy — sensitive to any
+    //      serial dependence, assumption-free on the marginal. Series =
+    //      the zero-filled hourly spine (q111 regime); dichotomized at
+    //      the exact doubled-rank median (2·med is an integer;
+    //      at-or-below ties land in the 0 cell — the q320 convention).
+    //      A run starts where the sign differs from its predecessor
+    //      (lag over the span-bounded spine). All-integer statistic
+    //      with a = #above, b = #below-or-equal, n = a + b, R = runs:
+    //        z²_micros = 1e6·(R·n − 2ab − n)²·(n−1) DIV (2ab·(2ab−n))
+    //      (μ = 2ab/n + 1 and σ² = 2ab(2ab−n)/(n²(n−1)) cleared of
+    //      denominators exactly; ≲ 5e19 at the 720-hour fixture span —
+    //      the spine is TIME-bounded, so magnitudes never scale with
+    //      SF). Degenerate one-sign series hit the greatest(…,1) floor.
+    //      Output: per-sign (n, runs) rows + the zz row (sgn = −1)
+    //      carrying total n, total R, and z²_micros.
+    ("q322_runs_test", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = hourlySpine(s, dir)
+      val med = graft.analytics.Quantiles.quantilesRaw(
+          hourly.selectExpr("'all' AS g", "x"), "g", "x", Seq(0.5))
+        .selectExpr("CAST(2 * q AS BIGINT) AS med2")
+      val wh = Window.orderBy(col("hb"))
+      val per = graft.Stage.mat(hourly.crossJoin(broadcast(med))
+        .selectExpr("hb", "CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS sgn")
+        .withColumn("prev", lag(col("sgn"), 1).over(wh))
+        .selectExpr("CAST(sgn AS BIGINT) AS sgn",
+          "CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END AS st")
+        .groupBy(col("sgn"))
+        .agg(count(lit(1)).as("n_g"), sum(col("st")).as("runs_g")))
+      val zz = per.agg(sum(col("n_g")).as("n"),
+          sum(when(col("sgn") === 1L, col("n_g")).otherwise(0L)).as("a"),
+          sum(when(col("sgn") === 0L, col("n_g")).otherwise(0L)).as("b"),
+          sum(col("runs_g")).as("r"))
+        .selectExpr("CAST(-1 AS BIGINT) AS sgn", "n AS n_g", "r AS runs_g",
+          """CAST((CAST(1000000 AS DECIMAL(38,0))
+                    * (r * n - 2 * a * b - n) * (r * n - 2 * a * b - n) * (n - 1))
+               DIV greatest(CAST(2 AS DECIMAL(38,0)) * a * b * (2 * a * b - n), 1)
+               AS BIGINT) AS z2_micros""")
+      per.selectExpr("sgn", "n_g", "runs_g", "CAST(0 AS BIGINT) AS z2_micros")
+        .unionByName(zz).orderBy(col("sgn"))
+    }, Some(s"""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.x, 0) AS x
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      med AS (SELECT CAST(2 * q AS BIGINT) AS med2 FROM (
+        ${graft.analytics.Quantiles.rawSql(
+          """SELECT 'all' AS g, COALESCE(c.x, 0) AS x
+             FROM (SELECT unnest(generate_series(
+                     (SELECT min(epoch_us(ts) // 3600000000) FROM events),
+                     (SELECT max(epoch_us(ts) // 3600000000) FROM events))) AS hb) s
+             LEFT JOIN (SELECT epoch_us(ts) // 3600000000 AS hb,
+                               CAST(count(*) AS BIGINT) AS x
+                        FROM events GROUP BY 1) c USING (hb)""",
+          "(VALUES (0.5)) ps(p)")})),
+      sg AS (SELECT hb, CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS sgn
+             FROM hourly CROSS JOIN med),
+      st AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY hb) IS NULL
+                              OR lag(sgn) OVER (ORDER BY hb) <> sgn
+                              THEN 1 ELSE 0 END AS st
+             FROM sg),
+      per AS (SELECT CAST(sgn AS BIGINT) AS sgn, CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(SUM(st) AS BIGINT) AS runs_g
+              FROM st GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN sgn = 1 THEN n_g ELSE 0 END) AS BIGINT) AS a,
+                     CAST(SUM(CASE WHEN sgn = 0 THEN n_g ELSE 0 END) AS BIGINT) AS b,
+                     CAST(SUM(runs_g) AS BIGINT) AS r
+              FROM per)
+      SELECT sgn, n_g, runs_g, CAST(0 AS BIGINT) AS z2_micros FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), n, r,
+             CAST((CAST(1000000 AS HUGEINT)
+                     * (r * n - 2 * a * b - n) * (r * n - 2 * a * b - n) * (n - 1))
+                  // GREATEST(CAST(2 AS HUGEINT) * a * b * (2 * a * b - n), 1) AS BIGINT)
+      FROM tot
+      ORDER BY sgn""")),
+
+    // ---- Durbin–Watson statistic (Durbin & Watson 1950): after
+    //      removing the LINEAR trend from hourly event volume, do the
+    //      residuals still carry lag-1 serial correlation (DW < 2:
+    //      positive — the q111 spike z-scores understate; DW ≈ 2:
+    //      clean)? The regression-residual complement of q322's
+    //      distribution-free runs test. Trend fit is exact-integer
+    //      sufficient statistics (n, Σp, Σp², Σx, Σpx over the
+    //      span-bounded spine) → ONE mirrored IEEE chain for (b̂, â)
+    //      (the q111 double-chain convention: scalar math from integer
+    //      aggregates, never a double SUM), then each residual is
+    //      QUANTIZED to integer millis (round(e·1000)) so Σe² and
+    //      Σ(Δe)² are exact integer sums — order-free under Spark's
+    //      partial aggregation. DW needs no sqrt:
+    //        dw_ppm = 1e6·Σ(Δe)² DIV Σe²   (both sums ≥ 0).
+    //      e_milli ≲ 1e8 even at sf1000 (hourly counts ~1e6), so Σe²
+    //      ≲ 7e18·1e6 — kept in DECIMAL(38) for the ppm step. Output:
+    //      per-day residual diagnostics (n hours, Σ|e|, max |e| in
+    //      millis) + the zz row (od = −1) reusing the two magnitude
+    //      columns for Σe² / Σ(Δe)² and carrying dw_ppm and the fitted
+    //      slope (round 6).
+    ("q323_durbin_watson", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = hourlySpine(s, dir)
+      val tot = hourly.agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        sum(expr("p * p")).as("spp"), sum(col("x")).as("sx"),
+        sum(expr("p * x")).as("spx"))
+      val res = graft.Stage.mat(hourly.crossJoin(broadcast(tot))
+        .withColumn("bhat", expr(
+          "CAST(n * spx - sp * sx AS DOUBLE) / CAST(n * spp - sp * sp AS DOUBLE)"))
+        .withColumn("ahat", expr(
+          "(CAST(sx AS DOUBLE) - bhat * CAST(sp AS DOUBLE)) / CAST(n AS DOUBLE)"))
+        .selectExpr("hb", "bhat",
+          """CAST(round((CAST(x AS DOUBLE) - ahat - bhat * CAST(p AS DOUBLE))
+               * 1000, 0) AS BIGINT) AS e_milli"""))
+      val wh = Window.orderBy(col("hb"))
+      val lagd = graft.Stage.mat(res
+        .withColumn("ep", lag(col("e_milli"), 1).over(wh))
+        .withColumn("od", expr("hb DIV 24")))
+      val days = lagd.groupBy(col("od"))
+        .agg(count(lit(1)).as("n_g"), sum(abs(col("e_milli"))).as("sae_milli"),
+          max(abs(col("e_milli"))).as("max_ae_milli"))
+        .selectExpr("od", "n_g", "sae_milli", "max_ae_milli",
+          "CAST(0 AS BIGINT) AS dw_ppm", "CAST(0.0 AS DOUBLE) AS slope_r")
+      val zz = lagd.agg(count(lit(1)).as("n"),
+          sum(expr("e_milli * e_milli")).as("see"),
+          sum(expr(
+            "CASE WHEN ep IS NULL THEN 0 ELSE (e_milli - ep) * (e_milli - ep) END"))
+            .as("sdd"),
+          max(col("bhat")).as("bh"))
+        .selectExpr("CAST(-1 AS BIGINT) AS od", "n AS n_g", "see AS sae_milli",
+          "sdd AS max_ae_milli",
+          """CAST((CAST(sdd AS DECIMAL(38,0)) * 1000000)
+               DIV greatest(see, 1) AS BIGINT) AS dw_ppm""",
+          "round(bh, 6) AS slope_r")
+      days.unionByName(zz).orderBy(col("od"))
+    }, Some("""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.x, 0) AS x,
+                        CAST(row_number() OVER (ORDER BY s.hb) AS BIGINT) AS p
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp,
+                     CAST(SUM(p * p) AS BIGINT) AS spp,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(p * x) AS BIGINT) AS spx
+              FROM hourly),
+      fit AS (SELECT n, sp, sx,
+                     CAST(n * spx - sp * sx AS DOUBLE)
+                       / CAST(n * spp - sp * sp AS DOUBLE) AS bhat
+              FROM tot),
+      fit2 AS (SELECT n, bhat,
+                      (CAST(sx AS DOUBLE) - bhat * CAST(sp AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS ahat
+               FROM fit),
+      res AS (SELECT hb, bhat,
+                     CAST(round((CAST(x AS DOUBLE) - ahat - bhat * CAST(p AS DOUBLE))
+                       * 1000, 0) AS BIGINT) AS e_milli
+              FROM hourly CROSS JOIN fit2),
+      lagd AS (SELECT hb, hb // 24 AS od, bhat, e_milli,
+                      lag(e_milli) OVER (ORDER BY hb) AS ep
+               FROM res),
+      days AS (SELECT od, CAST(count(*) AS BIGINT) AS n_g,
+                      CAST(SUM(abs(e_milli)) AS BIGINT) AS sae_milli,
+                      CAST(MAX(abs(e_milli)) AS BIGINT) AS max_ae_milli
+               FROM lagd GROUP BY od),
+      zz AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(e_milli * e_milli) AS BIGINT) AS see,
+                    CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                                  ELSE (e_milli - ep) * (e_milli - ep) END)
+                      AS BIGINT) AS sdd,
+                    MAX(bhat) AS bh
+             FROM lagd)
+      SELECT od, n_g, sae_milli, max_ae_milli, CAST(0 AS BIGINT) AS dw_ppm,
+             CAST(0.0 AS DOUBLE) AS slope_r
+      FROM days
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), n, see, sdd,
+             CAST((CAST(sdd AS HUGEINT) * 1000000) // GREATEST(see, 1) AS BIGINT),
+             round(bh, 6)
+      FROM zz
+      ORDER BY od""")),
+
+    // ---- Granger-style lagged-predictor F (Granger 1969, one lag):
+    //      does last hour's CLICK volume predict this hour's PURCHASE
+    //      volume beyond what purchases' own history explains (and the
+    //      reverse direction as the placebo)? Series = per-type hourly
+    //      counts zero-filled on the shared spine; per direction the
+    //      restricted model t ~ own-lag and the full model t ~ own-lag
+    //      + cross-lag are both CLOSED-FORM: ten exact-integer
+    //      sufficient statistics (n, Σ of each series, and all pairwise
+    //      products — counts are small, products never leave BIGINT
+    //      even at sf1000) feed one mirrored IEEE chain (the q111
+    //      convention: scalar double math on a one-row aggregate, never
+    //      a double SUM) — centered moments, the 2×2 normal-equation
+    //      solve, RSS_restricted, RSS_full, and
+    //        F = (RSS_r − RSS_u)·(n−3) / RSS_u   (1 numerator df).
+    //      Degenerate guards (det = 0, RSS_u ≤ 0) zero the statistic on
+    //      both engines. Output: one row per direction with the fitted
+    //      betas and F (round 6).
+    ("q324_granger_lagf", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir).events
+        .select(expr("unix_micros(ts) DIV 3600000000").as("hb"), col("event_type"))
+      val counts = e.groupBy(col("hb")).agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("yc"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"))
+      val spine = counts.agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hb"))
+      val wh = Window.orderBy(col("hb"))
+      val lagd = graft.Stage.mat(spine.join(counts, Seq("hb"), "left")
+        .select(col("hb"), coalesce(col("yc"), lit(0L)).as("y"),
+          coalesce(col("xc"), lit(0L)).as("x"))
+        .withColumn("y1", lag(col("y"), 1).over(wh))
+        .withColumn("x1", lag(col("x"), 1).over(wh))
+        .filter(col("y1").isNotNull))
+      // t = target series, own = its lag, cr = the cross lag under test
+      def granger(t: String, own: String, cr: String, label: String): DataFrame =
+        lagd.agg(count(lit(1)).as("n"),
+            sum(col(t)).as("st"), sum(col(own)).as("s1"), sum(col(cr)).as("s2"),
+            sum(expr(s"$t * $t")).as("stt"), sum(expr(s"$t * $own")).as("st1"),
+            sum(expr(s"$t * $cr")).as("st2"), sum(expr(s"$own * $own")).as("s11"),
+            sum(expr(s"$cr * $cr")).as("s22"), sum(expr(s"$own * $cr")).as("s12"))
+          .withColumn("ctt", expr(
+            "CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("c11", expr(
+            "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("c22", expr(
+            "CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("c12", expr(
+            "CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("ct1", expr(
+            "CAST(st1 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("ct2", expr(
+            "CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("det", expr("c11 * c22 - c12 * c12"))
+          .withColumn("b1", expr(
+            "CASE WHEN det = 0 THEN 0.0 ELSE (ct1 * c22 - ct2 * c12) / det END"))
+          .withColumn("b2", expr(
+            "CASE WHEN det = 0 THEN 0.0 ELSE (ct2 * c11 - ct1 * c12) / det END"))
+          .withColumn("rss_r0", expr(
+            "CASE WHEN c11 = 0 THEN ctt ELSE ctt - ct1 * ct1 / c11 END"))
+          .withColumn("rss_u", expr("ctt - b1 * ct1 - b2 * ct2"))
+          .withColumn("f", expr(
+            """CASE WHEN rss_u <= 0 THEN 0.0
+               ELSE (rss_r0 - rss_u) * CAST(n - 3 AS DOUBLE) / rss_u END"""))
+          .selectExpr(s"'$label' AS direction", "n", "round(b1, 6) AS ar_beta_r",
+            "round(b2, 6) AS xlag_beta_r", "round(rss_r0, 6) AS rss_restricted_r",
+            "round(rss_u, 6) AS rss_full_r", "round(f, 6) AS f_r")
+      granger("y", "y1", "x1", "click_to_purchase")
+        .unionByName(granger("x", "x1", "y1", "purchase_to_click"))
+        .orderBy(col("direction"))
+    }, Some {
+      def gSql(t: String, own: String, cr: String, label: String) = s"""
+        SELECT '$label' AS direction, n, round(b1, 6) AS ar_beta_r,
+               round(b2, 6) AS xlag_beta_r, round(rss_r0, 6) AS rss_restricted_r,
+               round(rss_u, 6) AS rss_full_r,
+               round(CASE WHEN rss_u <= 0 THEN 0.0
+                     ELSE (rss_r0 - rss_u) * CAST(n - 3 AS DOUBLE) / rss_u END, 6) AS f_r
+        FROM (
+          SELECT n, b1, b2, rss_r0, ctt - b1 * ct1 - b2 * ct2 AS rss_u
+          FROM (
+            SELECT n, ctt, ct1, ct2,
+                   CASE WHEN det = 0 THEN 0.0
+                        ELSE (ct1 * c22 - ct2 * c12) / det END AS b1,
+                   CASE WHEN det = 0 THEN 0.0
+                        ELSE (ct2 * c11 - ct1 * c12) / det END AS b2,
+                   CASE WHEN c11 = 0 THEN ctt ELSE ctt - ct1 * ct1 / c11 END AS rss_r0
+            FROM (
+              SELECT n, ctt, c11, c22, c12, ct1, ct2,
+                     c11 * c22 - c12 * c12 AS det
+              FROM (
+                SELECT n,
+                  CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ctt,
+                  CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+                  CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+                  CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+                  CAST(st1 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS ct1,
+                  CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ct2
+                FROM (
+                  SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(SUM($t) AS BIGINT) AS st,
+                         CAST(SUM($own) AS BIGINT) AS s1,
+                         CAST(SUM($cr) AS BIGINT) AS s2,
+                         CAST(SUM($t * $t) AS BIGINT) AS stt,
+                         CAST(SUM($t * $own) AS BIGINT) AS st1,
+                         CAST(SUM($t * $cr) AS BIGINT) AS st2,
+                         CAST(SUM($own * $own) AS BIGINT) AS s11,
+                         CAST(SUM($cr * $cr) AS BIGINT) AS s22,
+                         CAST(SUM($own * $cr) AS BIGINT) AS s12
+                  FROM lagd)))))"""
+      s"""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.yc, 0) AS y, COALESCE(c.xc, 0) AS x
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      lagd AS (SELECT * FROM (
+                 SELECT hb, y, x,
+                        lag(y) OVER (ORDER BY hb) AS y1,
+                        lag(x) OVER (ORDER BY hb) AS x1
+                 FROM hourly) WHERE y1 IS NOT NULL)
+      ${gSql("y", "y1", "x1", "click_to_purchase")}
+      UNION ALL
+      ${gSql("x", "x1", "y1", "purchase_to_click")}
+      ORDER BY direction"""
+    })
   )
 }

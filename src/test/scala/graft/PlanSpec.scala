@@ -358,7 +358,10 @@ class PlanSpec extends SparkSpec {
       "q295_sequence_gaps" -> WinBound(1100, "cross-bucket stitching over the ≤1024-row nonempty-bucket table"),
       "q207_theil_sen" -> WinBound(1 << 22, "day-pair slope table — span²-bounded at day grain, never corpus"),
       "q216_heaps_law" -> WinBound(1024, "log-bucket vocabulary-growth table — bounded bucket domain"),
-      "q245_sorted_neighborhood" -> WinBound(1100, "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)"))
+      "q245_sorted_neighborhood" -> WinBound(1100, "two-phase rank bucket-offset table (≤1024 rows; corpus rank windows per bucket)"),
+      "q322_runs_test" -> WinBound(65536, "hour-grain spine lag + single-group quantilesRaw bucket cumulation — time-span-bounded (q111 regime)"),
+      "q323_durbin_watson" -> WinBound(65536, "hour-grain spine row_number/lag (trend residuals) — time-span-bounded (q111 regime)"),
+      "q324_granger_lagf" -> WinBound(65536, "hour-grain two-series spine lags — time-span-bounded (q111 regime)"))
     // Audits the final optimized plan AND every Stage.mat'd subtree —
     // a barrier truncates lineage, so without the recorder hook a window
     // sliding inside a mat'd stage silently leaves the gate (this round's

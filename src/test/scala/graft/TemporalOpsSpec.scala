@@ -549,4 +549,69 @@ class TemporalOpsSpec extends SparkSpec {
     assert(rows.filter(_.getAs[String]("src") != "zz_all")
       .map(_.getAs[Long]("n_test")).sum === zz.getAs[Long]("n_test"))
   }
+
+  /** Writes `counts(h) = per-hour event totals` as an events fixture on
+    * consecutive hours starting 2024-06-01 00:00 (no spine gaps), with
+    * `types(h)(i)` naming each event's type when per-type series matter.
+    */
+  private def hourlyFixture(dir: String, counts: Seq[Seq[String]]): Unit = {
+    import java.sql.Timestamp
+    counts.zipWithIndex.flatMap { case (types, h) =>
+      types.zipWithIndex.map { case (et, i) =>
+        (h * 100L + i, Timestamp.valueOf(f"2024-06-01 $h%02d:15:00"), 1L, et, 0.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("runs test: a perfectly alternating series maximizes runs") {
+    // hourly counts [5,1,5,1,5,1]: median (1+5)/2 → med2 = 6, signs
+    // alternate 1,0,1,0,1,0 → a = b = 3, R = 6; z²_micros =
+    // 1e6·(36−18−6)²·5 DIV (18·12) = 720e6 DIV 216 = 3333333
+    val dir = java.nio.file.Files.createTempDirectory("runs_fix").toString
+    hourlyFixture(dir, Seq(5, 1, 5, 1, 5, 1).map(n => Seq.fill(n)("click")))
+    val rows = SparkEntry.queries("q322_runs_test")(spark, dir).collect()
+    val bySgn = rows.map(r => r.getAs[Long]("sgn") ->
+      (r.getAs[Long]("n_g"), r.getAs[Long]("runs_g"), r.getAs[Long]("z2_micros"))).toMap
+    assert(bySgn(0L) === ((3L, 3L, 0L)))
+    assert(bySgn(1L) === ((3L, 3L, 0L)))
+    assert(bySgn(-1L) === ((6L, 6L, 3333333L)))
+  }
+
+  test("Durbin-Watson: hand-fit trend residuals give dw_ppm = 3400000") {
+    // counts [2,1,2,1] on p=1..4: b̂ = −0.2, â = 2; residuals (millis)
+    // [200,−600,600,−200] → Σe² = 800000, Σ(Δe)² = 2720000 →
+    // dw_ppm = 3400000; per-day Σ|e| = 1600, max = 600
+    val dir = java.nio.file.Files.createTempDirectory("dw_fix").toString
+    hourlyFixture(dir, Seq(2, 1, 2, 1).map(n => Seq.fill(n)("click")))
+    val rows = SparkEntry.queries("q323_durbin_watson")(spark, dir).collect()
+    assert(rows.length === 2)
+    val day = rows.find(_.getAs[Long]("od") >= 0L).get
+    assert((day.getAs[Long]("n_g"), day.getAs[Long]("sae_milli"),
+      day.getAs[Long]("max_ae_milli")) === ((4L, 1600L, 600L)))
+    val zz = rows.find(_.getAs[Long]("od") === -1L).get
+    assert((zz.getAs[Long]("n_g"), zz.getAs[Long]("sae_milli"),
+      zz.getAs[Long]("max_ae_milli"), zz.getAs[Long]("dw_ppm")) ===
+      ((4L, 800000L, 2720000L, 3400000L)))
+    assert(zz.getAs[Double]("slope_r") === -0.2)
+  }
+
+  test("Granger lag-F: hand-solved 2-predictor OLS gives F = 8") {
+    // purchases y = [2,1,3,2,3], clicks x = [1,2,1,2,2]; the n = 4
+    // lagged rows solve to b1 = 0.5, b2 = 2, RSS_r = 2.25, RSS_u =
+    // 0.25 → F = (2.25−0.25)·1/0.25 = 8 (all dyadic — exact doubles)
+    val dir = java.nio.file.Files.createTempDirectory("granger_fix").toString
+    val y = Seq(2, 1, 3, 2, 3); val x = Seq(1, 2, 1, 2, 2)
+    hourlyFixture(dir, y.zip(x).map { case (ny, nx) =>
+      Seq.fill(ny)("purchase") ++ Seq.fill(nx)("click") })
+    val rows = SparkEntry.queries("q324_granger_lagf")(spark, dir).collect()
+    assert(rows.length === 2)
+    val fwd = rows.find(_.getAs[String]("direction") == "click_to_purchase").get
+    assert(fwd.getAs[Long]("n") === 4L)
+    assert(fwd.getAs[Double]("ar_beta_r") === 0.5)
+    assert(fwd.getAs[Double]("xlag_beta_r") === 2.0)
+    assert(fwd.getAs[Double]("rss_restricted_r") === 2.25)
+    assert(fwd.getAs[Double]("rss_full_r") === 0.25)
+    assert(fwd.getAs[Double]("f_r") === 8.0)
+  }
 }
