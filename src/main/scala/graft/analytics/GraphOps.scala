@@ -1586,6 +1586,68 @@ object GraphOps {
               ORDER BY cc_ppm DESC, deg.v LIMIT 10)
       SELECT v, d, n_tri, cc_ppm FROM gsum
       UNION ALL SELECT v, d, n_tri, cc_ppm FROM loc
-      ORDER BY v"""))
+      ORDER BY v""")),
+
+    // ---- Adamic–Adar link prediction (Adamic & Adar 2003): which
+    //      NON-adjacent part pairs share the most (rarity-weighted)
+    //      co-purchase neighbors? AA(x,y) = Σ_{u ∈ Γ(x)∩Γ(y)} 1/ln d(u)
+    //      — the classic common-neighbor score that discounts hub
+    //      middles. Enumerating every wedge is Σ d(u)² (148M at sf0.1,
+    //      quadratic in hub degree at 100 TB), so scoring is COHORT-
+    //      BOUNDED by construction: both endpoints must lie in the
+    //      deterministic 10% candidate shard (p % 10 = 3; production
+    //      sweeps all 10 shards in successive passes), which cuts the
+    //      wedge stream to Σ d_Q(u)² ≈ 1% of the full set while centers
+    //      u and their degrees stay UNRESTRICTED — the score for a
+    //      surviving pair is exact, not sampled. Per-center weight is
+    //      integer micros via the q292 ln convention:
+    //      w = 1e15 DIV round9ln(d) (d ≥ 2 ⇒ ln ≥ ln 2 > 0). The
+    //      adjacency-set pair-explode generates each in-shard pair once
+    //      (x < y, sorted-array slice idiom — no wedge self-join);
+    //      existing edges leave via LeftAnti; top-20 by (score, pair)
+    //      is a TakeOrdered, never a global sort.
+    ("q325_adamic_adar", (s: SparkSession, dir: String) => {
+      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
+      val adj = e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+      val cen = adj
+        .groupBy(col("u")).agg(count(lit(1)).as("d"),
+          sort_array(collect_set(
+            when(pmod(col("v"), lit(10L)) === 3L, col("v")))).as("vsq"))
+        .filter(size(col("vsq")) >= 2)
+        .withColumn("w", expr(
+          """1000000000000000 DIV
+             CAST(round(ln(CAST(d AS DOUBLE)) * 1000000000, 0) AS BIGINT)"""))
+      val pairs = cen.select(col("w"), explode(expr(
+          """flatten(transform(vsq, (a, i) ->
+               transform(slice(vsq, i + 2, size(vsq)), b -> struct(a AS x, b AS y))))"""))
+          .as("pr"))
+        .select(col("pr.x"), col("pr.y"), col("w"))
+      pairs.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_micros"))
+        .join(e.select(col("pa").as("x"), col("pb").as("y")), Seq("x", "y"),
+          "left_anti")
+        .orderBy(col("aa_micros").desc, col("x"), col("y")).limit(20)
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      adjq AS (SELECT u, v FROM adj WHERE v % 10 = 3),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+      cen AS (SELECT u, 1000000000000000
+                   // CAST(round(ln(CAST(d AS DOUBLE)) * 1000000000, 0) AS BIGINT) AS w
+              FROM deg WHERE d >= 2),
+      wedge AS (SELECT a1.v AS x, a2.v AS y, c.w
+                FROM adjq a1 JOIN adjq a2 ON a1.u = a2.u AND a1.v < a2.v
+                JOIN cen c ON c.u = a1.u),
+      scored AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                        CAST(SUM(w) AS BIGINT) AS aa_micros
+                 FROM wedge GROUP BY x, y),
+      ne AS (SELECT s.x, s.y, s.cn, s.aa_micros
+             FROM scored s LEFT JOIN e ON s.x = e.pa AND s.y = e.pb
+             WHERE e.pa IS NULL)
+      SELECT x, y, cn, aa_micros FROM ne
+      ORDER BY aa_micros DESC, x, y LIMIT 20"""))
   )
 }

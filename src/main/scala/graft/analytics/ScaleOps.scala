@@ -2618,6 +2618,67 @@ object ScaleOps {
       UNION ALL ${summarySql("cb")}
       UNION ALL ${summarySql("both")}
       ORDER BY layout, pred"""
+    }),
+
+    // ---- RLE sort-order advisor (the third member of the layout
+    //      family, beside q303's Z-order and q314's Hilbert curve):
+    //      which LEXICOGRAPHIC sort key minimizes the table's
+    //      run-length-encoded footprint? Under a full lexicographic
+    //      sort by (c₁..cₖ), column cᵢ's run count is bounded by the
+    //      number of distinct (c₁..cᵢ) prefixes (a run can only break
+    //      where its prefix group changes — equal cᵢ across adjacent
+    //      prefix groups merge, so distinct-prefix is the standard
+    //      writer-side upper bound, exact when prefixes imply value
+    //      changes). That makes the advisor PURE AGGREGATION: k
+    //      prefix-distinct counts per candidate, no sort, no window,
+    //      no row ordering anywhere — the one layout score computable
+    //      at 100 TB without moving the data. Four candidate orders
+    //      over (returnflag 3, linestatus 2, quantity ~50, ship-day
+    //      ~span): low-cardinality-first demonstrates the classic
+    //      cascade win; date-first models ingest order. Output: one
+    //      row per candidate with the per-position run bounds, the
+    //      total (the RLE page estimate), and n for the incompressible
+    //      baseline; ranked ascending.
+    ("q326_rle_advisor", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).lineitem.selectExpr(
+        "l_returnflag AS rf", "l_linestatus AS ls",
+        "CAST(floor(l_quantity) AS BIGINT) AS qy",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS sd")
+      val cands = Seq(Seq("rf", "ls", "qy", "sd"), Seq("sd", "rf", "ls", "qy"),
+        Seq("qy", "sd", "rf", "ls"), Seq("ls", "qy", "rf", "sd"))
+      cands.map { cs =>
+        base.agg(
+            countDistinct(col(cs(0))).as("r1"),
+            countDistinct(col(cs(0)), col(cs(1))).as("r2"),
+            countDistinct(col(cs(0)), col(cs(1)), col(cs(2))).as("r3"),
+            countDistinct(col(cs(0)), col(cs(1)), col(cs(2)), col(cs(3))).as("r4"),
+            count(lit(1)).as("n"))
+          .selectExpr(s"'${cs.mkString(",")}' AS layout",
+            "CAST(r1 AS BIGINT) AS r1", "CAST(r2 AS BIGINT) AS r2",
+            "CAST(r3 AS BIGINT) AS r3", "CAST(r4 AS BIGINT) AS r4",
+            "CAST(r1 + r2 + r3 + r4 AS BIGINT) AS total_bound", "n")
+      }.reduce(_ unionByName _).orderBy(col("total_bound"), col("layout"))
+    }, Some {
+      def cand(cs: Seq[String]) = s"""
+        SELECT '${cs.mkString(",")}' AS layout, r1, r2, r3, r4,
+               r1 + r2 + r3 + r4 AS total_bound, n
+        FROM (SELECT CAST(COUNT(DISTINCT ${cs(0)}) AS BIGINT) AS r1,
+                     CAST(COUNT(DISTINCT (${cs(0)}, ${cs(1)})) AS BIGINT) AS r2,
+                     CAST(COUNT(DISTINCT (${cs(0)}, ${cs(1)}, ${cs(2)})) AS BIGINT) AS r3,
+                     CAST(COUNT(DISTINCT (${cs(0)}, ${cs(1)}, ${cs(2)}, ${cs(3)})) AS BIGINT) AS r4,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM b)"""
+      s"""
+      WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                        CAST(floor(l_quantity) AS BIGINT) AS qy,
+                        CAST(datediff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE)) AS BIGINT) AS sd
+                 FROM lineitem)
+      ${cand(Seq("rf", "ls", "qy", "sd"))}
+      UNION ALL ${cand(Seq("sd", "rf", "ls", "qy"))}
+      UNION ALL ${cand(Seq("qy", "sd", "rf", "ls"))}
+      UNION ALL ${cand(Seq("ls", "qy", "rf", "sd"))}
+      ORDER BY total_bound, layout"""
     })
   )
 

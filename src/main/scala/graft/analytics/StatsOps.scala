@@ -1896,6 +1896,89 @@ object StatsOps {
              (n_langs - 1) * (n_sources - 1) AS dof,
              CAST(chi2 // (CAST(n AS HUGEINT)
                   * least(n_langs - 1, n_sources - 1)) AS BIGINT) AS v2_micros
-      FROM agg"""))
+      FROM agg""")),
+
+    // ---- Jarque–Bera normality test (Jarque & Bera 1980): are order
+    //      totals Gaussian, or (as every revenue distribution is)
+    //      right-skewed and heavy-tailed? JB = n·(g₁²/6 + g₂²/24) from
+    //      sample skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    //      g₂ = m₄/m₂² − 3 — the moments complement of q193's KS
+    //      distance and q292's tail index. Two-pass exact-integer
+    //      moment accumulation: pass 1 takes the FLOOR mean μ_f =
+    //      Σy DIV n (y = whole dollars, so Σd⁴ ≤ (6e5)⁴·n keeps
+    //      DECIMAL(38,0) headroom to sf ≈ 100); pass 2 sums the shifted
+    //      powers Σd, Σd², Σd³, Σd⁴ with d = y − μ_f exactly. The
+    //      sub-unit offset δ = Σd/n ∈ [0,1) is then corrected EXACTLY
+    //      in the one-row mirrored IEEE chain (the q111/q324
+    //      convention — scalar double math on integer aggregates,
+    //      never a double SUM): m₂ = (S₂ − S₁²/n)/n,
+    //      m₃ = (S₃ − 3S₁S₂/n + 2S₁³/n²)/n,
+    //      m₄ = (S₄ − 4S₁S₃/n + 6S₁²S₂/n² − 3S₁⁴/n³)/n (S₁ < n, so the
+    //      correction terms stay tiny and exact). Output: one row with
+    //      n, μ_f, and the rounded skewness / excess kurtosis / JB.
+    ("q327_jarque_bera", (s: SparkSession, dir: String) => {
+      val y = Tables(s, dir).orders
+        .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS y")
+      val mu = y.agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+        .selectExpr("sy DIV n AS mu_f")
+      val sums = y.crossJoin(broadcast(mu))
+        .selectExpr("mu_f", "y - mu_f AS d")
+        .agg(count(lit(1)).as("n"), max(col("mu_f")).as("mu_f"),
+          sum(col("d")).as("s1"),
+          sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("s2"),
+          sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("s3"),
+          sum(expr("CAST(d AS DECIMAL(38,0)) * d * d * d")).as("s4"))
+      sums
+        .withColumn("nd", expr("CAST(n AS DOUBLE)"))
+        .withColumn("m2", expr(
+          "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / nd"))
+        .withColumn("m3", expr(
+          """(CAST(s3 AS DOUBLE) - 3 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / nd
+              + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / (nd * nd)) / nd"""))
+        .withColumn("m4", expr(
+          """(CAST(s4 AS DOUBLE) - 4 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / nd
+              + 6 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / (nd * nd)
+              - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) / (nd * nd * nd)) / nd"""))
+        .withColumn("g1", expr(
+          "CASE WHEN m2 <= 0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END"))
+        .withColumn("g2", expr(
+          "CASE WHEN m2 <= 0 THEN 0.0 ELSE m4 / (m2 * m2) - 3 END"))
+        .selectExpr("n", "mu_f", "round(g1, 6) AS skew_r",
+          "round(g2, 6) AS exkurt_r",
+          "round(nd * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_r")
+    }, Some("""
+      WITH y AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+      mu AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu_f
+             FROM y),
+      sums AS (SELECT CAST(count(*) AS BIGINT) AS n, MAX(mu_f) AS mu_f,
+                      CAST(SUM(y - mu_f) AS BIGINT) AS s1,
+                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f)) AS HUGEINT) AS s2,
+                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f) * (y - mu_f))
+                        AS HUGEINT) AS s3,
+                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f) * (y - mu_f)
+                        * (y - mu_f)) AS HUGEINT) AS s4
+               FROM y CROSS JOIN mu),
+      mom AS (SELECT n, mu_f,
+                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / nd AS m2,
+                (CAST(s3 AS DOUBLE) - 3 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / nd
+                  + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / (nd * nd)) / nd AS m3,
+                (CAST(s4 AS DOUBLE) - 4 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / nd
+                  + 6 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    / (nd * nd)
+                  - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / (nd * nd * nd)) / nd AS m4,
+                nd
+              FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums)),
+      g AS (SELECT n, mu_f, nd,
+                   CASE WHEN m2 <= 0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END AS g1,
+                   CASE WHEN m2 <= 0 THEN 0.0 ELSE m4 / (m2 * m2) - 3 END AS g2
+            FROM mom)
+      SELECT n, mu_f, round(g1, 6) AS skew_r, round(g2, 6) AS exkurt_r,
+             round(nd * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_r
+      FROM g"""))
   )
 }

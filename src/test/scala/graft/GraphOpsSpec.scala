@@ -412,6 +412,25 @@ class GraphOpsSpec extends SparkSpec {
       e <= n * (n - 1) / 2 && phi >= 0L && phi <= 1000000L })
   }
 
+  test("adamic-adar: cohort pair scores rarity-weighted common neighbors, edges excluded") {
+    // baskets {3,7}, {13,7}, {3,9}, {13,9} → edges 3-7, 7-13, 3-9,
+    // 9-13. Cohort (p % 10 = 3) pair (3,13) is NOT an edge and shares
+    // middles 7 and 9, both degree 2 → aa = 2·(1e15 DIV
+    // round9ln(2)) = 2·(1e15 DIV 693147181) = 2885390 micros. The
+    // in-cohort edge pair (none here) and out-of-cohort pairs (7,9)
+    // never appear.
+    val dir = java.nio.file.Files.createTempDirectory("aa_fix").toString
+    Seq((10L, 3L), (10L, 7L), (20L, 13L), (20L, 7L), (30L, 3L), (30L, 9L),
+      (40L, 13L), (40L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q325_adamic_adar")(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out.head.getAs[Long]("x"), out.head.getAs[Long]("y"),
+      out.head.getAs[Long]("cn"), out.head.getAs[Long]("aa_micros")) ===
+      ((3L, 13L, 2L, 2885390L)))
+  }
+
   test("consistent hashing: only the joining node receives moved keys") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()

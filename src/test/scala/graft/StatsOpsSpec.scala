@@ -257,4 +257,43 @@ class StatsOpsSpec extends SparkSpec {
       r.getAs[Long]("dof"), r.getAs[Long]("v2_micros")) ===
       ((8L, 2L, 2L, 2000000L, 1L, 250000L)))
   }
+
+  test("Jarque-Bera: symmetric 1..5 has zero skew and hand-computed kurtosis") {
+    import spark.implicits._
+    // y = 1..5 (dollar floors of y+0.25): μ_f = 3, d = [−2..2] →
+    // S1 = 0, S2 = 10, S3 = 0, S4 = 34; m2 = 2, m4 = 6.8 → g1 = 0,
+    // g2 = 6.8/4 − 3 = −1.3, JB = 5·(1.69/24) = 0.352083 (round 6)
+    val dir = java.nio.file.Files.createTempDirectory("jb_fix").toString
+    (1 to 5).map(i => (i.toLong, i.toLong, "O", i + 0.25,
+        java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q327_jarque_bera")(spark, dir).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("mu_f")) === ((5L, 3L)))
+    assert(r.getAs[Double]("skew_r") === 0.0)
+    assert(r.getAs[Double]("exkurt_r") === -1.3)
+    assert(r.getAs[Double]("jb_r") === 0.352083)
+  }
+
+  test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
+    import spark.implicits._
+    // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)
+    // → totals: sd,rf,ls,qy = 2+2+2+4 = 10 < rf,ls,qy,sd = 2+2+4+4
+    // = 12 < ls,qy,rf,sd = qy,sd,rf,ls = 14 (tie broken by name)
+    val dir = java.nio.file.Files.createTempDirectory("rle_fix").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    Seq((1L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "A", "O", ts("2024-01-01")),
+      (1L, 2L, 1L, 2, 2.0, 100.0, 0.0, 0.0, "A", "O", ts("2024-01-01")),
+      (2L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "B", "F", ts("2024-01-02")),
+      (2L, 2L, 1L, 2, 2.0, 100.0, 0.0, 0.0, "B", "F", ts("2024-01-02")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q326_rle_advisor")(spark, dir).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[Long]("total_bound")))
+    assert(out.toSeq === Seq(("sd,rf,ls,qy", 10L), ("rf,ls,qy,sd", 12L),
+      ("ls,qy,rf,sd", 14L), ("qy,sd,rf,ls", 14L)))
+  }
 }
