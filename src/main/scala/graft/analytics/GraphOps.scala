@@ -1648,6 +1648,84 @@ object GraphOps {
              FROM scored s LEFT JOIN e ON s.x = e.pa AND s.y = e.pb
              WHERE e.pa IS NULL)
       SELECT x, y, cn, aa_micros FROM ne
-      ORDER BY aa_micros DESC, x, y LIMIT 20"""))
+      ORDER BY aa_micros DESC, x, y LIMIT 20""")),
+
+    // ---- Moran's I + Geary's C (Moran 1950; Geary 1954) over the
+    //      co-purchase graph with x = part size: do baskets co-purchase
+    //      SIMILAR-sized parts (I > E[I], C < 1) or do sizes
+    //      anti-assort? The graph-autocorrelation complement of q142's
+    //      degree assortativity — same edge table, node ATTRIBUTE
+    //      instead of degree. Exactness trick: center by the n-SCALED
+    //      deviation d_i = n·x_i − Σx (an integer; the n² factor
+    //      cancels in I's ratio and is restored explicitly in C's), so
+    //      neither mean nor variance is ever a float:
+    //        I = (n/2m)·Σ_ij w·(x_i−x̄)(x_j−x̄)/Σ(x−x̄)²
+    //          → sign(Se) and 1e6·n·|Se| DIV (m·Sd2)
+    //        C = ((n−1)/2m)·Σ_ij w·(x_i−x_j)²/(2·Σ(x−x̄)²)... cleared:
+    //          → 1e6·(n−1)·n²·ΣE(Δx)² DIV (2·m·Sd2)
+    //      with Se = Σ_edges d_a·d_b, Sd2 = n²Σx² − n(Σx)² = Σd².
+    //      Signed Se keeps its sign OUT of the division (truncating DIV
+    //      on negatives differs between engines — the olsMicros r_sign
+    //      discipline). E[I] = −1/(n−1) ships as positive nanos with
+    //      the documented sign. One edge-table join pass + one node
+    //      aggregate — linear, shuffle on the part key only.
+    ("q328_morans_i", (s: SparkSession, dir: String) => {
+      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
+      val xs = graft.Stage.mat(
+        e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+          .distinct()
+          .join(Tables(s, dir).part.selectExpr("p_partkey AS v",
+            "CAST(p_size AS BIGINT) AS x"), Seq("v")))
+      val tot = xs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"))
+      val edgeAgg = e
+        .join(xs.select(col("v").as("pa"), col("x").as("xa")), Seq("pa"))
+        .join(xs.select(col("v").as("pb"), col("x").as("xb")), Seq("pb"))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("m"),
+          sum(expr("CAST(n * xa - sx AS DECIMAL(38,0)) * (n * xb - sx)")).as("se"),
+          sum(expr("CAST(xa - xb AS DECIMAL(38,0)) * (xa - xb)")).as("sdx"))
+      edgeAgg.crossJoin(broadcast(tot))
+        .withColumn("sd2", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * sx * sx"))
+        .selectExpr("n", "m",
+          "CAST(CASE WHEN se > 0 THEN 1 WHEN se < 0 THEN -1 ELSE 0 END AS BIGINT) AS i_sign",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * n * abs(se))
+               DIV greatest(CAST(m AS DECIMAL(38,0)) * sd2, 1) AS BIGINT)
+             AS i_abs_micros""",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (n - 1) * n * n * sdx)
+               DIV greatest(CAST(2 AS DECIMAL(38,0)) * m * sd2, 1) AS BIGINT)
+             AS c_micros""",
+          "CAST(1000000000 DIV (n - 1) AS BIGINT) AS neg_e_i_nanos")
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      xs AS (SELECT v, CAST(p_size AS BIGINT) AS x
+             FROM (SELECT pa AS v FROM e UNION SELECT pb AS v FROM e) nodes
+             JOIN part ON p_partkey = v),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM xs),
+      ea AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                    CAST(SUM(CAST(n * xa.x - sx AS HUGEINT) * (n * xb.x - sx))
+                      AS HUGEINT) AS se,
+                    CAST(SUM(CAST(xa.x - xb.x AS HUGEINT) * (xa.x - xb.x))
+                      AS HUGEINT) AS sdx
+             FROM e JOIN xs xa ON e.pa = xa.v JOIN xs xb ON e.pb = xb.v
+             CROSS JOIN tot)
+      SELECT n, m,
+             CAST(CASE WHEN se > 0 THEN 1 WHEN se < 0 THEN -1 ELSE 0 END AS BIGINT)
+               AS i_sign,
+             CAST((CAST(1000000 AS HUGEINT) * n * abs(se))
+                  // GREATEST(CAST(m AS HUGEINT)
+                       * (CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * sx * sx), 1)
+                  AS BIGINT) AS i_abs_micros,
+             CAST((CAST(1000000 AS HUGEINT) * (n - 1) * n * n * sdx)
+                  // GREATEST(CAST(2 AS HUGEINT) * m
+                       * (CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * sx * sx), 1)
+                  AS BIGINT) AS c_micros,
+             CAST(1000000000 // (n - 1) AS BIGINT) AS neg_e_i_nanos
+      FROM ea CROSS JOIN tot"""))
   )
 }

@@ -1979,6 +1979,69 @@ object StatsOps {
             FROM mom)
       SELECT n, mu_f, round(g1, 6) AS skew_r, round(g2, 6) AS exkurt_r,
              round(nd * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_r
-      FROM g"""))
+      FROM g""")),
+
+    // ---- Simpson diversity per source (Simpson 1949): the probability
+    //      two tokens drawn WITHOUT replacement from a source are the
+    //      same type, D = Σ nᵢ(nᵢ−1) / (N(N−1)) — exactly integer-
+    //      rational, no logs (the sampling-theory complement of q316's
+    //      Chao1 richness and the entropy family: D weights ABUNDANT
+    //      types where Shannon weights all). inv-Simpson (effective
+    //      type count, the 'how many equally-common types would look
+    //      like this' diversity number) is the reciprocal, emitted as
+    //      micros by one truncating DIV. Per-source rows from the one
+    //      (source, term) count matrix (map-side combine; dictionary-
+    //      sized downstream) + the zz_all pooled-corpus row. N(N−1)
+    //      crosses BIGINT near N ≈ 3e9 tokens — DECIMAL(38,0)/HUGEINT
+    //      on both engines.
+    ("q329_simpson_diversity", (s: SparkSession, dir: String) => {
+      val tok = Tables(s, dir).documents.select(col("source"),
+        explode(filter(TextStats.tokens(lower(col("text"))),
+          w => w =!= lit(""))).as("w"))
+      val bySrc = graft.Stage.mat(
+        tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+      def divRow(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                 label: Column): DataFrame = grouped
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(expr("c * (c - 1)")).as("sp"))
+        .select(label.as("source"), col("n_tokens"), col("n_types"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sp)
+                   DIV greatest(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1), 1)
+                   AS BIGINT)""").as("d_ppm"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens * (n_tokens - 1))
+                   DIV greatest(sp, 1) AS BIGINT)""").as("inv_simpson_micros"))
+      val per = divRow(bySrc.groupBy(col("source")), col("source"))
+      // pooled corpus: same TYPE key, counts summed across sources
+      val all = divRow(bySrc.groupBy(col("w"))
+          .agg(sum(col("c")).as("c")).groupBy(), lit("zz_all"))
+      per.unionByName(all).orderBy(col("source"))
+    }, Some(s"""
+      WITH tok AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS w
+        FROM documents),
+      bysrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2),
+      per AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS sp
+        FROM bysrc GROUP BY source),
+      allw AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS sp
+        FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM bysrc GROUP BY w)),
+      u AS (SELECT source, n_tokens, n_types, sp FROM per
+            UNION ALL
+            SELECT 'zz_all', n_tokens, n_types, sp FROM allw)
+      SELECT source, n_tokens, n_types,
+             CAST((CAST(1000000 AS HUGEINT) * sp)
+                  // GREATEST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 1)
+                  AS BIGINT) AS d_ppm,
+             CAST((CAST(1000000 AS HUGEINT) * n_tokens * (n_tokens - 1))
+                  // GREATEST(sp, 1) AS BIGINT) AS inv_simpson_micros
+      FROM u ORDER BY source"""))
   )
 }

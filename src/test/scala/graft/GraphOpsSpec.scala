@@ -431,6 +431,27 @@ class GraphOpsSpec extends SparkSpec {
       ((3L, 13L, 2L, 2885390L)))
   }
 
+  test("moran/geary: path graph with alternating sizes is perfectly anti-assorted") {
+    // baskets {1,2}, {2,3} → path 1-2-3; sizes [1,2,1]. n-scaled
+    // deviations d = 3x−4 = [−1,2,−1] → Se = −4 (sign −1), Sd2 =
+    // 9·6−3·16 = 6, m = 2 → |I| = 1e6·3·4/(2·6) = 1e6 (I = −1, the
+    // path's exact minimum). Geary: Σ(Δx)² = 2 → C = 1e6·2·9·2/(4·6)
+    // = 1.5e6. E[I] = −1/2 → 5e8 nanos (sign documented).
+    val dir = java.nio.file.Files.createTempDirectory("moran_fix").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "p1", "B", "T", 1, 10.0), (2L, "p2", "B", "T", 2, 10.0),
+      (3L, "p3", "B", "T", 1, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = SparkEntry.queries("q328_morans_i")(spark, dir).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("m"), r.getAs[Long]("i_sign"),
+      r.getAs[Long]("i_abs_micros"), r.getAs[Long]("c_micros"),
+      r.getAs[Long]("neg_e_i_nanos")) ===
+      ((3L, 2L, -1L, 1000000L, 1500000L, 500000000L)))
+  }
+
   test("consistent hashing: only the joining node receives moved keys") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()

@@ -276,6 +276,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("jb_r") === 0.352083)
   }
 
+  test("Simpson diversity: hand counts for two sources and the pooled corpus") {
+    import spark.implicits._
+    // A = "x x y": Σn(n−1) = 2, N = 3 → D = 2/6, inv = 3e6/... = 3e6
+    // B = "z z": D = 1, inv = 1e6; pooled x:2 y:1 z:2 → D = 4/20,
+    // inv = 5e6
+    val dir = java.nio.file.Files.createTempDirectory("simp_fix").toString
+    Seq((1L, "x x y", "en", "A", 5L), (2L, "z z", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q329_simpson_diversity")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("d_ppm"),
+        r.getAs[Long]("inv_simpson_micros")))
+    assert(out.toSeq === Seq(("A", 3L, 2L, 333333L, 3000000L),
+      ("B", 2L, 1L, 1000000L, 1000000L),
+      ("zz_all", 5L, 3L, 200000L, 5000000L)))
+  }
+
   test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
     import spark.implicits._
     // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)
