@@ -862,6 +862,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 2L, 1L), (1L, 2L, 2L), (2L, 1L, 9L)))
   }
 
+  test("streaming runs counter: a sign flip across the restart counts exactly once") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingRuns.maintain(
+      spark.readStream.schema("_1 LONG, _2 LONG, _3 LONG").json(src)
+        .as[(Long, Long, Long)])
+      .toDF("key", "n", "n_above", "runs")
+    // wave 1: signs 1,0,1 → 3 runs, 2 above
+    writeOps(src, "w1.json", Seq(
+      """{"_1":1,"_2":1,"_3":1}""", """{"_1":1,"_2":2,"_3":0}""",
+      """{"_1":1,"_2":3,"_3":1}"""))
+    drainOnce(mon, ckpt, dest)
+    // wave 2 (fresh query from checkpoint): seq 4 repeats sign 1 — a
+    // run continues ONLY if the last sign survived the restart — then
+    // seq 5 flips to 0 → 4 runs total
+    writeOps(src, "w2.json", Seq(
+      """{"_1":1,"_2":4,"_3":1}""", """{"_1":1,"_2":5,"_3":0}"""))
+    drainOnce(mon, ckpt, dest)
+    val rows = spark.read.parquet(dest).as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(rows === Set((1L, 3L, 2L, 3L), (1L, 5L, 3L, 4L)))
+    // batch parity: the same fold over the full sequence
+    val batch = Seq(1L, 0L, 1L, 1L, 0L)
+      .foldLeft((0L, -1L, 0L, 0L)) { case ((n, last, runs, a), s) =>
+        (n + 1, s, runs + (if (n == 0 || s != last) 1L else 0L),
+          a + (if (s == 1L) 1L else 0L))
+      }
+    assert((batch._1, batch._4, batch._3) === ((5L, 3L, 4L)))
+  }
+
   test("contract: new stateful twins route through StatefulTwin unless in a documented exempt family") {
     // VERDICT r9 ask #7. StatefulTwin's scaladoc names the two families
     // that intentionally keep their own flatMapGroupsWithState frames:
