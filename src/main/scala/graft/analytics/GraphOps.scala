@@ -1726,6 +1726,84 @@ object GraphOps {
                        * (CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * sx * sx), 1)
                   AS BIGINT) AS c_micros,
              CAST(1000000000 // (n - 1) AS BIGINT) AS neg_e_i_nanos
-      FROM ea CROSS JOIN tot"""))
+      FROM ea CROSS JOIN tot""")),
+
+    // ---- harmonic centrality, 3-hop truncation (Boldi & Vigna 2014's
+    //      recommended closeness replacement — finite on disconnected
+    //      graphs): H(s) = Σ_{v≠s} 1/d(s,v), truncated at hop 3 (hops
+    //      beyond contribute ≤ 1/4 each and the co-purchase graph's
+    //      effective diameter is small; the truncation is the
+    //      documented contract, same spirit as q158's 2-hop reach).
+    //      Computed for a SEED COHORT (the 10 smallest node ids — a
+    //      TakeOrdered, broadcast everywhere) because all-sources BFS
+    //      is O(n·m): per-seed frontier expansion is three equi-joins
+    //      against the adjacency with LeftAnti min-hop dedup, work
+    //      bounded by |seeds|·|reachable|. Hop weights are exact
+    //      integer micros (1e6 DIV h = 1000000 / 500000 / 333333), so
+    //      H needs no floats at all. Output per seed: per-hop BFS
+    //      level sizes + harmonic_micros.
+    ("q330_harmonic_3hop", (s: SparkSession, dir: String) => {
+      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
+      val adj = graft.Stage.mat(
+        e.select(col("pa").as("u"), col("pb").as("v"))
+          .unionByName(e.select(col("pb").as("u"), col("pa").as("v"))))
+      val seeds = adj.select(col("u").as("s")).distinct()
+        .orderBy(col("s")).limit(10)
+      val h1 = graft.Stage.mat(broadcast(seeds)
+        .join(adj, col("s") === col("u"))
+        .select(col("s"), col("v")).distinct())
+      val h2 = graft.Stage.mat(h1.select(col("s"), col("v").as("f"))
+        .join(adj, col("f") === col("u"))
+        .select(col("s"), col("v")).distinct()
+        .join(h1, Seq("s", "v"), "left_anti")
+        .filter(col("v") =!= col("s")))
+      val h3 = h2.select(col("s"), col("v").as("f"))
+        .join(adj, col("f") === col("u"))
+        .select(col("s"), col("v")).distinct()
+        .join(h2, Seq("s", "v"), "left_anti")
+        .join(h1, Seq("s", "v"), "left_anti")
+        .filter(col("v") =!= col("s"))
+      def cnt(df: DataFrame, name: String) =
+        df.groupBy(col("s")).agg(count(lit(1)).as(name))
+      broadcast(seeds)
+        .join(cnt(h1, "n1"), Seq("s"), "left")
+        .join(cnt(h2, "n2"), Seq("s"), "left")
+        .join(cnt(h3, "n3"), Seq("s"), "left")
+        .selectExpr("s", "coalesce(n1, 0) AS n1", "coalesce(n2, 0) AS n2",
+          "coalesce(n3, 0) AS n3")
+        .selectExpr("s", "n1", "n2", "n3",
+          "n1 * 1000000 + n2 * 500000 + n3 * 333333 AS harmonic_micros")
+        .orderBy(col("s"))
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      seeds AS (SELECT DISTINCT u AS s FROM adj ORDER BY s LIMIT 10),
+      h1 AS (SELECT DISTINCT sd.s, a.v FROM seeds sd JOIN adj a ON a.u = sd.s),
+      h2 AS (SELECT DISTINCT f.s, a.v
+             FROM h1 f JOIN adj a ON a.u = f.v
+             WHERE a.v <> f.s
+               AND NOT EXISTS (SELECT 1 FROM h1 p
+                               WHERE p.s = f.s AND p.v = a.v)),
+      h3 AS (SELECT DISTINCT f.s, a.v
+             FROM h2 f JOIN adj a ON a.u = f.v
+             WHERE a.v <> f.s
+               AND NOT EXISTS (SELECT 1 FROM h2 p
+                               WHERE p.s = f.s AND p.v = a.v)
+               AND NOT EXISTS (SELECT 1 FROM h1 p
+                               WHERE p.s = f.s AND p.v = a.v)),
+      c1 AS (SELECT s, CAST(count(*) AS BIGINT) AS n1 FROM h1 GROUP BY s),
+      c2 AS (SELECT s, CAST(count(*) AS BIGINT) AS n2 FROM h2 GROUP BY s),
+      c3 AS (SELECT s, CAST(count(*) AS BIGINT) AS n3 FROM h3 GROUP BY s)
+      SELECT sd.s, COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2,
+             COALESCE(n3, 0) AS n3,
+             COALESCE(n1, 0) * 1000000 + COALESCE(n2, 0) * 500000
+               + COALESCE(n3, 0) * 333333 AS harmonic_micros
+      FROM seeds sd
+      LEFT JOIN c1 ON c1.s = sd.s
+      LEFT JOIN c2 ON c2.s = sd.s
+      LEFT JOIN c3 ON c3.s = sd.s
+      ORDER BY sd.s"""))
   )
 }

@@ -635,6 +635,77 @@ object StatsOps {
         s"$width * sd AS w1_scaled_ppm")
   }
 
+  /** One-row exact-moment kernel over order totals in whole dollars,
+    * shared by q327 (Jarque–Bera) and q331 (Cornish–Fisher): two-pass
+    * floor-mean-centered integer power sums S₁..S₄ (exact — |d| ≤ the
+    * dollar range keeps Σd⁴ inside DECIMAL(38,0) to sf ≈ 100), then
+    * the δ-corrected central moments and standardized g₁/g₂ in ONE
+    * mirrored IEEE chain (scalar doubles from integer aggregates,
+    * never a double SUM). Columns: n, mu_f, s1, nd, m2, g1, g2.
+    * [[dollarMomentsSqlCtes]] is the same chain as DuckDB CTEs ending
+    * in `g` — the two are a mirrored pair; edit together.
+    */
+  private def dollarMoments(s: SparkSession, dir: String): DataFrame = {
+    val y = Tables(s, dir).orders
+      .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS y")
+    val mu = y.agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      .selectExpr("sy DIV n AS mu_f")
+    y.crossJoin(broadcast(mu))
+      .selectExpr("mu_f", "y - mu_f AS d")
+      .agg(count(lit(1)).as("n"), max(col("mu_f")).as("mu_f"),
+        sum(col("d")).as("s1"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("s2"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("s3"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d * d * d")).as("s4"))
+      .withColumn("nd", expr("CAST(n AS DOUBLE)"))
+      .withColumn("m2", expr(
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / nd"))
+      .withColumn("m3", expr(
+        """(CAST(s3 AS DOUBLE) - 3 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / nd
+            + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / (nd * nd)) / nd"""))
+      .withColumn("m4", expr(
+        """(CAST(s4 AS DOUBLE) - 4 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / nd
+            + 6 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / (nd * nd)
+            - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              * CAST(s1 AS DOUBLE) / (nd * nd * nd)) / nd"""))
+      .withColumn("g1", expr(
+        "CASE WHEN m2 <= 0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END"))
+      .withColumn("g2", expr(
+        "CASE WHEN m2 <= 0 THEN 0.0 ELSE m4 / (m2 * m2) - 3 END"))
+  }
+
+  /** DuckDB mirror of [[dollarMoments]]; CTE chain ending in `g`. */
+  private val dollarMomentsSqlCtes: String = """
+      y AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+      mu AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu_f
+             FROM y),
+      sums AS (SELECT CAST(count(*) AS BIGINT) AS n, MAX(mu_f) AS mu_f,
+                      CAST(SUM(y - mu_f) AS BIGINT) AS s1,
+                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f)) AS HUGEINT) AS s2,
+                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f) * (y - mu_f))
+                        AS HUGEINT) AS s3,
+                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f) * (y - mu_f)
+                        * (y - mu_f)) AS HUGEINT) AS s4
+               FROM y CROSS JOIN mu),
+      mom AS (SELECT n, mu_f, s1,
+                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / nd AS m2,
+                (CAST(s3 AS DOUBLE) - 3 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / nd
+                  + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / (nd * nd)) / nd AS m3,
+                (CAST(s4 AS DOUBLE) - 4 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / nd
+                  + 6 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    / (nd * nd)
+                  - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / (nd * nd * nd)) / nd AS m4,
+                nd
+              FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums)),
+      g AS (SELECT n, mu_f, s1, nd, m2,
+                   CASE WHEN m2 <= 0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END AS g1,
+                   CASE WHEN m2 <= 0 THEN 0.0 ELSE m4 / (m2 * m2) - 3 END AS g2
+            FROM mom)"""
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- Simpson's-paradox slope audit: the pooled OLS slope of
@@ -1916,70 +1987,78 @@ object StatsOps {
     //      m₄ = (S₄ − 4S₁S₃/n + 6S₁²S₂/n² − 3S₁⁴/n³)/n (S₁ < n, so the
     //      correction terms stay tiny and exact). Output: one row with
     //      n, μ_f, and the rounded skewness / excess kurtosis / JB.
-    ("q327_jarque_bera", (s: SparkSession, dir: String) => {
-      val y = Tables(s, dir).orders
-        .selectExpr("CAST(floor(o_totalprice) AS BIGINT) AS y")
-      val mu = y.agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
-        .selectExpr("sy DIV n AS mu_f")
-      val sums = y.crossJoin(broadcast(mu))
-        .selectExpr("mu_f", "y - mu_f AS d")
-        .agg(count(lit(1)).as("n"), max(col("mu_f")).as("mu_f"),
-          sum(col("d")).as("s1"),
-          sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("s2"),
-          sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("s3"),
-          sum(expr("CAST(d AS DECIMAL(38,0)) * d * d * d")).as("s4"))
-      sums
-        .withColumn("nd", expr("CAST(n AS DOUBLE)"))
-        .withColumn("m2", expr(
-          "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / nd"))
-        .withColumn("m3", expr(
-          """(CAST(s3 AS DOUBLE) - 3 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / nd
-              + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                / (nd * nd)) / nd"""))
-        .withColumn("m4", expr(
-          """(CAST(s4 AS DOUBLE) - 4 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / nd
-              + 6 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                / (nd * nd)
-              - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                * CAST(s1 AS DOUBLE) / (nd * nd * nd)) / nd"""))
-        .withColumn("g1", expr(
-          "CASE WHEN m2 <= 0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END"))
-        .withColumn("g2", expr(
-          "CASE WHEN m2 <= 0 THEN 0.0 ELSE m4 / (m2 * m2) - 3 END"))
+    ("q327_jarque_bera", (s: SparkSession, dir: String) =>
+      dollarMoments(s, dir)
         .selectExpr("n", "mu_f", "round(g1, 6) AS skew_r",
           "round(g2, 6) AS exkurt_r",
-          "round(nd * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_r")
-    }, Some("""
-      WITH y AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
-      mu AS (SELECT CAST(SUM(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu_f
-             FROM y),
-      sums AS (SELECT CAST(count(*) AS BIGINT) AS n, MAX(mu_f) AS mu_f,
-                      CAST(SUM(y - mu_f) AS BIGINT) AS s1,
-                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f)) AS HUGEINT) AS s2,
-                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f) * (y - mu_f))
-                        AS HUGEINT) AS s3,
-                      CAST(SUM(CAST(y - mu_f AS HUGEINT) * (y - mu_f) * (y - mu_f)
-                        * (y - mu_f)) AS HUGEINT) AS s4
-               FROM y CROSS JOIN mu),
-      mom AS (SELECT n, mu_f,
-                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd) / nd AS m2,
-                (CAST(s3 AS DOUBLE) - 3 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / nd
-                  + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                    / (nd * nd)) / nd AS m3,
-                (CAST(s4 AS DOUBLE) - 4 * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) / nd
-                  + 6 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                    / (nd * nd)
-                  - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                    * CAST(s1 AS DOUBLE) / (nd * nd * nd)) / nd AS m4,
-                nd
-              FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums)),
-      g AS (SELECT n, mu_f, nd,
-                   CASE WHEN m2 <= 0 THEN 0.0 ELSE m3 / (m2 * sqrt(m2)) END AS g1,
-                   CASE WHEN m2 <= 0 THEN 0.0 ELSE m4 / (m2 * m2) - 3 END AS g2
-            FROM mom)
+          "round(nd * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_r"),
+      Some(s"""
+      WITH $dollarMomentsSqlCtes
       SELECT n, mu_f, round(g1, 6) AS skew_r, round(g2, 6) AS exkurt_r,
              round(nd * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_r
       FROM g""")),
+
+    // ---- Cornish–Fisher quantile estimate WITH exact certification
+    //      (Cornish & Fisher 1938): can four moments stand in for a
+    //      full quantile pass? The one-row moment summary (q327's
+    //      shared kernel) predicts q_p ≈ μ + σ·w_p with
+    //        w = z + (z²−1)g₁/6 + (z³−3z)g₂/24 − (2z³−5z)g₁²/36,
+    //      z the pinned standard-normal quantiles (constants-in-source
+    //      discipline, like SPRT's thresholds), and the in-plan
+    //      certification compares against the EXACT doubled-rank cent
+    //      quantile from the range-bucket selector — the same
+    //      sketch-vs-exact audit shape as q276/q305. At 100 TB the
+    //      moment row costs one pass with a 4-long payload; the exact
+    //      side is the certificate you run on the sample, not the
+    //      corpus. err_ppm carries both the expansion error and the
+    //      dollar-floor binning (documented).
+    ("q331_cornish_fisher", (s: SparkSession, dir: String) => {
+      val qs = graft.analytics.Quantiles.quantilesRaw(
+          Tables(s, dir).orders.selectExpr("'all' AS g",
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS x"),
+          "g", "x", Seq(0.5, 0.9, 0.99))
+        .selectExpr("p", "CAST(2 * q AS BIGINT) AS exact2_cents")
+      dollarMoments(s, dir).crossJoin(qs)
+        .withColumn("z", expr(
+          """CASE WHEN p = 0.5 THEN CAST(0.0 AS DOUBLE)
+                  WHEN p = 0.9 THEN CAST(1.2815515655446004 AS DOUBLE)
+                  ELSE CAST(2.3263478740408408 AS DOUBLE) END"""))
+        .withColumn("w", expr(
+          """z + (z * z - 1) * g1 / 6 + (z * z * z - 3 * z) * g2 / 24
+             - (2 * z * z * z - 5 * z) * g1 * g1 / 36"""))
+        .withColumn("est2_cents", expr(
+          """CAST(round((CAST(mu_f AS DOUBLE) + CAST(s1 AS DOUBLE) / nd
+               + sqrt(m2) * w) * 200, 0) AS BIGINT)"""))
+        .selectExpr("CAST(round(p * 10000, 0) AS BIGINT) AS p_bp",
+          "est2_cents", "exact2_cents",
+          """CAST((1000000 * abs(est2_cents - exact2_cents))
+               DIV greatest(exact2_cents, 1) AS BIGINT) AS err_ppm""")
+        .orderBy(col("p_bp"))
+    }, Some(s"""
+      WITH $dollarMomentsSqlCtes,
+      qs AS (SELECT p, CAST(2 * q AS BIGINT) AS exact2_cents FROM (
+        ${graft.analytics.Quantiles.rawSql(
+          """SELECT 'all' AS g, CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+             FROM orders""",
+          """(VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+              (CAST(0.99 AS DOUBLE))) ps(p)""")})),
+      cf AS (SELECT p, exact2_cents, mu_f, s1, nd, m2, g1, g2,
+                    CASE WHEN p = 0.5 THEN CAST(0.0 AS DOUBLE)
+                         WHEN p = 0.9 THEN CAST(1.2815515655446004 AS DOUBLE)
+                         ELSE CAST(2.3263478740408408 AS DOUBLE) END AS z
+             FROM g CROSS JOIN qs),
+      est AS (SELECT p, exact2_cents,
+                     CAST(round((CAST(mu_f AS DOUBLE) + CAST(s1 AS DOUBLE) / nd
+                       + sqrt(m2) * (z + (z * z - 1) * g1 / 6
+                         + (z * z * z - 3 * z) * g2 / 24
+                         - (2 * z * z * z - 5 * z) * g1 * g1 / 36)) * 200, 0)
+                       AS BIGINT) AS est2_cents
+              FROM cf)
+      SELECT CAST(round(p * 10000, 0) AS BIGINT) AS p_bp, est2_cents,
+             exact2_cents,
+             CAST((1000000 * abs(est2_cents - exact2_cents))
+                  // GREATEST(exact2_cents, 1) AS BIGINT) AS err_ppm
+      FROM est ORDER BY p_bp""")),
 
     // ---- Simpson diversity per source (Simpson 1949): the probability
     //      two tokens drawn WITHOUT replacement from a source are the

@@ -452,6 +452,20 @@ class GraphOpsSpec extends SparkSpec {
       ((3L, 2L, -1L, 1000000L, 1500000L, 500000000L)))
   }
 
+  test("harmonic 3-hop: path graph distances weight as 1, 1/2") {
+    // path 1-2-3: seed 1 → hop1 {2}, hop2 {3} → 1.5e6 micros; seed 2
+    // → hop1 {1,3} → 2e6; seed 3 mirrors seed 1
+    val dir = java.nio.file.Files.createTempDirectory("harm_fix").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q330_harmonic_3hop")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("n3"), r.getAs[Long]("harmonic_micros")))
+    assert(out.toSeq === Seq((1L, 1L, 1L, 0L, 1500000L),
+      (2L, 2L, 0L, 0L, 2000000L), (3L, 1L, 1L, 0L, 1500000L)))
+  }
+
   test("consistent hashing: only the joining node receives moved keys") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()

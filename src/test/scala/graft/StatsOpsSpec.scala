@@ -294,6 +294,34 @@ class StatsOpsSpec extends SparkSpec {
       ("zz_all", 5L, 3L, 200000L, 5000000L)))
   }
 
+  test("Cornish-Fisher: zero-skew fixture pins the median estimate and the formula") {
+    import spark.implicits._
+    // same 1..5 fixture as Jarque-Bera: μ = 3, σ = √2, g1 = 0,
+    // g2 = −1.3. At p = 0.5, w = 0 → est2 = 600 vs exact doubled
+    // median 650 (cents 125..525) → err = 1e6·50//650 = 76923. The
+    // 0.9/0.99 rows follow the same mirrored chain, recomputed here.
+    val dir = java.nio.file.Files.createTempDirectory("cf_fix").toString
+    (1 to 5).map(i => (i.toLong, i.toLong, "O", i + 0.25,
+        java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q331_cornish_fisher")(spark, dir).collect()
+      .map(r => r.getAs[Long]("p_bp") -> (r.getAs[Long]("est2_cents"),
+        r.getAs[Long]("exact2_cents"), r.getAs[Long]("err_ppm"))).toMap
+    assert(out(5000L) === ((600L, 650L, 76923L)))
+    def expect(z: Double, exact2: Long): (Long, Long, Long) = {
+      val g2 = -1.3
+      val w = z + (z * z - 1) * 0.0 / 6 + (z * z * z - 3 * z) * g2 / 24 - 0.0
+      val est2 = math.round((3.0 + math.sqrt(2.0) * w) * 200)
+      (est2, exact2, 1000000L * math.abs(est2 - exact2) / exact2)
+    }
+    // exact ranks over cents [125..525]: p=0.9 → 485 (×2 = 970),
+    // p=0.99 → 521 (×2 = 1042)
+    assert(out(9000L) === expect(1.2815515655446004, 970L))
+    assert(out(9900L) === expect(2.3263478740408408, 1042L))
+  }
+
   test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
     import spark.implicits._
     // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)
