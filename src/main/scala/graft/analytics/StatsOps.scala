@@ -2121,6 +2121,122 @@ object StatsOps {
                   AS BIGINT) AS d_ppm,
              CAST((CAST(1000000 AS HUGEINT) * n_tokens * (n_tokens - 1))
                   // GREATEST(sp, 1) AS BIGINT) AS inv_simpson_micros
-      FROM u ORDER BY source"""))
+      FROM u ORDER BY source""")),
+
+    // ---- Gini coefficient of customer revenue (Gini 1912, the
+    //      rank-covariance form): G = [Σ 2m̄ᵢxᵢ − (n+1)Σx] / (n·Σx)
+    //      with m̄ the TIE-ADJUSTED midrank — the scalar inequality
+    //      summary whose cumulative-curve cousin is q192's ABC table.
+    //      Within a tie group Σ rank·x is invariant to rank order, so
+    //      doubled midranks (2·mn + cnt − 1, exact integers from the
+    //      shared tieMidranks two-phase rank — q239/q310's kernel) give
+    //      the canonical tie value with NO sort of the fact table: rank
+    //      work is value-histogram-sized, never customer-sized. The
+    //      numerator is ≥ 0 by the rearrangement inequality, so one
+    //      truncating DIV suffices:
+    //        gini_ppm = 1e6·(Σdm̄x − (n+1)Σx) DIV (n·Σx).
+    ("q332_gini_revenue", (s: SparkSession, dir: String) => {
+      val rev = Tables(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("r"))
+      val ties = graft.Stage.mat(
+        rev.groupBy(col("r").as("score")).agg(count(lit(1)).as("cnt")))
+      tieMidranks(ties, 1024)
+        .agg(sum(col("cnt")).as("n"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * score")).as("sx"),
+          sum(expr(
+            "CAST(cnt AS DECIMAL(38,0)) * (2 * mn + cnt - 1) * score")).as("sdmx"))
+        .selectExpr("n", "CAST(sx AS BIGINT) AS total_cents",
+          "CAST(sx DIV n AS BIGINT) AS mean_cents",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (sdmx - (n + 1) * sx))
+               DIV greatest(CAST(n AS DECIMAL(38,0)) * sx, 1) AS BIGINT)
+             AS gini_ppm""")
+    }, Some("""
+      WITH rev AS (SELECT o_custkey,
+                          CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS score
+                   FROM orders GROUP BY o_custkey),
+      ties AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt
+               FROM rev GROUP BY score),
+      mr AS (SELECT score, cnt,
+                    SUM(cnt) OVER (ORDER BY score) - cnt + 1 AS mn
+             FROM ties)
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * score) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(cnt AS HUGEINT) * score) // SUM(cnt) AS BIGINT)
+               AS mean_cents,
+             CAST((CAST(1000000 AS HUGEINT)
+                     * (SUM(CAST(cnt AS HUGEINT) * (2 * mn + cnt - 1) * score)
+                        - (SUM(cnt) + 1) * SUM(CAST(cnt AS HUGEINT) * score)))
+                  // GREATEST(CAST(SUM(cnt) AS HUGEINT)
+                       * SUM(CAST(cnt AS HUGEINT) * score), 1) AS BIGINT)
+               AS gini_ppm
+      FROM mr""")),
+
+    // ---- Markov entropy rate of the event stream (Shannon 1948 §7,
+    //      empirical form): how predictable is the NEXT event type
+    //      given the current one? H = Σᵢⱼ (cᵢⱼ/N)·ln(cᵢ·/cᵢⱼ) over the
+    //      per-user transition counts (q174's lead-window matrix —
+    //      user-partitioned, never a global window), which is exactly
+    //      the lead-one cross-entropy a sequence model must beat. All
+    //      ln through integer-argument round9ln (the q292/q321
+    //      convention), so per-source conditional entropies and the
+    //      pooled rate are exact integer nanos:
+    //        h_src = Σⱼ cᵢⱼ·(ln9 cᵢ· − ln9 cᵢⱼ) DIV cᵢ·
+    //        rate  = Σᵢⱼ cᵢⱼ·(ln9 cᵢ· − ln9 cᵢⱼ) DIV N.
+    //      Weighting by empirical source frequencies (not the chain's
+    //      stationary vector — the documented choice; they coincide as
+    //      the chain mixes). The transition matrix is k² ≤ 25 rows —
+    //      everything after the one lead pass is catalog-sized.
+    ("q333_markov_entropy_rate", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      def ln9(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = graft.Stage.mat(Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .withColumn("dst_et", lead(col("event_type"), 1).over(w))
+        .filter(col("dst_et").isNotNull)
+        .groupBy(col("event_type").as("src_et"), col("dst_et"))
+        .agg(count(lit(1)).as("c")))
+      val rows = tr.groupBy(col("src_et"))
+        .agg(sum(col("c")).as("ci"), count(lit(1)).as("n_dst"))
+      val terms = graft.Stage.mat(tr.join(broadcast(rows), Seq("src_et"))
+        .selectExpr("src_et", "ci", "n_dst",
+          s"c * (${ln9("ci")} - ${ln9("c")}) AS t"))
+      val per = terms.groupBy(col("src_et"), col("ci"), col("n_dst"))
+        .agg(sum(col("t")).as("st"))
+        .selectExpr("src_et", "ci AS n_out", "n_dst",
+          "st DIV ci AS h_nanos")
+      val zzRow = tr.agg(sum(col("c")).as("nn"), count(lit(1)).as("cells"))
+        .crossJoin(broadcast(terms.agg(sum(col("t")).as("st"))))
+        .selectExpr("'zz_rate' AS src_et", "nn AS n_out", "cells AS n_dst",
+          "st DIV nn AS h_nanos")
+      per.unionByName(zzRow).orderBy(col("src_et"))
+    }, Some("""
+      WITH trr AS (
+        SELECT event_type AS src_et,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS dst_et
+        FROM events WHERE user_id IS NOT NULL),
+      tr AS (SELECT src_et, dst_et, CAST(count(*) AS BIGINT) AS c
+             FROM trr WHERE dst_et IS NOT NULL GROUP BY 1, 2),
+      rows_ AS (SELECT src_et, CAST(SUM(c) AS BIGINT) AS ci,
+                       CAST(count(*) AS BIGINT) AS n_dst
+                FROM tr GROUP BY src_et),
+      terms AS (
+        SELECT t.src_et, r.ci, r.n_dst,
+               t.c * (CAST(round(ln(CAST(r.ci AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+                    - CAST(round(ln(CAST(t.c AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS t
+        FROM tr t JOIN rows_ r USING (src_et))
+      SELECT src_et, ci AS n_out, n_dst,
+             CAST(SUM(t) // ci AS BIGINT) AS h_nanos
+      FROM terms GROUP BY src_et, ci, n_dst
+      UNION ALL
+      SELECT 'zz_rate', (SELECT CAST(SUM(c) AS BIGINT) FROM tr),
+             (SELECT CAST(count(*) AS BIGINT) FROM tr),
+             CAST((SELECT CAST(SUM(t) AS BIGINT) FROM terms)
+                  // (SELECT CAST(SUM(c) AS BIGINT) FROM tr) AS BIGINT)
+      ORDER BY src_et"""))
   )
 }

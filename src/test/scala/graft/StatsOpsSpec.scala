@@ -322,6 +322,43 @@ class StatsOpsSpec extends SparkSpec {
     assert(out(9900L) === expect(2.3263478740408408, 1042L))
   }
 
+  test("Gini: tie-adjusted midranks reproduce the hand Lorenz value") {
+    import spark.implicits._
+    // revenues [100, 100, 200, 400] cents: midranks (1.5, 1.5, 3, 4)
+    // → 2Σmx = 5000, Σx = 800 → G = (5000 − 5·800)/(4·800) = 0.3125
+    val dir = java.nio.file.Files.createTempDirectory("gini_fix").toString
+    Seq((1L, 1L, 1.00), (2L, 2L, 1.00), (3L, 3L, 2.00), (4L, 4L, 4.00))
+      .map { case (ok, ck, tp) => (ok, ck, "O", tp,
+        java.sql.Date.valueOf("2024-01-01"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q332_gini_revenue")(spark, dir).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("total_cents"),
+      r.getAs[Long]("mean_cents"), r.getAs[Long]("gini_ppm")) ===
+      ((4L, 800L, 200L, 312500L)))
+  }
+
+  test("Markov entropy rate: a fair binary branch costs exactly ln 2 nanos") {
+    import spark.implicits._
+    // one user: click,view,click,click → click branches 50/50 (h =
+    // ln 2 nanos), view is deterministic (h = 0); rate = 2·ln9(2)
+    // DIV 3 transitions
+    val dir = java.nio.file.Files.createTempDirectory("mer_fix").toString
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $t")
+    Seq((1L, ts("10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("10:01:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("10:02:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("10:03:00"), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q333_markov_entropy_rate")(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_et"), r.getAs[Long]("n_out"),
+        r.getAs[Long]("n_dst"), r.getAs[Long]("h_nanos")))
+    assert(out.toSeq === Seq(("click", 2L, 2L, 693147181L),
+      ("view", 1L, 1L, 0L), ("zz_rate", 3L, 3L, 462098120L)))
+  }
+
   test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
     import spark.implicits._
     // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)
