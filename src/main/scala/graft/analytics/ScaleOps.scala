@@ -2679,7 +2679,70 @@ object ScaleOps {
       UNION ALL ${cand(Seq("qy", "sd", "rf", "ls"))}
       UNION ALL ${cand(Seq("ls", "qy", "rf", "sd"))}
       ORDER BY total_bound, layout"""
-    })
+    }),
+
+    // ---- dedup selection-bias audit: WHAT does the keep-rule throw
+    //      away? Every dedup pass is an implicit sampling policy — if
+    //      dropped copies skew by language, source, or length, the
+    //      surviving corpus drifts (the Dodge et al. 2021 C4-audit
+    //      concern). Corpus = q99's construction (documents + planted
+    //      numbered reprints), keep-rule = q99's robust-fingerprint
+    //      min-id representative; the audit compares kept vs dropped
+    //      per language: counts, within-cohort share, and mean chars
+    //      (exact integer micros — the reprints are strictly longer,
+    //      so the fixture has real signal: dropped mean > kept mean).
+    //      The keep flag rides a PARTITIONED window over the 64-bit
+    //      fingerprint (no fingerprint-string join, no global window);
+    //      everything downstream is (cohort × lang)-sized.
+    ("q334_dedup_bias_audit", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("text"),
+        col("lang"))
+      val reprints = base.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" -- "), col("doc_id").cast("string"),
+          lit(" / 500 --")).as("text"), col("lang"))
+      val tagged = graft.Stage.mat(base.unionByName(reprints)
+        .withColumn("rfp", TextStats.robustFingerprint(col("text")))
+        .withColumn("keep_id", min(col("doc_id")).over(
+          Window.partitionBy(col("rfp"))))
+        .selectExpr(
+          "CASE WHEN doc_id = keep_id THEN 'kept' ELSE 'dropped' END AS cohort",
+          "lang", "length(text) AS nc"))
+      val per = tagged.groupBy(col("cohort"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("nc")).as("sc"))
+      val tot = per.groupBy(col("cohort"))
+        .agg(sum(col("n")).as("nt")).withColumnRenamed("cohort", "cohort2")
+      per.join(broadcast(tot), col("cohort") === col("cohort2"))
+        .selectExpr("cohort", "lang", "n",
+          "(1000000 * n) DIV nt AS share_ppm",
+          "(1000000 * sc) DIV n AS mean_chars_micros")
+        .orderBy(col("cohort"), col("lang"))
+    }, Some(s"""
+      WITH all_docs AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 10000,
+               concat(text, ' -- ', CAST(doc_id AS VARCHAR), ' / 500 --'),
+               lang
+        FROM documents),
+      tagged AS (
+        SELECT CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY
+                 array_to_string(list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                                  '[^a-z${TextStats.wsCharsSql}]', '', 'g'),
+                   '$ws+'), x -> x <> ''), ' '))
+               THEN 'kept' ELSE 'dropped' END AS cohort,
+               lang, CAST(length(text) AS BIGINT) AS nc
+        FROM all_docs),
+      per AS (SELECT cohort, lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(nc) AS BIGINT) AS sc
+              FROM tagged GROUP BY 1, 2),
+      tot AS (SELECT cohort, CAST(SUM(n) AS BIGINT) AS nt
+              FROM per GROUP BY cohort)
+      SELECT per.cohort, lang, n, (1000000 * n) // nt AS share_ppm,
+             (1000000 * sc) // n AS mean_chars_micros
+      FROM per JOIN tot ON per.cohort = tot.cohort
+      ORDER BY per.cohort, lang"""))
   )
 
   /** Unrolled Hilbert index on an n×n grid (n a power of two): the

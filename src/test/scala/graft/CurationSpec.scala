@@ -649,4 +649,27 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_ln_ratio_nanos") >= 0L)
     assert(r.getAs[Long]("alpha_micros") > 0L)
   }
+
+  test("dedup bias audit: dropped cohort carries the longer reprint copies") {
+    import spark.implicits._
+    // docs 1 "alpha beta" (en) and 2 "Alpha beta7" (en) share a robust
+    // fingerprint; reprints +10000 suffix " -- <orig id> / 500 --"
+    // (14 chars for 1-digit ids) and normalize into the same groups.
+    // keep = min id → kept: doc1 (10 ch), doc3 "gamma" (fr, 5 ch);
+    // dropped: doc2 (11) + reprints 10001 (24), 10002 (25), 10003 (19)
+    val dir = java.nio.file.Files.createTempDirectory("bias_fix").toString
+    Seq((1L, "alpha beta", "en", "A", 10L), (2L, "Alpha beta7", "en", "A", 11L),
+      (3L, "gamma", "fr", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q334_dedup_bias_audit")(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[String]("lang"),
+        r.getAs[Long]("n"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("mean_chars_micros")))
+    assert(out.toSeq === Seq(
+      ("dropped", "en", 3L, 750000L, 20000000L),
+      ("dropped", "fr", 1L, 250000L, 19000000L),
+      ("kept", "en", 1L, 500000L, 10000000L),
+      ("kept", "fr", 1L, 500000L, 5000000L)))
+  }
 }
