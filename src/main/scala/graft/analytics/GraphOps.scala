@@ -842,6 +842,45 @@ object GraphOps {
     globalRow.unionByName(localTop).orderBy(col("v"))
   }
 
+  /** Per-edge triangle support over a distinct undirected edge table
+    * (pa < pb): the q257 oriented wedge enumeration (each triangle found
+    * once at its min-degree vertex), then each triangle credits its
+    * THREE edges — the k-truss peel primitive (Cohen 2008). Support
+    * rows cover exactly the edges that close ≥ 1 triangle (triangle
+    * edges are e-members by construction), so Σ sup = 3·|triangles|.
+    */
+  private[graft] def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Stage.mat(e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+        when(lower, col("pb")).otherwise(col("pa")).as("w"),
+        when(lower, col("db")).otherwise(col("da")).as("dw")))
+    val wedges = ori.as("w1")
+      .join(ori.as("w2").hint("shuffle_hash"),
+        col("w1.u") === col("w2.u") && col("w1.w") < col("w2.w"))
+      .select(col("w1.u").as("cu"), col("w1.w").as("x"), col("w1.dw").as("dx"),
+        col("w2.w").as("y"), col("w2.dw").as("dy"))
+    val innerLower = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val tri = wedges
+      .join(ori.as("o2").hint("shuffle_hash"),
+        col("o2.u") === when(innerLower, col("x")).otherwise(col("y")) &&
+          col("o2.w") === when(innerLower, col("y")).otherwise(col("x")))
+      .select(col("cu").as("u"), col("x"), col("y"))
+    tri.select(least(col("u"), col("x")).as("pa"),
+        greatest(col("u"), col("x")).as("pb"))
+      .unionByName(tri.select(least(col("u"), col("y")).as("pa"),
+        greatest(col("u"), col("y")).as("pb")))
+      .unionByName(tri.select(least(col("x"), col("y")).as("pa"),
+        greatest(col("x"), col("y")).as("pb")))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- rich-club coefficient (Colizza et al. 2006, unnormalized
@@ -1804,6 +1843,92 @@ object GraphOps {
       LEFT JOIN c1 ON c1.s = sd.s
       LEFT JOIN c2 ON c2.s = sd.s
       LEFT JOIN c3 ON c3.s = sd.s
-      ORDER BY sd.s"""))
+      ORDER BY sd.s""")),
+
+    // ---- k-truss peel, k = 4 (Cohen 2008): iteratively delete edges
+    //      supported by fewer than k−2 = 2 triangles — the cohesive-
+    //      subgraph family's edge-wise member beside q138/q311's
+    //      vertex-wise cores (a 4-truss edge set is strictly stronger
+    //      than a 3-core). Three synchronous peel rounds over the
+    //      deterministic 25% order cohort (o % 4 = 0 — triangle work is
+    //      O(m^1.5), so the cohort bounds each round's wedge stream the
+    //      way q325's shard bounds its pairs; production sweeps
+    //      cohorts). Each round re-enumerates support via the shared
+    //      [[edgeSupport]] (oriented wedges + closure probe, both
+    //      shuffle_hash-hinted) and keeps sup ≥ 2 edges; the round
+    //      summary (edges in, triangles = Σsup DIV 3, edges kept) is
+    //      assembled plan-side — no driver collects. The oracle unrolls
+    //      the SAME three rounds as MATERIALIZED CTEs (the q311
+    //      warm-start discipline), so convergence is value-checked
+    //      round for round.
+    ("q335_ktruss_peel", (s: SparkSession, dir: String) => {
+      var eCur = graft.Stage.mat(partCoPurchaseEdges(
+        Tables(s, dir).lineitem.filter(pmod(col("l_orderkey"), lit(4)) === 0)))
+      val rows = (1 to 3).map { r =>
+        val sup = graft.Stage.mat(edgeSupport(eCur))
+        val next = graft.Stage.mat(
+          sup.filter(col("sup") >= 2).select(col("pa"), col("pb")))
+        val row = eCur.agg(count(lit(1)).as("n_edges_in"))
+          .crossJoin(sup.agg(expr("coalesce(sum(sup), 0) DIV 3").as("n_tri")))
+          .crossJoin(next.agg(count(lit(1)).as("n_kept")))
+          .selectExpr(s"CAST($r AS BIGINT) AS round", "n_edges_in", "n_tri",
+            "n_kept")
+        eCur = next
+        row
+      }
+      rows.reduce(_ unionByName _).orderBy(col("round"))
+    }, Some {
+      def roundSql(e: String, p: String) = s"""
+      ${p}deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT pa AS v FROM $e UNION ALL SELECT pb AS v FROM $e)
+                 GROUP BY v),
+      ${p}ori AS MATERIALIZED (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND ee.pa < ee.pb)
+                    THEN ee.pa ELSE ee.pb END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND ee.pa < ee.pb)
+                    THEN ee.pb ELSE ee.pa END AS w,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND ee.pa < ee.pb)
+                    THEN db.d ELSE da.d END AS dw
+        FROM $e ee JOIN ${p}deg da ON ee.pa = da.v
+        JOIN ${p}deg db ON ee.pb = db.v),
+      ${p}tri AS MATERIALIZED (
+        SELECT wd.u, wd.x, wd.y
+        FROM (SELECT w1.u, w1.w AS x, w1.dw AS dx, w2.w AS y, w2.dw AS dy
+              FROM ${p}ori w1 JOIN ${p}ori w2
+                ON w1.u = w2.u AND w1.w < w2.w) wd
+        JOIN ${p}ori o2
+          ON o2.u = CASE WHEN wd.dx < wd.dy OR (wd.dx = wd.dy AND wd.x < wd.y)
+                         THEN wd.x ELSE wd.y END
+         AND o2.w = CASE WHEN wd.dx < wd.dy OR (wd.dx = wd.dy AND wd.x < wd.y)
+                         THEN wd.y ELSE wd.x END),
+      ${p}sup AS MATERIALIZED (
+        SELECT pa, pb, CAST(count(*) AS BIGINT) AS sup FROM (
+          SELECT LEAST(u, x) AS pa, GREATEST(u, x) AS pb FROM ${p}tri
+          UNION ALL SELECT LEAST(u, y), GREATEST(u, y) FROM ${p}tri
+          UNION ALL SELECT LEAST(x, y), GREATEST(x, y) FROM ${p}tri)
+        GROUP BY pa, pb),
+      ${p}next AS MATERIALIZED (SELECT pa, pb FROM ${p}sup WHERE sup >= 2)"""
+      s"""
+      WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % 4 = 0),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      ${roundSql("e0", "r1")},
+      ${roundSql("r1next", "r2")},
+      ${roundSql("r2next", "r3")}
+      SELECT CAST(1 AS BIGINT) AS round,
+             (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges_in,
+             (SELECT CAST(count(*) AS BIGINT) FROM r1tri) AS n_tri,
+             (SELECT CAST(count(*) AS BIGINT) FROM r1next) AS n_kept
+      UNION ALL
+      SELECT 2, (SELECT count(*) FROM r1next), (SELECT count(*) FROM r2tri),
+             (SELECT count(*) FROM r2next)
+      UNION ALL
+      SELECT 3, (SELECT count(*) FROM r2next), (SELECT count(*) FROM r3tri),
+             (SELECT count(*) FROM r3next)
+      ORDER BY round"""
+    })
   )
 }

@@ -466,6 +466,23 @@ class GraphOpsSpec extends SparkSpec {
       (2L, 2L, 0L, 0L, 2000000L), (3L, 1L, 1L, 0L, 1500000L)))
   }
 
+  test("k-truss peel: a pendant triangle peels away, the K4 survives") {
+    // cohort orders (keys % 4 = 0): basket {1,2,3,4} → K4 (6 edges,
+    // 4 triangles, every edge support 2) + basket {4,5,6} → pendant
+    // triangle (3 edges, support 1 each). Round 1: 9 edges, 5
+    // triangles, keep 6; rounds 2–3 are the stable K4.
+    val dir = java.nio.file.Files.createTempDirectory("truss_fix").toString
+    (Seq((4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L)) ++
+      Seq((8L, 4L), (8L, 5L), (8L, 6L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q335_ktruss_peel")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_edges_in"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("n_kept")))
+    assert(out.toSeq === Seq((1L, 9L, 5L, 6L), (2L, 6L, 4L, 6L),
+      (3L, 6L, 4L, 6L)))
+  }
+
   test("consistent hashing: only the joining node receives moved keys") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()
