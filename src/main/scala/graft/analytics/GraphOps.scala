@@ -1775,41 +1775,55 @@ object GraphOps {
     //      documented contract, same spirit as q158's 2-hop reach).
     //      Computed for a SEED COHORT (the 10 smallest node ids — a
     //      TakeOrdered, broadcast everywhere) because all-sources BFS
-    //      is O(n·m): per-seed frontier expansion is three equi-joins
-    //      against the adjacency with LeftAnti min-hop dedup, work
-    //      bounded by |seeds|·|reachable|. Hop weights are exact
-    //      integer micros (1e6 DIV h = 1000000 / 500000 / 333333), so
-    //      H needs no floats at all. Output per seed: per-hop BFS
-    //      level sizes + harmonic_micros.
+    //      is O(n·m); the cohort rides ONE bit-parallel multi-source
+    //      BFS (see the in-body comment) so each hop costs one
+    //      edge-join + bit_or aggregate regardless of seed count ≤ 64.
+    //      Hop weights are exact integer micros (1e6 DIV h = 1000000 /
+    //      500000 / 333333), so H needs no floats at all. Output per
+    //      seed: per-hop BFS level sizes + harmonic_micros.
     ("q330_harmonic_3hop", (s: SparkSession, dir: String) => {
+      // Multi-source BFS with bit-parallel seed masks (the MS-BFS /
+      // HyperBall trick, Then et al. 2014): one 10-bit mask per NODE
+      // instead of one row per (seed, node), so every hop is a single
+      // edge-join + bit_or aggregate over a node-sized table — the
+      // per-seed frontier form streamed 17M candidate rows into a
+      // distinct + two anti-joins (measured 8.3 s at sf0.1; this form
+      // ~4× cheaper). A_h(v) = mask of seeds within h hops; the hop-h
+      // level set per seed is bit(A_h) ∧ ¬bit(A_{h−1}), and A₀ seeds
+      // themselves so s never counts in its own levels.
+      import org.apache.spark.sql.expressions.Window
       val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
       val adj = graft.Stage.mat(
         e.select(col("pa").as("u"), col("pb").as("v"))
           .unionByName(e.select(col("pb").as("u"), col("pa").as("v"))))
-      val seeds = adj.select(col("u").as("s")).distinct()
+      val sIdx = graft.Stage.mat(adj.select(col("u").as("s")).distinct()
         .orderBy(col("s")).limit(10)
-      val h1 = graft.Stage.mat(broadcast(seeds)
-        .join(adj, col("s") === col("u"))
-        .select(col("s"), col("v")).distinct())
-      val h2 = graft.Stage.mat(h1.select(col("s"), col("v").as("f"))
-        .join(adj, col("f") === col("u"))
-        .select(col("s"), col("v")).distinct()
-        .join(h1, Seq("s", "v"), "left_anti")
-        .filter(col("v") =!= col("s")))
-      val h3 = h2.select(col("s"), col("v").as("f"))
-        .join(adj, col("f") === col("u"))
-        .select(col("s"), col("v")).distinct()
-        .join(h2, Seq("s", "v"), "left_anti")
-        .join(h1, Seq("s", "v"), "left_anti")
-        .filter(col("v") =!= col("s"))
-      def cnt(df: DataFrame, name: String) =
-        df.groupBy(col("s")).agg(count(lit(1)).as(name))
-      broadcast(seeds)
-        .join(cnt(h1, "n1"), Seq("s"), "left")
-        .join(cnt(h2, "n2"), Seq("s"), "left")
-        .join(cnt(h3, "n3"), Seq("s"), "left")
-        .selectExpr("s", "coalesce(n1, 0) AS n1", "coalesce(n2, 0) AS n2",
-          "coalesce(n3, 0) AS n3")
+        .withColumn("idx",
+          (row_number().over(Window.orderBy(col("s"))) - 1).cast("int")))
+      val a0 = sIdx.selectExpr("s AS v", "shiftleft(CAST(1 AS BIGINT), idx) AS m")
+      def hop(a: DataFrame): DataFrame = graft.Stage.mat(
+        adj.join(a.select(col("v").as("u"), col("m")), Seq("u"))
+          .select(col("v"), col("m"))
+          .unionByName(a)
+          .groupBy(col("v")).agg(expr("bit_or(m)").as("m")))
+      val a1 = hop(graft.Stage.mat(a0))
+      val a2 = hop(a1)
+      val a3 = hop(a2)
+      val masks = a3.select(col("v"), col("m").as("m3"))
+        .join(a2.select(col("v"), col("m").as("m2")), Seq("v"), "left")
+        .join(a1.select(col("v"), col("m").as("m1")), Seq("v"), "left")
+        .join(a0.select(col("v"), col("m").as("m0")), Seq("v"), "left")
+        .selectExpr("v", "coalesce(m0, CAST(0 AS BIGINT)) AS m0",
+          "coalesce(m1, CAST(0 AS BIGINT)) AS m1",
+          "coalesce(m2, CAST(0 AS BIGINT)) AS m2", "m3")
+      masks.crossJoin(broadcast(sIdx))
+        .selectExpr("s",
+          "(shiftright(m1, idx) & 1) * (1 - (shiftright(m0, idx) & 1)) AS b1",
+          "(shiftright(m2, idx) & 1) * (1 - (shiftright(m1, idx) & 1)) AS b2",
+          "(shiftright(m3, idx) & 1) * (1 - (shiftright(m2, idx) & 1)) AS b3")
+        .groupBy(col("s"))
+        .agg(sum(col("b1")).as("n1"), sum(col("b2")).as("n2"),
+          sum(col("b3")).as("n3"))
         .selectExpr("s", "n1", "n2", "n3",
           "n1 * 1000000 + n2 * 500000 + n3 * 333333 AS harmonic_micros")
         .orderBy(col("s"))

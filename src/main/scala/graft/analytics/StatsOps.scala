@@ -2237,6 +2237,107 @@ object StatsOps {
              (SELECT CAST(count(*) AS BIGINT) FROM tr),
              CAST((SELECT CAST(SUM(t) AS BIGINT) FROM terms)
                   // (SELECT CAST(SUM(c) AS BIGINT) FROM tr) AS BIGINT)
-      ORDER BY src_et"""))
+      ORDER BY src_et""")),
+
+    // ---- dispersion index (variance-to-mean ratio; Fisher 1950's
+    //      Poisson overdispersion check): are per-type hourly arrivals
+    //      Poisson (VMR ≈ 1), or bursty (VMR > 1 — q312's Hurst
+    //      question asked distribution-free, answered moment-wise)? Per
+    //      event type over the ZERO-FILLED hourly spine (type catalog ×
+    //      hour spine — catalog-sized, outage hours count):
+    //        vmr_ppm  = 1e6·(n·Σx² − (Σx)²) DIV ((n−1)·Σx)
+    //        chi2_micros = (n−1)·VMR = 1e6·(n·Σx² − (Σx)²) DIV Σx
+    //      (df = n−1) — all integer-exact, numerators provably ≥ 0 by
+    //      Cauchy–Schwarz, one truncating DIV each.
+    ("q336_dispersion_index", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).events
+        .select(expr("unix_micros(ts) DIV 3600000000").as("hb"), col("event_type"))
+      val counts = e.groupBy(col("hb"), col("event_type"))
+        .agg(count(lit(1)).as("x"))
+      val spine = e.agg(min(col("hb")).as("h0"), max(col("hb")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hb"))
+      val types = e.select(col("event_type")).distinct()
+      val filled = spine.crossJoin(broadcast(types))
+        .join(counts, Seq("hb", "event_type"), "left")
+        .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(expr("x * x")).as("s2"))
+        .selectExpr("event_type", "n", "s1 AS n_events",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (n * s2 - s1 * s1))
+               DIV greatest(CAST(n - 1 AS DECIMAL(38,0)) * s1, 1) AS BIGINT)
+             AS vmr_ppm""",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (n * s2 - s1 * s1))
+               DIV greatest(CAST(s1 AS DECIMAL(38,0)), 1) AS BIGINT)
+             AS chi2_micros""")
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hb, event_type FROM events),
+      counts AS (SELECT hb, event_type, CAST(count(*) AS BIGINT) AS x
+                 FROM e GROUP BY 1, 2),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM e)),
+      types AS (SELECT DISTINCT event_type FROM e),
+      filled AS (SELECT t.event_type, COALESCE(c.x, 0) AS x
+                 FROM spine s CROSS JOIN types t
+                 LEFT JOIN counts c ON c.hb = s.hb AND c.event_type = t.event_type),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+              FROM filled GROUP BY event_type)
+      SELECT event_type, n, s1 AS n_events,
+             CAST((CAST(1000000 AS HUGEINT) * (n * s2 - s1 * s1))
+                  // GREATEST(CAST(n - 1 AS HUGEINT) * s1, 1) AS BIGINT) AS vmr_ppm,
+             CAST((CAST(1000000 AS HUGEINT) * (n * s2 - s1 * s1))
+                  // GREATEST(CAST(s1 AS HUGEINT), 1) AS BIGINT) AS chi2_micros
+      FROM agg ORDER BY event_type""")),
+
+    // ---- key-candidate discovery: which column (combination) is a
+    //      KEY? The profiling advisor beside q283's FD discovery and
+    //      q169's column profile — uniqueness ratio distinct/n for
+    //      every single column and pair over the orders catalog
+    //      attributes + the declared key as the positive control. Pure
+    //      count-distinct aggregation (one pass per combo, no sort, no
+    //      window) — the advisor you can afford on 100 TB because each
+    //      combo is a map-side-combined distinct count. is_key pins the
+    //      exact-uniqueness verdict.
+    ("q337_key_discovery", (s: SparkSession, dir: String) => {
+      val o = Tables(s, dir).orders
+      val singles = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val combos: Seq[Seq[String]] = singles.map(Seq(_)) ++
+        (for { i <- singles.indices; j <- i + 1 until singles.length
+               if singles(i) != "o_orderkey" }
+          yield Seq(singles(i), singles(j)))
+      combos.map { cs =>
+        o.agg(countDistinct(cs.head, cs.tail: _*).as("nd"),
+            count(lit(1)).as("n"))
+          .selectExpr(s"'${cs.mkString(",")}' AS combo",
+            "CAST(nd AS BIGINT) AS n_distinct", "n",
+            "(1000000 * nd) DIV n AS unique_ppm",
+            "nd = n AS is_key")
+      }.reduce(_ unionByName _)
+        .orderBy(col("unique_ppm").desc, col("combo"))
+    }, Some {
+      def comboSql(cs: Seq[String]) = {
+        val tuple = if (cs.length == 1) cs.head else s"(${cs.mkString(", ")})"
+        s"""
+        SELECT '${cs.mkString(",")}' AS combo,
+               CAST(COUNT(DISTINCT $tuple) AS BIGINT) AS n_distinct,
+               CAST(count(*) AS BIGINT) AS n,
+               (1000000 * CAST(COUNT(DISTINCT $tuple) AS BIGINT)) // count(*)
+                 AS unique_ppm,
+               CAST(COUNT(DISTINCT $tuple) AS BIGINT) = CAST(count(*) AS BIGINT)
+                 AS is_key
+        FROM orders"""
+      }
+      val singles = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val combos: Seq[Seq[String]] = singles.map(Seq(_)) ++
+        (for { i <- singles.indices; j <- i + 1 until singles.length
+               if singles(i) != "o_orderkey" }
+          yield Seq(singles(i), singles(j)))
+      combos.map(comboSql).mkString("", "\n        UNION ALL", "") +
+        "\n        ORDER BY unique_ppm DESC, combo"
+    })
   )
 }

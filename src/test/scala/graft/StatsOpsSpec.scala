@@ -359,6 +359,46 @@ class StatsOpsSpec extends SparkSpec {
       ("view", 1L, 1L, 0L), ("zz_rate", 3L, 3L, 462098120L)))
   }
 
+  test("dispersion index: hand VMR for a bursty and a constant type") {
+    import spark.implicits._
+    // 2-hour spine; click counts [3,1]: VMR = (2·10−16)/(1·4) = 1;
+    // view counts [1,1]: zero variance → 0
+    val dir = java.nio.file.Files.createTempDirectory("vmr_fix").toString
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-06-01 $t")
+    (Seq(("10:05:00", "click"), ("10:10:00", "click"), ("10:15:00", "click"),
+      ("11:05:00", "click"), ("10:20:00", "view"), ("11:20:00", "view"))
+      .zipWithIndex.map { case ((t, et), i) => (i.toLong, ts(t), 1L, et, 0.0, "{}") })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q336_dispersion_index")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("vmr_ppm"),
+        r.getAs[Long]("chi2_micros")))
+    assert(out.toSeq === Seq(("click", 2L, 4L, 1000000L, 1000000L),
+      ("view", 2L, 2L, 0L, 0L)))
+  }
+
+  test("key discovery: the declared key is the only exact-unique combo") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("key_fix").toString
+    Seq((1L, 7L, "O", 1.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT"),
+      (2L, 7L, "O", 2.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT"),
+      (3L, 8L, "F", 3.0, java.sql.Date.valueOf("2024-01-02"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q337_key_discovery")(spark, dir).collect()
+    assert(out.length === 11)
+    val head = out.head
+    assert((head.getAs[String]("combo"), head.getAs[Long]("n_distinct"),
+      head.getAs[Long]("unique_ppm"), head.getAs[Boolean]("is_key")) ===
+      (("o_orderkey", 3L, 1000000L, true)))
+    assert(out.count(_.getAs[Boolean]("is_key")) === 1)
+    val last = out.last
+    assert((last.getAs[String]("combo"), last.getAs[Long]("unique_ppm")) ===
+      (("o_orderpriority", 333333L)))
+  }
+
   test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
     import spark.implicits._
     // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)
