@@ -99,6 +99,14 @@ object ScaleSmoke {
         .filter(col("pa") =!= col("pb")).distinct()
       time("triangle_census", n)(graft.analytics.GraphOps.triangleCensus(eh))
       time("triangle_census_adj", n)(graft.analytics.GraphOps.triangleCensusAdj(eh))
+      // round-10 additions on the same replica discipline: one k-truss
+      // support round (q335's kernel — 3× this per query; same O(m^1.5)
+      // wedge bound as the census, so disjoint replicas must grow
+      // ~linearly) and the cohort-bounded Adamic–Adar pass (q325 —
+      // wedge stream cut to Σ d_Q(u)² by the 10% shard; pmod on hashed
+      // ids keeps the shard a constant fraction per replica).
+      time("ktruss_support_r1", n)(graft.analytics.GraphOps.edgeSupport(eh))
+      time("adamic_adar_cohort", n)(graft.analytics.GraphOps.adamicAdarTopK(eh))
     }
 
     // Embedding battery (VERDICT r8 ask #2): q258's cell-bounded DBSCAN

@@ -881,6 +881,35 @@ object GraphOps {
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
   }
 
+  /** q325's cohort-bounded Adamic–Adar body over a distinct undirected
+    * edge table (pa < pb): both pair endpoints restricted to the 10%
+    * candidate shard (v % 10 = 3), centers/degrees unrestricted, weights
+    * 1e15 DIV round9ln(d), existing edges anti-joined, top-k TakeOrdered.
+    * Extracted so ScaleSmoke can measure its growth on replicated graphs.
+    */
+  private[graft] def adamicAdarTopK(e: DataFrame, k: Int = 20): DataFrame = {
+    val adj = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    val cen = adj
+      .groupBy(col("u")).agg(count(lit(1)).as("d"),
+        sort_array(collect_set(
+          when(pmod(col("v"), lit(10L)) === 3L, col("v")))).as("vsq"))
+      .filter(size(col("vsq")) >= 2)
+      .withColumn("w", expr(
+        """1000000000000000 DIV
+           CAST(round(ln(CAST(d AS DOUBLE)) * 1000000000, 0) AS BIGINT)"""))
+    val pairs = cen.select(col("w"), explode(expr(
+        """flatten(transform(vsq, (a, i) ->
+             transform(slice(vsq, i + 2, size(vsq)), b -> struct(a AS x, b AS y))))"""))
+        .as("pr"))
+      .select(col("pr.x"), col("pr.y"), col("w"))
+    pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_micros"))
+      .join(e.select(col("pa").as("x"), col("pb").as("y")), Seq("x", "y"),
+        "left_anti")
+      .orderBy(col("aa_micros").desc, col("x"), col("y")).limit(k)
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- rich-club coefficient (Colizza et al. 2006, unnormalized
@@ -1645,29 +1674,9 @@ object GraphOps {
     //      (x < y, sorted-array slice idiom — no wedge self-join);
     //      existing edges leave via LeftAnti; top-20 by (score, pair)
     //      is a TakeOrdered, never a global sort.
-    ("q325_adamic_adar", (s: SparkSession, dir: String) => {
-      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
-      val adj = e.select(col("pa").as("u"), col("pb").as("v"))
-        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
-      val cen = adj
-        .groupBy(col("u")).agg(count(lit(1)).as("d"),
-          sort_array(collect_set(
-            when(pmod(col("v"), lit(10L)) === 3L, col("v")))).as("vsq"))
-        .filter(size(col("vsq")) >= 2)
-        .withColumn("w", expr(
-          """1000000000000000 DIV
-             CAST(round(ln(CAST(d AS DOUBLE)) * 1000000000, 0) AS BIGINT)"""))
-      val pairs = cen.select(col("w"), explode(expr(
-          """flatten(transform(vsq, (a, i) ->
-               transform(slice(vsq, i + 2, size(vsq)), b -> struct(a AS x, b AS y))))"""))
-          .as("pr"))
-        .select(col("pr.x"), col("pr.y"), col("w"))
-      pairs.groupBy(col("x"), col("y"))
-        .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_micros"))
-        .join(e.select(col("pa").as("x"), col("pb").as("y")), Seq("x", "y"),
-          "left_anti")
-        .orderBy(col("aa_micros").desc, col("x"), col("y")).limit(20)
-    }, Some("""
+    ("q325_adamic_adar", (s: SparkSession, dir: String) =>
+      adamicAdarTopK(graft.Stage.mat(
+        partCoPurchaseEdges(Tables(s, dir).lineitem))), Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
             FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),

@@ -2338,6 +2338,49 @@ object StatsOps {
           yield Seq(singles(i), singles(j)))
       combos.map(comboSql).mkString("", "\n        UNION ALL", "") +
         "\n        ORDER BY unique_ppm DESC, combo"
-    })
+    }),
+
+    // ---- Wilson score intervals (Wilson 1927) for per-priority order
+    //      failure rates: the CI companion to q318's trend test and
+    //      q236's two-sample z — the interval that stays inside [0,1]
+    //      and behaves at k = 0 (where the Wald interval q213 bootstraps
+    //      around collapses). Sufficient statistics (n, k) per priority
+    //      are exact integer aggregates; the interval itself is the
+    //      one-row mirrored IEEE chain (q111/q324 convention) with the
+    //      pinned z = 1.959963985 (95%, constants-in-source):
+    //        center = (k + z²/2)/(n + z²),
+    //        halfw  = z·√(k(n−k)/n + z²/4)/(n + z²),
+    //      emitted as round-6 rates plus the exact integer rate_ppm.
+    ("q338_wilson_ci", (s: SparkSession, dir: String) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("k"))
+        .withColumn("z", expr("CAST(1.959963985 AS DOUBLE)"))
+        .withColumn("nd", expr("CAST(n AS DOUBLE)"))
+        .withColumn("kd", expr("CAST(k AS DOUBLE)"))
+        .withColumn("center", expr("(kd + z * z / 2) / (nd + z * z)"))
+        .withColumn("halfw", expr(
+          "z * sqrt(kd * (nd - kd) / nd + z * z / 4) / (nd + z * z)"))
+        .selectExpr("grp", "n", "k", "(1000000 * k) DIV n AS rate_ppm",
+          "round(center - halfw, 6) AS lo_r", "round(center + halfw, 6) AS hi_r")
+        .orderBy(col("grp"))
+    }, Some("""
+      WITH per AS (
+        SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS k
+        FROM orders GROUP BY 1),
+      d AS (SELECT grp, n, k, CAST(1.959963985 AS DOUBLE) AS z,
+                   CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+            FROM per),
+      c AS (SELECT grp, n, k, z, nd, kd,
+                   (kd + z * z / 2) / (nd + z * z) AS center,
+                   z * sqrt(kd * (nd - kd) / nd + z * z / 4) / (nd + z * z)
+                     AS halfw
+            FROM d)
+      SELECT grp, n, k, (1000000 * k) // n AS rate_ppm,
+             round(center - halfw, 6) AS lo_r, round(center + halfw, 6) AS hi_r
+      FROM c ORDER BY grp"""))
   )
 }

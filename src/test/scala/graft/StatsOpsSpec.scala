@@ -399,6 +399,28 @@ class StatsOpsSpec extends SparkSpec {
       (("o_orderpriority", 333333L)))
   }
 
+  test("Wilson CI: mirrors the pinned-z chain and brackets the rate") {
+    import spark.implicits._
+    // one priority, n = 4, k = 1
+    val dir = java.nio.file.Files.createTempDirectory("wilson_fix").toString
+    Seq(("F", 1L), ("O", 2L), ("O", 3L), ("O", 4L))
+      .map { case (st, i) => (i, i, st, 10.0,
+        java.sql.Date.valueOf("2024-01-01"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q338_wilson_ci")(spark, dir).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("k"),
+      r.getAs[Long]("rate_ppm")) === ((4L, 1L, 250000L)))
+    val z = 1.959963985; val nd = 4.0; val kd = 1.0
+    val center = (kd + z * z / 2) / (nd + z * z)
+    val halfw = z * math.sqrt(kd * (nd - kd) / nd + z * z / 4) / (nd + z * z)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("lo_r") === r6(center - halfw))
+    assert(r.getAs[Double]("hi_r") === r6(center + halfw))
+    assert(r.getAs[Double]("lo_r") < 0.25 && 0.25 < r.getAs[Double]("hi_r"))
+  }
+
   test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
     import spark.implicits._
     // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)

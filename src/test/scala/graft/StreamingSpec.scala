@@ -892,6 +892,30 @@ class StreamingSpec extends SparkSpec {
     assert((batch._1, batch._4, batch._3) === ((5L, 3L, 4L)))
   }
 
+  test("streaming VMR merges bucket moments across a restart order-free") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingVmr.maintain(
+      spark.readStream.schema("_1 LONG, _2 LONG, _3 LONG").json(src)
+        .as[(Long, Long, Long)])
+      .toDF("key", "n", "s1", "vmr_ppm", "chi2_micros")
+    // wave 1: counts [3, 1] → n=2, s1=4, num = 2·10 − 16 = 4 →
+    // vmr = 1e6·4/(1·4) = 1e6 (the q336 hand case)
+    writeOps(src, "w1.json", Seq(
+      """{"_1":1,"_2":1,"_3":3}""", """{"_1":1,"_2":2,"_3":1}"""))
+    drainOnce(mon, ckpt, dest)
+    // wave 2: two more buckets [1, 3] → n=4, s1=8, s2=20, num =
+    // 4·20 − 64 = 16 → vmr = 1e6·16/(3·8) = 666666; reachable only if
+    // wave 1's sums survived the checkpoint
+    writeOps(src, "w2.json", Seq(
+      """{"_1":1,"_2":3,"_3":1}""", """{"_1":1,"_2":4,"_3":3}"""))
+    drainOnce(mon, ckpt, dest)
+    val rows = spark.read.parquet(dest)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set((1L, 2L, 4L, 1000000L, 1000000L),
+      (1L, 4L, 8L, 666666L, 2000000L)))
+  }
+
   test("contract: new stateful twins route through StatefulTwin unless in a documented exempt family") {
     // VERDICT r9 ask #7. StatefulTwin's scaladoc names the two families
     // that intentionally keep their own flatMapGroupsWithState frames:
