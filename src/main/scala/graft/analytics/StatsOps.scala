@@ -2381,6 +2381,80 @@ object StatsOps {
             FROM d)
       SELECT grp, n, k, (1000000 * k) // n AS rate_ppm,
              round(center - halfw, 6) AS lo_r, round(center + halfw, 6) AS hi_r
-      FROM c ORDER BY grp"""))
+      FROM c ORDER BY grp""")),
+
+    // ---- Cohen's d / Hedges' g (Cohen 1969; Hedges 1981): HOW BIG is
+    //      the urgent-vs-rest order-value difference the rank tests
+    //      (q310) only declare significant? Standardized mean
+    //      difference on the pooled SD, with Hedges' small-sample
+    //      correction J = 1 − 3/(4·df − 1). Per-group sufficient
+    //      statistics (n, Σ cents, Σ cents² — DECIMAL(38,0), exact to
+    //      sf ≈ 1000) feed the one-row mirrored IEEE chain (q111/q324
+    //      convention). Exact integer mean_ppm columns ride beside the
+    //      rounded effect sizes so the gate pins both layers.
+    ("q339_effect_size", (s: SparkSession, dir: String) => {
+      Tables(s, dir).orders
+        .selectExpr(
+          "CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'rest' END AS grp",
+          "CAST(floor(o_totalprice * 100) AS BIGINT) AS y")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("s2"))
+        .agg(
+          sum(when(col("grp") === "urgent", col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === "urgent", col("s1")).otherwise(0L)).as("a1"),
+          sum(when(col("grp") === "urgent", col("s2"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"),
+          sum(when(col("grp") === "rest", col("n")).otherwise(0L)).as("n2"),
+          sum(when(col("grp") === "rest", col("s1")).otherwise(0L)).as("a2"),
+          sum(when(col("grp") === "rest", col("s2"))
+            .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
+        .withColumn("m1", expr("CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+        .withColumn("m2", expr("CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+        .withColumn("v1", expr(
+          "(CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)"))
+        .withColumn("v2", expr(
+          "(CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)"))
+        .withColumn("sp", expr(
+          "sqrt((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2) / CAST(n1 + n2 - 2 AS DOUBLE))"))
+        .withColumn("d", expr("CASE WHEN sp = 0 THEN 0.0 ELSE (m1 - m2) / sp END"))
+        .withColumn("j", expr("1 - 3.0 / (4 * CAST(n1 + n2 - 2 AS DOUBLE) - 1)"))
+        .selectExpr("n1", "n2", "a1 DIV n1 AS mean1_cents", "a2 DIV n2 AS mean2_cents",
+          "round(d, 6) AS d_r", "round(j * d, 6) AS g_r")
+    }, Some("""
+      WITH b AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                    ELSE 'rest' END AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders),
+      per AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+              FROM b GROUP BY grp),
+      w AS (SELECT
+              CAST(SUM(CASE WHEN grp = 'urgent' THEN n ELSE 0 END) AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN grp = 'urgent' THEN s1 ELSE 0 END) AS BIGINT) AS a1,
+              CAST(SUM(CASE WHEN grp = 'urgent' THEN s2 ELSE 0 END) AS HUGEINT) AS q1,
+              CAST(SUM(CASE WHEN grp = 'rest' THEN n ELSE 0 END) AS BIGINT) AS n2,
+              CAST(SUM(CASE WHEN grp = 'rest' THEN s1 ELSE 0 END) AS BIGINT) AS a2,
+              CAST(SUM(CASE WHEN grp = 'rest' THEN s2 ELSE 0 END) AS HUGEINT) AS q2
+            FROM per),
+      m AS (SELECT n1, n2, a1, a2,
+                   CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   (CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+                   (CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+            FROM w),
+      sd AS (SELECT n1, n2, a1, a2, m1, m2,
+                    sqrt((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2)
+                         / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp
+             FROM m),
+      eff AS (SELECT n1, n2, a1, a2,
+                     CASE WHEN sp = 0 THEN 0.0 ELSE (m1 - m2) / sp END AS d,
+                     1 - 3.0 / (4 * CAST(n1 + n2 - 2 AS DOUBLE) - 1) AS j
+              FROM sd)
+      SELECT n1, n2, a1 // n1 AS mean1_cents, a2 // n2 AS mean2_cents,
+             round(d, 6) AS d_r, round(j * d, 6) AS g_r
+      FROM eff"""))
   )
 }

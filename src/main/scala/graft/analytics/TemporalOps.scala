@@ -2844,6 +2844,80 @@ object TemporalOps {
       UNION ALL
       ${gSql("x", "x1", "y1", "purchase_to_click")}
       ORDER BY direction"""
-    })
+    }),
+
+    // ---- retention half-life: fit ln(active users) against day
+    //      offset over the pooled retention curve (q112's engagement
+    //      triangle collapsed to offsets 1..14) and report the
+    //      exponential-decay half-life ln2/(−slope) — the ONE number a
+    //      growth review wants from the cohort matrix. Edge-effect
+    //      honest: only cohorts with a full 14-day runway
+    //      (cohort_day ≤ max_day − 14) enter, so every offset sees the
+    //      same cohort population. ln through integer-argument round9ln
+    //      (q292 convention) so the regression's sufficient statistics
+    //      are exact integers over a 14-row table; the slope and
+    //      half-life are the one-row mirrored IEEE chain. Per-offset
+    //      rows carry the curve; the zz row (o = −1) the fit.
+    ("q340_retention_halflife", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").as("d"))
+      val first = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      val eligible = first.crossJoin(broadcast(e.agg(max(col("d")).as("dmax"))))
+        .filter(col("d0") <= col("dmax") - 14)
+        .select(col("user_id"), col("d0"))
+      val curve = graft.Stage.mat(e.join(eligible, Seq("user_id"))
+        .select(col("user_id"), (col("d") - col("d0")).as("o"))
+        .filter(col("o").between(1, 14))
+        .groupBy(col("o"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .selectExpr("o", "n_active",
+          """CAST(round(ln(CAST(n_active AS DOUBLE)) * 1000000000, 0)
+             AS BIGINT) AS ln_nanos"""))
+      val fit = curve.agg(count(lit(1)).as("n"), sum(col("o")).as("sx"),
+          sum(expr("o * o")).as("sxx"), sum(col("ln_nanos")).as("sy"),
+          sum(expr("o * ln_nanos")).as("sxy"))
+        .withColumn("b", expr(
+          "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"))
+        .selectExpr("CAST(-1 AS BIGINT) AS o", "n AS n_active",
+          "CAST(0 AS BIGINT) AS ln_nanos", "round(b, 6) AS slope_r",
+          """round(CASE WHEN b >= 0 THEN 0.0
+             ELSE 1000000000 * ln(CAST(2 AS DOUBLE)) / (0 - b) END, 6)
+             AS half_life_r""")
+      curve.selectExpr("o", "n_active", "ln_nanos",
+          "CAST(0.0 AS DOUBLE) AS slope_r", "CAST(0.0 AS DOUBLE) AS half_life_r")
+        .unionByName(fit).orderBy(col("o"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+                 FROM events WHERE user_id IS NOT NULL),
+      first AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+      eligible AS (SELECT user_id, d0 FROM first
+                   WHERE d0 <= (SELECT MAX(d) FROM e) - 14),
+      curve AS (
+        SELECT o, n_active,
+               CAST(round(ln(CAST(n_active AS DOUBLE)) * 1000000000, 0)
+                 AS BIGINT) AS ln_nanos
+        FROM (SELECT e.d - el.d0 AS o,
+                     CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+              FROM e JOIN eligible el USING (user_id)
+              WHERE e.d - el.d0 BETWEEN 1 AND 14
+              GROUP BY 1)),
+      fit AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(o) AS BIGINT) AS sx,
+                     CAST(SUM(o * o) AS BIGINT) AS sxx,
+                     CAST(SUM(ln_nanos) AS BIGINT) AS sy,
+                     CAST(SUM(o * ln_nanos) AS BIGINT) AS sxy
+              FROM curve),
+      zz AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) AS b, n
+             FROM fit)
+      SELECT o, n_active, ln_nanos, CAST(0.0 AS DOUBLE) AS slope_r,
+             CAST(0.0 AS DOUBLE) AS half_life_r
+      FROM curve
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), n, CAST(0 AS BIGINT), round(b, 6),
+             round(CASE WHEN b >= 0 THEN 0.0
+                   ELSE 1000000000 * ln(CAST(2 AS DOUBLE)) / (0 - b) END, 6)
+      FROM zz
+      ORDER BY o"""))
   )
 }

@@ -421,6 +421,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lo_r") < 0.25 && 0.25 < r.getAs[Double]("hi_r"))
   }
 
+  test("effect size: hand-pooled SD gives d = 1 and Hedges J = 4/7") {
+    import spark.implicits._
+    // urgent cents [100, 300] (m = 200, v = 20000), rest [100, 100]
+    // (m = 100, v = 0): sp = 100 → d = 1; J = 1 − 3/7 → g = 0.571429
+    val dir = java.nio.file.Files.createTempDirectory("eff_fix").toString
+    Seq((1L, "1-URGENT", 1.00), (2L, "1-URGENT", 3.00),
+      (3L, "3-MEDIUM", 1.00), (4L, "3-MEDIUM", 1.00))
+      .map { case (k, pr, tp) => (k, k, "O", tp,
+        java.sql.Date.valueOf("2024-01-01"), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q339_effect_size")(spark, dir).collect().head
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("mean1_cents"), r.getAs[Long]("mean2_cents")) ===
+      ((2L, 2L, 200L, 100L)))
+    assert(r.getAs[Double]("d_r") === 1.0)
+    assert(r.getAs[Double]("g_r") === 0.571429)
+  }
+
   test("RLE advisor: prefix-distinct bounds rank the low-cardinality-first layout") {
     import spark.implicits._
     // rows (rf,ls,qy,day): (A,O,1,d0) (A,O,2,d0) (B,F,1,d1) (B,F,2,d1)

@@ -596,6 +596,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(zz.getAs[Double]("slope_r") === -0.2)
   }
 
+  test("retention half-life: a clean halving fits to exactly 1.0 days") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // eligible users 1,2 (cohort day 0; user 3 at day 14 extends the
+    // horizon): offsets n = [2, 1] → points (1, ln9 2), (2, 0) →
+    // slope = −ln9(2), half-life = 1e9·ln2/693147181 → 1.0 (round 6)
+    val dir = java.nio.file.Files.createTempDirectory("ret_fix").toString
+    Seq((1L, "2024-01-01", 1L), (2L, "2024-01-02", 1L), (3L, "2024-01-03", 1L),
+      (4L, "2024-01-01", 2L), (5L, "2024-01-02", 2L),
+      (6L, "2024-01-15", 3L))
+      .map { case (id, d, u) => (id, ts(d), u, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q340_retention_halflife")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("o"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("ln_nanos"), r.getAs[Double]("slope_r"),
+        r.getAs[Double]("half_life_r")))
+    assert(out.toSeq === Seq(
+      (-1L, 2L, 0L, -6.93147181e8, 1.0),
+      (1L, 2L, 693147181L, 0.0, 0.0),
+      (2L, 1L, 0L, 0.0, 0.0)))
+  }
+
   test("Granger lag-F: hand-solved 2-predictor OLS gives F = 8") {
     // purchases y = [2,1,3,2,3], clicks x = [1,2,1,2,2]; the n = 4
     // lagged rows solve to b1 = 0.5, b2 = 2, RSS_r = 2.25, RSS_u =
