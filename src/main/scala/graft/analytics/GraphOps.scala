@@ -1952,6 +1952,52 @@ object GraphOps {
       SELECT 3, (SELECT count(*) FROM r2next), (SELECT count(*) FROM r3tri),
              (SELECT count(*) FROM r3next)
       ORDER BY round"""
-    })
+    }),
+
+    // ---- eigenvector centrality, 3 EXACT power iterations (Bonacich
+    //      1972): v₃(u) = Σ_{paths of length 3 ending at u} 1 — the
+    //      prestige ranking that weighs neighbors by THEIR importance,
+    //      completing the centrality family (degree-implicit, q117/
+    //      q127/q136 PageRank, q137 HITS, q311 coreness, q330
+    //      harmonic). With v₀ ≡ 1 every iterate is an exact INTEGER
+    //      walk count (v₁ = degree, v₂ = Σ neighbor degrees, v₃ ≤
+    //      deg_max³ — inside BIGINT to deg_max ≈ 2M), so no float
+    //      normalization ever happens in-plan; the ranking reports
+    //      score_ppm = 1e6·v₃ DIV max(v₃) at the end. Three edge-join +
+    //      re-aggregate rounds — the scale shape of one PageRank
+    //      iteration each, no damping vector to carry.
+    ("q342_eigencentrality", (s: SparkSession, dir: String) => {
+      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
+      val adj = graft.Stage.mat(
+        e.select(col("pa").as("u"), col("pb").as("v"))
+          .unionByName(e.select(col("pb").as("u"), col("pa").as("v"))))
+      def iter(prev: DataFrame): DataFrame = graft.Stage.mat(
+        adj.join(prev.select(col("v"), col("s")), Seq("v"))
+          .groupBy(col("u")).agg(sum(col("s")).as("s"))
+          .select(col("u").as("v"), col("s")))
+      val v1 = graft.Stage.mat(
+        adj.groupBy(col("u")).agg(count(lit(1)).as("s"))
+          .select(col("u").as("v"), col("s")))
+      val v3 = iter(iter(v1))
+      v3.crossJoin(broadcast(v3.agg(max(col("s")).as("smax"))))
+        .selectExpr("v", "s AS walks3",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * s) DIV smax AS BIGINT)
+             AS score_ppm""")
+        .orderBy(col("score_ppm").desc, col("v")).limit(20)
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      adj AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      v1 AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS s FROM adj GROUP BY u),
+      v2 AS (SELECT a.u AS v, CAST(SUM(p.s) AS BIGINT) AS s
+             FROM adj a JOIN v1 p ON a.v = p.v GROUP BY a.u),
+      v3 AS (SELECT a.u AS v, CAST(SUM(p.s) AS BIGINT) AS s
+             FROM adj a JOIN v2 p ON a.v = p.v GROUP BY a.u),
+      mx AS (SELECT MAX(s) AS smax FROM v3)
+      SELECT v, s AS walks3,
+             CAST((CAST(1000000 AS HUGEINT) * s) // smax AS BIGINT) AS score_ppm
+      FROM v3 CROSS JOIN mx
+      ORDER BY score_ppm DESC, v LIMIT 20"""))
   )
 }

@@ -2918,6 +2918,75 @@ object TemporalOps {
              round(CASE WHEN b >= 0 THEN 0.0
                    ELSE 1000000000 * ln(CAST(2 AS DOUBLE)) / (0 - b) END, 6)
       FROM zz
-      ORDER BY o"""))
+      ORDER BY o""")),
+
+    // ---- Dickey–Fuller unit-root test (Dickey & Fuller 1979, the
+    //      constant-only form): is hourly event volume MEAN-REVERTING
+    //      (γ < 0, t below the pinned −2.86 critical value) or a random
+    //      walk (γ ≈ 0 — in which case q111's trailing z-scores and
+    //      q323's trend residuals are differencing the wrong model)?
+    //      Regress Δx_t on x_{t−1} over the zero-filled spine:
+    //      Δ and the lag ride ONE span-bounded window; the sufficient
+    //      statistics (n, Σx₁, Σx₁², ΣΔ, Σx₁Δ, ΣΔ²) are exact integer
+    //      aggregates and everything after is the q324 one-row mirrored
+    //      IEEE chain — γ̂ = Cxy/Cxx, RSS = Cyy − γ̂·Cxy,
+    //      t = γ̂·√Cxx / √(RSS/(n−2)). Output: one row with n, γ̂, t,
+    //      and the stationary verdict at the pinned critical value.
+    ("q341_dickey_fuller", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val wh = Window.orderBy(col("hb"))
+      val lagd = graft.Stage.mat(hourlySpine(s, dir)
+        .withColumn("x1", lag(col("x"), 1).over(wh))
+        .filter(col("x1").isNotNull)
+        .selectExpr("x - x1 AS dx", "x1"))
+      lagd.agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+          sum(expr("x1 * x1")).as("s11"), sum(col("dx")).as("sd"),
+          sum(expr("x1 * dx")).as("s1d"), sum(expr("dx * dx")).as("sdd"))
+        .withColumn("nd", expr("CAST(n AS DOUBLE)"))
+        .withColumn("cxx", expr(
+          "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd"))
+        .withColumn("cxy", expr(
+          "CAST(s1d AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sd AS DOUBLE) / nd"))
+        .withColumn("cyy", expr(
+          "CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / nd"))
+        .withColumn("g", expr("CASE WHEN cxx = 0 THEN 0.0 ELSE cxy / cxx END"))
+        .withColumn("rss", expr("cyy - g * cxy"))
+        .withColumn("t", expr(
+          """CASE WHEN cxx = 0 OR rss <= 0 THEN 0.0
+             ELSE g * sqrt(cxx) / sqrt(rss / (nd - 2)) END"""))
+        .selectExpr("n", "round(g, 6) AS gamma_r", "round(t, 6) AS t_r",
+          "t < CAST(-2.86 AS DOUBLE) AS stationary")
+    }, Some("""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.x, 0) AS x
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      lagd AS (SELECT x - x1 AS dx, x1 FROM (
+                 SELECT x, lag(x) OVER (ORDER BY hb) AS x1 FROM hourly)
+               WHERE x1 IS NOT NULL),
+      sums AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x1) AS BIGINT) AS s1,
+                      CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                      CAST(SUM(dx) AS BIGINT) AS sd,
+                      CAST(SUM(x1 * dx) AS BIGINT) AS s1d,
+                      CAST(SUM(dx * dx) AS BIGINT) AS sdd
+               FROM lagd),
+      c AS (SELECT n, nd,
+                   CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nd AS cxx,
+                   CAST(s1d AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sd AS DOUBLE) / nd AS cxy,
+                   CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / nd AS cyy
+            FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums)),
+      g AS (SELECT n, nd, cxx, cxy, cyy,
+                   CASE WHEN cxx = 0 THEN 0.0 ELSE cxy / cxx END AS g
+            FROM c),
+      t AS (SELECT n, g,
+                   CASE WHEN cxx = 0 OR cyy - g * cxy <= 0 THEN 0.0
+                        ELSE g * sqrt(cxx) / sqrt((cyy - g * cxy) / (nd - 2)) END AS t
+            FROM g)
+      SELECT n, round(g, 6) AS gamma_r, round(t, 6) AS t_r,
+             t < CAST(-2.86 AS DOUBLE) AS stationary
+      FROM t"""))
   )
 }

@@ -483,6 +483,20 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 6L, 4L, 6L)))
   }
 
+  test("eigencentrality: 3-walk counts on the path graph rank the middle first") {
+    // path 1-2-3: v1 = deg = [1,2,1]; v2 = [2,2,2]; v3 = [2,4,2] →
+    // middle node saturates at 1e6 ppm, endpoints at half
+    val dir = java.nio.file.Files.createTempDirectory("eig_fix").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q342_eigencentrality")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("walks3"),
+        r.getAs[Long]("score_ppm")))
+    assert(out.toSeq === Seq((2L, 4L, 1000000L), (1L, 2L, 500000L),
+      (3L, 2L, 500000L)))
+  }
+
   test("consistent hashing: only the joining node receives moved keys") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()

@@ -619,6 +619,18 @@ class TemporalOpsSpec extends SparkSpec {
       (2L, 1L, 0L, 0.0, 0.0)))
   }
 
+  test("Dickey-Fuller: a perfectly mean-reverting fixture hits the rss guard") {
+    // counts [2,1,2,1]: Δx is EXACTLY −2·(x₁ − 1.5), so γ̂ = −2 and
+    // RSS = 0 (up to float residue) → t is guard-zeroed
+    val dir = java.nio.file.Files.createTempDirectory("df_fix").toString
+    hourlyFixture(dir, Seq(2, 1, 2, 1).map(n => Seq.fill(n)("click")))
+    val r = SparkEntry.queries("q341_dickey_fuller")(spark, dir).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("gamma_r") === -2.0)
+    assert(r.getAs[Double]("t_r") === 0.0)
+    assert(!r.getAs[Boolean]("stationary"))
+  }
+
   test("Granger lag-F: hand-solved 2-predictor OLS gives F = 8") {
     // purchases y = [2,1,3,2,3], clicks x = [1,2,1,2,2]; the n = 4
     // lagged rows solve to b1 = 0.5, b2 = 2, RSS_r = 2.25, RSS_u =
