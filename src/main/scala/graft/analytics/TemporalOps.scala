@@ -2987,6 +2987,79 @@ object TemporalOps {
             FROM g)
       SELECT n, round(g, 6) AS gamma_r, round(t, 6) AS t_r,
              t < CAST(-2.86 AS DOUBLE) AS stationary
-      FROM t"""))
+      FROM t""")),
+
+    // ---- dominant-period detection by autocorrelation argmax: WHICH
+    //      cycle drives hourly volume (the daily 24, the weekly 168)?
+    //      The biased sample ACF at lags 2..48 over the zero-filled
+    //      spine, ALL-INTEGER: with n-scaled deviations dₜ = n·xₜ − Σx
+    //      (the q328 exactness trick — no float mean), r_ℓ = Σ dₜ·dₜ₊ℓ
+    //      and ρ_ℓ = r_ℓ/r₀ are exact ratios; signs stay out of the
+    //      truncating DIV (olsMicros discipline). Lag pairs ride ONE
+    //      equi-join of the spine against itself through an exploded
+    //      lag catalog (47·span rows — span-bounded, never a window),
+    //      and the argmax row is a TakeOrdered. The complement of
+    //      q263's Ljung-Box: that TESTS for autocorrelation, this
+    //      LOCATES the cycle. Per-lag rows + the zz row (l = −1)
+    //      carrying the detected period.
+    ("q343_dominant_period", (s: SparkSession, dir: String) => {
+      val hourly = hourlySpine(s, dir)
+      val tot = hourly.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val dev = graft.Stage.mat(hourly.crossJoin(broadcast(tot))
+        .selectExpr("hb", "n * x - sx AS d"))
+      val r0 = dev.agg(sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("r0"))
+      val lags = dev
+        .crossJoin(broadcast(s.range(2, 49).selectExpr("id AS l")))
+        .selectExpr("hb + l AS hb2", "l", "d AS da")
+      val rl = graft.Stage.mat(lags
+        .join(dev.selectExpr("hb AS hb2", "d AS db"), Seq("hb2"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("rl"))
+        .crossJoin(broadcast(r0))
+        .selectExpr("l", "n_pairs",
+          "CAST(CASE WHEN rl > 0 THEN 1 WHEN rl < 0 THEN -1 ELSE 0 END AS BIGINT) AS sgn",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(rl))
+               DIV greatest(r0, 1) AS BIGINT) AS abs_rho_ppm"""))
+      val zz = rl.filter(col("sgn") === 1L)
+        .orderBy(col("abs_rho_ppm").desc, col("l")).limit(1)
+        .selectExpr("CAST(-1 AS BIGINT) AS l", "n_pairs", "sgn", "abs_rho_ppm",
+          "l AS period")
+      rl.selectExpr("l", "n_pairs", "sgn", "abs_rho_ppm",
+          "CAST(0 AS BIGINT) AS period")
+        .unionByName(zz).orderBy(col("l"))
+    }, Some("""
+      WITH counts AS (
+        SELECT epoch_us(ts) // 3600000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      spine AS (SELECT unnest(generate_series(h0, h1)) AS hb
+                FROM (SELECT min(hb) AS h0, max(hb) AS h1 FROM counts)),
+      hourly AS (SELECT s.hb, COALESCE(c.x, 0) AS x
+                 FROM spine s LEFT JOIN counts c USING (hb)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+              FROM hourly),
+      dev AS (SELECT hb, n * x - sx AS d FROM hourly CROSS JOIN tot),
+      r0 AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS r0 FROM dev),
+      lagcat AS (SELECT CAST(unnest(generate_series(2, 48)) AS BIGINT) AS l),
+      rl AS (SELECT l, CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(SUM(CAST(a.d AS HUGEINT) * b.d) AS HUGEINT) AS rl
+             FROM dev a CROSS JOIN lagcat
+             JOIN dev b ON b.hb = a.hb + l
+             GROUP BY l),
+      rows_ AS (SELECT l, n_pairs,
+                       CAST(CASE WHEN rl > 0 THEN 1 WHEN rl < 0 THEN -1
+                                 ELSE 0 END AS BIGINT) AS sgn,
+                       CAST((CAST(1000000 AS HUGEINT) * abs(rl))
+                            // GREATEST(r0, 1) AS BIGINT) AS abs_rho_ppm
+                FROM rl CROSS JOIN r0),
+      zz AS (SELECT CAST(-1 AS BIGINT) AS l, n_pairs, sgn, abs_rho_ppm, period
+             FROM (SELECT l AS period, n_pairs, sgn, abs_rho_ppm
+                   FROM rows_ WHERE sgn = 1
+                   ORDER BY abs_rho_ppm DESC, l LIMIT 1))
+      SELECT l, n_pairs, sgn, abs_rho_ppm, CAST(0 AS BIGINT) AS period
+      FROM rows_
+      UNION ALL
+      SELECT l, n_pairs, sgn, abs_rho_ppm, period FROM zz
+      ORDER BY l"""))
   )
 }

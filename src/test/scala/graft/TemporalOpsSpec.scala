@@ -631,6 +631,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("stationary"))
   }
 
+  test("dominant period: a planted period-3 cycle wins the ACF argmax") {
+    // counts [5,1,1]×3 over 9 hours: n-scaled deviations d = [24,−12,
+    // −12,…]; r0 = 2592, r3 = 1728 → 666666 ppm (the argmax), r6 =
+    // 333333, and the out-of-phase lags go negative (sign kept out of
+    // the DIV). Lags beyond n−1 have no pairs and emit no row.
+    val dir = java.nio.file.Files.createTempDirectory("acf_fix").toString
+    hourlyFixture(dir,
+      Seq(5, 1, 1, 5, 1, 1, 5, 1, 1).map(n => Seq.fill(n)("click")))
+    val out = SparkEntry.queries("q343_dominant_period")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("l"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("sgn"), r.getAs[Long]("abs_rho_ppm"),
+        r.getAs[Long]("period")))
+    assert(out.toSeq === Seq(
+      (-1L, 6L, 1L, 666666L, 3L),
+      (2L, 7L, -1L, 444444L, 0L),
+      (3L, 6L, 1L, 666666L, 0L),
+      (4L, 5L, -1L, 222222L, 0L),
+      (5L, 4L, -1L, 277777L, 0L),
+      (6L, 3L, 1L, 333333L, 0L),
+      (7L, 2L, -1L, 55555L, 0L),
+      (8L, 1L, -1L, 111111L, 0L)))
+  }
+
   test("Granger lag-F: hand-solved 2-predictor OLS gives F = 8") {
     // purchases y = [2,1,3,2,3], clicks x = [1,2,1,2,2]; the n = 4
     // lagged rows solve to b1 = 0.5, b2 = 2, RSS_r = 2.25, RSS_u =
