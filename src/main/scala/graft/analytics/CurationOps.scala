@@ -2686,6 +2686,78 @@ object CurationOps {
       FROM (SELECT * FROM st35 UNION ALL SELECT * FROM st50
             UNION ALL SELECT * FROM st65) CROSS JOIN nt
       ORDER BY threshold_pct"""
-    })
+    }),
+
+    // ---- perplexity-filter bias audit: the model-based sibling of
+    //      q334's dedup bias audit (and the same Dodge-et-al concern
+    //      aimed at quality filtering) — if the docs a perplexity
+    //      filter would drop skew by SOURCE, the filter curates a
+    //      domain shift, not just noise. Scores come from q65's
+    //      corpus-trained add-1 bigram LM (round-6 snapped, so
+    //      ppl_micros is an exact integer on both engines); the
+    //      above-mean cohort split is EXACT-RATIONAL — pm·n > Σpm,
+    //      no division, no quantile pass — and the per-(cohort,
+    //      source) audit reports counts, within-cohort share, and
+    //      mean perplexity. Docs under 2 tokens never score and are
+    //      out of scope (q65's own domain).
+    ("q344_ppl_filter_bias", (s: SparkSession, dir: String) => {
+      val ppl = graft.Stage.mat(
+        graft.text.LangModel.bigramPerplexity(Tables(s, dir).documents)
+          .selectExpr("doc_id", "CAST(round(ppl * 1000000, 0) AS BIGINT) AS pm"))
+      val tot = ppl.agg(sum(col("pm")).as("spm"), count(lit(1)).as("nn"))
+      val per = ppl.crossJoin(broadcast(tot))
+        .selectExpr("doc_id",
+          """CASE WHEN CAST(pm AS DECIMAL(38,0)) * nn > spm
+             THEN 'high_ppl' ELSE 'keep' END AS cohort""", "pm")
+        .join(Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("cohort"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"))
+      val ctot = per.groupBy(col("cohort")).agg(sum(col("n")).as("nt"))
+        .withColumnRenamed("cohort", "cohort2")
+      per.join(broadcast(ctot), col("cohort") === col("cohort2"))
+        .selectExpr("cohort", "source", "n", "(1000000 * n) DIV nt AS share_ppm",
+          "sp DIV n AS mean_ppl_micros")
+        .orderBy(col("cohort"), col("source"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                              x -> x <> '') AS toks
+                 FROM documents),
+      bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             FROM t WHERE len(toks) >= 2),
+      inst AS (SELECT doc_id, list_extract(toks, i) AS w1,
+                      list_extract(toks, i + 1) AS w2 FROM bi),
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      sc AS (SELECT inst.doc_id,
+               round(ln((CAST(bc.c2 AS DOUBLE) + 1.0)
+                 / (CAST(uni.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE))), 6) AS lp
+             FROM inst
+             JOIN (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                   FROM inst GROUP BY w1, w2) bc USING (w1, w2)
+             JOIN uni ON inst.w1 = uni.w
+             CROSS JOIN vocab vv),
+      ppl AS (SELECT doc_id,
+                CAST(round(round(exp(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE)
+                  * -1.0 / CAST(COUNT(*) AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)
+                  AS pm
+              FROM sc GROUP BY doc_id),
+      tot AS (SELECT CAST(SUM(pm) AS BIGINT) AS spm,
+                     CAST(count(*) AS BIGINT) AS nn FROM ppl),
+      tagged AS (SELECT p.doc_id,
+                        CASE WHEN CAST(pm AS HUGEINT) * nn > spm
+                             THEN 'high_ppl' ELSE 'keep' END AS cohort, pm
+                 FROM ppl p CROSS JOIN tot),
+      per AS (SELECT cohort, d.source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(pm) AS BIGINT) AS sp
+              FROM tagged tg JOIN documents d USING (doc_id)
+              GROUP BY cohort, d.source),
+      ctot AS (SELECT cohort, CAST(SUM(n) AS BIGINT) AS nt
+               FROM per GROUP BY cohort)
+      SELECT per.cohort, source, n, (1000000 * n) // nt AS share_ppm,
+             sp // n AS mean_ppl_micros
+      FROM per JOIN ctot ON per.cohort = ctot.cohort
+      ORDER BY per.cohort, source"""))
   )
 }

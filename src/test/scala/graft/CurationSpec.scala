@@ -672,4 +672,21 @@ class CurationSpec extends SparkSpec {
       ("kept", "en", 1L, 500000L, 10000000L),
       ("kept", "fr", 1L, 500000L, 5000000L)))
   }
+
+  test("ppl filter bias: the unpredictable-source doc lands in the high_ppl cohort") {
+    import spark.implicits._
+    // two repetitive docs from source R (all (x,x) bigrams — the LM
+    // loves them) vs one all-unique-words doc from source S: S must be
+    // the high_ppl cohort, R the keep cohort; shares are within-cohort
+    val dir = java.nio.file.Files.createTempDirectory("pplb_fix").toString
+    Seq((1L, "x x x x x", "en", "R", 9L), (2L, "x x x x x", "en", "R", 9L),
+      (3L, "a b c d e", "en", "S", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q344_ppl_filter_bias")(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[String]("source"),
+        r.getAs[Long]("n"), r.getAs[Long]("share_ppm")))
+    assert(out.toSeq === Seq(("high_ppl", "S", 1L, 1000000L),
+      ("keep", "R", 2L, 1000000L)))
+  }
 }
