@@ -270,8 +270,13 @@ object InferOps {
     * ever globally sorted; the cross products run DECIMAL(38,0) so
     * corpus-scale n_a·n_b cannot overflow.
     */
-  def ksTest(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
-             buckets: Int = 1024): DataFrame = {
+  /** The merged two-sample CDF table (v, c0, c1, n0, n1, cum0, cum1)
+    * via the two-phase bucket decomposition — q193's kernel, shared
+    * with q345's Cramér–von Mises (both are functionals of the same
+    * CDF gap; KS takes the sup, CvM the weighted L²).
+    */
+  private def mergedCdf(df: DataFrame, valueCol: Column, isA: Column,
+                        isB: Column, buckets: Int): DataFrame = {
     val base = df.filter(isA || isB)
       .select(valueCol.cast("long").as("v"), isA.cast("long").as("ga"))
     val pv = base.groupBy(col("v"))
@@ -291,9 +296,16 @@ object InferOps {
       coalesce(sum(col("b1")).over(wOff), lit(0L)).as("o1"))
     val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed.join(broadcast(bOff), Seq("bucket"))
+    bucketed.join(broadcast(bOff), Seq("bucket"))
       .withColumn("cum0", col("o0") + sum(col("c0")).over(wIn))
       .withColumn("cum1", col("o1") + sum(col("c1")).over(wIn))
+      .select(col("v"), col("c0"), col("c1"), col("n0"), col("n1"),
+        col("cum0"), col("cum1"))
+  }
+
+  def ksTest(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+             buckets: Int = 1024): DataFrame = {
+    val cum = mergedCdf(df, valueCol, isA, isB, buckets)
       .selectExpr("v", "n0", "n1",
         """abs(CAST(cum0 AS DECIMAL(38,0)) * n1
                - CAST(cum1 AS DECIMAL(38,0)) * n0) AS diff""")
@@ -307,6 +319,24 @@ object InferOps {
            AS ks_ppm""",
         "-s.nv AS v_at")
   }
+
+  /** Two-sample Cramér–von Mises (Anderson 1962): T = (n0·n1/N²)·
+    * Σ_obs (F0−F1)² — the WHOLE-CURVE complement of [[ksTest]]'s sup
+    * gap, on the same mergedCdf kernel. With integer CDFs the sum is
+    * exact: Σ c·(cum0·n1 − cum1·n0)² DIV (N²·n0·n1) in ppm.
+    */
+  def cvmTest(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+              buckets: Int = 1024): DataFrame =
+    mergedCdf(df, valueCol, isA, isB, buckets)
+      .selectExpr("n0", "n1", "c0 + c1 AS c",
+        """CAST(cum0 AS DECIMAL(38,0)) * n1
+           - CAST(cum1 AS DECIMAL(38,0)) * n0 AS diff""")
+      .groupBy(col("n0"), col("n1"))
+      .agg(sum(expr("c * diff * diff")).as("sw"), sum(col("c")).as("nn"))
+      .selectExpr("n0 AS n_a", "n1 AS n_b",
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * sw)
+             DIV greatest(CAST(nn AS DECIMAL(38,0)) * nn * n0 * n1, 1)
+             AS BIGINT) AS t_ppm""")
 
   /** Frequent ordered event-type triples (a then b then c, arbitrary
     * gaps) with user-level support — sequential-pattern mining, the
@@ -2324,6 +2354,39 @@ object InferOps {
       SELECT n_blocks, obs_max_mu, mean_mu, sigma_mu, mu_mu,
              mu_mu + (sigma_mu * 2441716) // 1000000 AS rl12_mu,
              mu_mu + (sigma_mu * 4085953) // 1000000 AS rl60_mu
-      FROM m5"""))
+      FROM m5""")),
+
+    // ---- two-sample Cramér–von Mises on the click-vs-purchase value
+    //      distribution (Anderson 1962): the L² whole-curve companion
+    //      of q193's KS sup on the SAME mergedCdf kernel — KS sees the
+    //      single worst gap, CvM accumulates every gap (more power
+    //      against many-small-differences alternatives, the common
+    //      drift shape). All-integer: with integer CDFs,
+    //      T_ppm = 1e6·Σ c·(cum0·n1 − cum1·n0)² DIV (N²·n0·n1); the
+    //      oracle replays the plain-window cumsum so equality again
+    //      proves the two-phase bucket decomposition IS the prefix sum.
+    ("q345_cvm_test", (s: SparkSession, dir: String) => {
+      cvmTest(Tables(s, dir).events,
+        valueCol = expr("CAST(floor(value * 1000000) AS BIGINT)"),
+        isA = col("event_type") === "click",
+        isB = col("event_type") === "purchase")
+    }, Some("""
+      WITH base AS (
+        SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ga
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      pv AS (SELECT v, SUM(ga) AS c0, SUM(1 - ga) AS c1 FROM base GROUP BY v),
+      tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                     CAST(SUM(c1) AS BIGINT) AS n1 FROM pv),
+      cum AS (SELECT v, c0, c1, SUM(c0) OVER (ORDER BY v) AS cum0,
+                     SUM(c1) OVER (ORDER BY v) AS cum1 FROM pv),
+      w AS (SELECT c0 + c1 AS c,
+                   CAST(cum0 AS HUGEINT) * n1 - CAST(cum1 AS HUGEINT) * n0 AS diff
+            FROM cum CROSS JOIN tot)
+      SELECT n0 AS n_a, n1 AS n_b,
+             CAST((CAST(1000000 AS HUGEINT) * (SELECT SUM(c * diff * diff) FROM w))
+                  // GREATEST(CAST(n0 + n1 AS HUGEINT) * (n0 + n1) * n0 * n1, 1)
+                  AS BIGINT) AS t_ppm
+      FROM tot"""))
   )
 }

@@ -544,4 +544,20 @@ class InferOpsSpec extends SparkSpec {
       r.getAs[Long]("a_right"), r.getAs[Long]("jump_micros")) ===
       ((1L, 2L, 2L, 0L, 0L, 10000000L, 30000000L, 20000000L)))
   }
+
+  test("Cramer-von Mises: interleaved pairs accumulate exactly the hand L2 sum") {
+    import spark.implicits._
+    // clicks at values [1, 3], purchases at [2, 4]: scaled diffs
+    // alternate [2, 0, 2, 0] → Σc·diff² = 8 → T = 8/(4²·2·2) = 0.125
+    val dir = java.nio.file.Files.createTempDirectory("cvm_fix").toString
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:0$i:00")
+    Seq((1L, ts(1), 1L, "click", 1.0, "{}"), (2L, ts(2), 1L, "click", 3.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 2.0, "{}"),
+      (4L, ts(4), 1L, "purchase", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q345_cvm_test")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("t_ppm")) === ((2L, 2L, 125000L)))
+  }
 }

@@ -365,7 +365,8 @@ class PlanSpec extends SparkSpec {
       "q332_gini_revenue" -> WinBound(1100, "midrank bucket-offset table (≤1024 rows; two-phase rank, shared with q239/q310)"),
       "q331_cornish_fisher" -> WinBound(1100, "quantilesRaw bucket-count cumulation (≤1024 rows; single-group cents quantiles, q320 regime)"),
       "q341_dickey_fuller" -> WinBound(65536, "hour-grain spine lag (unit-root regression) — time-span-bounded (q111 regime)"),
-      "q343_dominant_period" -> WinBound(65536, "hourlySpine position rank — time-span-bounded (q111 regime); lag pairs ride the catalog join, not a window"))
+      "q343_dominant_period" -> WinBound(65536, "hourlySpine position rank — time-span-bounded (q111 regime); lag pairs ride the catalog join, not a window"),
+      "q345_cvm_test" -> WinBound(1100, "mergedCdf bucket-offset table (≤1024 rows; per-bucket cum windows, q193's kernel)"))
     // Audits the final optimized plan AND every Stage.mat'd subtree —
     // a barrier truncates lineage, so without the recorder hook a window
     // sliding inside a mat'd stage silently leaves the gate (this round's
