@@ -107,6 +107,14 @@ object ScaleSmoke {
       // ids keeps the shard a constant fraction per replica).
       time("ktruss_support_r1", n)(graft.analytics.GraphOps.edgeSupport(eh))
       time("adamic_adar_cohort", n)(graft.analytics.GraphOps.adamicAdarTopK(eh))
+      // round-11 additions: q342's three exact power iterations (each a
+      // full-edge join + re-aggregate ⇒ expected ~linear in m on
+      // disjoint replicas, the PageRank slope — VERDICT r10 ask #3) and
+      // the q335 delta peel end-to-end (one wedge enumeration + two
+      // triangle-scale filter rounds; the wedge pass dominates, so the
+      // curve should track ktruss_support_r1).
+      time("eigencentrality_i3", n)(graft.analytics.GraphOps.eigenCentralityTopK(eh))
+      time("ktruss_delta_r3", n)(graft.analytics.GraphOps.kTrussRounds(eh, 3, 2))
     }
 
     // Embedding battery (VERDICT r8 ask #2): q258's cell-bounded DBSCAN

@@ -842,14 +842,14 @@ object GraphOps {
     globalRow.unionByName(localTop).orderBy(col("v"))
   }
 
-  /** Per-edge triangle support over a distinct undirected edge table
-    * (pa < pb): the q257 oriented wedge enumeration (each triangle found
-    * once at its min-degree vertex), then each triangle credits its
-    * THREE edges — the k-truss peel primitive (Cohen 2008). Support
-    * rows cover exactly the edges that close ≥ 1 triangle (triangle
-    * edges are e-members by construction), so Σ sup = 3·|triangles|.
+  /** Triangle enumeration over a distinct undirected edge table
+    * (pa < pb): the q257 oriented wedge build (each triangle found
+    * once, at its min-degree vertex) + the closure probe, both
+    * shuffle_hash-hinted. One row (u, x, y) per triangle — the
+    * O(m^1.5) pass every downstream consumer (support counts, truss
+    * peels) shares, so it runs ONCE per edge set.
     */
-  private[graft] def edgeSupport(e: DataFrame): DataFrame = {
+  private[graft] def triangleList(e: DataFrame): DataFrame = {
     val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val lower = col("da") < col("db") ||
@@ -867,11 +867,47 @@ object GraphOps {
         col("w2.w").as("y"), col("w2.dw").as("dy"))
     val innerLower = col("dx") < col("dy") ||
       (col("dx") === col("dy") && col("x") < col("y"))
-    val tri = wedges
+    wedges
       .join(ori.as("o2").hint("shuffle_hash"),
         col("o2.u") === when(innerLower, col("x")).otherwise(col("y")) &&
           col("o2.w") === when(innerLower, col("y")).otherwise(col("x")))
       .select(col("cu").as("u"), col("x"), col("y"))
+  }
+
+  /** Triangle enumeration in the q257 compact-adjacency form
+    * ([[triangleCensusAdj]]'s kernel): orient low-degree-first, pack
+    * each node's out-neighbors into ONE sorted array, and find each
+    * triangle {a,b,c} once at its oriented edge (u, w) as
+    * explode(adj⁺(u) ∩ adj⁺(w)). Same triangle set as [[triangleList]]
+    * by construction; the Σ outdeg² wedge volume moves as packed
+    * arrays replicated per edge instead of a row-per-wedge join probe
+    * (ProbeTruss measures both forms, PERF.md records which one the
+    * truss family ships with).
+    */
+  private[graft] def triangleListAdj(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Stage.mat(
+      e.join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("w")))
+    val adj = graft.Stage.mat(
+      ori.groupBy(col("u")).agg(sort_array(collect_list(col("w"))).as("nbrs")))
+    ori
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nbrs_w")), Seq("w"))
+      .select(col("u"), col("w").as("x"),
+        explode(array_intersect(col("nbrs"), col("nbrs_w"))).as("y"))
+  }
+
+  /** Per-edge support from a triangle list: each triangle credits its
+    * THREE canonical edges. Triangle-scale aggregation only — no wedge
+    * work happens here.
+    */
+  private[graft] def triEdgeSupport(tri: DataFrame): DataFrame =
     tri.select(least(col("u"), col("x")).as("pa"),
         greatest(col("u"), col("x")).as("pb"))
       .unionByName(tri.select(least(col("u"), col("y")).as("pa"),
@@ -879,6 +915,89 @@ object GraphOps {
       .unionByName(tri.select(least(col("x"), col("y")).as("pa"),
         greatest(col("x"), col("y")).as("pb")))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
+
+  /** Per-edge triangle support over a distinct undirected edge table
+    * (pa < pb): the q257 oriented wedge enumeration (each triangle found
+    * once at its min-degree vertex), then each triangle credits its
+    * THREE edges — the k-truss peel primitive (Cohen 2008). Support
+    * rows cover exactly the edges that close ≥ 1 triangle (triangle
+    * edges are e-members by construction), so Σ sup = 3·|triangles|.
+    */
+  private[graft] def edgeSupport(e: DataFrame): DataFrame =
+    triEdgeSupport(triangleList(e))
+
+  /** Delta-support k-truss peel (VERDICT r10 ask #1, the edge-wise
+    * transfer of q138's ProbeKCore lesson): the O(m^1.5) triangle
+    * enumeration runs ONCE, as a materialized triple list keyed by its
+    * three canonical edges; every subsequent round is TRIANGLE-SCALE —
+    * support = one groupBy over the list, survivors = three semi-joins
+    * against the kept-edge set (a triangle of the peeled subgraph is
+    * exactly an original triangle whose three edges all survive, so no
+    * re-enumeration can ever find anything the filter keeps out).
+    * Round summaries (edges in, triangles, edges kept with sup ≥
+    * k−2) are assembled plan-side — value-identical to re-running
+    * [[edgeSupport]] per round (GraphOpsSpec pins equality; ProbeTruss
+    * measures the ratio, PERF.md records it).
+    */
+  private[graft] def kTrussRounds(e: DataFrame, rounds: Int, minSup: Int,
+      enumerate: DataFrame => DataFrame = triangleListAdj): DataFrame = {
+    var eCur = graft.Stage.mat(e)
+    var tri = graft.Stage.mat(enumerate(eCur).select(
+      least(col("u"), col("x")).as("a1"), greatest(col("u"), col("x")).as("b1"),
+      least(col("u"), col("y")).as("a2"), greatest(col("u"), col("y")).as("b2"),
+      least(col("x"), col("y")).as("a3"), greatest(col("x"), col("y")).as("b3")))
+    val rows = (1 to rounds).map { r =>
+      val sup = graft.Stage.mat(
+        tri.select(col("a1").as("pa"), col("b1").as("pb"))
+          .unionByName(tri.select(col("a2").as("pa"), col("b2").as("pb")))
+          .unionByName(tri.select(col("a3").as("pa"), col("b3").as("pb")))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup")))
+      val next = graft.Stage.mat(
+        sup.filter(col("sup") >= minSup).select(col("pa"), col("pb")))
+      val row = eCur.agg(count(lit(1)).as("n_edges_in"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_tri")))
+        .crossJoin(next.agg(count(lit(1)).as("n_kept")))
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_edges_in", "n_tri",
+          "n_kept")
+      if (r < rounds) {
+        tri = graft.Stage.mat(tri
+          .join(next.select(col("pa").as("a1"), col("pb").as("b1")),
+            Seq("a1", "b1"), "left_semi")
+          .join(next.select(col("pa").as("a2"), col("pb").as("b2")),
+            Seq("a2", "b2"), "left_semi")
+          .join(next.select(col("pa").as("a3"), col("pb").as("b3")),
+            Seq("a3", "b3"), "left_semi"))
+      }
+      eCur = next
+      row
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q342's eigencentrality body over a distinct undirected edge table
+    * (pa < pb): three exact-integer power iterations from v₀ ≡ 1
+    * (v₁ = degree, v₃ = 3-walk counts), score_ppm = 1e6·v₃ DIV max(v₃),
+    * top-k. Each iteration = one edge-join + re-aggregate — PageRank's
+    * scale shape with no damping vector. Extracted so ScaleSmoke can
+    * measure its growth on replicated graphs (VERDICT r10 ask #3).
+    */
+  private[graft] def eigenCentralityTopK(e: DataFrame, k: Int = 20): DataFrame = {
+    val adj = graft.Stage.mat(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v"))))
+    def iter(prev: DataFrame): DataFrame = graft.Stage.mat(
+      adj.join(prev.select(col("v"), col("s")), Seq("v"))
+        .groupBy(col("u")).agg(sum(col("s")).as("s"))
+        .select(col("u").as("v"), col("s")))
+    val v1 = graft.Stage.mat(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("s"))
+        .select(col("u").as("v"), col("s")))
+    val v3 = iter(iter(v1))
+    v3.crossJoin(broadcast(v3.agg(max(col("s")).as("smax"))))
+      .selectExpr("v", "s AS walks3",
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * s) DIV smax AS BIGINT)
+           AS score_ppm""")
+      .orderBy(col("score_ppm").desc, col("v")).limit(k)
   }
 
   /** q325's cohort-bounded Adamic–Adar body over a distinct undirected
@@ -1876,30 +1995,24 @@ object GraphOps {
     //      deterministic 25% order cohort (o % 4 = 0 — triangle work is
     //      O(m^1.5), so the cohort bounds each round's wedge stream the
     //      way q325's shard bounds its pairs; production sweeps
-    //      cohorts). Each round re-enumerates support via the shared
-    //      [[edgeSupport]] (oriented wedges + closure probe, both
-    //      shuffle_hash-hinted) and keeps sup ≥ 2 edges; the round
-    //      summary (edges in, triangles = Σsup DIV 3, edges kept) is
-    //      assembled plan-side — no driver collects. The oracle unrolls
-    //      the SAME three rounds as MATERIALIZED CTEs (the q311
-    //      warm-start discipline), so convergence is value-checked
-    //      round for round.
+    //      cohorts). Since round 11 the peel is DELTA-SUPPORT
+    //      ([[kTrussRounds]], the edge-wise q138 lesson): the triangle
+    //      enumeration runs ONCE — in the q257 compact-adjacency form
+    //      ([[triangleListAdj]]; ProbeTruss measured 3.5× less CPU than
+    //      the wedge join on this graph) — and rounds 2+ are triangle-
+    //      scale filters (three semi-joins against the kept edges) —
+    //      value-identical to per-round re-enumeration because a
+    //      peeled subgraph's triangles are exactly the original
+    //      triangles whose three edges survive. Round summaries (edges
+    //      in, triangles, edges kept with sup ≥ 2) are assembled
+    //      plan-side — no driver collects. The oracle unrolls the SAME
+    //      three rounds as re-enumerated MATERIALIZED CTEs (the q311
+    //      warm-start discipline), so the delta path is value-checked
+    //      against full recomputation round for round.
     ("q335_ktruss_peel", (s: SparkSession, dir: String) => {
-      var eCur = graft.Stage.mat(partCoPurchaseEdges(
-        Tables(s, dir).lineitem.filter(pmod(col("l_orderkey"), lit(4)) === 0)))
-      val rows = (1 to 3).map { r =>
-        val sup = graft.Stage.mat(edgeSupport(eCur))
-        val next = graft.Stage.mat(
-          sup.filter(col("sup") >= 2).select(col("pa"), col("pb")))
-        val row = eCur.agg(count(lit(1)).as("n_edges_in"))
-          .crossJoin(sup.agg(expr("coalesce(sum(sup), 0) DIV 3").as("n_tri")))
-          .crossJoin(next.agg(count(lit(1)).as("n_kept")))
-          .selectExpr(s"CAST($r AS BIGINT) AS round", "n_edges_in", "n_tri",
-            "n_kept")
-        eCur = next
-        row
-      }
-      rows.reduce(_ unionByName _).orderBy(col("round"))
+      kTrussRounds(partCoPurchaseEdges(
+          Tables(s, dir).lineitem.filter(pmod(col("l_orderkey"), lit(4)) === 0)),
+        rounds = 3, minSup = 2)
     }, Some {
       def roundSql(e: String, p: String) = s"""
       ${p}deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d
@@ -1966,25 +2079,10 @@ object GraphOps {
     //      score_ppm = 1e6·v₃ DIV max(v₃) at the end. Three edge-join +
     //      re-aggregate rounds — the scale shape of one PageRank
     //      iteration each, no damping vector to carry.
-    ("q342_eigencentrality", (s: SparkSession, dir: String) => {
-      val e = graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem))
-      val adj = graft.Stage.mat(
-        e.select(col("pa").as("u"), col("pb").as("v"))
-          .unionByName(e.select(col("pb").as("u"), col("pa").as("v"))))
-      def iter(prev: DataFrame): DataFrame = graft.Stage.mat(
-        adj.join(prev.select(col("v"), col("s")), Seq("v"))
-          .groupBy(col("u")).agg(sum(col("s")).as("s"))
-          .select(col("u").as("v"), col("s")))
-      val v1 = graft.Stage.mat(
-        adj.groupBy(col("u")).agg(count(lit(1)).as("s"))
-          .select(col("u").as("v"), col("s")))
-      val v3 = iter(iter(v1))
-      v3.crossJoin(broadcast(v3.agg(max(col("s")).as("smax"))))
-        .selectExpr("v", "s AS walks3",
-          """CAST((CAST(1000000 AS DECIMAL(38,0)) * s) DIV smax AS BIGINT)
-             AS score_ppm""")
-        .orderBy(col("score_ppm").desc, col("v")).limit(20)
-    }, Some("""
+    ("q342_eigencentrality", (s: SparkSession, dir: String) =>
+      eigenCentralityTopK(
+        graft.Stage.mat(partCoPurchaseEdges(Tables(s, dir).lineitem)))
+    , Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
             FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),

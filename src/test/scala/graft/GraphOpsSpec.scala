@@ -483,6 +483,33 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 6L, 4L, 6L)))
   }
 
+  test("delta k-truss equals per-round support re-enumeration on the real sf0.001 cohort") {
+    // the kTrussRounds contract: filtering the ONE materialized triangle
+    // list by surviving edges yields exactly the triangles a full
+    // re-enumeration of the peeled subgraph would find — so every round
+    // summary must match the r10 shipping plan bit for bit
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def cohort() = graft.Stage.mat(GraphOps.partCoPurchaseEdges(
+      li.filter(pmod(col("l_orderkey"), lit(4)) === 0)))
+    var eCur = cohort()
+    val reenum = (1 to 3).map { r =>
+      val sup = graft.Stage.mat(GraphOps.edgeSupport(eCur))
+      val next = graft.Stage.mat(
+        sup.filter(col("sup") >= 2).select(col("pa"), col("pb")))
+      val row = eCur.agg(count(lit(1)).as("n_edges_in"))
+        .crossJoin(sup.agg(expr("coalesce(sum(sup), 0) DIV 3").as("n_tri")))
+        .crossJoin(next.agg(count(lit(1)).as("n_kept")))
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_edges_in", "n_tri",
+          "n_kept")
+      eCur = next
+      row
+    }.reduce(_ unionByName _).orderBy(col("round")).collect().toSeq
+    val delta = GraphOps.kTrussRounds(cohort(), 3, 2).collect().toSeq
+    assert(reenum.head.getAs[Long]("n_tri") > 0L,
+      "fixture must actually contain triangles for the pin to mean anything")
+    assert(delta === reenum)
+  }
+
   test("eigencentrality: 3-walk counts on the path graph rank the middle first") {
     // path 1-2-3: v1 = deg = [1,2,1]; v2 = [2,2,2]; v3 = [2,4,2] →
     // middle node saturates at 1e6 ppm, endpoints at half
