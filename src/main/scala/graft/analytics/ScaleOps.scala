@@ -2639,20 +2639,38 @@ object ScaleOps {
     //      row per candidate with the per-position run bounds, the
     //      total (the RLE page estimate), and n for the incompressible
     //      baseline; ranked ascending.
+    //
+    //      Plan shape (VERDICT r10 ask #2 — the r10 form paid ~16
+    //      fact-scale Expand passes, 18.5 s CPU at sf0.1): ONE
+    //      distinct-4-tuples pass over the fact table (groupBy — at
+    //      most min(n, |rf|·|ls|·|qy|·|sd|) rows, the row count riding
+    //      along as sum(cnt)); all 16 prefix-distinct counts are then
+    //      aggregates over that SMALL table, because a prefix's
+    //      distinct count over the base EQUALS its distinct count over
+    //      the distinct-tuple set, and r4 is just the tuple-table row
+    //      count. Non-null precondition (ADVICE r10 #3): all four
+    //      profiled columns are non-null in lineitem; countDistinct
+    //      drops rows where ANY column is NULL while DuckDB's tuple
+    //      form counts them — a nullable column added to the candidate
+    //      set must be coalesced first ON BOTH SIDES.
     ("q326_rle_advisor", (s: SparkSession, dir: String) => {
       val base = Tables(s, dir).lineitem.selectExpr(
         "l_returnflag AS rf", "l_linestatus AS ls",
         "CAST(floor(l_quantity) AS BIGINT) AS qy",
         "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS sd")
+      val dt = graft.Stage.mat(
+        base.groupBy(col("rf"), col("ls"), col("qy"), col("sd"))
+          .agg(count(lit(1)).as("cnt")))
+      val nRow = graft.Stage.mat(dt.agg(sum(col("cnt")).as("n")))
       val cands = Seq(Seq("rf", "ls", "qy", "sd"), Seq("sd", "rf", "ls", "qy"),
         Seq("qy", "sd", "rf", "ls"), Seq("ls", "qy", "rf", "sd"))
       cands.map { cs =>
-        base.agg(
+        dt.agg(
             countDistinct(col(cs(0))).as("r1"),
             countDistinct(col(cs(0)), col(cs(1))).as("r2"),
             countDistinct(col(cs(0)), col(cs(1)), col(cs(2))).as("r3"),
-            countDistinct(col(cs(0)), col(cs(1)), col(cs(2)), col(cs(3))).as("r4"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("r4"))
+          .crossJoin(broadcast(nRow))
           .selectExpr(s"'${cs.mkString(",")}' AS layout",
             "CAST(r1 AS BIGINT) AS r1", "CAST(r2 AS BIGINT) AS r2",
             "CAST(r3 AS BIGINT) AS r3", "CAST(r4 AS BIGINT) AS r4",
@@ -2665,15 +2683,17 @@ object ScaleOps {
         FROM (SELECT CAST(COUNT(DISTINCT ${cs(0)}) AS BIGINT) AS r1,
                      CAST(COUNT(DISTINCT (${cs(0)}, ${cs(1)})) AS BIGINT) AS r2,
                      CAST(COUNT(DISTINCT (${cs(0)}, ${cs(1)}, ${cs(2)})) AS BIGINT) AS r3,
-                     CAST(COUNT(DISTINCT (${cs(0)}, ${cs(1)}, ${cs(2)}, ${cs(3)})) AS BIGINT) AS r4,
-                     CAST(count(*) AS BIGINT) AS n
-              FROM b)"""
+                     CAST(count(*) AS BIGINT) AS r4,
+                     (SELECT CAST(SUM(cnt) AS BIGINT) FROM dt) AS n
+              FROM dt)"""
       s"""
       WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
                         CAST(floor(l_quantity) AS BIGINT) AS qy,
                         CAST(datediff('day', DATE '1970-01-01',
                           CAST(l_shipdate AS DATE)) AS BIGINT) AS sd
-                 FROM lineitem)
+                 FROM lineitem),
+      dt AS MATERIALIZED (SELECT rf, ls, qy, sd, CAST(count(*) AS BIGINT) AS cnt
+                          FROM b GROUP BY 1, 2, 3, 4)
       ${cand(Seq("rf", "ls", "qy", "sd"))}
       UNION ALL ${cand(Seq("sd", "rf", "ls", "qy"))}
       UNION ALL ${cand(Seq("qy", "sd", "rf", "ls"))}
@@ -2693,14 +2713,20 @@ object ScaleOps {
     //      so the fixture has real signal: dropped mean > kept mean).
     //      The keep flag rides a PARTITIONED window over the 64-bit
     //      fingerprint (no fingerprint-string join, no global window);
-    //      everything downstream is (cohort × lang)-sized.
+    //      everything downstream is (cohort × lang)-sized. The reprint
+    //      id offset is DERIVED from max(doc_id)+1 on both engines
+    //      (VERDICT r10 #3) so reprint ids can never collide with real
+    //      ids at a larger documents fixture; the min-id keep rule
+    //      still always prefers the original.
     ("q334_dedup_bias_audit", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
       val base = Tables(s, dir).documents.select(col("doc_id"), col("text"),
         col("lang"))
-      val reprints = base.select((col("doc_id") + 10000).as("doc_id"),
-        concat(col("text"), lit(" -- "), col("doc_id").cast("string"),
-          lit(" / 500 --")).as("text"), col("lang"))
+      val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+      val reprints = base.crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"),
+          concat(col("text"), lit(" -- "), col("doc_id").cast("string"),
+            lit(" / 500 --")).as("text"), col("lang"))
       val tagged = graft.Stage.mat(base.unionByName(reprints)
         .withColumn("rfp", TextStats.robustFingerprint(col("text")))
         .withColumn("keep_id", min(col("doc_id")).over(
@@ -2721,7 +2747,7 @@ object ScaleOps {
       WITH all_docs AS (
         SELECT doc_id, text, lang FROM documents
         UNION ALL
-        SELECT doc_id + 10000,
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
                concat(text, ' -- ', CAST(doc_id AS VARCHAR), ' / 500 --'),
                lang
         FROM documents),

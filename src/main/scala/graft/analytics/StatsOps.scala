@@ -2081,8 +2081,12 @@ object StatsOps {
         tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
       def divRow(grouped: org.apache.spark.sql.RelationalGroupedDataset,
                  label: Column): DataFrame = grouped
+        // Σc(c−1) summed in DECIMAL(38,0) — the BIGINT crossover at
+        // c ≈ 3e9 the header documents applies to the SUM, not just
+        // the final DIV (ADVICE r10 #4); the oracle mirrors with a
+        // HUGEINT product and no BIGINT cast on the sum
         .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
-          sum(expr("c * (c - 1)")).as("sp"))
+          sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("sp"))
         .select(label.as("source"), col("n_tokens"), col("n_types"),
           expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sp)
                    DIV greatest(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1), 1)
@@ -2105,12 +2109,12 @@ object StatsOps {
       per AS (
         SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_types,
-               CAST(SUM(c * (c - 1)) AS BIGINT) AS sp
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS sp
         FROM bysrc GROUP BY source),
       allw AS (
         SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_types,
-               CAST(SUM(c * (c - 1)) AS BIGINT) AS sp
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS sp
         FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM bysrc GROUP BY w)),
       u AS (SELECT source, n_tokens, n_types, sp FROM per
             UNION ALL
@@ -2295,27 +2299,45 @@ object StatsOps {
     //      KEY? The profiling advisor beside q283's FD discovery and
     //      q169's column profile — uniqueness ratio distinct/n for
     //      every single column and pair over the orders catalog
-    //      attributes + the declared key as the positive control. Pure
-    //      count-distinct aggregation (one pass per combo, no sort, no
-    //      window) — the advisor you can afford on 100 TB because each
-    //      combo is a map-side-combined distinct count. is_key pins the
-    //      exact-uniqueness verdict.
+    //      attributes + the declared key as the positive control.
+    //      is_key pins the exact-uniqueness verdict.
+    //
+    //      Plan shape (VERDICT r10 ask #2's sweep): TWO fact-scale
+    //      passes total, not one per combo — the declared key's own
+    //      distinct count (necessarily row-scale: grouping by a key
+    //      collapses nothing), plus ONE distinct-4-tuples pass over the
+    //      four non-key attributes; all ten attribute combos (4 singles
+    //      + 6 pairs) are then aggregates over that SMALL table, since
+    //      a subset's distinct count over the base equals its distinct
+    //      count over the distinct-tuple set. Non-null precondition
+    //      (ADVICE r10 #3): the profiled orders columns are non-null;
+    //      countDistinct drops rows where ANY column is NULL while
+    //      DuckDB's tuple form counts them — coalesce first on both
+    //      sides before profiling a nullable column.
     ("q337_key_discovery", (s: SparkSession, dir: String) => {
       val o = Tables(s, dir).orders
-      val singles = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority", "o_orderdate")
-      val combos: Seq[Seq[String]] = singles.map(Seq(_)) ++
-        (for { i <- singles.indices; j <- i + 1 until singles.length
-               if singles(i) != "o_orderkey" }
-          yield Seq(singles(i), singles(j)))
-      combos.map { cs =>
-        o.agg(countDistinct(cs.head, cs.tail: _*).as("nd"),
-            count(lit(1)).as("n"))
+      val quad = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate")
+      val dt = graft.Stage.mat(
+        o.groupBy(quad.map(col): _*).agg(count(lit(1)).as("cnt")))
+      val nRow = graft.Stage.mat(dt.agg(sum(col("cnt")).as("n")))
+      val keyRow = o.agg(countDistinct(col("o_orderkey")).as("nd"),
+          count(lit(1)).as("n"))
+        .selectExpr("'o_orderkey' AS combo",
+          "CAST(nd AS BIGINT) AS n_distinct", "n",
+          "(1000000 * nd) DIV n AS unique_ppm", "nd = n AS is_key")
+      val combos: Seq[Seq[String]] = quad.map(Seq(_)) ++
+        (for { i <- quad.indices; j <- i + 1 until quad.length }
+          yield Seq(quad(i), quad(j)))
+      val rest = combos.map { cs =>
+        dt.agg(countDistinct(cs.head, cs.tail: _*).as("nd"))
+          .crossJoin(broadcast(nRow))
           .selectExpr(s"'${cs.mkString(",")}' AS combo",
             "CAST(nd AS BIGINT) AS n_distinct", "n",
             "(1000000 * nd) DIV n AS unique_ppm",
             "nd = n AS is_key")
-      }.reduce(_ unionByName _)
+      }
+      (keyRow +: rest).reduce(_ unionByName _)
         .orderBy(col("unique_ppm").desc, col("combo"))
     }, Some {
       def comboSql(cs: Seq[String]) = {

@@ -2627,7 +2627,10 @@ object TemporalOps {
     //      partial aggregation. DW needs no sqrt:
     //        dw_ppm = 1e6·Σ(Δe)² DIV Σe²   (both sums ≥ 0).
     //      e_milli ≲ 1e8 even at sf1000 (hourly counts ~1e6), so Σe²
-    //      ≲ 7e18·1e6 — kept in DECIMAL(38) for the ppm step. Output:
+    //      ≲ 7e24 — both SUMS run in DECIMAL(38,0) (HUGEINT oracle-
+    //      side), so dw_ppm is exact at any documented scale; the two
+    //      reused BIGINT magnitude output columns raise identically on
+    //      both engines past 2^63 rather than wrapping. Output:
     //      per-day residual diagnostics (n hours, Σ|e|, max |e| in
     //      millis) + the zz row (od = −1) reusing the two magnitude
     //      columns for Σe² / Σ(Δe)² and carrying dw_ppm and the fitted
@@ -2655,16 +2658,23 @@ object TemporalOps {
           max(abs(col("e_milli"))).as("max_ae_milli"))
         .selectExpr("od", "n_g", "sae_milli", "max_ae_milli",
           "CAST(0 AS BIGINT) AS dw_ppm", "CAST(0.0 AS DOUBLE) AS slope_r")
+      // Σe² and Σ(Δe)² summed in DECIMAL(38,0) — the header's ~7e24
+      // sf1000 bound applies to the SUMS, not just the ppm DIV (ADVICE
+      // r10 #1); the oracle mirrors with HUGEINT products and no BIGINT
+      // cast on the sums. The reused BIGINT output columns then RAISE
+      // identically on both engines (ANSI / HUGEINT→BIGINT cast) past
+      // 2^63 instead of Spark wrapping where DuckDB raises.
       val zz = lagd.agg(count(lit(1)).as("n"),
-          sum(expr("e_milli * e_milli")).as("see"),
+          sum(expr("CAST(e_milli AS DECIMAL(38,0)) * e_milli")).as("see"),
           sum(expr(
-            "CASE WHEN ep IS NULL THEN 0 ELSE (e_milli - ep) * (e_milli - ep) END"))
+            """CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(38,0))
+               ELSE CAST(e_milli - ep AS DECIMAL(38,0)) * (e_milli - ep) END"""))
             .as("sdd"),
           max(col("bhat")).as("bh"))
-        .selectExpr("CAST(-1 AS BIGINT) AS od", "n AS n_g", "see AS sae_milli",
-          "sdd AS max_ae_milli",
-          """CAST((CAST(sdd AS DECIMAL(38,0)) * 1000000)
-               DIV greatest(see, 1) AS BIGINT) AS dw_ppm""",
+        .selectExpr("CAST(-1 AS BIGINT) AS od", "n AS n_g",
+          "CAST(see AS BIGINT) AS sae_milli",
+          "CAST(sdd AS BIGINT) AS max_ae_milli",
+          """CAST((sdd * 1000000) DIV greatest(see, 1) AS BIGINT) AS dw_ppm""",
           "round(bh, 6) AS slope_r")
       days.unionByName(zz).orderBy(col("od"))
     }, Some("""
@@ -2701,18 +2711,18 @@ object TemporalOps {
                       CAST(MAX(abs(e_milli)) AS BIGINT) AS max_ae_milli
                FROM lagd GROUP BY od),
       zz AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                    CAST(SUM(e_milli * e_milli) AS BIGINT) AS see,
-                    CAST(SUM(CASE WHEN ep IS NULL THEN 0
-                                  ELSE (e_milli - ep) * (e_milli - ep) END)
-                      AS BIGINT) AS sdd,
+                    SUM(CAST(e_milli AS HUGEINT) * e_milli) AS see,
+                    SUM(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT)
+                             ELSE CAST(e_milli - ep AS HUGEINT)
+                                  * (e_milli - ep) END) AS sdd,
                     MAX(bhat) AS bh
              FROM lagd)
       SELECT od, n_g, sae_milli, max_ae_milli, CAST(0 AS BIGINT) AS dw_ppm,
              CAST(0.0 AS DOUBLE) AS slope_r
       FROM days
       UNION ALL
-      SELECT CAST(-1 AS BIGINT), n, see, sdd,
-             CAST((CAST(sdd AS HUGEINT) * 1000000) // GREATEST(see, 1) AS BIGINT),
+      SELECT CAST(-1 AS BIGINT), n, CAST(see AS BIGINT), CAST(sdd AS BIGINT),
+             CAST((sdd * 1000000) // GREATEST(see, 1) AS BIGINT),
              round(bh, 6)
       FROM zz
       ORDER BY od""")),

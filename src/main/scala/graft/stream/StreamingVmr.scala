@@ -35,9 +35,16 @@ object StreamingVmr {
       VmrState(0L, 0L, 0L)) {
       case (st, (_, _, x)) => VmrState(st.n + 1L, st.s1 + x, st.s2 + x * x)
     } { (k, st) =>
-      val num = st.n * st.s2 - st.s1 * st.s1
-      val vmr = 1000000L * num / math.max((st.n - 1L) * st.s1, 1L)
-      val chi2 = 1000000L * num / math.max(st.s1, 1L)
+      // n·s2 − s1² in BigInt (ADVICE r10 #2): the batch q336 statistic
+      // this claims bit-parity with computes the numerator in
+      // DECIMAL(38,0), so the streaming side must not wrap in Long for
+      // large running counts. longValueExact makes an out-of-BIGINT
+      // emission RAISE like the batch side's ANSI cast, never wrap.
+      val num = BigInt(st.n) * st.s2 - BigInt(st.s1) * st.s1
+      val vmr = (BigInt(1000000) * num /
+        ((BigInt(st.n) - 1) * st.s1).max(BigInt(1))).bigInteger.longValueExact()
+      val chi2 = (BigInt(1000000) * num /
+        BigInt(st.s1).max(BigInt(1))).bigInteger.longValueExact()
       Iterator((k, st.n, st.s1, vmr, chi2))
     }
   }
