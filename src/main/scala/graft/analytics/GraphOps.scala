@@ -2096,6 +2096,71 @@ object GraphOps {
       SELECT v, s AS walks3,
              CAST((CAST(1000000 AS HUGEINT) * s) // smax AS BIGINT) AS score_ppm
       FROM v3 CROSS JOIN mx
-      ORDER BY score_ppm DESC, v LIMIT 20"""))
+      ORDER BY score_ppm DESC, v LIMIT 20""")),
+
+    // ---- edge reciprocity (Garlaschelli & Loffredo 2004) of the
+    //      DIRECTED part-succession graph: within each order, each
+    //      line-sequence step contributes the directed edge
+    //      (part → next part); reciprocity asks whether successions
+    //      run both ways across baskets (symmetric co-occurrence) or
+    //      one way (a catalog-order artifact) — structure every
+    //      undirected query (q257/q290/q335…) is blind to by
+    //      construction. r = reciprocated/|E| on the distinct directed
+    //      edge set; the report also carries Garlaschelli's
+    //      density-corrected ρ = (r − ā)/(1 − ā) with ā = |E|/(n(n−1)),
+    //      which strips the reciprocity any random digraph of this
+    //      density would show. All exact-integer ppm, single truncating
+    //      DIVs.
+    //
+    //      Scale shape: succession edges ride a window PARTITIONED BY
+    //      order (basket-sized partitions; the (ln, p) sort key makes
+    //      the edge SET deterministic under duplicate lines), the
+    //      mutual count is ONE self-semi-join on the reversed key —
+    //      never a wedge or pair enumeration.
+    ("q348_reciprocity", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o")).orderBy(col("ln"), col("p"))
+      val e = graft.Stage.mat(Tables(s, dir).lineitem
+        .selectExpr("l_orderkey AS o", "l_linenumber AS ln", "l_partkey AS p")
+        .withColumn("np", lead(col("p"), 1).over(w))
+        .filter(col("np").isNotNull && col("np") =!= col("p"))
+        .select(col("p").as("src"), col("np").as("dst")).distinct())
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      val nodes = e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v"))).distinct()
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+        .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+        .selectExpr("n_nodes", "n_edges", "n_recip DIV 2 AS n_mutual_pairs",
+          "(1000000 * n_recip) DIV n_edges AS r_ppm",
+          "(1000000 * n_edges) DIV (n_nodes * (n_nodes - 1)) AS abar_ppm")
+        .selectExpr("n_nodes", "n_edges", "n_mutual_pairs", "r_ppm",
+          "abar_ppm",
+          """CAST((1000000 * (r_ppm - abar_ppm))
+               DIV greatest(1000000 - abar_ppm, 1) AS BIGINT) AS rho_ppm""")
+    }, Some("""
+      WITH seqd AS (
+        SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS p,
+               lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) AS np
+        FROM lineitem),
+      e AS (SELECT DISTINCT p AS src, np AS dst
+            FROM seqd WHERE np IS NOT NULL AND np <> p),
+      recip AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+                FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                                       WHERE b.src = a.dst AND b.dst = a.src)),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+             FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      b AS (SELECT n_nodes, n_edges, n_recip // 2 AS n_mutual_pairs,
+                   (1000000 * n_recip) // n_edges AS r_ppm,
+                   (1000000 * n_edges) // (n_nodes * (n_nodes - 1)) AS abar_ppm
+            FROM m CROSS JOIN recip CROSS JOIN nn)
+      SELECT n_nodes, n_edges, n_mutual_pairs, r_ppm, abar_ppm,
+             CAST((1000000 * (r_ppm - abar_ppm))
+                  // GREATEST(1000000 - abar_ppm, 1) AS BIGINT) AS rho_ppm
+      FROM b"""))
   )
 }

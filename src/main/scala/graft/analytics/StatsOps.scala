@@ -2477,6 +2477,311 @@ object StatsOps {
               FROM sd)
       SELECT n1, n2, a1 // n1 AS mean1_cents, a2 // n2 AS mean2_cents,
              round(d, 6) AS d_r, round(j * d, 6) AS g_r
-      FROM eff"""))
+      FROM eff""")),
+
+    // ---- Wilcoxon signed-rank (Wilcoxon 1945): did per-customer spend
+    //      SHIFT between the two halves of the calendar span? The
+    //      PAIRED location test the battery was missing — q310's
+    //      rank-sum compares two cohorts, this compares each customer
+    //      WITH THEMSELVES (pair = early-half vs late-half revenue, so
+    //      customer-level spend scale cancels). Pairs missing either
+    //      half are excluded; zero differences are dropped (standard)
+    //      but COUNTED in the 'zero' audit row. |d| ranked by the
+    //      shared [[tieMidranks]] two-phase kernel; doubled-rank
+    //      integers end to end:
+    //        W2x  = Σ_{d>0} pc·(2·mn + cnt − 1)      (2·W⁺)
+    //        W4   = 2·W2x − n(n+1)                    (4× the deviation)
+    //        z²_micros = 3e6·W4² DIV (2n(n+1)(2n+1) − Σ(t³−t))
+    //      (tie-corrected normal approximation; numerator ≥ 0). The
+    //      3e6·W4² product crosses DECIMAL(38) near n ≈ 5e7 nonzero
+    //      pairs — past that, pre-divide W4² by the variance's GCD
+    //      scale (the q310 note's regime).
+    //
+    //      Scale shape: one (customer, half) aggregate, one customer-
+    //      sized pivot, then the value-histogram-sized midrank path —
+    //      no unpartitioned window, no sort of the fact table.
+    ("q346_wilcoxon_signed_rank", (s: SparkSession, dir: String) => {
+      val od = Tables(s, dir).orders.selectExpr("o_custkey AS ck",
+        """CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+           AS BIGINT) AS od""",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+      val span = od.agg(min(col("od")).as("dmn"), max(col("od")).as("dmx"))
+      val halves = od.crossJoin(broadcast(span))
+        .selectExpr("ck",
+          "CASE WHEN od <= dmn + (dmx - dmn) DIV 2 THEN 0 ELSE 1 END AS h",
+          "cents")
+        .groupBy(col("ck"), col("h")).agg(sum(col("cents")).as("v"))
+      val paired = graft.Stage.mat(halves.groupBy(col("ck"))
+        .agg(count(lit(1)).as("nh"),
+          sum(when(col("h") === 0, col("v")).otherwise(0L)).as("e"),
+          sum(when(col("h") === 1, col("v")).otherwise(0L)).as("l"))
+        .filter(col("nh") === 2)
+        .selectExpr("ck", "l - e AS d"))
+      val nz = graft.Stage.mat(paired.filter(col("d") =!= 0)
+        .selectExpr("CAST(CASE WHEN d > 0 THEN 1 ELSE 0 END AS BIGINT) AS sgn",
+          "abs(d) AS score"))
+      val ties = nz.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+        .transform(graft.Stage.mat)
+      val mn = tieMidranks(ties, 1024)
+      val perSgn = nz.groupBy(col("sgn"), col("score"))
+        .agg(count(lit(1)).as("pc"))
+        .join(mn, Seq("score"))
+        .groupBy(col("sgn"))
+        .agg(sum(col("pc")).as("n_g"),
+          sum(col("pc") * (lit(2L) * col("mn") + col("cnt") - 1)).as("r2x"))
+        .transform(graft.Stage.mat)
+      val nTie = ties.agg(sum(col("cnt")).as("n"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tsum"))
+      val zeroRow = paired
+        .agg(coalesce(sum(when(col("d") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_g"))
+        .selectExpr("'zero' AS grp", "n_g", "CAST(0 AS BIGINT) AS r2x",
+          "CAST(0 AS BIGINT) AS z2_micros")
+      val zz = perSgn
+        .agg(sum(when(col("sgn") === 1L, col("r2x")).otherwise(0L)).as("w2x"))
+        .crossJoin(broadcast(nTie))
+        .selectExpr("'zz_w' AS grp", "n AS n_g",
+          "2 * w2x - n * (n + 1) AS r2x",
+          """CAST((CAST(3000000 AS DECIMAL(38,0))
+                   * (2 * w2x - n * (n + 1)) * (2 * w2x - n * (n + 1)))
+              DIV greatest(CAST(2 AS DECIMAL(38,0)) * n * (n + 1) * (2 * n + 1)
+                   - tsum, 1) AS BIGINT) AS z2_micros""")
+      perSgn.selectExpr("CASE WHEN sgn = 1 THEN 'pos' ELSE 'neg' END AS grp",
+          "n_g", "r2x", "CAST(0 AS BIGINT) AS z2_micros")
+        .unionByName(zeroRow).unionByName(zz).orderBy(col("grp"))
+    }, Some("""
+      WITH od AS (
+        SELECT o_custkey AS ck,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS od,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      sp AS (SELECT MIN(od) AS dmn, MAX(od) AS dmx FROM od),
+      hv AS (SELECT ck, h, CAST(SUM(cents) AS BIGINT) AS v FROM (
+               SELECT ck,
+                      CASE WHEN od <= dmn + (dmx - dmn) // 2 THEN 0 ELSE 1 END AS h,
+                      cents
+               FROM od CROSS JOIN sp) GROUP BY ck, h),
+      paired AS (
+        SELECT ck, CAST(SUM(CASE WHEN h = 1 THEN v ELSE 0 END)
+                        - SUM(CASE WHEN h = 0 THEN v ELSE 0 END) AS BIGINT) AS d
+        FROM hv GROUP BY ck HAVING count(*) = 2),
+      nz AS (SELECT CAST(CASE WHEN d > 0 THEN 1 ELSE 0 END AS BIGINT) AS sgn,
+                    abs(d) AS score
+             FROM paired WHERE d <> 0),
+      ties AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt FROM nz GROUP BY score),
+      mr AS (SELECT score, cnt,
+                    SUM(cnt) OVER (ORDER BY score) - cnt + 1 AS mn
+             FROM ties),
+      pergs AS (SELECT sgn, score, CAST(count(*) AS BIGINT) AS pc
+                FROM nz GROUP BY sgn, score),
+      perg AS (SELECT sgn, CAST(SUM(pc) AS BIGINT) AS n_g,
+                      CAST(SUM(pc * (2 * mn + cnt - 1)) AS BIGINT) AS r2x
+               FROM pergs JOIN mr USING (score) GROUP BY sgn),
+      nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
+             FROM ties),
+      zz AS (SELECT n, tsum,
+                    CAST(SUM(CASE WHEN sgn = 1 THEN r2x ELSE 0 END) AS BIGINT) AS w2x
+             FROM perg CROSS JOIN nt GROUP BY n, tsum)
+      SELECT CASE WHEN sgn = 1 THEN 'pos' ELSE 'neg' END AS grp, n_g, r2x,
+             CAST(0 AS BIGINT) AS z2_micros
+      FROM perg
+      UNION ALL
+      SELECT 'zero',
+             (SELECT CAST(count(*) AS BIGINT) FROM paired WHERE d = 0),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'zz_w', n, 2 * w2x - n * (n + 1),
+             CAST((CAST(3000000 AS HUGEINT)
+                    * (2 * w2x - n * (n + 1)) * (2 * w2x - n * (n + 1)))
+                  // GREATEST(CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)
+                    - tsum, 1) AS BIGINT)
+      FROM zz
+      ORDER BY grp""")),
+
+    // ---- Ansari–Bradley (Ansari & Bradley 1960): do URGENT order
+    //      values differ in DISPERSION from the rest around a common
+    //      median? The rank-based scale test beside q315's Brown–
+    //      Forsythe (moment-based) and q320's Mood median (location) —
+    //      same combined-sample midrank table as q310, but scored
+    //      toward the EXTREMES: a = min(rank, N+1−rank), small at both
+    //      tails, so a LOW group-1 score sum means group 1 spreads
+    //      wider. Doubled integers: a2 = least(m2, 2(N+1) − m2) with
+    //      m2 = 2·mn + cnt − 1 constant within a tie group. With
+    //      S1 = Σ cnt·a2, S2 = Σ cnt·a2² (exact moments of the score
+    //      distribution), the tie-exact normal approximation is
+    //        z²_micros = (1e6·(N−1)·q) DIV (N·S2 − S1²),
+    //        q = (N·AB2 − n1·S1)² DIV (n1·n2)
+    //      — the inner DIV keeps the chain inside DECIMAL(38) to
+    //      N ≈ 4e5 (the q310 regime; past that pre-scale the
+    //      deviation). Both truncations replayed verbatim by the
+    //      oracle.
+    ("q349_ansari_bradley", (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).orders.selectExpr(
+        "CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS grp",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS score")
+      val ties = base.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+        .transform(graft.Stage.mat)
+      val nTie = graft.Stage.mat(ties.agg(sum(col("cnt")).as("n")))
+      val scored = tieMidranks(ties, 1024).crossJoin(broadcast(nTie))
+        .selectExpr("score", "cnt",
+          "least(2 * mn + cnt - 1, 2 * (n + 1) - (2 * mn + cnt - 1)) AS a2")
+        .transform(graft.Stage.mat)
+      val moms = scored.agg(
+        sum(col("cnt") * col("a2")).as("s1"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * a2 * a2")).as("s2"))
+      val perG = base.groupBy(col("grp"), col("score"))
+        .agg(count(lit(1)).as("pc"))
+        .join(scored, Seq("score"))
+        .groupBy(col("grp"))
+        .agg(sum(col("pc")).as("n_g"), sum(col("pc") * col("a2")).as("ab2x"))
+        .transform(graft.Stage.mat)
+      val zz = perG.agg(
+          sum(when(col("grp") === 1L, col("n_g")).otherwise(0L)).as("n1"),
+          sum(when(col("grp") =!= 1L, col("n_g")).otherwise(0L)).as("n2"),
+          sum(when(col("grp") === 1L, col("ab2x")).otherwise(0L)).as("ab2"))
+        .crossJoin(broadcast(nTie)).crossJoin(broadcast(moms))
+        .selectExpr("'zz_ab' AS grp", "n AS n_g", "ab2 AS ab2x",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * (n - 1)
+                   * (((CAST(n AS DECIMAL(38,0)) * ab2 - n1 * s1)
+                       * (CAST(n AS DECIMAL(38,0)) * ab2 - n1 * s1))
+                      DIV greatest(CAST(n1 AS DECIMAL(38,0)) * n2, 1)))
+              DIV greatest(CAST(n AS DECIMAL(38,0)) * s2
+                   - CAST(s1 AS DECIMAL(38,0)) * s1, 1)
+              AS BIGINT) AS z2_micros""")
+      perG.selectExpr("concat('g', CAST(grp AS STRING)) AS grp", "n_g", "ab2x",
+          "CAST(0 AS BIGINT) AS z2_micros")
+        .unionByName(zz).orderBy(col("grp"))
+    }, Some("""
+      WITH base AS (
+        SELECT CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS BIGINT) AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS score
+        FROM orders),
+      ties AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt
+               FROM base GROUP BY score),
+      nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ties),
+      mr AS (SELECT score, cnt,
+                    SUM(cnt) OVER (ORDER BY score) - cnt + 1 AS mn
+             FROM ties),
+      scored AS (SELECT score, cnt,
+                        least(2 * mn + cnt - 1,
+                              2 * (n + 1) - (2 * mn + cnt - 1)) AS a2
+                 FROM mr CROSS JOIN nt),
+      moms AS (SELECT CAST(SUM(cnt * a2) AS BIGINT) AS s1,
+                      SUM(CAST(cnt AS HUGEINT) * a2 * a2) AS s2
+               FROM scored),
+      pergs AS (SELECT grp, score, CAST(count(*) AS BIGINT) AS pc
+                FROM base GROUP BY grp, score),
+      perg AS (SELECT grp, CAST(SUM(pc) AS BIGINT) AS n_g,
+                      CAST(SUM(pc * a2) AS BIGINT) AS ab2x
+               FROM pergs JOIN scored USING (score) GROUP BY grp),
+      zz AS (SELECT n, s1, s2,
+                    CAST(SUM(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1,
+                    CAST(SUM(CASE WHEN grp <> 1 THEN n_g ELSE 0 END) AS BIGINT) AS n2,
+                    CAST(SUM(CASE WHEN grp = 1 THEN ab2x ELSE 0 END) AS BIGINT) AS ab2
+             FROM perg CROSS JOIN nt CROSS JOIN moms
+             GROUP BY n, s1, s2)
+      SELECT concat('g', CAST(grp AS VARCHAR)) AS grp, n_g, ab2x,
+             CAST(0 AS BIGINT) AS z2_micros
+      FROM perg
+      UNION ALL
+      SELECT 'zz_ab', n, ab2,
+             CAST((CAST(1000000 AS HUGEINT) * (n - 1)
+                    * (((CAST(n AS HUGEINT) * ab2 - n1 * s1)
+                        * (CAST(n AS HUGEINT) * ab2 - n1 * s1))
+                       // GREATEST(CAST(n1 AS HUGEINT) * n2, 1)))
+                  // GREATEST(CAST(n AS HUGEINT) * s2
+                    - CAST(s1 AS HUGEINT) * s1, 1) AS BIGINT)
+      FROM zz
+      ORDER BY grp""")),
+
+    // ---- Page's trend test (Page 1963): does order value RISE
+    //      monotonically across the five priority levels, month after
+    //      month? The ORDERED-alternative sibling of q248's Friedman —
+    //      same complete block design (blocks = calendar months,
+    //      treatments = priorities, value = total cents), same
+    //      within-block doubled midranks, but the statistic weights
+    //      treatment rank sums by the HYPOTHESIZED order (the priority
+    //      digit), so a consistent monotone ordering that Friedman's
+    //      omnibus χ² dilutes across k−1 df concentrates into one z:
+    //        L2 = Σ_j w_j·R2_j,  E[L2] = b·k(k+1)²/2 (exact integer),
+    //        Var(L2) = b·k²(k+1)²(k−1)/36,
+    //        z²_micros = 36e6·(L2 − E[L2])² DIV (b·k²(k+1)²(k−1)).
+    //      Untied-form variance (the q248 convention: within-block
+    //      ties enter through the exact doubled midranks). Weights are
+    //      parsed from the priority prefix — data-derived, no magic
+    //      mapping.
+    //
+    //      Scale shape: one (month, priority) aggregate, ranks from a
+    //      window PARTITIONED BY block (k rows each), then k-row
+    //      arithmetic — the friedman() shape exactly.
+    ("q351_page_trend", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val cell = Tables(s, dir).orders
+        .groupBy(expr("CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)").as("b"),
+          col("o_orderpriority").as("t"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("v0"))
+      val grid = cell.select(col("b")).distinct()
+        .crossJoin(broadcast(cell.select(col("t")).distinct()))
+        .join(cell, Seq("b", "t"), "left")
+        .select(col("b"), col("t"), coalesce(col("v0"), lit(0L)).as("v"))
+      val tg = grid.groupBy(col("b"), col("v")).agg(count(lit(1)).as("cnt"))
+      val mn = tg.withColumn("mn",
+        sum(col("cnt")).over(Window.partitionBy(col("b")).orderBy(col("v")))
+          - col("cnt") + 1)
+      val perT = grid.join(mn, Seq("b", "v"))
+        .withColumn("r2", lit(2L) * col("mn") + col("cnt") - 1)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("r2")).as("rr2"))
+        .transform(graft.Stage.mat)
+      val zz = perT
+        .agg(count(lit(1)).as("k"), max(col("n_blocks")).as("nb"),
+          sum(expr("CAST(substring(t, 1, 1) AS BIGINT) * rr2")).as("l2"))
+        .selectExpr("'zz_l' AS t", "nb AS n_blocks",
+          "l2 - (nb * k * (k + 1) * (k + 1)) DIV 2 AS rr2",
+          """CAST((CAST(36000000 AS DECIMAL(38,0))
+                   * (l2 - (nb * k * (k + 1) * (k + 1)) DIV 2)
+                   * (l2 - (nb * k * (k + 1) * (k + 1)) DIV 2))
+              DIV greatest(CAST(nb AS DECIMAL(38,0)) * k * k * (k + 1) * (k + 1)
+                   * (k - 1), 1) AS BIGINT) AS z2_micros""")
+      perT.selectExpr("t", "n_blocks", "rr2", "CAST(0 AS BIGINT) AS z2_micros")
+        .unionByName(zz).orderBy(col("t"))
+    }, Some("""
+      WITH cell AS (
+        SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS b,
+               o_orderpriority AS t,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v0
+        FROM orders GROUP BY 1, 2),
+      grid AS (
+        SELECT bb.b, tt.t, coalesce(c.v0, 0) AS v
+        FROM (SELECT DISTINCT b FROM cell) bb
+        CROSS JOIN (SELECT DISTINCT t FROM cell) tt
+        LEFT JOIN cell c ON c.b = bb.b AND c.t = tt.t),
+      tg AS (SELECT b, v, CAST(count(*) AS BIGINT) AS cnt
+             FROM grid GROUP BY b, v),
+      mr AS (SELECT b, v, cnt,
+                    SUM(cnt) OVER (PARTITION BY b ORDER BY v) - cnt + 1 AS mn
+             FROM tg),
+      r2 AS (SELECT grid.b, grid.t, 2 * mn + cnt - 1 AS r2
+             FROM grid JOIN mr ON grid.b = mr.b AND grid.v = mr.v),
+      pert AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                      CAST(SUM(r2) AS BIGINT) AS rr2
+               FROM r2 GROUP BY t),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(MAX(n_blocks) AS BIGINT) AS nb,
+                   CAST(SUM(CAST(substring(t, 1, 1) AS BIGINT) * rr2) AS BIGINT) AS l2
+            FROM pert)
+      SELECT t, n_blocks, rr2, CAST(0 AS BIGINT) AS z2_micros FROM pert
+      UNION ALL
+      SELECT 'zz_l', nb, l2 - (nb * k * (k + 1) * (k + 1)) // 2,
+             CAST((CAST(36000000 AS HUGEINT)
+                    * (l2 - (nb * k * (k + 1) * (k + 1)) // 2)
+                    * (l2 - (nb * k * (k + 1) * (k + 1)) // 2))
+                  // GREATEST(CAST(nb AS HUGEINT) * k * k * (k + 1) * (k + 1)
+                    * (k - 1), 1) AS BIGINT)
+      FROM f
+      ORDER BY t"""))
   )
 }

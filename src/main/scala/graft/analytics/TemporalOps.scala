@@ -3070,6 +3070,120 @@ object TemporalOps {
       FROM rows_
       UNION ALL
       SELECT l, n_pairs, sgn, abs_rho_ppm, period FROM zz
-      ORDER BY l"""))
+      ORDER BY l""")),
+
+    // ---- partial autocorrelation (PACF lags 1–4) of the daily event
+    //      volume via Durbin–Levinson (Durbin 1960): the AR-ORDER
+    //      diagnostic q183's raw ACF can't give — ρ_k confounds direct
+    //      lag-k dependence with everything transmitted through lags
+    //      < k; φ_kk is lag k's effect with the shorter lags partialed
+    //      out, so an AR(p) series shows φ_kk ≈ 0 past p (the Box–
+    //      Jenkins identification plot). ρ₁..ρ₄ come from q183's
+    //      exact-integer centered sums (DECIMAL/HUGEINT num, shared
+    //      den) as one row of DOUBLE ratios; the Levinson recursion is
+    //      then a one-row mirrored IEEE chain whose per-step expression
+    //      strings ([[pacfSteps]]) are spliced VERBATIM into both the
+    //      Spark plan and the DuckDB CTE ladder — the hilbertLevelExprs
+    //      portability discipline, so both engines run the same
+    //      correctly-rounded double ops. Zero denominators (constant
+    //      series) guard to 0 on both sides.
+    //
+    //      Scale shape: q183's — one span-bounded day aggregate, a
+    //      4-lag day-keyed self-join, then one-row arithmetic.
+    ("q347_pacf", (s: SparkSession, dir: String) => {
+      val daily = Tables(s, dir).events
+        .selectExpr("CAST(ts AS DATE) AS day")
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        .transform(graft.Stage.mat)
+      val tot = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val c = graft.Stage.mat(daily.crossJoin(broadcast(tot))
+        .selectExpr("day", "n * x - sx AS c"))
+      val den = c.agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("den"))
+      val lags = s.range(1, 5).select(col("id").as("lag"))
+      val nums = c.crossJoin(broadcast(lags))
+        .join(c.selectExpr("day AS day2", "c AS c2"),
+          expr("date_add(day, CAST(lag AS INT)) = day2"))
+        .groupBy(col("lag"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("num"))
+      val rhos = nums
+        .agg(sum(when(col("lag") === 1L, col("num"))).as("m1"),
+          sum(when(col("lag") === 2L, col("num"))).as("m2"),
+          sum(when(col("lag") === 3L, col("num"))).as("m3"),
+          sum(when(col("lag") === 4L, col("num"))).as("m4"))
+        .crossJoin(broadcast(den))
+        .selectExpr(
+          "CAST(m1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1",
+          "CAST(m2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2",
+          "CAST(m3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3",
+          "CAST(m4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4")
+      val chained = pacfSteps.foldLeft(rhos) { case (df, (nm, ex)) =>
+        df.withColumn(nm, expr(ex))
+      }.transform(graft.Stage.mat)
+      Seq(1, 2, 3, 4).map { k =>
+        chained.selectExpr(s"CAST($k AS BIGINT) AS lag",
+          s"round(phi$k$k, 6) AS pacf_r")
+      }.reduce(_ unionByName _).orderBy(col("lag"))
+    }, Some {
+      val ladder = pacfSteps.zipWithIndex.map { case ((nm, ex), i) =>
+        s"p${i + 1} AS (SELECT *, $ex AS $nm FROM p$i)"
+      }.mkString(",\n      ")
+      s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY day),
+      tot AS (SELECT CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(count(*) AS BIGINT) AS n FROM daily),
+      c AS (SELECT day, n * x - sx AS c FROM daily, tot),
+      den AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS den FROM c),
+      lags AS (SELECT unnest(range(1, 5)) AS lag),
+      nums AS (
+        SELECT lag, SUM(CAST(a.c AS HUGEINT) * b.c) AS num
+        FROM c a JOIN lags ON TRUE
+        JOIN c b ON a.day + CAST(lag AS INTEGER) = b.day
+        GROUP BY lag),
+      mrow AS (
+        SELECT SUM(CASE WHEN lag = 1 THEN num END) AS m1,
+               SUM(CASE WHEN lag = 2 THEN num END) AS m2,
+               SUM(CASE WHEN lag = 3 THEN num END) AS m3,
+               SUM(CASE WHEN lag = 4 THEN num END) AS m4
+        FROM nums),
+      p0 AS (
+        SELECT CAST(m1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+               CAST(m2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+               CAST(m3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+               CAST(m4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4
+        FROM mrow CROSS JOIN den),
+      $ladder
+      SELECT CAST(1 AS BIGINT) AS lag, round(phi11, 6) AS pacf_r FROM p${pacfSteps.length}
+      UNION ALL
+      SELECT 2, round(phi22, 6) FROM p${pacfSteps.length}
+      UNION ALL
+      SELECT 3, round(phi33, 6) FROM p${pacfSteps.length}
+      UNION ALL
+      SELECT 4, round(phi44, 6) FROM p${pacfSteps.length}
+      ORDER BY lag"""
+    })
   )
+
+  /** Durbin–Levinson recursion unrolled to lag 4 as ENGINE-PORTABLE
+    * expression strings (plain double arithmetic + CASE — no function
+    * whose rounding differs between engines), consumed VERBATIM by both
+    * the Spark plan and the DuckDB oracle ladder of q347. Step k uses
+    * the level-(k−1) coefficients a{k−1,j} to partial the shorter lags
+    * out of ρ_k; zero denominators (degenerate/constant series) guard
+    * the quotient to 0 identically on both engines.
+    */
+  private lazy val pacfSteps: Seq[(String, String)] = Seq(
+    "phi11" -> "r1",
+    "den2" -> "1 - r1 * r1",
+    "phi22" -> "CASE WHEN den2 = 0 THEN 0.0 ELSE (r2 - r1 * r1) / den2 END",
+    "a21" -> "r1 - phi22 * r1",
+    "den3" -> "1 - a21 * r1 - phi22 * r2",
+    "phi33" -> ("CASE WHEN den3 = 0 THEN 0.0 " +
+      "ELSE (r3 - a21 * r2 - phi22 * r1) / den3 END"),
+    "a31" -> "a21 - phi33 * phi22",
+    "a32" -> "phi22 - phi33 * a21",
+    "den4" -> "1 - a31 * r1 - a32 * r2 - phi33 * r3",
+    "phi44" -> ("CASE WHEN den4 = 0 THEN 0.0 " +
+      "ELSE (r4 - a31 * r3 - a32 * r2 - phi33 * r1) / den4 END"))
 }

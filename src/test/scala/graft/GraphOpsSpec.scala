@@ -524,6 +524,28 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 500000L)))
   }
 
+  test("reciprocity: one mutual succession pair out of three directed edges") {
+    // order 10 lines parts 1,2,3 → edges 1→2, 2→3; order 20 lines
+    // parts 3,2 → edge 3→2. Mutual: {2,3}. r = 2/3, ā = 3/6,
+    // ρ = (666666 − 500000)·1e6 // 500000 = 333332
+    val dir = java.nio.file.Files.createTempDirectory("recip_fix").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    Seq((10L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "A", "O", ts("2024-01-01")),
+      (10L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "A", "O", ts("2024-01-01")),
+      (10L, 3L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "A", "O", ts("2024-01-01")),
+      (20L, 3L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "A", "O", ts("2024-01-01")),
+      (20L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "A", "O", ts("2024-01-01")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q348_reciprocity")(spark, dir).collect().head
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_mutual_pairs"), r.getAs[Long]("r_ppm"),
+      r.getAs[Long]("abar_ppm"), r.getAs[Long]("rho_ppm")) ===
+      ((3L, 3L, 1L, 666666L, 500000L, 333332L)))
+  }
+
   test("consistent hashing: only the joining node receives moved keys") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q291_consistent_hashing")(spark, dir).collect()

@@ -461,4 +461,72 @@ class StatsOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("sd,rf,ls,qy", 10L), ("rf,ls,qy,sd", 12L),
       ("ls,qy,rf,sd", 14L), ("qy,sd,rf,ls", 14L)))
   }
+
+  test("Wilcoxon signed-rank: hand-ranked paired differences, zero pair audited") {
+    import spark.implicits._
+    // 10-day span, mid = day 5. Pairs (late − early, cents):
+    // c1 +1000, c2 −2000, c3 0 (audited, dropped), c4 early-only
+    // (excluded), c5 +3000. |d| ranks 1..3 → doubled 2,4,6;
+    // W2x = 2+6 = 8, W4 = 16 − 12 = 4, z² = 3e6·16 // 168 = 285714
+    val dir = java.nio.file.Files.createTempDirectory("wsr_fix").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((1L, 1L, 10.25, "2024-01-01"), (2L, 1L, 20.25, "2024-01-10"),
+      (3L, 2L, 30.25, "2024-01-01"), (4L, 2L, 10.25, "2024-01-10"),
+      (5L, 3L, 10.25, "2024-01-02"), (6L, 3L, 10.25, "2024-01-09"),
+      (7L, 4L, 99.25, "2024-01-03"),
+      (8L, 5L, 10.25, "2024-01-04"), (9L, 5L, 40.25, "2024-01-08"))
+      .map { case (k, c, p, dt) => (k, c, "O", p, d(dt), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q346_wilcoxon_signed_rank")(spark, dir)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_g"),
+        r.getAs[Long]("r2x"), r.getAs[Long]("z2_micros")))
+    assert(out.toSeq === Seq(("neg", 1L, 4L, 0L), ("pos", 2L, 8L, 0L),
+      ("zero", 1L, 0L, 0L), ("zz_w", 3L, 4L, 285714L)))
+  }
+
+  test("Ansari-Bradley: extreme-heavy group scores low, hand z²") {
+    import spark.implicits._
+    // combined cents 125,425,525,625,925 → a2 = 2,4,6,4,2 (min toward
+    // the extremes); urgent holds both tails → ab2 = 4;
+    // s1 = 18, s2 = 76, N·ab2 − n1·s1 = −16,
+    // q = 256 // 6 = 42, z² = (1e6·4·42) // 56 = 3000000
+    val dir = java.nio.file.Files.createTempDirectory("ab_fix").toString
+    Seq((1L, "1-URGENT", 1.25), (2L, "1-URGENT", 9.25),
+      (3L, "3-MEDIUM", 4.25), (4L, "3-MEDIUM", 5.25), (5L, "3-MEDIUM", 6.25))
+      .map { case (k, pr, p) =>
+        (k, k, "O", p, java.sql.Date.valueOf("2024-01-01"), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q349_ansari_bradley")(spark, dir)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_g"),
+        r.getAs[Long]("ab2x"), r.getAs[Long]("z2_micros")))
+    assert(out.toSeq === Seq(("g0", 3L, 14L, 0L), ("g1", 2L, 4L, 0L),
+      ("zz_ab", 5L, 4L, 3000000L)))
+  }
+
+  test("Page trend: a monotone priority ordering concentrates into the weighted z²") {
+    import spark.implicits._
+    // two month blocks, three priorities, value rising with the
+    // priority digit in both blocks → within-block doubled ranks
+    // 2,4,6; rr2 = 4,8,12; L2 = 1·4+2·8+3·12 = 56, E = 48,
+    // z² = 36e6·64 // 576 = 4000000
+    val dir = java.nio.file.Files.createTempDirectory("page_fix").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq((1L, "1-URGENT", 1.25, "2024-01-05"), (2L, "2-HIGH", 2.25, "2024-01-06"),
+      (3L, "3-MEDIUM", 3.25, "2024-01-07"),
+      (4L, "1-URGENT", 1.25, "2024-02-05"), (5L, "2-HIGH", 2.25, "2024-02-06"),
+      (6L, "3-MEDIUM", 3.25, "2024-02-07"))
+      .map { case (k, pr, p, dt) => (k, k, "O", p, d(dt), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q351_page_trend")(spark, dir)
+      .collect().map(r => (r.getAs[String]("t"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("rr2"), r.getAs[Long]("z2_micros")))
+    assert(out.toSeq === Seq(("1-URGENT", 2L, 4L, 0L), ("2-HIGH", 2L, 8L, 0L),
+      ("3-MEDIUM", 2L, 12L, 0L), ("zz_l", 2L, 8L, 4000000L)))
+  }
 }

@@ -672,4 +672,42 @@ class TemporalOpsSpec extends SparkSpec {
     assert(fwd.getAs[Double]("rss_full_r") === 0.25)
     assert(fwd.getAs[Double]("f_r") === 8.0)
   }
+
+  test("PACF: Durbin-Levinson chain matches the same IEEE fold on hand sums") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // daily counts [2,1,2,1,2,1] → c = [3,−3,3,−3,3,−3], den = 54,
+    // num(1..4) = −45, 36, −27, 18; the expected φ values replay the
+    // exact expression chain in plain Scala doubles (same IEEE ops)
+    val dir = java.nio.file.Files.createTempDirectory("pacf_fix").toString
+    val rows = (0 until 6).flatMap { i =>
+      val n = if (i % 2 == 0) 2 else 1
+      (0 until n).map(j => ((i * 10 + j).toLong,
+        Timestamp.valueOf(f"2024-01-${i + 1}%02d 0$j:00:00"), 1L, "click",
+        0.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q347_pacf")(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("pacf_r")).toMap
+    val (r1, r2, r3, r4) = (-45.0 / 54, 36.0 / 54, -27.0 / 54, 18.0 / 54)
+    val phi11 = r1
+    val den2 = 1 - r1 * r1
+    val phi22 = (r2 - r1 * r1) / den2
+    val a21 = r1 - phi22 * r1
+    val den3 = 1 - a21 * r1 - phi22 * r2
+    val phi33 = (r3 - a21 * r2 - phi22 * r1) / den3
+    val a31 = a21 - phi33 * phi22
+    val a32 = phi22 - phi33 * a21
+    val den4 = 1 - a31 * r1 - a32 * r2 - phi33 * r3
+    val phi44 = (r4 - a31 * r3 - a32 * r2 - phi33 * r1) / den4
+    Seq(1L -> phi11, 2L -> phi22, 3L -> phi33, 4L -> phi44).foreach {
+      case (lag, exp) =>
+        assert(math.abs(out(lag) - exp) < 5e-7,
+          s"lag $lag: got ${out(lag)}, chain gives $exp")
+    }
+    // the alternating series is AR(1)-like: a strong negative lag-1
+    // effect, partials shrinking after it
+    assert(out(1L) < -0.8 && math.abs(out(4L)) < math.abs(out(1L)))
+  }
 }
