@@ -278,6 +278,104 @@ object AuditOps {
                CAST(SUM(k) AS BIGINT) AS n_rows
         FROM groups GROUP BY l ORDER BY l LIMIT 1)
       SELECT * FROM hist UNION ALL SELECT * FROM risk UNION ALL SELECT * FROM lmin
-      ORDER BY kind, k"""))
+      ORDER BY kind, k""")),
+
+    // ---- t-closeness (Li et al. 2007) — the third privacy gate after
+    //      q210's k-anonymity and l-diversity rows: a QI class can be
+    //      large (k-safe) AND diverse (l-safe) yet still leak if its
+    //      sensitive DISTRIBUTION sits far from the table's (every
+    //      member of a 200-person class being near-broke is a
+    //      disclosure). For the ORDERED sensitive attribute (balance
+    //      thousand-buckets) the prescribed distance is the 1-D EMD —
+    //      the q252 closed form: t = Σ_i |CDF_class − CDF_global| /
+    //      (m−1), exact ppm with one truncating DIV per CDF cell and
+    //      one for t, all replayed by the oracle. Output: the 10
+    //      farthest classes + the zz_fail release-gate row (rows in
+    //      classes with t > 0.2; the failing-class count rides the
+    //      t_ppm column — the q290 column-reuse convention).
+    //
+    //      Scale shape: one (QI, bucket) aggregate, per-class CDFs via
+    //      windows PARTITIONED BY class (bucket-count-sized
+    //      partitions), and the GLOBAL CDF recovered as Σ_classes of
+    //      the per-class cums (one bucket-keyed re-aggregate) — no
+    //      unpartitioned window anywhere, nothing downstream of the
+    //      first agg scales past QI-cardinality × buckets.
+    ("q350_t_closeness", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val cell = Tables(s, dir).customer
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("sb"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.Stage.mat)
+      val grid = cell.select(col("nk"), col("seg")).distinct()
+        .crossJoin(broadcast(cell.select(col("sb")).distinct()))
+        .join(cell, Seq("nk", "seg", "sb"), "left")
+        .select(col("nk"), col("seg"), col("sb"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val cums = graft.Stage.mat(grid.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("nk"), col("seg"))
+          .orderBy(col("sb")))))
+      val glob = cums.groupBy(col("sb"))
+        .agg(sum(col("cum")).as("cumg"), count(lit(1)).as("n_classes"))
+      val tot = cell.agg(sum(col("c")).as("n"),
+        expr("CAST(count(DISTINCT sb) AS BIGINT)").as("m"))
+      val perClass = cums
+        .join(cums.groupBy(col("nk"), col("seg"))
+          .agg(max(col("cum")).as("n_c")), Seq("nk", "seg"))
+        .join(glob, Seq("sb")).crossJoin(broadcast(tot))
+        .selectExpr("nk", "seg", "n_c", "m",
+          "abs((1000000 * cum) DIV n_c - (1000000 * cumg) DIV n) AS gap_ppm")
+        .groupBy(col("nk"), col("seg"))
+        .agg(max(col("n_c")).as("n_rows"), max(col("m")).as("m"),
+          sum(col("gap_ppm")).as("sg"))
+        .selectExpr("nk", "seg", "n_rows",
+          "sg DIV greatest(m - 1, 1) AS t_ppm")
+        .transform(graft.Stage.mat)
+      val top = perClass
+        .orderBy(col("t_ppm").desc, col("nk"), col("seg")).limit(10)
+      val fail = perClass.filter(col("t_ppm") > 200000L)
+        .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("t_ppm"))
+        .selectExpr("CAST(-1 AS BIGINT) AS nk", "'zz_fail' AS seg", "n_rows",
+          "t_ppm")
+      top.unionByName(fail)
+        .orderBy(col("t_ppm").desc, col("nk"), col("seg"))
+    }, Some("""
+      WITH cell AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS sb,
+               CAST(count(*) AS BIGINT) AS c
+        FROM customer GROUP BY 1, 2, 3),
+      grid AS (
+        SELECT q.nk, q.seg, b.sb, COALESCE(cell.c, 0) AS c
+        FROM (SELECT DISTINCT nk, seg FROM cell) q
+        CROSS JOIN (SELECT DISTINCT sb FROM cell) b
+        LEFT JOIN cell ON cell.nk = q.nk AND cell.seg = q.seg AND cell.sb = b.sb),
+      cums AS (
+        SELECT nk, seg, sb, c,
+               CAST(SUM(c) OVER (PARTITION BY nk, seg ORDER BY sb) AS BIGINT) AS cum
+        FROM grid),
+      gcum AS (SELECT sb, CAST(SUM(cum) AS BIGINT) AS cumg FROM cums GROUP BY sb),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(count(DISTINCT sb) AS BIGINT) AS m FROM cell),
+      nc AS (SELECT nk, seg, CAST(MAX(cum) AS BIGINT) AS n_c
+             FROM cums GROUP BY nk, seg),
+      perclass AS (
+        SELECT cums.nk, cums.seg, MAX(nc.n_c) AS n_rows, MAX(tot.m) AS m,
+               CAST(SUM(abs((1000000 * cum) // nc.n_c
+                            - (1000000 * cumg) // tot.n)) AS BIGINT) AS sg
+        FROM cums JOIN nc ON nc.nk = cums.nk AND nc.seg = cums.seg
+        JOIN gcum ON gcum.sb = cums.sb CROSS JOIN tot
+        GROUP BY cums.nk, cums.seg),
+      scored AS (SELECT nk, seg, n_rows,
+                        sg // GREATEST(m - 1, 1) AS t_ppm
+                 FROM perclass),
+      top AS (SELECT * FROM scored ORDER BY t_ppm DESC, nk, seg LIMIT 10),
+      fail AS (SELECT CAST(-1 AS BIGINT) AS nk, 'zz_fail' AS seg,
+                      CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS t_ppm
+               FROM scored WHERE t_ppm > 200000)
+      SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM fail)
+      ORDER BY t_ppm DESC, nk, seg"""))
   )
 }

@@ -84,4 +84,23 @@ class AuditOpsSpec extends SparkSpec {
       ("k_hist", 1L, 1L, 1L), ("k_hist", 2L, 1L, 2L), ("k_hist", 6L, 1L, 6L),
       ("l_div_min", 1L, 2L, 3L)))
   }
+
+  test("t-closeness: a concentrated class scores the EMD gap, the gate counts it") {
+    import spark.implicits._
+    // buckets b0/b1/b2 (500/1500/2500). Class A = [b0,b0] → CDF
+    // 1e6,1e6,1e6; class B = [b0,b1,b2] → 333333,666666,1e6; global
+    // CDF 600000,800000,1e6. t_A = (400000+200000)//2 = 300000 (fails
+    // the 0.2 gate), t_B = (266667+133334)//2 = 200000 (passes).
+    val dir = java.nio.file.Files.createTempDirectory("tclose_fix").toString
+    Seq((1L, "c1", 1, 500.0, "X"), (2L, "c2", 1, 500.0, "X"),
+      (3L, "c3", 2, 500.0, "X"), (4L, "c4", 2, 1500.0, "X"),
+      (5L, "c5", 2, 2500.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q350_t_closeness")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("nk"), r.getAs[String]("seg"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("t_ppm")))
+    assert(out.toSeq === Seq((1L, "X", 2L, 300000L), (2L, "X", 3L, 200000L),
+      (-1L, "zz_fail", 2L, 1L)))
+  }
 }
