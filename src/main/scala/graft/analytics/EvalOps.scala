@@ -2296,6 +2296,130 @@ object EvalOps {
                             ELSE (bt - pt) // t_max END
                 FROM btot, ptot, nt
       ORDER BY arm"""
+    }),
+
+    // ---- Fleiss' kappa (Fleiss 1971): chance-corrected agreement of
+    //      THREE raters — the multi-rater nominal member of the
+    //      agreement family (q145 Cohen's two-rater κ, q270
+    //      Krippendorff's α). Raters are three deterministic language
+    //      identifiers: the full stopword-profile predictor and the
+    //      same predictor run on the two disjoint profile HALVES —
+    //      degraded raters with real disagreement, no RNG. With r = 3
+    //      everything is exact-rational: per item Σ_j n_ij² is 9/5/3
+    //      by the equality pattern of the three votes, and
+    //        κ = (3N·(S − 3N) − 2Σc²) / (18N² − 2Σc²)
+    //      (both sides ×18N²; S = Σ_i Σ_j n_ij², c_j = category
+    //      marginals), emitted in ppm with the sign OUT of the
+    //      truncating DIV (Spark DIV truncates toward zero, DuckDB //
+    //      floors — they differ on negatives, and κ < 0 is reachable).
+    //      DECIMAL(38,0)/HUGEINT products throughout (18N² crosses
+    //      BIGINT near N ≈ 7e8 docs). Output: per-category marginal
+    //      rows (share of all 3N ratings) + zz_pbar (observed
+    //      agreement ppm) + zz_kappa.
+    //
+    //      Scale shape: one predictor projection (three native
+    //      filter/size expressions per row), one count, one 4-row
+    //      marginal aggregate — nothing scales past the corpus scan.
+    ("q354_fleiss_kappa", (s: SparkSession, dir: String) => {
+      import graft.text.TextStats
+      val halves = TextStats.langProfiles.map { case (l, ws) =>
+        (l, ws.take((ws.size + 1) / 2), ws.drop((ws.size + 1) / 2)) }
+      // tokenize ONCE; all 12 (rater × lang) scores read the shared
+      // token array — the naive per-rater predictor re-runs the regexp
+      // split 12× per row (measured 9.7 → 1.2 s min at sf0.1)
+      val tk = Tables(s, dir).documents
+        .select(TextStats.tokens(lower(col("text"))).as("tk"))
+      def rater(profiles: Seq[(String, Seq[String])]): Column = {
+        val scored = profiles.map { case (lang, words) =>
+          struct(size(filter(col("tk"), t => t.isin(words: _*))).as("score"),
+            lit(lang).as("lang"))
+        }
+        greatest(scored: _*).getField("lang")
+      }
+      val preds = graft.Stage.mat(tk.select(
+        rater(TextStats.langProfiles).as("r1"),
+        rater(halves.map(t => (t._1, t._2))).as("r2"),
+        rater(halves.map(t => (t._1, t._3))).as("r3")))
+      val items = preds.selectExpr(
+          """CASE WHEN r1 = r2 AND r2 = r3 THEN 9
+                  WHEN r1 = r2 OR r2 = r3 OR r1 = r3 THEN 5
+                  ELSE 3 END AS sq""")
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("ssum"))
+      val cats = graft.Stage.mat(preds
+        .select(explode(array(col("r1"), col("r2"), col("r3"))).as("cat"))
+        .groupBy(col("cat")).agg(count(lit(1)).as("c")))
+      val c2 = cats.agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"))
+      val nRow = graft.Stage.mat(items.crossJoin(broadcast(c2)))
+      val perCat = cats.crossJoin(broadcast(nRow.select(col("n"))))
+        .selectExpr("cat", "c AS n_ratings",
+          "(1000000 * c) DIV (3 * n) AS stat_ppm")
+      val zz = nRow.selectExpr("n", "ssum", "c2",
+          "CAST(3 AS DECIMAL(38,0)) * n * (ssum - 3 * n) - 2 * c2 AS knum",
+          "greatest(CAST(18 AS DECIMAL(38,0)) * n * n - 2 * c2, 1) AS kden")
+        .selectExpr(
+          "'zz_pbar' AS cat", "3 * n AS n_ratings",
+          "(1000000 * (ssum - 3 * n)) DIV (6 * n) AS stat_ppm",
+          "knum", "kden")
+        .selectExpr("cat", "n_ratings", "stat_ppm")
+        .unionByName(nRow.selectExpr(
+          "CAST(3 AS DECIMAL(38,0)) * n * (ssum - 3 * n) - 2 * c2 AS knum",
+          "greatest(CAST(18 AS DECIMAL(38,0)) * n * n - 2 * c2, 1) AS kden",
+          "n")
+          .selectExpr("'zz_kappa' AS cat", "3 * n AS n_ratings",
+            """CAST(CASE WHEN knum < 0
+                 THEN -((CAST(1000000 AS DECIMAL(38,0)) * (- knum)) DIV kden)
+                 ELSE (CAST(1000000 AS DECIMAL(38,0)) * knum) DIV kden
+               END AS BIGINT) AS stat_ppm"""))
+      perCat.unionByName(zz).orderBy(col("cat"))
+    }, Some {
+      import graft.text.TextStats
+      val ws = TextStats.wsClassSql
+      def score(words: Seq[String]): String =
+        s"len(list_filter(regexp_split_to_array(lower(text), '$ws+'), t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"
+      def predSql(profiles: Seq[(String, Seq[String])]): String = {
+        val m = profiles.toMap
+        s"""CASE WHEN ${score(m("fr"))} >= ${score(m("es"))} AND ${score(m("fr"))} >= ${score(m("en"))} AND ${score(m("fr"))} >= ${score(m("de"))} THEN 'fr'
+             WHEN ${score(m("es"))} >= ${score(m("en"))} AND ${score(m("es"))} >= ${score(m("de"))} THEN 'es'
+             WHEN ${score(m("en"))} >= ${score(m("de"))} THEN 'en'
+             ELSE 'de' END"""
+      }
+      val halves = TextStats.langProfiles.map { case (l, wds) =>
+        (l, wds.take((wds.size + 1) / 2), wds.drop((wds.size + 1) / 2)) }
+      s"""
+      WITH preds AS (
+        SELECT ${predSql(TextStats.langProfiles)} AS r1,
+               ${predSql(halves.map(t => (t._1, t._2)))} AS r2,
+               ${predSql(halves.map(t => (t._1, t._3)))} AS r3
+        FROM documents),
+      items AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN r1 = r2 AND r2 = r3 THEN 9
+                             WHEN r1 = r2 OR r2 = r3 OR r1 = r3 THEN 5
+                             ELSE 3 END) AS BIGINT) AS ssum
+        FROM preds),
+      cats AS (
+        SELECT cat, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest([r1, r2, r3]) AS cat FROM preds) GROUP BY cat),
+      c2t AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS c2 FROM cats),
+      nrow AS (SELECT n, ssum, c2 FROM items CROSS JOIN c2t),
+      k AS (SELECT n, ssum, c2,
+                   CAST(3 AS HUGEINT) * n * (ssum - 3 * n) - 2 * c2 AS knum,
+                   GREATEST(CAST(18 AS HUGEINT) * n * n - 2 * c2, 1) AS kden
+            FROM nrow)
+      SELECT cat, c AS n_ratings,
+             (1000000 * c) // (3 * (SELECT n FROM items)) AS stat_ppm
+      FROM cats
+      UNION ALL
+      SELECT 'zz_kappa', 3 * n,
+             CAST(CASE WHEN knum < 0
+                  THEN -((CAST(1000000 AS HUGEINT) * (- knum)) // kden)
+                  ELSE (CAST(1000000 AS HUGEINT) * knum) // kden
+                  END AS BIGINT)
+      FROM k
+      UNION ALL
+      SELECT 'zz_pbar', 3 * n, (1000000 * (ssum - 3 * n)) // (6 * n)
+      FROM items
+      ORDER BY cat"""
     })
   )
 

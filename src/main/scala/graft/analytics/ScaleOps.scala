@@ -2768,7 +2768,79 @@ object ScaleOps {
       SELECT per.cohort, lang, n, (1000000 * n) // nt AS share_ppm,
              (1000000 * sc) // n AS mean_chars_micros
       FROM per JOIN tot ON per.cohort = tot.cohort
-      ORDER BY per.cohort, lang"""))
+      ORDER BY per.cohort, lang""")),
+
+    // ---- histogram selectivity estimator, CERTIFIED (the System R
+    //      lineage: Selinger et al. 1979; Piatetsky-Shapiro & Connell
+    //      1984): how well does a 32-bucket equi-width histogram of
+    //      order value price a range predicate `x ≤ q`? The planner
+    //      synopsis beside q282's join-cardinality sample and q301's
+    //      v-optimal buckets — full buckets count exactly, the boundary
+    //      bucket interpolates uniformly:
+    //        est(q) = Σ_{hi_b ≤ q} c_b + c_bq·(q − lo_bq + 1) DIV w_bq
+    //      with integer bucket bounds lo_b = mn + (b·span) DIV 32 (the
+    //      same truncating bound arithmetic on both engines). Five
+    //      span-grid cutoffs; the exact side rides along as the
+    //      certificate (the q42 convention — at 100 TB you keep the
+    //      histogram, not the verification scan), so err_ppm exposes
+    //      exactly where uniform-within-bucket breaks on skew.
+    //
+    //      Scale shape: one histogram aggregate + one certification
+    //      aggregate over the fact table; everything else is
+    //      (5 cutoffs × 32 buckets)-row arithmetic.
+    ("q352_selectivity_cert", (s: SparkSession, dir: String) => {
+      val v = Tables(s, dir).orders
+        .selectExpr("CAST(floor(o_totalprice * 100) AS BIGINT) AS x")
+      val st = graft.Stage.mat(
+        v.agg(min(col("x")).as("mn"), max(col("x")).as("mx")))
+      val hist = graft.Stage.mat(v.crossJoin(broadcast(st))
+        .selectExpr("((x - mn) * 32) DIV (mx - mn + 1) AS b")
+        .groupBy(col("b")).agg(count(lit(1)).as("c")))
+      val cuts = graft.Stage.mat(s.range(1, 6).select(col("id").as("i"))
+        .crossJoin(broadcast(st))
+        .selectExpr("i", "mn + ((mx - mn + 1) * i) DIV 6 AS q"))
+      val est = cuts.crossJoin(broadcast(hist)).crossJoin(broadcast(st))
+        .selectExpr("i", "q",
+          """CASE WHEN mn + ((b + 1) * (mx - mn + 1)) DIV 32 - 1 <= q THEN c
+                  WHEN mn + (b * (mx - mn + 1)) DIV 32 > q THEN 0
+                  ELSE (c * (q - (mn + (b * (mx - mn + 1)) DIV 32) + 1))
+                       DIV (((b + 1) * (mx - mn + 1)) DIV 32
+                            - (b * (mx - mn + 1)) DIV 32) END AS t""")
+        .groupBy(col("i"), col("q")).agg(sum(col("t")).as("est"))
+      val exact = v.crossJoin(broadcast(cuts))
+        .groupBy(col("i"), col("q"))
+        .agg(sum(when(col("x") <= col("q"), 1L).otherwise(0L)).as("n_exact"))
+      est.join(exact, Seq("i", "q"))
+        .selectExpr("i AS cut", "q AS q_cents", "est", "n_exact",
+          """(1000000 * abs(est - n_exact)) DIV greatest(n_exact, 1)
+             AS err_ppm""")
+        .orderBy(col("cut"))
+    }, Some("""
+      WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+                 FROM orders),
+      st AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM v),
+      hist AS (SELECT ((x - mn) * 32) // (mx - mn + 1) AS b,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM v CROSS JOIN st GROUP BY 1),
+      cuts AS (SELECT i, mn + ((mx - mn + 1) * i) // 6 AS q
+               FROM (SELECT unnest(range(1, 6)) AS i) CROSS JOIN st),
+      est AS (
+        SELECT i, q, CAST(SUM(
+          CASE WHEN mn + ((b + 1) * (mx - mn + 1)) // 32 - 1 <= q THEN c
+               WHEN mn + (b * (mx - mn + 1)) // 32 > q THEN 0
+               ELSE (c * (q - (mn + (b * (mx - mn + 1)) // 32) + 1))
+                    // (((b + 1) * (mx - mn + 1)) // 32
+                         - (b * (mx - mn + 1)) // 32) END) AS BIGINT) AS est
+        FROM cuts CROSS JOIN hist CROSS JOIN st
+        GROUP BY i, q),
+      ex AS (SELECT i, q,
+                    CAST(SUM(CASE WHEN x <= q THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_exact
+             FROM v CROSS JOIN cuts GROUP BY i, q)
+      SELECT CAST(est.i AS BIGINT) AS cut, est.q AS q_cents, est.est, n_exact,
+             (1000000 * abs(est - n_exact)) // GREATEST(n_exact, 1) AS err_ppm
+      FROM est JOIN ex ON est.i = ex.i AND est.q = ex.q
+      ORDER BY cut"""))
   )
 
   /** Unrolled Hilbert index on an n×n grid (n a power of two): the

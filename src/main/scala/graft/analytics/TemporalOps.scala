@@ -3162,8 +3162,89 @@ object TemporalOps {
       UNION ALL
       SELECT 4, round(phi44, 6) FROM p${pacfSteps.length}
       ORDER BY lag"""
-    })
+    }),
+
+    // ---- first-harmonic fit of the hour-of-day profile (harmonic
+    //      regression; the parametric member of the seasonality family —
+    //      q238 decomposes, q343 locates the period, this one SIZES the
+    //      diurnal cycle): project the 24-slot event-count profile onto
+    //      cos/sin(2πh/24) and report the harmonic's amplitude and the
+    //      share of profile variance it explains,
+    //        b = Σ p_h·cos_h / 12,  c = Σ p_h·sin_h / 12,
+    //        amp = √(b²+c²),  strength = 12·(b²+c²) / Σ(p_h − p̄)²
+    //      — the Fourier-orthogonality identities at N = 24. The 24
+    //      slot totals are EXACT integers (conditional sums, absent
+    //      hours genuinely 0); the projection is one-row IEEE
+    //      arithmetic over cos/sin constants whose decimal literals
+    //      ([[hourCos]]/[[hourSin]]) splice VERBATIM into both engines
+    //      (round-trip doubles — both parsers land on the identical
+    //      bit pattern), with a fixed textual addition order. sqrt is
+    //      correctly rounded IEEE on both; no atan2 (phase is reported
+    //      as the exact integer argmax hour instead — transcendental
+    //      library functions other than sqrt aren't cross-engine
+    //      bit-stable).
+    //
+    //      Scale shape: one 24-group aggregate over events, then
+    //      one-row arithmetic + a 24-row argmax.
+    ("q353_harmonic_profile", (s: SparkSession, dir: String) => {
+      val prof = graft.Stage.mat(Tables(s, dir).events
+        .selectExpr("(unix_micros(ts) DIV 3600000000) % 24 AS h")
+        .groupBy(col("h")).agg(count(lit(1)).as("p")))
+      val aggs = (0 until 24).map(h =>
+        sum(when(col("h") === h, col("p")).otherwise(0L)).as(s"p$h")) :+
+        sum(col("p")).as("sp") :+
+        sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("spp")
+      val row = prof.agg(aggs.head, aggs.tail: _*)
+      val peak = prof.orderBy(col("p").desc, col("h")).limit(1)
+        .selectExpr("h AS peak_h", "p AS peak_p")
+      row.crossJoin(broadcast(peak))
+        .withColumn("fb", expr(s"($hourCosDot) / 12.0"))
+        .withColumn("fc", expr(s"($hourSinDot) / 12.0"))
+        .withColumn("sst", expr(
+          "CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / 24.0"))
+        .selectExpr("sp AS n_events", "peak_h", "peak_p",
+          "round(sqrt(fb * fb + fc * fc), 6) AS amp_r",
+          """round(CASE WHEN sst = 0 THEN 0.0
+                   ELSE 12.0 * (fb * fb + fc * fc) / sst END, 6) AS strength_r""")
+    }, Some(s"""
+      WITH prof AS (
+        SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+               CAST(count(*) AS BIGINT) AS p
+        FROM events GROUP BY 1),
+      row_ AS (
+        SELECT ${(0 until 24).map(h =>
+          s"CAST(SUM(CASE WHEN h = $h THEN p ELSE 0 END) AS BIGINT) AS p$h")
+          .mkString(",\n               ")},
+               CAST(SUM(p) AS BIGINT) AS sp,
+               SUM(CAST(p AS HUGEINT) * p) AS spp
+        FROM prof),
+      peak AS (SELECT h AS peak_h, p AS peak_p FROM prof
+               ORDER BY p DESC, h LIMIT 1),
+      fit AS (
+        SELECT sp, peak_h, peak_p,
+               ($hourCosDot) / 12.0 AS fb,
+               ($hourSinDot) / 12.0 AS fc,
+               CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / 24.0 AS sst
+        FROM row_ CROSS JOIN peak)
+      SELECT sp AS n_events, peak_h, peak_p,
+             round(sqrt(fb * fb + fc * fc), 6) AS amp_r,
+             round(CASE WHEN sst = 0 THEN 0.0
+                   ELSE 12.0 * (fb * fb + fc * fc) / sst END, 6) AS strength_r
+      FROM fit"""))
   )
+
+  /** Round-trip double literals of cos/sin(2π·h/24), h = 0..23, dotted
+    * against the exact integer slot totals p0..p23 in a FIXED textual
+    * order — the q347 portability discipline: both engines parse the
+    * identical decimal literal to the identical double and add in the
+    * identical order, so the projection is bit-stable cross-engine.
+    */
+  private lazy val hourCosDot: String = (0 until 24)
+    .map(h => s"p$h * ${java.lang.Double.toString(math.cos(2 * math.Pi * h / 24))}")
+    .mkString(" + ")
+  private lazy val hourSinDot: String = (0 until 24)
+    .map(h => s"p$h * ${java.lang.Double.toString(math.sin(2 * math.Pi * h / 24))}")
+    .mkString(" + ")
 
   /** Durbin–Levinson recursion unrolled to lag 4 as ENGINE-PORTABLE
     * expression strings (plain double arithmetic + CASE — no function

@@ -61,9 +61,16 @@ object TextStats {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "es", "por", "con"),
     "fr" -> Seq("le", "la", "de", "et", "est", "en", "un", "une", "que", "pour"))
 
-  def langIdPredicted(text: Column): Column = {
+  def langIdPredicted(text: Column): Column =
+    langIdPredictedWith(text, langProfiles)
+
+  /** [[langIdPredicted]] over a caller-chosen profile set — q354's
+    * Fleiss raters are this predictor run on disjoint stopword halves.
+    */
+  def langIdPredictedWith(text: Column,
+      profiles: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(lower(text))
-    val scored = langProfiles.map { case (lang, words) =>
+    val scored = profiles.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
     }
     // greatest over (score, lang) structs picks max score; on ties the

@@ -501,6 +501,26 @@ class EvalOpsSpec extends SparkSpec {
       s"step series must use the outer letters: $ss")
   }
 
+  test("Fleiss kappa: hand votes across the three profile raters") {
+    import spark.implicits._
+    // doc1 "the and of is that": all raters en (s=9); doc2 "the von
+    // mit": full+h2 say de, h1 says en (s=5); doc3 "zzz": all-zero
+    // scores tie to fr on every rater (s=9). N=3, S=23, c = (en 4,
+    // de 2, fr 3), Σc² = 29 → κ = (9·14 − 58)/(162 − 58) = 68/104
+    val dir = java.nio.file.Files.createTempDirectory("fleiss_fix").toString
+    Seq((1L, "the and of is that", "en", "A", 18L),
+      (2L, "the von mit", "de", "A", 11L),
+      (3L, "zzz", "en", "A", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q354_fleiss_kappa")(spark, dir).collect()
+      .map(r => (r.getAs[String]("cat"), r.getAs[Long]("n_ratings"),
+        r.getAs[Long]("stat_ppm")))
+    assert(out.toSeq === Seq(("de", 2L, 222222L), ("en", 4L, 444444L),
+      ("fr", 3L, 333333L), ("zz_kappa", 9L, 653846L),
+      ("zz_pbar", 9L, 777777L)))
+  }
+
   private implicit class Map2[A](rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (d, x, t) => d -> (x, t) }.toMap

@@ -343,6 +343,8 @@ class PlanSpec extends SparkSpec {
       "q238_classical_decomp" -> WinBound(4096, "day-grain daily series (MA/seasonal windows) — time-span-bounded"),
       "q239_kruskal_wallis" -> WinBound(1100, "midrank bucket-offset table (≤1024 rows; two-phase rank)"),
       "q310_mann_whitney" -> WinBound(1100, "midrank bucket-offset table (≤1024 rows; two-phase rank, shared with q239)"),
+      "q346_wilcoxon_signed_rank" -> WinBound(1100, "midrank bucket-offset table (≤1024 rows; two-phase rank over |d|, shared with q239/q310)"),
+      "q349_ansari_bradley" -> WinBound(1100, "midrank bucket-offset table (≤1024 rows; two-phase rank, shared with q239/q310)"),
       "q320_mood_median" -> WinBound(1100, "quantilesRaw bucket-count cumulation (≤1024 rows; single-group median, constant partition key folded)"),
       "q266_conformal" -> WinBound(1100, "pairRankSelect range-bucket offset tables (≤1024 rows each)"),
       "q259_changepoint" -> WinBound(4096, "day-grain prefix sums — time-span-bounded"),

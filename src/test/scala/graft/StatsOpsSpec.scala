@@ -462,6 +462,30 @@ class StatsOpsSpec extends SparkSpec {
       ("ls,qy,rf,sd", 14L), ("qy,sd,rf,ls", 14L)))
   }
 
+  test("selectivity certification: uniform fixture estimates land near exact") {
+    import spark.implicits._
+    // 32 evenly spread values (cents 25, 125, …, 3125) → one per
+    // bucket; the uniform-interpolation estimate must sit within the
+    // one-bucket band of the exact count at every cutoff
+    val dir = java.nio.file.Files.createTempDirectory("sel_fix").toString
+    (0 until 32).map(i => (i.toLong, i.toLong, "O", i + 0.25,
+        java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q352_selectivity_cert")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cut"), r.getAs[Long]("est"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("err_ppm")))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // exact counts: x = 25+100i ≤ mn + span·k/6
+    assert(out.map(_._3).toSeq === Seq(6L, 11L, 16L, 21L, 26L))
+    out.foreach { case (cut, est, exact, err) =>
+      assert(math.abs(est - exact) <= 1,
+        s"cut $cut: est $est vs exact $exact — more than one bucket off")
+      assert(err <= 1000000L / 6 + 1)
+    }
+  }
+
   test("Wilcoxon signed-rank: hand-ranked paired differences, zero pair audited") {
     import spark.implicits._
     // 10-day span, mid = day 5. Pairs (late − early, cents):

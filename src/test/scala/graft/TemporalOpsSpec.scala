@@ -710,4 +710,35 @@ class TemporalOpsSpec extends SparkSpec {
     // effect, partials shrinking after it
     assert(out(1L) < -0.8 && math.abs(out(4L)) < math.abs(out(1L)))
   }
+
+  test("harmonic profile: two-level day/night split matches the same IEEE projection") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // hours 0–11 hold 2 events, 12–23 hold 1 (36 total); expected
+    // amp/strength replay the exact same constant-dot chain in Scala
+    val dir = java.nio.file.Files.createTempDirectory("harm_fix").toString
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h < 12) 2 else 1
+      (0 until n).map(j => ((h * 10 + j).toLong,
+        Timestamp.valueOf(f"2024-01-0${j + 1} $h%02d:00:00"), 1L, "click",
+        0.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q353_harmonic_profile")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_events") === 36L)
+    assert((r.getAs[Long]("peak_h"), r.getAs[Long]("peak_p")) === ((0L, 2L)))
+    val p = (0 until 24).map(h => if (h < 12) 2.0 else 1.0)
+    val fb = (0 until 24).map(h => p(h) * math.cos(2 * math.Pi * h / 24)).sum / 12.0
+    val fc = (0 until 24).map(h => p(h) * math.sin(2 * math.Pi * h / 24)).sum / 12.0
+    val spp = p.map(x => x * x).sum; val sp = p.sum
+    val sst = spp - sp * sp / 24.0
+    assert(math.abs(r.getAs[Double]("amp_r") - math.sqrt(fb * fb + fc * fc)) < 5e-7)
+    assert(math.abs(r.getAs[Double]("strength_r")
+      - 12.0 * (fb * fb + fc * fc) / sst) < 5e-7)
+    // a square wave's first harmonic carries 8/π² ≈ 81% of its power
+    assert(r.getAs[Double]("strength_r") > 0.79 &&
+      r.getAs[Double]("strength_r") < 0.83)
+  }
 }
