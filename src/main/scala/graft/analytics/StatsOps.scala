@@ -2782,6 +2782,128 @@ object StatsOps {
                   // GREATEST(CAST(nb AS HUGEINT) * k * k * (k + 1) * (k + 1)
                     * (k - 1), 1) AS BIGINT)
       FROM f
-      ORDER BY t"""))
+      ORDER BY t""")),
+
+    // ---- Theil-T inequality decomposition (Theil 1967): the
+    //      DECOMPOSABLE inequality index the Gini (q332) famously
+    //      isn't — customer-revenue inequality splits EXACTLY into
+    //      between-segment + revenue-weighted within-segment terms,
+    //      answering "is the concentration ACROSS market segments or
+    //      inside them?". ln enters only through integer-argument
+    //      round9ln (the q321/q333 convention), so every term is a
+    //      mirrored integer-nanos sum:
+    //        T_g   = Σ_{i∈g} x_i·(ln9 x_i + ln9 n_g − ln9 X_g) DIV X_g
+    //        T_btw = Σ_g X_g·(ln9 X_g + ln9 N − ln9 n_g − ln9 X) DIV X
+    //        T_tot = Σ_i x_i·(ln9 x_i + ln9 N − ln9 X) DIV X
+    //      with the zz_gap row CERTIFYING the decomposition identity
+    //      in-plan: T_tot − T_btw − Σ(X_g·T_g) DIV X is nanoscale ln-
+    //      rounding residue, not structure (the q281/q319 cert shape).
+    //      DECIMAL(38,0)/HUGEINT products (x·ln9 x crosses BIGINT near
+    //      x ≈ 4e8 cents).
+    //
+    //      Scale shape: one orders aggregate per customer, one
+    //      broadcast dim join to segments, then segment-catalog-sized
+    //      arithmetic; the only customer-scale work is a codegen'd ln
+    //      projection and one map-side-combined sum.
+    ("q355_theil_decomposition", (s: SparkSession, dir: String) => {
+      def ln9(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      val t = Tables(s, dir)
+      val rev = graft.Stage.mat(t.orders
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .join(t.customer.select(col("c_custkey").as("ck"),
+          col("c_mktsegment").as("grp")), Seq("ck"))
+        .selectExpr("grp", "x", s"CAST(x AS DECIMAL(38,0)) * ${ln9("x")} AS xlx"))
+      val perG = graft.Stage.mat(rev.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("xg"),
+          sum(col("xlx")).as("sxlx")))
+      val tot = graft.Stage.mat(perG.agg(sum(col("n_g")).as("n"),
+        sum(col("xg")).as("xx"), sum(col("sxlx")).as("sxlx_all")))
+      val gRows = perG.selectExpr("grp", "n_g", "xg AS x_cents",
+        s"""CAST((sxlx + CAST(xg AS DECIMAL(38,0)) * (${ln9("n_g")} - ${ln9("xg")}))
+             DIV xg AS BIGINT) AS t_nanos""")
+        .transform(graft.Stage.mat)
+      val between = perG.crossJoin(broadcast(tot))
+        .selectExpr(
+          s"""CAST(xg AS DECIMAL(38,0))
+              * (${ln9("xg")} + ${ln9("n")} - ${ln9("n_g")} - ${ln9("xx")})
+              AS bterm""",
+          "xg")
+        .agg(sum(col("bterm")).as("sb")).crossJoin(broadcast(tot))
+        .selectExpr("'zz_between' AS grp", "n AS n_g", "xx AS x_cents",
+          "CAST(sb DIV xx AS BIGINT) AS t_nanos")
+      val within = gRows.join(perG.select(col("grp"), col("xg")), Seq("grp"))
+        .selectExpr("CAST(xg AS DECIMAL(38,0)) * t_nanos AS wterm")
+        .agg(sum(col("wterm")).as("sw")).crossJoin(broadcast(tot))
+        .selectExpr("'zz_within' AS grp", "n AS n_g", "xx AS x_cents",
+          "CAST(sw DIV xx AS BIGINT) AS t_nanos")
+      val total = tot.selectExpr("'zz_total' AS grp", "n AS n_g",
+        "xx AS x_cents",
+        s"""CAST((sxlx_all + CAST(xx AS DECIMAL(38,0)) * (${ln9("n")} - ${ln9("xx")}))
+             DIV xx AS BIGINT) AS t_nanos""")
+      val parts = gRows.unionByName(between).unionByName(within)
+        .unionByName(total).transform(graft.Stage.mat)
+      val gap = parts.agg(
+          sum(when(col("grp") === "zz_total", col("t_nanos")).otherwise(0L))
+            .as("tt"),
+          sum(when(col("grp") === "zz_between" || col("grp") === "zz_within",
+            col("t_nanos")).otherwise(0L)).as("bw"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("'zz_gap' AS grp", "n AS n_g", "xx AS x_cents",
+          "tt - bw AS t_nanos")
+      parts.unionByName(gap).orderBy(col("grp"))
+    }, Some {
+      def ln9(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      s"""
+      WITH rev AS (
+        SELECT c.c_mktsegment AS grp, x,
+               CAST(x AS HUGEINT) * ${ln9("x")} AS xlx
+        FROM (SELECT o_custkey AS ck,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS x
+              FROM orders GROUP BY o_custkey) r
+        JOIN customer c ON c.c_custkey = r.ck),
+      perg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+                      CAST(SUM(x) AS BIGINT) AS xg,
+                      SUM(xlx) AS sxlx
+               FROM rev GROUP BY grp),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                     CAST(SUM(xg) AS BIGINT) AS xx,
+                     SUM(sxlx) AS sxlx_all
+              FROM perg),
+      grows AS (
+        SELECT grp, n_g, xg AS x_cents,
+               CAST((sxlx + CAST(xg AS HUGEINT) * (${ln9("n_g")} - ${ln9("xg")}))
+                    // xg AS BIGINT) AS t_nanos
+        FROM perg),
+      btw AS (
+        SELECT 'zz_between' AS grp, n AS n_g, xx AS x_cents,
+               CAST(SUM(CAST(xg AS HUGEINT)
+                        * (${ln9("xg")} + ${ln9("n")} - ${ln9("n_g")} - ${ln9("xx")}))
+                    // xx AS BIGINT) AS t_nanos
+        FROM perg CROSS JOIN tot GROUP BY n, xx),
+      wth AS (
+        SELECT 'zz_within' AS grp, n AS n_g, xx AS x_cents,
+               CAST(SUM(CAST(perg.xg AS HUGEINT) * grows.t_nanos)
+                    // xx AS BIGINT) AS t_nanos
+        FROM grows JOIN perg USING (grp) CROSS JOIN tot GROUP BY n, xx),
+      ttl AS (
+        SELECT 'zz_total' AS grp, n AS n_g, xx AS x_cents,
+               CAST((sxlx_all + CAST(xx AS HUGEINT) * (${ln9("n")} - ${ln9("xx")}))
+                    // xx AS BIGINT) AS t_nanos
+        FROM tot),
+      parts AS (SELECT * FROM grows UNION ALL SELECT * FROM btw
+                UNION ALL SELECT * FROM wth UNION ALL SELECT * FROM ttl),
+      gap AS (
+        SELECT 'zz_gap' AS grp, n AS n_g, xx AS x_cents,
+               CAST(SUM(CASE WHEN grp = 'zz_total' THEN t_nanos ELSE 0 END)
+                    - SUM(CASE WHEN grp IN ('zz_between', 'zz_within')
+                               THEN t_nanos ELSE 0 END) AS BIGINT) AS t_nanos
+        FROM parts CROSS JOIN tot GROUP BY n, xx)
+      SELECT * FROM parts UNION ALL SELECT * FROM gap
+      ORDER BY grp"""
+    })
   )
 }

@@ -531,6 +531,38 @@ class StatsOpsSpec extends SparkSpec {
       ("zz_ab", 5L, 4L, 3000000L)))
   }
 
+  test("Theil decomposition: between-segment concentration, nanoscale identity gap") {
+    import spark.implicits._
+    // two customers at 100 cents in A, two at 900 in B: inequality is
+    // ENTIRELY between segments → within ≈ 0 (ln-rounding nanos),
+    // between = Σ_g (X_g/X)·ln((X_g/X)/(n_g/N))
+    //         = 0.1·ln 0.2 + 0.9·ln 1.8 ≈ 3.681e8 nanos
+    val dir = java.nio.file.Files.createTempDirectory("theil_fix").toString
+    Seq((1L, 1L, "O", 1.0, java.sql.Date.valueOf("2024-01-01"), "p"),
+      (2L, 2L, "O", 1.0, java.sql.Date.valueOf("2024-01-01"), "p"),
+      (3L, 3L, "O", 9.0, java.sql.Date.valueOf("2024-01-01"), "p"),
+      (4L, 4L, "O", 9.0, java.sql.Date.valueOf("2024-01-01"), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "c1", 1, 0.0, "A"), (2L, "c2", 1, 0.0, "A"),
+      (3L, "c3", 1, 0.0, "B"), (4L, "c4", 1, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q355_theil_decomposition")(spark, dir)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_g"), r.getAs[Long]("x_cents"),
+          r.getAs[Long]("t_nanos"))).toMap
+    assert(out("A")._1 === 2L && out("A")._2 === 200L)
+    assert(math.abs(out("A")._3) <= 3L && math.abs(out("B")._3) <= 3L)
+    assert(math.abs(out("zz_within")._3) <= 3L)
+    val expBetween = (200 * math.log(0.2) + 1800 * math.log(1.8)) / 2000 * 1e9
+    assert(math.abs(out("zz_between")._3 - expBetween) < 1e6)
+    assert(math.abs(out("zz_gap")._3) <= 5L)
+    assert(out("zz_total")._3 ===
+      out("zz_between")._3 + out("zz_within")._3 + out("zz_gap")._3)
+  }
+
   test("Page trend: a monotone priority ordering concentrates into the weighted z²") {
     import spark.implicits._
     // two month blocks, three priorities, value rising with the

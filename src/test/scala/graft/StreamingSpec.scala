@@ -965,6 +965,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.getAs[Long]("n_exact") === 5L)
   }
 
+  test("streaming hour profile is bit-equal to the batch q353 fit across a restart") {
+    import spark.implicits._
+    val src = tmp(); val ckpt = tmp() + "/ck"; val dest = tmp() + "/out"
+    def mon = graft.stream.StreamingHourProfile.maintain(
+      spark.readStream.schema("_1 LONG, _2 LONG, _3 LONG").json(src)
+        .as[(Long, Long, Long)])
+      .toDF("key", "n_events", "peak_h", "peak_p", "amp_r", "strength_r")
+    writeOps(src, "w1.json", Seq(
+      """{"_1":1,"_2":1,"_3":0}""", """{"_1":1,"_2":2,"_3":0}""",
+      """{"_1":1,"_2":3,"_3":1}"""))
+    drainOnce(mon, ckpt, dest)
+    // wave 2 lands hour 12 — the final profile (2,1,0…,1@12,…) is only
+    // reachable if wave 1's slots survived the checkpoint
+    writeOps(src, "w2.json", Seq("""{"_1":1,"_2":4,"_3":12}"""))
+    drainOnce(mon, ckpt, dest)
+    val fin = spark.read.parquet(dest)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .filter(_._2 == 4L).head
+    // batch twin target: q353 over an events fixture with the same
+    // hour multiset
+    val bdir = java.nio.file.Files.createTempDirectory("hp_fix").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:30:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (4L, java.sql.Timestamp.valueOf("2024-01-03 12:15:00")))
+      .map { case (id, ts) => (id, ts, 1L, "click", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$bdir/events.parquet")
+    val b = SparkEntry.queries("q353_harmonic_profile")(spark, bdir)
+      .collect().head
+    assert((fin._2, fin._3, fin._4) ===
+      ((b.getAs[Long]("n_events"), b.getAs[Long]("peak_h"),
+        b.getAs[Long]("peak_p"))))
+    assert(fin._5 === b.getAs[Double]("amp_r"))
+    assert(fin._6 === b.getAs[Double]("strength_r"))
+  }
+
   test("contract: new stateful twins route through StatefulTwin unless in a documented exempt family") {
     // VERDICT r9 ask #7. StatefulTwin's scaladoc names the two families
     // that intentionally keep their own flatMapGroupsWithState frames:
