@@ -36,10 +36,12 @@ object ProbeTri {
       Seq("wedge" -> run("tri_wedge", () =>
             graft.analytics.GraphOps.triangleCensus(edges())),
         "adj" -> run("tri_adj", () =>
-            graft.analytics.GraphOps.triangleCensusAdj(edges())))
+            graft.analytics.GraphOps.triangleCensusAdj(edges())),
+        "adj_sz" -> run("tri_adj_sz", () =>
+            graft.analytics.GraphOps.triangleCensusAdjSz(edges())))
     }
     val best = times.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
-    println(s"""{"min_wedge":${best("wedge")},"min_adj":${best("adj")}}""")
+    println(s"""{"min_wedge":${best("wedge")},"min_adj":${best("adj")},"min_adj_sz":${best("adj_sz")}}""")
     spark.stop()
   }
 }

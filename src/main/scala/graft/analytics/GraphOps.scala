@@ -842,6 +842,60 @@ object GraphOps {
     globalRow.unionByName(localTop).orderBy(col("v"))
   }
 
+  /** [[triangleCensusAdj]] with PACKED per-vertex credits (round 11):
+    * instead of materializing one row per triangle and unioning its
+    * three corners (3·|tri| aggregated rows + a cached triangle
+    * table), each (u, w) intersection row explodes ONE credit array —
+    * struct(u, sz), struct(w, sz), and struct(z, 1) per common
+    * neighbor — so the per-vertex counts aggregate |tri| + 2·|E'|
+    * rows in a single pass and NOTHING triangle-scale is ever cached;
+    * n_tri falls out of the same aggregate as Σtri DIV 3 (every
+    * triangle credits exactly 3). Output identical to
+    * [[triangleCensusAdj]] by construction (GraphOpsSpec pins it);
+    * ProbeTri measures the ratio and PERF.md records which form q257
+    * ships with.
+    */
+  def triangleCensusAdjSz(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Stage.mat(
+      e.join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("w")))
+    val adj = graft.Stage.mat(
+      ori.groupBy(col("u")).agg(sort_array(collect_list(col("w"))).as("nbrs")))
+    val perV = graft.Stage.mat(ori
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("nbrs_w")), Seq("w"))
+      .select(col("u"), col("w"),
+        array_intersect(col("nbrs"), col("nbrs_w")).as("ai"))
+      .filter(size(col("ai")) > 0)
+      .select(explode(concat(
+        array(
+          struct(col("u").as("v"), size(col("ai")).cast("long").as("t")),
+          struct(col("w").as("v"), size(col("ai")).cast("long").as("t"))),
+        transform(col("ai"), z => struct(z.as("v"), lit(1L).as("t")))))
+        .as("c"))
+      .select(col("c.v").as("v"), col("c.t").as("t"))
+      .groupBy(col("v")).agg(sum(col("t")).as("tri")))
+    val totals = perV.agg(expr("sum(tri) DIV 3").as("n_tri"))
+      .crossJoin(broadcast(
+        deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"),
+          count(lit(1)).as("n_nodes"))))
+    val globalRow = totals.selectExpr("CAST(-1 AS BIGINT) AS v",
+      "n_nodes AS d", "coalesce(n_tri, 0) AS n_tri",
+      """CASE WHEN n_wedges = 0 THEN 0
+         ELSE (3 * coalesce(n_tri, 0) * 1000000) DIV n_wedges END AS cc_ppm""")
+    val localTop = deg.join(perV, Seq("v"))
+      .selectExpr("v", "d", "tri AS n_tri",
+        "(2 * tri * 1000000) DIV (d * (d - 1)) AS cc_ppm")
+      .orderBy(col("cc_ppm").desc, col("v")).limit(10)
+    globalRow.unionByName(localTop).orderBy(col("v"))
+  }
+
   /** Triangle enumeration over a distinct undirected edge table
     * (pa < pb): the q257 oriented wedge build (each triangle found
     * once, at its min-degree vertex) + the closure probe, both
