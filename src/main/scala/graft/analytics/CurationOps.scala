@@ -788,6 +788,84 @@ object CurationOps {
       FROM contrib GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id LIMIT 50""")),
 
+    // ---- query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    //      Lafferty 2001): the language-modeling member of the ranking
+    //      family — q60's TF-IDF and q61's BM25 score term MATCHES,
+    //      the QL model scores the probability the document's language
+    //      model GENERATES the query, with the collection model as the
+    //      Bayesian prior (μ = 2000, the standard setting, documented):
+    //        score(d) = Σ_{t∈Q} ln[(tf + μ·ctf/C) / (dl + μ)]
+    //                 = Σ_t [ln9(tf·C + μ·ctf) − ln9(C·(dl + μ))]
+    //      — every ln argument an exact integer, so the whole score is
+    //      a mirrored integer-nanos sum (the q321/q355 round9ln
+    //      convention; no DECIMAL(25,6) float-snap path needed).
+    //      Missing terms contribute the prior mass (tf = 0), which is
+    //      exactly why QL needs the doc × query-term GRID, not just
+    //      the match rows BM25 walks. Query = the corpus's top-8-df
+    //      terms (q61's query definition, for side-by-side ranking).
+    //      tf·C stays in BIGINT to C ≈ 9e15 corpus tokens (tf ≤ 1e3).
+    //
+    //      Scale shape: token stats are the q60/q61 aggregates; the
+    //      grid is |docs| × 8 (broadcast query), one map-side-combined
+    //      sum per doc, top-10 via TakeOrdered.
+    ("q357_ql_dirichlet", (s: SparkSession, dir: String) => {
+      def ln9(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000000, 0) AS BIGINT)"
+      val toks = graft.Stage.mat(Tables(s, dir).documents
+        .select(col("doc_id"), explode(filter(
+          graft.text.TextStats.tokens(lower(col("text"))),
+          w => w =!= lit(""))).as("term")))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val ctf = graft.Stage.mat(
+        toks.groupBy(col("term")).agg(count(lit(1)).as("ctf")))
+      val qterms = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(8)
+        .join(ctf, Seq("term"))
+        .transform(graft.Stage.mat)
+      val ctot = ctf.agg(sum(col("ctf")).as("c"))
+      dl.crossJoin(broadcast(qterms))
+        .join(tf, Seq("doc_id", "term"), "left")
+        .crossJoin(broadcast(ctot))
+        .selectExpr("doc_id", "dl",
+          s"""${ln9("coalesce(tf, 0) * c + 2000 * ctf")}
+              - ${ln9("c * (dl + 2000)")} AS t_nanos""")
+        .groupBy(col("doc_id"))
+        .agg(min(col("dl")).as("dl"), sum(col("t_nanos")).as("score_nanos"))
+        .orderBy(col("score_nanos").desc, col("doc_id")).limit(10)
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '$ws+'),
+                                  x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM toks GROUP BY 1),
+      ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf
+              FROM toks GROUP BY term),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      qterms AS (SELECT dfq.term, ctf.ctf FROM dfq JOIN ctf USING (term)
+                 ORDER BY df DESC, dfq.term LIMIT 8),
+      ctot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS c FROM ctf),
+      grid AS (
+        SELECT dl.doc_id, dl.dl,
+               CAST(round(ln(CAST(COALESCE(tf.tf, 0) * c + 2000 * q.ctf
+                 AS DOUBLE)) * 1000000000, 0) AS BIGINT)
+               - CAST(round(ln(CAST(c * (dl.dl + 2000) AS DOUBLE))
+                 * 1000000000, 0) AS BIGINT) AS t_nanos
+        FROM dl CROSS JOIN qterms q
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = q.term
+        CROSS JOIN ctot)
+      SELECT doc_id, CAST(MIN(dl) AS BIGINT) AS dl,
+             CAST(SUM(t_nanos) AS BIGINT) AS score_nanos
+      FROM grid GROUP BY doc_id
+      ORDER BY score_nanos DESC, doc_id LIMIT 10""")),
+
     // ---- Token-window chunking (size 32, overlap 8 → stride 24) ----
     //      Pure generator over the token array — no shuffle; oracle
     //      mirrors it with range(0, n, 24) + 1-based list slices.

@@ -3230,7 +3230,97 @@ object TemporalOps {
              round(sqrt(fb * fb + fc * fc), 6) AS amp_r,
              round(CASE WHEN sst = 0 THEN 0.0
                    ELSE 12.0 * (fb * fb + fc * fc) / sst END, 6) AS strength_r
-      FROM fit"""))
+      FROM fit""")),
+
+    // ---- Croston's method (Croston 1972) for INTERMITTENT demand:
+    //      the forecasting family's sparse-series member — EWMA (q162)
+    //      and Holt (q176) are biased toward zero on series that are
+    //      mostly zeros, so Croston smooths the nonzero demand SIZES
+    //      and the inter-demand INTERVALS separately and forecasts
+    //      their ratio. Per event type over the zero-filled daily
+    //      spine (absent days are real zeros), α = 0.2 in exact
+    //      integer micros, the q176 fold discipline: Spark `aggregate`
+    //      with an explicit named_struct init, DuckDB `list_reduce`
+    //      over a PREPENDED [0,0,0] init (its struct accumulator
+    //      mutates field-by-field; lists evaluate against the old
+    //      accumulator — the q176 note). First demand initializes
+    //      S = x, I = its arrival gap (the standard init). Demand-size
+    //      smoothing stays in BIGINT to daily counts < 4.6e7 (the
+    //      2e11·x product) — document-scale daily counts at sf1000 sit
+    //      orders of magnitude under that.
+    //
+    //      Scale shape: one (type, day) aggregate, the zero-fill grid
+    //      is span-bounded, and the per-type fold array is days-long —
+    //      catalog × span state, never event-scale.
+    ("q356_croston", (s: SparkSession, dir: String) => {
+      val e = Tables(s, dir).events
+        .select(expr("CAST(ts AS DATE)").as("day"), col("event_type"))
+      val counts = e.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("x0"))
+      val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      val filled = spine.crossJoin(broadcast(types))
+        .join(counts, Seq("day", "event_type"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x0"), lit(0L)).as("x"))
+      filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_demand_days"),
+          sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+        .selectExpr("event_type", "n_days", "n_demand_days",
+          """aggregate(transform(seq, e -> e.x),
+               named_struct('s', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT),
+                            'g', CAST(0 AS BIGINT)),
+               (acc, x) -> CASE
+                 WHEN x > 0 AND acc.s = 0 THEN named_struct(
+                   's', x * 1000000, 'i', (acc.g + 1) * 1000000,
+                   'g', CAST(0 AS BIGINT))
+                 WHEN x > 0 THEN named_struct(
+                   's', (200000 * x * 1000000 + 800000 * acc.s) DIV 1000000,
+                   'i', (200000 * (acc.g + 1) * 1000000 + 800000 * acc.i)
+                        DIV 1000000,
+                   'g', CAST(0 AS BIGINT))
+                 ELSE named_struct('s', acc.s, 'i', acc.i, 'g', acc.g + 1)
+               END) AS st""")
+        .selectExpr("event_type", "n_days", "n_demand_days",
+          "st.s AS size_micros", "st.i AS interval_micros",
+          """CAST((CAST(st.s AS DECIMAL(38,0)) * 1000000)
+               DIV greatest(st.i, 1) AS BIGINT) AS rate_micros""")
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      counts AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS x0
+                 FROM e GROUP BY 1, 2),
+      spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+                FROM (SELECT min(day) AS d0, max(day) AS d1 FROM e)),
+      types AS (SELECT DISTINCT event_type FROM e),
+      filled AS (SELECT t.event_type, s.day, COALESCE(c.x0, 0) AS x
+                 FROM spine s CROSS JOIN types t
+                 LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type),
+      folded AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_demand_days,
+               list_reduce(
+                 list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT],
+                   list_transform(list(x ORDER BY day),
+                     v -> [v, 0::BIGINT, 0::BIGINT])),
+                 (acc, e) -> CASE
+                   WHEN e[1] > 0 AND acc[1] = 0 THEN
+                     [e[1] * 1000000, (acc[3] + 1) * 1000000, 0::BIGINT]
+                   WHEN e[1] > 0 THEN [
+                     (200000 * e[1] * 1000000 + 800000 * acc[1]) // 1000000,
+                     (200000 * (acc[3] + 1) * 1000000 + 800000 * acc[2])
+                       // 1000000,
+                     0::BIGINT]
+                   ELSE [acc[1], acc[2], acc[3] + 1] END) AS st
+        FROM filled GROUP BY event_type)
+      SELECT event_type, n_days, n_demand_days,
+             st[1] AS size_micros, st[2] AS interval_micros,
+             CAST((CAST(st[1] AS HUGEINT) * 1000000)
+                  // GREATEST(st[2], 1) AS BIGINT) AS rate_micros
+      FROM folded ORDER BY event_type"""))
   )
 
   /** Round-trip double literals of cos/sin(2π·h/24), h = 0..23, dotted

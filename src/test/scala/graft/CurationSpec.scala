@@ -689,4 +689,33 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(("high_ppl", "S", 1L, 1000000L),
       ("keep", "R", 2L, 1000000L)))
   }
+
+  test("QL-Dirichlet: integer-nanos scores replay the smoothed language model") {
+    import spark.implicits._
+    // corpus: d1 "a a b", d2 "a c", d3 "b b b c" → C = 9, ctf a=3 b=4
+    // c=2, every term df=2 → query = {a,b,c}; expected scores replay
+    // ln9(tf·C + 2000·ctf) − ln9(C·(dl+2000)) per (doc, term)
+    val dir = java.nio.file.Files.createTempDirectory("ql_fix").toString
+    Seq((1L, "a a b", "en", "S", 5L), (2L, "a c", "en", "S", 3L),
+      (3L, "b b b c", "en", "S", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q357_ql_dirichlet")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Long]("score_nanos")))
+    def l9(x: Long) = math.round(math.log(x.toDouble) * 1e9)
+    val ctf = Map("a" -> 3L, "b" -> 4L, "c" -> 2L)
+    val docs = Map(1L -> Map("a" -> 2L, "b" -> 1L),
+      2L -> Map("a" -> 1L, "c" -> 1L),
+      3L -> Map("b" -> 3L, "c" -> 1L))
+    val dls = Map(1L -> 3L, 2L -> 2L, 3L -> 4L)
+    val exp = docs.map { case (d, tfs) =>
+      d -> Seq("a", "b", "c").map(t =>
+        l9(tfs.getOrElse(t, 0L) * 9 + 2000 * ctf(t)) -
+          l9(9 * (dls(d) + 2000))).sum
+    }
+    assert(out.toSeq === exp.toSeq
+      .map { case (d, sc) => (d, dls(d), sc) }
+      .sortBy { case (d, _, sc) => (-sc, d) })
+  }
 }

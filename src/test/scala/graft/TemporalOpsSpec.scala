@@ -711,6 +711,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(1L) < -0.8 && math.abs(out(4L)) < math.abs(out(1L)))
   }
 
+  test("Croston: hand-folded intermittent demand with the standard init") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // click demand over the 4-day spine [2,0,0,3]: init S=2e6, I=1e6;
+    // second demand (gap 3): S=2.2e6, I=(0.2·3e6+0.8·1e6)=1.4e6 →
+    // rate = 2.2e6·1e6 // 1.4e6 = 1571428. view [0,1,0,0]: S=1e6,
+    // I=2e6 → rate 500000.
+    val dir = java.nio.file.Files.createTempDirectory("croston_fix").toString
+    val ev = Seq(
+      (1L, "2024-01-02 01:00:00", "click"), (2L, "2024-01-02 02:00:00", "click"),
+      (3L, "2024-01-05 01:00:00", "click"), (4L, "2024-01-05 02:00:00", "click"),
+      (5L, "2024-01-05 03:00:00", "click"),
+      (6L, "2024-01-03 01:00:00", "view"))
+    ev.map { case (id, ts, et) => (id, Timestamp.valueOf(ts), 1L, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q356_croston")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_demand_days"),
+          r.getAs[Long]("size_micros"), r.getAs[Long]("interval_micros"),
+          r.getAs[Long]("rate_micros"))).toMap
+    assert(out("click") === ((4L, 2L, 2200000L, 1400000L, 1571428L)))
+    assert(out("view") === ((4L, 1L, 1000000L, 2000000L, 500000L)))
+  }
+
   test("harmonic profile: two-level day/night split matches the same IEEE projection") {
     import spark.implicits._
     import java.sql.Timestamp
