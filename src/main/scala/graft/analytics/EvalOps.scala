@@ -2309,9 +2309,12 @@ object EvalOps {
     //      by the equality pattern of the three votes, and
     //        κ = (3N·(S − 3N) − 2Σc²) / (18N² − 2Σc²)
     //      (both sides ×18N²; S = Σ_i Σ_j n_ij², c_j = category
-    //      marginals), emitted in ppm with the sign OUT of the
-    //      truncating DIV (Spark DIV truncates toward zero, DuckDB //
-    //      floors — they differ on negatives, and κ < 0 is reachable).
+    //      marginals), emitted in ppm with the sign kept OUT of the
+    //      truncating DIV. Both engines' integer division truncates
+    //      toward zero (verified: DuckDB -7 // 2 = -3, same as Spark
+    //      DIV — see the file header), so the sign wrap is belt-and-
+    //      braces for magnitude-identical rounding, not a divergence
+    //      fix; κ < 0 is reachable.
     //      DECIMAL(38,0)/HUGEINT products throughout (18N² crosses
     //      BIGINT near N ≈ 7e8 docs). Output: per-category marginal
     //      rows (share of all 3N ratings) + zz_pbar (observed

@@ -2187,9 +2187,15 @@ object GraphOps {
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
         .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+        // BIGINT contract: 1000000*n_recip and 1000000*n_edges stay in
+        // range for n_edges ≤ 9.2e12; n_nodes*(n_nodes-1) for
+        // n_nodes ≤ 3.0e9 — both orders of magnitude past a 100 TB part
+        // catalog. greatest(...,1) guards the no-edge fixture (all
+        // single-line orders), matching rho_ppm's own denominator.
         .selectExpr("n_nodes", "n_edges", "n_recip DIV 2 AS n_mutual_pairs",
-          "(1000000 * n_recip) DIV n_edges AS r_ppm",
-          "(1000000 * n_edges) DIV (n_nodes * (n_nodes - 1)) AS abar_ppm")
+          "(1000000 * n_recip) DIV greatest(n_edges, 1) AS r_ppm",
+          """(1000000 * n_edges)
+             DIV greatest(n_nodes * (n_nodes - 1), 1) AS abar_ppm""")
         .selectExpr("n_nodes", "n_edges", "n_mutual_pairs", "r_ppm",
           "abar_ppm",
           """CAST((1000000 * (r_ppm - abar_ppm))
@@ -2209,8 +2215,9 @@ object GraphOps {
              FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
       m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
       b AS (SELECT n_nodes, n_edges, n_recip // 2 AS n_mutual_pairs,
-                   (1000000 * n_recip) // n_edges AS r_ppm,
-                   (1000000 * n_edges) // (n_nodes * (n_nodes - 1)) AS abar_ppm
+                   (1000000 * n_recip) // GREATEST(n_edges, 1) AS r_ppm,
+                   (1000000 * n_edges)
+                     // GREATEST(n_nodes * (n_nodes - 1), 1) AS abar_ppm
             FROM m CROSS JOIN recip CROSS JOIN nn)
       SELECT n_nodes, n_edges, n_mutual_pairs, r_ppm, abar_ppm,
              CAST((1000000 * (r_ppm - abar_ppm))

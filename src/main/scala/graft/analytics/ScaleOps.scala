@@ -2778,8 +2778,12 @@ object ScaleOps {
     //      v-optimal buckets — full buckets count exactly, the boundary
     //      bucket interpolates uniformly:
     //        est(q) = Σ_{hi_b ≤ q} c_b + c_bq·(q − lo_bq + 1) DIV w_bq
-    //      with integer bucket bounds lo_b = mn + (b·span) DIV 32 (the
-    //      same truncating bound arithmetic on both engines). Five
+    //      with the TRUE integer member bounds of bucket b under the
+    //      assignment ((x−mn)·32) DIV span — lo_b = mn + ⌈b·span/32⌉,
+    //      hi_b = lo_{b+1} − 1, both as (a + 31) DIV 32 ceils (floor
+    //      bounds can sit below a bucket's actual min/max when 32
+    //      does not divide b·span, mis-counting near cutoffs; the
+    //      same ceil arithmetic runs on both engines). Five
     //      span-grid cutoffs; the exact side rides along as the
     //      certificate (the q42 convention — at 100 TB you keep the
     //      histogram, not the verification scan), so err_ppm exposes
@@ -2801,11 +2805,11 @@ object ScaleOps {
         .selectExpr("i", "mn + ((mx - mn + 1) * i) DIV 6 AS q"))
       val est = cuts.crossJoin(broadcast(hist)).crossJoin(broadcast(st))
         .selectExpr("i", "q",
-          """CASE WHEN mn + ((b + 1) * (mx - mn + 1)) DIV 32 - 1 <= q THEN c
-                  WHEN mn + (b * (mx - mn + 1)) DIV 32 > q THEN 0
-                  ELSE (c * (q - (mn + (b * (mx - mn + 1)) DIV 32) + 1))
-                       DIV (((b + 1) * (mx - mn + 1)) DIV 32
-                            - (b * (mx - mn + 1)) DIV 32) END AS t""")
+          """CASE WHEN mn + ((b + 1) * (mx - mn + 1) + 31) DIV 32 - 1 <= q THEN c
+                  WHEN mn + (b * (mx - mn + 1) + 31) DIV 32 > q THEN 0
+                  ELSE (c * (q - (mn + (b * (mx - mn + 1) + 31) DIV 32) + 1))
+                       DIV (((b + 1) * (mx - mn + 1) + 31) DIV 32
+                            - (b * (mx - mn + 1) + 31) DIV 32) END AS t""")
         .groupBy(col("i"), col("q")).agg(sum(col("t")).as("est"))
       val exact = v.crossJoin(broadcast(cuts))
         .groupBy(col("i"), col("q"))
@@ -2826,11 +2830,11 @@ object ScaleOps {
                FROM (SELECT unnest(range(1, 6)) AS i) CROSS JOIN st),
       est AS (
         SELECT i, q, CAST(SUM(
-          CASE WHEN mn + ((b + 1) * (mx - mn + 1)) // 32 - 1 <= q THEN c
-               WHEN mn + (b * (mx - mn + 1)) // 32 > q THEN 0
-               ELSE (c * (q - (mn + (b * (mx - mn + 1)) // 32) + 1))
-                    // (((b + 1) * (mx - mn + 1)) // 32
-                         - (b * (mx - mn + 1)) // 32) END) AS BIGINT) AS est
+          CASE WHEN mn + ((b + 1) * (mx - mn + 1) + 31) // 32 - 1 <= q THEN c
+               WHEN mn + (b * (mx - mn + 1) + 31) // 32 > q THEN 0
+               ELSE (c * (q - (mn + (b * (mx - mn + 1) + 31) // 32) + 1))
+                    // (((b + 1) * (mx - mn + 1) + 31) // 32
+                         - (b * (mx - mn + 1) + 31) // 32) END) AS BIGINT) AS est
         FROM cuts CROSS JOIN hist CROSS JOIN st
         GROUP BY i, q),
       ex AS (SELECT i, q,

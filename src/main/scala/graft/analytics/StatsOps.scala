@@ -2495,7 +2495,11 @@ object StatsOps {
     //      (tie-corrected normal approximation; numerator ≥ 0). The
     //      3e6·W4² product crosses DECIMAL(38) near n ≈ 5e7 nonzero
     //      pairs — past that, pre-divide W4² by the variance's GCD
-    //      scale (the q310 note's regime).
+    //      scale (the q310 note's regime). BIGINT contract for the
+    //      emitted r2x columns themselves: W2x ≤ 2n² and
+    //      |W4| = |2·W2x − n(n+1)| ≤ 2n² stay in BIGINT for
+    //      n ≤ 2.1e9 nonzero pairs (pairs = customers, so ~100×
+    //      beyond a 100 TB customer catalog).
     //
     //      Scale shape: one (customer, half) aggregate, one customer-
     //      sized pivot, then the value-histogram-sized midrank path —
@@ -2530,15 +2534,22 @@ object StatsOps {
         .agg(sum(col("pc")).as("n_g"),
           sum(col("pc") * (lit(2L) * col("mn") + col("cnt") - 1)).as("r2x"))
         .transform(graft.Stage.mat)
-      val nTie = ties.agg(sum(col("cnt")).as("n"),
-        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tsum"))
+      // coalesce: on a fixture with NO nonzero paired differences the
+      // aggregates below run over empty inputs; without the defaults
+      // Spark would emit a zz_w row of NULLs while the (scalar-
+      // subquery) oracle emits zeros — identical on any non-degenerate
+      // input, where the sums are non-null anyway.
+      val nTie = ties.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        coalesce(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("tsum"))
       val zeroRow = paired
         .agg(coalesce(sum(when(col("d") === 0, 1L).otherwise(0L)), lit(0L))
           .as("n_g"))
         .selectExpr("'zero' AS grp", "n_g", "CAST(0 AS BIGINT) AS r2x",
           "CAST(0 AS BIGINT) AS z2_micros")
       val zz = perSgn
-        .agg(sum(when(col("sgn") === 1L, col("r2x")).otherwise(0L)).as("w2x"))
+        .agg(coalesce(sum(when(col("sgn") === 1L, col("r2x")).otherwise(0L)),
+          lit(0L)).as("w2x"))
         .crossJoin(broadcast(nTie))
         .selectExpr("'zz_w' AS grp", "n AS n_g",
           "2 * w2x - n * (n + 1) AS r2x",
@@ -2578,12 +2589,12 @@ object StatsOps {
       perg AS (SELECT sgn, CAST(SUM(pc) AS BIGINT) AS n_g,
                       CAST(SUM(pc * (2 * mn + cnt - 1)) AS BIGINT) AS r2x
                FROM pergs JOIN mr USING (score) GROUP BY sgn),
-      nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-                    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
-             FROM ties),
-      zz AS (SELECT n, tsum,
-                    CAST(SUM(CASE WHEN sgn = 1 THEN r2x ELSE 0 END) AS BIGINT) AS w2x
-             FROM perg CROSS JOIN nt GROUP BY n, tsum)
+      zz AS (SELECT
+               (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM ties) AS n,
+               (SELECT COALESCE(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt),
+                                CAST(0 AS HUGEINT)) FROM ties) AS tsum,
+               (SELECT CAST(COALESCE(SUM(CASE WHEN sgn = 1 THEN r2x ELSE 0 END),
+                                     0) AS BIGINT) FROM perg) AS w2x)
       SELECT CASE WHEN sgn = 1 THEN 'pos' ELSE 'neg' END AS grp, n_g, r2x,
              CAST(0 AS BIGINT) AS z2_micros
       FROM perg
