@@ -573,4 +573,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(zz.getAs[Long]("share_ppm") < 450000L,
       s"moved ${zz.getAs[Long]("share_ppm")} ppm — should be ~1/5, far under mod-N's ~4/5")
   }
+
+  test("weighted SSSP: hand-computed distances, shortcut beats hop count, H=4 horizon") {
+    // path 1-2-3-4-5-6 (weights 2,20,2,2,2 from p_size gaps) plus the
+    // heavy shortcut 1-3 (w=21). Source = node 1. d(3)=21 via the
+    // shortcut (beats 2+20=22 through node 2); d(5)=25 uses THREE hops
+    // via the shortcut, beating the four-hop 26 through node 2 — the
+    // min-plus merge must prefer weight over hop count. Node 6 is
+    // reachable only at hop 4 via the shortcut (27); within H=4 all six
+    // nodes are reached.
+    val dir = java.nio.file.Files.createTempDirectory("sssp_fix").toString
+    Seq((100L, 1L), (100L, 2L), (200L, 2L), (200L, 3L), (300L, 3L), (300L, 4L),
+      (400L, 4L), (400L, 5L), (500L, 5L), (500L, 6L), (600L, 1L), (600L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "p1", "B", "T", 10, 1.0), (2L, "p2", "B", "T", 11, 1.0),
+      (3L, "p3", "B", "T", 30, 1.0), (4L, "p4", "B", "T", 31, 1.0),
+      (5L, "p5", "B", "T", 32, 1.0), (6L, "p6", "B", "T", 33, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q358_sssp_weighted")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("dist"),
+        r.getAs[Long]("n_reached")))
+    assert(out.toSeq === Seq((-1L, 0L, 6L), (1L, 0L, 0L), (2L, 2L, 0L),
+      (3L, 21L, 0L), (4L, 23L, 0L), (5L, 25L, 0L), (6L, 27L, 0L)))
+  }
 }
