@@ -44,7 +44,11 @@ object ProbeEdges {
       ("derive_mat", () => graft.Stage.mat(
         graft.analytics.GraphOps.partCoPurchaseEdges(li))),
       ("derive_mod4", () => graft.analytics.GraphOps.partCoPurchaseEdges(
-        li.filter(pmod(col("l_orderkey"), lit(4)) === 0))))
+        li.filter(pmod(col("l_orderkey"), lit(4)) === 0))),
+      // the OTHER shared graph input: the events-derived interaction
+      // graph (q117/q138/q142/q150/q208/q311 re-derive it per query)
+      ("derive_interaction", () =>
+        graft.analytics.GraphOps.interactionGraph(spark, sfDir)))
 
     // untimed JIT warm-up, then min-of-3 (the Bench discipline)
     cases.foreach { case (_, fn) =>

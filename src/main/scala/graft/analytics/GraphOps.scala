@@ -731,11 +731,14 @@ object GraphOps {
   /** Per-corpus memo of a derived edge table, spilled to a temp parquet
     * ONCE per (corpus, variant) and re-read thereafter — the q45
     * IVF-centroid convention ([[LLMOps.ivfCentroids]]) applied to the
-    * graph family's shared input (VERDICT r11 ask #1: five of the
+    * graph family's shared inputs (VERDICT r11 ask #1: five of the
     * suite's top-6 CPU queries each re-derived the SAME co-purchase
     * edge table before their kernel; ProbeEdges measured the
     * materialized derivation at 3.3 s CPU per query — 19% of the
-    * family's 108.6 s bill, ~17 s CPU suite-wide once amortized).
+    * family's 108.6 s bill, ~17 s CPU suite-wide once amortized; the
+    * events-derived interaction graph measured 0.41 s CPU × 6 re-
+    * derivations — the same 19% share of its smaller family bill, so
+    * the same memo applies under variant "interaction").
     *
     * This is also the 100 TB shape: a production graph battery
     * materializes the distinct edge table once per corpus snapshot and
@@ -751,7 +754,7 @@ object GraphOps {
     * built plan across passes).
     */
   private val edgeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def coPurchaseEdgesMemo(s: SparkSession, dir: String,
+  private[graft] def edgeTableMemo(s: SparkSession, dir: String,
       variant: String = "full")(derive: => DataFrame): DataFrame = {
     val path = edgeMemo.getOrElseUpdate(s"$dir#$variant", {
       val p = java.nio.file.Files.createTempDirectory("graft_edges_")
@@ -1138,7 +1141,7 @@ object GraphOps {
     //      (distinct-degree-sized cumulation, q156's regime).
     ("q290_rich_club", (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
-      val e = coPurchaseEdgesMemo(s, dir)(
+      val e = edgeTableMemo(s, dir)(
         partCoPurchaseEdges(Tables(s, dir).lineitem))
       val deg = graft.Stage.mat(
         e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
@@ -1350,7 +1353,8 @@ object GraphOps {
     //      build side) + one map-side-combined agg — see the object
     //      scaladoc for the 100 TB bucketing/skew argument.
     ("q117_pagerank", (s: SparkSession, dir: String) => {
-      pageRankMicros(interactionEdges(s, dir), iters = 3)
+      pageRankMicros(edgeTableMemo(s, dir, "interaction")(
+        interactionEdges(s, dir)), iters = 3)
         .orderBy(col("node"))
     }, Some("""
       WITH inter AS (
@@ -1390,7 +1394,7 @@ object GraphOps {
     //      reached its fixpoint on this graph. The oracle unrolls all
     //      6 rounds for both k — pure integer counts, no division.
     ("q138_kcore", (s: SparkSession, dir: String) => {
-      val e = graft.Stage.mat(interactionEdges(s, dir))
+      val e = edgeTableMemo(s, dir, "interaction")(interactionEdges(s, dir))
       // ships on the DELTA peel (r10: ProbeKCore measured 2.34 s vs the
       // semi-join peel's 3.78 s min at sf0.1, 15.5 s vs 3.9 s cold);
       // spec-pinned identical outputs, oracle unchanged
@@ -1444,7 +1448,8 @@ object GraphOps {
     //      restricted edge CTE), pinning the fixed-round semantics
     //      identically on both engines.
     ("q311_coreness", (s: SparkSession, dir: String) => {
-      corenessLadder(interactionEdges(s, dir), Seq(1, 2, 4, 8, 16, 32, 64),
+      corenessLadder(edgeTableMemo(s, dir, "interaction")(
+        interactionEdges(s, dir)), Seq(1, 2, 4, 8, 16, 32, 64),
         rounds = 6)
     }, Some {
       val ladder = Seq(1, 2, 4, 8, 16, 32, 64)
@@ -1477,7 +1482,8 @@ object GraphOps {
     //      leaves), so r_sign = -1 is itself a semantic check. The
     //      oracle replays every divide-early floor.
     ("q142_assortativity", (s: SparkSession, dir: String) => {
-      degreeAssortativityMicros(interactionEdges(s, dir))
+      degreeAssortativityMicros(edgeTableMemo(s, dir, "interaction")(
+        interactionEdges(s, dir)))
     }, Some(s"""
       WITH inter AS (
         SELECT DISTINCT concat('u:', CAST(user_id AS VARCHAR)) AS a,
@@ -1516,7 +1522,8 @@ object GraphOps {
     //      row_number over (cnt desc, label) is the entire tie
     //      contract, so the replay is exact, not approximate.
     ("q150_label_prop", (s: SparkSession, dir: String) => {
-      labelPropagation(interactionEdges(s, dir), iters = 3)
+      labelPropagation(edgeTableMemo(s, dir, "interaction")(
+        interactionEdges(s, dir)), iters = 3)
         .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("label"))
     }, Some(s"""
@@ -1718,7 +1725,7 @@ object GraphOps {
     //      replays the three LPA rounds, both truncating quotients,
     //      and the exact subtractions.
     ("q208_modularity", (s: SparkSession, dir: String) => {
-      val e = interactionEdges(s, dir)
+      val e = edgeTableMemo(s, dir, "interaction")(interactionEdges(s, dir))
       modularityPpm(e, labelPropagation(e, iters = 3))
     }, Some(s"""
       WITH inter AS (
@@ -1820,7 +1827,7 @@ object GraphOps {
       // contention 12 s vs 36 s — the packed-array shuffle degrades
       // far more gracefully than the 41M-row wedge stream). Output
       // identical by construction; GraphOpsSpec pins equality.
-      triangleCensusAdj(coPurchaseEdgesMemo(s, dir)(
+      triangleCensusAdj(edgeTableMemo(s, dir)(
         partCoPurchaseEdges(Tables(s, dir).lineitem))), Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
@@ -1882,7 +1889,7 @@ object GraphOps {
     //      existing edges leave via LeftAnti; top-20 by (score, pair)
     //      is a TakeOrdered, never a global sort.
     ("q325_adamic_adar", (s: SparkSession, dir: String) =>
-      adamicAdarTopK(coPurchaseEdgesMemo(s, dir)(
+      adamicAdarTopK(edgeTableMemo(s, dir)(
         partCoPurchaseEdges(Tables(s, dir).lineitem))), Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
@@ -1925,7 +1932,7 @@ object GraphOps {
     //      the documented sign. One edge-table join pass + one node
     //      aggregate — linear, shuffle on the part key only.
     ("q328_morans_i", (s: SparkSession, dir: String) => {
-      val e = coPurchaseEdgesMemo(s, dir)(
+      val e = edgeTableMemo(s, dir)(
         partCoPurchaseEdges(Tables(s, dir).lineitem))
       val xs = graft.Stage.mat(
         e.select(col("pa").as("v")).unionByName(e.select(col("pb").as("v")))
@@ -2009,7 +2016,7 @@ object GraphOps {
       // level set per seed is bit(A_h) ∧ ¬bit(A_{h−1}), and A₀ seeds
       // themselves so s never counts in its own levels.
       import org.apache.spark.sql.expressions.Window
-      val e = coPurchaseEdgesMemo(s, dir)(
+      val e = edgeTableMemo(s, dir)(
         partCoPurchaseEdges(Tables(s, dir).lineitem))
       val adj = graft.Stage.mat(
         e.select(col("pa").as("u"), col("pb").as("v"))
@@ -2100,7 +2107,7 @@ object GraphOps {
     //      warm-start discipline), so the delta path is value-checked
     //      against full recomputation round for round.
     ("q335_ktruss_peel", (s: SparkSession, dir: String) => {
-      kTrussRounds(coPurchaseEdgesMemo(s, dir, "mod4")(partCoPurchaseEdges(
+      kTrussRounds(edgeTableMemo(s, dir, "mod4")(partCoPurchaseEdges(
           Tables(s, dir).lineitem.filter(pmod(col("l_orderkey"), lit(4)) === 0))),
         rounds = 3, minSup = 2)
     }, Some {
@@ -2171,7 +2178,7 @@ object GraphOps {
     //      iteration each, no damping vector to carry.
     ("q342_eigencentrality", (s: SparkSession, dir: String) =>
       eigenCentralityTopK(
-        coPurchaseEdgesMemo(s, dir)(partCoPurchaseEdges(Tables(s, dir).lineitem)))
+        edgeTableMemo(s, dir)(partCoPurchaseEdges(Tables(s, dir).lineitem)))
     , Some("""
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
@@ -2286,7 +2293,7 @@ object GraphOps {
     //      order + the v = −1 summary row (the census convention)
     //      carrying n_reached within 4 hops.
     ("q358_sssp_weighted", (s: SparkSession, dir: String) => {
-      val e = coPurchaseEdgesMemo(s, dir)(
+      val e = edgeTableMemo(s, dir)(
         partCoPurchaseEdges(Tables(s, dir).lineitem))
       val sz = Tables(s, dir).part
         .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS sz")
