@@ -48,7 +48,12 @@ object ProbeEdges {
       // the OTHER shared graph input: the events-derived interaction
       // graph (q117/q138/q142/q150/q208/q311 re-derive it per query)
       ("derive_interaction", () =>
-        graft.analytics.GraphOps.interactionGraph(spark, sfDir)))
+        graft.analytics.GraphOps.interactionGraph(spark, sfDir)),
+      // q358's weighted adjacency (edge memo read + part-size weights +
+      // both-direction union + localCheckpoint) — the per-run cost its
+      // own memo variant would remove
+      ("derive_wadj", () => graft.Stage.mat(
+        graft.analytics.GraphOps.ssspWeightedAdj(spark, sfDir))))
 
     // untimed JIT warm-up, then min-of-3 (the Bench discipline)
     cases.foreach { case (_, fn) =>

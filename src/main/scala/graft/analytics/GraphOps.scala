@@ -753,6 +753,25 @@ object GraphOps {
     * need (no persistent blocks → the bench's plan cache can reuse the
     * built plan across passes).
     */
+  /** q358's weighted both-direction adjacency: the memoized co-purchase
+    * edge table joined to part sizes (w = |Δp_size| + 1), unioned both
+    * ways. Memoized itself under variant "copurchase_wadj" (ProbeEdges:
+    * the join+union+checkpoint costs 2.2 s CPU per run at sf0.1 — ~15%
+    * of the query's idle bill; q358 measured 14.8 → 9.6 s CPU idle
+    * after the memo, band caveat noted in PERF.md).
+    */
+  private[graft] def ssspWeightedAdj(s: SparkSession, dir: String): DataFrame = {
+    val e = edgeTableMemo(s, dir)(partCoPurchaseEdges(Tables(s, dir).lineitem))
+    val sz = Tables(s, dir).part
+      .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS sz")
+    val ew = e
+      .join(sz.selectExpr("p_partkey AS pa", "sz AS sa"), Seq("pa"))
+      .join(sz.selectExpr("p_partkey AS pb", "sz AS sb"), Seq("pb"))
+      .selectExpr("pa", "pb", "abs(sa - sb) + 1 AS w")
+    ew.selectExpr("pa AS u", "pb AS v", "w")
+      .unionByName(ew.selectExpr("pb AS u", "pa AS v", "w"))
+  }
+
   private val edgeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def edgeTableMemo(s: SparkSession, dir: String,
       variant: String = "full")(derive: => DataFrame): DataFrame = {
@@ -2293,19 +2312,9 @@ object GraphOps {
     //      order + the v = −1 summary row (the census convention)
     //      carrying n_reached within 4 hops.
     ("q358_sssp_weighted", (s: SparkSession, dir: String) => {
-      val e = edgeTableMemo(s, dir)(
-        partCoPurchaseEdges(Tables(s, dir).lineitem))
-      val sz = Tables(s, dir).part
-        .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS sz")
-      val ew = e
-        .join(sz.selectExpr("p_partkey AS pa", "sz AS sa"), Seq("pa"))
-        .join(sz.selectExpr("p_partkey AS pb", "sz AS sb"), Seq("pb"))
-        .selectExpr("pa", "pb", "abs(sa - sb) + 1 AS w")
-      val adj = graft.Stage.mat(
-        ew.selectExpr("pa AS u", "pb AS v", "w")
-          .unionByName(ew.selectExpr("pb AS u", "pa AS v", "w")))
+      val adj = edgeTableMemo(s, dir, "copurchase_wadj")(ssspWeightedAdj(s, dir))
       val d0 = graft.Stage.mat(
-        e.agg(min(col("pa")).as("node"))
+        adj.agg(min(col("u")).as("node"))
           .selectExpr("node", "CAST(0 AS BIGINT) AS d"))
       val (dist, _) = (1 to 4).foldLeft((d0, d0)) {
         case ((dist, frontier), _) =>

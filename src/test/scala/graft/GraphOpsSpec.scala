@@ -574,6 +574,30 @@ class GraphOpsSpec extends SparkSpec {
       s"moved ${zz.getAs[Long]("share_ppm")} ppm — should be ~1/5, far under mod-N's ~4/5")
   }
 
+  test("edgeTableMemo: cached re-read equals inline derivation, variants key separately") {
+    val dir = java.nio.file.Files.createTempDirectory("memo_fix").toString
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def li = graft.model.Tables(spark, dir).lineitem
+    val inline = GraphOps.partCoPurchaseEdges(li)
+      .as[(Long, Long)].collect().toSet
+    val first = GraphOps.edgeTableMemo(spark, dir)(GraphOps.partCoPurchaseEdges(li))
+      .as[(Long, Long)].collect().toSet
+    // second call must hit the spill (passing a poisoned derivation
+    // proves the thunk is not re-evaluated)
+    val second = GraphOps.edgeTableMemo(spark, dir)(
+      sys.error("memo must not re-derive"): org.apache.spark.sql.DataFrame)
+      .as[(Long, Long)].collect().toSet
+    assert(first === inline && second === inline)
+    assert(inline === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    // a different variant keys its own derivation
+    val filtered = GraphOps.edgeTableMemo(spark, dir, "only20")(
+      GraphOps.partCoPurchaseEdges(li.filter(col("l_orderkey") === 20L)))
+      .as[(Long, Long)].collect().toSet
+    assert(filtered === Set((3L, 4L)))
+  }
+
   test("weighted SSSP: hand-computed distances, shortcut beats hop count, H=4 horizon") {
     // path 1-2-3-4-5-6 (weights 2,20,2,2,2 from p_size gaps) plus the
     // heavy shortcut 1-3 (w=21). Source = node 1. d(3)=21 via the
