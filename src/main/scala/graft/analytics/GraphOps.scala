@@ -728,6 +728,27 @@ object GraphOps {
         .as("pr"))
       .select(col("pr.pa"), col("pr.pb")).distinct()
 
+  /** q358's weighted both-direction adjacency: the memoized co-purchase
+    * edge table joined to part sizes (w = |Δp_size| + 1), unioned both
+    * ways. Memoized itself under variant "copurchase_wadj" (ProbeEdges:
+    * the join+union+checkpoint costs 2.2 s CPU per run at sf0.1 — ~15%
+    * of the query's idle bill; q358 measured 14.8 → 9.6 s CPU idle
+    * after the memo, band caveat noted in PERF.md).
+    */
+  private[graft] def ssspWeightedAdj(s: SparkSession, dir: String): DataFrame = {
+    val e = edgeTableMemo(s, dir)(partCoPurchaseEdges(Tables(s, dir).lineitem))
+    val sz = Tables(s, dir).part
+      .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS sz")
+    val ew = e
+      .join(sz.selectExpr("p_partkey AS pa", "sz AS sa"), Seq("pa"))
+      .join(sz.selectExpr("p_partkey AS pb", "sz AS sb"), Seq("pb"))
+      .selectExpr("pa", "pb", "abs(sa - sb) + 1 AS w")
+    ew.selectExpr("pa AS u", "pb AS v", "w")
+      .unionByName(ew.selectExpr("pb AS u", "pa AS v", "w"))
+  }
+
+  private val edgeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-corpus memo of a derived edge table, spilled to a temp parquet
     * ONCE per (corpus, variant) and re-read thereafter — the q45
     * IVF-centroid convention ([[LLMOps.ivfCentroids]]) applied to the
@@ -752,37 +773,29 @@ object GraphOps {
     * subsumes the `Stage.mat` localCheckpoint the call sites used to
     * need (no persistent blocks → the bench's plan cache can reuse the
     * built plan across passes).
+    *
+    * The spill tree is deleted at JVM exit (ADVICE r12: the temp dirs
+    * otherwise outlive every suite/test run and accumulate on disk).
     */
-  /** q358's weighted both-direction adjacency: the memoized co-purchase
-    * edge table joined to part sizes (w = |Δp_size| + 1), unioned both
-    * ways. Memoized itself under variant "copurchase_wadj" (ProbeEdges:
-    * the join+union+checkpoint costs 2.2 s CPU per run at sf0.1 — ~15%
-    * of the query's idle bill; q358 measured 14.8 → 9.6 s CPU idle
-    * after the memo, band caveat noted in PERF.md).
-    */
-  private[graft] def ssspWeightedAdj(s: SparkSession, dir: String): DataFrame = {
-    val e = edgeTableMemo(s, dir)(partCoPurchaseEdges(Tables(s, dir).lineitem))
-    val sz = Tables(s, dir).part
-      .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS sz")
-    val ew = e
-      .join(sz.selectExpr("p_partkey AS pa", "sz AS sa"), Seq("pa"))
-      .join(sz.selectExpr("p_partkey AS pb", "sz AS sb"), Seq("pb"))
-      .selectExpr("pa", "pb", "abs(sa - sb) + 1 AS w")
-    ew.selectExpr("pa AS u", "pb AS v", "w")
-      .unionByName(ew.selectExpr("pb AS u", "pa AS v", "w"))
-  }
-
-  private val edgeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def edgeTableMemo(s: SparkSession, dir: String,
       variant: String = "full")(derive: => DataFrame): DataFrame = {
     val path = edgeMemo.getOrElseUpdate(s"$dir#$variant", {
-      val p = java.nio.file.Files.createTempDirectory("graft_edges_")
-        .resolve("e").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_edges_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
+      val p = root.resolve("e").toString
       derive.write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
   }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
 
   /** q257's triangle census + clustering coefficients over a distinct
     * undirected edge table (columns `pa`, `pb`, pa ≠ pb, one row per
@@ -2313,8 +2326,14 @@ object GraphOps {
     //      carrying n_reached within 4 hops.
     ("q358_sssp_weighted", (s: SparkSession, dir: String) => {
       val adj = edgeTableMemo(s, dir, "copurchase_wadj")(ssspWeightedAdj(s, dir))
+      // no-edge guard (ADVICE r12): an empty adjacency makes MIN(u)
+      // NULL, and Spark orders NULLs first ascending while DuckDB
+      // orders them last — drop the degenerate row on BOTH engines
+      // (oracle: HAVING COUNT(*) > 0); the summary row then reports
+      // n_reached = 0, the reciprocity zero-edge convention.
       val d0 = graft.Stage.mat(
         adj.agg(min(col("u")).as("node"))
+          .filter(col("node").isNotNull)
           .selectExpr("node", "CAST(0 AS BIGINT) AS d"))
       val (dist, _) = (1 to 4).foldLeft((d0, d0)) {
         case ((dist, frontier), _) =>
@@ -2362,7 +2381,8 @@ object GraphOps {
                     JOIN pz sb ON sb.p_partkey = e.pb),
       adj AS (SELECT pa AS u, pb AS v, w FROM ew
               UNION ALL SELECT pb, pa, w FROM ew),
-      d0 AS (SELECT MIN(pa) AS node, CAST(0 AS BIGINT) AS d FROM e),
+      d0 AS (SELECT MIN(pa) AS node, CAST(0 AS BIGINT) AS d FROM e
+             HAVING COUNT(*) > 0),
       f0 AS (SELECT * FROM d0),
       ${(1 to 4).map(round).mkString(",\n      ")}
       SELECT node, d AS dist, CAST(0 AS BIGINT) AS n_reached

@@ -622,4 +622,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((-1L, 0L, 6L), (1L, 0L, 0L), (2L, 2L, 0L),
       (3L, 21L, 0L), (4L, 23L, 0L), (5L, 25L, 0L), (6L, 27L, 0L)))
   }
+
+  test("weighted SSSP: no-edge corpus yields only the n_reached=0 summary row") {
+    // single-part baskets produce zero co-purchase pairs; without the
+    // NULL-source guard the MIN(u)-over-empty row would survive with a
+    // NULL node and the two engines would order it differently
+    // (ADVICE r12)
+    val dir = java.nio.file.Files.createTempDirectory("sssp_noedge").toString
+    Seq((100L, 1L), (200L, 2L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "p1", "B", "T", 10, 1.0), (2L, "p2", "B", "T", 11, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q358_sssp_weighted")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("dist"),
+        r.getAs[Long]("n_reached")))
+    assert(out.toSeq === Seq((-1L, 0L, 0L)))
+  }
 }
