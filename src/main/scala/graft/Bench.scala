@@ -223,29 +223,35 @@ object Bench {
       if (ok) Some(elapsed) else None
     }
 
-    // min over THREE temporally-separated full passes (pass 2+ also
-    // amortize codegen/plan compilation); a >30% disagreement across
-    // the passes still triggers a deciding extra run for that query.
-    // Three passes, not two (VERDICT r11 "what's wrong" #1 / ask #2):
-    // the two-pass min carried a ~5% suite-wall warmth band — a
-    // transient contention burst landing on the same query in BOTH
-    // passes survives a two-sample min far more often than a
-    // three-sample one (the burst must now hit thrice), and at ~5% of
-    // suite wall the band had grown big enough to mask a real
-    // regression of the same size. Round-over-round comparisons should
+    // min over up to THREE temporally-separated full passes; a >30%
+    // disagreement across the passes still triggers a deciding extra
+    // run for that query. Three passes, not two (VERDICT r11 "what's
+    // wrong" #1 / ask #2): the two-pass min carried a ~5% suite-wall
+    // warmth band — a transient contention burst landing on the same
+    // query in BOTH passes survives a two-sample min far more often
+    // than a three-sample one. Round-over-round comparisons should
     // still read cpu_total_ms / bench_detail min-cpu FIRST (the r8
     // policy): CPU is immune to the contention that inflates wall.
     //
-    // Untimed JIT warm-up pass first (round 7, VERDICT r6 #7): the
-    // per-query gc/jit attribution showed the first execution of each
-    // query carries SECONDS of JVM JIT compilation (q117: 10.4 s of
-    // compiler-thread time inside an 11.8 s first run, settling to 0.3 s
-    // by the third), so cold passes measure the compiler, not the
-    // operator. One untimed sweep triggers that compilation before any
-    // clock starts — zero operator changes, and the timed passes now
-    // isolate steady-state operator cost, which is the bench's stated
-    // policy. Warm runs still land in bench_detail.json (index 0 of each
-    // sec/gc_ms/jit_ms array) so the attribution evidence stays visible.
+    // Driver-budget fit (VERDICT r12 ask #1 — BENCH_r12.json was
+    // rc 124/parsed:null because the 4-sweep run overran the driver's
+    // limit and nothing was written until process end):
+    //  - the separate UNTIMED warm-up sweep is retired: it was ~25% of
+    //    total executions and min-of-3 timed passes already absorbs
+    //    first-run JIT (the cold pass, index 0 of each bench_detail
+    //    array, almost never wins the min — q117's 11.8 s first run
+    //    settles to 0.3 s by the third; the gc/jit columns keep the
+    //    attribution evidence visible);
+    //  - bench.json is rewritten and the compact total-record printed
+    //    after EVERY completed pass, so a killed run leaves the last
+    //    completed pass's min instead of nothing;
+    //  - passes 2/3 and the decider runs are gated on a wall budget
+    //    (SPARK_GRAFT_BENCH_BUDGET_S, measured from Bench JVM start;
+    //    default 2400 s — two driver-band ~500 s passes plus deciders
+    //    fit with ~2× headroom): a pass is started only if elapsed +
+    //    1.1 × the previous pass's wall fits, and a skipped pass is
+    //    named in the notes (passes_completed carries the count, so a
+    //    one-pass artifact is readable as cold-run data).
     val ordered = benchQueries.toSeq.sortBy(_._1)
 
     // Isolated repeat probe (VERDICT r7 ask #3): SPARK_GRAFT_PROBE=
@@ -268,55 +274,92 @@ object Bench {
       sys.exit(0)
     }
 
-    ordered.foreach { case (name, fn) => once(name, fn) }
-    val passes = (1 to 3).map(_ =>
-      ordered.map { case (name, fn) => name -> once(name, fn) }.toMap)
-    val results: Seq[(String, Option[Double])] =
-      ordered.map { case (name, fn) =>
-        val times = passes.flatMap(_(name))
-        val decided =
-          if (times.size == 3 && (times.max - times.min) / times.min > 0.3)
-            times ++ once(name, fn)
-          else times
-        name -> (if (decided.nonEmpty) Some(decided.min) else None)
-      }
+    val benchStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+
     // Serialization discipline (VERDICT r5 #1: the 69-query line at full
     // double precision overflowed the driver's fixed-size tail capture →
     // "parsed": null, blinding the perf regression gate):
     //  - per-query seconds rounded to 3 decimals (~40% shorter line;
     //    millisecond resolution is far below run-to-run noise anyway);
-    //  - a SECOND, compact total-only JSON line printed LAST, so whatever
-    //    window the driver captures always ENDS with a parseable record.
+    //  - a SECOND, compact total-only JSON line printed after every
+    //    completed pass and LAST at exit, so whatever window the driver
+    //    captures always ENDS with a parseable record.
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    // Σ per-query min timed-run executor-CPU ms (VERDICT r8 ask #3): the
-    // wall-clock total carries a container-conditions band (r6 1.3× →
-    // r8 1.44× on unchanged queries) that swamps real plan changes;
-    // executor CPU is the work itself — host contention shows as
-    // run ≫ cpu, not as cpu growth — so round-over-round regression
-    // tracking reads THIS field first. Warm-up run (index 0) excluded;
-    // min across the timed passes mirrors the wall-clock policy.
-    val cpuTotal = detail.map { case (_, runs) =>
-      val timed = runs.drop(1)
-      if (timed.nonEmpty) timed.map(_.cpuMs).min else 0L
+
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    def resultsNow: Seq[(String, Option[Double])] = ordered.map { case (name, _) =>
+      val t = samples.getOrElse(name, Nil)
+      name -> (if (t.nonEmpty) Some(t.min) else None)
+    }
+    // Σ per-query min executor-CPU ms (VERDICT r8 ask #3): the wall
+    // total carries a container-conditions band (r6 1.3× → r8 1.44× on
+    // unchanged queries) that swamps real plan changes; executor CPU is
+    // the work itself — host contention shows as run ≫ cpu, not as cpu
+    // growth — so round-over-round regression tracking reads THIS field
+    // first. Min across all recorded runs (with ≥2 passes the cold
+    // first run never wins; a one-pass artifact is cold and says so via
+    // passes_completed).
+    def cpuTotalNow: Long = detail.map { case (_, runs) =>
+      if (runs.nonEmpty) runs.map(_.cpuMs).min else 0L
     }.sum
-    val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_ms":$cpuTotal,"queries":$qs,"failed":$failed,""" +
-        s""""notes":{"q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
-        s""""graph_family":"q257/q290/q325/q328/q330/q335/q342 read the shared co-purchase edge table from a per-corpus parquet memo (built once, first run; see PERF.md round-12 attribution)",""" +
-        s""""q128_hard_negatives_adc":"ADC shortlist + exact rerank timed; the exact-pass recall certification runs in the correctness gate",""" +
-        s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate",""" +
-        s""""q82_approx_quantiles":"sketch-only timed; exact-percentile certification runs in the correctness gate"},""" +
-        s""""sf":"$sfDir"}"""
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_ms":$cpuTotal,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    println(compact)
-    try Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def emit(passesDone: Int, budgetNote: String, last: Boolean): Unit = {
+      val results = resultsNow
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(fmt) }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      val total = results.flatMap(_._2).sum
+      val cpuTotal = cpuTotalNow
+      val json =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_ms":$cpuTotal,"queries":$qs,"failed":$failed,""" +
+          s""""notes":{"passes_completed":$passesDone,"budget_s":${fmt(budgetS)},"budget":"$budgetNote",""" +
+          s""""pass_walls_s":${passWalls.map(fmt).mkString("[", ",", "]")},""" +
+          s""""q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
+          s""""graph_family":"q127/q132/q136/q257/q290/q325/q328/q330/q335/q342/q358 read shared edge tables from per-(corpus,variant) parquet memos (built once, first run; see PERF.md round-12/13 attribution)",""" +
+          s""""q128_hard_negatives_adc":"ADC shortlist + exact rerank timed; the exact-pass recall certification runs in the correctness gate",""" +
+          s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate",""" +
+          s""""q82_approx_quantiles":"sketch-only timed; exact-percentile certification runs in the correctness gate"},""" +
+          s""""sf":"$sfDir"}"""
+      val compact =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_ms":$cpuTotal,"n_queries":${results.size},"failed":$failed,"passes_completed":$passesDone,"sf":"$sfDir"}"""
+      if (last) println(json)
+      println(compact)
+      try Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    }
+
+    var passesDone = 0
+    var budgetNote = "all passes fit"
+    while (passesDone < 3 && {
+        val fits = passesDone == 0 ||
+          elapsedS + 1.1 * passWalls.last <= budgetS
+        if (!fits) budgetNote =
+          f"pass ${passesDone + 1} skipped: elapsed ${elapsedS}%.0f s + 1.1 x ${passWalls.last}%.0f s exceeds budget"
+        fits
+      }) {
+      val t0 = elapsedS
+      ordered.foreach { case (name, fn) =>
+        once(name, fn).foreach(sec =>
+          samples.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ sec)))
+      }
+      passWalls += elapsedS - t0
+      passesDone += 1
+      emit(passesDone, budgetNote, last = false)
+    }
+    // deciding extra run for any multi-sample >30% disagreement
+    // (times.size >= 2, not == 3 — ADVICE r12: a query with one failed
+    // pass must still get its decider), budget-gated like a pass
+    if (elapsedS <= budgetS) {
+      ordered.foreach { case (name, fn) =>
+        val times = samples.getOrElse(name, Nil)
+        if (times.size >= 2 && (times.max - times.min) / times.min > 0.3)
+          once(name, fn).foreach(sec =>
+            samples.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ sec)))
+      }
+    } else budgetNote += "; deciders skipped (over budget)"
+    emit(passesDone, budgetNote, last = true)
     // Attribution sidecar (file only, NEVER stdout: the driver's tail
     // capture must keep ending with the compact record above). One entry
     // per query: every run's wall-clock + the GC/JIT-compile milliseconds
