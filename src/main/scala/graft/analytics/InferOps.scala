@@ -394,8 +394,10 @@ object InferOps {
     * All from per-(group, half) sufficient statistics (n, Σx, Σx²) in
     * ONE map-side-combined aggregate: means in micros by DIV, sample
     * variance (n·Σx² − (Σx)²) div (n·(n−1)) in micros², sem² = v_e/n_e
-    * + v_l/n_l, t² = Δmean²·1e6 div sem², df = (a+b)²·1e6 div
-    * (a²/(n_e−1) + b²/(n_l−1)). Inner DIVs truncate — deterministic
+    * + v_l/n_l, t² = Δmean²·1e6 div sem², df =
+    * (a+b)²·1e6·(n_e−1)·(n_l−1) div (a²·(n_l−1) + b²·(n_e−1)) — the
+    * Welch–Satterthwaite ratio with both (n−1) denominators cleared
+    * into the single final DIV. Inner DIVs truncate — deterministic
     * and mirrored exactly in the oracle.
     *
     * Scale shape: one broadcast of the 1-row day-span stats, one
@@ -429,9 +431,17 @@ object InferOps {
       .selectExpr("grp", "ne", "nl", "mean_early_micros", "mean_late_micros",
         "ve DIV greatest(ne, 1) AS a", "vl DIV greatest(nl, 1) AS b")
       // df is scale-invariant in (a, b), so the df term uses a/1000,
-      // b/1000: a² DIV (ne−1) would exceed BIGINT (Spark's DIV always
-      // returns BIGINT) at micros² magnitudes; the millis² squares fit
-      // with df error ≤ the mirrored truncation. t² keeps full micros².
+      // b/1000 (millis²), and clears BOTH (n−1) denominators into ONE
+      // final DIV: df = (a+b)²(ne−1)(nl−1) / (a²(nl−1) + b²(ne−1)).
+      // The earlier inner form am² DIV (ne−1) overflowed BIGINT
+      // (Spark's DIV always returns BIGINT) whenever am > ~3e9 —
+      // exactly the sf0.001 fixture, whose smaller halves leave
+      // a ≈ 3e13 (round-13 smoke; sf0.01 passed by < 2×). All products
+      // here stay DECIMAL(38,0): with value ≤ ~1e3 units, x ≤ 1e9
+      // micros, ve ≤ x²/(n−1) ≤ 1e18 fits the BIGINT a/b lanes and the
+      // numerator is ≤ (2·s²_millis)²·1e6·(n−1)² ≈ 1e34 — widen ve/vl
+      // to DECIMAL lanes if the value domain ever grows past ~1e4
+      // units. t² keeps full micros².
       .selectExpr("grp", "ne", "nl", "mean_early_micros", "mean_late_micros",
         "a", "b", "a DIV 1000 AS am", "b DIV 1000 AS bm")
       .selectExpr("grp AS event_type",
@@ -442,9 +452,9 @@ object InferOps {
                  * (CAST(mean_early_micros AS DECIMAL(38,0)) - mean_late_micros)
                  * 1000000) DIV greatest(a + b, 1) AS BIGINT) AS t2_ppm""",
         """CAST(((CAST(am AS DECIMAL(38,0)) + bm) * (CAST(am AS DECIMAL(38,0)) + bm)
-                 * 1000000)
-                DIV greatest(CAST(am AS DECIMAL(38,0)) * am DIV greatest(ne - 1, 1)
-                             + CAST(bm AS DECIMAL(38,0)) * bm DIV greatest(nl - 1, 1), 1)
+                 * 1000000 * greatest(ne - 1, 1) * greatest(nl - 1, 1))
+                DIV greatest(CAST(am AS DECIMAL(38,0)) * am * greatest(nl - 1, 1)
+                             + CAST(bm AS DECIMAL(38,0)) * bm * greatest(ne - 1, 1), 1)
                 AS BIGINT)
            AS df_micros""")
       .orderBy(col("event_type"))
@@ -1068,9 +1078,11 @@ object InferOps {
              CAST(((CAST(mean_early_micros AS HUGEINT) - mean_late_micros)
                    * (CAST(mean_early_micros AS HUGEINT) - mean_late_micros)
                    * 1000000) // greatest(a + b, 1) AS BIGINT) AS t2_ppm,
-             CAST(((am + bm) * (am + bm) * 1000000)
-                  // greatest(am * am // greatest(ne - 1, 1)
-                             + bm * bm // greatest(nl - 1, 1), 1) AS BIGINT) AS df_micros
+             CAST(((CAST(am AS HUGEINT) + bm) * (CAST(am AS HUGEINT) + bm)
+                   * 1000000 * greatest(ne - 1, 1) * greatest(nl - 1, 1))
+                  // greatest(CAST(am AS HUGEINT) * am * greatest(nl - 1, 1)
+                             + CAST(bm AS HUGEINT) * bm * greatest(ne - 1, 1), 1)
+                  AS BIGINT) AS df_micros
       FROM ab ORDER BY event_type""")),
 
     // ---- average precision @10 + MAP over the q154 retrieval
