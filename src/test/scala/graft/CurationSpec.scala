@@ -240,7 +240,7 @@ class CurationSpec extends SparkSpec {
 
   test("corpus report: dup rate counts repeated fingerprints, rates stay in [0,1]") {
     val sfDir = "/root/testdata/sf0.001"
-    val report = graft.SparkEntry.queries("q68_corpus_report")(spark, sfDir)
+    val report = graft.SparkEntry.allQueries("q68_corpus_report")(spark, sfDir)
     val rows = report.select("n_docs", "quality_pass_rate", "exact_dup_rate", "mean_uniq_ratio")
       .as[(Long, Double, Double, Double)].collect()
     assert(rows.nonEmpty)
@@ -313,7 +313,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("priority estimator: DLT threshold estimate is total-consistent and deterministic") {
-    val r = SparkEntry.queries("q262_priority_estimator")(spark, "/root/testdata/sf0.001")
+    val r = SparkEntry.allQueries("q262_priority_estimator")(spark, "/root/testdata/sf0.001")
       .collect().head
     assert(r.getAs[Long]("n_sample") === 100L)
     val est = r.getAs[Long]("est_total_micros")
@@ -547,7 +547,7 @@ class CurationSpec extends SparkSpec {
       (8 to 10).map(i => (i.toLong, s"doc $i", "fr", "A", 5L)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q173_stratified_kfold")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q173_stratified_kfold")(spark, dir).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("fold"),
         r.getAs[Long]("n_docs"), r.getAs[Boolean]("balanced")))
     val en = out.filter(_._1 == "en")
@@ -569,7 +569,7 @@ class CurationSpec extends SparkSpec {
       (5L, "e", "en", "A", 50L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q181_kfold_cv")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q181_kfold_cv")(spark, dir).collect()
       .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_eval"),
         r.getAs[Long]("mae_micros")))
     val folds = out.filter(_._1 < 5)
@@ -586,14 +586,14 @@ class CurationSpec extends SparkSpec {
     (1 to 8).map(i => (i.toLong, "same text here", "en", "A", 14L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val r = SparkEntry.queries("q187_ess")(spark, dir).collect().head
+    val r = SparkEntry.allQueries("q187_ess")(spark, dir).collect().head
     assert(r.getAs[Long]("n_docs") === 8L)
     assert(r.getAs[Double]("ess_r") === 8.0)
     assert(r.getAs[Double]("ess_frac_r") === 1.0)
   }
 
   test("density clusters: DBSCAN partition invariants hold on the fixture corpus") {
-    val rows = SparkEntry.queries("q258_density_clusters")(spark, "/root/testdata/sf0.001")
+    val rows = SparkEntry.allQueries("q258_density_clusters")(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_core"),
         r.getAs[Long]("n_border"), r.getAs[Long]("n_points")))
@@ -617,7 +617,7 @@ class CurationSpec extends SparkSpec {
       .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q284_good_turing")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q284_good_turing")(spark, dir).collect()
       .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
         r.getAs[Long]("n_r_next"), r.getAs[Long]("r_star_micros")))
     assert(out.toSeq === Seq(
@@ -642,7 +642,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("Hill estimator: k pins at 64 and the exponent is positive") {
-    val r = SparkEntry.queries("q292_hill_tail_index")(
+    val r = SparkEntry.allQueries("q292_hill_tail_index")(
       spark, "/root/testdata/sf0.001").collect().head
     assert(r.getAs[Long]("k") === 64L)
     assert(r.getAs[Long]("x_ref") >= 1L)
@@ -662,7 +662,7 @@ class CurationSpec extends SparkSpec {
       (3L, "gamma", "fr", "B", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q334_dedup_bias_audit")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q334_dedup_bias_audit")(spark, dir).collect()
       .map(r => (r.getAs[String]("cohort"), r.getAs[String]("lang"),
         r.getAs[Long]("n"), r.getAs[Long]("share_ppm"),
         r.getAs[Long]("mean_chars_micros")))
@@ -683,7 +683,7 @@ class CurationSpec extends SparkSpec {
       (3L, "a b c d e", "en", "S", 9L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q344_ppl_filter_bias")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q344_ppl_filter_bias")(spark, dir).collect()
       .map(r => (r.getAs[String]("cohort"), r.getAs[String]("source"),
         r.getAs[Long]("n"), r.getAs[Long]("share_ppm")))
     assert(out.toSeq === Seq(("high_ppl", "S", 1L, 1000000L),
@@ -700,7 +700,7 @@ class CurationSpec extends SparkSpec {
       (3L, "b b b c", "en", "S", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q357_ql_dirichlet")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q357_ql_dirichlet")(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
         r.getAs[Long]("score_nanos")))
     def l9(x: Long) = math.round(math.log(x.toDouble) * 1e9)

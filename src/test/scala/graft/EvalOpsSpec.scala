@@ -173,7 +173,7 @@ class EvalOpsSpec extends SparkSpec {
     ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val out = SparkEntry.queries("q160_rfm_features")(spark, dir)
+    val out = SparkEntry.allQueries("q160_rfm_features")(spark, dir)
       .collect().map(r => r.getAs[Long]("o_custkey") ->
         (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
           r.getAs[Long]("monetary_micros"), r.getAs[Long]("rfm_code"))).toMap
@@ -190,7 +190,7 @@ class EvalOpsSpec extends SparkSpec {
       (3L, "a b c", "en", "B", 5L), (4L, "a b c d", "en", "B", 7L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q161_quantile_norm")(spark, dir)
+    val out = SparkEntry.allQueries("q161_quantile_norm")(spark, dir)
       .collect().map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("mean_before_micros"), r.getAs[Long]("mean_after_micros"))).toMap
     // A=[1,2] ranks 1,2 of 2 → corpus order stats at k=2,4 → [2,4];
@@ -230,7 +230,7 @@ class EvalOpsSpec extends SparkSpec {
     (cal ++ tst ++ tiny)
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val out = SparkEntry.queries("q172_conformal")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q172_conformal")(spark, dir).collect()
     assert(out.length === 1)
     val r = out.head
     assert(r.getAs[String]("et") === "view")
@@ -255,7 +255,7 @@ class EvalOpsSpec extends SparkSpec {
       (24L, Array(0.0f, 1.0f), 0)
     ).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = SparkEntry.queries("q180_ndcg")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q180_ndcg")(spark, dir).collect()
       .map(r => r.getAs[Long]("q_id") -> (r.getAs[Long]("dcg_nanos"),
         r.getAs[Long]("idcg_nanos"), r.getAs[Long]("ndcg_ppm"))).toMap
     assert(out(1L) === ((1500000000L, 1630929754L, 919720L)))
@@ -272,7 +272,7 @@ class EvalOpsSpec extends SparkSpec {
       (5L, "the the xx", "fr", "A", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q190_isotonic")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q190_isotonic")(spark, dir).collect()
       .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("rate_ppm"),
         r.getAs[Long]("iso_ppm"), r.getAs[Boolean]("monotone_ok")))
     assert(out.toSeq === Seq(
@@ -313,7 +313,7 @@ class EvalOpsSpec extends SparkSpec {
       (7L, Seq(0.05f, 0.95f), 1), (8L, Seq(0.15f, 0.85f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = SparkEntry.queries("q230_label_noise")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q230_label_noise")(spark, dir).collect()
       .map(r => r.getAs[Long]("label") -> (r.getAs[Long]("n_points"),
         r.getAs[Long]("n_noisy"))).toMap
     assert(out(0L) === ((4L, 1L)), "exactly the planted point is noisy")
@@ -331,7 +331,7 @@ class EvalOpsSpec extends SparkSpec {
       (2L, Seq(1.0f, 0.0f), 0), (3L, Seq(0.0f, 1.0f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = SparkEntry.queries("q235_mmr_rerank")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q235_mmr_rerank")(spark, dir).collect()
       .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("rel_micros"), r.getAs[Long]("mmr_score_micros")))
     assert(out.toSeq === Seq(
@@ -379,7 +379,7 @@ class EvalOpsSpec extends SparkSpec {
       .map { case (id, t, nc) => (id, t, "en", "src", nc) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val r = SparkEntry.queries("q270_krippendorff")(spark, dir).collect().head
+    val r = SparkEntry.allQueries("q270_krippendorff")(spark, dir).collect().head
     assert((r.getAs[Long]("n_units"), r.getAs[Long]("n0"), r.getAs[Long]("n1"),
       r.getAs[Long]("n_disagree"), r.getAs[Long]("d_o_ppm"),
       r.getAs[Long]("d_e_ppm"), r.getAs[Long]("alpha_micros")) ===
@@ -394,7 +394,7 @@ class EvalOpsSpec extends SparkSpec {
     Seq((1L, Array(0f, 0f), 0), (2L, Array(0.5f, 0f), 0), (3L, Array(0f, 0.5f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = SparkEntry.queries("q272_mahalanobis_outliers")(spark, dir)
+    val out = SparkEntry.allQueries("q272_mahalanobis_outliers")(spark, dir)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_ppm")))
     assert(out.toSeq === Seq((2L, 2500000L), (3L, 2500000L), (1L, 1000000L)))
   }
@@ -411,7 +411,7 @@ class EvalOpsSpec extends SparkSpec {
       .map { case (id, d, u, t) => (id, ts(s"$d 12:00:00"), u, t, 0.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val rows = SparkEntry.queries("q285_label_windows")(spark, dir).collect()
+    val rows = SparkEntry.allQueries("q285_label_windows")(spark, dir).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events_obs"),
         r.getAs[Long]("n_purchase_obs"), r.getAs[Long]("label")))
     assert(rows.toSeq === Seq(
@@ -421,7 +421,7 @@ class EvalOpsSpec extends SparkSpec {
 
   test("Brier decomposition: Murphy identity holds within the floor slop") {
     val dir = "/root/testdata/sf0.001"
-    val r = SparkEntry.queries("q286_brier_decomposition")(spark, dir)
+    val r = SparkEntry.allQueries("q286_brier_decomposition")(spark, dir)
       .collect().head
     assert(r.getAs[Long]("murphy_ok") === 1L)
     assert(r.getAs[Long]("rel_micros") >= 0L)
@@ -433,13 +433,13 @@ class EvalOpsSpec extends SparkSpec {
 
   test("negative sampling: exactly 5 per anchor, labels always differ, deterministic") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q287_negative_sampling")(spark, dir).collect()
+    val rows = SparkEntry.allQueries("q287_negative_sampling")(spark, dir).collect()
     val byAnchor = rows.groupBy(_.getAs[Long]("vec_id"))
     assert(byAnchor.size === 500 && byAnchor.values.forall(_.length == 5))
     assert(rows.forall(r =>
       r.getAs[Long]("anchor_label") != r.getAs[Long]("neg_label")))
     assert(rows.forall(r => r.getAs[Long]("neg_id") != r.getAs[Long]("vec_id")))
-    val again = SparkEntry.queries("q287_negative_sampling")(spark, dir)
+    val again = SparkEntry.allQueries("q287_negative_sampling")(spark, dir)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neg_rank"),
         r.getAs[Long]("neg_id")))
     assert(again.toSet === rows.map(r => (r.getAs[Long]("vec_id"),
@@ -448,7 +448,7 @@ class EvalOpsSpec extends SparkSpec {
 
   test("silhouette: partition accounting closes and scores stay in [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q288_silhouette")(spark, dir).collect()
+    val rows = SparkEntry.allQueries("q288_silhouette")(spark, dir).collect()
     val per = rows.filter(_.getAs[Long]("cid") >= 0L)
     val zz = rows.find(_.getAs[Long]("cid") == -1L).get
     assert(per.map(_.getAs[Long]("n_members")).sum === zz.getAs[Long]("n_members"))
@@ -457,7 +457,7 @@ class EvalOpsSpec extends SparkSpec {
 
   test("adversarial validation on an A/A split reads ~0.5 and is symmetric") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q289_adversarial_validation")(spark, dir)
+    val rows = SparkEntry.allQueries("q289_adversarial_validation")(spark, dir)
       .collect().map(r => (r.getAs[String]("feature"), r.getAs[String]("split"),
         r.getAs[Long]("auc_micros")))
     assert(rows.length === 4)
@@ -513,7 +513,7 @@ class EvalOpsSpec extends SparkSpec {
       (3L, "zzz", "en", "A", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q354_fleiss_kappa")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q354_fleiss_kappa")(spark, dir).collect()
       .map(r => (r.getAs[String]("cat"), r.getAs[Long]("n_ratings"),
         r.getAs[Long]("stat_ppm")))
     assert(out.toSeq === Seq(("de", 2L, 222222L), ("en", 4L, 444444L),

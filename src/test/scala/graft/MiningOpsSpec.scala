@@ -193,7 +193,7 @@ class MiningOpsSpec extends SparkSpec {
       (4L, "Customer#000000004", 2, 0.0, "A")   // singleton block: 0 pairs
     ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    val out = SparkEntry.queries("q171_er_blocking")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q171_er_blocking")(spark, dir).collect()
       .map(r => (r.getAs[Long]("nk"), r.getAs[String]("seg")) ->
         (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"),
           r.getAs[Long]("n_matches"), r.getAs[Long]("match_rate_ppm"))).toMap
@@ -208,7 +208,7 @@ class MiningOpsSpec extends SparkSpec {
     Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 4.0, 0.0), (4L, 1.0, 0.0))
       .toDF("l_partkey", "l_extendedprice", "l_discount")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val out = SparkEntry.queries("q192_abc_pareto")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q192_abc_pareto")(spark, dir).collect()
       .map(r => r.getAs[String]("cls") -> (r.getAs[Long]("n_parts"),
         r.getAs[Long]("rev_micros"), r.getAs[Long]("share_ppm"))).toMap
     assert(out("A") === ((1L, 80000000L, 800000L)))
@@ -242,7 +242,7 @@ class MiningOpsSpec extends SparkSpec {
       .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q228_canonical_rep")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q228_canonical_rep")(spark, dir).collect()
       .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
         r.getAs[Long]("keep_id"), r.getAs[Long]("keep_chars"),
         r.getAs[Long]("n_dropped")))
@@ -260,14 +260,14 @@ class MiningOpsSpec extends SparkSpec {
       .map { case (k, pr, sz) => (k, s"part$k", "B", "T", sz, pr) }
       .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
-    val out = SparkEntry.queries("q268_skyline")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q268_skyline")(spark, dir).collect()
       .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("p_size")))
     assert(out.toSeq === Seq((3L, 3L), (1L, 5L), (2L, 5L), (5L, 7L)))
   }
 
   test("zone-map advisor: pruning is certified sound and clustering helps") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q267_zonemap_advisor")(spark, dir).collect()
+    val rows = SparkEntry.allQueries("q267_zonemap_advisor")(spark, dir).collect()
     val zones = rows.filter(_.getAs[Long]("zone") >= 0L)
     // soundness: a pruned zone may contain NO matching rows
     assert(zones.filter(_.getAs[Long]("survives") === 0L)
@@ -286,7 +286,7 @@ class MiningOpsSpec extends SparkSpec {
 
   test("Merkle diff flags exactly the buckets holding corrupted rows") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q279_merkle_diff")(spark, dir).collect()
+    val rows = SparkEntry.allQueries("q279_merkle_diff")(spark, dir).collect()
     val per = rows.filter(_.getAs[Long]("bucket") >= 0L)
     // soundness AND measured no-collision: fingerprints match iff the
     // bucket truly carries zero differing rows
@@ -310,7 +310,7 @@ class MiningOpsSpec extends SparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val out = SparkEntry.queries("q283_fd_discovery")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q283_fd_discovery")(spark, dir).collect()
       .map(r => (r.getAs[String]("fd"), r.getAs[Long]("ndv_lhs"),
         r.getAs[Long]("ndv_pair"), r.getAs[Long]("n_violating"),
         r.getAs[Boolean]("holds")))
@@ -331,7 +331,7 @@ class MiningOpsSpec extends SparkSpec {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val r = SparkEntry.queries("q295_sequence_gaps")(spark, dir).collect().head
+    val r = SparkEntry.allQueries("q295_sequence_gaps")(spark, dir).collect().head
     assert((r.getAs[Long]("n_keys"), r.getAs[Long]("key_min"),
       r.getAs[Long]("key_max"), r.getAs[Long]("n_missing"),
       r.getAs[Long]("n_islands"), r.getAs[Long]("gap_start"),

@@ -68,7 +68,7 @@ class QuantilesSpec extends SparkSpec {
   test("Neyman sample: budget lands exactly, boundaries realize the " +
     "allocation, the HT estimate tracks the truth") {
     val dir = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q271_neyman_sample")(spark, dir).collect()
+    val rows = SparkEntry.allQueries("q271_neyman_sample")(spark, dir).collect()
     val strata = rows.filter(r => !r.getAs[String]("stratum").startsWith("zz_"))
     // largest-remainder rounding exhausts the budget exactly, and the
     // pairRankSelectBy boundary yields EXACTLY n_alloc rows per stratum

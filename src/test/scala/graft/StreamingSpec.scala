@@ -993,7 +993,7 @@ class StreamingSpec extends SparkSpec {
       .map { case (id, ts) => (id, ts, 1L, "click", 0.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$bdir/events.parquet")
-    val b = SparkEntry.queries("q353_harmonic_profile")(spark, bdir)
+    val b = SparkEntry.allQueries("q353_harmonic_profile")(spark, bdir)
       .collect().head
     assert((fin._2, fin._3, fin._4) ===
       ((b.getAs[Long]("n_events"), b.getAs[Long]("peak_h"),

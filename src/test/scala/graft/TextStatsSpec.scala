@@ -160,7 +160,7 @@ class TextStatsSpec extends SparkSpec {
       (2L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("q233_chunking")(spark, dir).collect()
+    val out = SparkEntry.allQueries("q233_chunking")(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"),
         r.getAs[Long]("n_chunks"), r.getAs[Long]("chunk_tokens"),
         r.getAs[Long]("n_distinct"))).toMap
