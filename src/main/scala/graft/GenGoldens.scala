@@ -6,13 +6,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{count, lit, sum}
 
-/** Dev-loop main: regenerates DemotedSurfaceSpec's golden row-hash file
-  * for the demoted surface ([[SparkEntry.demoted]]) at sf0.001.
+/** Dev-loop main: regenerates GoldenPinnedSpec's golden row-hash file
+  * for the pinned variants ([[SparkEntry.goldenPinned]]) at sf0.001.
   *
-  * Run ONLY when a demoted member's semantics intentionally change, and
-  * re-prove oracle parity first (graft.Verify with
-  * SPARK_GRAFT_INCLUDE_DEMOTED=1 + tools/check_oracle.py at sf0.01 and
-  * sf0.1) — the golden is a regression pin, not a source of truth.
+  * Run ONLY when a pinned member's semantics intentionally change, and
+  * re-prove oracle parity first (graft.Verify +
+  * tools/check_oracle.py at sf0.01 and sf0.1) — the golden is a
+  * regression pin, not a source of truth.
   */
 object GenGoldens {
 
@@ -42,7 +42,7 @@ object GenGoldens {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val lines = SparkEntry.demoted.toSeq.sorted.map { name =>
+    val lines = SparkEntry.goldenPinned.toSeq.sorted.map { name =>
       val (n, h) = fingerprint(SparkEntry.allQueries(name)(spark, sfDir))
       println(s"[goldens] $name n=$n h=$h")
       s"$name $n $h"

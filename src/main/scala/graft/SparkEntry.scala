@@ -25,24 +25,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** Members demoted from the DECLARED bench/correctness surface
-    * (round 13, PERF.md's suite-budget retire clause, VERDICT r12 ask
-    * #2): statistical variants and composites whose PLAN duplicates a
-    * kept sibling — one anchor per plan family stays declared (q310
-    * midrank, q141 contingency counts, q193 two-sample ECDF, q183
-    * serial correlation, q303+q155 layout advisors, q172 conformal,
-    * q283 profiling FDs, q171 blocked ER, q125 basket mining,
-    * q119/q106/q160 rank-selection quantiles, q258+q57 cell-kernel+CC,
-    * q37 banded minhash, q59 curation composition, q56/q95/q100/q262
-    * sampling). Every demoted member remains fully implemented and
-    * oracled here ([[allQueries]]/[[allOracleSql]]), is pinned by
-    * DemotedSurfaceSpec's golden row-hashes at sf0.001, and is still
-    * plan-audited by PlanSpec's default-deny sweeps; `graft.Verify`
-    * re-includes them under SPARK_GRAFT_INCLUDE_DEMOTED=1 for local
-    * wholesale oracle audits. The demotion list and its measured
-    * per-pass wall cut live in PERF.md (round 13).
+  /** Golden-pinned statistical variants. History: an interrupted
+    * round-13 session DEMOTED these 39 from the declared surface
+    * (VERDICT r12 ask #2's retire clause, written under build-round
+    * semantics). The optimization-round driver contract is stricter —
+    * a declared query that disappears is a REGRESSION regardless of
+    * speed — so the demotion was reverted the same round: [[queries]] /
+    * [[oracleSql]] expose the FULL surface again. The set itself is
+    * kept because the golden row-hash pins it gained
+    * (GoldenPinnedSpec, sf0.001, captured oracle-green) are free extra
+    * regression coverage for the plan families they sample.
     */
-  val demoted: Set[String] = Set(
+  val goldenPinned: Set[String] = Set(
     // two-phase midrank family (anchor: q310_mann_whitney)
     "q349_ansari_bradley", "q346_wilcoxon_signed_rank", "q320_mood_median",
     "q239_kruskal_wallis", "q248_friedman", "q351_page_trend",
@@ -64,8 +58,8 @@ object SparkEntry {
     // layout-advisor family (anchors: q303_zorder_advisor, q155_zorder_layout)
     "q326_rle_advisor", "q314_hilbert_advisor", "q267_zonemap_advisor")
 
-  /** FULL implemented surface, demoted members included — what specs,
-    * plan audits, and local wholesale oracle runs exercise. */
+  /** FULL implemented surface — identical to [[queries]]; kept as the
+    * stable name specs and plan audits use. */
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map { case (n, f, _) => n -> f }.toMap
 
@@ -73,12 +67,14 @@ object SparkEntry {
     modules.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 
   /** One entry per implemented operator from SURVEY.md §2 — the
-    * DECLARED surface the driver benches and oracle-checks. */
+    * DECLARED surface the driver benches and oracle-checks. Every
+    * query ever declared stays declared (optimization-round contract:
+    * entries may be added, never removed or renamed). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQueries -- demoted
+    allQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allOracleSql -- demoted
+    allOracleSql
 }

@@ -20,15 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_INCLUDE_DEMOTED=1 (dev loop only): also dump the
-    // demoted members (SparkEntry.demoted) so local wholesale oracle
-    // audits keep covering the FULL implemented surface; the driver
-    // runs without the flag and sees the declared surface.
-    val surface =
-      if (sys.env.get("SPARK_GRAFT_INCLUDE_DEMOTED").contains("1"))
-        SparkEntry.allQueries
-      else SparkEntry.queries
-    surface
+    SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -49,11 +41,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val oracles =
-      if (sys.env.get("SPARK_GRAFT_INCLUDE_DEMOTED").contains("1"))
-        SparkEntry.allOracleSql
-      else SparkEntry.oracleSql
-    val json = oracles
+    val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
