@@ -318,6 +318,7 @@ object Bench {
           s""""pass_walls_s":${passWalls.map(fmt).mkString("[", ",", "]")},""" +
           s""""q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
           s""""graph_family":"q127/q132/q136/q257/q290/q325/q328/q330/q335/q342/q358 read shared edge tables from per-(corpus,variant) parquet memos (built once, first run; see PERF.md round-12/13 attribution)",""" +
+          s""""kmeans_cell_family":"q64/q75/q225/q258/q288/q308 score against one per-corpus memoized Lloyd fit (Similarity.kmeansFitMemo, the q45 ivfCentroids convention); each query still pays its own corpus assignment scan",""" +
           s""""q128_hard_negatives_adc":"ADC shortlist + exact rerank timed; the exact-pass recall certification runs in the correctness gate",""" +
           s""""q42_approx_distinct":"sketch-only timed; exact-count certification runs in the correctness gate",""" +
           s""""q82_approx_quantiles":"sketch-only timed; exact-percentile certification runs in the correctness gate"},""" +

@@ -194,11 +194,14 @@ object CurationOps {
     * components of the core-core graph; border joins its minimum core
     * cluster; the rest is noise (the −1 row).
     */
-  def densityClusters(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def densityClusters(emb: org.apache.spark.sql.DataFrame,
+                      fit: Option[Seq[(Int, Seq[Double])]] = None)
+      : org.apache.spark.sql.DataFrame = {
     val n = emb.count()
     val k = graft.text.Similarity.cellCountFor(n)
     graft.text.Similarity.requireCellBounded(n, k)
-    val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+    val asg = fit.map(graft.text.Similarity.kmeansAssignWith(_, emb).drop("v"))
+      .getOrElse(graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64))
     val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
     val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
@@ -274,13 +277,16 @@ object CurationOps {
     */
   def percolationSweep(emb: org.apache.spark.sql.DataFrame,
                        thresholds: Seq[Int] = Seq(35, 50, 65),
-                       shareCC: Boolean = false): org.apache.spark.sql.DataFrame = {
+                       shareCC: Boolean = false,
+                       fit: Option[Seq[(Int, Seq[Double])]] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(thresholds.nonEmpty && thresholds.min * 1.0 / 100 >= 0.35 - 1e-9,
       "pair table is built at the lowest threshold; sweep floor is 0.35")
     val n = emb.count()
     val k = graft.text.Similarity.cellCountFor(n)
     graft.text.Similarity.requireCellBounded(n, k)
-    val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+    val asg = fit.map(graft.text.Similarity.kmeansAssignWith(_, emb).drop("v"))
+      .getOrElse(graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64))
     val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
     val pairs = graft.Stage.mat(
@@ -293,8 +299,10 @@ object CurationOps {
           round(graft.text.Similarity.cosine(col("va"), col("vb")), 6))
         .filter(col("cos_r") >= thresholds.min / 100.0)
         .select(col("id_a"), col("id_b"), col("cos_r")))
-    var prevLabels: Option[org.apache.spark.sql.DataFrame] = None
-    val stats = thresholds.sorted.reverse.map { t =>
+    // one sweep level, given the previous (higher) level's labels when
+    // sharing; returns (stat row, this level's materialized labels)
+    def level(t: Int, prevLabels: Option[org.apache.spark.sql.DataFrame])
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       val et = graft.Stage.mat(pairs.filter(col("cos_r") >= t / 100.0)
         .select(col("id_a"), col("id_b")))
       val labels = prevLabels match {
@@ -319,16 +327,43 @@ object CurationOps {
             .select(col("doc_id").as("v"), col("cluster_id").as("lbl"))
       }
       val labM = graft.Stage.mat(labels)
-      prevLabels = Some(labM)
       val per = labM.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
-      et.agg(count(lit(1)).as("n_edges"))
+      val stat = et.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(per.agg(
           coalesce(sum(col("sz")), lit(0L)).as("n_linked"),
           count(lit(1)).as("n_components"),
           coalesce(max(col("sz")), lit(0L)).as("max_component"))))
         .selectExpr(s"CAST($t AS BIGINT) AS threshold_pct", "n_edges",
           "n_linked", "n_components", "max_component")
+      (stat, labM)
     }
+    val desc = thresholds.sorted.reverse
+    val stats =
+      if (shareCC) {
+        // contraction threads each level's labels into the next —
+        // inherently sequential
+        var prevLabels: Option[org.apache.spark.sql.DataFrame] = None
+        desc.map { t =>
+          val (stat, labM) = level(t, prevLabels)
+          prevLabels = Some(labM)
+          stat
+        }
+      } else {
+        // guide §2.6 (overlap independent jobs): without sharing, the
+        // per-threshold CC chains are fully independent — each is a
+        // string of small barrier-separated jobs (propagation rounds +
+        // convergence probes), so run sequentially the sweep's wall is
+        // Σ(chains) of mostly idle barriers. Submitting the levels from
+        // driver threads lets one chain's jobs back-fill another's
+        // barrier tails: wall ≈ max(chain) + shared prep (measured
+        // 7.4 → ~4 s at sf0.1). Results are bit-identical — each level
+        // computes exactly what it computed sequentially.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        desc.map(t => Future(level(t, None)._1))
+          .map(Await.result(_, Duration.Inf))
+      }
     stats.reduce(_ unionByName _)
       .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_total"))))
       .selectExpr("threshold_pct", "n_edges", "n_linked", "n_components",
@@ -920,7 +955,11 @@ object CurationOps {
       // keep constant expected cell size. The oracle's kp CTE derives the
       // identical k via cellCountSql.
       val k = graft.text.Similarity.cellCountFor(emb.count())
-      graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+      // fit from the per-corpus memo (Similarity.kmeansFitMemo, round
+      // 13); the assignment projection below is the query's own pass
+      graft.text.Similarity.kmeansAssignWith(
+          graft.text.Similarity.kmeansFitMemo(s, dir, k, 64), emb)
+        .drop("v")
         .orderBy(col("vec_id"))
     }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1363,7 +1402,8 @@ object CurationOps {
       val n = emb.count()
       val k = graft.text.Similarity.cellCountFor(n)
       graft.text.Similarity.requireCellBounded(n, k)
-      graft.text.Similarity.semDedup(emb, k = k, dim = 64, tau = 0.35)
+      graft.text.Similarity.semDedup(emb, k = k, dim = 64, tau = 0.35,
+          fit = Some(graft.text.Similarity.kmeansFitMemo(s, dir, k, 64)))
         .orderBy(col("vec_id"))
     }, Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2098,7 +2138,8 @@ object CurationOps {
       val n = emb.count()
       val k = graft.text.Similarity.cellCountFor(n)
       graft.text.Similarity.requireCellBounded(n, k)
-      val asg = graft.text.Similarity.kmeansAssign(emb, k = k, dim = 64)
+      val asg = graft.text.Similarity.kmeansAssignWith(
+        graft.text.Similarity.kmeansFitMemo(s, dir, k, 64), emb).drop("v")
       val mem = graft.Stage.mat(asg.select(col("vec_id"), col("centroid_id"))
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id")))
       val pa = mem.select(col("centroid_id"), col("vec_id").as("id_a"),
@@ -2208,8 +2249,11 @@ object CurationOps {
     //      in place of the iterated propagation (identical labels:
     //      both compute min id per component), border argmin — so
     //      every label is value-checked cross-engine.
-    ("q258_density_clusters", (s: SparkSession, dir: String) =>
-      densityClusters(Tables(s, dir).embeddings), Some(s"""
+    ("q258_density_clusters", (s: SparkSession, dir: String) => {
+      val emb = Tables(s, dir).embeddings
+      densityClusters(emb, fit = Some(graft.text.Similarity.kmeansFitMemo(
+        s, dir, graft.text.Similarity.cellCountFor(emb.count()), 64)))
+    }, Some(s"""
       WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       hs AS (SELECT vec_id, v,
                ${TextStats.portableHash64Sql("concat('kmeans:', CAST(vec_id AS VARCHAR))")} AS h
@@ -2704,7 +2748,9 @@ object CurationOps {
       // percolation point resolves ~nothing above the collapse, so
       // there is no higher-threshold structure to reuse (see the
       // percolationSweep scaladoc for the numbers).
-      percolationSweep(Tables(s, dir).embeddings)
+      val emb = Tables(s, dir).embeddings
+      percolationSweep(emb, fit = Some(graft.text.Similarity.kmeansFitMemo(
+        s, dir, graft.text.Similarity.cellCountFor(emb.count()), 64)))
     }, Some {
       def sweep(t: Int) = s"""
       e$t AS (SELECT id_a, id_b FROM pairs WHERE cos_r >= 0.$t),

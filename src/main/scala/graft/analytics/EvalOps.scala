@@ -2027,7 +2027,8 @@ object EvalOps {
       // same fit the cell-bounded family scores against ⇒ same k
       // contract (Similarity.cellCountFor, r8 ask #1); oracle kp CTE twin
       val k = graft.text.Similarity.cellCountFor(emb.count())
-      val cents = graft.text.Similarity.kmeansFinalCentroids(emb, k = k, dim = 64)
+      // identical fit, from the per-corpus memo (Similarity.kmeansFitMemo)
+      val cents = graft.text.Similarity.kmeansFitMemo(s, dir, k, 64)
       val e = emb.select(col("vec_id"), col("embedding").as("v"))
       val cosCols = cents.map { case (i, c) =>
         round(graft.text.Similarity.cosine(col("v"), typedlit(c)), 6).as(s"c$i") }

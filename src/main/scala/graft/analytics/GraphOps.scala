@@ -438,16 +438,36 @@ object GraphOps {
       e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .select(col("src").as("node"), col("d")))
     var prev: DataFrame = null
-    for (i <- 1 to rounds) {
+    var i = 1
+    var done = false
+    while (i <= rounds && !done) {
       val dead = cur.filter(col("d") < k).select(col("node"))
-      val alive = cur.filter(col("d") >= k)
-      if (i == rounds - 1) prev = alive.agg(count(lit(1)).as("n_prev"))
-      val dec = e.join(dead.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("dec"))
-      cur = graft.Stage.mat(
-        alive.join(dec.select(col("src").as("node"), col("dec")), Seq("node"), "left")
-          .select(col("node"),
-            (col("d") - coalesce(col("dec"), lit(0L))).as("d")))
+      // fixpoint early-exit (round 13): once no node is below k, every
+      // remaining round recomputes cur unchanged (dec = ∅) — so stop
+      // scheduling them. The probe is one scan of the materialized
+      // node-sized state; the skipped rounds were each a full
+      // node-table join + barrier. Output-identical by the same
+      // induction as the delta form itself: at the fixpoint
+      // alive = cur, so the n_prev certificate captured here equals
+      // n_final and converged reads true — exactly what the full
+      // round-for-round run reports (GraphOpsSpec pins delta ≡ classic
+      // on fixtures that exercise both the converging and the
+      // non-converging path).
+      if (dead.isEmpty) {
+        if (prev == null || i <= rounds - 1)
+          prev = cur.agg(count(lit(1)).as("n_prev"))
+        done = true
+      } else {
+        val alive = cur.filter(col("d") >= k)
+        if (i == rounds - 1) prev = alive.agg(count(lit(1)).as("n_prev"))
+        val dec = e.join(dead.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as("dec"))
+        cur = graft.Stage.mat(
+          alive.join(dec.select(col("src").as("node"), col("dec")), Seq("node"), "left")
+            .select(col("node"),
+              (col("d") - coalesce(col("dec"), lit(0L))).as("d")))
+      }
+      i += 1
     }
     val conv = cur.agg(count(lit(1)).as("n_final")).crossJoin(broadcast(prev))
       .select((col("n_final") === col("n_prev")).as("converged"))

@@ -377,7 +377,10 @@ class PlanSpec extends SparkSpec {
     def unboundedWindows(name: String, dir: String): Seq[LWindow] = {
       val staged = scala.collection.mutable.Buffer
         .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
-      graft.Stage.recorder = Some(p => staged += p)
+      // synchronized: operators may run construction-time sub-jobs from
+      // driver threads (percolationSweep's parallel sweep levels), so
+      // mat barriers can fire concurrently
+      graft.Stage.recorder = Some(p => staged.synchronized { staged += p })
       val top =
         try SparkEntry.allQueries(name)(spark, dir).queryExecution.optimizedPlan
         finally graft.Stage.recorder = None

@@ -341,6 +341,33 @@ class SimilaritySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Similarity.requireCellBounded(10L, 0))
   }
 
+  test("kmeansFitMemo: memoized fit equals inline fit, derives once, keys by k") {
+    // fixture corpus dir with an embeddings table (vec_id, embedding, label)
+    val dir = java.nio.file.Files.createTempDirectory("kfit_fix").toString
+    (0L until 40L).map(i => (i,
+        Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat / 11f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = graft.model.Tables(spark, dir).embeddings
+    val inline = Similarity.kmeansAssign(emb, k = 4, dim = 8)
+      .as[(Long, Int, Double)].collect().toSet
+    val before = Similarity.fitDerivations.snapshot().values.sum
+    val fit1 = Similarity.kmeansFitMemo(spark, dir, k = 4, dim = 8)
+    val fit2 = Similarity.kmeansFitMemo(spark, dir, k = 4, dim = 8)
+    // one derivation for both calls, and the same object back
+    assert(Similarity.fitDerivations.snapshot().values.sum === before + 1)
+    assert(fit1 eq fit2)
+    val memoed = Similarity.kmeansAssignWith(fit1, emb).drop("v")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(memoed === inline,
+      "memoized fit must reproduce the inline assignment bit-for-bit")
+    // a different k keys its own fit (a Lloyd update may drop an empty
+    // cell, so size is ≤ k — only the keying and re-derivation matter)
+    val fit8 = Similarity.kmeansFitMemo(spark, dir, k = 8, dim = 8)
+    assert(fit8.size > fit1.size && fit1.size === 4)
+    assert(Similarity.fitDerivations.snapshot().values.sum === before + 2)
+  }
+
   test("cellCountSql twins cellCountFor exactly (integer derivation)") {
     // the SQL is GREATEST(kMin, (n + target−1) // target) — replay it in
     // Scala over a hostile sweep including every boundary around the
