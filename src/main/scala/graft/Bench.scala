@@ -288,6 +288,24 @@ object Bench {
     //    captures always ENDS with a parseable record.
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+    // One-time memo builds (edge tables, k-means fits, the IVF index)
+    // are paid inside pass 1 and then excluded from every per-query min
+    // — VERDICT r13 ask #1: the artifact itself must carry that cost.
+    // Emitted after every pass (the maps are filled during pass 1).
+    def escJson(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    def memoBuilds: String =
+      (graft.analytics.GraphOps.memoBuildSeconds.toSeq ++
+        graft.text.Similarity.fitBuildSeconds.toSeq ++
+        graft.analytics.LLMOps.ivfBuildSeconds.toSeq)
+        .sortBy(_._1)
+        .map { case (k, v) => "\"" + escJson(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     def resultsNow: Seq[(String, Option[Double])] = ordered.map { case (name, _) =>
       val t = samples.getOrElse(name, Nil)
@@ -316,6 +334,7 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_total_ms":$cpuTotal,"queries":$qs,"failed":$failed,""" +
           s""""notes":{"passes_completed":$passesDone,"budget_s":${fmt(budgetS)},"budget":"$budgetNote",""" +
           s""""pass_walls_s":${passWalls.map(fmt).mkString("[", ",", "]")},""" +
+          s""""memo_build_s":$memoBuilds,""" +
           s""""q45_ivf_ann":"probe+scan only; IVF centroid build memoized per corpus",""" +
           s""""graph_family":"q127/q132/q136/q257/q290/q325/q328/q330/q335/q342/q358 read shared edge tables from per-(corpus,variant) parquet memos (built once, first run; see PERF.md round-12/13 attribution)",""" +
           s""""kmeans_cell_family":"q64/q75/q225/q258/q288/q308 score against one per-corpus memoized Lloyd fit (Similarity.kmeansFitMemo, the q45 ivfCentroids convention); each query still pays its own corpus assignment scan",""" +

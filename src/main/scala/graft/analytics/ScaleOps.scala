@@ -2661,16 +2661,51 @@ object ScaleOps {
       val dt = graft.Stage.mat(
         base.groupBy(col("rf"), col("ls"), col("qy"), col("sd"))
           .agg(count(lit(1)).as("cnt")))
-      val nRow = graft.Stage.mat(dt.agg(sum(col("cnt")).as("n")))
-      val cands = Seq(Seq("rf", "ls", "qy", "sd"), Seq("sd", "rf", "ls", "qy"),
-        Seq("qy", "sd", "rf", "ls"), Seq("ls", "qy", "rf", "sd"))
-      cands.map { cs =>
-        dt.agg(
-            countDistinct(col(cs(0))).as("r1"),
-            countDistinct(col(cs(0)), col(cs(1))).as("r2"),
-            countDistinct(col(cs(0)), col(cs(1)), col(cs(2))).as("r3"),
-            count(lit(1)).as("r4"))
-          .crossJoin(broadcast(nRow))
+      // round 14 (VERDICT r13 ask #6): the r10–r13 form ran FOUR
+      // Expand(4) exact multi-distinct aggregates over dt — 16 dt-scale
+      // hash passes on (gid, 4-col) keys, 9 s idle CPU. But the four
+      // candidates' prefix SETS overlap: as sets, the 3-prefixes are
+      // only THREE — {rf,ls,qy} (shared by candidates 1 and 4, whose
+      // r3 orders are permutations of the same set), {sd,rf,ls},
+      // {qy,sd,rf} — and every 1-/2-prefix is a subset of one of them.
+      // So: materialize the three 3-column DISTINCT sub-tables with one
+      // dt pass each, then every r1/r2 is a distinct-count over a
+      // sub-table (≤ the 3-set cardinality, not dt) and every r3 is a
+      // bare count. No Expand anywhere; the dt-scale work drops from 16
+      // wide passes to 3 narrow ones. countDistinct(cols) over dt ≡
+      // count over the distinct sub-table under the documented non-null
+      // precondition (all four profiled columns are non-null in
+      // lineitem — the same caveat the Expand form carried).
+      // the three sub-table builds + the count row are independent given
+      // dt — materialize them from driver threads (guide §2.6, the q308
+      // pattern) so their barrier tails back-fill instead of queueing
+      val subBuilds: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+        () => graft.Stage.mat(dt.select(col("rf"), col("ls"), col("qy")).distinct()),
+        () => graft.Stage.mat(dt.select(col("sd"), col("rf"), col("ls")).distinct()),
+        () => graft.Stage.mat(dt.select(col("qy"), col("sd"), col("rf")).distinct()),
+        () => graft.Stage.mat(dt.agg(count(lit(1)).as("r4"), sum(col("cnt")).as("n"))))
+      val built = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          subBuilds.map(b => Future(b())).map(Await.result(_, 30.minutes))
+        } finally pool.shutdown()
+      }
+      val (dRls, dSrl, dQsr, cnts) = (built(0), built(1), built(2), built(3))
+      val cands = Seq(
+        (Seq("rf", "ls", "qy", "sd"), dRls),
+        (Seq("sd", "rf", "ls", "qy"), dSrl),
+        (Seq("qy", "sd", "rf", "ls"), dQsr),
+        (Seq("ls", "qy", "rf", "sd"), dRls))
+      cands.map { case (cs, sub) =>
+        val r1 = sub.select(col(cs(0))).distinct().agg(count(lit(1)).as("r1"))
+        val r2 = sub.select(col(cs(0)), col(cs(1))).distinct()
+          .agg(count(lit(1)).as("r2"))
+        val r3 = sub.agg(count(lit(1)).as("r3"))
+        r1.crossJoin(r2).crossJoin(r3).crossJoin(broadcast(cnts))
           .selectExpr(s"'${cs.mkString(",")}' AS layout",
             "CAST(r1 AS BIGINT) AS r1", "CAST(r2 AS BIGINT) AS r2",
             "CAST(r3 AS BIGINT) AS r3", "CAST(r4 AS BIGINT) AS r4",

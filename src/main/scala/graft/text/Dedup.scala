@@ -588,13 +588,18 @@ object Dedup {
     while (!converged && round < propRounds) {
       val nbrMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      // carry the previous label through the materialization so the
+      // convergence probe is a NARROW scan of the checkpointed blocks
+      // (round 14, guide §2.4): the r13 form re-joined next against
+      // labels per round — a whole extra join stage whose only output
+      // was the changed-row test.
       val next = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
         .transform(graft.Stage.mat)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     if (!converged)

@@ -633,13 +633,26 @@ object Similarity {
     fitCache.getOrElseUpdate(key, {
       fitDerivations.updateWith(key)(c => Some(c.getOrElse(0L) + 1L))
       val emb = graft.model.Tables(s, dir).embeddings
-      kmeansFit(emb.select(col("vec_id"), col("embedding").as("v")),
+      val t0 = System.nanoTime()
+      val fit = kmeansFit(emb.select(col("vec_id"), col("embedding").as("v")),
         k, dim, iters, salt)
+      fitBuildSeconds.put(key, (System.nanoTime() - t0) / 1e9)
+      fit
     })
   }
 
+  // Bounded in practice by the handful of (corpus, k, dim) combinations
+  // a session fits; values are k×dim doubles. A long-lived multi-corpus
+  // service would cap and evict like Tables.memo (VERDICT r13 #7).
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+
+  /** Wall seconds each fit key spent deriving in this JVM — surfaced by
+    * the bench as `notes.memo_build_s` (VERDICT r13 ask #1: the
+    * one-time build must appear in the artifact, not vanish under
+    * min-over-passes). */
+  private[graft] val fitBuildSeconds =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
 
   /** Diagnostic twin of GraphOps.memoDerivations: how many times each
     * fit key DERIVED in this JVM (must stay 1 per key across passes). */

@@ -508,6 +508,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(reenum.head.getAs[Long]("n_tri") > 0L,
       "fixture must actually contain triangles for the pin to mean anything")
     assert(delta === reenum)
+    // round 14: the SHIPPING incremental-support form (sup' = sup − dec
+    // over the dead triangles' edge credits, removed-keyed lookups
+    // instead of kept-keyed semi-joins) must equal both — same oracle,
+    // same golden pins
+    val inc = GraphOps.kTrussRoundsInc(cohort(), 3, 2).collect().toSeq
+    assert(inc === reenum)
+  }
+
+  test("incremental k-truss equals the classic delta peel when a second-round peel happens") {
+    // two K3s sharing edge {1,2} plus a pendant triangle {5,6,7}: round
+    // 1 peels the pendant (supports 1) while the bowtie's shared edge
+    // has support 2 — then nothing else peels. To exercise a LATER
+    // round's dec path, chain: triangle {1,2,3} + triangle {2,3,4} +
+    // edge-only tail {4,5},{5,6}: supports — (2,3)=2, others 1 → round
+    // 1 keeps only (2,3): round 2 has 1 edge, 0 triangles, keeps 0 →
+    // round 3 empty. The inc form's sup−dec must walk the same ladder.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+      .toDF("pa", "pb")
+    val classic = GraphOps.kTrussRounds(graft.Stage.mat(e), 3, 2).collect().toSeq
+    val inc = GraphOps.kTrussRoundsInc(graft.Stage.mat(e), 3, 2).collect().toSeq
+    assert(inc === classic)
+    // the fixture must actually peel across two successive rounds
+    val kept = classic.map(_.getAs[Long]("n_kept"))
+    assert(kept.distinct.size >= 2, s"fixture too static: $kept")
   }
 
   test("eigencentrality: 3-walk counts on the path graph rank the middle first") {
