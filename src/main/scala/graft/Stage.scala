@@ -43,4 +43,18 @@ object Stage {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
   }
+
+  /** Scan-parallelism guard (guide §2.5: "input skew — one huge
+    * unsplittable file … repartition immediately after the read"): when
+    * a scan arrives in fewer partitions than the session's parallelism
+    * AND the per-row work downstream is the query's whole CPU bill
+    * (tokenize/explode/multi-distinct), one task does all of it while
+    * the other cores idle. Round-robin the rows out first. At real
+    * scale a corpus scan has thousands of splits, the guard is false,
+    * and the plan is untouched — nothing here is tuned to local mode.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

@@ -246,7 +246,16 @@ object CurationOps {
     val coreEdges = pairs
       .join(core.select(col("v").as("id_a")), Seq("id_a"), "left_semi")
       .join(core.select(col("v").as("id_b")), Seq("id_b"), "left_semi")
-    val comp = graft.text.Dedup.connectedComponents(coreEdges)
+    // alternating CC directly (round 14): a DBSCAN core graph is
+    // density-CONNECTED by construction — chains through embedding
+    // space with unbounded diameter, the opposite of the near-dup
+    // clique regime min-label propagation is sized for. Measured at
+    // sf0.1: the propagation path burned all 8 diameterHint rounds
+    // without converging and THEN ran the alternating algorithm anyway
+    // (8 wasted mats + probes per query). Labels are identical (min id
+    // of the component — CurationSpec pins the two algorithms' output
+    // agreement), so this is purely a cost knob.
+    val comp = graft.text.Dedup.connectedComponentsAlternating(coreEdges)
     // isolated cores (no core neighbor) are their own singleton cluster
     val coreLab = graft.Stage.mat(
       comp.select(col("doc_id").as("v"), col("cluster_id"))
@@ -350,7 +359,13 @@ object CurationOps {
             .join(cc2, Seq("s1"), "left")
             .select(col("v"), coalesce(col("slbl"), col("s1")).as("lbl"))
         case _ =>
-          graft.text.Dedup.connectedComponents(et)
+          // alternating CC directly (round 14, the q258 reasoning): a
+          // percolation sweep SPANS the collapse threshold on purpose,
+          // so the densest level holds the emerging giant component —
+          // a long-chain graph where min-label propagation burned its
+          // 8 hint rounds and escalated anyway (measured at sf0.1).
+          // Labels identical; oracle replays independent CC per level.
+          graft.text.Dedup.connectedComponentsAlternating(et)
             .select(col("doc_id").as("v"), col("cluster_id").as("lbl"))
       }
       val labM = graft.Stage.mat(labels)

@@ -877,11 +877,53 @@ object GraphOps {
     val path = edgeMemo.getOrElseUpdate(key, {
       memoDerivations.updateWith(key)(c => Some(c.getOrElse(0L) + 1L))
       val sub = s"${variant}_${Integer.toHexString(key.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(memoSpillRoot(s), sub).toString
+      val root = memoSpillRoot(s)
+      val p = new org.apache.hadoop.fs.Path(root, sub)
       val t0 = System.nanoTime()
-      derive.write.mode("overwrite").parquet(p)
+      derive.write.mode("overwrite").parquet(p.toString)
+      // Right-size the spill by BYTES (guide §6 / VERDICT r13 ask #2):
+      // the derive's final-stage partition count tracks the WRITING
+      // session's core count, so a fixture-sized memo landed as ~20
+      // near-empty files and every one of the family's many re-scans
+      // fanned out into ~20 near-empty tasks — measured 2-5× task-CPU
+      // inflation at local[32] from concurrent tiny-task overhead (the
+      // mechanism behind r13's "8-core suite beats the 32-core one").
+      // One cheap one-time rewrite packs the memo to
+      //   clamp(defaultParallelism,
+      //         lo = ceil(bytes / maxPartitionBytes),   // full splits
+      //         hi = ceil(bytes / openCostInBytes))     // file ≥ its open cost
+      // — the write-side mirror of Spark's own scan rules
+      // (files.minPartitionNum aspires to default parallelism; split
+      // packing charges every file openCostInBytes, so a file smaller
+      // than that is worth less than opening it). At corpus scale `lo`
+      // dominates and the memo is thousands of full-split files; at
+      // fixture scale the count is bytes-derived (2-3 at sf0.1) and
+      // IDENTICAL across core counts, so the 8- and 32-core benches run
+      // the same layout. Sweep evidence (q342/q358 idle, 32c): 20 files
+      // → cpu 12.6/10.2 s; 8 → 11.8/15.1; 2 → 2.2/6.1 (wall 3.0/3.5);
+      // 1 → 2.5/5.6 but wall 6.2/5.0 (serial re-parse per re-scan).
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      def confBytes(k: String, dflt: String) =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          s.conf.get(k, dflt))
+      val splitBytes = confBytes("spark.sql.files.maxPartitionBytes", "134217728b")
+      val openCost = confBytes("spark.sql.files.openCostInBytes", "4194304b")
+      val nFiles = fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+      val lo = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
+      val hi = math.max(1L, (bytes + openCost - 1) / openCost)
+      val want = math.min(hi,
+        math.max(lo, s.sparkContext.defaultParallelism.toLong)).toInt
+      val finalP =
+        if (nFiles > want) {
+          val p2 = new org.apache.hadoop.fs.Path(root, sub + "_rs")
+          s.read.parquet(p.toString).coalesce(want)
+            .write.mode("overwrite").parquet(p2.toString)
+          try fs.delete(p, true) catch { case _: Throwable => () }
+          p2
+        } else p
       memoBuildSeconds.put(key, (System.nanoTime() - t0) / 1e9)
-      p
+      finalP.toString
     })
     s.read.parquet(path)
   }

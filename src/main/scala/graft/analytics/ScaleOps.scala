@@ -1869,12 +1869,14 @@ object ScaleOps {
     //      engine-stable.
     ("q114_mad_outliers", (s: SparkSession, dir: String) => {
       val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
-      // med feeds dev, and dev feeds BOTH the mad median (3 internal
-      // corpus passes) and the final z agg — without the barriers the
-      // whole med pipeline re-runs inside every dev consumer (~12
-      // lineitem scans; measured 2.2 s, the suite's slowest query).
-      val med = graft.Stage.mat(
-        histMedian(li, "l_returnflag", "l_extendedprice", "med"))
+      // dev feeds BOTH the mad median (3 internal corpus passes) and
+      // the final z agg — without ITS barrier the whole med pipeline
+      // re-runs inside every dev consumer (~12 lineitem scans; measured
+      // 2.2 s, the suite's slowest query). med itself has exactly ONE
+      // consumer (dev's broadcast join), so since round 14 it stays
+      // lazy and builds inside dev's materialization job — one fewer
+      // barrier, identical values.
+      val med = histMedian(li, "l_returnflag", "l_extendedprice", "med")
       val dev = graft.Stage.mat(li.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("l_extendedprice"), col("med"),
           abs(col("l_extendedprice") - col("med")).as("ad")))

@@ -648,7 +648,8 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct().transform(graft.Stage.mat)
     var round = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     while (!converged && round < maxRounds) {
       // large-star over the symmetric view: m = min(u, min(neighbors)),
       // every neighbor v > u re-points to m. Output stays canonical
@@ -663,15 +664,24 @@ object Dedup {
       // small-star on the directed (larger → smaller) edges: all of u's
       // smaller neighbors plus u itself re-point to their minimum.
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // fixpoint probe folded into the round materialization (round 14,
+      // the propagation-loop discipline): each next edge carries an
+      // in-previous-set flag, so convergence is a narrow count + scan
+      // of the checkpointed blocks instead of a separate count job plus
+      // an anti-join job; the previous round's count is driver state.
       val next = large.join(smins, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .unionByName(smins.select(col("u"), col("m").as("v")))
         .distinct()
+        .join(edges.select(col("u"), col("v"), lit(1).as("in_prev")),
+          Seq("u", "v"), "left")
         .transform(graft.Stage.mat)
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      edges = next
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.filter(col("in_prev").isNull).isEmpty
+      edges = next.select(col("u"), col("v"))
+      edgeCount = nextCount
       round += 1
     }
     // at the fixpoint the edge set is the star forest (u → component
